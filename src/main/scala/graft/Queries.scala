@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity}
+
+/** The SURVEY.md §2 query contract, one `(SparkSession, sfDir) => DataFrame`
+  * per declared operator id, plus the training-data-pipeline extensions.
+  *
+  * Determinism rules (FIXTURES.md): every result ends in ORDER BY on a
+  * unique key with explicit null placement; double *aggregates* are rounded
+  * to fixed decimals on both the Spark and DuckDB side; per-row arithmetic
+  * is left unrounded (bit-identical IEEE on both engines).
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -------------------------------------------------------------------
+  // §2.A sources  +  §2.G scalar functions
+  // -------------------------------------------------------------------
+
+  /** q_scan — bounded file source scan (reference file connector,
+    * SURVEY §2.A). */
+  val q_scan: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+
+  /** q_json_extract — JSON field plucking from a string payload column
+    * (reference fastjson `getString`/`getLong` idiom, SURVEY §2.G). */
+  val q_json_extract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .orderBy("event_id")
+
+  /** q_date_funcs — epoch/date formatting util surface (SURVEY §2.G). */
+  val q_date_funcs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date_str"))
+      .orderBy("o_orderkey")
+
+  /** q_string_funcs — rowkey-building string ops (SURVEY §2.G). */
+  val q_string_funcs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("rowkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        substring(col("c_name"), 1, 10).as("name_prefix"),
+        length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+
+  /** q_case_when — CASE WHEN routing + null handling (SURVEY §2.G). */
+  val q_case_when: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("pending").as("status_label"),
+        col("o_totalprice"))
+      .groupBy("status_label")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("status_label")
+
+  /** q_explode — array explode / UDTF shape (reference display/action
+    * array split, SURVEY §2.G). */
+  val q_explode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  // -------------------------------------------------------------------
+  // §2.B projection / filter / split
+  // -------------------------------------------------------------------
+
+  /** q_project — column projection + derived arithmetic. */
+  val q_project: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_filter — predicate filter (the DWD dirty-data drop shape). */
+  val q_filter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q_split_page — one representative stream-split branch (reference side
+    * outputs, SURVEY §2.B): events routed by event_type. */
+  val q_split_page: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+
+  // -------------------------------------------------------------------
+  // §2.C joins
+  // -------------------------------------------------------------------
+
+  /** q_join_hash — large-large equi join; Catalyst picks the strategy
+    * (SMJ/shuffled-hash at scale). */
+  val q_join_hash: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q_join_broadcast — star join with explicitly broadcast dims (the
+    * reference's HBase/Redis dim pattern collapsed to broadcast hash join,
+    * SURVEY §1.3). */
+  val q_join_broadcast: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("r_name", "n_name")
+
+  /** q_join_lookup — per-record dim enrichment (reference HBase lookup
+    * join + Redis cache → broadcast hash join, no RPC). */
+  val q_join_lookup: Q = (s, d) =>
+    Tables.events(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+      .orderBy("event_id")
+
+  /** q_join_interval — event-time interval join: click → purchase by the
+    * same user within 1 hour (reference Flink intervalJoin bounds,
+    * SURVEY §7.4). */
+  val q_join_interval: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("b_user_id"),
+        col("ts").as("buy_ts"))
+    clicks.join(buys,
+        col("user_id") === col("b_user_id") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** q_join_left — left outer join preserving unmatched build rows. */
+  val q_join_left: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
+      .orderBy("c_custkey")
+
+  /** q_join_semi — EXISTS. */
+  val q_join_semi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** q_join_anti — NOT EXISTS: customers who never produced an event
+    * (events.user_id covers a small custkey prefix, so this is non-empty
+    * at every SF). */
+  val q_join_anti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.events(s, d), col("c_custkey") === col("user_id"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // -------------------------------------------------------------------
+  // §2.D aggregations
+  // -------------------------------------------------------------------
+
+  /** q_agg_groupby — TPC-H Q1 shape: keyed hash agg with partial
+    * aggregation (map-side combine) for free. */
+  val q_agg_groupby: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q_agg_global — keyless totals. */
+  val q_agg_global: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  /** q_agg_distinct — exact distinct count (reference UV dedup metric). */
+  val q_agg_distinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** q_agg_approx_distinct — HLL++ sketch; oracle-exempt (bounded-error
+    * check lives in scalatest). The 100 TB replacement for exact distinct. */
+  val q_agg_approx_distinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
+  val q_agg_rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** q_window_tumble — the flagship DWS shape: per-day tumbling window ×
+    * event_type aggregate over the event stream (batch form; streaming
+    * form in graft.streaming). Uses the real `window()` primitive. */
+  val q_window_tumble: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("sum_value"),
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("sum_value"), col("n"), col("n_users"))
+      .orderBy("day", "event_type")
+
+  // -------------------------------------------------------------------
+  // §2.E analytic window functions
+  // -------------------------------------------------------------------
+
+  /** q_topk — top-3 spenders per day (reference top-N SKU/keyword jobs). */
+  val q_topk: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("spend"))
+    val w = Window.partitionBy("day").orderBy(desc("spend"), col("user_id"))
+    daily.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("day", "rn")
+  }
+
+  /** q_window_lag — per-user inter-event gap (reference session/returning-
+    * visitor offset logic). */
+  val q_window_lag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(col("ts")) - unix_millis(col("prev_ts"))).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** q_window_running — running revenue per customer in orderdate order.
+    * Identical summation order on both engines → exact double parity. */
+  val q_window_running: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // -------------------------------------------------------------------
+  // §2.F sorts / limits / set ops
+  // -------------------------------------------------------------------
+
+  /** q_sort_limit — global top-N → TakeOrderedAndProject (bounded heaps,
+    * not a full sort). */
+  val q_sort_limit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** q_union — merge split streams back (UNION ALL). */
+  val q_union: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click")
+      .select("event_id", "event_type", "user_id")
+      .union(ev.filter(col("event_type") === "error")
+        .select("event_id", "event_type", "user_id"))
+      .orderBy("event_id")
+  }
+
+  /** q_intersect — set intersection (distinct semantics). */
+  val q_intersect: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .intersect(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** q_except — set difference (distinct semantics): BUILDING-segment
+    * customers minus those with event activity. */
+  val q_except: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .except(Tables.events(s, d).select(col("user_id").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  // -------------------------------------------------------------------
+  // §2.H text / §2.K training-data extensions
+  // -------------------------------------------------------------------
+
+  /** q_keyword_topk — tokenize → per-lang keyword counts → top-10
+    * (the reference's IK-analyzer keyword job, batch form). */
+  val q_keyword_topk: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("word"))
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .orderBy("lang", "rn")
+  }
+
+  /** q_dedup — exact keyed dedup, earliest-event wins (reference
+    * first-visit ValueState pattern, batch form). */
+  val q_dedup: Q = (s, d) =>
+    Dedup.exactFirst(Tables.events(s, d), Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id", "value")
+      .orderBy("user_id", "event_type")
+
+  /** q_dedup_doc — exact content dedup by md5 fingerprint. */
+  val q_dedup_doc: Q = (s, d) =>
+    Dedup.exactByContent(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("fp")
+
+  /** q_token_count — per-doc token counting. */
+  val q_token_count: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** q_quality_score — length/stopword quality heuristics. */
+  val q_quality_score: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        round(Text.stopwordRatio(col("text"), Seq("the", "a")), 6).as("stop_ratio"),
+        Text.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+      .orderBy("doc_id")
+
+  /** q_fingerprint — md5 content fingerprint per doc. */
+  val q_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** q_lang_id — n-gram-heuristic language ID; oracle-exempt (heuristic is
+    * not ANSI-SQL-portable), correctness in scalatest. */
+  val q_lang_id: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** q_similarity_topk — exact brute-force cosine top-5 vs vec_id 0. */
+  val q_similarity_topk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+  }
+
+  /** q_similarity_lsh — ANN top-5 via banded sign-LSH; oracle-exempt
+    * (approximate by construction), recall checked in scalatest. */
+  val q_similarity_lsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+  }
+
+  /** q_dedup_minhash — MinHash+LSH near-dup surface: per-doc signature head
+    * + LSH candidate count; oracle-exempt (hash-dependent), scalatest-
+    * verified against exact Jaccard on crafted corpora. */
+  val q_dedup_minhash: Q = (s, d) => {
+    val banded = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+    val perDoc = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    banded.select("doc_id", "sig").distinct()
+      .select(col("doc_id"), element_at(col("sig"), 1).as("sig0"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("sig0"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dedup_simhash — per-doc simhash + hamming-≤3 neighbor count;
+    * oracle-exempt, scalatest-verified. */
+  val q_dedup_simhash: Q = (s, d) =>
+    Dedup.simhashWithNeighbors(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** q_dedup_ngram — exact token-3-gram Jaccard, top-20 most similar pairs
+    * via shingle inverted index; oracle-exempt (top-k over double scores),
+    * scalatest-verified. */
+  val q_dedup_ngram: Q = (s, d) =>
+    Dedup.ngramJaccardTopPairs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
+    * candidate sets); oracle-exempt, scalatest-verified. */
+  val q_dedup_embed: Q = (s, d) =>
+    Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy("sig")
+
+  /** q_multimodal_join — text ⋈ embedding modality join with per-lang
+    * stats (SURVEY §2.K). */
+  val q_multimodal_join: Q = (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("label").cast("double")), 4).as("avg_label"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
+      .orderBy("lang")
+
+  // -------------------------------------------------------------------
+  // registry
+  // -------------------------------------------------------------------
+
+  /** All query ids, insertion-ordered. */
+  val all: Seq[(String, Q)] = Seq(
+    "q_scan" -> q_scan,
+    "q_project" -> q_project,
+    "q_filter" -> q_filter,
+    "q_split_page" -> q_split_page,
+    "q_json_extract" -> q_json_extract,
+    "q_date_funcs" -> q_date_funcs,
+    "q_string_funcs" -> q_string_funcs,
+    "q_case_when" -> q_case_when,
+    "q_explode" -> q_explode,
+    "q_join_hash" -> q_join_hash,
+    "q_join_broadcast" -> q_join_broadcast,
+    "q_join_lookup" -> q_join_lookup,
+    "q_join_interval" -> q_join_interval,
+    "q_join_left" -> q_join_left,
+    "q_join_semi" -> q_join_semi,
+    "q_join_anti" -> q_join_anti,
+    "q_agg_groupby" -> q_agg_groupby,
+    "q_agg_global" -> q_agg_global,
+    "q_agg_distinct" -> q_agg_distinct,
+    "q_agg_approx_distinct" -> q_agg_approx_distinct,
+    "q_agg_rollup" -> q_agg_rollup,
+    "q_window_tumble" -> q_window_tumble,
+    "q_topk" -> q_topk,
+    "q_window_lag" -> q_window_lag,
+    "q_window_running" -> q_window_running,
+    "q_sort_limit" -> q_sort_limit,
+    "q_union" -> q_union,
+    "q_intersect" -> q_intersect,
+    "q_except" -> q_except,
+    "q_keyword_topk" -> q_keyword_topk,
+    "q_dedup" -> q_dedup,
+    "q_dedup_doc" -> q_dedup_doc,
+    "q_token_count" -> q_token_count,
+    "q_quality_score" -> q_quality_score,
+    "q_fingerprint" -> q_fingerprint,
+    "q_lang_id" -> q_lang_id,
+    "q_similarity_topk" -> q_similarity_topk,
+    "q_similarity_lsh" -> q_similarity_lsh,
+    "q_dedup_minhash" -> q_dedup_minhash,
+    "q_dedup_simhash" -> q_dedup_simhash,
+    "q_dedup_ngram" -> q_dedup_ngram,
+    "q_dedup_embed" -> q_dedup_embed,
+    "q_multimodal_join" -> q_multimodal_join,
+  )
+}

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function pack.
+  *
+  * The reference bundles the IK Analyzer solely to tokenize search keywords
+  * for its DWS keyword job (reference `pom.xml:204-207`, SURVEY.md §2.H).
+  * Here tokenization is a Column function built from codegen'd Spark SQL
+  * primitives (no UDF on the hot path); a Unicode/CJK-aware variant and the
+  * training-data-pipeline scorers (language-ID, quality, fingerprints) are
+  * layered on top.
+  */
+object Text {
+
+  /** Oracle-parity tokenizer: split on single spaces, drop empties.
+    * Byte-for-byte equal to DuckDB `unnest(string_split(text, ' '))` with a
+    * `word <> ''` guard, which is what the correctness oracle runs.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " ", -1), w => w =!= lit(""))
+
+  /** Unicode-aware tokenizer: lowercases, treats each CJK ideograph as its
+    * own token (the IK-analyzer role in the reference), splits the rest on
+    * non-letter/digit runs. Pure SQL functions — stays in codegen.
+    */
+  def tokensUnicode(text: Column): Column = {
+    // put a space around every CJK char, then split on non-alnum runs
+    val spaced = regexp_replace(lower(text), "([\\u4e00-\\u9fff])", " $1 ")
+    filter(split(spaced, "[^\\p{L}\\p{N}]+", -1), w => w =!= lit(""))
+  }
+
+  /** Token count over the oracle tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Mean token length in characters (spaces excluded), double division —
+    * bit-identical across engines given identical inputs. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      size(tokens(text)).cast("double")
+
+  /** Ratio of stopword tokens. `stopwords` must be non-empty. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
+      .cast("double") / size(toks).cast("double")
+  }
+
+  /** Composite quality score for training-data filtering: favors documents
+    * with moderate token length and low stopword share. Deterministic,
+    * expressible in ANSI SQL for the oracle.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    round(
+      least(lit(1.0), size(tokens(text)).cast("double") / lit(100.0)) *
+        (lit(1.0) - stopwordRatio(text, stopwords)), 6)
+
+  /** Content fingerprint (exact-dup detection): md5 of the raw text.
+    * Same builtin exists in DuckDB → direct oracle parity. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit rolling (polynomial) fingerprint over tokens:
+    * h = Σ token_hash * 31^i  (mod 2^64). Order-sensitive, unlike md5 —
+    * catches reorderings as different docs. Built from xxhash64 + aggregate,
+    * no UDF. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) => acc * lit(31L) + xxhash64(w))
+
+  /** SimHash(64) over tokens: per-token xxhash64; signature bit j is the
+    * sign of Σ_tokens (bit_j(h)*2-1). Near-identical docs land within a few
+    * hamming bits. Scala UDF (bit loops don't map to SQL primitives cleanly);
+    * used by the dedup operators, verified in scalatest.
+    */
+  val simhash64: UserDefinedFunction = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) 0L
+    else {
+      val counts = new Array[Int](64)
+      toks.foreach { t =>
+        val h = xxHash64String(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** JVM-side xxHash64 matching Spark's `xxhash64` builtin (seed 42),
+    * so driver-side constants and executor-side columns agree. */
+  def xxHash64String(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+  }
+
+  // ---------------------------------------------------------------------
+  // Language identification (n-gram heuristic)
+  // ---------------------------------------------------------------------
+
+  /** Tiny character-trigram profiles for a 5-language heuristic classifier.
+    * Profiles are hand-picked high-frequency trigrams (public linguistic
+    * knowledge); scoring = profile-hit count over the document's trigrams,
+    * ties broken by fixed language order. CJK short-circuits on codepoint
+    * range. Deterministic; verified in scalatest on crafted sentences.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", " el", "el ", "ión", "ent", "que"),
+    "de" -> Seq("en ", " de", "der", "er ", "ie ", " di", "die", "sch", "ein", "ch "),
+  )
+
+  val langId: UserDefinedFunction = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else if (text.exists(c => c >= '一' && c <= '鿿')) "zh"
+    else {
+      val t = " " + text.toLowerCase + " "
+      val grams = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+        .groupBy(identity).map { case (g, occ) => (g, occ.size) }
+      val scored = langProfiles.map { case (lang, profile) =>
+        (lang, profile.map(g => grams.getOrElse(g, 0)).sum)
+      }
+      val best = scored.maxBy(_._2)
+      if (best._2 == 0) "und" else best._1
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines (driver brief [N];
+  * SURVEY.md §2.K). The reference's own dedup is the keyed first-visit
+  * ValueState pattern (SURVEY.md §2.I); these generalize it to content
+  * dedup at 100 TB scale.
+  *
+  * Scale notes:
+  *  - every operator is a pure DataFrame pipeline: shuffles are keyed by
+  *    content hash / shingle / band-bucket, never all-pairs;
+  *  - candidate generation (LSH band join, shingle inverted index) bounds
+  *    the pair space before any exact similarity is computed;
+  *  - no `collect()` anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per key set, "first" = smallest
+    * (orderCols) tuple. One hash shuffle on the keys. Same semantics as the
+    * reference's per-key ValueState first-wins dedup, batch form. */
+  def exactFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup by fingerprint: groups rows by md5(text); emits
+    * one row per distinct content with the keeper id and copy count. */
+  def exactByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(s"keeper_$idCol"), count(lit(1)).as("n_copies"))
+
+  /** Token n-gram shingles of `tokens`; empty array when the doc is shorter
+    * than `n`. Pure SQL functions (sequence/transform/slice) — codegen'd. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature: `numHashes` independent min-hashes over the distinct
+    * shingle set, hash_k(s) = xxhash64(k, s). Returns array<bigint>. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      coalesce(
+        array_min(transform(shingleSet, s => xxhash64(lit(k), s))),
+        lit(Long.MaxValue))
+    }: _*)
+
+  /** MinHash + LSH banding: docs → (id, signature, band buckets) and the
+    * LSH candidate-pair relation.
+    *
+    * Pipeline: tokenize → shingle → minhash (all narrow, codegen) →
+    * explode bands (×`bands` rows) → self-join on (band, bucket-hash) —
+    * the only shuffle is the band-bucket hash join, whose key cardinality
+    * grows with corpus size, so it stays balanced at scale.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(
+      col(idCol),
+      minhashSignature(array_distinct(shingles(Text.tokens(col(textCol)), shingleN)),
+        numHashes).as("sig"))
+    // band bucket key = xxhash64 over the band's slice of the signature
+    val banded = sig.select(
+      col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
+        .as(Seq("band", "bucket")))
+    banded
+  }
+
+  /** Candidate near-dup pairs from banded minhash signatures, with the
+    * signature-estimated Jaccard. Pairs sharing ≥1 band bucket. */
+  def minhashCandidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** SimHash dedup surface: per-doc 64-bit simhash plus the count of other
+    * docs within `maxHamming` bits, found via block-key candidate join:
+    * split the signature into 4×16-bit blocks; by pigeonhole any pair with
+    * hamming ≤ 3 shares ≥1 exact block, so the join is exhaustive for
+    * maxHamming ≤ 3 (and standard-practice approximate above). No all-pairs
+    * scan; the shuffle key is (block, blockval). */
+  def simhashWithNeighbors(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol),
+      Text.simhash64(Text.tokens(col(textCol))).as("simhash"))
+    val blocked = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("block", "blockval")))
+    val a = blocked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("block"), col("blockval"))
+    val b = blocked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("block"), col("blockval"))
+    val neigh = a.join(b, Seq("block", "blockval"))
+      .filter(col("id_a") =!= col("id_b") &&
+        Text.hamming64(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_a").as(idCol)).agg(count(lit(1)).as("n_near"))
+    sigs.join(neigh, Seq(idCol), "left_outer")
+      .select(col(idCol), col("simhash"), coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
+  /** Exact n-gram Jaccard top pairs via shingle inverted index:
+    * explode distinct shingles → self-join on shingle (inverted-index
+    * pattern; the shuffle key is the shingle, so common shingles are the
+    * skew risk — `minDocFreq`-style capping is the 100 TB lever, not needed
+    * at test SF) → |A∩B| per pair → Jaccard from set sizes. */
+  def ngramJaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, topK: Int = 20): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(Text.tokens(col(textCol)), n))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val common = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sa.set_size") + col("sb.set_size") - col("common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+}

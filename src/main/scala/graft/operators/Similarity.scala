@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns (driver brief [N]; SURVEY.md
+  * §2.K). Baseline: brute-force cosine top-k (exact). Scale path: banded
+  * sign-LSH candidate pruning, then exact cosine only on candidates.
+  *
+  * Scale notes: the query vector rides into the plan as a literal (the
+  * moral equivalent of a broadcast variable); cosine is composed from
+  * codegen'd higher-order functions; top-k uses sort+limit, which Spark
+  * plans as TakeOrderedAndProject — per-partition bounded heaps + driver
+  * merge of k rows, NOT a global sort.
+  */
+object Similarity {
+
+  /** Pull one query vector by id — a driver-side point lookup of a single
+    * row (same role as the reference's dim point lookup, SURVEY.md §2.C). */
+  def queryVector(emb: DataFrame, idCol: String, vecCol: String, id: Long): Array[Float] =
+    emb.filter(col(idCol) === id).select(vecCol).head().getSeq[Float](0).toArray
+
+  /** Exact brute-force cosine top-k: returns (id, rank). Ties broken by id.
+    * `orderBy(...).limit(k)` → TakeOrderedAndProject: O(n) scan, O(k) state
+    * per partition — survives arbitrary n. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: Array[Float], k: Int): DataFrame = {
+    val withSim = emb.select(col(idCol),
+      Vectors.cosineTo(col(vecCol), query).as("sim"))
+    val top = withSim.orderBy(desc("sim"), col(idCol)).limit(k)
+    // rank within the k collected rows — tiny, window cost is irrelevant
+    top.withColumn("rn", row_number()
+        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
+      .select(col(idCol), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** ANN top-k via banded sign-LSH: candidates = vectors sharing ≥1 band
+    * signature with the query; exact cosine re-rank on candidates only.
+    * Signature computation is a narrow map; candidate selection is a
+    * predicate on a literal array (no shuffle, no all-pairs). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              bands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val dim = query.length
+    val sigCol = Vectors.bandedSignatures(col(vecCol), bands, planesPerBand, dim)
+    // band signatures of the query, computed once on the driver with the
+    // same deterministic hyperplanes
+    val planes = Vectors.hyperplanes(bands * planesPerBand, dim)
+    val querySigs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        val p = planes(b * planesPerBand + i)
+        val d = p.indices.map(j => p(j) * query(j)).sum
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    }
+    val isCandidate: Column = (0 until bands)
+      .map(b => element_at(col("__sigs"), b + 1) === lit(querySigs(b)))
+      .reduce(_ || _)
+    val cands = emb.withColumn("__sigs", sigCol).filter(isCandidate)
+      .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
+    val top = cands.orderBy(desc("sim"), col(idCol)).limit(k)
+    top.withColumn("rn", row_number()
+        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
+      .select(col(idCol), col("rn"))
+      .orderBy("rn")
+  }
+
+  /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,
+    * member count, representative min id. Buckets with n_vecs > 1 are the
+    * near-dup candidate sets (exact cosine confirm happens inside buckets,
+    * bounded by bucket size, never all-pairs). */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                 numPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val planes = Vectors.hyperplanes(numPlanes, dim)
+    emb.select(col(idCol), Vectors.lshSignature(col(vecCol), planes).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_vecs"), min(col(idCol)).as("min_id"))
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH-bucketed candidate join, then
+    * exact cosine ≥ `minCosine` confirm. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, numPlanes: Int = 16,
+                            dim: Int = 64): DataFrame = {
+    val planes = Vectors.hyperplanes(numPlanes, dim)
+    val sigs = emb.select(col(idCol), col(vecCol),
+      Vectors.lshSignature(col(vecCol), planes).as("sig"))
+    val a = sigs.select(col("sig"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = sigs.select(col("sig"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}
