@@ -63,10 +63,16 @@ object Text {
 
   /** 64-bit rolling (polynomial) fingerprint over tokens:
     * h = Σ token_hash * 31^i  (mod 2^64). Order-sensitive, unlike md5 —
-    * catches reorderings as different docs. Built from xxhash64 + aggregate,
-    * no UDF. */
+    * catches reorderings as different docs. JVM UDF: the arithmetic
+    * wraps by design, which ANSI-mode SQL `*`/`+` (Spark 4 default)
+    * rejects as overflow. */
+  val rollingFingerprint64: UserDefinedFunction = udf { (toks: Seq[String]) =>
+    if (toks == null) 0L
+    else toks.foldLeft(0L)((acc, t) => acc * 31L + xxHash64String(t))
+  }
+
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, w) => acc * lit(31L) + xxhash64(w))
+    rollingFingerprint64(tokens(text))
 
   /** SimHash(64) over tokens: per-token xxhash64; signature bit j is the
     * sign of Σ_tokens (bit_j(h)*2-1). Near-identical docs land within a few

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC changelog handling — the reference's Debezium/MySQL-CDC surface
+  * (reference `pom.xml:159-162`): rows shaped
+  * `{op: c|u|d|r, before, after, source.table, ts_ms}` applied to a keyed
+  * dimension snapshot with last-writer-wins semantics (SURVEY.md §2.I
+  * "CDC apply / upsert"; the HBase put/delete sink collapses to a keyed
+  * snapshot merge).
+  */
+object Cdc {
+
+  /** Debezium-style envelope schema over JSON payload strings; `before` /
+    * `after` stay as raw JSON strings so the payload schema can be
+    * late-bound per table (the reference's dynamic-JSON model,
+    * SURVEY.md §1.1). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("source", StructType(Seq(StructField("table", StringType)))),
+    StructField("ts_ms", LongType)))
+
+  /** Parse a stream/batch of raw JSON changelog strings into the envelope.
+    * Malformed JSON → null fields → filtered (the DWD dirty-data drop). */
+  def parseEnvelope(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    raw.select(from_json(col(jsonCol), envelopeSchema).as("e"))
+      .select(col("e.op").as("op"), col("e.before").as("before"),
+        col("e.after").as("after"), col("e.source.table").as("table"),
+        col("e.ts_ms").as("ts_ms"))
+      .filter(col("op").isNotNull && col("ts_ms").isNotNull)
+
+  /** Route changelog rows by table whitelist — the reference's broadcast
+    * config-state pattern (DIM app): `config` is a small (table → keep)
+    * relation broadcast to every task. */
+  def routeByConfig(changelog: DataFrame, config: DataFrame,
+                    tableCol: String = "table"): DataFrame =
+    changelog.join(broadcast(config), Seq(tableCol), "left_semi")
+
+  /** Apply a changelog to a keyed snapshot, last-writer-wins by (ts_ms,
+    * tiebreak on op): for each key, the latest event determines the row —
+    * delete (`op='d'`) removes it, create/update/read upsert `after`.
+    *
+    * Pure DataFrame merge — one shuffle on the key — usable both as a
+    * batch replay and inside `foreachBatch` against the running snapshot.
+    * `changelog` must carry (keyCol, op, ts_ms, payload columns...).
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
+                     keyCol: String): DataFrame = {
+    // Latest event per key wins; within equal ts_ms the higher seq wins if
+    // present, else arbitrary-but-deterministic by op.
+    val seqCol = if (changelog.columns.contains("seq")) col("seq") else lit(0L)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_ms").desc, seqCol.desc)
+    val latest = changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col("op") =!= "d")
+      .select(snapshot.columns.map(col): _*)
+    snapshot
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti") // untouched keys
+      .unionByName(upserts)
+  }
+
+  /** Convenience: replay a full changelog from an empty snapshot with the
+    * given schema — used by the convergence tests (any permutation of the
+    * same changelog must converge to the same snapshot). */
+  def replay(spark: SparkSession, changelog: DataFrame, keyCol: String,
+             snapshotSchema: StructType): DataFrame = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+    applyChangelog(empty, changelog, keyCol)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Cdc
+
+/** CDC changelog tests (SURVEY.md §2.I "CDC apply / upsert", §7.4):
+  * envelope parsing with the dirty-data guard, last-writer-wins apply,
+  * delete handling, and permutation convergence — replaying the same
+  * changelog in any order must produce the same snapshot. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val snapshotSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("op", StringType), StructField("ts_ms", LongType)))
+
+  test("parseEnvelope: extracts op/table/ts_ms, drops malformed JSON") {
+    val raw = Seq(
+      """{"op":"c","before":null,"after":"{\"id\":1}","source":{"table":"dim_user"},"ts_ms":100}""",
+      """{"op":"u","before":"{\"id\":1}","after":"{\"id\":1,\"x\":2}","source":{"table":"dim_sku"},"ts_ms":200}""",
+      """not json at all""",
+      """{"unrelated":true}""").toDF("value")
+    val parsed = Cdc.parseEnvelope(raw)
+    val rows = parsed.select("op", "table", "ts_ms").as[(String, String, Long)]
+      .collect().sortBy(_._3)
+    assert(rows.toSeq == Seq(("c", "dim_user", 100L), ("u", "dim_sku", 200L)))
+  }
+
+  test("routeByConfig keeps only whitelisted tables (broadcast config state)") {
+    val changelog = Seq(("c", "dim_user", 1L), ("c", "other", 2L), ("u", "dim_sku", 3L))
+      .toDF("op", "table", "ts_ms")
+    val config = Seq("dim_user", "dim_sku").toDF("table")
+    val kept = Cdc.routeByConfig(changelog, config).select("table")
+      .as[String].collect().sorted.toSeq
+    assert(kept == Seq("dim_sku", "dim_user"))
+  }
+
+  test("applyChangelog: upsert + delete, last writer wins by ts_ms") {
+    val snapshot = Seq((1L, "old", "r", 0L), (2L, "keep", "r", 0L))
+      .toDF("id", "name", "op", "ts_ms")
+    val changelog = Seq(
+      (1L, "v1", "u", 100L), (1L, "v2", "u", 200L), // later update wins
+      (3L, "new", "c", 150L),
+      (2L, null.asInstanceOf[String], "d", 300L))   // delete key 2
+      .toDF("id", "name", "op", "ts_ms")
+    val out = Cdc.applyChangelog(snapshot, changelog, "id")
+      .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "v2"), (3L, "new")))
+  }
+
+  test("replay convergence: every permutation of the changelog yields the same snapshot") {
+    val events = Seq(
+      (1L, "a", "c", 10L), (1L, "b", "u", 20L), (1L, null.asInstanceOf[String], "d", 30L),
+      (1L, "c", "c", 40L), (2L, "x", "c", 15L), (2L, "y", "u", 25L))
+    val expected = Seq((1L, "c"), (2L, "y"))
+    events.permutations.take(24).foreach { perm =>
+      val changelog = perm.toDF("id", "name", "op", "ts_ms")
+      val out = Cdc.replay(spark, changelog, "id", snapshotSchema)
+        .select("id", "name").as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(out == expected, s"order ${perm.map(_._4)} diverged: $out")
+    }
+  }
+
+  test("applyChangelog is incremental: applying in two chunks equals one-shot") {
+    val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
+      (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))
+    val (chunk1, chunk2) = all.splitAt(2)
+    val oneShot = Cdc.replay(spark, all.toDF("id", "name", "op", "ts_ms"), "id",
+      snapshotSchema).select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    val snap1 = Cdc.replay(spark, chunk1.toDF("id", "name", "op", "ts_ms"), "id",
+      snapshotSchema)
+    val twoStep = Cdc.applyChangelog(snap1, chunk2.toDF("id", "name", "op", "ts_ms"), "id")
+      .select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(oneShot == twoStep)
+    assert(oneShot == Seq((1L, "a2"), (3L, "c")))
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity}
+
+/** Unit tests for the function pack and the oracle-exempt sketch operators
+  * (SURVEY.md §5.2: scalatest goldens replace the DuckDB oracle where the
+  * op is approximate / hash-seeded by construction). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: whitespace split drops empties, oracle parity") {
+    val out = Seq("a b  c", "", " x ").toDF("text")
+      .select(Text.tokens(col("text")).as("t")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a", "b", "c"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("x"))
+  }
+
+  test("tokensUnicode: CJK chars become single tokens, case folded") {
+    val out = Seq("Hello 世界 Spark!").toDF("text")
+      .select(Text.tokensUnicode(col("text")).as("t")).as[Seq[String]].collect()
+    assert(out(0) == Seq("hello", "世", "界", "spark"))
+  }
+
+  test("quality score formula matches hand computation") {
+    // 4 tokens, 1 stopword 'the', 11 chars sans spaces
+    val r = Seq("the cat sat down").toDF("text")
+      .select(Text.qualityScore(col("text"), Seq("the", "a")).as("q"))
+      .as[Double].head()
+    val expected = BigDecimal(math.min(1.0, 4.0 / 100.0) * (1.0 - 0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r - expected) < 1e-9)
+  }
+
+  test("langId: heuristic hits crafted sentences, CJK short-circuit, und fallback") {
+    val rows = Seq(
+      "the king and the queen of the land",  // en
+      "le chef de la maison est là",          // fr
+      "la casa de el señor es grande",        // es
+      "die kinder schauen den schönen garten", // de
+      "这是一个中文句子",                        // zh
+      "xqz").toDF("text")
+      .select(Text.langId(col("text")).as("l")).as[String].collect()
+    assert(rows(0) == "en"); assert(rows(1) == "fr"); assert(rows(2) == "es")
+    assert(rows(3) == "de"); assert(rows(4) == "zh"); assert(rows(5) == "und")
+  }
+
+  test("simhash: duplicates collide, near-dups closer than disjoint docs") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 199).map(i => s"tok$i").mkString(" ") + " other"
+    val disjoint = (500 to 700).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, disjoint))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), Text.simhash64(Text.tokens(col("text"))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must collide exactly")
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near < far, s"near=$near must be < far=$far")
+    assert(far > 10)
+    // and the neighbor-count operator finds the exact duplicate
+    val withNeighbors = graft.operators.Dedup
+      .simhashWithNeighbors(df.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(withNeighbors(1L) >= 1L && withNeighbors(2L) >= 1L)
+  }
+
+  test("vec dot / cosine: codegen'd expression matches hand math") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, -5.0f, 6.0f)))
+      .toDF("a", "b")
+    val (d, c) = df.select(
+      Vectors.dot(col("a"), col("b")).as("d"),
+      Vectors.cosine(col("a"), col("b")).as("c")).as[(Double, Double)].head()
+    assert(math.abs(d - 12.0) < 1e-12)
+    val expectedC = 12.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expectedC) < 1e-12)
+  }
+
+  test("lsh signature: identical vectors share all bands; opposite vectors none") {
+    val df = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(-1.0f))).toDF("id", "v")
+    val sigs = df.select(col("id"),
+      Vectors.bandedSignatures(col("v"), bands = 4, planesPerBand = 8, dim = 8).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).zip(sigs(3L)).forall { case (a, b) => a != b })
+  }
+
+  test("shingleSet: distinct n-grams, short docs empty") {
+    val f = Dedup.shingleSet(3)
+    val out = Seq("a b c d a b c d", "a b").toDF("text")
+      .select(f(Text.tokens(col("text"))).as("s")).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    assert(out(0).length == out(0).distinct.length)
+    assert(out(1) == Seq.empty)
+  }
+
+  test("minhash LSH: near-dup docs are candidates with high est_jaccard; disjoint docs are not") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " x99"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.6 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("minhash est_jaccard tracks exact jaccard on controlled overlap") {
+    // two docs with ~0.8 shingle jaccard (high overlap → certain LSH candidate)
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = (4 to 33).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val sh1 = (1 to 30).map(i => s"w$i").sliding(3).map(_.mkString(" ")).toSet
+    val sh2 = (4 to 33).map(i => s"w$i").sliding(3).map(_.mkString(" ")).toSet
+    val exact = sh1.intersect(sh2).size.toDouble / sh1.union(sh2).size
+    val est = Dedup.minhashCandidatePairs(
+      Dedup.minhashLsh(docs, "doc_id", "text"), "doc_id")
+      .as[(Long, Long, Double)].collect().headOption.map(_._3)
+    // 32 hashes → σ ≈ sqrt(j(1-j)/32) ≈ 0.08; allow 3σ
+    assert(est.isDefined, "near-dup pair must be an LSH candidate")
+    assert(math.abs(est.get - exact) < 0.25,
+      s"est ${est.get} vs exact $exact")
+  }
+
+  test("lshTopK: full recall on clustered embeddings, sane on random ones") {
+    // clustered corpus — the actual near-dup/similarity use case: 10
+    // clusters of 5 near-identical vectors; ANN must recover the query's
+    // own cluster exactly.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 10; m <- 0 until 5) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 5 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact == Set(0L, 1L, 2L, 3L, 4L))
+    assert(ann == exact, s"ANN must recover the cluster: $ann vs $exact")
+
+    // random corpus (sf0.001 embeddings): ANN still returns k rows
+    // including the query itself (recall on isotropic noise is inherently
+    // weak — that is a property of LSH, not a bug).
+    val real = graft.sources.Tables.embeddings(spark, sfDir)
+    val qr = Similarity.queryVector(real, "vec_id", "embedding", 0L)
+    val annReal = Similarity.lshTopK(real, "vec_id", "embedding", qr, 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(annReal.contains(0L) && annReal.size == 5)
+  }
+
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val exact = Queries.q_agg_distinct(spark, sfDir)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = Queries.q_agg_approx_distinct(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) <= math.max(1L, (exact(k) * 0.05).toLong),
+        s"$k: approx $v vs exact ${exact(k)}")
+    }
+  }
+
+  test("rolling fingerprint: order-sensitive, md5 is not") {
+    val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
+    val (r1, r2) = df.select(
+      Text.rollingFingerprint(col("t1")).as("r1"),
+      Text.rollingFingerprint(col("t2")).as("r2")).as[(Long, Long)].head()
+    assert(r1 != r2)
+  }
+}

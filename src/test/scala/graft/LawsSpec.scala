@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.Vectors
+import graft.operators.Dedup
+
+/** Algebraic-law property tests (SURVEY.md §5.2 #3): invariants that hold
+  * for any input, checked over ScalaCheck-generated data. The scalatest–
+  * scalacheck bridge artifact isn't in the offline cache, so generators
+  * are sampled directly with fixed seeds (deterministic across runs);
+  * Spark jobs are slow per case, so the sample count is small. */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val rowsGen: Gen[List[(Long, String, Double)]] =
+    Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 9L)
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (id, k, v))
+
+  test("filter fusion: filter(p).filter(q) == filter(p && q)") {
+    for (rows <- samples(rowsGen, 5)) {
+      val df = rows.toDF("id", "k", "v")
+      val a = df.filter(col("v") > 0).filter(col("id") < 5).count()
+      val b = df.filter(col("v") > 0 && col("id") < 5).count()
+      assert(a == b)
+    }
+  }
+
+  test("union counts are additive") {
+    for (Seq(r1, r2) <- samples(rowsGen, 6).grouped(2)) {
+      val d1 = r1.toDF("id", "k", "v"); val d2 = r2.toDF("id", "k", "v")
+      assert(d1.union(d2).count() == d1.count() + d2.count())
+    }
+  }
+
+  test("exactFirst dedup is idempotent and keeps one row per key") {
+    for (rows <- samples(rowsGen, 4) if rows.nonEmpty) {
+      val df = rows.zipWithIndex.map { case ((id, k, v), i) => (id, k, v, i.toLong) }
+        .toDF("id", "k", "v", "seq")
+      val once = Dedup.exactFirst(df, Seq("id", "k"), Seq(col("seq")))
+      val twice = Dedup.exactFirst(once, Seq("id", "k"), Seq(col("seq")))
+      assert(once.count() == df.select("id", "k").distinct().count())
+      assert(twice.collect().toSet == once.collect().toSet)
+    }
+  }
+
+  test("grouped sums partition the global sum") {
+    for (rows <- samples(rowsGen, 4) if rows.nonEmpty) {
+      val df = rows.toDF("id", "k", "v")
+      val grouped = df.groupBy("k").agg(sum("v").as("s"))
+        .agg(sum("s")).as[Double].head()
+      val global = df.agg(sum("v")).as[Double].head()
+      assert(math.abs(grouped - global) < 1e-6)
+    }
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 0.01f))
+
+  test("cosine symmetry and self-similarity = 1") {
+    for (Seq(a, b) <- samples(vecGen, 8).grouped(2)) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val (ab, ba, aa) = df.select(
+        Vectors.cosine(col("a"), col("b")).as("ab"),
+        Vectors.cosine(col("b"), col("a")).as("ba"),
+        Vectors.cosine(col("a"), col("a")).as("aa"))
+        .as[(Double, Double, Double)].head()
+      assert(math.abs(ab - ba) < 1e-9)
+      assert(math.abs(aa - 1.0) < 1e-6)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+}

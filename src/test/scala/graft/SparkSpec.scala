@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one forked test JVM). RocksDB
+  * state store is required by `transformWithState` (Spark 4 constraint). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sfDir: String = TestSpark.sfDir
+}

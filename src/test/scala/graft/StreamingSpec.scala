@@ -1,0 +1,178 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import graft.streaming.{Processors, Streams}
+
+/** Golden tests for the ⊘ streaming-stateful operators (SURVEY.md §2.I):
+  * watermarked windows, watermark-bounded dedup, keyed `ValueState`
+  * processors and event-time timers — the reference's Flink core, driven
+  * through `MemoryStream` with controlled batch boundaries (FIXTURES.md §B).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_out_$qn" }
+
+  test("tumbling window agg finalizes on watermark advance; late rows dropped") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("window.start").as("ws"), col("n"), col("s"))
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // b1: two rows in [10:00,10:10), one in [10:10,10:20); wm → 10:07
+      in.addData((ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:06:00"), 2L),
+        (ts("2024-01-01 10:12:00"), 4L))
+      q.processAllAvailable()
+      // b2: advance wm past 10:10 → first window finalizes next batch
+      in.addData((ts("2024-01-01 10:21:00"), 8L))
+      q.processAllAvailable()
+      // b3: late row for the finalized window (dropped) + wm → 10:31
+      in.addData((ts("2024-01-01 10:03:00"), 100L), (ts("2024-01-01 10:36:00"), 16L))
+      q.processAllAvailable()
+      // b4: flush
+      in.addData((ts("2024-01-01 11:00:00"), 32L))
+      q.processAllAvailable()
+      val out = spark.table(name).as[(Timestamp, Long, Long)].collect()
+        .map(r => r._1.toString -> (r._2, r._3)).toMap
+      assert(out("2024-01-01 10:00:00.0") == (2L, 3L),
+        s"late row must not count: $out")
+      assert(out("2024-01-01 10:10:00.0") == (1L, 4L))
+      assert(out("2024-01-01 10:20:00.0") == (1L, 8L))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the watermark") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streams.dedupWithinWatermark(
+      in.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:01:00"), "a"),
+        (ts("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:03:00"), "a")) // still within watermark → dup
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Timestamp, String)].collect()
+      assert(rows.map(_._2).sorted.toSeq == Seq("a", "b"), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("FirstVisitProcessor: per-user ValueState first-visit flags across batches") {
+    val in = MemoryStream[Processors.Visit]
+    val out = in.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(new Processors.FirstVisitProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Processors.Visit(1L, "2024-01-01", 1000L),
+        Processors.Visit(1L, "2024-01-01", 2000L),
+        Processors.Visit(2L, "2024-01-01", 1500L))
+      q.processAllAvailable()
+      in.addData(Processors.Visit(1L, "2024-01-01", 3000L), // same day → not first
+        Processors.Visit(1L, "2024-01-02", 4000L))          // new day → first
+      q.processAllAvailable()
+      val flags = spark.table(name).as[Processors.VisitOut].collect()
+        .map(v => (v.userId, v.tsMs) -> v.isFirst).toMap
+      assert(flags((1L, 1000L)) === true)
+      assert(flags((1L, 2000L)) === false)
+      assert(flags((2L, 1500L)) === true)
+      assert(flags((1L, 3000L)) === false)
+      assert(flags((1L, 4000L)) === true)
+    } finally q.stop()
+  }
+
+  test("PaymentTimeoutProcessor: event-time timer emits timeout, paid disarms") {
+    val in = MemoryStream[Processors.OrderEvent]
+    val out = in.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Processors.OrderEvent]
+      .groupByKey(_.orderId)
+      .transformWithState(new Processors.PaymentTimeoutProcessor(15 * 60 * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Processors.OrderEvent(1L, "created", ts("2024-01-01 10:00:00")),
+        Processors.OrderEvent(2L, "created", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(1L, "paid", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance watermark past order 2's 10:15 deadline
+      in.addData(Processors.OrderEvent(99L, "created", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(98L, "created", ts("2024-01-01 10:31:00")))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Processors.OrderOut].collect()
+        .map(o => o.orderId -> o.status).toMap
+      assert(rows.get(1L).contains("paid"))
+      assert(rows.get(2L).contains("timeout"))
+    } finally q.stop()
+  }
+
+  test("RunningSumProcessor: keyed running aggregate across batches") {
+    val in = MemoryStream[Processors.Measure]
+    val out = in.toDS()
+      .groupByKey(_.key)
+      .transformWithState(new Processors.RunningSumProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Processors.Measure("a", 1.0), Processors.Measure("a", 2.0))
+      q.processAllAvailable()
+      in.addData(Processors.Measure("a", 3.0), Processors.Measure("b", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Processors.RunningOut].collect()
+        .map(r => (r.key, r.n) -> r.runningSum).toMap
+      assert(rows(("a", 1L)) == 1.0 && rows(("a", 2L)) == 3.0 && rows(("a", 3L)) == 6.0)
+      assert(rows(("b", 1L)) == 10.0)
+    } finally q.stop()
+  }
+
+  test("session window (batch form): 30-minute gap splits sessions") {
+    val df = Seq(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+      (ts("2024-01-01 11:30:00"), 1L), // > 30 min gap → new session
+      (ts("2024-01-01 10:05:00"), 2L)).toDF("ts", "user_id")
+    val sessions = Streams.sessionAgg(df, "ts", "30 minutes",
+      Seq("user_id"), Seq(count(lit(1)).as("n")))
+      .select("user_id", "n").as[(Long, Long)].collect().sorted.toSeq
+    assert(sessions == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("sliding window (batch form): rows land in overlapping windows") {
+    val df = Seq((ts("2024-01-01 10:04:00"), 1L)).toDF("ts", "v")
+    val out = Streams.slidingAgg(df, "ts", "10 minutes", "5 minutes",
+      Seq.empty, Seq(count(lit(1)).as("n")))
+      .select("window_start").as[Timestamp].collect().map(_.toString).sorted
+    assert(out.toSeq == Seq("2024-01-01 09:55:00.0", "2024-01-01 10:00:00.0"))
+  }
+
+  test("stream split: routed branches partition the input") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val branches = Streams.split(ev, Map(
+      "view" -> (col("event_type") === "view"),
+      "error" -> (col("event_type") === "error"),
+      "rest" -> (!col("event_type").isin("view", "error"))))
+    val total = branches.values.map(_.count()).sum
+    assert(total == ev.count())
+  }
+}
