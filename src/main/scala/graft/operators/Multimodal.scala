@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (driver brief [N]): image/audio/video ride
+  * the pipeline as opaque `binary` columns with typed metadata; decoding
+  * and feature extraction run as partition-local batch functions.
+  *
+  * The Spark-side plumbing here — schema, partition sizing, batched
+  * per-partition processing, metadata propagation — is real and tested.
+  * The codec itself is STUBBED with a deterministic fake (`FakeCodec`):
+  * this container has no image/audio libraries, so the stub decodes a
+  * synthetic header instead of real JPEG/WAV bytes. Swapping in a real
+  * codec changes only the function passed to [[mapBinary]].
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("content", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),  // images/video
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true), // audio
+    StructField("n_frames", IntegerType, nullable = true)))   // video
+
+  /** Deterministic fake codec: payload = 16-byte header
+    * [magic(4) | width(4) | height(4) | nFrames(4)] + body. A real
+    * implementation would call an image/audio library here — ??? in
+    * spirit, but deterministic so the plumbing is testable end-to-end. */
+  object FakeCodec {
+    val Magic = 0x47524654 // "GRFT"
+
+    def encode(width: Int, height: Int, nFrames: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + body.length)
+      bb.putInt(Magic).putInt(width).putInt(height).putInt(nFrames).put(body)
+      bb.array()
+    }
+
+    /** Decode header → (width, height, nFrames); None for non-media bytes. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 16) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        if (bb.getInt() != Magic) None
+        else Some((bb.getInt(), bb.getInt(), bb.getInt()))
+      }
+    }
+
+    /** "Feature extraction": fixed-length float vector from the body — a
+      * deterministic stand-in for an embedding model. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (bytes != null && bytes.length > 16) {
+        var i = 16
+        while (i < bytes.length) {
+          out((i - 16) % dim) += (bytes(i) & 0xFF) / 255.0f
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** Decode media metadata from the binary payload, partition-local, one
+    * batch function per partition (the `mapInPandas` shape in Scala:
+    * `mapPartitions` amortizes codec init across the partition — exactly
+    * where a real decoder would load its native library once). Malformed
+    * payloads yield null dims rather than failing the task (dirty-data
+    * guard). */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields.filterNot(f =>
+      Seq("width", "height", "n_frames").contains(f.name)) ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot { case (f, _) =>
+      Seq("width", "height", "n_frames").contains(f.name) }.map(_._2)
+    val contentIdx = media.schema.fieldIndex("content")
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.row(schema)
+    media.mapPartitions { it =>
+      // codec init happens once per partition here
+      it.map { r =>
+        val decoded = FakeCodec.decode(
+          if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx))
+        val kept = keepIdx.map(i => r.get(i))
+        def boxed(v: Option[Int]): Any = v.map(Int.box).orNull
+        Row.fromSeq(kept ++ Seq(
+          boxed(decoded.map(_._1)), boxed(decoded.map(_._2)),
+          boxed(decoded.map(_._3))))
+      }
+    }(enc)
+  }
+
+  /** Media → feature vectors (`array<float>`), partition-local batches;
+    * joins back into the embedding/similarity operators. */
+  def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("feature", ArrayType(FloatType, containsNull = false))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        Row(r.getLong(idIdx), FakeCodec.features(bytes, dim).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling for video payloads: emit one row per sampled frame
+    * index (every `stride`-th of `n_frames`) — the row-multiplying UDTF
+    * shape, done with a generator column so it stays in codegen. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .filter(col("kind") === "video" && col("n_frames").isNotNull)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+
+  /** Partition-size control for wide binary rows: target `targetMb` of
+    * payload per partition so executor memory is bounded by partition
+    * size, not row count (the 100 TB lever for multimodal tables). */
+  def repartitionByPayload(media: DataFrame, avgPayloadBytes: Long,
+                           targetMb: Int = 128): DataFrame = {
+    val rowsPerPartition = math.max(1L, targetMb.toLong * 1024 * 1024 / math.max(1L, avgPayloadBytes))
+    val n = math.max(1, (media.count().toDouble / rowsPerPartition).ceil.toInt)
+    media.repartition(n)
+  }
+}

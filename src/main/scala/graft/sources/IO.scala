@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink pack (SURVEY.md §2.A). The reference's connector surface —
+  * Kafka topics between layers, MySQL-CDC ingest, HBase dim store, Doris
+  * OLAP sink, HDFS checkpoints (reference `pom.xml:153-195,69-73`) — maps
+  * onto Spark's format-pluggable readers/writers. Hermetically (zero
+  * egress) the stream boundary is modeled with file/rate/memory sources;
+  * on a cluster the same call sites take `format("kafka")` options.
+  */
+object IO {
+
+  // ---- bounded (batch) sources -------------------------------------
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with declared schema (never infer at scale — schema inference
+    * reads the data twice). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines with declared schema; malformed rows land in
+    * `_corrupt_record` when `keepCorrupt`, else are dropped (PERMISSIVE vs
+    * DROPMALFORMED — the reference's dirty-JSON guard). */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               keepCorrupt: Boolean = false): DataFrame = {
+    val mode = if (keepCorrupt) "PERMISSIVE" else "DROPMALFORMED"
+    spark.read.schema(schema).option("mode", mode).json(path)
+  }
+
+  // ---- unbounded (streaming) sources -------------------------------
+
+  /** File stream source — the hermetic Kafka-topic stand-in: new files in
+    * `dir` are consumed exactly once, offsets tracked in the checkpoint
+    * (same at-least-once→exactly-once contract as the Kafka source). */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format)
+      .option("maxFilesPerTrigger", "16").load(dir)
+
+  /** Rate source — deterministic load generator for soak tests. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  // ---- sinks --------------------------------------------------------
+
+  /** Exactly-once file sink (the Doris/Kafka sink stand-in): Structured
+    * Streaming's file sink commits atomically per micro-batch via the
+    * checkpointed file-sink log. */
+  def parquetSink(df: DataFrame, outDir: String, checkpointDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
+  /** Keyed upsert sink (the HBase dim-writer analog): every micro-batch is
+    * merged into the keyed snapshot directory with last-writer-wins
+    * semantics; deletes (`op='d'`) are applied. Overwrites the snapshot
+    * atomically per batch (read → merge → rewrite), which is the hermetic
+    * stand-in for HBase put/delete RPCs. */
+  def upsertSink(df: DataFrame, snapshotDir: String, checkpointDir: String,
+                 keyCol: String, snapshotSchema: StructType)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.schema(snapshotSchema).parquet(snapshotDir)
+          catch { case _: Throwable =>
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+          }
+        val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+        // write-then-swap keeps the read path consistent
+        val tmp = snapshotDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
+  // ---- round-trip helpers -------------------------------------------
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump formatted physical plans for headline queries — the
+  * scale audit loop (pushdown reached the scan? dims broadcast? top-k via
+  * TakeOrderedAndProject? shuffles only where keyed?). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val which: Set[String] = if (args.length > 1) args.drop(1).toSet else Set(
+      "q_filter", "q_join_broadcast", "q_join_hash", "q_sort_limit",
+      "q_agg_groupby", "q_similarity_topk", "q_topk", "q_join_lookup")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Queries.all.filter(q => which.contains(q._1)).foreach { case (name, fn) =>
+      println(s"\n========== $name ==========")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{IO, Tables}
+import graft.operators.Multimodal
+
+/** Source/sink round-trips (SURVEY.md §2.A ⊘ rows) and the multimodal
+  * binary-column plumbing. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  test("csv round-trip with declared schema preserves rows and types") {
+    val dir = tmp() + "/csv"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "name", "v")
+    IO.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = IO.readCsv(spark, dir, schema)
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", -2.25)))
+  }
+
+  test("json reader drops malformed rows in DROPMALFORMED mode") {
+    val dir = tmp() + "/json"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(dir, "part.json"),
+      """{"id":1,"name":"ok"}
+        |this is not json
+        |{"id":2,"name":"also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val rows = IO.readJson(spark, dir, schema).as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(rows == Seq((1L, "ok"), (2L, "also ok")))
+  }
+
+  test("file stream source + exactly-once parquet sink (Kafka stand-in)") {
+    val in = tmp() + "/in"; val out = tmp() + "/out"; val ck = tmp() + "/ck"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v").write.mode("append").parquet(in)
+    val q = IO.parquetSink(
+      IO.fileStream(spark, in, schema).withColumn("v2", col("v") * 2),
+      out, ck).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("id", "v2").as[(Long, Double)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 2.0), (2L, 4.0)))
+    // restart with no new input: exactly-once → no duplicate rows
+    val q2 = IO.parquetSink(
+      IO.fileStream(spark, in, schema).withColumn("v2", col("v") * 2),
+      out, ck).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+  }
+
+  test("upsert sink merges micro-batches into a keyed snapshot (HBase dim-writer analog)") {
+    val in = tmp() + "/cdc_in"; val snap = tmp() + "/snap"; val ck = tmp() + "/ck2"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L))
+      .toDF("id", "name", "op", "ts_ms").write.mode("append").parquet(in)
+    IO.upsertSink(IO.fileStream(spark, in, schema), snap, ck, "id", schema)
+      .start().awaitTermination()
+    Seq((1L, "a2", "u", 30L), (2L, null.asInstanceOf[String], "d", 40L))
+      .toDF("id", "name", "op", "ts_ms").write.mode("append").parquet(in)
+    IO.upsertSink(IO.fileStream(spark, in, schema), snap, ck, "id", schema)
+      .start().awaitTermination()
+    val got = spark.read.schema(schema).parquet(snap)
+      .select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a2")))
+  }
+
+  test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
+    val rows = Seq(
+      Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
+        null, null, null, null),
+      Row(2L, "video", Multimodal.FakeCodec.encode(1280, 720, 90, Array[Byte](9)),
+        null, null, null, null),
+      Row(3L, "image", Array[Byte](0, 1), null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val decoded = Multimodal.decodeMeta(media)
+      .select("media_id", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(decoded(1L) == (Some(640), Some(480), Some(1)))
+    assert(decoded(2L) == (Some(1280), Some(720), Some(90)))
+    assert(decoded(3L) == (None, None, None))
+  }
+
+  test("multimodal: feature extraction yields fixed-dim vectors; frame sampling explodes rows") {
+    val rows = Seq(
+      Row(1L, "video", Multimodal.FakeCodec.encode(64, 64, 10, Array.fill[Byte](32)(5)),
+        null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .select("feature").as[Seq[Float]].head()
+    assert(feats.length == 8 && feats.exists(_ > 0))
+    val frames = Multimodal.sampleFrames(Multimodal.decodeMeta(media), stride = 3)
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(frames == Seq(0, 3, 6, 9))
+  }
+}
