@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{VecDot, VecLshSignature}
+
+/** Session extension registering the engine's custom Catalyst expressions
+  * as SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` plans the
+  * codegen'd expressions directly — the Spark-native replacement for the
+  * reference's Flink `ScalarFunction` registry (SURVEY.md §2.J).
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `withExtensions` on the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b) takes exactly 2 arguments")
+        VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_cosine(a, b) takes exactly 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (children.head, children(1))
+        Divide(VecDot(a, b),
+          Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+      }))
+  }
+}

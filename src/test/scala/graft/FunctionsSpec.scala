@@ -168,6 +168,15 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL extension: vec_dot / vec_cosine usable from spark.sql") {
+    val d = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").as[Double].head()
+    assert(math.abs(d - 11.0) < 1e-12)
+    val c = spark.sql(
+      "SELECT vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   test("rolling fingerprint: order-sensitive, md5 is not") {
     val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
     val (r1, r2) = df.select(
