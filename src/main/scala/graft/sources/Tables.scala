@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
@@ -31,6 +31,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Typed Dataset surface (SURVEY.md §1.3: case classes + Encoders replace
+    * the reference's Lombok POJOs + beanutils reflection). */
+  def eventsTyped(s: SparkSession, d: String): Dataset[Rows.Event] = {
+    import s.implicits._
+    events(s, d).as[Rows.Event]
+  }
+  def documentsTyped(s: SparkSession, d: String): Dataset[Rows.Document] = {
+    import s.implicits._
+    documents(s, d).as[Rows.Document]
+  }
+  def customerTyped(s: SparkSession, d: String): Dataset[Rows.Customer] = {
+    import s.implicits._
+    customer(s, d).as[Rows.Customer]
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as

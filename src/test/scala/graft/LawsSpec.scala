@@ -61,6 +61,35 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain inner join for any input") {
+    for (rows <- samples(rowsGen, 4)) {
+      val left = rows.toDF("id", "k", "v")
+      // skewed small right side: one row per distinct id
+      val right = rows.map(_._1).distinct.map(id => (id, s"dim_$id"))
+        .toDF("id", "name")
+      val cols = (left.columns :+ "name").map(col).toSeq
+      val plain = left.join(right, Seq("id")).select(cols: _*)
+        .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      val salted = graft.operators.Skew.saltedJoin(left, right, "id", buckets = 4)
+        .select(cols: _*).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+      assert(salted == plain)
+    }
+  }
+
+  test("two-phase salted aggregation equals direct aggregation") {
+    for (rows <- samples(rowsGen, 4) if rows.nonEmpty) {
+      val df = rows.toDF("id", "k", "v")
+      val direct = df.groupBy("k")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2 * 1e6).round, r._3)).toMap
+      val twoPhase = graft.operators.Skew.twoPhaseAgg(df, "k", buckets = 4,
+        partials = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+        merges = Seq(sum("ps").as("s"), sum("pn").as("n")))
+        .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2 * 1e6).round, r._3)).toMap
+      assert(twoPhase == direct)
+    }
+  }
+
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(16, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
       .suchThat(v => v.exists(x => math.abs(x) > 0.01f))

@@ -166,6 +166,42 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq("2024-01-01 09:55:00.0", "2024-01-01 10:00:00.0"))
   }
 
+  test("stream-stream interval join: purchase within 1h of click, both sides watermarked") {
+    // the reference's Flink intervalJoin bounds (SURVEY §7.4): inclusive
+    // [click.ts, click.ts + 1h] on event time
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"))
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      buys.addData((ts("2024-01-01 10:30:00"), 1L),  // within bound → joins
+        (ts("2024-01-01 11:30:00"), 2L))             // 1.5h later → outside bound
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 13:00:00"), 9L)) // advance watermark
+      buys.addData((ts("2024-01-01 13:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("c_user", "b_ts")
+        .as[(Long, Timestamp)].collect().toSet
+      assert(rows.exists(_._1 == 1L), s"in-bound pair must join: $rows")
+      assert(!rows.exists(r => r._1 == 2L && r._2 == ts("2024-01-01 11:30:00")),
+        s"out-of-bound pair must not join: $rows")
+    } finally q.stop()
+  }
+
+  test("typed Dataset surface: events as case-class Dataset") {
+    val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
+    val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
+    assert(n > 0)
+    val doc = graft.sources.Tables.documentsTyped(spark, sfDir).head()
+    assert(doc.text.nonEmpty && doc.n_chars > 0)
+  }
+
   test("stream split: routed branches partition the input") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val branches = Streams.split(ev, Map(
