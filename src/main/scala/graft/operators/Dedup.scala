@@ -165,14 +165,26 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard top pairs via shingle inverted index:
-    * explode distinct shingles → self-join on shingle (inverted-index
-    * pattern; the shuffle key is the shingle, so common shingles are the
-    * skew risk — `minDocFreq`-style capping is the 100 TB lever, not needed
-    * at test SF) → |A∩B| per pair → Jaccard from set sizes. */
+    * explode distinct shingles → self-join on the 64-bit shingle hash
+    * (shuffling 8-byte keys instead of strings; 27k+ distinct shingles →
+    * collision-free in practice) → |A∩B| per pair → Jaccard from set
+    * sizes. Common shingles are the skew risk: `maxDocFreq` drops
+    * shingles appearing in more than that many docs — stopword-like
+    * shingles carry no dedup signal but quadratic join cost. Default ∞
+    * keeps exactness for the oracle corpus; set it at 100 TB. */
   def ngramJaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 3, topK: Int = 20): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh"))
+                           n: Int = 3, topK: Int = 20,
+                           maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val shRaw = docs.select(col(idCol).as("id"),
+      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+    val sh =
+      if (maxDocFreq == Long.MaxValue) shRaw
+      else {
+        val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("sh")
+        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val common = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))

@@ -202,6 +202,38 @@ class StreamingSpec extends SparkSpec {
     assert(doc.text.nonEmpty && doc.n_chars > 0)
   }
 
+  test("DWS keyword job end-to-end: tokenize -> window -> counts over a stream") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.Jobs.keywordWindowCounts(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), "spark flink spark"),
+        (ts("2024-01-01 10:04:00"), "spark kafka"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:30:00"), "flush flush")) // wm → 10:25
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:00:00"), "x"))
+      q.processAllAvailable()
+      val counts = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .select("word", "cnt").as[(String, Long)].collect().toMap
+      assert(counts == Map("spark" -> 3L, "flink" -> 1L, "kafka" -> 1L))
+    } finally q.stop()
+  }
+
+  test("DWD cleanse job: malformed JSON dropped, typed columns extracted") {
+    val raw = Seq(
+      """{"type":"page","ts":1704103260000,"payload":"{\"p\":1}"}""",
+      """garbage""",
+      """{"type":"err","ts":1704103270000,"payload":"{}"}""").toDF("value")
+    val out = graft.streaming.Jobs.cleanseLogStream(raw)
+      .select("type").as[String].collect().sorted.toSeq
+    assert(out == Seq("err", "page"))
+  }
+
   test("stream split: routed branches partition the input") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val branches = Streams.split(ev, Map(
