@@ -403,6 +403,16 @@ object Queries {
     Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
   }
 
+  /** q_similarity_ivf — ANN top-5 via IVF coarse quantizer (train on
+    * bounded sample, probe nearest lists, exact re-rank); oracle-exempt
+    * (approximate by construction), recall checked in scalatest. */
+  val q_similarity_ivf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 16)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, centroids, nprobe = 4)
+  }
+
   /** q_dedup_minhash — MinHash+LSH near-dup surface: per-doc signature head
     * + LSH candidate count; oracle-exempt (hash-dependent), scalatest-
     * verified against exact Jaccard on crafted corpora. */
@@ -494,6 +504,7 @@ object Queries {
     "q_lang_id" -> q_lang_id,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_lsh" -> q_similarity_lsh,
+    "q_similarity_ivf" -> q_similarity_ivf,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,

@@ -22,9 +22,9 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops (approx sketches / hash-seeded LSH / heuristics):
-    * q_agg_approx_distinct, q_lang_id, q_similarity_lsh, q_dedup_minhash,
-    * q_dedup_simhash, q_dedup_ngram, q_dedup_embed — each is instead
-    * golden-tested in scalatest (SURVEY §5.2).
+    * q_agg_approx_distinct, q_lang_id, q_similarity_lsh, q_similarity_ivf,
+    * q_dedup_minhash, q_dedup_simhash, q_dedup_ngram, q_dedup_embed — each
+    * is instead golden-tested in scalatest (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->

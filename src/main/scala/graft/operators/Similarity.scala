@@ -68,6 +68,80 @@ object Similarity {
       .orderBy("rn")
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
+    * bounded driver-side sample (Lloyd's iterations on ≤ `sampleSize`
+    * rows — a fixed-size model fit, not a data-scale collect; the 100 TB
+    * path would swap in distributed k-means, the index layout is
+    * unchanged). Returns the centroid matrix. */
+  def ivfTrain(emb: DataFrame, vecCol: String, k: Int,
+               sampleSize: Int = 1024, iters: Int = 8,
+               seed: Long = 42L): Array[Array[Float]] = {
+    val sample = emb.select(vecCol).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Assign every vector its IVF list id — a narrow map (one fused JVM
+    * pass over the centroid matrix per row). Persist the result
+    * partitioned by `ivf_list` and queries scan only the probed lists. */
+  def ivfAssign(emb: DataFrame, vecCol: String,
+                centroids: Array[Array[Float]]): DataFrame = {
+    val assign = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, centroids) }
+    emb.withColumn("ivf_list", assign(col(vecCol)))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest the query, scan
+    * only vectors assigned to those lists, exact cosine re-rank. At scale
+    * the `ivf_list ∈ probes` predicate prunes partitions when the index
+    * table is written partitioned by list — the scan cost drops from N to
+    * N·nprobe/k. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
+    val byDist = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < query.length) { val t = query(j) - c(j); d += t * t; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val cands = ivfAssign(emb, vecCol, centroids)
+      .filter(col("ivf_list").isin(byDist.toSeq: _*))
+      .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
+    val top = cands.orderBy(desc("sim"), col(idCol)).limit(k)
+    top.withColumn("rn", row_number()
+        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
+      .select(col(idCol), col("rn"))
+      .orderBy("rn")
+  }
+
   /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,
     * member count, representative min id. Buckets with n_vecs > 1 are the
     * near-dup candidate sets (exact cosine confirm happens inside buckets,

@@ -157,6 +157,27 @@ class FunctionsSpec extends SparkSpec {
     assert(annReal.contains(0L) && annReal.size == 5)
   }
 
+  test("ivfTopK: full recall on clustered embeddings; probes bound the scan") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, centroids,
+      nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact, s"IVF must recover the cluster: $ivf vs $exact")
+    // assignment is total and lists are bounded by k
+    val lists = Similarity.ivfAssign(emb, "embedding", centroids)
+      .select("ivf_list").as[Int].collect()
+    assert(lists.length == 48 && lists.forall(l => l >= 0 && l < 8))
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val exact = Queries.q_agg_distinct(spark, sfDir)
       .select("event_type", "n_users").as[(String, Long)].collect().toMap
