@@ -198,6 +198,39 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("TopKAggregator: bounded-heap grouped top-k matches the window-function query") {
+    import org.apache.spark.sql.functions.{udaf, col, explode, posexplode, to_date, round => sround, sum => ssum}
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(sround(ssum(col("value")), 2).as("spend"))
+    val viaAgg = daily
+      .groupBy("day")
+      .agg(topk(col("spend"), col("user_id")).as("ids"))
+      .select(col("day"), posexplode(col("ids")).as(Seq("pos", "user_id")))
+      .select(col("day"), (col("pos") + 1).cast("long").as("rn"), col("user_id"))
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val viaWindow = Queries.q_topk(spark, sfDir)
+      .select("day", "rn", "user_id")
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("embeddingNearDupPairs finds planted near-duplicate vectors") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      (0L, base),
+      (1L, base.map(x => x + 1e-4f)),                        // near-dup of 0
+      (2L, Array.fill(64)(rnd.nextGaussian().toFloat)),      // unrelated
+      (3L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.98).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
   test("rolling fingerprint: order-sensitive, md5 is not") {
     val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
     val (r1, r2) = df.select(
