@@ -189,6 +189,16 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot rejects length-mismatched vectors with a clear error") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Vectors.dot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")), e.getMessage)
+  }
+
   test("SQL extension: vec_dot / vec_cosine usable from spark.sql") {
     val d = spark.sql(
       "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").as[Double].head()

@@ -234,6 +234,18 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("err", "page"))
   }
 
+  test("lateRows captures rows behind the watermark; enrichWithDim joins dim attributes") {
+    val batch = Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 12:00:00"), 2L))
+      .toDF("ts", "user_id")
+    val wmMs = ts("2024-01-01 11:00:00").getTime
+    val late = Streams.lateRows(batch, "ts", wmMs).select("user_id").as[Long].collect()
+    assert(late.toSeq == Seq(1L))
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("cust_id", "tier")
+    val enriched = Streams.enrichWithDim(batch, dim, Seq("user_id" -> "cust_id"))
+      .select("user_id", "tier").as[(Long, String)].collect().toSet
+    assert(enriched == Set((1L, "gold"), (2L, null)))
+  }
+
   test("stream split: routed branches partition the input") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val branches = Streams.split(ev, Map(
