@@ -147,6 +147,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session window (streaming): sessions merge across batches and close on watermark") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val out = Streams.sessionAgg(
+      Streams.watermarked(in.toDF().toDF("ts", "user_id"), "ts", "5 minutes"),
+      "ts", "30 minutes", Seq("user_id"), Seq(count(lit(1)).as("n")))
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // second event 20 min later: same session, must merge across batches
+      in.addData((ts("2024-01-01 10:20:00"), 1L))
+      q.processAllAvailable()
+      // advance watermark far past session end → session closes
+      in.addData((ts("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 13:00:00"), 2L))
+      q.processAllAvailable()
+      val closed = spark.table(name).select("user_id", "n")
+        .as[(Long, Long)].collect().toSet
+      assert(closed.contains((1L, 2L)),
+        s"user 1's two events must merge into one closed session: $closed")
+    } finally q.stop()
+  }
+
+  test("SQL surface: spark.sql over registered views matches the DataFrame query") {
+    graft.sources.Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS cnt
+        |FROM lineitem_v GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val viaDf = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("session window (batch form): 30-minute gap splits sessions") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
