@@ -26,7 +26,11 @@ object Bench {
     } catch { case _: Throwable => }
     val results = Queries.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // consume the query's OWN physical plan (all columns, sorts intact):
+      // df.count() would let Catalyst prune the projections and eliminate
+      // the sort, timing a bare row count instead of the query
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

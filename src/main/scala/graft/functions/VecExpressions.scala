@@ -59,18 +59,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xGet = if (leftIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yGet = if (rightIsFloat) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // fresh locals: two VecDot instances can land in one codegen scope
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val xGet = if (leftIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (rightIsFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = $a.numElements();
-         |if ($b.numElements() != n) {
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
          |  throw new IllegalArgumentException("vec_dot: length mismatch");
          |}
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += ($xGet) * ($yGet);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($xGet) * ($yGet);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -141,23 +144,29 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
     val get = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
+      // fresh locals: two instances can land in one codegen scope
+      val numEl = ctx.freshName("numEl"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
       s"""
-         |int numEl = $v.numElements();
-         |long[] out = new long[$bands];
-         |for (int b = 0; b < $bands; b++) {
-         |  long sig = 0L;
-         |  for (int i = 0; i < $planesPerBand; i++) {
-         |    double[] p = $planesRef[b * $planesPerBand + i];
-         |    double acc = 0.0;
-         |    int d = Math.min(numEl, p.length);
-         |    for (int j = 0; j < d; j++) {
-         |      acc += p[j] * (double) $v.$get(j);
+         |int $numEl = $v.numElements();
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $i = 0; $i < $planesPerBand; $i++) {
+         |    double[] $p = $planesRef[$b * $planesPerBand + $i];
+         |    double $acc = 0.0;
+         |    int $d = Math.min($numEl, $p.length);
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      $acc += $p[$j] * (double) $v.$get($j);
          |    }
-         |    if (acc >= 0) sig |= (1L << i);
+         |    if ($acc >= 0) $sig |= (1L << $i);
          |  }
-         |  out[b] = sig;
+         |  $out[$b] = $sig;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

@@ -57,17 +57,20 @@ object Dedup {
   /** Fused MinHash + banding: one JVM pass tokens → distinct shingles →
     * `numHashes` min-hashes → `bands` band-bucket keys.
     * Returns struct(sig array<bigint>, buckets array<bigint>).
-    * Empty shingle set → all-MaxValue signature (same convention as
-    * Spark ML's MinHashLSH on empty sets: degenerate, never a near-dup).
-    * Bucket key folds the band's signature slice with hashLong chaining
-    * seeded by the band index, so distinct bands never collide. */
+    * Empty shingle set → all-MaxValue signature and NO band buckets
+    * (empty array): degenerate docs must never become near-dup
+    * candidates of each other, and at scale a shared constant bucket
+    * would be a quadratic skew bomb. Bucket key folds the band's
+    * signature slice with hashLong chaining seeded by the band index,
+    * so distinct bands never collide. */
   def minhashBanded(shingleN: Int, numHashes: Int, bands: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     udf { (toks: Seq[String]) =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      if (toks != null && toks.length >= shingleN) {
+      val hasShingles = toks != null && toks.length >= shingleN
+      if (hasShingles) {
         val seen = new java.util.HashSet[String]()
         var i = 0
         val sb = new StringBuilder
@@ -90,16 +93,18 @@ object Dedup {
           i += 1
         }
       }
-      val buckets = Array.tabulate(bands) { b =>
-        var h = b.toLong
-        var r = 0
-        while (r < rows) {
-          h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashLong(sig(b * rows + r), h)
-          r += 1
+      val buckets =
+        if (!hasShingles) Array.empty[Long]
+        else Array.tabulate(bands) { b =>
+          var h = b.toLong
+          var r = 0
+          while (r < rows) {
+            h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(sig(b * rows + r), h)
+            r += 1
+          }
+          h
         }
-        h
-      }
       (sig.toSeq, buckets.toSeq)
     }
   }
@@ -115,10 +120,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val mh = minhashBanded(shingleN, numHashes, bands)
+    // posexplode_outer keeps shingle-less docs in the relation (their sig
+    // is listed) with null band/bucket — and null join keys never match,
+    // so they can never become candidates.
     docs
       .select(col(idCol), mh(Text.tokens(col(textCol))).as("mh"))
       .select(col(idCol), col("mh._1").as("sig"),
-        posexplode(col("mh._2")).as(Seq("band", "bucket")))
+        posexplode_outer(col("mh._2")).as(Seq("band", "bucket")))
   }
 
   /** Candidate near-dup pairs from banded minhash signatures, with the
@@ -185,7 +193,10 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("sh")
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    // set sizes straight from the shingle array — no explode + groupBy
+    // shuffle, one narrow pass
+    val sizes = docs.select(col(idCol).as("id"),
+      size(shingleSet(n)(Text.tokens(col(textCol)))).as("set_size"))
     val common = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -118,7 +118,10 @@ object Multimodal {
     * shape, done with a generator column so it stays in codegen. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media
-      .filter(col("kind") === "video" && col("n_frames").isNotNull)
+      // n_frames > 0 guard: sequence(0, -1, +stride) throws, and dirty
+      // rows must be dropped, not fail the job
+      .filter(col("kind") === "video" && col("n_frames").isNotNull &&
+        col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
 

@@ -73,21 +73,28 @@ object IO {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.schema(snapshotSchema).parquet(snapshotDir)
-          catch { case _: Throwable =>
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
-          }
-        val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
-        // write-then-swap keeps the read path consistent
-        val tmp = snapshotDir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(snapshotDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val bak = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
+        // recover from a crash between the renames below: the previous
+        // snapshot lives on at _bak until the new one is in place
+        val readFrom =
+          if (fs.exists(dst)) dst else if (fs.exists(bak)) bak else null
+        val existing =
+          if (readFrom == null)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+          else spark.read.schema(snapshotSchema).parquet(readFrom.toString)
+        val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+        // write-then-swap, never a moment without a readable snapshot:
+        // write _tmp → move current to _bak → move _tmp in → drop _bak
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
+        fs.rename(tmp, dst)
+        fs.delete(bak, true)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -52,6 +52,11 @@ object Tables {
     * long and floor-convert to microseconds — lossless on this data (every
     * value is µs-aligned; verified against the parquet footers) and
     * identical to DuckDB's native ns read for all comparisons at ≥µs grain.
+    *
+    * Note the `nanosAsLong` flag is session-wide (there is no per-read
+    * option for it): this engine sets it deliberately and uniformly — any
+    * TIMESTAMP(NANOS) parquet column read through this engine comes back
+    * as a nanos long, never a silently-degraded timestamp.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -51,11 +51,17 @@ object Cdc {
     */
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String): DataFrame = {
-    // Latest event per key wins; within equal ts_ms the higher seq wins if
-    // present, else arbitrary-but-deterministic by op.
+    // Latest event per key wins. Tie-break chain is fully deterministic:
+    // higher seq (if present) → op, with deletes outranking upserts at the
+    // same instant ('d' > 'u' > 'r' > 'c' lexicographically except c; use
+    // explicit rank) → payload hash as the final arbiter so equal-rank
+    // ties cannot depend on partition iteration order.
     val seqCol = if (changelog.columns.contains("seq")) col("seq") else lit(0L)
+    val opRank = when(col("op") === "d", 3).when(col("op") === "u", 2)
+      .when(col("op") === "r", 1).otherwise(0)
+    val payloadHash = hash(changelog.columns.map(col).toSeq: _*)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts_ms").desc, seqCol.desc)
+      .orderBy(col("ts_ms").desc, seqCol.desc, opRank.desc, payloadHash.desc)
     val latest = changelog
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

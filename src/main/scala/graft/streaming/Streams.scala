@@ -63,7 +63,7 @@ object Streams {
     * explicit filter run inside `foreachBatch` against the previous
     * micro-batch's watermark. */
   def lateRows(batch: DataFrame, tsCol: String, watermarkMs: Long): DataFrame =
-    batch.filter(col(tsCol).cast("long") * 1000 < lit(watermarkMs))
+    batch.filter(unix_millis(col(tsCol)) < lit(watermarkMs))
 
   /** Per-micro-batch broadcast dim enrichment — the reference's
     * HBase/Redis lookup join + broadcast config state collapsed to a

@@ -17,7 +17,8 @@ object Probe {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings")) {
       try {
-        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        // Tables.load special-cases events' TIMESTAMP(NANOS) column
+        val df = graft.sources.Tables.load(spark, sfDir, t)
         println(s"== $t rows=${df.count()} schema=${df.schema.simpleString}")
       } catch {
         case e: Throwable => println(s"== $t FAILED: ${e.getMessage.take(300)}")

@@ -63,6 +63,16 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("equal-ts_ms ties break deterministically (delete outranks update)") {
+    val changelog = Seq((1L, "u_payload", "u", 100L), (1L, null.asInstanceOf[String], "d", 100L))
+    // any permutation, any partitioning: the delete must win every time
+    for (perm <- changelog.permutations) {
+      val out = Cdc.replay(spark, perm.toDF("id", "name", "op", "ts_ms"), "id",
+        snapshotSchema).count()
+      assert(out == 0L, s"delete must deterministically win the ts tie ($perm)")
+    }
+  }
+
   test("applyChangelog is incremental: applying in two chunks equals one-shot") {
     val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
       (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))

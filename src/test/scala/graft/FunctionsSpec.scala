@@ -111,6 +111,16 @@ class FunctionsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash: shingle-less short docs are never near-dup candidates of each other") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "x y"),
+      (4L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
+    // all four docs stay visible in the relation (sig listed)…
+    assert(banded.select("doc_id").distinct().count() == 4)
+    // …but the sub-shingle docs (1,2,3) produce zero candidate pairs
+    assert(Dedup.minhashCandidatePairs(banded, "doc_id").count() == 0)
+  }
+
   test("minhash est_jaccard tracks exact jaccard on controlled overlap") {
     // two docs with ~0.8 shingle jaccard (high overlap → certain LSH candidate)
     val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
@@ -203,6 +213,12 @@ class FunctionsSpec extends SparkSpec {
     val d = spark.sql(
       "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d").as[Double].head()
     assert(math.abs(d - 11.0) < 1e-12)
+    // two instances in one codegen scope (fresh-local-name regression guard)
+    val (d1, d2) = spark.sql(
+      """SELECT vec_dot(array(1.0F), array(2.0F)) AS d1,
+        |       vec_dot(array(3.0F), array(4.0F)) AS d2""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(d1 == 2.0 && d2 == 12.0)
     val c = spark.sql(
       "SELECT vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)

@@ -113,5 +113,12 @@ class SourcesSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(Multimodal.decodeMeta(media), stride = 3)
       .select("frame_idx").as[Int].collect().sorted.toSeq
     assert(frames == Seq(0, 3, 6, 9))
+    // dirty row with n_frames=0 must be dropped, not crash the job
+    val zero = Seq(Row(9L, "video", Multimodal.FakeCodec.encode(8, 8, 0, Array[Byte]()),
+      null, null, null, null))
+    val zeroDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(zero).asJava),
+      Multimodal.mediaSchema)
+    assert(Multimodal.sampleFrames(Multimodal.decodeMeta(zeroDf), stride = 3).count() == 0)
   }
 }

@@ -282,6 +282,12 @@ class StreamingSpec extends SparkSpec {
     val wmMs = ts("2024-01-01 11:00:00").getTime
     val late = Streams.lateRows(batch, "ts", wmMs).select("user_id").as[Long].collect()
     assert(late.toSeq == Seq(1L))
+    // millisecond precision at the boundary: 10:59:59.999 is late,
+    // 11:00:00.000 is not (second-truncation regression guard)
+    val subSec = Seq((Timestamp.valueOf("2024-01-01 10:59:59.999"), 1L),
+      (Timestamp.valueOf("2024-01-01 11:00:00.000"), 2L)).toDF("ts", "user_id")
+    assert(Streams.lateRows(subSec, "ts", wmMs).select("user_id")
+      .as[Long].collect().toSeq == Seq(1L))
     val dim = Seq((1L, "gold"), (3L, "silver")).toDF("cust_id", "tier")
     val enriched = Streams.enrichWithDim(batch, dim, Seq("user_id" -> "cust_id"))
       .select("user_id", "tier").as[(Long, String)].collect().toSet
