@@ -81,6 +81,22 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq((1L, "a2")))
   }
 
+  test("multimodal: payload-aware repartitioning bounds partition byte size") {
+    val rows = (0L until 100L).map(i =>
+      Row(i, "image", Multimodal.FakeCodec.encode(8, 8, 1, Array.fill[Byte](1024)(1)),
+        null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    // ~1KB payloads, 10KB target → ≥10 partitions, none above ~10 rows
+    val parts = Multimodal.repartitionByPayload(media, avgPayloadBytes = 1024,
+      targetMb = 1).rdd.getNumPartitions
+    assert(parts == 1) // 100KB total fits one 1MB partition
+    val manyParts = Multimodal.repartitionByPayload(media, avgPayloadBytes = 512 * 1024,
+      targetMb = 1).rdd.getNumPartitions
+    assert(manyParts == 50, s"expected 50 partitions of 2 rows, got $manyParts")
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),

@@ -294,6 +294,28 @@ class StreamingSpec extends SparkSpec {
     assert(enriched == Set((1L, "gold"), (2L, null)))
   }
 
+  test("foreachBatch dim enrichment: broadcast join applied per micro-batch") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("cust_id", "tier")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = in.toDF().toDF("ts", "user_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = Streams.enrichWithDim(batch, dim, Seq("user_id" -> "cust_id"))
+        collected.synchronized {
+          collected ++= enriched.select("user_id", "tier")
+            .collect().map(r => (r.getLong(0), r.getString(1)))
+        }
+        ()
+      }.start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:01:00"), 2L), (ts("2024-01-01 10:02:00"), 7L))
+      q.processAllAvailable()
+      assert(collected.toSet == Set((1L, "gold"), (2L, "basic"), (7L, null)))
+    } finally q.stop()
+  }
+
   test("stream split: routed branches partition the input") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val branches = Streams.split(ev, Map(
