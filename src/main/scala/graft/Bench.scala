@@ -24,19 +24,25 @@ object Bench {
       Queries.q_agg_groupby(spark, sfDir).count()
       Queries.q_window_tumble(spark, sfDir).count()
     } catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = Queries.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // consume the query's OWN physical plan (all columns, sorts intact):
       // df.count() would let Catalyst prune the projections and eliminate
       // the sort, timing a bare row count instead of the query
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // a crashing query must NOT masquerade as a fast success
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,7 +33,9 @@ object Queries {
   val q_json_extract: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        // try_cast: a non-numeric props.k yields null per row (the DWD
+        // dirty-JSON guard) instead of an ANSI CAST_INVALID_INPUT failure
+        get_json_object(col("props"), "$.k").try_cast("long").as("k_val"))
       .orderBy("event_id")
 
   /** q_date_funcs — epoch/date formatting util surface (SURVEY §2.G). */

@@ -36,16 +36,17 @@ object Text {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Mean token length in characters (spaces excluded), double division —
-    * bit-identical across engines given identical inputs. */
+    * bit-identical across engines given identical inputs. Empty documents
+    * yield null (try_divide) instead of an ANSI DIVIDE_BY_ZERO failure. */
   def avgTokenLen(text: Column): Column =
-    length(regexp_replace(text, " ", "")).cast("double") /
-      size(tokens(text)).cast("double")
+    try_divide(length(regexp_replace(text, " ", "")).cast("double"),
+      size(tokens(text)).cast("double"))
 
-  /** Ratio of stopword tokens. `stopwords` must be non-empty. */
+  /** Ratio of stopword tokens; null for empty documents. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
-    size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
-      .cast("double") / size(toks).cast("double")
+    try_divide(size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
+      .cast("double"), size(toks).cast("double"))
   }
 
   /** Composite quality score for training-data filtering: favors documents

@@ -22,9 +22,12 @@ object Vectors {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; null-safe only insofar as parquet arrays
-    * here are non-null. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1]. A zero-norm vector (e.g. the all-zero
+    * feature vector Multimodal emits for undecodable content) yields null
+    * rather than an ANSI DIVIDE_BY_ZERO job failure — and null ranks last
+    * under `desc` ordering, which is the wanted semantics for top-k. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Cosine against a constant query vector (broadcast as a literal into
     * the plan — the Spark replacement for the reference's per-record remote

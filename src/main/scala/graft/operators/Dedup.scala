@@ -201,9 +201,11 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
+    // no broadcast hint: `sizes` is corpus-cardinality (one row per doc),
+    // unbounded at scale — let Catalyst/AQE broadcast only when it fits
     common
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") /
           (col("sa.set_size") + col("sb.set_size") - col("common")).cast("double"))

@@ -129,9 +129,14 @@ object Multimodal {
     * payload per partition so executor memory is bounded by partition
     * size, not row count (the 100 TB lever for multimodal tables). */
   def repartitionByPayload(media: DataFrame, avgPayloadBytes: Long,
-                           targetMb: Int = 128): DataFrame = {
+                           targetMb: Int = 128,
+                           rowCount: Option[Long] = None): DataFrame = {
     val rowsPerPartition = math.max(1L, targetMb.toLong * 1024 * 1024 / math.max(1L, avgPayloadBytes))
-    val n = math.max(1, (media.count().toDouble / rowsPerPartition).ceil.toInt)
+    // prefer a caller-supplied row count (catalog/file statistics) — the
+    // fallback count() is an extra pass over exactly the wide table this
+    // function exists to manage
+    val rows = rowCount.getOrElse(media.count())
+    val n = math.max(1, (rows.toDouble / rowsPerPartition).ceil.toInt)
     media.repartition(n)
   }
 }

@@ -76,8 +76,12 @@ object Similarity {
   def ivfTrain(emb: DataFrame, vecCol: String, k: Int,
                sampleSize: Int = 1024, iters: Int = 8,
                seed: Long = 42L): Array[Array[Float]] = {
-    val sample = emb.select(vecCol).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // seeded uniform sample across ALL partitions — limit() would take
+    // whichever partitions answer first, biasing centroids to one region
+    // of a write-ordered table and changing run to run
+    val sample = emb.select(vecCol).rdd
+      .takeSample(withReplacement = false, sampleSize, seed)
+      .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
     val rnd = new scala.util.Random(seed)
     var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())

@@ -73,9 +73,10 @@ object IO {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+        // resolve the snapshot path's OWN filesystem (s3a://, hdfs://, …),
+        // not the default FS
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val bak = new org.apache.hadoop.fs.Path(snapshotDir + "_bak")
         val tmp = new org.apache.hadoop.fs.Path(snapshotDir + "_tmp")
         // recover from a crash between the renames below: the previous

@@ -54,10 +54,14 @@ object Processors {
   class PaymentTimeoutProcessor(timeoutMs: Long)
       extends StatefulProcessor[Long, OrderEvent, OrderOut] {
     @transient private var createdTs: ValueState[Long] = _
+    @transient private var settled: ValueState[Boolean] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       createdTs = getHandle.getValueState[Long]("createdTs", Encoders.scalaLong,
         TTLConfig.NONE)
+      settled = getHandle.getValueState[Boolean]("settled", Encoders.scalaBoolean,
+        TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[OrderEvent],
                                  timers: TimerValues): Iterator[OrderOut] = {
@@ -65,14 +69,27 @@ object Processors {
       rows.foreach { e =>
         e.kind match {
           case "created" =>
-            createdTs.update(e.ts.getTime)
-            getHandle.registerTimer(e.ts.getTime + timeoutMs)
+            // the settled marker makes paid-before-created (out-of-order
+            // within the watermark) and duplicate-created replays safe:
+            // a settled order never re-arms a timer
+            if (!settled.exists()) {
+              // duplicate created: disarm the previous deadline first so
+              // the stale timer cannot fire a premature timeout
+              if (createdTs.exists()) {
+                getHandle.deleteTimer(createdTs.get() + timeoutMs)
+              }
+              createdTs.update(e.ts.getTime)
+              getHandle.registerTimer(e.ts.getTime + timeoutMs)
+            }
           case "paid" =>
             if (createdTs.exists()) {
               getHandle.deleteTimer(createdTs.get() + timeoutMs)
               createdTs.clear()
             }
-            out += OrderOut(key, "paid", e.ts.getTime)
+            if (!settled.exists()) {
+              settled.update(true)
+              out += OrderOut(key, "paid", e.ts.getTime)
+            }
           case _ => // ignore unknown kinds (dirty-data guard)
         }
       }
@@ -81,8 +98,13 @@ object Processors {
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
                                     timer: ExpiredTimerInfo): Iterator[OrderOut] = {
-      if (createdTs.exists()) {
+      // only the timer matching the current armed deadline may fire; a
+      // stale timer (superseded created) or a settled order emits nothing
+      val armed = createdTs.exists() &&
+        createdTs.get() + timeoutMs == timer.getExpiryTimeInMs()
+      if (armed && !settled.exists()) {
         createdTs.clear()
+        settled.update(true)
         Iterator.single(OrderOut(key, "timeout", timer.getExpiryTimeInMs()))
       } else Iterator.empty
     }

@@ -24,6 +24,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) == Seq("hello", "世", "界", "spark"))
   }
 
+  test("empty documents and zero vectors degrade to null, never crash (ANSI guards)") {
+    // empty doc: quality metrics yield null, not DIVIDE_BY_ZERO
+    val q = Seq("").toDF("text").select(
+      Text.avgTokenLen(col("text")).as("a"),
+      Text.stopwordRatio(col("text"), Seq("the")).as("s"))
+      .collect().head
+    assert(q.isNullAt(0) && q.isNullAt(1))
+    // zero vector: cosine yields null and ranks last, not DIVIDE_BY_ZERO
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      Array(1.0f, 0.0f), 3).select("vec_id").as[Long].collect()
+    assert(top.take(2).toSeq == Seq(0L, 2L), top.mkString(","))
+  }
+
   test("quality score formula matches hand computation") {
     // 4 tokens, 1 stopword 'the', 11 chars sans spaces
     val r = Seq("the cat sat down").toDF("text")

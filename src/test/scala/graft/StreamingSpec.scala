@@ -126,6 +126,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PaymentTimeoutProcessor: duplicate created does not fire a premature timeout; paid-before-created never times out") {
+    val in = MemoryStream[Processors.OrderEvent]
+    val out = in.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Processors.OrderEvent]
+      .groupByKey(_.orderId)
+      .transformWithState(new Processors.PaymentTimeoutProcessor(15 * 60 * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // order 1: created at 10:00, duplicate created at 10:20 (re-arms to
+      // 10:35) — the stale 10:15 timer must NOT fire; paid at 10:35 wins.
+      // order 2: paid arrives BEFORE created (out-of-order) — must never
+      // emit a timeout afterwards.
+      in.addData(Processors.OrderEvent(1L, "created", ts("2024-01-01 10:00:00")),
+        Processors.OrderEvent(2L, "paid", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(1L, "created", ts("2024-01-01 10:20:00")),
+        Processors.OrderEvent(2L, "created", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(1L, "paid", ts("2024-01-01 10:34:00")))
+      q.processAllAvailable()
+      // push the watermark far past every deadline
+      in.addData(Processors.OrderEvent(99L, "created", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(98L, "created", ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val byOrder = spark.table(name).as[Processors.OrderOut].collect()
+        .groupBy(_.orderId).map { case (k, v) => k -> v.map(_.status).toSeq }
+      assert(byOrder(1L) == Seq("paid"), s"order 1: ${byOrder.get(1L)}")
+      assert(byOrder(2L) == Seq("paid"), s"order 2: ${byOrder.get(2L)}")
+    } finally q.stop()
+  }
+
   test("RunningSumProcessor: keyed running aggregate across batches") {
     val in = MemoryStream[Processors.Measure]
     val out = in.toDS()
