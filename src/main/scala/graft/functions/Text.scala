@@ -35,6 +35,20 @@ object Text {
   /** Token count over the oracle tokenizer. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization (the GPT-2 pattern family): English
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs. Counts the text segments a byte-pair encoder would merge
+    * within — a fast proxy for LLM token counts without a vocab. Pure
+    * `regexp_extract_all`, stays in codegen. */
+  private val bpePattern =
+    "('(?:s|t|re|ve|m|ll|d))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column =
+    size(bpeTokens(text)).cast("long")
+
   /** Mean token length in characters (spaces excluded), double division —
     * bit-identical across engines given identical inputs. Empty documents
     * yield null (try_divide) instead of an ANSI DIVIDE_BY_ZERO failure. */

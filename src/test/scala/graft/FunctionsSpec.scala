@@ -39,6 +39,16 @@ class FunctionsSpec extends SparkSpec {
     assert(top.take(2).toSeq == Seq(0L, 2L), top.mkString(","))
   }
 
+  test("BPE-style tokenizer: contractions, words, numbers, punctuation split") {
+    val out = Seq("I can't pay $12.50!").toDF("text")
+      .select(Text.bpeTokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(out == Seq("I", " can", "'t", " pay", " $", "12", ".", "50", "!"),
+      out.mkString("|"))
+    val n = Seq("hello world").toDF("text")
+      .select(Text.bpeTokenCount(col("text"))).as[Long].head()
+    assert(n == 2L)
+  }
+
   test("quality score formula matches hand computation") {
     // 4 tokens, 1 stopword 'the', 11 chars sans spaces
     val r = Seq("the cat sat down").toDF("text")
