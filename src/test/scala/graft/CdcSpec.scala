@@ -73,6 +73,41 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("DIM job end-to-end: raw JSON changelog stream -> parse -> route -> upsert snapshot") {
+    // the reference's full DIM lifecycle (SURVEY §3.1): Kafka topic_db →
+    // JSON parse + dirty filter → broadcast-config table routing → keyed
+    // dim store upsert. Hermetic: file stream in, parquet snapshot out.
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("cdc_raw_").toString
+    val snap = Files.createTempDirectory("dim_").toString + "/snap"
+    val ck = Files.createTempDirectory("ck_").toString
+    def payload(id: Long, name: String) = s"""{\\"id\\":$id,\\"name\\":\\"$name\\"}"""
+    Seq(
+      s"""{"op":"c","after":"${payload(1, "alice")}","source":{"table":"dim_user"},"ts_ms":100}""",
+      s"""{"op":"c","after":"${payload(2, "bob")}","source":{"table":"ignored_table"},"ts_ms":110}""",
+      "garbage line",
+      s"""{"op":"u","after":"${payload(1, "alice2")}","source":{"table":"dim_user"},"ts_ms":200}""")
+      .toDF("value").write.mode("append").text(in)
+    val config = Seq("dim_user").toDF("table")
+    val snapshotSchema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType)))).text(in)
+    val routed = Cdc.routeByConfig(Cdc.parseEnvelope(raw), config)
+      .select(
+        get_json_object(col("after"), "$.id").try_cast("long").as("id"),
+        get_json_object(col("after"), "$.name").as("name"),
+        col("op"), col("ts_ms"))
+    graft.sources.IO.upsertSink(routed, snap, ck, "id", snapshotSchema)
+      .start().awaitTermination()
+    val result = spark.read.schema(snapshotSchema).parquet(snap)
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(result == Seq((1L, "alice2")),
+      s"only whitelisted dim_user key 1 at latest version: $result")
+  }
+
   test("applyChangelog is incremental: applying in two chunks equals one-shot") {
     val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
       (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))
