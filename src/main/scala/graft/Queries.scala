@@ -331,6 +331,51 @@ object Queries {
       .orderBy("c_custkey")
 
   // -------------------------------------------------------------------
+  // composite analytics (TPC-H-style multi-join + agg + top-k shapes)
+  // -------------------------------------------------------------------
+
+  /** q_composite_shipping — TPC-H Q3 shape: segment filter × date-bounded
+    * join × revenue agg × top-10. Exercises join order + partial agg +
+    * TakeOrderedAndProject in one plan. */
+  val q_composite_shipping: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** q_composite_region — TPC-H Q5 shape: full star join with per-nation
+    * revenue rollup. */
+  val q_composite_region: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** q_composite_returns — TPC-H Q10 shape: returned-item revenue per
+    * customer, top-20. */
+  val q_composite_returns: Q = (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  // -------------------------------------------------------------------
   // §2.H text / §2.K training-data extensions
   // -------------------------------------------------------------------
 
@@ -497,6 +542,9 @@ object Queries {
     "q_union" -> q_union,
     "q_intersect" -> q_intersect,
     "q_except" -> q_except,
+    "q_composite_shipping" -> q_composite_shipping,
+    "q_composite_region" -> q_composite_region,
+    "q_composite_returns" -> q_composite_returns,
     "q_keyword_topk" -> q_keyword_topk,
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,

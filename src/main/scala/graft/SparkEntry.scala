@@ -83,6 +83,12 @@ object SparkEntry {
       "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' INTERSECT SELECT o_custkey AS c_custkey FROM orders ORDER BY c_custkey",
     "q_except" ->
       "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT SELECT user_id AS c_custkey FROM events ORDER BY c_custkey",
+    "q_composite_shipping" ->
+      "SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "q_composite_region" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "q_composite_returns" ->
+      "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q_keyword_topk" ->
       "SELECT lang, word, cnt, rn FROM (SELECT lang, word, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM (SELECT lang, word, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t WHERE word <> '' GROUP BY lang, word) t2) t3 WHERE rn <= 10 ORDER BY lang, rn",
     "q_dedup" ->
