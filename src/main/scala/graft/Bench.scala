@@ -14,6 +14,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size input splits to the test SF (single ~11 MB parquet files):
+      // the 128 MB default gives every scan exactly ONE partition, idling
+      // all but one core in the scan stage. At cluster scale with real
+      // multi-GB table layouts the default is correct — this is the
+      // "size maxPartitionBytes to the SF" lever, not a universal setting.
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // test-SF input-split sizing (see Bench.scala): single ~MB files
+      // would otherwise scan on one core
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
