@@ -29,10 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_cosine(a, b) takes exactly 2 arguments")
-        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        // TryDivide, matching Vectors.cosine: a zero-norm vector yields
+        // null (ranks last) instead of an ANSI DIVIDE_BY_ZERO job failure
+        import org.apache.spark.sql.catalyst.expressions.{Multiply, Sqrt, TryEval, Divide}
         val (a, b) = (children.head, children(1))
-        Divide(VecDot(a, b),
-          Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+        TryEval(Divide(VecDot(a, b),
+          Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))))
       }))
   }
 }

@@ -118,6 +118,8 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
     val n = v.numElements()
     val out = new Array[Long](bands)
     val f = isFloat
+    require(n == planes(0).length,
+      s"vec_lsh_sig: vector dim $n != plane dim ${planes(0).length}")
     var b = 0
     while (b < bands) {
       var sig = 0L
@@ -126,8 +128,7 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
         val p = planes(b * planesPerBand + i)
         var acc = 0.0
         var j = 0
-        val d = math.min(n, p.length)
-        while (j < d) {
+        while (j < n) {
           acc += p(j) * (if (f) v.getFloat(j).toDouble else v.getDouble(j))
           j += 1
         }
@@ -148,18 +149,20 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
       val numEl = ctx.freshName("numEl"); val out = ctx.freshName("out")
       val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
       val i = ctx.freshName("i"); val p = ctx.freshName("p")
-      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
-      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
       s"""
          |int $numEl = $v.numElements();
+         |if ($numEl != ${planes(0).length}) {
+         |  throw new IllegalArgumentException(
+         |    "vec_lsh_sig: vector dim " + $numEl + " != plane dim ${planes(0).length}");
+         |}
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $sig = 0L;
          |  for (int $i = 0; $i < $planesPerBand; $i++) {
          |    double[] $p = $planesRef[$b * $planesPerBand + $i];
          |    double $acc = 0.0;
-         |    int $d = Math.min($numEl, $p.length);
-         |    for (int $j = 0; $j < $d; $j++) {
+         |    for (int $j = 0; $j < $numEl; $j++) {
          |      $acc += $p[$j] * (double) $v.$get($j);
          |    }
          |    if ($acc >= 0) $sig |= (1L << $i);

@@ -193,10 +193,15 @@ object Dedup {
           .filter(col("df") > maxDocFreq).select("sh")
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    // set sizes straight from the shingle array — no explode + groupBy
-    // shuffle, one narrow pass
-    val sizes = docs.select(col(idCol).as("id"),
-      size(shingleSet(n)(Text.tokens(col(textCol)))).as("set_size"))
+    // set sizes must count the SAME shingle universe as the intersection:
+    // uncapped → straight from the array (narrow, no shuffle); capped →
+    // from the filtered inverted index, else Jaccard of docs containing
+    // hot shingles is systematically underestimated
+    val sizes =
+      if (maxDocFreq == Long.MaxValue)
+        docs.select(col(idCol).as("id"),
+          size(shingleSet(n)(Text.tokens(col(textCol)))).as("set_size"))
+      else sh.groupBy("id").agg(count(lit(1)).as("set_size"))
     val common = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -116,7 +116,8 @@ object Multimodal {
   /** Frame sampling for video payloads: emit one row per sampled frame
     * index (every `stride`-th of `n_frames`) — the row-multiplying UDTF
     * shape, done with a generator column so it stays in codegen. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     media
       // n_frames > 0 guard: sequence(0, -1, +stride) throws, and dirty
       // rows must be dropped, not fail the job
@@ -124,6 +125,7 @@ object Multimodal {
         col("n_frames") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+  }
 
   /** Partition-size control for wide binary rows: target `targetMb` of
     * payload per partition so executor memory is bounded by partition

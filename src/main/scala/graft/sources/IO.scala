@@ -92,9 +92,14 @@ object IO {
         // write-then-swap, never a moment without a readable snapshot:
         // write _tmp → move current to _bak → move _tmp in → drop _bak
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(bak, true)
-        if (fs.exists(dst)) fs.rename(dst, bak)
-        fs.rename(tmp, dst)
+        // Hadoop rename/delete report most failures via `false`, not an
+        // exception — a swallowed failure here would let the checkpoint
+        // commit a batch whose merge was silently stranded at _tmp
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"upsertSink: $what failed")
+        fs.delete(bak, true) // best-effort pre-clean; verified below
+        if (fs.exists(dst)) must(fs.rename(dst, bak), s"rename $dst -> $bak")
+        must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
         fs.delete(bak, true)
         ()
       }

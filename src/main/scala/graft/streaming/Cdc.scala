@@ -42,35 +42,50 @@ object Cdc {
     changelog.join(broadcast(config), Seq(tableCol), "left_semi")
 
   /** Apply a changelog to a keyed snapshot, last-writer-wins by (ts_ms,
-    * tiebreak on op): for each key, the latest event determines the row —
-    * delete (`op='d'`) removes it, create/update/read upsert `after`.
+    * deterministic tie-break): for each key the globally latest event —
+    * across BOTH the incoming batch and what the snapshot already holds —
+    * determines the row.
+    *
+    * The snapshot retains delete tombstones (`op='d'` rows): without
+    * them, a late event older than a delete would resurrect the key in a
+    * later micro-batch, and a late update older than the stored version
+    * would overwrite it. Read live rows through [[liveView]]. Compact
+    * tombstones out once their ts_ms is older than the replay horizon.
     *
     * Pure DataFrame merge — one shuffle on the key — usable both as a
     * batch replay and inside `foreachBatch` against the running snapshot.
-    * `changelog` must carry (keyCol, op, ts_ms, payload columns...).
+    * `changelog` must carry (keyCol, op, ts_ms, payload columns ⊇ the
+    * snapshot schema).
     */
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String): DataFrame = {
-    // Latest event per key wins. Tie-break chain is fully deterministic:
-    // higher seq (if present) → op, with deletes outranking upserts at the
-    // same instant ('d' > 'u' > 'r' > 'c' lexicographically except c; use
-    // explicit rank) → payload hash as the final arbiter so equal-rank
-    // ties cannot depend on partition iteration order.
+    // Deterministic priority: ts_ms → seq (if present) → op rank (delete
+    // outranks update at the same instant) → payload hash, so ties can
+    // never depend on partition iteration order.
+    def opRank(df: DataFrame) = when(col("op") === "d", 3)
+      .when(col("op") === "u", 2).when(col("op") === "r", 1).otherwise(0)
     val seqCol = if (changelog.columns.contains("seq")) col("seq") else lit(0L)
-    val opRank = when(col("op") === "d", 3).when(col("op") === "u", 2)
-      .when(col("op") === "r", 1).otherwise(0)
-    val payloadHash = hash(changelog.columns.map(col).toSeq: _*)
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts_ms").desc, seqCol.desc, opRank.desc, payloadHash.desc)
-    val latest = changelog
-      .withColumn("__rn", row_number().over(w))
+    val wBatch = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_ms").desc, seqCol.desc, opRank(changelog).desc,
+        hash(changelog.columns.map(col).toSeq: _*).desc)
+    val latestOfBatch = changelog
+      .withColumn("__rn", row_number().over(wBatch))
       .filter(col("__rn") === 1).drop("__rn")
-    val upserts = latest.filter(col("op") =!= "d")
       .select(snapshot.columns.map(col): _*)
-    snapshot
-      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti") // untouched keys
-      .unionByName(upserts)
+    // merge with the snapshot's stored versions: the newer of (stored,
+    // incoming) wins — a late replay can never roll a key backwards
+    val merged = snapshot.unionByName(latestOfBatch)
+    val wAll = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_ms").desc, opRank(merged).desc,
+        hash(snapshot.columns.map(col).toSeq: _*).desc)
+    merged.withColumn("__rn", row_number().over(wAll))
+      .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Live rows of a snapshot produced by [[applyChangelog]] (tombstones
+    * filtered out). */
+  def liveView(snapshot: DataFrame): DataFrame =
+    snapshot.filter(col("op") =!= "d")
 
   /** Convenience: replay a full changelog from an empty snapshot with the
     * given schema — used by the convergence tests (any permutation of the

@@ -32,7 +32,11 @@ object Processors {
     override def handleInputRows(key: Long, rows: Iterator[Visit],
                                  timers: TimerValues): Iterator[VisitOut] = {
       rows.map { v =>
-        val isFirst = !lastDate.exists() || lastDate.get() != v.date
+        // strictly-greater compare on the ISO date (lexicographic =
+        // chronological): a late out-of-order visit from an EARLIER day
+        // must neither flag first nor regress the state, else the next
+        // current-day visit double-counts as a new visitor
+        val isFirst = !lastDate.exists() || v.date > lastDate.get()
         if (isFirst) lastDate.update(v.date)
         VisitOut(v.userId, v.date, v.tsMs, isFirst)
       }

@@ -14,8 +14,7 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings")) {
+    for (t <- graft.sources.Tables.names) {
       try {
         // Tables.load special-cases events' TIMESTAMP(NANOS) column
         val df = graft.sources.Tables.load(spark, sfDir, t)

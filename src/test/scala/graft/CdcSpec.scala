@@ -45,9 +45,24 @@ class CdcSpec extends SparkSpec {
       (3L, "new", "c", 150L),
       (2L, null.asInstanceOf[String], "d", 300L))   // delete key 2
       .toDF("id", "name", "op", "ts_ms")
-    val out = Cdc.applyChangelog(snapshot, changelog, "id")
+    val out = Cdc.liveView(Cdc.applyChangelog(snapshot, changelog, "id"))
       .select("id", "name").as[(Long, String)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "v2"), (3L, "new")))
+  }
+
+  test("a late event older than the stored version cannot roll a key back") {
+    // batch 1 installs version 200; batch 2 delivers a replayed older
+    // event (ts 100) — the snapshot must keep version 200. Same for a
+    // late upsert older than a delete tombstone: the key stays dead.
+    val snap1 = Cdc.replay(spark,
+      Seq((1L, "new", "u", 200L), (2L, null.asInstanceOf[String], "d", 300L))
+        .toDF("id", "name", "op", "ts_ms"), "id", snapshotSchema)
+    val snap2 = Cdc.applyChangelog(snap1,
+      Seq((1L, "old", "u", 100L), (2L, "zombie", "u", 250L))
+        .toDF("id", "name", "op", "ts_ms"), "id")
+    val live = Cdc.liveView(snap2).select("id", "name")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(live == Seq((1L, "new")), s"stale events must lose: $live")
   }
 
   test("replay convergence: every permutation of the changelog yields the same snapshot") {
@@ -57,7 +72,7 @@ class CdcSpec extends SparkSpec {
     val expected = Seq((1L, "c"), (2L, "y"))
     events.permutations.take(24).foreach { perm =>
       val changelog = perm.toDF("id", "name", "op", "ts_ms")
-      val out = Cdc.replay(spark, changelog, "id", snapshotSchema)
+      val out = Cdc.liveView(Cdc.replay(spark, changelog, "id", snapshotSchema))
         .select("id", "name").as[(Long, String)].collect().sortBy(_._1).toSeq
       assert(out == expected, s"order ${perm.map(_._4)} diverged: $out")
     }
@@ -67,8 +82,8 @@ class CdcSpec extends SparkSpec {
     val changelog = Seq((1L, "u_payload", "u", 100L), (1L, null.asInstanceOf[String], "d", 100L))
     // any permutation, any partitioning: the delete must win every time
     for (perm <- changelog.permutations) {
-      val out = Cdc.replay(spark, perm.toDF("id", "name", "op", "ts_ms"), "id",
-        snapshotSchema).count()
+      val out = Cdc.liveView(Cdc.replay(spark,
+        perm.toDF("id", "name", "op", "ts_ms"), "id", snapshotSchema)).count()
       assert(out == 0L, s"delete must deterministically win the ts tie ($perm)")
     }
   }
@@ -112,11 +127,13 @@ class CdcSpec extends SparkSpec {
     val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
       (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))
     val (chunk1, chunk2) = all.splitAt(2)
-    val oneShot = Cdc.replay(spark, all.toDF("id", "name", "op", "ts_ms"), "id",
-      snapshotSchema).select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    val oneShot = Cdc.liveView(Cdc.replay(spark,
+      all.toDF("id", "name", "op", "ts_ms"), "id", snapshotSchema))
+      .select("id", "name").as[(Long, String)].collect().sorted.toSeq
     val snap1 = Cdc.replay(spark, chunk1.toDF("id", "name", "op", "ts_ms"), "id",
       snapshotSchema)
-    val twoStep = Cdc.applyChangelog(snap1, chunk2.toDF("id", "name", "op", "ts_ms"), "id")
+    val twoStep = Cdc.liveView(Cdc.applyChangelog(snap1,
+      chunk2.toDF("id", "name", "op", "ts_ms"), "id"))
       .select("id", "name").as[(Long, String)].collect().sorted.toSeq
     assert(oneShot == twoStep)
     assert(oneShot == Seq((1L, "a2"), (3L, "c")))

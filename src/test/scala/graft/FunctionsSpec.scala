@@ -247,6 +247,10 @@ class FunctionsSpec extends SparkSpec {
     val c = spark.sql(
       "SELECT vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").as[Double].head()
     assert(math.abs(c - 1.0) < 1e-12)
+    // zero-norm vector → null, not an ANSI DIVIDE_BY_ZERO job failure
+    val z = spark.sql(
+      "SELECT vec_cosine(array(0.0F, 0.0F), array(1.0F, 0.0F)) AS z").collect().head
+    assert(z.isNullAt(0))
   }
 
   test("TopKAggregator: bounded-heap grouped top-k matches the window-function query") {
