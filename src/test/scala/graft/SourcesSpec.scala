@@ -82,6 +82,33 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq((1L, "a2")))
   }
 
+  test("upsert sink recovers the snapshot from _bak after a simulated crash mid-swap") {
+    val in = tmp() + "/cdc_in3"; val snapDir = tmp(); val ck = tmp() + "/ck3"
+    val snap = snapDir + "/snap"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    Seq((1L, "a", "c", 10L)).toDF("id", "name", "op", "ts_ms")
+      .write.mode("append").parquet(in)
+    IO.upsertSink(IO.fileStream(spark, in, schema), snap, ck, "id", schema)
+      .start().awaitTermination()
+    // simulate a crash between "rename dst -> bak" and "rename tmp -> dst":
+    // the current snapshot exists only at _bak
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(snap),
+      new org.apache.hadoop.fs.Path(snap + "_bak")))
+    Seq((2L, "b", "c", 20L)).toDF("id", "name", "op", "ts_ms")
+      .write.mode("append").parquet(in)
+    IO.upsertSink(IO.fileStream(spark, in, schema), snap, ck, "id", schema)
+      .start().awaitTermination()
+    val got = graft.streaming.Cdc.liveView(spark.read.schema(schema).parquet(snap))
+      .select("id", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      s"key 1 must survive via the _bak fallback: $got")
+  }
+
   test("multimodal: payload-aware repartitioning bounds partition byte size") {
     val rows = (0L until 100L).map(i =>
       Row(i, "image", Multimodal.FakeCodec.encode(8, 8, 1, Array.fill[Byte](1024)(1)),
