@@ -233,6 +233,15 @@ object Queries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** q_agg_cube — all grain combinations (the DWS channel×province×…
+    * multi-grain summaries, cube form). */
+  val q_agg_cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
   /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
   val q_agg_rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -534,6 +543,7 @@ object Queries {
     "q_agg_distinct" -> q_agg_distinct,
     "q_agg_approx_distinct" -> q_agg_approx_distinct,
     "q_agg_rollup" -> q_agg_rollup,
+    "q_agg_cube" -> q_agg_cube,
     "q_window_tumble" -> q_window_tumble,
     "q_topk" -> q_topk,
     "q_window_lag" -> q_window_lag,

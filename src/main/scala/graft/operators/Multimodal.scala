@@ -87,7 +87,7 @@ object Multimodal {
       it.map { r =>
         val decoded = FakeCodec.decode(
           if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx))
-        val kept = keepIdx.map(i => r.get(i))
+        val kept = keepIdx.toSeq.map(i => r.get(i))
         def boxed(v: Option[Int]): Any = v.map(Int.box).orNull
         Row.fromSeq(kept ++ Seq(
           boxed(decoded.map(_._1)), boxed(decoded.map(_._2)),

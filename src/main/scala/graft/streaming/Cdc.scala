@@ -71,7 +71,7 @@ object Cdc {
     val latestOfBatch = changelog
       .withColumn("__rn", row_number().over(wBatch))
       .filter(col("__rn") === 1).drop("__rn")
-      .select(snapshot.columns.map(col): _*)
+      .select(snapshot.columns.toSeq.map(col): _*)
     // merge with the snapshot's stored versions: the newer of (stored,
     // incoming) wins — a late replay can never roll a key backwards
     val merged = snapshot.unionByName(latestOfBatch)
