@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -22,6 +21,7 @@ class BucketSpec extends SparkSpec {
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable auto-broadcast so the join would otherwise shuffle
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -38,7 +38,7 @@ class BucketSpec extends SparkSpec {
       assert(shuffles.isEmpty,
         s"bucketed join must not shuffle, found ${shuffles.length}:\n$resolved")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }

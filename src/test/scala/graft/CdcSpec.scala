@@ -70,7 +70,9 @@ class CdcSpec extends SparkSpec {
       (1L, "a", "c", 10L), (1L, "b", "u", 20L), (1L, null.asInstanceOf[String], "d", 30L),
       (1L, "c", "c", 40L), (2L, "x", "c", 15L), (2L, "y", "u", 25L))
     val expected = Seq((1L, "c"), (2L, "y"))
-    events.permutations.take(24).foreach { perm =>
+    // sample permutations SPREAD across the full factorial space —
+    // .take(24) alone would only vary the tail, never the first events
+    events.permutations.grouped(30).map(_.head).take(24).foreach { perm =>
       val changelog = perm.toDF("id", "name", "op", "ts_ms")
       val out = Cdc.liveView(Cdc.replay(spark, changelog, "id", snapshotSchema))
         .select("id", "name").as[(Long, String)].collect().sortBy(_._1).toSeq
@@ -93,7 +95,6 @@ class CdcSpec extends SparkSpec {
     // JSON parse + dirty filter → broadcast-config table routing → keyed
     // dim store upsert. Hermetic: file stream in, parquet snapshot out.
     import java.nio.file.Files
-    import org.apache.spark.sql.types._
     val in = Files.createTempDirectory("cdc_raw_").toString
     val snap = Files.createTempDirectory("dim_").toString + "/snap"
     val ck = Files.createTempDirectory("ck_").toString
@@ -105,9 +106,6 @@ class CdcSpec extends SparkSpec {
       s"""{"op":"u","after":"${payload(1, "alice2")}","source":{"table":"dim_user"},"ts_ms":200}""")
       .toDF("value").write.mode("append").text(in)
     val config = Seq("dim_user").toDF("table")
-    val snapshotSchema = StructType(Seq(StructField("id", LongType),
-      StructField("name", StringType), StructField("op", StringType),
-      StructField("ts_ms", LongType)))
     val raw = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType)))).text(in)
     val routed = Cdc.routeByConfig(Cdc.parseEnvelope(raw), config)

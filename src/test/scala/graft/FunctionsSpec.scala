@@ -219,8 +219,10 @@ class FunctionsSpec extends SparkSpec {
     val approx = Queries.q_agg_approx_distinct(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
     approx.foreach { case (k, v) =>
-      assert(math.abs(v - exact(k)) <= math.max(1L, (exact(k) * 0.05).toLong),
-        s"$k: approx $v vs exact ${exact(k)}")
+      val e = exact.get(k)
+      assert(e.isDefined, s"event_type $k in approx result but not exact")
+      assert(math.abs(v - e.get) <= math.max(1L, (e.get * 0.05).toLong),
+        s"$k: approx $v vs exact ${e.get}")
     }
   }
 

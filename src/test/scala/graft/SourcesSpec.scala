@@ -116,10 +116,10 @@ class SourcesSpec extends SparkSpec {
     val media = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       Multimodal.mediaSchema)
-    // ~1KB payloads, 10KB target → ≥10 partitions, none above ~10 rows
+    // 100 rows × 1KB = 100KB total: fits one 1MB-target partition
     val parts = Multimodal.repartitionByPayload(media, avgPayloadBytes = 1024,
       targetMb = 1).rdd.getNumPartitions
-    assert(parts == 1) // 100KB total fits one 1MB partition
+    assert(parts == 1)
     val manyParts = Multimodal.repartitionByPayload(media, avgPayloadBytes = 512 * 1024,
       targetMb = 1).rdd.getNumPartitions
     assert(manyParts == 50, s"expected 50 partitions of 2 rows, got $manyParts")

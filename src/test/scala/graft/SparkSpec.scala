@@ -19,7 +19,8 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 }
 
 abstract class SparkSpec extends AnyFunSuite {
