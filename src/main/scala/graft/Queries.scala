@@ -242,6 +242,20 @@ object Queries {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** q_agg_grouping_sets — explicit grain list (the third multi-grain
+    * form next to rollup/cube): per-returnflag and per-linestatus
+    * totals in one pass over lineitem. SQL form — GROUPING SETS has no
+    * DataFrame-API equivalent. */
+  val q_agg_grouping_sets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
   /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
   val q_agg_rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -544,6 +558,7 @@ object Queries {
     "q_agg_approx_distinct" -> q_agg_approx_distinct,
     "q_agg_rollup" -> q_agg_rollup,
     "q_agg_cube" -> q_agg_cube,
+    "q_agg_grouping_sets" -> q_agg_grouping_sets,
     "q_window_tumble" -> q_window_tumble,
     "q_topk" -> q_topk,
     "q_window_lag" -> q_window_lag,
