@@ -70,9 +70,9 @@ object Similarity {
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
     * bounded driver-side sample (Lloyd's iterations on ≤ `sampleSize`
-    * rows — a fixed-size model fit, not a data-scale collect; the 100 TB
-    * path would swap in distributed k-means, the index layout is
-    * unchanged). Returns the centroid matrix. */
+    * rows — a fixed-size model fit, not a data-scale collect; see
+    * [[ivfTrainDistributed]] for the full-data path — the index layout
+    * is unchanged either way). Returns the centroid matrix. */
   def ivfTrain(emb: DataFrame, vecCol: String, k: Int,
                sampleSize: Int = 1024, iters: Int = 8,
                seed: Long = 42L): Array[Array[Float]] = {
@@ -83,8 +83,7 @@ object Similarity {
       .takeSample(withReplacement = false, sampleSize, seed)
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training sample")
-    val rnd = new scala.util.Random(seed)
-    var centroids = Array.fill(k)(sample(rnd.nextInt(sample.length)).clone())
+    var centroids = kppInit(sample, k, seed)
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](sample.head.length))
       val counts = new Array[Int](k)
@@ -102,12 +101,101 @@ object Similarity {
     centroids
   }
 
+  /** Distributed Lloyd's k-means over the FULL embedding table — the
+    * 100 TB training path. Each iteration broadcasts the centroid matrix
+    * (k·dim floats, a few KB) and computes per-centroid (sum, count) in
+    * one `treeAggregate` pass: map-side partial sums per partition, a
+    * depth-2 executor-side combine tree, and an O(k·dim) driver merge —
+    * nothing data-scale ever reaches the driver. The vector RDD is
+    * cached across iterations so iterations 2..n re-scan memory/disk
+    * blocks, not the parquet source. */
+  def ivfTrainDistributed(emb: DataFrame, vecCol: String, k: Int,
+                          iters: Int = 8,
+                          seed: Long = 42L): Array[Array[Float]] = {
+    val vecs = emb.select(vecCol).rdd.map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k-means‖-style init: oversample a seeded uniform candidate set
+      // across all partitions (bounded — max(8k, 256) rows), then run
+      // k-means++ on the candidates driver-side. Plain uniform init
+      // collides (two seeds in one cluster → one split + one merged
+      // cluster that Lloyd's never recovers from).
+      val candidates = vecs.takeSample(withReplacement = false,
+        math.max(8 * k, 256), seed)
+      require(candidates.length >= k, s"need >= $k rows to train $k centroids")
+      var centroids = kppInit(candidates, k, seed)
+      val sc = emb.sparkSession.sparkContext
+      val dim = centroids.head.length
+      for (_ <- 0 until iters) {
+        val bc = sc.broadcast(centroids)
+        val (sums, counts) = vecs.treeAggregate(
+          (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+          seqOp = { case (acc @ (s, n), v) =>
+            val c = nearestCentroid(v, bc.value)
+            n(c) += 1
+            var j = 0
+            while (j < v.length) { s(c)(j) += v(j); j += 1 }
+            acc
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < k) {
+              n1(c) += n2(c)
+              var j = 0
+              while (j < dim) { s1(c)(j) += s2(c)(j); j += 1 }
+              c += 1
+            }
+            (s1, n1)
+          })
+        bc.destroy()
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0) centroids(c)
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+      }
+      centroids
+    } finally vecs.unpersist(blocking = false)
+  }
+
+  private def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** k-means++ seeding over a bounded candidate array: each next seed is
+    * drawn ∝ squared distance to the nearest already-chosen seed. */
+  private def kppInit(sample: Array[Array[Float]], k: Int,
+                      seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val out = new Array[Array[Float]](k)
+    out(0) = sample(rnd.nextInt(sample.length)).clone()
+    val d2 = sample.map(v => sqDist(v, out(0)))
+    for (c <- 1 until k) {
+      val total = d2.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(sample.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < sample.length - 1 && r > d2(i)) { r -= d2(i); i += 1 }
+          i
+        }
+      out(c) = sample(pick).clone()
+      var i = 0
+      while (i < sample.length) {
+        val d = sqDist(sample(i), out(c))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    out
+  }
+
   private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
-      var d = 0.0; var j = 0
-      while (j < v.length) { val t = v(j) - cs(c)(j); d += t * t; j += 1 }
+      val d = sqDist(v, cs(c))
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }

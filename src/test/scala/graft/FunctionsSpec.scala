@@ -213,6 +213,37 @@ class FunctionsSpec extends SparkSpec {
     assert(lists.length == 48 && lists.forall(l => l >= 0 && l < 8))
   }
 
+  test("ivfTrainDistributed: full-data trainer matches sampled trainer quality") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").repartition(4)
+    val centroids = Similarity.ivfTrainDistributed(emb, "embedding", k = 8, iters = 10)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    // on well-separated clusters Lloyd's must land one centroid per
+    // cluster: every cluster's 6 members share an ivf_list, and the 8
+    // clusters use 8 distinct lists
+    val assigned = Similarity.ivfAssign(emb, "embedding", centroids)
+      .select("vec_id", "ivf_list").as[(Long, Int)].collect().toMap
+    val listsPerCluster = (0 until 8).map { c =>
+      (0 until 6).map(m => assigned((c * 6 + m).toLong)).toSet
+    }
+    assert(listsPerCluster.forall(_.size == 1),
+      s"cluster split across lists: $listsPerCluster")
+    assert(listsPerCluster.map(_.head).toSet.size == 8,
+      s"clusters merged into one list: $listsPerCluster")
+    // and the index built from it gives exact recall at nprobe=2
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, centroids,
+      nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact, s"IVF must recover the cluster: $ivf vs $exact")
+  }
+
   test("approx_count_distinct within 5% of exact at sf0.001") {
     val exact = Queries.q_agg_distinct(spark, sfDir)
       .select("event_type", "n_users").as[(String, Long)].collect().toMap
