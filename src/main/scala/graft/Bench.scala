@@ -1,12 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark harness: one `count()` per declared query,
-  * sequential on a shared session, JSON one-liner on stdout
-  * (BASELINE.md "bench metric definition"). Queries run in declared
-  * (registration) order; a small untimed warmup absorbs first-use JVM/
-  * codegen/parquet-reader initialization so per-query numbers measure the
-  * queries, not session startup. */
+/** Per-round benchmark harness: each declared query is executed
+  * sequentially on a shared session and its full physical plan consumed;
+  * JSON one-liner on stdout (BASELINE.md "bench metric definition").
+  * Queries run in declared (registration) order; a small untimed warmup
+  * absorbs first-use JVM/codegen/parquet-reader initialization. Each
+  * query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 2) and the
+  * MINIMUM reported: measured host CPU steal in this microVM makes a
+  * single sample swing up to 6x on the pair-join queries (BASELINE.md
+  * "bench noise floor"), and the per-query min is the standard way to
+  * measure the plan rather than the host. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,25 +34,29 @@ object Bench {
       Queries.q_agg_groupby(spark, sfDir).count()
       Queries.q_window_tumble(spark, sfDir).count()
     } catch { case _: Throwable => }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = Queries.all.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // consume the query's OWN physical plan (all columns, sorts intact):
-      // df.count() would let Catalyst prune the projections and eliminate
-      // the sort, timing a bare row count instead of the query
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        // a crashing query must NOT masquerade as a fast success
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // consume the query's OWN physical plan (all columns, sorts
+        // intact): df.count() would let Catalyst prune the projections
+        // and eliminate the sort, timing a bare row count instead
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          // a crashing query must NOT masquerade as a fast success
+          if (!failed.contains(name)) failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> samples.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
