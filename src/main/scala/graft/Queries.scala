@@ -256,6 +256,23 @@ object Queries {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
 
+  /** q_pivot — status-per-column pivot of order counts by priority (the
+    * wide report form next to rollup/cube/grouping-sets). Written as a
+    * conditional aggregate rather than `.pivot(col, values)`: the
+    * built-in pivot compiles to TWO shuffled aggregations (pre-aggregate
+    * by (group, pivot) key, then pivot_first re-aggregate) while
+    * `count(when(...))` is ONE map-side-combined shuffle — identical
+    * result, half the exchange cost at scale. (An unvalued pivot() is
+    * worse still: it runs a distinct-discovery job before planning.) */
+  val q_pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      .orderBy("o_orderpriority")
+
   /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
   val q_agg_rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -559,6 +576,7 @@ object Queries {
     "q_agg_rollup" -> q_agg_rollup,
     "q_agg_cube" -> q_agg_cube,
     "q_agg_grouping_sets" -> q_agg_grouping_sets,
+    "q_pivot" -> q_pivot,
     "q_window_tumble" -> q_window_tumble,
     "q_topk" -> q_topk,
     "q_window_lag" -> q_window_lag,

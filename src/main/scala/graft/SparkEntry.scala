@@ -71,6 +71,8 @@ object SparkEntry {
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q_agg_grouping_sets" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus)) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q_pivot" ->
+      "SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_window_tumble" ->
       "SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS sum_value, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1, 2 ORDER BY day, event_type",
     "q_topk" ->
