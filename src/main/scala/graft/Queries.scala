@@ -145,6 +145,30 @@ object Queries {
         col("c_mktsegment"), col("value"))
       .orderBy("event_id")
 
+  /** q_join_asof — as-of join: each purchase picks the user's latest
+    * click at-or-before it ((ts, event_id) lexicographic, so equal-ts
+    * rows resolve deterministically). Implemented as union + window —
+    * last non-null click carried forward within a (user_id)-partitioned
+    * (ts, event_id) sort: ONE shuffle on user_id and a per-partition
+    * sort, versus the naive range-join formulation whose pair blow-up is
+    * O(clicks×purchases) per user. This is the scale-out as-of pattern;
+    * no custom operator needed. */
+  val q_join_asof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("click_evt"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_id",
+        last("click_evt", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** q_join_interval — event-time interval join: click → purchase by the
     * same user within 1 hour (reference Flink intervalJoin bounds,
     * SURVEY §7.4). */
@@ -566,6 +590,7 @@ object Queries {
     "q_join_broadcast" -> q_join_broadcast,
     "q_join_lookup" -> q_join_lookup,
     "q_join_interval" -> q_join_interval,
+    "q_join_asof" -> q_join_asof,
     "q_join_left" -> q_join_left,
     "q_join_semi" -> q_join_semi,
     "q_join_anti" -> q_join_anti,

@@ -53,6 +53,8 @@ object SparkEntry {
       "SELECT event_id, user_id, c_name, c_mktsegment, value FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id",
     "q_join_interval" ->
       "SELECT c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR WHERE c.event_type = 'click' AND p.event_type = 'purchase' ORDER BY click_id, purchase_id",
+    "q_join_asof" ->
+      "SELECT p.event_id AS purchase_id, p.user_id, (SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)) ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id",
     "q_join_left" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders, round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey",
     "q_join_semi" ->
