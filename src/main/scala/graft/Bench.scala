@@ -35,6 +35,11 @@ object Bench {
       Queries.q_window_tumble(spark, sfDir).count()
     } catch { case _: Throwable => }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // a crashing query must NOT masquerade as a fast success OR quietly
+    // deflate the total: a failed sample scores this penalty (valid JSON,
+    // unlike Infinity), so a regression that crashes a query can only ever
+    // blow the headline number up, never shrink it
+    val FailPenaltySec = 1.0e9
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = Queries.all.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
@@ -42,13 +47,14 @@ object Bench {
         // consume the query's OWN physical plan (all columns, sorts
         // intact): df.count() would let Catalyst prune the projections
         // and eliminate the sort, timing a bare row count instead
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable =>
-          // a crashing query must NOT masquerade as a fast success
-          if (!failed.contains(name)) failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else FailPenaltySec
       }
       name -> samples.min
     }
@@ -56,7 +62,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes every stdout line with [info], which defeated the
+    // driver's JSON parse in round 1 (BENCH_r01 "parsed": null) — also
+    // write the bare line to a file the driver can read directly
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val w = new java.io.PrintWriter(new java.io.File(outPath))
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

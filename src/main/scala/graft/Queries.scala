@@ -548,8 +548,10 @@ object Queries {
       .orderBy("doc_id")
 
   /** q_dedup_ngram — exact token-3-gram Jaccard, top-20 most similar pairs
-    * via shingle inverted index; oracle-exempt (top-k over double scores),
-    * scalatest-verified. */
+    * via shingle inverted index with the scale-safe hot-shingle cap
+    * (maxDocFreq=1000, the library default). DuckDB-oracle-checked: the
+    * oracle SQL mirrors shingling, the df cap, and the Jaccard arithmetic
+    * term for term, so the comparison stays exact at any SF. */
   val q_dedup_ngram: Q = (s, d) =>
     Dedup.ngramJaccardTopPairs(Tables.documents(s, d), "doc_id", "text")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -23,8 +23,8 @@ object SparkEntry {
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops (approx sketches / hash-seeded LSH / heuristics):
     * q_agg_approx_distinct, q_lang_id, q_similarity_lsh, q_similarity_ivf,
-    * q_dedup_minhash, q_dedup_simhash, q_dedup_ngram, q_dedup_embed — each
-    * is instead golden-tested in scalatest (SURVEY §5.2).
+    * q_dedup_minhash, q_dedup_simhash, q_dedup_embed — each is instead
+    * golden-tested in scalatest (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -35,8 +35,11 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05 ORDER BY l_orderkey, l_linenumber",
     "q_split_page" ->
       "SELECT event_id, user_id, value FROM events WHERE event_type = 'view' ORDER BY event_id",
+    // TRY_CAST, not CAST: the Spark side uses try_cast (non-numeric
+    // props.k → null) and the oracle must carry the same dirty-data
+    // semantics, not merely pass because the fixture happens to be clean
     "q_json_extract" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
     "q_date_funcs" ->
       "SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, day(o_orderdate) AS o_day, strftime(o_orderdate, '%Y-%m-%d') AS o_date_str FROM orders ORDER BY o_orderkey",
     "q_string_funcs" ->
@@ -109,6 +112,30 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // mirrors Dedup.ngramJaccardTopPairs exactly: oracle-parity tokenize →
+    // distinct token-3-grams → df cap (>1000 docs) → inverted-index pair
+    // intersection → Jaccard; top-20 selected on the UNROUNDED score (the
+    // inner ORDER BY alias binds to the raw expression) so both engines
+    // pick the same set before the 6-dp display rounding
+    "q_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), s2 AS (
+        |  SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |         CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+        |  FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        |) t ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->

@@ -178,11 +178,15 @@ object Dedup {
     * collision-free in practice) → |A∩B| per pair → Jaccard from set
     * sizes. Common shingles are the skew risk: `maxDocFreq` drops
     * shingles appearing in more than that many docs — stopword-like
-    * shingles carry no dedup signal but quadratic join cost. Default ∞
-    * keeps exactness for the oracle corpus; set it at 100 TB. */
+    * shingles carry no dedup signal but quadratic join cost. The default
+    * is FINITE (1000): a shingle in >1000 docs contributes >500k join
+    * pairs on its own, and a default must be scale-safe — pass
+    * `Long.MaxValue` explicitly when exact Jaccard over every shingle is
+    * required (the capped semantics stay exact whenever no shingle
+    * exceeds the cap, and the oracle mirrors the cap either way). */
   def ngramJaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, topK: Int = 20,
-                           maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                           maxDocFreq: Long = 1000L): DataFrame = {
     val shRaw = docs.select(col(idCol).as("id"),
       explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))

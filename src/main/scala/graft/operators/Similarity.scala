@@ -22,6 +22,19 @@ object Similarity {
   def queryVector(emb: DataFrame, idCol: String, vecCol: String, id: Long): Array[Float] =
     emb.filter(col(idCol) === id).select(vecCol).head().getSeq[Float](0).toArray
 
+  /** Rank an already-limited top-k result (≤ k rows) by descending sim.
+    * The window partitions by a constant: the k rows land on one tiny
+    * partition either way, but an explicit partition spec keeps WindowExec
+    * from emitting its "No Partition Defined" WARN — that warning
+    * pattern-matches a genuine scale anti-pattern and would pollute every
+    * future plan audit, even though only k rows ever flow through here. */
+  private def rankTopK(top: DataFrame, idCol: String): DataFrame =
+    top.withColumn("rn", row_number()
+        .over(Window.partitionBy(lit(0)).orderBy(desc("sim"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("rn"))
+      .orderBy("rn")
+
   /** Exact brute-force cosine top-k: returns (id, rank). Ties broken by id.
     * `orderBy(...).limit(k)` → TakeOrderedAndProject: O(n) scan, O(k) state
     * per partition — survives arbitrary n. */
@@ -29,12 +42,7 @@ object Similarity {
                      query: Array[Float], k: Int): DataFrame = {
     val withSim = emb.select(col(idCol),
       Vectors.cosineTo(col(vecCol), query).as("sim"))
-    val top = withSim.orderBy(desc("sim"), col(idCol)).limit(k)
-    // rank within the k collected rows — tiny, window cost is irrelevant
-    top.withColumn("rn", row_number()
-        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
-      .select(col(idCol), col("rn"))
-      .orderBy("rn")
+    rankTopK(withSim.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
   /** ANN top-k via banded sign-LSH: candidates = vectors sharing ≥1 band
@@ -61,11 +69,7 @@ object Similarity {
       .reduce(_ || _)
     val cands = emb.withColumn("__sigs", sigCol).filter(isCandidate)
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
-    val top = cands.orderBy(desc("sim"), col(idCol)).limit(k)
-    top.withColumn("rn", row_number()
-        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
-      .select(col(idCol), col("rn"))
-      .orderBy("rn")
+    rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
@@ -227,11 +231,7 @@ object Similarity {
     val cands = ivfAssign(emb, vecCol, centroids)
       .filter(col("ivf_list").isin(byDist.toSeq: _*))
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
-    val top = cands.orderBy(desc("sim"), col(idCol)).limit(k)
-    top.withColumn("rn", row_number()
-        .over(Window.orderBy(desc("sim"), col(idCol))).cast("long"))
-      .select(col(idCol), col("rn"))
-      .orderBy("rn")
+    rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
   /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,
