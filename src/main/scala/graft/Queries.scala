@@ -269,16 +269,17 @@ object Queries {
   /** q_agg_grouping_sets — explicit grain list (the third multi-grain
     * form next to rollup/cube): per-returnflag and per-linestatus
     * totals in one pass over lineitem. SQL form — GROUPING SETS has no
-    * DataFrame-API equivalent. */
-  val q_agg_grouping_sets: Q = (s, d) => {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    * DataFrame-API equivalent. The scan is addressed by path
+    * (`parquet.\`...\``) instead of a temp view: query functions must be
+    * pure, and a fixed-name `createOrReplaceTempView` mutates shared
+    * session state (concurrent callers on one session would race). */
+  val q_agg_grouping_sets: Q = (s, d) =>
     s.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
-  }
+      s"""SELECT l_returnflag, l_linestatus,
+         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         |FROM parquet.`$d/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
 
   /** q_pivot — status-per-column pivot of order counts by priority (the
     * wide report form next to rollup/cube/grouping-sets). Written as a

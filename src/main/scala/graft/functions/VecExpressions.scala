@@ -102,6 +102,21 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
     "planes.length must be a positive multiple of planesPerBand")
   private val bands = planes.length / planesPerBand
 
+  // Structural equality over the plane matrix: the case-class default
+  // compares the Array field by reference, so two semantically identical
+  // signature expressions would never canonicalize — common-subexpression
+  // elimination would then run the full plane loop once per occurrence.
+  override def equals(other: Any): Boolean = other match {
+    case v: VecLshSignature =>
+      planesPerBand == v.planesPerBand && child == v.child &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], v.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(planesPerBand),
+      Integer.valueOf(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

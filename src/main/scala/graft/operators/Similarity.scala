@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -23,15 +22,18 @@ object Similarity {
     emb.filter(col(idCol) === id).select(vecCol).head().getSeq[Float](0).toArray
 
   /** Rank an already-limited top-k result (≤ k rows) by descending sim.
-    * The window partitions by a constant: the k rows land on one tiny
-    * partition either way, but an explicit partition spec keeps WindowExec
-    * from emitting its "No Partition Defined" WARN — that warning
-    * pattern-matches a genuine scale anti-pattern and would pollute every
-    * future plan audit, even though only k rows ever flow through here. */
+    * Deliberately NOT a window function: any constant partition spec is
+    * folded away by Spark 4's `EliminateWindowPartitions` rule, so a
+    * `row_number()` here always plans an unpartitioned WindowExec and
+    * logs the "No Partition Defined" scale-anti-pattern WARN on every
+    * run. The input is the ≤ k-row output of `limit(k)`: coalesce to one
+    * partition, sort locally, and number rows with
+    * `monotonically_increasing_id` (contiguous 0..n-1 on partition 0) —
+    * no shuffle, no window, no warning. */
   private def rankTopK(top: DataFrame, idCol: String): DataFrame =
-    top.withColumn("rn", row_number()
-        .over(Window.partitionBy(lit(0)).orderBy(desc("sim"), col(idCol)))
-        .cast("long"))
+    top.coalesce(1)
+      .sortWithinPartitions(desc("sim"), col(idCol))
+      .withColumn("rn", monotonically_increasing_id() + 1)
       .select(col(idCol), col("rn"))
       .orderBy("rn")
 

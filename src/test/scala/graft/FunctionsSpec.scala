@@ -326,4 +326,23 @@ class FunctionsSpec extends SparkSpec {
       Text.rollingFingerprint(col("t2")).as("r2")).as[(Long, Long)].head()
     assert(r1 != r2)
   }
+
+  test("VecLshSignature: structural equality, so identical signatures canonicalize") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // two expressions built from two separately-allocated (equal) plane
+    // matrices must compare equal — otherwise CSE treats every occurrence
+    // as distinct and re-runs the full plane loop per occurrence
+    val child = BoundReference(0, ArrayType(FloatType), nullable = false)
+    val p1 = graft.functions.Vectors.hyperplanes(8, 4)
+    val p2 = graft.functions.Vectors.hyperplanes(8, 4)
+    assert(!(p1 eq p2))
+    val e1 = graft.functions.VecLshSignature(child, p1, 4)
+    val e2 = graft.functions.VecLshSignature(child, p2, 4)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1.semanticEquals(e2), "canonicalized forms must match")
+    val different = graft.functions.VecLshSignature(child,
+      p1.map(_.map(_ + 1.0)), 4)
+    assert(e1 != different)
+  }
 }
