@@ -217,21 +217,83 @@ object Similarity {
     emb.withColumn("ivf_list", assign(col(vecCol)))
   }
 
-  /** IVF ANN top-k: probe the `nprobe` centroids nearest the query, scan
-    * only vectors assigned to those lists, exact cosine re-rank. At scale
-    * the `ivf_list ∈ probes` predicate prunes partitions when the index
-    * table is written partitioned by list — the scan cost drops from N to
-    * N·nprobe/k. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int,
-              centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
-    val byDist = centroids.zipWithIndex.map { case (c, i) =>
+  /** The `nprobe` inverted-list ids nearest `query` — the driver-side
+    * probe-selection step shared by the assign-on-the-fly and persisted
+    * index query paths (an O(k·dim) loop over the centroid matrix). */
+  def nearestLists(query: Array[Float], centroids: Array[Array[Float]],
+                   nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0; var j = 0
       while (j < query.length) { val t = query(j) - c(j); d += t * t; j += 1 }
       (i, d)
-    }.sortBy(_._2).take(nprobe).map(_._1)
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+
+  /** IVF ANN top-k over an unindexed table: probe the `nprobe` centroids
+    * nearest the query, scan only vectors assigned to those lists, exact
+    * cosine re-rank. This form re-assigns every vector per query (one full
+    * scan) — correct, but the scan does not shrink with nprobe. It is the
+    * ad-hoc path; for repeated queries build the index once with
+    * [[ivfWriteIndex]] and probe via [[ivfTopKIndexed]], where the
+    * `ivf_list ∈ probes` predicate becomes a partition-pruning filter and
+    * the scan cost drops from N to ~N·nprobe/k. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int,
+              centroids: Array[Array[Float]], nprobe: Int = 4): DataFrame = {
+    val probes = nearestLists(query, centroids, nprobe)
     val cands = ivfAssign(emb, vecCol, centroids)
-      .filter(col("ivf_list").isin(byDist.toSeq: _*))
+      .filter(col("ivf_list").isin(probes: _*))
+      .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
+    rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
+  }
+
+  // ---- persisted IVF index lifecycle --------------------------------
+
+  /** Materialize the IVF index under `indexDir`: the assignment table is
+    * written `partitionBy("ivf_list")` — one parquet directory per
+    * inverted list — with the centroid matrix alongside as a k-row
+    * table. Probe queries ([[ivfTopKIndexed]]) then prune at the file
+    * level: `ivf_list ∈ probes` is a partition filter, so a query probing
+    * `nprobe` of `k` lists lists/opens only those directories and never
+    * touches the rest — the N → N·nprobe/k scan-cost drop that IVF
+    * exists for, enforced by the FileIndex rather than a row filter. */
+  def ivfWriteIndex(emb: DataFrame, vecCol: String,
+                    centroids: Array[Array[Float]], indexDir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    ivfAssign(emb, vecCol, centroids).write.mode("overwrite")
+      .partitionBy("ivf_list").parquet(s"$indexDir/vectors")
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Load the centroid matrix of a persisted index — k small rows. */
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select("centroid_id", "centroid").orderBy("centroid_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /** Candidate scan of a persisted index: only the probed lists. Exposed
+    * separately so the plan's partition pruning is testable — the spec
+    * asserts the scan's selected-partition count is ≤ nprobe. */
+  def ivfProbeScan(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   query: Array[Float], centroids: Array[Array[Float]],
+                   nprobe: Int): DataFrame = {
+    val probes = nearestLists(query, centroids, nprobe)
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(probes: _*))
+  }
+
+  /** IVF ANN top-k against a persisted index ([[ivfWriteIndex]]): reads
+    * the k-row centroid table, selects probes driver-side, scans only the
+    * probed list partitions, exact cosine re-rank. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     idCol: String, vecCol: String, query: Array[Float],
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val cands = ivfProbeScan(spark, indexDir, query, centroids, nprobe)
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }

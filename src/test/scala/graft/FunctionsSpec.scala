@@ -213,6 +213,46 @@ class FunctionsSpec extends SparkSpec {
     assert(lists.length == 48 && lists.forall(l => l >= 0 && l < 8))
   }
 
+  test("persisted IVF index: probe scan prunes to <= nprobe list partitions") {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+
+    // the index is laid out one directory per inverted list
+    val listDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ivf_list="))
+    assert(listDirs.length >= 4, s"want one dir per populated list: ${listDirs.length}")
+
+    // partition pruning must reach the FileIndex: the probe scan's
+    // physical plan selects <= nprobe of the list partitions (this is the
+    // N -> N*nprobe/k claim as a plan property, not a comment)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+    assert(loaded.length == 8 && loaded.head.length == 64)
+    val scan = Similarity.ivfProbeScan(spark, dir, q, loaded, nprobe = 2)
+    val fileScans = scan.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.nonEmpty, "expected a FileSourceScanExec leaf")
+    val partsRead = fileScans.map(_.selectedPartitions.partitionCount).sum
+    assert(partsRead <= 2,
+      s"probe scan must touch <= nprobe=2 of ${listDirs.length} partitions, read $partsRead")
+
+    // and the indexed query path preserves brute-force recall
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding", q,
+      5, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact, s"indexed IVF must recover the cluster: $ivf vs $exact")
+  }
+
   test("ivfTrainDistributed: full-data trainer matches sampled trainer quality") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
