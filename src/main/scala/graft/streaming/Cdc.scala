@@ -56,6 +56,18 @@ object Cdc {
     * batch replay and inside `foreachBatch` against the running snapshot.
     * `changelog` must carry (keyCol, op, ts_ms, payload columns ⊇ the
     * snapshot schema).
+    *
+    * Equal-`ts_ms` ties: a `seq` column (source log sequence / Kafka
+    * offset) outranks everything but ts_ms. To make that ordering hold
+    * ACROSS micro-batches — two equal-ts_ms events for one key arriving
+    * in different batches — `seq` must be part of the snapshot schema, so
+    * the stored version remembers its sequence number; it then
+    * participates in the merge ordering like any payload column. With a
+    * changelog-only `seq` (not persisted in the snapshot), seq ordering
+    * is batch-local and cross-batch equal-ts_ms ties fall back to
+    * op-rank → payload-hash — deterministic, but able to diverge from a
+    * one-shot replay of the same events. Persist `seq` whenever the
+    * source can emit distinct events at one ts_ms across batches.
     */
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String): DataFrame = {
@@ -64,19 +76,25 @@ object Cdc {
     // never depend on partition iteration order.
     def opRank(df: DataFrame) = when(col("op") === "d", 3)
       .when(col("op") === "u", 2).when(col("op") === "r", 1).otherwise(0)
-    val seqCol = if (changelog.columns.contains("seq")) col("seq") else lit(0L)
+    val batchSeq = if (changelog.columns.contains("seq")) col("seq") else lit(0L)
     val wBatch = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts_ms").desc, seqCol.desc, opRank(changelog).desc,
+      .orderBy(col("ts_ms").desc, batchSeq.desc, opRank(changelog).desc,
         hash(changelog.columns.map(col).toSeq: _*).desc)
     val latestOfBatch = changelog
       .withColumn("__rn", row_number().over(wBatch))
       .filter(col("__rn") === 1).drop("__rn")
       .select(snapshot.columns.toSeq.map(col): _*)
     // merge with the snapshot's stored versions: the newer of (stored,
-    // incoming) wins — a late replay can never roll a key backwards
+    // incoming) wins — a late replay can never roll a key backwards.
+    // seq joins the cross-batch ordering iff the snapshot persists it
+    // (see docstring); nulls_last so a legacy stored row without a seq
+    // loses to a sequenced event at the same ts_ms.
     val merged = snapshot.unionByName(latestOfBatch)
+    val storedSeq =
+      if (snapshot.columns.contains("seq")) col("seq").desc_nulls_last
+      else lit(0L).desc
     val wAll = Window.partitionBy(col(keyCol))
-      .orderBy(col("ts_ms").desc, opRank(merged).desc,
+      .orderBy(col("ts_ms").desc, storedSeq, opRank(merged).desc,
         hash(snapshot.columns.map(col).toSeq: _*).desc)
     merged.withColumn("__rn", row_number().over(wAll))
       .filter(col("__rn") === 1).drop("__rn")

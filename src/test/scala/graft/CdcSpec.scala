@@ -121,6 +121,37 @@ class CdcSpec extends SparkSpec {
       s"only whitelisted dim_user key 1 at latest version: $result")
   }
 
+  test("cross-batch equal-ts_ms tie: persisted seq keeps incremental == replay") {
+    // two updates to one key at the SAME ts_ms with distinct source
+    // sequence numbers, delivered in different micro-batches: the
+    // higher-seq event must win in every delivery order, and incremental
+    // apply must equal a one-shot replay. This only holds when the
+    // snapshot schema persists `seq` — the stored version has to remember
+    // its sequence number to defend (or lose) the tie in a later batch.
+    val seqSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("op", StringType), StructField("ts_ms", LongType),
+      StructField("seq", LongType)))
+    val e1 = (1L, "first", "u", 100L, 1L)
+    val e2 = (1L, "second", "u", 100L, 2L)
+    val oneShot = Cdc.liveView(Cdc.replay(spark,
+      Seq(e1, e2).toDF("id", "name", "op", "ts_ms", "seq"), "id", seqSchema))
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(oneShot == Seq((1L, "second")), s"replay must pick seq=2: $oneShot")
+    // both batch orders: low-seq then high-seq, and high-seq then low-seq
+    // (the second order is the regression case — without a persisted seq
+    // the stored winner would have to defend the tie by payload hash)
+    for (batches <- Seq(Seq(e1) -> Seq(e2), Seq(e2) -> Seq(e1))) {
+      val snap1 = Cdc.replay(spark,
+        batches._1.toDF("id", "name", "op", "ts_ms", "seq"), "id", seqSchema)
+      val incr = Cdc.liveView(Cdc.applyChangelog(snap1,
+        batches._2.toDF("id", "name", "op", "ts_ms", "seq"), "id"))
+        .select("id", "name").as[(Long, String)].collect().toSeq
+      assert(incr == oneShot,
+        s"batch split ${batches._1.map(_._5)}|${batches._2.map(_._5)} diverged: $incr")
+    }
+  }
+
   test("applyChangelog is incremental: applying in two chunks equals one-shot") {
     val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
       (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))
