@@ -105,6 +105,85 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Incremental keyed upsert sink — the large-table path next to
+    * [[upsertSink]] (which re-merges and rewrites the FULL snapshot every
+    * micro-batch: fine for dim-sized tables, O(snapshot) I/O + shuffle per
+    * batch anywhere else). Here the snapshot is hash-bucketed by key into
+    * `numBuckets` parquet partitions (`__bucket=<b>/`); each micro-batch
+    *
+    *   1. computes the bucket set its keys touch (≤ numBuckets ints),
+    *   2. reads ONLY those bucket partitions (partition-pruned scan),
+    *   3. merges with [[graft.streaming.Cdc.applyChangelog]], and
+    *   4. rewrites ONLY those partitions via dynamic partition overwrite.
+    *
+    * Per-batch cost is O(batch + touched buckets), independent of
+    * snapshot size. `numBuckets` is fixed for the life of a snapshot
+    * (changing it requires a one-off full rewrite); size it so one bucket
+    * ≈ a comfortable task unit (e.g. 4 096 buckets for a 1 TB snapshot).
+    *
+    * Crash safety: dynamic overwrite stages files and swaps at job
+    * commit; if a batch dies mid-write the checkpoint has not committed,
+    * and re-running the batch reproduces identical partition contents —
+    * the LWW merge is idempotent — so replay converges. */
+  def bucketedUpsertSink(df: DataFrame, snapshotDir: String,
+                         checkpointDir: String, keyCol: String,
+                         snapshotSchema: StructType, numBuckets: Int)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bucketOf = pmod(hash(col(keyCol)), lit(numBuckets))
+        // distinct buckets this batch touches: bounded by numBuckets,
+        // so the collect is a fixed-size driver-side set, never data-scale
+        val touched = batch.select(bucketOf.as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (touched.nonEmpty) {
+          val dst = new org.apache.hadoop.fs.Path(snapshotDir)
+          val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(dst))
+              // filter on the partition column prunes to the touched
+              // bucket directories at the FileIndex — untouched buckets
+              // are never listed, opened, or shuffled
+              spark.read.parquet(snapshotDir)
+                .filter(col("__bucket").isin(touched: _*))
+                .select(snapshotSchema.fieldNames.toSeq.map(col): _*)
+            else
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+          val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+          // materialize the merge BEFORE the overwrite: the merged plan
+          // reads the same path it is about to write (Spark rejects that
+          // read-write cycle, and lazily it would be a correctness bug).
+          // localCheckpoint pins the touched-bucket rows — bounded by
+          // design at a few task-units — to executor storage and cuts
+          // the lineage back to a LogicalRDD.
+          val pinned = merged.withColumn("__bucket", bucketOf)
+            .localCheckpoint(eager = true)
+          try
+            // dynamic mode replaces exactly the partitions present in the
+            // output — the touched buckets — and leaves the rest in place
+            pinned.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__bucket")
+              .parquet(snapshotDir)
+          finally pinned.unpersist(blocking = false)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Read the live rows of a bucketed snapshot written by
+    * [[bucketedUpsertSink]] (partition column dropped, tombstones kept —
+    * pipe through [[graft.streaming.Cdc.liveView]] to drop them). */
+  def readBucketedSnapshot(spark: SparkSession, snapshotDir: String,
+                           snapshotSchema: StructType): DataFrame =
+    spark.read.parquet(snapshotDir)
+      .select(snapshotSchema.fieldNames.toSeq.map(col): _*)
+
   // ---- round-trip helpers -------------------------------------------
 
   def writeCsv(df: DataFrame, path: String): Unit =

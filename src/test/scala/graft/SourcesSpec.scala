@@ -109,6 +109,48 @@ class SourcesSpec extends SparkSpec {
       s"key 1 must survive via the _bak fallback: $got")
   }
 
+  test("bucketedUpsertSink: a 1-key batch rewrites exactly one bucket") {
+    val in = tmp() + "/cdc_in4"; val snap = tmp() + "/bsnap"; val ck = tmp() + "/ck4"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    val nBuckets = 8
+    // batch 1: seed keys spread across several buckets
+    val seedKeys = (1L to 32L)
+    seedKeys.map(i => (i, s"v$i", "c", 10L))
+      .toDF("id", "name", "op", "ts_ms").write.mode("append").parquet(in)
+    IO.bucketedUpsertSink(IO.fileStream(spark, in, schema), snap, ck, "id",
+      schema, nBuckets).start().awaitTermination()
+    val bucketDirs = new java.io.File(snap).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(bucketDirs.length == nBuckets,
+      s"32 seed keys must populate all $nBuckets buckets: ${bucketDirs.length}")
+    def listing(): Map[String, Set[(String, Long)]] =
+      new java.io.File(snap).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.startsWith("part-"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = listing()
+    // batch 2: a single key -> exactly one bucket may change
+    val targetBucket = Seq(Tuple1(7L)).toDF("id")
+      .select(pmod(hash(col("id")), lit(nBuckets))).head().getInt(0)
+    Seq((7L, "v7_new", "u", 20L))
+      .toDF("id", "name", "op", "ts_ms").write.mode("append").parquet(in)
+    IO.bucketedUpsertSink(IO.fileStream(spark, in, schema), snap, ck, "id",
+      schema, nBuckets).start().awaitTermination()
+    val after = listing()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed == Set(s"__bucket=$targetBucket"),
+      s"only key 7's bucket may be rewritten, but changed = $changed")
+    // and the merge itself is correct: key 7 updated, the other 31 intact
+    val live = graft.streaming.Cdc.liveView(
+      IO.readBucketedSnapshot(spark, snap, schema))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(live.size == 32 && live(7L) == "v7_new" && live(8L) == "v8")
+  }
+
   test("multimodal: payload-aware repartitioning bounds partition byte size") {
     val rows = (0L until 100L).map(i =>
       Row(i, "image", Multimodal.FakeCodec.encode(8, 8, 1, Array.fill[Byte](1024)(1)),
