@@ -21,13 +21,22 @@ object Processors {
     * `ValueState<lastVisitDate>` compare-and-set). Key: userId. Emits every
     * visit with `isFirst = date != lastSeenDate`; state stores the last
     * seen date. Same semantics as the Flink pattern, including
-    * within-batch ordering by arrival. */
-  class FirstVisitProcessor extends StatefulProcessor[Long, Visit, VisitOut] {
+    * within-batch ordering by arrival.
+    *
+    * `stateTtl` bounds the per-user state: the user key space is
+    * unbounded, so with `TTLConfig.NONE` the store grows forever — give
+    * it the replay horizon (a few days: long enough that a user seen
+    * within the horizon is never re-flagged, short enough that dormant
+    * keys age out). TTL expiry is wall-clock and requires a timed
+    * TimeMode — Spark rejects any TTL under `TimeMode.None`, hence the
+    * NONE default for the untimed call sites. */
+  class FirstVisitProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Visit, VisitOut] {
     @transient private var lastDate: ValueState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       lastDate = getHandle.getValueState[String]("lastDate", Encoders.STRING,
-        TTLConfig.NONE)
+        stateTtl)
 
     override def handleInputRows(key: Long, rows: Iterator[Visit],
                                  timers: TimerValues): Iterator[VisitOut] = {
@@ -54,17 +63,36 @@ object Processors {
     * event-time timers). On `created`: arm an event-time timer at
     * created.ts + timeoutMs. On `paid` before the timer: emit `paid`,
     * disarm. When the watermark passes the timer with no payment: emit
-    * `timeout`. Requires TimeMode.EventTime and a watermarked input. */
-  class PaymentTimeoutProcessor(timeoutMs: Long)
+    * `timeout`. Requires TimeMode.EventTime and a watermarked input.
+    *
+    * State is BOUNDED per key lifecycle: `createdTs` clears on the
+    * terminal transition, and the settled marker (`settledAt`, which
+    * absorbs duplicate `paid` replays and out-of-order created-after-paid)
+    * is cleared by a cleanup timer `settledRetainMs` after the terminal
+    * event — the Flink pattern's state.clear() with a replay horizon. On
+    * an unbounded order key space the store holds only in-flight orders
+    * plus orders settled within the horizon, never all orders ever seen.
+    * The trade-off is explicit: an event for a key replayed LATER than
+    * the retain horizon is treated as a new lifecycle (default horizon =
+    * timeoutMs, which covers everything the watermark can still admit for
+    * well-configured delays). */
+  class PaymentTimeoutProcessor(timeoutMs: Long, settledRetainMs: Long = -1L)
       extends StatefulProcessor[Long, OrderEvent, OrderOut] {
+    private val retainMs = if (settledRetainMs > 0) settledRetainMs else timeoutMs
     @transient private var createdTs: ValueState[Long] = _
-    @transient private var settled: ValueState[Boolean] = _
+    @transient private var settledAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       createdTs = getHandle.getValueState[Long]("createdTs", Encoders.scalaLong,
         TTLConfig.NONE)
-      settled = getHandle.getValueState[Boolean]("settled", Encoders.scalaBoolean,
+      settledAt = getHandle.getValueState[Long]("settledAt", Encoders.scalaLong,
         TTLConfig.NONE)
+    }
+
+    /** Mark the lifecycle terminal and schedule the state-cleanup timer. */
+    private def settle(tsMs: Long): Unit = {
+      settledAt.update(tsMs)
+      getHandle.registerTimer(tsMs + retainMs)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[OrderEvent],
@@ -76,7 +104,7 @@ object Processors {
             // the settled marker makes paid-before-created (out-of-order
             // within the watermark) and duplicate-created replays safe:
             // a settled order never re-arms a timer
-            if (!settled.exists()) {
+            if (!settledAt.exists()) {
               // duplicate created: disarm the previous deadline first so
               // the stale timer cannot fire a premature timeout
               if (createdTs.exists()) {
@@ -90,8 +118,8 @@ object Processors {
               getHandle.deleteTimer(createdTs.get() + timeoutMs)
               createdTs.clear()
             }
-            if (!settled.exists()) {
-              settled.update(true)
+            if (!settledAt.exists()) {
+              settle(e.ts.getTime)
               out += OrderOut(key, "paid", e.ts.getTime)
             }
           case _ => // ignore unknown kinds (dirty-data guard)
@@ -102,30 +130,39 @@ object Processors {
 
     override def handleExpiredTimer(key: Long, timers: TimerValues,
                                     timer: ExpiredTimerInfo): Iterator[OrderOut] = {
-      // only the timer matching the current armed deadline may fire; a
-      // stale timer (superseded created) or a settled order emits nothing
-      val armed = createdTs.exists() &&
-        createdTs.get() + timeoutMs == timer.getExpiryTimeInMs()
-      if (armed && !settled.exists()) {
+      val expiry = timer.getExpiryTimeInMs()
+      // deadline timer: only the one matching the current armed deadline
+      // may fire; a stale timer (superseded created) emits nothing
+      if (createdTs.exists() && createdTs.get() + timeoutMs == expiry &&
+          !settledAt.exists()) {
         createdTs.clear()
-        settled.update(true)
-        Iterator.single(OrderOut(key, "timeout", timer.getExpiryTimeInMs()))
+        settle(expiry)
+        Iterator.single(OrderOut(key, "timeout", expiry))
+      } else if (settledAt.exists() && settledAt.get() + retainMs == expiry) {
+        // cleanup timer: the retain horizon has passed — drop the settled
+        // marker; the key now holds zero state
+        settledAt.clear()
+        Iterator.empty
       } else Iterator.empty
     }
   }
 
   /** Running per-key aggregate with `ValueState` (the reference's keyed
     * `reduce` shape, record-at-a-time): emits the updated running sum for
-    * every input row. */
+    * every input row. `stateTtl` as in [[FirstVisitProcessor]]: bound it
+    * to the activity horizon when the key space is unbounded (an expired
+    * key restarts its sum from zero — the idle-state cleanup semantics of
+    * the Flink pattern). */
   case class Measure(key: String, value: Double)
   case class RunningOut(key: String, runningSum: Double, n: Long)
 
-  class RunningSumProcessor extends StatefulProcessor[String, Measure, RunningOut] {
+  class RunningSumProcessor(stateTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, Measure, RunningOut] {
     @transient private var acc: ValueState[(Double, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       acc = getHandle.getValueState[(Double, Long)]("acc",
-        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong), TTLConfig.NONE)
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong), stateTtl)
 
     override def handleInputRows(key: String, rows: Iterator[Measure],
                                  timers: TimerValues): Iterator[RunningOut] = {

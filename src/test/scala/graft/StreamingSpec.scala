@@ -52,6 +52,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = Streams.slidingAgg(
+      Streams.watermarked(in.toDF().toDF("ts", "v"), "ts", "5 minutes"),
+      "ts", "10 minutes", "5 minutes", Seq.empty,
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // overlap assignment: 10:01 belongs to [09:55,10:05) and
+      // [10:00,10:10); 10:06 to [10:00,10:10) and [10:05,10:15)
+      in.addData((ts("2024-01-01 10:01:00"), 1L), (ts("2024-01-01 10:06:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark to 10:16: all three early windows finalize
+      in.addData((ts("2024-01-01 10:21:00"), 8L))
+      q.processAllAvailable()
+      // and to 10:35: 10:21's two windows finalize
+      in.addData((ts("2024-01-01 10:40:00"), 16L))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .select(col("window_start").cast("string"), col("n"), col("s"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out("2024-01-01 09:55:00") == (1L, 1L), s"got $out")
+      assert(out("2024-01-01 10:00:00") == (2L, 3L), "both rows overlap [10:00,10:10)")
+      assert(out("2024-01-01 10:05:00") == (1L, 2L))
+      assert(out("2024-01-01 10:15:00") == (1L, 8L))
+      assert(out("2024-01-01 10:20:00") == (1L, 8L))
+      assert(out.size == 5, s"10:40's windows are not finalized yet: $out")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the watermark") {
     val in = MemoryStream[(Timestamp, String)]
     val out = Streams.dedupWithinWatermark(
@@ -160,6 +193,89 @@ class StreamingSpec extends SparkSpec {
       assert(byOrder(1L) == Seq("paid"), s"order 1: ${byOrder.get(1L)}")
       assert(byOrder(2L) == Seq("paid"), s"order 2: ${byOrder.get(2L)}")
     } finally q.stop()
+  }
+
+  test("FirstVisitProcessor: TTL ages out dormant users (bounded state)") {
+    // the bounded-store configuration: per-user state carries a
+    // wall-clock TTL (the replay horizon). A dormant user's state
+    // expires — the store holds recently-seen users, not every user ever.
+    // Spark allows state TTL only in ProcessingTime mode, and a
+    // ProcessingTime-mode TWS query re-triggers batches forever (the wall
+    // clock always advances), so processAllAvailable/AvailableNow never
+    // see it quiesce — the test polls the sink table instead.
+    val in = MemoryStream[Processors.Visit]
+    val out = in.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(new Processors.FirstVisitProcessor(
+        org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofSeconds(2))),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(name).count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(spark.table(name).count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      in.addData(Processors.Visit(1L, "2024-01-01", 1000L),
+        Processors.Visit(1L, "2024-01-01", 2000L))
+      awaitRows(2)
+      Thread.sleep(3500) // let the 2s TTL lapse (wall clock)
+      in.addData(Processors.Visit(1L, "2024-01-01", 3000L))
+      awaitRows(3)
+      val flags = spark.table(name).as[Processors.VisitOut].collect()
+        .map(v => v.tsMs -> v.isFirst).toMap
+      assert(flags(1000L) === true)
+      assert(flags(2000L) === false, "second visit within the TTL is a dup")
+      assert(flags(3000L) === true,
+        "after the TTL the user's state must be gone (bounded store)")
+    } finally q.stop()
+  }
+
+  test("PaymentTimeoutProcessor: keyed state returns to zero past the retain horizon") {
+    val ck = java.nio.file.Files.createTempDirectory("tws_ck_").toString
+    val in = MemoryStream[Processors.OrderEvent]
+    val out = in.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Processors.OrderEvent]
+      .groupByKey(_.orderId)
+      .transformWithState(new Processors.PaymentTimeoutProcessor(15 * 60 * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    try {
+      // two full lifecycles: order 1 settles by payment, order 2 by timeout
+      in.addData(Processors.OrderEvent(1L, "created", ts("2024-01-01 10:00:00")),
+        Processors.OrderEvent(2L, "created", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData(Processors.OrderEvent(1L, "paid", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // watermark pushers use an unknown kind: they advance event time
+      // without creating any state of their own. First past order 2's
+      // 10:15 deadline, then past both cleanup horizons (paid 10:05 and
+      // timeout 10:15, each + 15 min retain).
+      for (t <- Seq("10:16:00", "10:17:00", "11:00:00", "11:01:00")) {
+        in.addData(Processors.OrderEvent(0L, "noop", ts(s"2024-01-01 $t")))
+        q.processAllAvailable()
+      }
+      val byOrder = spark.table(name).as[Processors.OrderOut].collect()
+        .map(o => o.orderId -> o.status).toMap
+      assert(byOrder.get(1L).contains("paid") && byOrder.get(2L).contains("timeout"))
+    } finally q.stop()
+    // the direct claim: after the horizon, the state store holds ZERO
+    // rows for either state variable — terminal lifecycles fully clear.
+    // (Read AFTER q.stop(): the state source would otherwise contend with
+    // the live query's RocksDB instance locks.)
+    for (v <- Seq("createdTs", "settledAt")) {
+      val n = spark.read.format("statestore")
+        .option("path", ck).option("stateVarName", v)
+        .load().count()
+      assert(n == 0L, s"state variable $v must be empty, found $n rows")
+    }
   }
 
   test("RunningSumProcessor: keyed running aggregate across batches") {
