@@ -49,6 +49,30 @@ object IO {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
 
+  /** Kafka topic source — the cluster-side call site for the reference's
+    * topic ingest (reference `pom.xml:153-156`): standard
+    * `format("kafka")` option plumbing (bootstrap servers, subscribe
+    * list, starting offsets, per-trigger rate cap). The returned frame
+    * has the connector's fixed schema (key/value binary, topic,
+    * partition, offset, timestamp); downstream parses `value`.
+    *
+    * This image carries no Kafka connector jar (zero egress), so
+    * resolution fails at `load()` — the call site, option wiring, and
+    * failure mode are covered by SourcesSpec via a recording stand-in
+    * provider passed through `format`. */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String,
+                  subscribe: String, startingOffsets: String = "latest",
+                  maxOffsetsPerTrigger: Option[Long] = None,
+                  format: String = "kafka"): DataFrame = {
+    val reader = spark.readStream.format(format)
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", subscribe)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+      .load()
+  }
+
   // ---- sinks --------------------------------------------------------
 
   /** Exactly-once file sink (the Doris/Kafka sink stand-in): Structured
@@ -58,6 +82,20 @@ object IO {
       : DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("parquet")
       .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
+  /** Kafka topic sink — the cluster-side call site for the reference's
+    * inter-layer topics (DWD → DWS), mirroring [[kafkaStream]]. The input
+    * frame must already carry `value` (and optionally `key`) columns per
+    * the connector contract; exactly-once downstream requires the
+    * consumer to read committed only. `format` is the same test seam. */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+                checkpointDir: String, format: String = "kafka")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format(format)
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 

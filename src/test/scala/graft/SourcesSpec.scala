@@ -109,6 +109,39 @@ class SourcesSpec extends SparkSpec {
       s"key 1 must survive via the _bak fallback: $got")
   }
 
+  test("kafka call sites: options reach the provider; absent connector fails cleanly") {
+    import FakeKafkaProvider.opt
+    // source path: the format seam resolves the provider, which records
+    // the exact options the Kafka connector would receive
+    val df = IO.kafkaStream(spark, "broker1:9092,broker2:9092",
+      "topic_log,topic_db", startingOffsets = "earliest",
+      maxOffsetsPerTrigger = Some(50000L),
+      format = classOf[FakeKafkaProvider].getName)
+    assert(df.isStreaming)
+    assert(df.schema == FakeKafkaProvider.kafkaSchema)
+    val sp = FakeKafkaProvider.sourceParams
+    assert(opt(sp, "kafka.bootstrap.servers").contains("broker1:9092,broker2:9092"))
+    assert(opt(sp, "subscribe").contains("topic_log,topic_db"))
+    assert(opt(sp, "startingOffsets").contains("earliest"))
+    assert(opt(sp, "maxOffsetsPerTrigger").contains("50000"))
+
+    // sink path: drive one micro-batch through the stand-in sink
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    ms.addData("""{"id":1}""")
+    IO.kafkaSink(ms.toDF().select(col("value").cast("binary").as("value")),
+      "broker9:9092", "dwd_page_log", tmp() + "/kafka_ck",
+      format = classOf[FakeKafkaProvider].getName).start().awaitTermination()
+    val kp = FakeKafkaProvider.sinkParams
+    assert(opt(kp, "topic").contains("dwd_page_log"))
+    assert(opt(kp, "kafka.bootstrap.servers").contains("broker9:9092"))
+
+    // the default format("kafka") call site compiles and fails with the
+    // documented missing-connector error on this jar-less image
+    val e = intercept[Exception] { IO.kafkaStream(spark, "b:9092", "t") }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("bucketedUpsertSink: a 1-key batch rewrites exactly one bucket") {
     val in = tmp() + "/cdc_in4"; val snap = tmp() + "/bsnap"; val ck = tmp() + "/ck4"
     Files.createDirectories(java.nio.file.Paths.get(in))
