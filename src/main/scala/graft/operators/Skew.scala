@@ -21,11 +21,15 @@ object Skew {
     * when the right side is too big to broadcast but small enough to
     * replicate ×buckets.
     */
+  /** The salt column the salted operators attach — exposed so stress
+    * probes and tests measure exactly the distribution the operators
+    * produce (seeded for run-to-run determinism). */
+  def saltCol(buckets: Int): Column = (rand(seed = 42L) * buckets).cast("int")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int): DataFrame = {
     require(buckets > 1, "buckets must be > 1")
-    val salted = left.withColumn("__salt",
-      (rand(seed = 42L) * buckets).cast("int"))
+    val salted = left.withColumn("__salt", saltCol(buckets))
     val exploded = right.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
@@ -40,7 +44,7 @@ object Skew {
     * state itself is the bottleneck). */
   def twoPhaseAgg(df: DataFrame, key: String, buckets: Int,
                   partials: Seq[Column], merges: Seq[Column]): DataFrame =
-    df.withColumn("__salt", (rand(seed = 42L) * buckets).cast("int"))
+    df.withColumn("__salt", saltCol(buckets))
       .groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

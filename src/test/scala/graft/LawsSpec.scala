@@ -90,6 +90,57 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("skew stress probe: salting rebalances a hot key (partition and group sizes)") {
+    import graft.operators.Skew
+    // hot-key stress input: one key carries 20k rows, 100 cold keys 40 each
+    val hotN = 20000L
+    val df = spark.range(hotN).select(lit("hot").as("k"), lit(1.0).as("v"))
+      .union(spark.range(4000).select(
+        concat(lit("k"), (col("id") % 100).cast("string")).as("k"),
+        lit(1.0).as("v")))
+      .repartition(8) // evenly spread INPUT — the skew appears at the shuffle
+    val right = df.select("k").distinct()
+      .withColumn("name", concat(lit("dim_"), col("k")))
+    // pin the plans the probe is about: no AQE skew-splitting, no
+    // broadcast — saltedJoin exists precisely for the broadcast-ineligible
+    // hot-key join, and AQE-off shows the raw imbalance being fixed
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // enough reduce partitions that (key, salt) groups can spread: with
+    // only 4 partitions and 8 salt values, bin-packing collisions mask
+    // the rebalance being measured
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def maxPartRows(j: org.apache.spark.sql.DataFrame): Long =
+        j.select(spark_partition_id().as("pid"))
+          .groupBy("pid").count().agg(max("count")).as[Long].head()
+      // join: unsalted, the hot key's rows collapse into one shuffle
+      // partition; salted, they spread over the salt buckets
+      val naiveMax = maxPartRows(df.join(right, Seq("k")))
+      val saltedMax = maxPartRows(Skew.saltedJoin(df, right, "k", buckets = 32))
+      assert(naiveMax >= hotN,
+        s"unsalted: the hot partition holds every hot row ($naiveMax)")
+      assert(saltedMax <= naiveMax / 2,
+        s"salted join must at least halve the heaviest partition: " +
+          s"$saltedMax vs naive $naiveMax")
+      // aggregation: the heaviest phase-1 reduce group shrinks ~x buckets
+      val naiveGroupMax = df.groupBy("k").count()
+        .agg(max("count")).as[Long].head()
+      val saltedGroupMax = df.withColumn("__salt", Skew.saltCol(32))
+        .groupBy("k", "__salt").count().agg(max("count")).as[Long].head()
+      assert(naiveGroupMax == hotN)
+      assert(saltedGroupMax <= hotN / 8,
+        s"salted phase-1 group must shrink: $saltedGroupMax vs $naiveGroupMax")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
   private val vecGen: Gen[Array[Float]] =
     Gen.listOfN(16, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
       .suchThat(v => v.exists(x => math.abs(x) > 0.01f))
