@@ -165,7 +165,8 @@ object IO {
     * the LWW merge is idempotent — so replay converges. */
   def bucketedUpsertSink(df: DataFrame, snapshotDir: String,
                          checkpointDir: String, keyCol: String,
-                         snapshotSchema: StructType, numBuckets: Int)
+                         snapshotSchema: StructType, numBuckets: Int,
+                         compactHorizonMs: Option[Long] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(numBuckets > 0, "numBuckets must be positive")
     df.writeStream
@@ -191,7 +192,13 @@ object IO {
             else
               spark.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
-          val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+          val upserted = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+          // opportunistic tombstone compaction: the touched buckets are
+          // being rewritten anyway, so expiring dead tombstones here is
+          // free — untouched buckets compact whenever they next merge
+          val merged = compactHorizonMs.fold(upserted)(h =>
+            graft.streaming.Cdc.compactTombstones(upserted, h,
+              System.currentTimeMillis()))
           // materialize the merge BEFORE the overwrite: the merged plan
           // reads the same path it is about to write (Spark rejects that
           // read-write cycle, and lazily it would be a correctness bug).
@@ -200,14 +207,23 @@ object IO {
           // the lineage back to a LogicalRDD.
           val pinned = merged.withColumn("__bucket", bucketOf)
             .localCheckpoint(eager = true)
-          try
+          try {
             // dynamic mode replaces exactly the partitions present in the
             // output — the touched buckets — and leaves the rest in place
             pinned.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("__bucket")
               .parquet(snapshotDir)
-          finally pinned.unpersist(blocking = false)
+            // a touched bucket whose merge compacted to EMPTY is absent
+            // from the output, so dynamic overwrite left its old files in
+            // place — drop those directories explicitly
+            val written = pinned.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).toSet
+            touched.filterNot(written).foreach { b =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(s"$snapshotDir/__bucket=$b"), true)
+            }
+          } finally pinned.unpersist(blocking = false)
         }
         ()
       }

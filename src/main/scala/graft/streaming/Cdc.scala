@@ -105,6 +105,18 @@ object Cdc {
   def liveView(snapshot: DataFrame): DataFrame =
     snapshot.filter(col("op") =!= "d")
 
+  /** Compact delete tombstones older than the replay horizon out of a
+    * snapshot produced by [[applyChangelog]]. A tombstone exists to stop
+    * a LATE event older than the delete from resurrecting its key; once
+    * the source can no longer replay events that old (`nowMs -
+    * horizonMs`), the tombstone is dead weight. One narrow filter — run
+    * it opportunistically, e.g. while a bucket is being rewritten anyway
+    * ([[graft.sources.IO.bucketedUpsertSink]]'s `compactHorizonMs`).
+    * `nowMs` is explicit so compaction is deterministic and testable. */
+  def compactTombstones(snapshot: DataFrame, horizonMs: Long,
+                        nowMs: Long): DataFrame =
+    snapshot.filter(col("op") =!= "d" || col("ts_ms") >= lit(nowMs - horizonMs))
+
   /** Convenience: replay a full changelog from an empty snapshot with the
     * given schema — used by the convergence tests (any permutation of the
     * same changelog must converge to the same snapshot). */

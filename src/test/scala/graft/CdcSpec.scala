@@ -152,6 +152,25 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("compactTombstones drops only tombstones older than the replay horizon") {
+    val snap = Cdc.replay(spark, Seq(
+      (1L, "live", "u", 500L),
+      (2L, null.asInstanceOf[String], "d", 100L),  // old tombstone → compacted
+      (3L, null.asInstanceOf[String], "d", 900L),  // recent tombstone → kept
+      (4L, "old_live", "u", 50L))                  // old but LIVE → kept
+      .toDF("id", "name", "op", "ts_ms"), "id", snapshotSchema)
+    val compacted = Cdc.compactTombstones(snap, horizonMs = 300L, nowMs = 1000L)
+    val ids = compacted.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L),
+      s"only key 2's horizon-expired tombstone may go: $ids")
+    // semantics preserved for everything the source can still replay:
+    // a late event NEWER than the horizon still loses to key 3's stone
+    val after = Cdc.liveView(Cdc.applyChangelog(compacted,
+      Seq((3L, "zombie", "u", 800L)).toDF("id", "name", "op", "ts_ms"), "id"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 4L), s"key 3 must stay dead: $after")
+  }
+
   test("applyChangelog is incremental: applying in two chunks equals one-shot") {
     val all = Seq((1L, "a", "c", 10L), (2L, "b", "c", 20L), (1L, "a2", "u", 30L),
       (2L, null.asInstanceOf[String], "d", 40L), (3L, "c", "c", 50L))
