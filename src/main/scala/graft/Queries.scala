@@ -298,6 +298,36 @@ object Queries {
         count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
       .orderBy("o_orderpriority")
 
+  /** q_agg_stats — statistical aggregates (stddev / variance /
+    * correlation), the DWS metric surface beyond sum/avg. Bounded-range
+    * columns only (quantity ≤ 50, discount ≤ 0.1): their partial-sum
+    * accumulation error stays orders of magnitude under the rounding
+    * grain on both engines, so the oracle hash-match is numerically
+    * robust — stats over ~1e5-scale monetary columns would not be. */
+  val q_agg_stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** q_agg_percentile — exact interpolated percentiles (median / p95) per
+    * group: Spark `percentile` and DuckDB `quantile_cont` share the
+    * continuous-interpolation definition. (The approximate sketch
+    * variant is q_agg_approx_distinct's cousin `approx_percentile` —
+    * sketch-seeded, hence not oracle-expressible.) */
+  val q_agg_percentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+        round(percentile(col("l_quantity"), lit(0.95)), 4).as("p95_qty"),
+        round(percentile(col("l_discount"), lit(0.5)), 4).as("median_disc"))
+      .orderBy("l_returnflag")
+
   /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
   val q_agg_rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -356,6 +386,21 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"),
         round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q_window_rank — ranking analytics beyond row_number: dense_rank,
+    * percent_rank, and ntile quartiles per priority class. The window
+    * ordering is total (price, then key), so every rank function is
+    * deterministic and oracle-exact. */
+  val q_window_rank: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderkey")
   }
 
   // -------------------------------------------------------------------
@@ -601,6 +646,8 @@ object Queries {
     "q_agg_global" -> q_agg_global,
     "q_agg_distinct" -> q_agg_distinct,
     "q_agg_approx_distinct" -> q_agg_approx_distinct,
+    "q_agg_stats" -> q_agg_stats,
+    "q_agg_percentile" -> q_agg_percentile,
     "q_agg_rollup" -> q_agg_rollup,
     "q_agg_cube" -> q_agg_cube,
     "q_agg_grouping_sets" -> q_agg_grouping_sets,
@@ -609,6 +656,7 @@ object Queries {
     "q_topk" -> q_topk,
     "q_window_lag" -> q_window_lag,
     "q_window_running" -> q_window_running,
+    "q_window_rank" -> q_window_rank,
     "q_sort_limit" -> q_sort_limit,
     "q_union" -> q_union,
     "q_intersect" -> q_intersect,

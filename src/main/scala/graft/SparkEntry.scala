@@ -70,6 +70,10 @@ object SparkEntry {
       "SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 2) AS avg_price, min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem",
     "q_agg_distinct" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type",
+    "q_agg_stats" ->
+      "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS std_qty, round(var_samp(l_quantity), 4) AS var_qty, round(corr(l_quantity, l_discount), 6) AS corr_qty_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_agg_percentile" ->
+      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, round(quantile_cont(l_quantity, 0.95), 4) AS p95_qty, round(quantile_cont(l_discount, 0.5), 4) AS median_disc FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_agg_rollup" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q_agg_cube" ->
@@ -86,6 +90,8 @@ object SparkEntry {
       "SELECT event_id, user_id, epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms FROM events ORDER BY event_id",
     "q_window_running" ->
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderkey",
+    "q_window_rank" ->
+      "SELECT o_orderkey, o_orderpriority, dense_rank() OVER w AS drank, round(percent_rank() OVER w, 6) AS prank, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
     "q_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_union" ->
