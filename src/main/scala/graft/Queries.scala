@@ -602,6 +602,23 @@ object Queries {
     Dedup.ngramJaccardTopPairs(Tables.documents(s, d), "doc_id", "text")
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** q_dedup_cluster — the dedup endgame: threshold the exact n-gram
+    * Jaccard pairs (≥ 0.5), take connected components over the pair
+    * graph, and label every document with its cluster's canonical
+    * (minimum) doc id; unpaired documents are their own cluster.
+    * DuckDB-oracle-checked — the oracle replays the pair pipeline and
+    * closes it transitively with a recursive CTE. */
+  val q_dedup_cluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
     * candidate sets); oracle-exempt, scalatest-verified. */
   val q_dedup_embed: Q = (s, d) =>
@@ -677,6 +694,7 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
+    "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_embed" -> q_dedup_embed,
     "q_multimodal_join" -> q_multimodal_join,
   )

@@ -142,6 +142,36 @@ object SparkEntry {
         |  FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |  ORDER BY jaccard DESC, id_a, id_b LIMIT 20
         |) t ORDER BY jaccard DESC, id_a, id_b""".stripMargin,
+    // same shingle/cap/Jaccard pipeline as q_dedup_ngram, thresholded at
+    // 0.5, then closed transitively with a recursive CTE: every doc gets
+    // the minimum doc id reachable through the pair graph
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), s2 AS (
+        |  SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), clusters AS (
+        |  SELECT id, least(id, min(m)) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->

@@ -186,7 +186,17 @@ object Dedup {
     * exceeds the cap, and the oracle mirrors the cap either way). */
   def ngramJaccardTopPairs(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, topK: Int = 20,
-                           maxDocFreq: Long = 1000L): DataFrame = {
+                           maxDocFreq: Long = 1000L): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, n, maxDocFreq)
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(topK)
+
+  /** All candidate pairs with exact n-gram Jaccard (no top-k cut) —
+    * the input to threshold-based near-dup clustering
+    * ([[connectedComponents]] / [[keepCanonical]]). Same inverted-index
+    * plan and hot-shingle cap as [[ngramJaccardTopPairs]]. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, maxDocFreq: Long = 1000L): DataFrame = {
     val shRaw = docs.select(col(idCol).as("id"),
       explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
@@ -219,7 +229,63 @@ object Dedup {
         (col("common").cast("double") /
           (col("sa.set_size") + col("sb.set_size") - col("common")).cast("double"))
           .as("jaccard"))
-      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
-      .limit(topK)
+  }
+
+  /** Connected components over an undirected pair list: every vertex gets
+    * the MINIMUM id reachable through edges as its component label — the
+    * canonical representative of its near-dup cluster.
+    *
+    * Iterative min-label propagation: each round, a vertex takes the
+    * smallest label among itself and its neighbors (one join + one
+    * keyed agg per round); converged when no label changes. Rounds =
+    * graph diameter, and near-dup graphs are clique-like (similarity is
+    * near-transitive), so 2–4 rounds in practice; `maxIter` bounds
+    * pathological chains. Each round's labels are localCheckpoint-ed so
+    * the plan does not grow with iterations (the classic iterative-Spark
+    * lineage bomb). For graphs with genuinely large diameters, switch to
+    * the O(log n)-round large-star/small-star formulation — for near-dup
+    * clustering the simple propagation wins on constant factors. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("nid")).agg(min("label").as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      converged =
+        updated.filter(col("label") =!= col("old_label")).isEmpty
+      val prev = labels
+      labels = updated.select("id", "label")
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Keep one canonical document per near-dup cluster: the member with
+    * the minimum id survives; documents in no pair keep themselves. The
+    * training-data dedup endgame — pairs from any detector
+    * ([[ngramJaccardPairs]], MinHash bucket-join, embedding near-dup)
+    * feed the same clustering. */
+  def keepCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("id", idCol)
+    docs.join(cc, Seq(idCol), "left")
+      .filter(col("label").isNull || col("label") === col(idCol))
+      .drop("label")
   }
 }

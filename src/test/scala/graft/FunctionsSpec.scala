@@ -367,6 +367,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r1 != r2)
   }
 
+  test("connectedComponents: transitive clusters get the min-id label; keepCanonical keeps one per cluster") {
+    // chain 1-2, 2-3 (one cluster via transitivity), pair 10-11, and a
+    // long path 20-21-22-23-24 (propagation must walk the diameter)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L,
+      s"chain must close transitively: $labels")
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert((20L to 24L).forall(labels(_) == 20L),
+      s"5-hop path must converge: $labels")
+    // canonical dedup: min-id member survives, unpaired docs survive
+    val docs = (1L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.keepCanonical(
+      docs, Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L), s"keep 1 (canonical), 4, 5 (unpaired): $kept")
+  }
+
   test("VecLshSignature: structural equality, so identical signatures canonicalize") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.types.{ArrayType, FloatType}
