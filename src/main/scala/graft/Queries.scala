@@ -619,6 +619,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_split_train — deterministic train/val/test dataset split by md5
+    * prefix of the doc id (80/10/10 over 256 hash cells): stable across
+    * runs and engines, no RNG state, leak-free (membership depends only
+    * on the key). DuckDB-oracle-checked bit-for-bit — md5 is portable. */
+  val q_split_train: Q = (s, d) =>
+    operators.Sampling.deterministicSplit(Tables.documents(s, d), "doc_id")
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** q_sessionize — batch sessionization: gap > 30 min starts a new
+    * session (lag + running sum of session starts), then per-session
+    * stats. The batch-oracle twin of the streaming `session_window`
+    * path (Streams.sessionAgg) — proves the gap semantics exactly. */
+  val q_sessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_sess",
+        when(prevTs.isNull ||
+          unix_millis(col("ts")) - unix_millis(prevTs) > lit(1800000L), 1)
+          .otherwise(0))
+      .withColumn("sess_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "sess_seq")
+  }
+
   /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
     * candidate sets); oracle-exempt, scalatest-verified. */
   val q_dedup_embed: Q = (s, d) =>
@@ -695,6 +727,8 @@ object Queries {
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_cluster" -> q_dedup_cluster,
+    "q_split_train" -> q_split_train,
+    "q_sessionize" -> q_sessionize,
     "q_dedup_embed" -> q_dedup_embed,
     "q_multimodal_join" -> q_multimodal_join,
   )

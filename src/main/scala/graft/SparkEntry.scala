@@ -172,6 +172,25 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_split_train" ->
+      "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id",
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM g
+        |)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |       round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->

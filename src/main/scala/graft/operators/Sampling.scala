@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling / dataset-split operators for training-data pipelines
+  * (SURVEY.md §2.K extensions; driver brief "operations a large-scale
+  * training-data pipeline would need").
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment keyed on the row id: the
+    * first two hex chars of `md5(id)` give 256 uniform cells; cell-range
+    * membership decides the split. Properties a training pipeline needs
+    * that RNG sampling lacks:
+    *
+    *   - stable: a document keeps its split across runs, engines, and
+    *     languages (md5 is everywhere — the DuckDB oracle reproduces the
+    *     assignment bit-for-bit);
+    *   - incremental: newly arrived rows get consistent assignments with
+    *     no carried RNG state;
+    *   - leak-free: membership depends only on the key, so derived
+    *     tables split identically.
+    *
+    * A narrow map — no shuffle, no sampling pass. `trainCells`/`valCells`
+    * are out of 256 (defaults 204/26 ≈ 80/10/10). */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         trainCells: Int = 204,
+                         valCells: Int = 26): DataFrame = {
+    require(trainCells > 0 && valCells >= 0 && trainCells + valCells <= 256,
+      "cells must partition the 256 md5-prefix space")
+    def boundary(cells: Int): String = f"$cells%02x"
+    val cell = substring(md5(col(idCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(cell < lit(boundary(trainCells)), "train")
+        .when(cell < lit(boundary(trainCells + valCells)), "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum downsampling (class rebalancing): keep the given
+    * fraction of each stratum, seeded Bernoulli per row — Spark's
+    * `stat.sampleBy`, one narrow pass, no shuffle. Strata absent from
+    * `fractions` are dropped (fraction 0), the rebalance contract. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double],
+                       seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+}

@@ -388,6 +388,40 @@ class FunctionsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L), s"keep 1 (canonical), 4, 5 (unpaired): $kept")
   }
 
+  test("deterministicSplit: stable 80/10/10 partition; stratifiedSample rebalances classes") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val split = Sampling.deterministicSplit(docs, "doc_id")
+    val counts = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    // md5 cells are uniform: 500 docs land within a loose tolerance of
+    // the 204/26/26-cell design (binomial σ ≈ 0.018 at n=500; allow ~4σ)
+    assert(math.abs(counts("train") / n - 204.0 / 256) < 0.08, counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    // stability: re-running yields the identical assignment (no RNG state)
+    val again = Sampling.deterministicSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first == again)
+    // every split partitions the id space
+    assert(first.size == n.toLong)
+
+    // stratified downsampling: half the 'en' docs, all 'de', drop others
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(langs.contains("en"))
+    val sampled = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    assert(byLang.keySet.subsetOf(Set("en", "de")), byLang.toString)
+    assert(math.abs(byLang.getOrElse("en", 0L) / enTotal - 0.5) < 0.2,
+      s"en downsampled to ~half: $byLang of $enTotal")
+    if (langs.contains("de"))
+      assert(byLang.getOrElse("de", 0L) ==
+        docs.filter(col("lang") === "de").count(), "de kept whole")
+  }
+
   test("VecLshSignature: structural equality, so identical signatures canonicalize") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.types.{ArrayType, FloatType}
