@@ -651,6 +651,55 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_retention — cohort retention triangle: users from each first-day
+    * cohort still active N days later (reference DWS user-behavior
+    * aggregates, batch form). */
+  val q_retention: Q = (s, d) =>
+    operators.Analytics.retention(Tables.events(s, d))
+      .orderBy("cohort_day", "day_offset")
+
+  /** q_funnel — ordered view → click → purchase funnel: first view, the
+    * first click at-or-after it, the first purchase after that within
+    * 7 days of the view; one row of per-stage user counts. */
+  val q_funnel: Q = (s, d) =>
+    operators.Analytics.funnel3(Tables.events(s, d),
+      ("view", "click", "purchase"))
+
+  /** q_tfidf — top-3 TF-IDF terms per document (tf × ln(N/df) over the
+    * oracle tokenizer). Terms present in every doc score exactly 0 in
+    * both engines (ln 1), so ties resolve by the term tiebreak
+    * identically; the doc-count scalar rides in as a broadcast
+    * cross-join, never a driver-side collect. */
+  val q_tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** q_histogram — fixed-width distribution profile of event values:
+    * one shuffled aggregate over ~10 bins (map-side partials do nearly
+    * all the work at scale). */
+  val q_histogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+      .orderBy("bin")
+
   /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
     * candidate sets); oracle-exempt, scalatest-verified. */
   val q_dedup_embed: Q = (s, d) =>
@@ -729,6 +778,10 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_retention" -> q_retention,
+    "q_funnel" -> q_funnel,
+    "q_tfidf" -> q_tfidf,
+    "q_histogram" -> q_histogram,
     "q_dedup_embed" -> q_dedup_embed,
     "q_multimodal_join" -> q_multimodal_join,
   )

@@ -191,6 +191,43 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |       CAST(date_diff('day', c.cohort_day, ev.day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type AS et, ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE et = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, t1.t1, min(ev.ts) AS t2 FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        |       WHERE ev.et = 'click' AND ev.ts >= t1.t1 GROUP BY ev.user_id, t1.t1),
+        |t3 AS (SELECT ev.user_id, min(ev.ts) AS t3 FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        |       WHERE ev.et = 'purchase' AND ev.ts >= t2.t2
+        |         AND epoch_ms(ev.ts) - epoch_ms(t2.t1) <= 604800000 GROUP BY ev.user_id)
+        |SELECT count(*) AS n_stage1, count(t2.user_id) AS n_stage2, count(t3.user_id) AS n_stage3
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY doc_id, word
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, rn, term, round(tfidf, 6) AS tfidf
+        |FROM (SELECT doc_id, term, tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        |      FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_histogram" ->
+      "SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v FROM events GROUP BY 1 ORDER BY bin",
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse-style behavioral analytics over an event stream: cohort
+  * retention and ordered funnels — the reference's DWS summary-layer
+  * territory (user-behavior aggregates over Kafka events,
+  * `realtime-dws/pom.xml:12`), batch form.
+  */
+object Analytics {
+
+  /** Cohort retention: cohort = each user's first active day; cell
+    * (cohort_day, day_offset) counts the distinct cohort users active
+    * that many days later. Two keyed shuffles — the per-user first-day
+    * map, then the cell aggregate. The cohort map is one row per user
+    * and joins back on the same user_id key, so the join reuses the
+    * aggregation's hash partitioning (no extra exchange) and AQE can
+    * pick a broadcast when the map is small. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Ordered three-stage funnel: a user's first `stages._1`, then the
+    * first `stages._2` at-or-after it, then the first `stages._3`
+    * at-or-after that, with the last stage landing within `windowMs`
+    * of the first. Returns one row: users reaching each stage.
+    *
+    * Each stage is a filtered min-aggregate plus a user-keyed join —
+    * keyed shuffles only, no window function over the full stream, so
+    * per-user event counts never have to fit in one sort buffer. */
+  def funnel3(events: DataFrame, stages: (String, String, String),
+              windowMs: Long = 7L * 24 * 3600 * 1000,
+              userCol: String = "user_id", tsCol: String = "ts",
+              typeCol: String = "event_type"): DataFrame = {
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), col(tsCol).as("ts"))
+    val t1 = ev.filter(col("et") === stages._1)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = ev.filter(col("et") === stages._2)
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy("user_id", "t1").agg(min("ts").as("t2"))
+    val t3 = ev.filter(col("et") === stages._3)
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") >= col("t2") &&
+        unix_millis(col("ts")) - unix_millis(col("t1")) <= lit(windowMs))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.join(t2.select("user_id", "t2"), Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_stage1"),
+        count(col("t2")).as("n_stage2"),
+        count(col("t3")).as("n_stage3"))
+  }
+}

@@ -422,6 +422,33 @@ class FunctionsSpec extends SparkSpec {
         docs.filter(col("lang") === "de").count(), "de kept whole")
   }
 
+  test("funnel3 enforces stage order + window; retention cohorts by first day") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(m: Long) = new java.sql.Timestamp(m)
+    // u1: full ordered funnel; u2: click BEFORE view (ordering violated);
+    // u3: purchase outside the 7-day window; u4: view only
+    val ev = Seq(
+      (1L, "view", ts(0L)), (1L, "click", ts(1000L)), (1L, "purchase", ts(2000L)),
+      (2L, "click", ts(0L)), (2L, "view", ts(1000L)), (2L, "purchase", ts(2000L)),
+      (3L, "view", ts(0L)), (3L, "click", ts(1000L)),
+      (3L, "purchase", ts(8L * 24 * 3600 * 1000)),
+      (4L, "view", ts(0L))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Analytics.funnel3(ev, ("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((4L, 2L, 1L)), s"stage counts: $r")
+
+    // u1 first active day 0, returns day 1; u2 first active day 1, returns day 3
+    val day = 86400000L
+    val ev2 = Seq((1L, ts(0L)), (1L, ts(day)), (2L, ts(day)), (2L, ts(3 * day)))
+      .toDF("user_id", "ts")
+    val ret = Analytics.retention(ev2)
+      .orderBy("cohort_day", "day_offset")
+      .select("day_offset", "n_users").as[(Long, Long)].collect().toSeq
+    assert(ret == Seq((0L, 1L), (1L, 1L), (0L, 1L), (2L, 1L)), ret.toString)
+  }
+
   test("VecLshSignature: structural equality, so identical signatures canonicalize") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.types.{ArrayType, FloatType}
