@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Static plan audit across EVERY registered query: the scale-killer
+  * checklist (cartesian products, unbounded nested-loop joins, lost
+  * pushdown / pruning) as pinned plan properties instead of review
+  * comments. Uses `sparkPlan` (pre-AQE physical plan) — AQE only ever
+  * specializes these plans further at runtime, never introduces a
+  * cartesian or widens a scan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    Queries.all.map { case (n, q) =>
+      n -> q(spark, sfDir).queryExecution.sparkPlan
+    }
+
+  test("no registered query plans a cartesian product") {
+    val offenders = plans.collect {
+      case (n, p) if p.collect { case c: CartesianProductExec => c }.nonEmpty => n
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
+  test("nested-loop joins only with a bounded broadcast side") {
+    // BNLJ is legitimate exactly where the broadcast side is provably
+    // tiny: a scalar aggregate (q_tfidf's doc count) or a dim-bounded
+    // range table (interval/theta joins over the small side)
+    val allowed = Set("q_tfidf", "q_join_interval")
+    val withBnlj = plans.collect {
+      case (n, p)
+        if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
+    }.toSet
+    assert(withBnlj.subsetOf(allowed), s"unexpected BNLJ in: ${withBnlj -- allowed}")
+  }
+
+  test("predicate pushdown reaches the parquet scan (q_filter)") {
+    val scans = plans.toMap.apply("q_filter").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(s => s.nonEmpty && s != "[]"),
+      s"no pushed filters on the scan: $pushed")
+  }
+
+  test("column pruning reaches the parquet scan (q_project)") {
+    val scans = plans.toMap.apply("q_project").collect {
+      case f: FileSourceScanExec => f
+    }
+    // lineitem is 16 columns wide; the projection needs only 4
+    val widths = scans.map(_.schema.fields.length)
+    assert(widths.nonEmpty && widths.max <= 4,
+      s"scan reads more columns than the projection needs: $widths")
+  }
+}
