@@ -468,6 +468,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("layered warehouse end-to-end: CDC dim upsert -> DWD cleanse -> dim enrichment -> DWS window agg -> exactly-once sink") {
+    import org.apache.spark.sql.types._
+    import graft.sources.IO
+    import graft.streaming.{Cdc, Jobs}
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e_").toString
+    val cdcIn = s"$root/ods_db"; val logIn = s"$root/ods_log"
+    val dimSnap = s"$root/dim/user_tier"; val dwsOut = s"$root/dws/spend"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcIn))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(logIn))
+    val strSchema = StructType(Seq(StructField("value", StringType)))
+    val snapSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("tier", StringType), StructField("op", StringType),
+      StructField("ts_ms", LongType)))
+    val paySchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("tier", StringType)))
+    val logPaySchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+
+    def jq(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    def pay(id: Long, tier: String) = s"""{"user_id":$id,"tier":"$tier"}"""
+    def cdcRow(op: String, before: String, after: String, tsMs: Long,
+               table: String = "user_tier") = {
+      val b = if (before == null) "null" else jq(before)
+      val a = if (after == null) "null" else jq(after)
+      s"""{"op":"$op","before":$b,"after":$a,"source":{"table":"$table"},"ts_ms":$tsMs}"""
+    }
+    def logRow(t: Timestamp, typ: String, userId: Long, value: Double) =
+      s"""{"type":"$typ","ts":${t.getTime},"payload":${jq(s"""{"user_id":$userId,"value":$value}""")}}"""
+
+    // ---- DIM layer: Debezium-style changelog -> routed -> keyed snapshot
+    val config = Seq("user_tier").toDF("table")
+    def runDim(): Unit = {
+      val env = Cdc.parseEnvelope(IO.fileStream(spark, cdcIn, strSchema))
+      val af = from_json(col("after"), paySchema)
+      val bf = from_json(col("before"), paySchema)
+      val keyed = Cdc.routeByConfig(env, config).select(
+        coalesce(af.getField("user_id"), bf.getField("user_id")).as("user_id"),
+        af.getField("tier").as("tier"), col("op"), col("ts_ms"))
+      IO.upsertSink(keyed, dimSnap, s"$root/ck_dim", "user_id", snapSchema)
+        .start().awaitTermination()
+    }
+    Seq(cdcRow("c", null, pay(1, "silver"), 10),
+      cdcRow("c", null, pay(2, "basic"), 20),
+      cdcRow("c", null, pay(3, "gold"), 30),
+      cdcRow("c", null, """{"o_id":9}""", 25, table = "orders") // not whitelisted
+    ).toDF("value").write.mode("append").parquet(cdcIn)
+    runDim()
+    Seq(cdcRow("u", pay(1, "silver"), pay(1, "gold"), 40),
+      cdcRow("d", pay(3, "gold"), null, 50)
+    ).toDF("value").write.mode("append").parquet(cdcIn)
+    runDim()
+    val dim = Cdc.liveView(spark.read.schema(snapSchema).parquet(dimSnap))
+      .select(col("user_id").as("cust_id"), col("tier"))
+    assert(dim.as[(Long, String)].collect().toSet ==
+      Set((1L, "gold"), (2L, "basic")),
+      "update applied, delete tombstoned, foreign table routed away")
+
+    // ---- DWD -> DWS: cleanse raw log, enrich against the dim snapshot,
+    // watermarked window agg by tier, exactly-once parquet sink
+    def runDws(): Unit = {
+      val cleansed = Jobs.cleanseLogStream(IO.fileStream(spark, logIn, strSchema))
+      val p = from_json(col("payload"), logPaySchema)
+      val typed = cleansed.filter(col("type") === "page")
+        .select(col("ts"), p.getField("user_id").as("user_id"),
+          p.getField("value").as("value"))
+      val enriched = Streams.enrichWithDim(typed, dim, Seq("user_id" -> "cust_id"))
+      val agg = Jobs.userWindowSpend(enriched, "ts", "tier", "value",
+        "10 minutes", "5 minutes")
+      IO.parquetSink(agg, dwsOut, s"$root/ck_dws").start().awaitTermination()
+    }
+    Seq(logRow(ts("2024-01-01 10:01:00"), "page", 1, 5.0),
+      logRow(ts("2024-01-01 10:04:00"), "page", 2, 7.0),
+      logRow(ts("2024-01-01 10:07:00"), "page", 7, 2.0), // no dim row
+      logRow(ts("2024-01-01 10:05:00"), "err", 1, 9.0),  // split away
+      "garbage not json"                                  // cleansed away
+    ).toDF("value").write.mode("append").parquet(logIn)
+    runDws() // watermark 10:02 — nothing finalized yet
+    Seq(logRow(ts("2024-01-01 10:40:00"), "page", 1, 1.0))
+      .toDF("value").write.mode("append").parquet(logIn)
+    runDws() // watermark 10:35 — the 10:00 window finalizes
+    val out = spark.read.parquet(dwsOut)
+    val w0 = out.filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .select("tier", "spend", "n_events")
+      .as[(String, Double, Long)].collect().toSet
+    assert(w0 == Set(("gold", 5.0, 1L), ("basic", 7.0, 1L), (null, 2.0, 1L)),
+      s"per-tier finalized window: $w0")
+    val rows = out.count()
+    runDws() // no new input: the committed sink log must not grow
+    assert(spark.read.parquet(dwsOut).count() == rows, "exactly-once replay")
+  }
+
   test("stream split: routed branches partition the input") {
     val ev = graft.sources.Tables.events(spark, sfDir)
     val branches = Streams.split(ev, Map(
