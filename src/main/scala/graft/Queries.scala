@@ -651,6 +651,17 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_decontaminate — benchmark decontamination: docs 0–9 play the held-out
+    * eval set; every corpus doc (id ≥ 10) sharing any 5-gram with them is
+    * dropped. Probe shingles broadcast; the corpus is never shuffled. */
+  val q_decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q_retention — cohort retention triangle: users from each first-day
     * cohort still active N days later (reference DWS user-behavior
     * aggregates, batch form). */
@@ -778,6 +789,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_decontaminate" -> q_decontaminate,
     "q_retention" -> q_retention,
     "q_funnel" -> q_funnel,
     "q_tfidf" -> q_tfidf,

@@ -191,6 +191,18 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)])) AS sh FROM t
+        |), bad AS (
+        |  SELECT DISTINCT doc_id FROM s
+        |  WHERE doc_id >= 10 AND sh IN (SELECT sh FROM s WHERE doc_id < 10)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)

@@ -231,6 +231,29 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Benchmark decontamination — the pretraining hygiene pass: drop every
+    * corpus document sharing ANY word n-gram with a probe/benchmark set
+    * (eval-set leakage detection). The probe side is benchmark-sized —
+    * orders of magnitude smaller than the corpus — so its distinct
+    * shingle hashes broadcast into a left-semi probe of the corpus
+    * inverted index: the corpus side is one narrow scan + explode with
+    * NO shuffle of corpus data at any scale, then a semi-distinct on the
+    * tiny contaminated-id set. n defaults to 5: long enough that natural
+    * phrase reuse doesn't mass-flag, short enough to catch real overlap
+    * (public decontamination pipelines use 8–13-gram windows on BPE
+    * tokens; 5 word-grams is the same order of specificity). */
+  def decontaminate(docs: DataFrame, probe: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+    val probeSh = sh(probe).select("sh").distinct()
+    val contaminated = sh(docs)
+      .join(broadcast(probeSh), Seq("sh"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair list: every vertex gets
     * the MINIMUM id reachable through edges as its component label — the
     * canonical representative of its near-dup cluster.

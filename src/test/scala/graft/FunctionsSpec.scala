@@ -422,6 +422,22 @@ class FunctionsSpec extends SparkSpec {
         docs.filter(col("lang") === "de").count(), "de kept whole")
   }
 
+  test("decontaminate drops corpus docs sharing an n-gram with the probe set") {
+    import spark.implicits._
+    val probe = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps right out"), // 5-gram hit
+      (2L, "a completely unrelated document about spark plans"),
+      (3L, "quick brown fox jumps")                                // < n tokens
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .decontaminate(corpus, probe, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L),
+      s"doc 1 leaks 'the quick brown fox jumps'; 3 is sub-n-gram: $kept")
+  }
+
   test("funnel3 enforces stage order + window; retention cohorts by first day") {
     import spark.implicits._
     import graft.operators.Analytics
