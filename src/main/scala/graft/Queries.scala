@@ -651,6 +651,23 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_scd2 — slowly-changing-dimension type-2 history: each user's
+    * event_type stream becomes validity intervals (valid_from, valid_to,
+    * is_current) — the dim layer's history-tracking shape, one window
+    * pass per key (reference HBase dim maintenance, versioned form). */
+  val q_scd2: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"),
+        unix_millis(col("ts")).as("valid_from"),
+        coalesce(unix_millis(col("valid_to_ts")), lit(Long.MaxValue)).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** q_decontaminate — benchmark decontamination: docs 0–9 play the held-out
     * eval set; every corpus doc (id ≥ 10) sharing any 5-gram with them is
     * dropped. Probe shingles broadcast; the corpus is never shuffled. */
@@ -789,6 +806,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,
     "q_retention" -> q_retention,
     "q_funnel" -> q_funnel,

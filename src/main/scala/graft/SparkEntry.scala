@@ -191,6 +191,13 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type AS state,
+        |       epoch_ms(ts) AS valid_from,
+        |       coalesce(epoch_ms(lead(ts) OVER w), 9223372036854775807) AS valid_to,
+        |       (lead(ts) OVER w IS NULL) AS is_current
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents

@@ -37,6 +37,21 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Deterministic shard writer for training output: every row gets a
+    * stable `shard = pmod(xxhash64(id), numShards)`, the frame is
+    * repartitioned on that shard key (so each shard is produced by one
+    * task — one file per shard, no tiny-file spray), and rows within a
+    * shard are laid out in salted-hash order: a reproducible "shuffle"
+    * for data loaders with no RNG state. Re-running over the same input
+    * yields identical shard membership and order; appending new rows
+    * never moves existing ones between shards. */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+                  numShards: Int): Unit =
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(xxhash64(col(idCol), lit(1L)))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
   /** Per-stratum downsampling (class rebalancing): keep the given
     * fraction of each stratum, seeded Bernoulli per row — Spark's
     * `stat.sampleBy`, one narrow pass, no shuffle. Strata absent from

@@ -422,6 +422,30 @@ class FunctionsSpec extends SparkSpec {
         docs.filter(col("lang") === "de").count(), "de kept whole")
   }
 
+  test("writeShards: stable balanced shards that partition the input") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("shards_").toString
+    Sampling.writeShards(docs, "doc_id", out, numShards = 8)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(dirs.toSet == (0 until 8).map(i => s"shard=$i").toSet, dirs.toSeq.toString)
+    val back = spark.read.parquet(out)
+    val n = docs.count()
+    assert(back.count() == n, "shards partition the input")
+    assert(back.select("doc_id").distinct().count() == n)
+    // balance: xxhash64 is uniform; 500 rows over 8 shards stay within 2x
+    val sizes = back.groupBy("shard").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.max < 2L * sizes.min, s"shard skew: ${sizes.toSeq}")
+    // determinism: a re-run yields the identical membership
+    val first = back.select("shard", "doc_id").as[(Long, Long)].collect().toSet
+    Sampling.writeShards(docs, "doc_id", out, numShards = 8)
+    val again = spark.read.parquet(out)
+      .select("shard", "doc_id").as[(Long, Long)].collect().toSet
+    assert(first == again)
+  }
+
   test("decontaminate drops corpus docs sharing an n-gram with the probe set") {
     import spark.implicits._
     val probe = Seq((100L, "the quick brown fox jumps over the lazy dog"))
