@@ -651,6 +651,29 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_resample_ffill — time-series resampling: each user's sparse event
+    * days become a dense daily grid (sequence + explode, bounded by the
+    * user's own date span) with gap days forward-filled from the last
+    * observed value (`last(ignoreNulls)` over a rows window). The
+    * interpolation shape every metrics store needs; grid and window both
+    * partition by user, so the whole query is keyed shuffles only. */
+  val q_resample_ffill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("day_value").isNotNull.as("observed"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+      .orderBy("user_id", "day")
+  }
+
   /** q_scd2 — slowly-changing-dimension type-2 history: each user's
     * event_type stream becomes validity intervals (valid_from, valid_to,
     * is_current) — the dim layer's history-tracking shape, one window
@@ -806,6 +829,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,
     "q_retention" -> q_retention,

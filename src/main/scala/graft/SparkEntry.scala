@@ -191,6 +191,21 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day,
+        |       (d.day_value IS NOT NULL) AS observed,
+        |       last_value(d.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "q_scd2" ->
       """SELECT user_id, event_id, event_type AS state,
         |       epoch_ms(ts) AS valid_from,
