@@ -728,15 +728,18 @@ object Queries {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // rank on the ROUNDED score: ln() is not bit-identical across libm
+    // implementations, so ranking raw doubles could flip near-tie rank
+    // boundaries between engines; after round(6) both engines rank the
+    // same values, ties broken by term
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
     tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf") * log(col("n_docs").cast("double") / col("df")))
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
-      .select(col("doc_id"), col("rn"), col("term"),
-        round(col("tfidf"), 6).as("tfidf"))
+      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
       .orderBy("doc_id", "rn")
   }
 

@@ -252,10 +252,10 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,
-        |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |)
-        |SELECT doc_id, rn, term, round(tfidf, 6) AS tfidf
+        |SELECT doc_id, rn, term, tfidf
         |FROM (SELECT doc_id, term, tfidf,
         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
         |      FROM scored) t

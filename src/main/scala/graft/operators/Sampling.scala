@@ -29,7 +29,9 @@ object Sampling {
                          valCells: Int = 26): DataFrame = {
     require(trainCells > 0 && valCells >= 0 && trainCells + valCells <= 256,
       "cells must partition the 256 md5-prefix space")
-    def boundary(cells: Int): String = f"$cells%02x"
+    // 256 has no 2-hex form ("100" breaks the 2-char compare): any char
+    // above 'f' is lexicographically past every cell, so "g" = "all cells"
+    def boundary(cells: Int): String = if (cells >= 256) "g" else f"$cells%02x"
     val cell = substring(md5(col(idCol).cast("string")), 1, 2)
     df.withColumn("split",
       when(cell < lit(boundary(trainCells)), "train")
@@ -49,7 +51,10 @@ object Sampling {
                   numShards: Int): Unit =
     df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(numShards.toLong)))
       .repartition(numShards, col("shard"))
-      .sortWithinPartitions(xxhash64(col(idCol), lit(1L)))
+      // shard must lead the ordering: it satisfies the dynamic-partition
+      // writer's required ordering, so V1Writes does NOT stack its own
+      // Sort(shard) on top — one sort, and the salted order is contractual
+      .sortWithinPartitions(col("shard"), xxhash64(col(idCol), lit(1L)))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   /** Per-stratum downsampling (class rebalancing): keep the given

@@ -407,6 +407,12 @@ class FunctionsSpec extends SparkSpec {
     // every split partitions the id space
     assert(first.size == n.toLong)
 
+    // full-coverage edge: trainCells + valCells == 256 leaves NO test
+    // cells ("100" has no 2-hex form — boundary must still compare right)
+    val full = Sampling.deterministicSplit(docs, "doc_id", 230, 26)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(!full.contains("test") && full.keySet == Set("train", "val"), full.toString)
+
     // stratified downsampling: half the 'en' docs, all 'de', drop others
     val langs = docs.select("lang").distinct().as[String].collect().toSet
     assert(langs.contains("en"))
