@@ -651,6 +651,26 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_dq_report — data-quality audit: one row per declared constraint
+    * with its violation count (null check, composite-PK uniqueness,
+    * FK orphan check). Each check is an independent aggregate over its
+    * own pushdown-friendly scan; the orphan check is a left-anti join
+    * that AQE broadcasts when the parent side fits. */
+  val q_dq_report: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def metric(name: String, violations: DataFrame) =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+    metric("li_null_qty", li.filter(col("l_quantity").isNull))
+      .unionByName(metric("li_orphan_order", orphans))
+      .unionByName(metric("li_pk_dup", pkDup))
+      .orderBy("check_name")
+  }
+
   /** q_resample_ffill — time-series resampling: each user's sparse event
     * days become a dense daily grid (sequence + explode, bounded by the
     * user's own date span) with gap days forward-filled from the last
@@ -832,6 +852,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_dq_report" -> q_dq_report,
     "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,

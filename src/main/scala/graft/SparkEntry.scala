@@ -191,6 +191,18 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_dq_report" ->
+      """SELECT * FROM (
+        |  SELECT 'li_null_qty' AS check_name, CAST(count(*) AS BIGINT) AS violations
+        |  FROM lineitem WHERE l_quantity IS NULL
+        |  UNION ALL
+        |  SELECT 'li_orphan_order', CAST(count(*) AS BIGINT) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'li_pk_dup', CAST(count(*) AS BIGINT) FROM (
+        |    SELECT l_orderkey, l_linenumber FROM lineitem
+        |    GROUP BY 1, 2 HAVING count(*) > 1)
+        |) ORDER BY check_name""".stripMargin,
     "q_resample_ffill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
