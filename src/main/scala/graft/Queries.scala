@@ -681,16 +681,20 @@ object Queries {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("day_value"))
-    val grid = daily.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    // gap-fill WITHOUT a grid join: each observation expands to cover the
+    // days up to (exclusive) the next observation, carrying its value —
+    // identical result to grid ⟕ daily + last(ignoreNulls), but one events
+    // scan, one keyed shuffle, one window, no join, at any scale
     val w = Window.partitionBy("user_id").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, Seq("user_id", "day"), "left")
+    daily
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .select(col("user_id"), col("day").as("obs_day"), col("day_value"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("next_day"), 1), col("day")),
+          expr("interval 1 day"))).as("day"))
       .select(col("user_id"), col("day"),
-        col("day_value").isNotNull.as("observed"),
-        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"))
+        (col("day") === col("obs_day")).as("observed"),
+        col("day_value").as("ffill_value"))
       .orderBy("user_id", "day")
   }
 
