@@ -651,6 +651,22 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** q_heavy_hitters — exact heavy hitters: keys contributing ≥ 0.8% of
+    * all events. One keyed agg + a broadcast scalar total (integer-only
+    * threshold compare, so no FP boundary ambiguity); at scale the same
+    * shape holds — the per-key counts never leave their partitions until
+    * the final threshold filter has already shrunk them. */
+  val q_heavy_hitters: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * 1000 >= col("total") * 8)
+      .select(col("user_id"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"))
+      .orderBy(desc("cnt"), col("user_id"))
+  }
+
   /** q_dq_report — data-quality audit: one row per declared constraint
     * with its violation count (null check, composite-PK uniqueness,
     * FK orphan check). Each check is an independent aggregate over its
@@ -856,6 +872,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
+    "q_heavy_hitters" -> q_heavy_hitters,
     "q_dq_report" -> q_dq_report,
     "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,

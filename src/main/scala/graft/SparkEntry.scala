@@ -191,6 +191,12 @@ object SparkEntry {
         |       epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       round(sum(value), 2) AS sum_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |     (SELECT count(*) AS total FROM events)
+        |WHERE cnt * 1000 >= total * 8
+        |ORDER BY cnt DESC, user_id""".stripMargin,
     "q_dq_report" ->
       """SELECT * FROM (
         |  SELECT 'li_null_qty' AS check_name, CAST(count(*) AS BIGINT) AS violations
