@@ -275,8 +275,14 @@ object Dedup {
       col(idB).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with round 1 already applied: from identity labels the first
+    // propagation is exactly label = min(id, min neighbor id), which one
+    // keyed agg over the edge list computes without the join — saves a
+    // full join+agg+checkpoint round every run
+    var labels = edges.groupBy("src")
+      .agg(min("dst").as("nbr_min"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr_min")).as("label"))
       .localCheckpoint(eager = true)
     var iter = 0
     var converged = false
