@@ -28,13 +28,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: touch the scan/agg/join/window machinery once
+    // untimed warmup: touch the scan/agg/join/window machinery once. A
+    // warmup failure must not abort the bench (the timed loop has its own
+    // fail penalty) but must never be SILENT either — a broken warmup
+    // query means the first timed query absorbs JVM init, quietly skewing
+    // exactly the numbers the warmup exists to stabilize.
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       Queries.q_agg_groupby(spark, sfDir).count()
       Queries.q_window_tumble(spark, sfDir).count()
-    } catch { case _: Throwable => }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED (timings for the first " +
+          s"queries may absorb JVM init): $e")
+    }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // a crashing query must NOT masquerade as a fast success OR quietly
     // deflate the total: a failed sample scores this penalty (valid JSON,
     // unlike Infinity), so a regression that crashes a query can only ever
@@ -56,13 +64,20 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else FailPenaltySec
       }
-      name -> samples.min
+      // min = the plan's cost with host noise stripped (the headline);
+      // median = the typical observed cost, reported alongside so the
+      // per-query noise spread is visible in every BENCH file
+      val sorted = samples.sorted
+      name -> (sorted.head, sorted(sorted.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val total = results.map(_._2._1).sum
+    val totalMed = results.map(_._2._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes every stdout line with [info], which defeated the
     // driver's JSON parse in round 1 (BENCH_r01 "parsed": null) — also

@@ -328,6 +328,25 @@ object Queries {
         round(percentile(col("l_discount"), lit(0.5)), 4).as("median_disc"))
       .orderBy("l_returnflag")
 
+  /** q_agg_approx_percentile — the approximate-percentile sketch
+    * (GK/KLL-family, Spark's `approx_percentile`), the 100 TB
+    * p50/p95/p99 latency-metric path next to the exact
+    * [[q_agg_percentile]] twin: one map-side-combinable sketch per
+    * group, O(accuracy) state, no per-group sort. Oracle-exempt
+    * (sketch-dependent values); the error bound against the exact
+    * percentile twin is pinned in scalatest. */
+  val q_agg_approx_percentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("approx_p95_price"),
+        approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("approx_p99_price"))
+      .orderBy("l_returnflag")
+
   /** q_agg_rollup — multi-grain summary (reference DWS grain hierarchy). */
   val q_agg_rollup: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -570,17 +589,42 @@ object Queries {
     Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, centroids, nprobe = 4)
   }
 
+  /** q_similarity_ivf_indexed — the persisted-index IVF lifecycle end to
+    * end: train the coarse quantizer, materialize the index partitioned
+    * by `ivf_list` ([[graft.operators.Similarity.ivfWriteIndex]]), then
+    * probe via `ivfTopKIndexed`, where `ivf_list ∈ probes` prunes at the
+    * FileIndex — the repeated-query path whose scan cost is ~N·nprobe/k
+    * instead of N. Oracle-exempt (approximate by construction);
+    * indexed == brute-force on the clustered fixture is pinned in
+    * scalatest, and the ≤-nprobe partition-pruning proof lives in
+    * FunctionsSpec. */
+  val q_similarity_ivf_indexed: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 16)
+    // deterministic per-SF scratch location; overwritten each run — the
+    // whole index lifecycle (train → write → probe) is what this id
+    // exercises for the bench/correctness harness
+    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${math.abs(d.hashCode)}"
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, indexDir)
+    Similarity.ivfTopKIndexed(s, indexDir, "vec_id", "embedding", q, 5, nprobe = 4)
+  }
+
   /** q_dedup_minhash — MinHash+LSH near-dup surface: per-doc signature head
     * + LSH candidate count; oracle-exempt (hash-dependent), scalatest-
     * verified against exact Jaccard on crafted corpora. */
   val q_dedup_minhash: Q = (s, d) => {
-    val banded = Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text")
-    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+    // single-pass plan: the signature table is materialized ONCE
+    // (localCheckpoint — the expensive fused UDF never re-evaluates per
+    // consumer), candidates come from the sig-free narrow band relation,
+    // and sig is read back off the checkpoint only for the per-doc row
+    val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val pairs = Dedup.minhashCandidateIds(sigs, "doc_id")
     val perDoc = pairs.select(col("id_a").as("doc_id"))
       .union(pairs.select(col("id_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    banded.select("doc_id", "sig").distinct()
-      .select(col("doc_id"), element_at(col("sig"), 1).as("sig0"))
+    sigs.select(col("doc_id"), element_at(col("sig"), 1).as("sig0"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("sig0"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
@@ -618,6 +662,20 @@ object Queries {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** q_dedup_cluster_minhash — the composed SCALE-PATH near-dup recipe
+    * ([[graft.operators.Dedup.clusterByMinhash]]): MinHash+LSH candidates
+    * → exact Jaccard confirm on candidates only → connected components →
+    * canonical keep. The exact-pair twin is [[q_dedup_cluster]]; this is
+    * the form that survives 100 TB, where materializing every exact pair
+    * is not an option. Oracle-exempt (LSH candidate recall is
+    * hash-dependent); agreement with exact clustering — and the one
+    * documented LSH-miss divergence — is pinned in scalatest. */
+  val q_dedup_cluster_minhash: Q = (s, d) =>
+    Dedup.clusterByMinhash(Tables.documents(s, d), "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id")
+      .orderBy("doc_id")
 
   /** q_split_train — deterministic train/val/test dataset split by md5
     * prefix of the doc id (80/10/10 over 256 hash cells): stable across
@@ -697,6 +755,12 @@ object Queries {
     val daily = Tables.events(s, d)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value")), 2).as("day_value"))
+      // an all-null day aggregates to a NULL day_value; treat it as
+      // unobserved (drop it) so the gap expansion and the oracle's
+      // last_value(... IGNORE NULLS) agree — without this, this side
+      // would mark the day observed and propagate NULL across the gap
+      // while the oracle carries the previous non-null value
+      .filter(col("day_value").isNotNull)
     // gap-fill WITHOUT a grid join: each observation expands to cover the
     // days up to (exclusive) the next observation, carrying its value —
     // identical result to grid ⟕ daily + last(ignoreNulls), but one events
@@ -840,6 +904,7 @@ object Queries {
     "q_agg_approx_distinct" -> q_agg_approx_distinct,
     "q_agg_stats" -> q_agg_stats,
     "q_agg_percentile" -> q_agg_percentile,
+    "q_agg_approx_percentile" -> q_agg_approx_percentile,
     "q_agg_rollup" -> q_agg_rollup,
     "q_agg_cube" -> q_agg_cube,
     "q_agg_grouping_sets" -> q_agg_grouping_sets,
@@ -866,10 +931,12 @@ object Queries {
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_lsh" -> q_similarity_lsh,
     "q_similarity_ivf" -> q_similarity_ivf,
+    "q_similarity_ivf_indexed" -> q_similarity_ivf_indexed,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_cluster" -> q_dedup_cluster,
+    "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
     "q_heavy_hitters" -> q_heavy_hitters,

@@ -22,9 +22,11 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops (approx sketches / hash-seeded LSH / heuristics):
-    * q_agg_approx_distinct, q_lang_id, q_similarity_lsh, q_similarity_ivf,
-    * q_dedup_minhash, q_dedup_simhash, q_dedup_embed — each is instead
-    * golden-tested in scalatest (SURVEY §5.2).
+    * q_agg_approx_distinct, q_agg_approx_percentile, q_lang_id,
+    * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
+    * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
+    * q_dedup_cluster_minhash — each is instead golden-tested in scalatest
+    * (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -212,7 +214,7 @@ object SparkEntry {
     "q_resample_ffill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS day_value
-        |  FROM events GROUP BY 1, 2
+        |  FROM events GROUP BY 1, 2 HAVING sum(value) IS NOT NULL
         |), grid AS (
         |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
         |  FROM daily GROUP BY user_id

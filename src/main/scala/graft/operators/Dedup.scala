@@ -109,40 +109,107 @@ object Dedup {
     }
   }
 
-  /** MinHash + LSH banding: docs → (id, signature, band, bucket) — the LSH
-    * candidate-generation relation.
+  /** MinHash signature table: docs → one row per doc of
+    * (id, sig array<bigint>, buckets array<bigint>) — the fused
+    * shingle/minhash/band UDF evaluated in ONE narrow JVM pass.
     *
-    * Pipeline: tokenize → fused shingle/minhash/band UDF (one narrow JVM
-    * pass) → explode bands (×`bands` rows). The only shuffle anywhere
-    * downstream is the band-bucket hash join, whose key cardinality grows
-    * with corpus size, so it stays balanced at scale.
-    */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    * This is the relation to materialize (`localCheckpoint`/cache) when
+    * more than one consumer needs it: the UDF is the expensive step, and
+    * a lazily shared plan re-evaluates it once per differently-projected
+    * subtree. Every downstream minhash operator derives from this table;
+    * the wide `sig` array never has to ride a band-explode shuffle
+    * ([[minhashCandidateIds]] keeps the explode sig-free). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
     val mh = minhashBanded(shingleN, numHashes, bands)
-    // posexplode_outer keeps shingle-less docs in the relation (their sig
-    // is listed) with null band/bucket — and null join keys never match,
-    // so they can never become candidates.
     docs
       .select(col(idCol), mh(Text.tokens(col(textCol))).as("mh"))
-      .select(col(idCol), col("mh._1").as("sig"),
-        posexplode_outer(col("mh._2")).as(Seq("band", "bucket")))
+      .select(col(idCol), col("mh._1").as("sig"), col("mh._2").as("buckets"))
   }
 
-  /** Candidate near-dup pairs from banded minhash signatures, with the
-    * signature-estimated Jaccard. Pairs sharing ≥1 band bucket. */
-  def minhashCandidatePairs(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
+  /** LSH candidate id pairs: docs sharing ≥1 band bucket, `id_a < id_b`,
+    * distinct. The band relation exploded here is the NARROW
+    * (id, band, bucket) triple — the 32-long signature array stays out of
+    * the ×`bands` explode and its shuffle entirely; shingle-less docs
+    * have an empty bucket array (see [[minhashBanded]]) and simply
+    * produce no band rows, so they can never become candidates. The only
+    * shuffle is the band-bucket hash join, whose key cardinality grows
+    * with corpus size, so it stays balanced at scale. */
+  def minhashCandidateIds(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandRel = sigs.select(col(idCol),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val a = bandRel.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = bandRel.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Candidate near-dup pairs with the signature-estimated Jaccard.
+    * Candidates come sig-free from [[minhashCandidateIds]]; the signature
+    * arrays join back onto the (already distinct, LSH-bounded) pair list
+    * only for the estimate — pass a materialized `sigs`
+    * ([[minhashSignatures]] + `localCheckpoint`) so the signature UDF
+    * runs once, not once per projection. */
+  def minhashCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val ids = minhashCandidateIds(sigs, idCol)
+    val sa = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"))
+    ids.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           eq => eq))
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
-      .distinct()
+  }
+
+  /** Exact token-n-gram Jaccard of two token arrays, fused in one JVM
+    * pass — the confirm step of the scale-path near-dup pipeline, run
+    * ONLY on LSH candidate pairs (never all-pairs). */
+  def pairJaccard(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      def sh(t: Seq[String]): Set[String] =
+        if (t == null || t.length < n) Set.empty[String]
+        else t.sliding(n).map(_.mkString(" ")).toSet
+      val sa = sh(a); val sb = sh(b)
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else {
+        val inter = sa.intersect(sb).size
+        inter.toDouble / (sa.size + sb.size - inter)
+      }
+    }
+
+  /** The composed 100 TB near-dup dedup recipe, end to end:
+    * MinHash+LSH candidate generation → EXACT n-gram Jaccard confirm on
+    * the candidates only → [[connectedComponents]] over confirmed pairs →
+    * [[keepCanonical]]. Returns the surviving documents.
+    *
+    * Scale shape: the signature table is one narrow UDF pass
+    * (materialized once via localCheckpoint — ~300 B/doc); candidate
+    * generation shuffles only (id, band, bucket); the token arrays are
+    * joined onto the LSH-bounded candidate list, so exact-Jaccard work is
+    * proportional to candidates, not corpus². Approximation caveat (by
+    * construction of LSH): a pair whose bands all miss is never
+    * confirmed even if its exact Jaccard clears `threshold` — with 8
+    * bands of 4 rows, P(candidate) = 1-(1-j⁴)⁸ (≈0.4 at j=0.5, ≈0.97 at
+    * j=0.8) — so clusters can split vs exact clustering near the
+    * threshold; raise `bands` (lower rows-per-band) for higher recall. */
+  def clusterByMinhash(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3,
+                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint(eager = true)
+    val cand = minhashCandidateIds(sigs, idCol)
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val confirmed = cand
+      .join(toks.select(col(idCol).as("id_a"), col("__toks").as("__toks_a")),
+        Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("__toks").as("__toks_b")),
+        Seq("id_b"))
+      .filter(pairJaccard(shingleN)(col("__toks_a"), col("__toks_b")) >= threshold)
+      .select("id_a", "id_b")
+    keepCanonical(docs, confirmed, idCol)
   }
 
   /** SimHash dedup surface: per-doc 64-bit simhash plus the count of other
@@ -301,6 +368,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // a maxIter exit without convergence means labels are TRUNCATED
+    // propagation — silently plausible but wrong (a >maxIter-diameter
+    // chain keeps distinct labels inside one component). Fail loudly so
+    // it can never masquerade as a correct labeling; callers with such
+    // graphs should raise maxIter or switch to large-star/small-star.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter " +
+          "rounds (graph diameter exceeds maxIter); raise maxIter or use a " +
+          "log-round formulation for large-diameter graphs")
     labels
   }
 

@@ -268,6 +268,48 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Incremental index maintenance — the steady-state operation: assign
+    * ONLY the new batch against the persisted centroids and rewrite ONLY
+    * the `ivf_list=` partitions that batch touches, via dynamic partition
+    * overwrite (the same touched-partitions-only pattern as
+    * [[graft.sources.IO.bucketedUpsertSink]]). Existing rows of the
+    * touched lists are read back through a partition-pruned scan
+    * (untouched lists are never listed or opened), re-submitted ids are
+    * replaced (id-level upsert within a list), and per-append cost is
+    * O(batch + touched lists) — independent of index size.
+    *
+    * Caveat (documented, not silently wrong): an id whose NEW embedding
+    * assigns to a different list than its old one leaves the stale copy
+    * in the old list, because that list may be untouched. Appends of new
+    * ids — the steady-state case — are exact; re-embedding migrations
+    * need [[ivfWriteIndex]]'s full rebuild (or a delete pass). */
+  def ivfAppendIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                     indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val assigned = ivfAssign(newVecs, vecCol, centroids)
+      .localCheckpoint(eager = true)
+    try {
+      // ≤ k ints — a fixed-size driver-side set, never data-scale
+      val touched = assigned.select("ivf_list").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val existing = spark.read.parquet(s"$indexDir/vectors")
+        .filter(col("ivf_list").isin(touched: _*))
+        .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")
+      // pin the merge before overwriting the path it reads (same
+      // read-write-cycle break as bucketedUpsertSink); bounded by the
+      // touched lists' size, a few task-units by construction
+      val merged = existing.unionByName(assigned)
+        .localCheckpoint(eager = true)
+      try
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ivf_list")
+          .parquet(s"$indexDir/vectors")
+      finally merged.unpersist(blocking = false)
+    } finally assigned.unpersist(blocking = false)
+  }
+
   /** Load the centroid matrix of a persisted index — k small rows. */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Array[Array[Float]] =

@@ -161,8 +161,11 @@ object IO {
     *
     * Crash safety: dynamic overwrite stages files and swaps at job
     * commit; if a batch dies mid-write the checkpoint has not committed,
-    * and re-running the batch reproduces identical partition contents —
-    * the LWW merge is idempotent — so replay converges. */
+    * and re-running the batch converges to an equivalent snapshot — the
+    * LWW merge is idempotent, though a replay at a later wall-clock time
+    * may additionally compact tombstones the original write kept
+    * (`compactTombstones` is driven by now-time; both outcomes are
+    * inside the replay horizon's safety contract). */
   def bucketedUpsertSink(df: DataFrame, snapshotDir: String,
                          checkpointDir: String, keyCol: String,
                          snapshotSchema: StructType, numBuckets: Int,
@@ -181,8 +184,13 @@ object IO {
         if (touched.nonEmpty) {
           val dst = new org.apache.hadoop.fs.Path(snapshotDir)
           val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // a snapshot dir that exists but holds no bucket partitions
+          // (every bucket compacted to empty, or only _SUCCESS left) has
+          // no schema to infer — treat it exactly like the no-dir branch
+          val hasBuckets = fs.exists(dst) &&
+            fs.listStatus(dst).exists(_.getPath.getName.startsWith("__bucket="))
           val existing =
-            if (fs.exists(dst))
+            if (hasBuckets)
               // filter on the partition column prunes to the touched
               // bucket directories at the FileIndex — untouched buckets
               // are never listed, opened, or shuffled

@@ -71,6 +71,13 @@ object Cdc {
     */
   def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
                      keyCol: String): DataFrame = {
+    // fail the ⊇-columns contract loudly and by name — without this, a
+    // changelog batch missing a persisted snapshot column (e.g. `seq`)
+    // surfaces as an opaque unresolved-column AnalysisException mid-stream
+    val missing = snapshot.columns.toSet -- changelog.columns.toSet
+    require(missing.isEmpty,
+      s"changelog must carry every snapshot column; missing: " +
+        missing.toSeq.sorted.mkString(", "))
     // Deterministic priority: ts_ms → seq (if present) → op rank (delete
     // outranks update at the same instant) → payload hash, so ties can
     // never depend on partition iteration order.

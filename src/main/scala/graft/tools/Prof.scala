@@ -23,9 +23,10 @@ object Prof {
     }
     val docs = Tables.documents(spark, sfDir)
     time("docs.count")(docs.count())
-    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
-    time("banded count")(banded.count())
-    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    time("signature table")(sigs.count())
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id")
     time("candidate pairs")(println("  pairs=" + pairs.count()))
     time("q_dedup_minhash")(graft.Queries.q_dedup_minhash(spark, sfDir).count())
     time("q_dedup_ngram")(graft.Queries.q_dedup_ngram(spark, sfDir).count())

@@ -129,8 +129,8 @@ class FunctionsSpec extends SparkSpec {
     val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " x99"
     val other = (100 to 140).map(i => s"v$i").mkString(" ")
     val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
-    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
-    val pairs = Dedup.minhashCandidatePairs(banded, "doc_id")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id")
       .as[(Long, Long, Double)].collect()
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.6 })
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
@@ -139,11 +139,11 @@ class FunctionsSpec extends SparkSpec {
   test("minhash: shingle-less short docs are never near-dup candidates of each other") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "x y"),
       (4L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
-    val banded = Dedup.minhashLsh(docs, "doc_id", "text")
-    // all four docs stay visible in the relation (sig listed)…
-    assert(banded.select("doc_id").distinct().count() == 4)
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    // all four docs stay visible in the signature table…
+    assert(sigs.select("doc_id").distinct().count() == 4)
     // …but the sub-shingle docs (1,2,3) produce zero candidate pairs
-    assert(Dedup.minhashCandidatePairs(banded, "doc_id").count() == 0)
+    assert(Dedup.minhashCandidatePairs(sigs, "doc_id").count() == 0)
   }
 
   test("minhash est_jaccard tracks exact jaccard on controlled overlap") {
@@ -155,7 +155,7 @@ class FunctionsSpec extends SparkSpec {
     val sh2 = (4 to 33).map(i => s"w$i").sliding(3).map(_.mkString(" ")).toSet
     val exact = sh1.intersect(sh2).size.toDouble / sh1.union(sh2).size
     val est = Dedup.minhashCandidatePairs(
-      Dedup.minhashLsh(docs, "doc_id", "text"), "doc_id")
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
       .as[(Long, Long, Double)].collect().headOption.map(_._3)
     // 32 hashes → σ ≈ sqrt(j(1-j)/32) ≈ 0.08; allow 3σ
     assert(est.isDefined, "near-dup pair must be an LSH candidate")

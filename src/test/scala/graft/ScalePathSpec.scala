@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Golden tests for the round-4 scale-path compositions: the composed
+  * MinHash near-dup clustering pipeline ([[Dedup.clusterByMinhash]]),
+  * incremental IVF index maintenance ([[Similarity.ivfAppendIndex]]), and
+  * the approximate-percentile sketch bound. */
+class ScalePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  // exact-pair clustering twin: threshold the full exact n-gram Jaccard
+  // pair list (no LSH), CC, canonical keep — what clusterByMinhash must
+  // agree with whenever LSH recall holds
+  private def exactSurvivors(docs: org.apache.spark.sql.DataFrame,
+                             threshold: Double): Set[Long] = {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", n = 3, maxDocFreq = Long.MaxValue)
+      .filter(col("jaccard") >= threshold)
+    Dedup.keepCanonical(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+  }
+
+  test("clusterByMinhash agrees with exact clustering on high-overlap clusters") {
+    // cluster A (1,2,3): near-identical 41-token docs, pairwise j ~ 0.85
+    // — P(LSH candidate) ~ 1 - (1-j^4)^8 > 0.999, and with these exact
+    // strings the candidacy is deterministic (asserted below); cluster B
+    // (10,11): same shape; 20, 21: unrelated singletons
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base + " endA"), (2L, base + " endB"), (3L, base + " endC"),
+      (10L, (100 to 135).map(i => s"u$i").mkString(" ") + " tail1"),
+      (11L, (100 to 135).map(i => s"u$i").mkString(" ") + " tail2"),
+      (20L, (200 to 240).map(i => s"v$i").mkString(" ")),
+      (21L, (300 to 340).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val exact = exactSurvivors(docs, 0.5)
+    assert(exact == Set(1L, 10L, 20L, 21L),
+      s"fixture sanity: exact clustering must merge the two clusters: $exact")
+
+    val viaMinhash = Dedup.clusterByMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaMinhash == exact,
+      s"scale path must agree with exact clustering: $viaMinhash vs $exact")
+  }
+
+  test("clusterByMinhash documented divergence: an LSH band miss keeps both docs") {
+    // Deterministic LSH-miss pair (found by exhaustive probe over suffix
+    // variants with the production hash family): 28 shared tokens + 10
+    // distinct suffix tokens each → 36 shingles/doc, 26 common, exact
+    // j = 26/46 ≈ 0.565 ≥ 0.5, yet NO band bucket of the 32-hash/8-band
+    // signatures collides. Exact clustering merges the pair; the LSH
+    // pipeline legitimately keeps both — the precision/recall trade the
+    // operator's docstring declares (P(candidate) ≈ 0.4 at j = 0.5).
+    val shared = (1 to 28).map(i => s"w$i")
+    val a = (shared ++ (1 to 10).map(i => s"a3x$i")).mkString(" ")
+    val b = (shared ++ (1 to 10).map(i => s"b3y$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+
+    // fixture sanity: the pair clears the threshold exactly…
+    val exact = exactSurvivors(docs, 0.5)
+    assert(exact == Set(1L), s"exact clustering must merge the pair: $exact")
+    // …and is genuinely not an LSH candidate
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(Dedup.minhashCandidateIds(sigs, "doc_id").isEmpty,
+      "fixture must be an LSH band miss")
+
+    val viaMinhash = Dedup.clusterByMinhash(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaMinhash == Set(1L, 2L),
+      s"LSH miss must keep both docs (documented divergence): $viaMinhash")
+  }
+
+  test("ivfAppendIndex rewrites only the touched list partitions and stays probe-consistent") {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_").toString
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+
+    def partitionFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/vectors").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ivf_list="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = partitionFiles()
+
+    // new batch: 3 new ids near center 0 — all assign to cluster 0's list
+    val newRows = (100 to 102).map { i =>
+      (i.toLong, centers(0).map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+    val touchedList = Similarity.nearestLists(centers(0), loaded, 1).head
+    Similarity.ivfAppendIndex(newRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+
+    // only the touched list's partition directory changed
+    val after = partitionFiles()
+    val changed = (before.keySet ++ after.keySet).filter(k =>
+      before.get(k) != after.get(k))
+    assert(changed == Set(s"ivf_list=$touchedList"),
+      s"append must rewrite exactly the touched partition: $changed")
+
+    // probe-consistency: a query near center 0 sees the appended vectors
+    val q = centers(0)
+    val top = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      q, 9, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(Set(100L, 101L, 102L).subsetOf(top),
+      s"appended vectors must be probeable: $top")
+    // and the index row count grew by exactly the batch
+    assert(spark.read.parquet(s"$dir/vectors").count() == 48 + 3)
+
+    // id-level upsert: re-submitting an existing id replaces its row
+    // (within its list) instead of duplicating it
+    Similarity.ivfAppendIndex(
+      Seq((100L, centers(0).map(x => x + 0.005f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val rowsFor100 = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === 100L).count()
+    assert(rowsFor100 == 1L, s"upsert must not duplicate: $rowsFor100 rows")
+  }
+
+  test("approx_percentile within rank-error bound of the exact percentile twin") {
+    // accuracy = 1000 → rank error <= group_size/1000; bounding by the
+    // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so
+    // the assert pins semantics without flaking
+    val approx = Queries.q_agg_approx_percentile(spark, sfDir)
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    val bounds = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.49)).as("m_lo"),
+        percentile(col("l_extendedprice"), lit(0.51)).as("m_hi"),
+        percentile(col("l_extendedprice"), lit(0.94)).as("p95_lo"),
+        percentile(col("l_extendedprice"), lit(0.96)).as("p95_hi"),
+        percentile(col("l_extendedprice"), lit(0.98)).as("p99_lo"),
+        percentile(col("l_extendedprice"), lit(1.0)).as("p99_hi"))
+      .as[(String, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    approx.foreach { case (flag, m, p95, p99) =>
+      val (_, mLo, mHi, p95Lo, p95Hi, p99Lo, p99Hi) = bounds(flag)
+      assert(m >= mLo && m <= mHi, s"$flag median $m outside [$mLo, $mHi]")
+      assert(p95 >= p95Lo && p95 <= p95Hi, s"$flag p95 $p95 outside [$p95Lo, $p95Hi]")
+      assert(p99 >= p99Lo && p99 <= p99Hi, s"$flag p99 $p99 outside [$p99Lo, $p99Hi]")
+    }
+  }
+}
