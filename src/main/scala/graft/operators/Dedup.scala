@@ -325,16 +325,18 @@ object Dedup {
     * the MINIMUM id reachable through edges as its component label — the
     * canonical representative of its near-dup cluster.
     *
-    * Iterative min-label propagation: each round, a vertex takes the
-    * smallest label among itself and its neighbors (one join + one
-    * keyed agg per round); converged when no label changes. Rounds =
-    * graph diameter, and near-dup graphs are clique-like (similarity is
-    * near-transitive), so 2–4 rounds in practice; `maxIter` bounds
-    * pathological chains. Each round's labels are localCheckpoint-ed so
-    * the plan does not grow with iterations (the classic iterative-Spark
-    * lineage bomb). For graphs with genuinely large diameters, switch to
-    * the O(log n)-round large-star/small-star formulation — for near-dup
-    * clustering the simple propagation wins on constant factors. */
+    * Each round does (1) min-label propagation — a vertex takes the
+    * smallest label among itself and its neighbors (one join + one keyed
+    * agg) — then (2) pointer jumping — `L(v) ← L(L(v))` (one self-join
+    * on the label relation), the Shiloach–Vishkin shortcut that halves
+    * chain depth every round. Combined rounds are O(log diameter), so
+    * `maxIter` = 20 covers diameters up to ~2²⁰ — clique-like near-dup
+    * graphs still converge in 2–3 rounds, and long-chain graphs no
+    * longer degrade to O(diameter). Labels only ever decrease and every
+    * label value is a live vertex id (min over reachable ids), so the
+    * shortcut join always resolves. Each round's labels are
+    * localCheckpoint-ed so the plan does not grow with iterations (the
+    * classic iterative-Spark lineage bomb). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
@@ -356,10 +358,20 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min("label").as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(eager = true)
+      // pointer jumping: adopt the label OF one's label. Monotone
+      // (L(x) ≤ x ⇒ L(L(v)) ≤ L(v)), so the convergence compare below —
+      // post-shortcut vs start-of-round — also certifies the propagation
+      // step was a fixpoint, which is the all-neighbors-equal condition.
+      val par = propagated.select(col("id").as("pid"), col("label").as("plabel"))
+      val updated = propagated.join(par, propagated("label") === par("pid"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      propagated.unpersist(blocking = false)
       converged =
         updated.filter(col("label") =!= col("old_label")).isEmpty
       val prev = labels

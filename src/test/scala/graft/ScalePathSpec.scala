@@ -127,6 +127,25 @@ class ScalePathSpec extends SparkSpec {
     assert(rowsFor100 == 1L, s"upsert must not duplicate: $rowsFor100 rows")
   }
 
+  test("connectedComponents: 300-node chain converges in O(log diameter) rounds") {
+    // a path graph is the worst case for plain min-label propagation
+    // (rounds = diameter); with the pointer-jumping shortcut the default
+    // maxIter=20 must comfortably close a diameter-299 chain (~2^20 max)
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 300)
+    assert(labels.values.forall(_ == 0L),
+      s"every chain vertex must label to 0: ${labels.filter(_._2 != 0L).take(5)}")
+
+    // two disjoint chains stay distinct components
+    val two = chain.union(
+      (1000L until 1050L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    val l2 = Dedup.connectedComponents(two).as[(Long, Long)].collect().toMap
+    assert(l2.filter(_._1 >= 1000L).values.forall(_ == 1000L))
+    assert(l2.filter(_._1 < 1000L).values.forall(_ == 0L))
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so
