@@ -368,6 +368,19 @@ object Queries {
         col("sum_value"), col("n"), col("n_users"))
       .orderBy("day", "event_type")
 
+  /** q_window_slide — batch hopping (sliding) window: 1-day windows every
+    * 12 h, so each event lands in exactly 2 overlapping windows. Uses the
+    * real `window(ts, size, slide)` primitive (same operator the
+    * streaming path runs); the DuckDB oracle replays the epoch-aligned
+    * window arithmetic with a 2-element unnest on the 12 h grid. */
+  val q_window_slide: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"), col("event_type"))
+      .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"),
+        col("sum_value"), col("n"))
+      .orderBy("w_start_ms", "event_type")
+
   // -------------------------------------------------------------------
   // §2.E analytic window functions
   // -------------------------------------------------------------------
@@ -538,6 +551,22 @@ object Queries {
     Tables.documents(s, d)
       .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"),
         col("n_chars"))
+      .orderBy("doc_id")
+
+  /** q_text_normalize — pretraining text normalization: lowercase, strip
+    * non-alphanumerics, collapse whitespace, count surviving tokens — a
+    * pure narrow map (codegen'd regexp_replace chain, no UDF, no
+    * shuffle beyond the contract sort). DuckDB oracle mirrors the regex
+    * chain with the 'g' flag (DuckDB replaces first-match by default). */
+  val q_text_normalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+      .withColumn("n_tokens",
+        when(col("norm_text") === "", 0)
+          .otherwise(size(split(col("norm_text"), " "))).cast("long"))
       .orderBy("doc_id")
 
   /** q_quality_score — length/stopword quality heuristics. */
@@ -725,6 +754,28 @@ object Queries {
       .orderBy(desc("cnt"), col("user_id"))
   }
 
+  /** q_heavy_hitters_approx — heavy hitters from a count-min sketch: the
+    * counting pass is ONE distributed sketch aggregation (partition-local
+    * sketches merged driver-side, O(1/eps·ln(1/δ)) memory — never
+    * data-scale), then candidate keys are scored by a broadcast
+    * estimate lookup. CMS only ever OVER-estimates, so the result is a
+    * superset of the exact [[q_heavy_hitters]] (pinned in ScalePathSpec)
+    * — the at-scale pattern when per-key exact counts don't fit.
+    * Oracle-exempt (sketch-seeded). */
+  val q_heavy_hitters_approx: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cms = ev.stat.countMinSketch(col("user_id"), 0.0001, 0.99, 42)
+    val bc = s.sparkContext.broadcast(cms)
+    val est = udf { (u: Long) => bc.value.estimateCount(u) }
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.select("user_id").distinct()
+      .withColumn("est_cnt", est(col("user_id")))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt") * 1000 >= col("total") * 8)
+      .select("user_id", "est_cnt")
+      .orderBy(desc("est_cnt"), col("user_id"))
+  }
+
   /** q_dq_report — data-quality audit: one row per declared constraint
     * with its violation count (null check, composite-PK uniqueness,
     * FK orphan check). Each check is an independent aggregate over its
@@ -801,6 +852,20 @@ object Queries {
   val q_decontaminate: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** q_decontaminate_bloom — the zero-shuffle decontamination variant:
+    * probe shingles → broadcast Bloom filter → one narrow membership
+    * predicate over the corpus (no explode, no join, no corpus shuffle
+    * at all). False positives over-drop only (conservative for leak
+    * hygiene); subset-of-exact is pinned in ScalePathSpec.
+    * Oracle-exempt (Bloom hash-dependent). */
+  val q_decontaminate_bloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateBloom(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10), "doc_id", "text")
       .select("doc_id")
       .orderBy("doc_id")
@@ -910,6 +975,7 @@ object Queries {
     "q_agg_grouping_sets" -> q_agg_grouping_sets,
     "q_pivot" -> q_pivot,
     "q_window_tumble" -> q_window_tumble,
+    "q_window_slide" -> q_window_slide,
     "q_topk" -> q_topk,
     "q_window_lag" -> q_window_lag,
     "q_window_running" -> q_window_running,
@@ -925,6 +991,7 @@ object Queries {
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,
     "q_token_count" -> q_token_count,
+    "q_text_normalize" -> q_text_normalize,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,
@@ -940,10 +1007,12 @@ object Queries {
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
     "q_heavy_hitters" -> q_heavy_hitters,
+    "q_heavy_hitters_approx" -> q_heavy_hitters_approx,
     "q_dq_report" -> q_dq_report,
     "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,
+    "q_decontaminate_bloom" -> q_decontaminate_bloom,
     "q_retention" -> q_retention,
     "q_funnel" -> q_funnel,
     "q_tfidf" -> q_tfidf,

@@ -25,7 +25,8 @@ object SparkEntry {
     * q_agg_approx_distinct, q_agg_approx_percentile, q_lang_id,
     * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
     * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
-    * q_dedup_cluster_minhash — each is instead golden-tested in scalatest
+    * q_dedup_cluster_minhash, q_heavy_hitters_approx,
+    * q_decontaminate_bloom — each is instead golden-tested in scalatest
     * (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
@@ -86,6 +87,16 @@ object SparkEntry {
       "SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_window_tumble" ->
       "SELECT CAST(ts AS DATE) AS day, event_type, round(sum(value), 2) AS sum_value, count(*) AS n, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1, 2 ORDER BY day, event_type",
+    // epoch-aligned hopping windows (size 24 h, slide 12 h): each event
+    // belongs to exactly the two 12 h-grid starts covering it
+    "q_window_slide" ->
+      """WITH w AS (
+        |  SELECT event_type, value, unnest([g, g - 43200000]) AS w_start_ms
+        |  FROM (SELECT event_type, value,
+        |        (epoch_ms(ts) // 43200000) * 43200000 AS g FROM events)
+        |)
+        |SELECT w_start_ms, event_type, round(sum(value), 2) AS sum_value, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin,
     "q_topk" ->
       "SELECT day, user_id, spend, rn FROM (SELECT day, user_id, spend, row_number() OVER (PARTITION BY day ORDER BY spend DESC, user_id) AS rn FROM (SELECT CAST(ts AS DATE) AS day, user_id, round(sum(value), 2) AS spend FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) t) t2 WHERE rn <= 3 ORDER BY day, rn",
     "q_window_lag" ->
@@ -116,6 +127,15 @@ object SparkEntry {
       "SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     "q_token_count" ->
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
+    "q_text_normalize" ->
+      """SELECT doc_id, norm_text,
+        |       CAST(CASE WHEN norm_text = '' THEN 0
+        |            ELSE len(string_split(norm_text, ' ')) END AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |             ' +', ' ', 'g')) AS norm_text
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->

@@ -321,6 +321,35 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Zero-shuffle decontamination — the same hygiene pass as
+    * [[decontaminate]] with the corpus-side inverted index replaced by a
+    * broadcast Bloom filter: probe shingles (benchmark-sized, bounded)
+    * build a Bloom filter driver-side, and the corpus is filtered by ONE
+    * narrow per-doc membership test — no explode, no join, no shuffle of
+    * anything at any scale; the whole corpus pass is a predicate on the
+    * scan. Bloom false positives can only OVER-drop (a clean doc flagged
+    * contaminated with probability ≤ `fpp` per shingle) — the
+    * conservative direction for eval-leak hygiene; the result is a
+    * subset of [[decontaminate]]'s output (pinned in ScalePathSpec). */
+  def decontaminateBloom(docs: DataFrame, probe: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         fpp: Double = 0.001): DataFrame = {
+    val probeSh = probe
+      .select(explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+      .distinct()
+    // expectedNumItems is the probe's own distinct-shingle count — a
+    // benchmark-sized scalar, same boundedness argument as the broadcast
+    // in `decontaminate`
+    val nShingles = math.max(probeSh.count(), 1L)
+    val bloom = probeSh.stat.bloomFilter("sh_str", nShingles, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val shingle = shingleSet(n)
+    val hasLeak = udf { (shs: Seq[String]) =>
+      shs != null && shs.exists(bc.value.mightContain)
+    }
+    docs.filter(!hasLeak(shingle(Text.tokens(col(textCol)))))
+  }
+
   /** Connected components over an undirected pair list: every vertex gets
     * the MINIMUM id reachable through edges as its component label — the
     * canonical representative of its near-dup cluster.

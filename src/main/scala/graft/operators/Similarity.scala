@@ -340,6 +340,32 @@ object Similarity {
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
+  // ---- int8 embedding storage quantization --------------------------
+
+  /** Symmetric per-vector int8 quantization: scale = maxAbs/127, codes
+    * stored as an 8-bit binary column — a 4× storage/IO cut for
+    * embedding tables (the difference between 100 TB and 25 TB of
+    * vectors) at <0.1% cosine error for typical embeddings. A narrow
+    * map; returns struct(scale float, q binary). */
+  def quantizeInt8: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      var maxAbs = 0f
+      v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+      val scale = if (maxAbs == 0f) 1f else maxAbs / 127f
+      val q = new Array[Byte](v.length)
+      var i = 0
+      while (i < q.length) {
+        q(i) = math.max(-127, math.min(127, math.round(v(i) / scale))).toByte
+        i += 1
+      }
+      (scale, q)
+    }
+
+  /** Inverse of [[quantizeInt8]] — reconstructs float vectors from the
+    * (scale, codes) pair; a narrow map. */
+  def dequantizeInt8: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (scale: Float, q: Array[Byte]) => q.map(_ * scale).toSeq }
+
   /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,
     * member count, representative min id. Buckets with n_vecs > 1 are the
     * near-dup candidate sets (exact cosine confirm happens inside buckets,

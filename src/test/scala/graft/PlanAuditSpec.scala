@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     // BNLJ is legitimate exactly where the broadcast side is provably
     // tiny: a scalar aggregate (q_tfidf's doc count) or a dim-bounded
     // range table (interval/theta joins over the small side)
-    val allowed = Set("q_tfidf", "q_join_interval", "q_heavy_hitters")
+    val allowed =
+      Set("q_tfidf", "q_join_interval", "q_heavy_hitters", "q_heavy_hitters_approx")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n

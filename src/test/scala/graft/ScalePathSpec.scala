@@ -146,6 +146,85 @@ class ScalePathSpec extends SparkSpec {
     assert(l2.filter(_._1 < 1000L).values.forall(_ == 0L))
   }
 
+  test("decontaminateBloom: subset of exact decontamination, planted leak dropped") {
+    // corpus doc 12 shares a 5-gram with probe doc 1 (the planted leak);
+    // 13 and 14 are clean
+    val probe = Seq((1L, (1 to 12).map(i => s"p$i").mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (12L, "x1 x2 " + (3 to 9).map(i => s"p$i").mkString(" ") + " x3"),
+      (13L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (14L, (20 to 32).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, probe, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Dedup.decontaminateBloom(corpus, probe, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(13L, 14L), s"fixture sanity: $exact")
+    // Bloom FPs may only over-drop: the clean set is a subset of exact's
+    assert(bloom.subsetOf(exact), s"bloom must never keep a leaked doc: $bloom")
+    assert(!bloom.contains(12L))
+    // at fpp=0.001 on this tiny corpus the outputs coincide (pinned —
+    // a change here means the hash family or fpp math moved)
+    assert(bloom == exact)
+  }
+
+  test("q_heavy_hitters_approx: superset of exact heavy hitters, estimates >= truth") {
+    val exact = Queries.q_heavy_hitters(spark, sfDir)
+      .select("user_id", "cnt").as[(Long, Long)].collect().toMap
+    val approx = Queries.q_heavy_hitters_approx(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty, "fixture must have heavy hitters")
+    assert(exact.keySet.subsetOf(approx.keySet),
+      s"CMS over-estimates only, so every exact heavy hitter must surface: " +
+        s"missing ${exact.keySet -- approx.keySet}")
+    exact.foreach { case (k, trueCnt) =>
+      assert(approx(k) >= trueCnt, s"estimate for $k below truth")
+    }
+  }
+
+  test("int8 quantization: cosine fidelity and top-k preservation") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 6; m <- 0 until 5) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 5 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val roundTrip = emb
+      .withColumn("qz", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("deq", Similarity.dequantizeInt8(col("qz._1"), col("qz._2")))
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val pairs = roundTrip.select("embedding", "deq")
+      .as[(Seq[Float], Seq[Float])].collect()
+    assert(pairs.forall { case (v, dq) => cos(v, dq) > 0.999 },
+      "int8 round trip must preserve direction to < 0.1% cosine error")
+
+    // storage contract: codes are BinaryType (1 byte/dim on disk)
+    val qType = roundTrip.schema("qz").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("_2").dataType
+    assert(qType == org.apache.spark.sql.types.BinaryType)
+
+    // retrieval on dequantized vectors reproduces the exact top-k
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val deq = roundTrip.select(col("vec_id"), col("deq").as("embedding"))
+    val viaQuant = Similarity.bruteForceTopK(deq, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // the retrieved SET and the top hit must survive quantization; ranks
+    // among a cluster's near-identical members (sims within ~1e-3 of
+    // each other) may legitimately swap under int8 rounding
+    assert(viaQuant.toSet == exact.toSet,
+      s"quantized retrieval drifted: $viaQuant vs $exact")
+    assert(viaQuant.head == exact.head)
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so
