@@ -65,4 +65,69 @@ object Sampling {
                        fractions: Map[String, Double],
                        seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** GLOBALLY ordered shard writer — curriculum/quality-sorted training
+    * layouts: `repartitionByRange(sortCol)` gives range-disjoint shards
+    * (shard i's every row sorts before shard i+1's — Spark samples the
+    * key distribution to pick balanced boundaries), then one
+    * sort-within-partitions makes each shard internally ordered, so
+    * reading the shard files in shard order replays one global sort
+    * without ever running one. `__shard` is `spark_partition_id()` of
+    * the range partitioning, stamped post-repartition so it IS the
+    * range rank. */
+  def writeSortedShards(df: DataFrame, sortCol: String, outDir: String,
+                        numShards: Int): Unit =
+    df.repartitionByRange(numShards, col(sortCol))
+      .withColumn("__shard", spark_partition_id())
+      // __shard leads the ordering for the same V1Writes reason as
+      // writeShards: the writer's required ordering is already satisfied
+      .sortWithinPartitions(col("__shard"), col(sortCol))
+      .write.mode("overwrite").partitionBy("__shard").parquet(outDir)
+
+  /** Sequence packing — concatenate documents into fixed-token-budget
+    * training bins (the standard LLM batch-shaping step). Packing is
+    * inherently sequential, so it runs first-fit per partition
+    * (`mapPartitions` — the documented last-resort escape hatch, used
+    * here precisely because the logic is per-partition imperative):
+    * each task packs its own partition's docs into bins of
+    * `maxTokens`, bin ids made globally unique via the partition id.
+    * Oversized docs (> maxTokens) get a singleton bin rather than being
+    * silently dropped or split. Per-partition packing costs a small
+    * utilization loss vs global packing (up to one open bin per
+    * partition stays underfull) and in exchange needs NO shuffle and no
+    * sequential bottleneck — the at-scale trade every packing pipeline
+    * makes. Returns (binCol, idCol, tokensCol) exploded one row per
+    * packed doc. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // first-fit over open bins; bins close once full enough that no
+        // remaining doc fits them lazily — for training-doc length
+        // distributions the open list stays tiny
+        val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (binSeq, used)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var nextBin = 0L
+        it.foreach { case (id, toks) =>
+          val fit = bins.indexWhere { case (_, used) => used + toks <= maxTokens }
+          val binSeq =
+            if (toks >= maxTokens) { // singleton bin (also covers == budget)
+              val b = nextBin; nextBin += 1; b
+            } else if (fit >= 0) {
+              val (b, used) = bins(fit); bins(fit) = (b, used + toks); b
+            } else {
+              val b = nextBin; nextBin += 1
+              bins += ((b, toks)); b
+            }
+          out += (((pid << 40) | binSeq, id, toks)) // 2^40 bins/partition headroom
+        }
+        out.iterator
+      }
+      .toDF("bin_id", idCol, tokensCol)
+  }
 }
