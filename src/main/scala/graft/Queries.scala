@@ -569,6 +569,24 @@ object Queries {
           .otherwise(size(split(col("norm_text"), " "))).cast("long"))
       .orderBy("doc_id")
 
+  /** q_repetition_ratio — intra-document repetition: the fraction of
+    * duplicate token 2-grams (1 − distinct/total), the classic
+    * pretraining quality signal for boilerplate/spam (high repetition →
+    * low-quality doc). One narrow pass per doc: total 2-grams from the
+    * token count, distinct from the fused shingle-set UDF — no explode,
+    * no shuffle beyond the contract sort. */
+  val q_repetition_ratio: Q = (s, d) => {
+    val nTokens = Text.tokenCount(col("text"))
+    val nBigrams = greatest(nTokens - 1, lit(0L))
+    val nDistinct = size(Dedup.shingleSet(2)(Text.tokens(col("text")))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nBigrams.as("n_bigrams"),
+        when(nBigrams > 0,
+          round(lit(1.0) - nDistinct.cast("double") / nBigrams.cast("double"), 6))
+          .otherwise(0.0).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** q_quality_score — length/stopword quality heuristics. */
   val q_quality_score: Q = (s, d) =>
     Tables.documents(s, d)
@@ -992,6 +1010,7 @@ object Queries {
     "q_dedup_doc" -> q_dedup_doc,
     "q_token_count" -> q_token_count,
     "q_text_normalize" -> q_text_normalize,
+    "q_repetition_ratio" -> q_repetition_ratio,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,

@@ -136,6 +136,17 @@ object SparkEntry {
         |             ' +', ' ', 'g')) AS norm_text
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      """SELECT doc_id,
+        |       CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+        |       CASE WHEN len(toks) > 1 THEN
+        |         round(1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+        |               for i in range(1, len(toks))])) AS DOUBLE)
+        |             / CAST(len(toks) - 1 AS DOUBLE), 6)
+        |       ELSE 0.0 END AS rep_ratio
+        |FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->

@@ -288,6 +288,76 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end pretraining pipeline: normalize -> quality -> dedup -> near-dup -> decontaminate -> split -> pack -> shards") {
+    import graft.functions.Text
+    // the batch twin of the layered-warehouse streaming E2E: every
+    // training-data operator composed in its real order, each stage's
+    // drop accounted for
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val probe = Seq((0L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base + " enda"),                       // keeper
+      (11L, base + " enda"),                       // exact duplicate of 10
+      (12L, base + " endb"),                       // near-dup of 10 (j ~ 0.85, LSH-caught)
+      (13L, "x1 x2 e1 e2 e3 e4 e5 x3 x4 x5 x6 x7"), // leaks a probe 5-gram
+      (14L, "sp sp sp sp sp sp"),                  // repetitive boilerplate
+      (15L, (100 to 140).map(i => s"v$i").mkString(" ")) // clean unique
+    ).toDF("doc_id", "text")
+
+    // 1. normalize (idempotent on this corpus — pinned)
+    val norm = corpus.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")).as("text"))
+    assert(norm.as[(Long, String)].collect().toMap ==
+      corpus.as[(Long, String)].collect().toMap)
+
+    // 2. quality filter: repetition + minimum length
+    val nBigrams = greatest(Text.tokenCount(col("text")) - 1, lit(0L))
+    val repRatio = when(nBigrams > 0,
+      lit(1.0) - size(Dedup.shingleSet(2)(Text.tokens(col("text"))))
+        .cast("double") / nBigrams.cast("double")).otherwise(0.0)
+    val quality = norm.filter(repRatio <= 0.5 && Text.tokenCount(col("text")) >= 5)
+    assert(quality.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 11L, 12L, 13L, 15L), "repetitive doc 14 must drop")
+
+    // 3. exact dedup (content-keyed, min id wins)
+    val exactDeduped = Dedup.exactFirst(quality, Seq("text"), Seq(col("doc_id")))
+    assert(exactDeduped.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 12L, 13L, 15L), "exact dup 11 must drop")
+
+    // 4. near-dup clustering via the MinHash scale path
+    val nearDeduped = Dedup.clusterByMinhash(exactDeduped, "doc_id", "text", 0.5)
+    assert(nearDeduped.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 13L, 15L), "near-dup 12 must fold into 10's cluster")
+
+    // 5. decontaminate against the eval probe
+    val clean = Dedup.decontaminate(nearDeduped, probe, "doc_id", "text")
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(10L, 15L),
+      "leaked doc 13 must drop")
+
+    // 6. deterministic split (stable across runs/engines)
+    val split = operators.Sampling.deterministicSplit(clean, "doc_id")
+    val splits = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(splits.keySet == Set(10L, 15L))
+    assert(splits.values.forall(Set("train", "val", "test")))
+
+    // 7. pack into token-budget bins
+    val packed = operators.Sampling.packSequences(
+      split.withColumn("n_tokens", Text.tokenCount(col("text"))),
+      "doc_id", "n_tokens", maxTokens = 60L)
+    val packedRows = packed.as[(Long, Long, Long)].collect()
+    assert(packedRows.map(_._2).toSet == Set(10L, 15L), "every survivor packed")
+    packedRows.groupBy(_._1).values.foreach(bin =>
+      if (bin.length > 1) assert(bin.map(_._3).sum <= 60L))
+
+    // 8. shard out the final corpus; read-back is exactly the survivors
+    val dir = java.nio.file.Files.createTempDirectory("pipeline_shards_").toString
+    operators.Sampling.writeShards(split, "doc_id", dir, numShards = 2)
+    val back = spark.read.parquet(dir).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(back == splits, "shard read-back must be the final corpus")
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so
