@@ -158,4 +158,52 @@ class LawsSpec extends SparkSpec {
       assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
     }
   }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 24L)
+      off <- Gen.choose(1L, 24L) // b ≠ a by construction (no filter retries)
+    } yield (a, (a + off) % 25L))
+
+  test("connectedComponents matches a union-find reference on random graphs") {
+    // in-test union-find with path compression — an independent oracle
+    // for the distributed propagation + pointer-jumping implementation
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    for (edges <- samples(edgesGen, 4) if edges.nonEmpty) {
+      val expected = components(edges)
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"CC mismatch on $edges")
+    }
+  }
+
+  private val lengthsGen: Gen[List[Long]] =
+    Gen.listOfN(60, Gen.choose(1L, 400L))
+
+  test("packSequences laws: exactly-once packing and the budget invariant") {
+    for ((lens, caseIdx) <- samples(lengthsGen, 3).zipWithIndex) {
+      val docs = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("doc_id", "n_tokens").repartition(3)
+      val packed = operators.Sampling
+        .packSequences(docs, "doc_id", "n_tokens", maxTokens = 512L)
+        .as[(Long, Long, Long)].collect()
+      assert(packed.map(_._2).sorted.toSeq == lens.indices.map(_.toLong),
+        s"case $caseIdx: every doc exactly once")
+      packed.groupBy(_._1).values.foreach { bin =>
+        if (bin.length > 1)
+          assert(bin.map(_._3).sum <= 512L, s"case $caseIdx: bin over budget")
+      }
+    }
+  }
 }
