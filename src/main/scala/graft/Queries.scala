@@ -169,6 +169,31 @@ object Queries {
       .orderBy("purchase_id")
   }
 
+  /** q_join_asof_tolerance — as-of join with a staleness bound (the
+    * feature-store form: a feature older than the tolerance must NOT be
+    * joined): same one-shuffle union+window carry-forward as
+    * [[q_join_asof]], carrying the click timestamp alongside its id and
+    * nulling the match when it is more than 1 h older than the purchase.
+    * Equivalent to "latest click within the window" since any older
+    * click is staler still — no range join needed. */
+  val q_join_asof_tolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("click_evt"),
+        when(col("event_type") === "click", col("ts")).as("click_when"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_id", last("click_evt", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts", last("click_when", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        when(col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+          col("last_click_id")).as("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** q_join_interval — event-time interval join: click → purchase by the
     * same user within 1 hour (reference Flink intervalJoin bounds,
     * SURVEY §7.4). */
@@ -724,6 +749,23 @@ object Queries {
       .select("doc_id")
       .orderBy("doc_id")
 
+  /** q_sample_per_key — deterministic per-stratum k-sample ("bottom-k by
+    * keyed hash"): the 5 docs with the smallest md5(doc_id) per lang.
+    * The distributed replacement for per-group reservoir sampling —
+    * deterministic (no RNG state), mergeable (bottom-k of a union is the
+    * bottom-k of the bottom-ks), engine-portable (md5 everywhere, so the
+    * DuckDB oracle reproduces it bit-for-bit), and one keyed-window
+    * shuffle at any scale. */
+  val q_sample_per_key: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** q_split_train — deterministic train/val/test dataset split by md5
     * prefix of the doc id (80/10/10 over 256 hash cells): stable across
     * runs and engines, no RNG state, leak-free (membership depends only
@@ -978,6 +1020,7 @@ object Queries {
     "q_join_lookup" -> q_join_lookup,
     "q_join_interval" -> q_join_interval,
     "q_join_asof" -> q_join_asof,
+    "q_join_asof_tolerance" -> q_join_asof_tolerance,
     "q_join_left" -> q_join_left,
     "q_join_semi" -> q_join_semi,
     "q_join_anti" -> q_join_anti,
@@ -1023,6 +1066,7 @@ object Queries {
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
+    "q_sample_per_key" -> q_sample_per_key,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
     "q_heavy_hitters" -> q_heavy_hitters,

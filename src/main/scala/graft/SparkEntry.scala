@@ -61,6 +61,8 @@ object SparkEntry {
       "SELECT c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR WHERE c.event_type = 'click' AND p.event_type = 'purchase' ORDER BY click_id, purchase_id",
     "q_join_asof" ->
       "SELECT p.event_id AS purchase_id, p.user_id, (SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)) ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id",
+    "q_join_asof_tolerance" ->
+      "SELECT p.event_id AS purchase_id, p.user_id, (SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)) AND c.ts >= p.ts - INTERVAL 1 HOUR ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id",
     "q_join_left" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders, round(sum(coalesce(o_totalprice, 0)), 2) AS sum_price FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey",
     "q_join_semi" ->
@@ -205,6 +207,8 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_sample_per_key" ->
+      "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 5 ORDER BY lang, rn",
     "q_split_train" ->
       "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id",
     "q_sessionize" ->
