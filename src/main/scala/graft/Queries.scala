@@ -578,6 +578,18 @@ object Queries {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** q_token_count_bpe — LLM-token-count proxy: the GPT-2-family
+    * pre-tokenization regex (contractions / space-prefixed letter runs /
+    * digit runs / punctuation runs) counted per doc — what a byte-pair
+    * encoder would merge within, without needing a vocab. Pure
+    * `regexp_extract_all`, stays in codegen; DuckDB oracle runs the same
+    * pattern under RE2 (both engines resolve this alternation
+    * leftmost-first). */
+  val q_token_count_bpe: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** q_text_normalize — pretraining text normalization: lowercase, strip
     * non-alphanumerics, collapse whitespace, count surviving tokens — a
     * pure narrow map (codegen'd regexp_replace chain, no UDF, no
@@ -1052,6 +1064,7 @@ object Queries {
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,
     "q_token_count" -> q_token_count,
+    "q_token_count_bpe" -> q_token_count_bpe,
     "q_text_normalize" -> q_text_normalize,
     "q_repetition_ratio" -> q_repetition_ratio,
     "q_quality_score" -> q_quality_score,

@@ -129,6 +129,8 @@ object SparkEntry {
       "SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     "q_token_count" ->
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
+    "q_token_count_bpe" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(text, '(''(?:s|t|re|ve|m|ll|d))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)', 0)) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id",
     "q_text_normalize" ->
       """SELECT doc_id, norm_text,
         |       CAST(CASE WHEN norm_text = '' THEN 0
