@@ -107,22 +107,32 @@ object Sampling {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        // first-fit over open bins; bins close once full enough that no
-        // remaining doc fits them lazily — for training-doc length
-        // distributions the open list stays tiny
+        // first-fit over a BOUNDED open-bin list: when a new bin would
+        // exceed `MaxOpenBins`, the fullest open bin closes for good.
+        // This caps per-doc work at O(MaxOpenBins) — without the cap a
+        // pathological length distribution makes the scan O(bins) per
+        // doc, quadratic in partition size — at a marginal utilization
+        // cost (a closed bin can no longer absorb a late tiny doc).
+        val MaxOpenBins = 64
         val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (binSeq, used)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         var nextBin = 0L
         it.foreach { case (id, toks) =>
-          val fit = bins.indexWhere { case (_, used) => used + toks <= maxTokens }
           val binSeq =
             if (toks >= maxTokens) { // singleton bin (also covers == budget)
               val b = nextBin; nextBin += 1; b
-            } else if (fit >= 0) {
-              val (b, used) = bins(fit); bins(fit) = (b, used + toks); b
             } else {
-              val b = nextBin; nextBin += 1
-              bins += ((b, toks)); b
+              val fit = bins.indexWhere { case (_, used) => used + toks <= maxTokens }
+              if (fit >= 0) {
+                val (b, used) = bins(fit); bins(fit) = (b, used + toks); b
+              } else {
+                if (bins.length >= MaxOpenBins) {
+                  val fullest = bins.indices.maxBy(i => bins(i)._2)
+                  bins.remove(fullest)
+                }
+                val b = nextBin; nextBin += 1
+                bins += ((b, toks)); b
+              }
             }
           out += (((pid << 40) | binSeq, id, toks)) // 2^40 bins/partition headroom
         }
