@@ -293,6 +293,7 @@ object Similarity {
       // ≤ k ints — a fixed-size driver-side set, never data-scale
       val touched = assigned.select("ivf_list").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return // empty batch: nothing to rewrite
       val existing = spark.read.parquet(s"$indexDir/vectors")
         .filter(col("ivf_list").isin(touched: _*))
         .join(assigned.select(col(idCol)), Seq(idCol), "left_anti")

@@ -286,6 +286,16 @@ class ScalePathSpec extends SparkSpec {
     packedBig.groupBy(_._1).values.foreach { bin =>
       if (bin.length > 1) assert(bin.map(_._3).sum <= 1000L)
     }
+
+    // open-bin cap path: 200 docs of 600 tokens, budget 1000 — every doc
+    // opens a bin (no two fit together), so the 64-bin cap must close
+    // bins along the way with all invariants intact
+    val capCase = (1L to 200L).map(i => (i, 600L))
+      .toDF("doc_id", "n_tokens").coalesce(1)
+    val packedCap = operators.Sampling.packSequences(capCase, "doc_id", "n_tokens", 1000L)
+      .as[(Long, Long, Long)].collect()
+    assert(packedCap.map(_._2).sorted.toSeq == (1L to 200L))
+    assert(packedCap.groupBy(_._1).size == 200, "600+600 > 1000: all singleton bins")
   }
 
   test("end-to-end pretraining pipeline: normalize -> quality -> dedup -> near-dup -> decontaminate -> split -> pack -> shards") {
