@@ -99,6 +99,26 @@ object IO {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming IVF index maintenance: each micro-batch of embeddings is
+    * appended into a persisted IVF index via
+    * [[graft.operators.Similarity.ivfAppendIndex]] — assign only the
+    * batch, rewrite only the touched `ivf_list=` partitions. Replay
+    * safety: the append is an id-level upsert, so a re-run batch
+    * replaces its own rows and converges. The index (with centroids)
+    * must already exist ([[graft.operators.Similarity.ivfWriteIndex]] is
+    * the bootstrap); centroids are re-read per batch, so an offline
+    * retrain is picked up at the next micro-batch. */
+  def ivfIndexSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
+                   idCol: String, vecCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfAppendIndex(batch, idCol, vecCol, indexDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Keyed upsert sink (the HBase dim-writer analog): every micro-batch is
     * merged into the keyed snapshot directory with last-writer-wins
     * semantics; deletes (`op='d'`) are applied. Overwrites the snapshot

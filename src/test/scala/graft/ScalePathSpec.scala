@@ -368,6 +368,44 @@ class ScalePathSpec extends SparkSpec {
     assert(back == splits, "shard read-back must be the final corpus")
   }
 
+  test("ivfIndexSink: streaming batches append into the persisted index incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stream_").toString
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_stream_ckpt_").toString
+    def run(): Unit = {
+      val q = graft.sources.IO.ivfIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), dir, ckpt, "vec_id", "embedding")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: near center 0; batch 2: near center 1 — two micro-batches,
+    // each touching its own list partitions only
+    in.addData((200L, centers(0).map(_ + 0.01f)), (201L, centers(0).map(_ + 0.02f)))
+    run()
+    in.addData((300L, centers(1).map(_ + 0.01f)))
+    run()
+
+    assert(spark.read.parquet(s"$dir/vectors").count() == 48 + 3)
+    val near0 = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      centers(0), 8, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(Set(200L, 201L).subsetOf(near0), s"batch-1 vecs probeable: $near0")
+    val near1 = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      centers(1), 7, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(near1.contains(300L), s"batch-2 vec probeable: $near1")
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so
