@@ -542,6 +542,24 @@ object Queries {
       .orderBy(desc("revenue"), col("c_custkey"))
       .limit(20)
 
+  /** q_composite_priority — the TPC-H Q4 shape on this fixture's columns:
+    * orders placed in 1996Q1 with at least one line item shipped more
+    * than 90 days after the order date, counted per priority. The
+    * correlated EXISTS plans as a LEFT SEMI hash join on the order key
+    * with the date lag as an extra join conjunct — one keyed shuffle,
+    * no pair blow-up, date filter pushed to the orders scan. */
+  val q_composite_priority: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   // -------------------------------------------------------------------
   // §2.H text / §2.K training-data extensions
   // -------------------------------------------------------------------
@@ -1060,6 +1078,7 @@ object Queries {
     "q_composite_shipping" -> q_composite_shipping,
     "q_composite_region" -> q_composite_region,
     "q_composite_returns" -> q_composite_returns,
+    "q_composite_priority" -> q_composite_priority,
     "q_keyword_topk" -> q_keyword_topk,
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,

@@ -121,6 +121,8 @@ object SparkEntry {
       "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name",
     "q_composite_returns" ->
       "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_composite_priority" ->
+      "SELECT o_orderpriority, count(*) AS n_orders FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "q_keyword_topk" ->
       "SELECT lang, word, cnt, rn FROM (SELECT lang, word, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM (SELECT lang, word, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t WHERE word <> '' GROUP BY lang, word) t2) t3 WHERE rn <= 10 ORDER BY lang, rn",
     "q_dedup" ->
