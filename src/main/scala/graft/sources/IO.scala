@@ -25,6 +25,15 @@ object IO {
               header: Boolean = true): DataFrame =
     spark.read.schema(schema).option("header", header.toString).csv(path)
 
+  /** ORC — the second columnar format next to parquet (native in
+    * spark-sql: same vectorized reader, predicate pushdown, and column
+    * pruning contract). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** JSON-lines with declared schema; malformed rows land in
     * `_corrupt_record` when `keepCorrupt`, else are dropped (PERMISSIVE vs
     * DROPMALFORMED — the reference's dirty-JSON guard). */

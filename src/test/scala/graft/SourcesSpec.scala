@@ -26,6 +26,26 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "a", 1.5), (2L, "b", -2.25)))
   }
 
+  test("orc round-trip preserves rows; predicate pushdown reaches the orc scan") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c", 9.0))
+      .toDF("id", "name", "v")
+    IO.writeOrc(df, dir)
+    val back = IO.readOrc(spark, dir)
+    assert(back.as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, "c", 9.0)))
+    // the columnar contract holds for ORC exactly as for parquet: the
+    // filter must reach the scan as a pushed predicate
+    val scans = IO.readOrc(spark, dir).filter(col("id") > 1L)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(s => s.contains("GreaterThan(id,1)")),
+      s"no pushed filter on the orc scan: $pushed")
+  }
+
   test("json reader drops malformed rows in DROPMALFORMED mode") {
     val dir = tmp() + "/json"
     Files.createDirectories(java.nio.file.Paths.get(dir))
