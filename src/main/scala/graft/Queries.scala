@@ -589,6 +589,26 @@ object Queries {
     Dedup.exactByContent(Tables.documents(s, d), "doc_id", "text")
       .orderBy("fp")
 
+  /** q_dedup_incremental — the steady-state exact-dedup shape at 100 TB:
+    * history is distilled into a persisted fingerprint index (even doc
+    * ids here), and the ingest batch (odd ids) dedups intra-batch then
+    * anti-joins the index — batch-proportional work, the corpus itself
+    * is never rescanned ([[graft.operators.Dedup.dedupAgainstIndex]]).
+    * The full lifecycle (write → dedup → append advances the index) is
+    * pinned in ScalePathSpec; this id exercises write+dedup end to end. */
+  val q_dedup_incremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // deterministic per-SF scratch location, rebuilt each run — the
+    // index lifecycle is what this id exercises (same convention as
+    // q_similarity_ivf_indexed)
+    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fp_idx_${math.abs(d.hashCode)}"
+    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 2 === 0), "text", idxDir)
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idxDir)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q_token_count — per-doc token counting. */
   val q_token_count: Q = (s, d) =>
     Tables.documents(s, d)
@@ -641,6 +661,50 @@ object Queries {
           .otherwise(0.0).as("rep_ratio"))
       .orderBy("doc_id")
   }
+
+  /** q_pii_redact — PII scrubbing (pretraining hygiene): emails, IPv4
+    * addresses, and +CC phone numbers are redacted by a codegen'd
+    * `regexp_replace` chain with per-kind match counts
+    * ([[graft.functions.Text.redactPii]]). The fixture text is clean, so
+    * the query first stages deterministic synthetic PII from the doc id
+    * — both engines build the identical string, so the oracle checks
+    * real redactions (one of each kind per doc), not a no-op pass.
+    * Patterns live in ONE place (Text.*Pattern) and are restricted to
+    * the Java-regex/RE2-identical subset; edge cases (adjacent PII,
+    * pattern ordering) are pinned in scalatest. */
+  val q_pii_redact: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 call +1 555 01"), (col("doc_id") % 100).cast("string"))
+    val (nEmails, nIps, nPhones) = Text.piiCounts(aug)
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.redactPii(aug).as("red_text"),
+        nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** q_chunk_docs — context-window chunking: each document's tokens are
+    * cut into overlapping chunks (size 16, stride 12 — the long-doc →
+    * training-sample step every LLM pipeline runs before packing). The
+    * token array is projected ONCE, chunk starts come from a
+    * `posexplode(sequence(...))` generator (pos IS the chunk index), and
+    * each chunk is a 1-based `slice` — all codegen primitives, a narrow
+    * ×(n/stride) row expansion with no shuffle beyond the contract sort.
+    * Empty docs produce no chunks (guard: `sequence(0, -1)` throws). */
+  val q_chunk_docs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(12)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(slice(col("__toks"), col("start") + 1, lit(16))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(16)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
 
   /** q_quality_score — length/stopword quality heuristics. */
   val q_quality_score: Q = (s, d) =>
@@ -795,6 +859,18 @@ object Queries {
       .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
       .orderBy("lang", "rn")
   }
+
+  /** q_sample_mix — domain-mix sampling (the data-mixing step of a
+    * pretraining pipeline): per-language keep rates (en 100%, zh 50%,
+    * others 25%) decided by the md5-cell of the doc id
+    * ([[graft.operators.Sampling.mixSample]]) — deterministic, no RNG
+    * state, a pure narrow filter at any scale; DuckDB reproduces the
+    * assignment bit-for-bit. */
+  val q_sample_mix: Q = (s, d) =>
+    operators.Sampling.mixSample(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 1.0, "zh" -> 0.5), defaultRate = 0.25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
 
   /** q_split_train — deterministic train/val/test dataset split by md5
     * prefix of the doc id (80/10/10 over 256 hash cells): stable across
@@ -1013,6 +1089,22 @@ object Queries {
         round(max(col("value")), 2).as("max_v"))
       .orderBy("bin")
 
+  /** q_zorder — Morton (Z-order) clustering key over two event
+    * dimensions ([[graft.operators.Layout.zorderValue]]): the multi-dim
+    * data-layout primitive behind two-dimensional min/max file pruning.
+    * The interleave is an unrolled shift/mask/or chain — pure codegen —
+    * and the DuckDB oracle evaluates the IDENTICAL bit arithmetic, so
+    * the key is checked bit-for-bit; the locality property of the
+    * clustered WRITE ([[graft.operators.Layout.writeZordered]]) is
+    * pinned in scalatest. */
+  val q_zorder: Q = (s, d) => {
+    val x = col("user_id") % 65536
+    val y = greatest(floor(col("value")).cast("long"), lit(0L)) % 65536
+    Tables.events(s, d)
+      .select(col("event_id"), operators.Layout.zorderValue(x, y).as("zvalue"))
+      .orderBy("event_id")
+  }
+
   /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
     * candidate sets); oracle-exempt, scalatest-verified. */
   val q_dedup_embed: Q = (s, d) =>
@@ -1082,10 +1174,13 @@ object Queries {
     "q_keyword_topk" -> q_keyword_topk,
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,
+    "q_dedup_incremental" -> q_dedup_incremental,
     "q_token_count" -> q_token_count,
     "q_token_count_bpe" -> q_token_count_bpe,
     "q_text_normalize" -> q_text_normalize,
     "q_repetition_ratio" -> q_repetition_ratio,
+    "q_pii_redact" -> q_pii_redact,
+    "q_chunk_docs" -> q_chunk_docs,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,
@@ -1099,6 +1194,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
     "q_sample_per_key" -> q_sample_per_key,
+    "q_sample_mix" -> q_sample_mix,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
     "q_heavy_hitters" -> q_heavy_hitters,
@@ -1112,6 +1208,7 @@ object Queries {
     "q_funnel" -> q_funnel,
     "q_tfidf" -> q_tfidf,
     "q_histogram" -> q_histogram,
+    "q_zorder" -> q_zorder,
     "q_dedup_embed" -> q_dedup_embed,
     "q_multimodal_join" -> q_multimodal_join,
   )

@@ -129,6 +129,15 @@ object SparkEntry {
       "SELECT user_id, event_type, event_id, value FROM (SELECT user_id, event_type, event_id, value, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id, event_type",
     "q_dedup_doc" ->
       "SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
+    // even ids play the persisted history index, odd ids the ingest
+    // batch: intra-batch min-id keeper, then drop fingerprints already
+    // in the index — mirrors Dedup.dedupAgainstIndex exactly
+    "q_dedup_incremental" ->
+      """WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |newb AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM newb GROUP BY fp)
+        |SELECT doc_id FROM keep WHERE fp NOT IN (SELECT fp FROM old)
+        |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",
     "q_token_count_bpe" ->
@@ -153,6 +162,50 @@ object SparkEntry {
         |FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the regex literals interpolate from graft.functions.Text — ONE
+    // source of truth for the patterns; 'g' flag = Spark's replace-all;
+    // counts staged exactly like the Spark side (emails counted on raw,
+    // IPs after email redaction, phones after both)
+    "q_pii_redact" -> {
+      val e = graft.functions.Text.emailPattern
+      val i = graft.functions.Text.ipv4Pattern
+      val p = graft.functions.Text.phonePattern
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |              || '.7 call +1 555 01' || CAST(doc_id % 100 AS VARCHAR) AS t
+         |  FROM documents
+         |), staged AS (
+         |  SELECT doc_id, t,
+         |         regexp_replace(t, '$e', '<EMAIL>', 'g') AS t1
+         |  FROM aug
+         |), staged2 AS (
+         |  SELECT doc_id, t, t1, regexp_replace(t1, '$i', '<IP>', 'g') AS t2
+         |  FROM staged
+         |)
+         |SELECT doc_id,
+         |       regexp_replace(t2, '$p', '<PHONE>', 'g') AS red_text,
+         |       CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t1, '$i')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t2, '$p')) AS BIGINT) AS n_phones
+         |FROM staged2 ORDER BY doc_id""".stripMargin
+    },
+    // 1-based inclusive list slice == Spark's slice(toks, start+1, 16);
+    // generate_series step 12 == the posexplode'd sequence stride
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 12)) AS start
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id,
+        |       CAST(start // 12 AS BIGINT) AS chunk_idx,
+        |       CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_quality_score" ->
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->
@@ -213,6 +266,15 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_sample_per_key" ->
       "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 5 ORDER BY lang, rn",
+    // rate boundaries in 256ths of the md5-cell space: en 1.0 → 'g'
+    // (past every hex cell), zh 0.5 → '80', default 0.25 → '40'
+    "q_sample_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN 'g'
+        |           WHEN lang = 'zh' THEN '80'
+        |           ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
     "q_split_train" ->
       "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id",
     "q_sessionize" ->
@@ -321,6 +383,19 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q_histogram" ->
       "SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v FROM events GROUP BY 1 ORDER BY bin",
+    // the IDENTICAL unrolled Morton interleave the Spark side plans —
+    // generated from the same (bits=16) loop, so the two engines compute
+    // the key bit-for-bit
+    "q_zorder" -> {
+      val zExpr = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""SELECT event_id, CAST($zExpr AS BIGINT) AS zvalue
+         |FROM (SELECT event_id, user_id % 65536 AS x,
+         |             greatest(CAST(floor(value) AS BIGINT), 0) % 65536 AS y
+         |      FROM events)
+         |ORDER BY event_id""".stripMargin
+    },
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->

@@ -72,6 +72,45 @@ object Text {
       least(lit(1.0), size(tokens(text)).cast("double") / lit(100.0)) *
         (lit(1.0) - stopwordRatio(text, stopwords)), 6)
 
+  // ---------------------------------------------------------------------
+  // PII redaction (pretraining hygiene)
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, deliberately restricted to the regex subset that Java
+    * regex and RE2 (the DuckDB oracle engine) interpret identically — no
+    * lookaround, no backreferences, ASCII word boundaries only — so the
+    * redaction is bit-for-bit portable. Public, so the oracle SQL is
+    * built from the SAME strings (one source of truth). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // phones anchored on the +CC prefix: digits/spaces/dashes, ≥8 digits
+  // total — the prefix anchor keeps plain numbers and IPs out
+  val phonePattern = "\\+\\d[\\d -]{6,}\\d"
+
+  /** Scrub emails, IPv4 addresses, and +CC phone numbers from text —
+    * the pretraining PII hygiene pass. Order matters and is part of the
+    * contract: emails first (an email must not have its dotted host
+    * half-eaten by the IP rule), then IPs, then phones (whose character
+    * class could otherwise swallow pieces of either). A pure codegen'd
+    * `regexp_replace` chain — narrow map, no UDF, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-kind PII match counts (audit metric next to the scrub). Counted
+    * on the SAME staged text the redaction chain sees, so counts and
+    * redactions can never disagree. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, emailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    (size(regexp_extract_all(text, lit(emailPattern), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Pattern), lit(0))).cast("long"),
+      size(regexp_extract_all(afterIp, lit(phonePattern), lit(0))).cast("long"))
+  }
+
   /** Content fingerprint (exact-dup detection): md5 of the raw text.
     * Same builtin exists in DuckDB → direct oracle parity. */
   def fingerprint(text: Column): Column = md5(text)

@@ -350,6 +350,52 @@ object Dedup {
     docs.filter(!hasLeak(shingle(Text.tokens(col(textCol)))))
   }
 
+  /** Persisted exact-dedup fingerprint index: the distinct md5 fingerprints
+    * of a corpus, written as parquet. The steady-state companion of
+    * [[dedupAgainstIndex]]: at 100 TB the corpus is deduped ONCE, the
+    * index (16 bytes/distinct doc — orders of magnitude smaller than the
+    * corpus) persists, and every subsequent ingest batch dedups against
+    * the index instead of re-scanning history. */
+  def writeFingerprintIndex(docs: DataFrame, textCol: String,
+                            indexDir: String): Unit =
+    docs.select(Text.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Append a new batch's fingerprints to the index — only fingerprints
+    * not already present are written (anti-join keeps the index
+    * distinct), and existing index files are never rewritten: the append
+    * cost is proportional to the NEW batch, never the corpus history. */
+  def appendFingerprintIndex(docs: DataFrame, textCol: String,
+                             indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val idx = spark.read.parquet(indexDir)
+    docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+      .join(idx, Seq("fp"), "left_anti")
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /** Incremental exact dedup of an ingest batch against the persisted
+    * fingerprint index: (1) intra-batch dedup — keep the minimum-id row
+    * per fingerprint (one keyed shuffle over the BATCH only); (2) drop
+    * rows whose fingerprint is already in the index (anti-join; the
+    * index side is fingerprints only, so AQE broadcasts it while it
+    * fits and degrades to a keyed shuffle — never a corpus scan).
+    * Returns the surviving batch rows; call [[appendFingerprintIndex]]
+    * with the survivors afterwards to advance the index. */
+  def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                        indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexDir)
+    val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    withFp
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(idx, withFp("__fp") === idx("fp"), "left_anti")
+      .drop("__fp", "__rn")
+  }
+
   /** Connected components over an undirected pair list: every vertex gets
     * the MINIMUM id reachable through edges as its component label — the
     * canonical representative of its near-dup cluster.
@@ -391,20 +437,30 @@ object Dedup {
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(eager = true)
-      // pointer jumping: adopt the label OF one's label. Monotone
-      // (L(x) ≤ x ⇒ L(L(v)) ≤ L(v)), so the convergence compare below —
-      // post-shortcut vs start-of-round — also certifies the propagation
-      // step was a fixpoint, which is the all-neighbors-equal condition.
-      val par = propagated.select(col("id").as("pid"), col("label").as("plabel"))
-      val updated = propagated.join(par, propagated("label") === par("pid"), "left")
-        .select(col("id"), col("old_label"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
-      propagated.unpersist(blocking = false)
+      // convergence is decided on the PROPAGATION step alone: an unchanged
+      // propagation is exactly the all-neighbors-equal fixpoint, which is
+      // the correct-labeling condition. Checking here (not after the
+      // shortcut) lets the final round — every round, for a converged
+      // clique-like graph — skip the pointer-jump self-join + checkpoint:
+      // the jump is only an accelerator, never a correctness step.
       converged =
-        updated.filter(col("label") =!= col("old_label")).isEmpty
+        propagated.filter(col("label") =!= col("old_label")).isEmpty
       val prev = labels
-      labels = updated.select("id", "label")
+      if (converged) {
+        labels = propagated.select("id", "label")
+      } else {
+        // pointer jumping: adopt the label OF one's label — monotone
+        // (L(x) ≤ x ⇒ L(L(v)) ≤ L(v)), the Shiloach–Vishkin shortcut
+        // that halves chain depth every round, keeping the loop
+        // O(log diameter) on long-chain graphs.
+        val par = propagated.select(col("id").as("pid"), col("label").as("plabel"))
+        val updated = propagated.join(par, propagated("label") === par("pid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          .localCheckpoint(eager = true)
+        propagated.unpersist(blocking = false)
+        labels = updated
+      }
       prev.unpersist(blocking = false)
       iter += 1
     }

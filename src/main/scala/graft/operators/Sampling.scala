@@ -57,6 +57,32 @@ object Sampling {
       .sortWithinPartitions(col("shard"), xxhash64(col(idCol), lit(1L)))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Domain-mix sampling — the data-mixing step of a pretraining
+    * pipeline: each stratum (domain/language/source) keeps a configured
+    * fraction of its rows, decided by the md5-cell of the row id, so the
+    * mix is deterministic (same properties as [[deterministicSplit]]:
+    * stable across runs/engines, incremental, leak-free — a row's
+    * membership never depends on other rows or RNG state). Rates are
+    * quantized to 256ths (the 2-hex-char cell space); a narrow map, no
+    * shuffle, and the DuckDB oracle reproduces it bit-for-bit. */
+  def mixSample(df: DataFrame, stratumCol: String, idCol: String,
+                rates: Map[String, Double],
+                defaultRate: Double): DataFrame = {
+    def boundary(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+      val cells = math.round(rate * 256).toInt
+      // 256 has no 2-hex form: any char past 'f' compares above every cell
+      if (cells >= 256) "g" else f"$cells%02x"
+    }
+    val cell = substring(md5(col(idCol).cast("string")), 1, 2)
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(boundary(defaultRate)): org.apache.spark.sql.Column) {
+        case ((stratum, rate), acc) =>
+          when(col(stratumCol) === stratum, lit(boundary(rate))).otherwise(acc)
+      }
+    df.filter(cell < threshold)
+  }
+
   /** Per-stratum downsampling (class rebalancing): keep the given
     * fraction of each stratum, seeded Bernoulli per row — Spark's
     * `stat.sampleBy`, one narrow pass, no shuffle. Strata absent from
