@@ -19,6 +19,19 @@ object Queries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Deterministic scratch directory for query ids that exercise a
+    * persisted-index lifecycle: keyed on the SANITIZED dataset path
+    * itself (not its `hashCode` — `math.abs(Int.MinValue)` is negative
+    * and distinct paths can hash-collide), so distinct datasets can
+    * never share a scratch index. Single concurrent run per dataset by
+    * contract: the ids overwrite-then-read their index, so two
+    * simultaneous runs over the SAME dataset would race (the driver
+    * harness runs queries sequentially). */
+  private def scratchDir(prefix: String, dataset: String): String = {
+    val key = dataset.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_$key"
+  }
+
   // -------------------------------------------------------------------
   // §2.A sources  +  §2.G scalar functions
   // -------------------------------------------------------------------
@@ -598,10 +611,10 @@ object Queries {
     * pinned in ScalePathSpec; this id exercises write+dedup end to end. */
   val q_dedup_incremental: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // deterministic per-SF scratch location, rebuilt each run — the
+    // deterministic per-dataset scratch location, rebuilt each run — the
     // index lifecycle is what this id exercises (same convention as
     // q_similarity_ivf_indexed)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_fp_idx_${math.abs(d.hashCode)}"
+    val idxDir = scratchDir("graft_fp_idx", d)
     Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 2 === 0), "text", idxDir)
     Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", idxDir)
@@ -768,10 +781,10 @@ object Queries {
     val emb = Tables.embeddings(s, d)
     val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
     val centroids = Similarity.ivfTrain(emb, "embedding", k = 16)
-    // deterministic per-SF scratch location; overwritten each run — the
-    // whole index lifecycle (train → write → probe) is what this id
+    // deterministic per-dataset scratch location; overwritten each run —
+    // the whole index lifecycle (train → write → probe) is what this id
     // exercises for the bench/correctness harness
-    val indexDir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_${math.abs(d.hashCode)}"
+    val indexDir = scratchDir("graft_ivf_idx", d)
     Similarity.ivfWriteIndex(emb, "embedding", centroids, indexDir)
     Similarity.ivfTopKIndexed(s, indexDir, "vec_id", "embedding", q, 5, nprobe = 4)
   }

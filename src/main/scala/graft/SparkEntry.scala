@@ -131,12 +131,14 @@ object SparkEntry {
       "SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp",
     // even ids play the persisted history index, odd ids the ingest
     // batch: intra-batch min-id keeper, then drop fingerprints already
-    // in the index — mirrors Dedup.dedupAgainstIndex exactly
+    // in the index — mirrors Dedup.dedupAgainstIndex exactly. NOT EXISTS
+    // (not NOT IN) so a NULL fingerprint keeps its row, matching Spark's
+    // left_anti null semantics
     "q_dedup_incremental" ->
       """WITH old AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
         |newb AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM newb GROUP BY fp)
-        |SELECT doc_id FROM keep WHERE fp NOT IN (SELECT fp FROM old)
+        |SELECT doc_id FROM keep WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.fp = keep.fp)
         |ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       "SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens, n_chars FROM documents ORDER BY doc_id",

@@ -365,14 +365,26 @@ object Dedup {
   /** Append a new batch's fingerprints to the index — only fingerprints
     * not already present are written (anti-join keeps the index
     * distinct), and existing index files are never rewritten: the append
-    * cost is proportional to the NEW batch, never the corpus history. */
+    * cost is proportional to the NEW batch, never the corpus history.
+    *
+    * The delta is MATERIALIZED (`localCheckpoint`) before the append
+    * touches `indexDir`: the anti-join's read of the existing index
+    * completes first, so the appended files are never part of their own
+    * input scan, and a failure during the write leaves only uncommitted
+    * `_temporary` output (the committer publishes files at job commit) —
+    * the pre-append index remains intact and the call is safely
+    * re-runnable. Single-writer by contract: concurrent appenders could
+    * each compute a delta against the same snapshot and both insert the
+    * same fingerprint; serialize appends per index (the lifecycle is
+    * pinned in ScalePathSpec). */
   def appendFingerprintIndex(docs: DataFrame, textCol: String,
                              indexDir: String): Unit = {
     val spark = docs.sparkSession
     val idx = spark.read.parquet(indexDir)
-    docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+    val delta = docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
       .join(idx, Seq("fp"), "left_anti")
-      .write.mode("append").parquet(indexDir)
+      .localCheckpoint(true) // finish reading indexDir BEFORE writing to it
+    delta.write.mode("append").parquet(indexDir)
   }
 
   /** Incremental exact dedup of an ingest batch against the persisted

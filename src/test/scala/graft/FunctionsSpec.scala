@@ -513,4 +513,74 @@ class FunctionsSpec extends SparkSpec {
       p1.map(_.map(_ + 1.0)), 4)
     assert(e1 != different)
   }
+
+  test("redactPii: pattern ordering and adjacency edge cases") {
+    def red(s: String): String = Seq(s).toDF("text")
+      .select(Text.redactPii(col("text")).as("r")).as[String].head()
+
+    // emails run first: a dotted alphanumeric host must not be
+    // half-eaten by the IP rule
+    assert(red("mail a.b@c1.d2.co now") == "mail <EMAIL> now")
+    // a numeric host is NOT an email (the TLD must be alphabetic) — the
+    // IP rule then claims the dotted quad, leaving the local part
+    assert(red("x@1.2.3.4") == "x@<IP>")
+    // all three kinds adjacent, single-space separated
+    assert(red("a@b.co 1.2.3.4 +1 555 0100") == "<EMAIL> <IP> <PHONE>")
+    // a plain IP must not be swallowed by the phone rule (no + anchor)
+    assert(red("call 10.0.0.7") == "call <IP>")
+    // a phone's digit runs must not be re-matched as IPs (no dots)
+    assert(red("+44 20 7946 0958") == "<PHONE>")
+    // no PII → identity
+    assert(red("just words 12 and 3.14") == "just words 12 and 3.14")
+  }
+
+  test("piiCounts agrees with the markers redactPii actually emits") {
+    val texts = Seq(
+      "a@b.co and c@d.org meet at 1.2.3.4",
+      "x@1.2.3.4 then +1 555 0100 and +44 20 7946 0958",
+      "clean text, no pii at all")
+    val (nE, nI, nP) = Text.piiCounts(col("text"))
+    val rows = texts.toDF("text")
+      .select(Text.redactPii(col("text")).as("red"),
+        nE.as("e"), nI.as("i"), nP.as("p"))
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (red, e, i, p) =>
+      def n(m: String) = m.r.findAllIn(red).length
+      assert(e == n("<EMAIL>"), s"email count vs markers in: $red")
+      assert(i == n("<IP>"), s"ip count vs markers in: $red")
+      assert(p == n("<PHONE>"), s"phone count vs markers in: $red")
+    }
+  }
+
+  test("mixSample: deterministic, stratum-routed, rate-monotone") {
+    import graft.operators.Sampling
+    val df = (1L to 1800L).map(i =>
+      (i, Seq("en", "de", "fr")((i % 3).toInt))).toDF("id", "lang")
+
+    val once = Sampling.mixSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.0), defaultRate = 1.0)
+    val twice = Sampling.mixSample(df, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.0), defaultRate = 1.0)
+    val ids = once.select("id").as[Long].collect().toSet
+    assert(ids == twice.select("id").as[Long].collect().toSet,
+      "membership must be a pure function of (id, rates)")
+
+    // rate 0 drops the stratum entirely; defaultRate 1.0 keeps every
+    // row of the unconfigured stratum (id % 3: 0 -> en, 1 -> de, 2 -> fr)
+    assert(!ids.exists(_ % 3 == 1), "de (rate 0) fully dropped")
+    assert((1L to 1800L).filter(_ % 3 == 2).forall(ids), "fr kept at default 1.0")
+
+    // en at 0.5: md5 cells are uniform, 600 rows, sd ~ 12 — assert a
+    // generous +-5 sd band, not exactness (the oracle pins exactness)
+    val nEn = ids.count(_ % 3 == 0)
+    assert(nEn > 240 && nEn < 360, s"en ~ half kept, got $nEn of 600")
+
+    // monotone: the 0.25 sample is a subset of the 0.5 sample — same
+    // cell, higher threshold
+    val quarter = Sampling.mixSample(df, "lang", "id",
+      Map("en" -> 0.25, "de" -> 0.0), defaultRate = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(quarter.filter(_ % 3 == 0).subsetOf(ids),
+      "lower rate must select a subset of the higher rate")
+  }
 }

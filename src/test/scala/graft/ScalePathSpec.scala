@@ -431,4 +431,42 @@ class ScalePathSpec extends SparkSpec {
       assert(p99 >= p99Lo && p99 <= p99Hi, s"$flag p99 $p99 outside [$p99Lo, $p99Hi]")
     }
   }
+
+  test("fingerprint index lifecycle: write -> dedup -> append advances the horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_idx_").toString + "/idx"
+    val history = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(history, "text", dir)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // ingest batch: an intra-batch dup pair (min id 11 kept), a history
+    // dup (13 repeats doc 1), and a genuinely new doc
+    val batch1 = Seq(
+      (11L, "epsilon zeta"), (12L, "epsilon zeta"),
+      (13L, "alpha beta"), (14L, "eta theta")).toDF("doc_id", "text")
+    val surv1 = Dedup.dedupAgainstIndex(batch1, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv1 == Set(11L, 14L), s"intra-batch + index dedup: $surv1")
+
+    // append the survivors: the index grows by exactly the new
+    // fingerprints and stays distinct
+    Dedup.appendFingerprintIndex(
+      batch1.filter(col("doc_id").isin(11L, 14L)), "text", dir)
+    val idx1 = spark.read.parquet(dir).as[String].collect()
+    assert(idx1.length == 4 && idx1.distinct.length == 4,
+      s"index distinct after append: ${idx1.toSeq}")
+
+    // re-running the append with the FULL batch is a no-op — every
+    // fingerprint is already indexed, the idempotence that makes a
+    // failed-then-retried append safe under the single-writer contract
+    Dedup.appendFingerprintIndex(batch1, "text", dir)
+    assert(spark.read.parquet(dir).count() == 4, "re-append must be a no-op")
+
+    // next batch: a dup of a batch-1 SURVIVOR is now dropped — the
+    // append advanced the dedup horizon beyond the original corpus
+    val batch2 = Seq((21L, "epsilon zeta"), (22L, "iota kappa"))
+      .toDF("doc_id", "text")
+    val surv2 = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
+  }
 }
