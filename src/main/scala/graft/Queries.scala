@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.{Text, Vectors}
+import graft.functions.{Sketches, Text, Vectors}
 import graft.operators.{Dedup, Similarity}
 
 /** The SURVEY.md §2 query contract, one `(SparkSession, sfDir) => DataFrame`
@@ -223,6 +223,25 @@ object Queries {
           col("buy_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("purchase_id"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** q_join_range — large-large range join via bin-grid quantization
+    * ([[graft.operators.RangeJoin.binnedIntervalJoin]]): events matched
+    * into OVERLAPPING value bands (25 bands of [20g, 20g+25) — each
+    * value hits 1-2). Catalyst would plan the raw containment predicate
+    * as a nested-loop join; the operator rewrites it to explode-bins +
+    * hash equi-join + exact re-check, the shape that survives both
+    * sides growing 1000×. The per-band aggregate pins the full match
+    * set against a DuckDB theta-join oracle. */
+  val q_join_range: Q = (s, d) => {
+    val bands = s.range(25).select(col("id").as("band_id"),
+      (col("id") * 20.0).as("lo"), (col("id") * 20.0 + 25.0).as("hi"))
+    operators.RangeJoin.binnedIntervalJoin(
+        Tables.events(s, d).select("event_id", "value"), "value",
+        bands, "lo", "hi", binWidth = 10.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("band_id")
   }
 
   /** q_join_left — left outer join preserving unmatched build rows. */
@@ -675,6 +694,20 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_entropy — per-doc unigram Shannon entropy in bits, the
+    * natural-language-ness quality signal next to q_repetition_ratio
+    * (spam and boilerplate repeat tokens, prose does not)
+    * ([[graft.functions.Text.tokenEntropy]]). One fused narrow pass per
+    * doc — the UDF replaces the explode → (doc, token) count → per-doc
+    * re-aggregate form that shuffles every token twice; the DuckDB
+    * oracle recomputes exactly that exploded form, pinning the fused
+    * pass against the relational definition. */
+  val q_entropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(Text.tokenEntropy(col("text")), 6).as("ent_bits"))
+      .orderBy("doc_id")
+
   /** q_pii_redact — PII scrubbing (pretraining hygiene): emails, IPv4
     * addresses, and +CC phone numbers are redacted by a codegen'd
     * `regexp_replace` chain with per-kind match counts
@@ -816,6 +849,31 @@ object Queries {
     Dedup.simhashWithNeighbors(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q_group_similarity — cross-corpus-slice similarity from MERGEABLE
+    * MinHash sketches: per-language union signatures via the
+    * [[graft.functions.Sketches.MinHashUnion]] aggregate (shingle n=1 —
+    * vocabulary overlap), then pairwise estimated Jaccard between the
+    * slices. Because min commutes with union, the grouped signature is
+    * exactly the signature of the slice's whole token set — built with
+    * map-side partial aggregation shuffling 32 longs per group, never
+    * the token sets, and compared in O(langs²·32) on the driver-sized
+    * grouped relation. Oracle-exempt (hash-seeded estimator): the merge
+    * law and estimator accuracy are pinned in scalatest. */
+  val q_group_similarity: Q = (s, d) => {
+    val mh = Dedup.minhashBanded(1, 32, 8)
+    val sigs = Tables.documents(s, d)
+      .select(col("lang"), mh(Text.tokens(col("text"))).getField("_1").as("sig"))
+    val grouped = sigs.groupBy("lang")
+      .agg(Sketches.minhashUnion(col("sig")).as("gsig"))
+    val a = grouped.select(col("lang").as("lang_a"), col("gsig").as("sig_a"))
+    val b = grouped.select(col("lang").as("lang_b"), col("gsig").as("sig_b"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        round(Sketches.sigSimilarity(col("sig_a"), col("sig_b")), 4)
+          .as("est_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** q_dedup_ngram — exact token-3-gram Jaccard, top-20 most similar pairs
     * via shingle inverted index with the scale-safe hot-shingle cap
     * (maxDocFreq=1000, the library default). DuckDB-oracle-checked: the
@@ -884,6 +942,19 @@ object Queries {
         Map("en" -> 1.0, "zh" -> 0.5), defaultRate = 0.25)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** q_sample_weighted — weighted sampling WITHOUT replacement, 5 docs
+    * per language with selection probability ∝ document length: the
+    * Efraimidis–Spirakis hash-ranked scheme
+    * ([[graft.operators.Sampling.weightedSamplePerKey]]). The ln(u)/w
+    * ranking key derives from md5(doc_id) — no RNG state — so the DuckDB
+    * oracle reproduces the exact selection from the same formula. */
+  val q_sample_weighted: Q = (s, d) =>
+    operators.Sampling.weightedSamplePerKey(Tables.documents(s, d),
+        "lang", "doc_id",
+        greatest(col("n_chars").cast("double"), lit(1.0)), k = 5)
+      .select("lang", "doc_id", "n_chars")
+      .orderBy("lang", "doc_id")
 
   /** q_split_train — deterministic train/val/test dataset split by md5
     * prefix of the doc id (80/10/10 over 256 hash cells): stable across
@@ -973,6 +1044,26 @@ object Queries {
       .unionByName(metric("li_orphan_order", orphans))
       .unionByName(metric("li_pk_dup", pkDup))
       .orderBy("check_name")
+  }
+
+  /** q_anomaly — z-score outlier detection: events whose value sits more
+    * than 3 per-type standard deviations above/below the per-type mean
+    * (the values are exponential-tailed, so the flagged set is the real
+    * upper tail). Scale shape: one keyed partial-agg produces the
+    * (mean, sd) per type — a types-sized relation AQE broadcasts — then
+    * one narrow filter over the stream; no window, no second shuffle of
+    * the events. round(z, 6): engines differ only in summation order
+    * inside avg/stddev. */
+  val q_anomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+    val z = (col("value") - col("m")) / col("sd")
+    ev.join(stats, Seq("event_type"))
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 6).as("z"))
+      .orderBy("event_id")
   }
 
   /** q_resample_ffill — time-series resampling: each user's sparse event
@@ -1154,6 +1245,7 @@ object Queries {
     "q_join_broadcast" -> q_join_broadcast,
     "q_join_lookup" -> q_join_lookup,
     "q_join_interval" -> q_join_interval,
+    "q_join_range" -> q_join_range,
     "q_join_asof" -> q_join_asof,
     "q_join_asof_tolerance" -> q_join_asof_tolerance,
     "q_join_left" -> q_join_left,
@@ -1192,6 +1284,7 @@ object Queries {
     "q_token_count_bpe" -> q_token_count_bpe,
     "q_text_normalize" -> q_text_normalize,
     "q_repetition_ratio" -> q_repetition_ratio,
+    "q_entropy" -> q_entropy,
     "q_pii_redact" -> q_pii_redact,
     "q_chunk_docs" -> q_chunk_docs,
     "q_quality_score" -> q_quality_score,
@@ -1204,15 +1297,18 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
+    "q_group_similarity" -> q_group_similarity,
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
     "q_sample_per_key" -> q_sample_per_key,
     "q_sample_mix" -> q_sample_mix,
+    "q_sample_weighted" -> q_sample_weighted,
     "q_split_train" -> q_split_train,
     "q_sessionize" -> q_sessionize,
     "q_heavy_hitters" -> q_heavy_hitters,
     "q_heavy_hitters_approx" -> q_heavy_hitters_approx,
     "q_dq_report" -> q_dq_report,
+    "q_anomaly" -> q_anomaly,
     "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,

@@ -26,7 +26,7 @@ object SparkEntry {
     * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
     * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
     * q_dedup_cluster_minhash, q_heavy_hitters_approx,
-    * q_decontaminate_bloom — each is instead golden-tested in scalatest
+    * q_decontaminate_bloom, q_group_similarity — each is instead golden-tested in scalatest
     * (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
@@ -59,6 +59,15 @@ object SparkEntry {
       "SELECT event_id, user_id, c_name, c_mktsegment, value FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id",
     "q_join_interval" ->
       "SELECT c.event_id AS click_id, p.event_id AS purchase_id FROM events c JOIN events p ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR WHERE c.event_type = 'click' AND p.event_type = 'purchase' ORDER BY click_id, purchase_id",
+    // the Spark side runs the binned equi-join rewrite; the oracle runs
+    // the plain theta join over the same generated band table — any grid
+    // false positive or boundary slip breaks the per-band aggregate
+    "q_join_range" ->
+      """WITH bands AS (SELECT CAST(g AS BIGINT) AS band_id, g * 20.0 AS lo, g * 20.0 + 25.0 AS hi
+        |              FROM range(25) t(g))
+        |SELECT band_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_join_asof" ->
       "SELECT p.event_id AS purchase_id, p.user_id, (SELECT c.event_id FROM events c WHERE c.user_id = p.user_id AND c.event_type = 'click' AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)) ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id",
     "q_join_asof_tolerance" ->
@@ -168,6 +177,18 @@ object SparkEntry {
     // source of truth for the patterns; 'g' flag = Spark's replace-all;
     // counts staged exactly like the Spark side (emails counted on raw,
     // IPs after email redaction, phones after both)
+    // the oracle is the relational (exploded) definition of the same
+    // termwise formula the fused UDF computes; COALESCE(0.0) covers
+    // token-less docs, round(6) absorbs summation-order ulps
+    "q_entropy" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        |ex AS (SELECT doc_id, len(t) AS n, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, n, tok, count(*) AS c FROM ex GROUP BY doc_id, n, tok),
+        |ent AS (SELECT doc_id, sum((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)) / ln(2.0) AS e
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, round(COALESCE(e.e, 0.0), 6) AS ent_bits
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pii_redact" -> {
       val e = graft.functions.Text.emailPattern
       val i = graft.functions.Text.ipv4Pattern
@@ -268,6 +289,19 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_sample_per_key" ->
       "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 5 ORDER BY lang, rn",
+    // the identical Efraimidis–Spirakis ranking formula, termwise: u from
+    // the first 8 md5 hex chars over 2^32, key = ln(u)/w, top-5 per lang
+    "q_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+        |           / greatest(CAST(n_chars AS DOUBLE), 1.0) AS es_key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+        |      FROM t)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     // rate boundaries in 256ths of the md5-cell space: en 1.0 → 'g'
     // (past every hex cell), zh 0.5 → '80', default 0.25 → '40'
     "q_sample_mix" ->
@@ -302,6 +336,13 @@ object SparkEntry {
         |     (SELECT count(*) AS total FROM events)
         |WHERE cnt * 1000 >= total * 8
         |ORDER BY cnt DESC, user_id""".stripMargin,
+    "q_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value, round((value - m) / sd, 6) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - m) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
     "q_dq_report" ->
       """SELECT * FROM (
         |  SELECT 'li_null_qty' AS check_name, CAST(count(*) AS BIGINT) AS violations

@@ -115,6 +115,30 @@ object Text {
     * Same builtin exists in DuckDB → direct oracle parity. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Shannon entropy (bits) of the document's unigram token distribution
+    * — the "natural-language-ness" quality signal: keyword-stuffed spam
+    * and boilerplate repeat tokens and sit far below prose of the same
+    * length. JVM UDF by design: ONE narrow pass over the token array
+    * replaces the explode → (doc, token) count → per-doc re-aggregate
+    * form, which shuffles every token twice at 100 TB. Each term is
+    * `(c/n)·ln(n/c) ≥ 0` (no −0.0 drift on single-token docs) and the
+    * DuckDB oracle mirrors the formula termwise; only summation order
+    * differs, so queries round to 6 decimals. */
+  val tokenEntropyUdf: UserDefinedFunction = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) 0.0
+    else {
+      val n = toks.size.toDouble
+      var acc = 0.0
+      toks.groupBy(identity).foreach { case (_, g) =>
+        val c = g.size.toDouble
+        acc += (c / n) * math.log(n / c)
+      }
+      acc / math.log(2.0)
+    }
+  }
+
+  def tokenEntropy(text: Column): Column = tokenEntropyUdf(tokens(text))
+
   /** 64-bit rolling (polynomial) fingerprint over tokens:
     * h = Σ token_hash * 31^i  (mod 2^64). Order-sensitive, unlike md5 —
     * catches reorderings as different docs. JVM UDF: the arithmetic

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling / dataset-split operators for training-data pipelines
@@ -91,6 +92,33 @@ object Sampling {
                        fractions: Map[String, Double],
                        seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Weighted sampling WITHOUT replacement, k rows per stratum — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws a uniform u and is
+    * ranked by `ln(u)/w`; the per-stratum top-k is exactly a weighted
+    * sample without replacement (heavier rows proportionally likelier,
+    * never picked twice). The uniform is hash-derived — the first 8 hex
+    * chars of `md5(id)` over 2³² — not RNG state, so membership is a pure
+    * function of (id, weight, k): stable across runs, engines, and
+    * cluster sizes, incremental under appends, and the DuckDB oracle
+    * reproduces the ranking from the same formula (both engines' `ln` is
+    * correctly rounded; selection flips would need two keys within one
+    * ulp). One keyed shuffle — the per-stratum rank window, partitioned
+    * on the stratum so it scales with stratum count. Weights must be
+    * strictly positive. */
+  def weightedSamplePerKey(df: DataFrame, stratumCol: String, idCol: String,
+                           weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(desc("__es_key"), col(idCol))
+    df.withColumn("__es_key", log(u) / weight)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__es_key", "__rn")
+  }
 
   /** GLOBALLY ordered shard writer — curriculum/quality-sorted training
     * layouts: `repartitionByRange(sortCol)` gives range-disjoint shards

@@ -59,4 +59,32 @@ object Jobs {
       .agg(sum(col(valueCol)).as("spend"), count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col(userCol),
         col("spend"), col("n_events"))
+
+  /** The DWS hot-keys job: watermarked tumbling per-key counts. In
+    * append mode each window's counts emit exactly once, when the
+    * watermark passes its end — compose with [[topKPerWindow]] inside
+    * the sink's `foreachBatch` for the ranked leaderboard (streaming
+    * queries cannot run rank windows; the emitted micro-batch is a
+    * finalized bounded batch, where one can). Output schema:
+    * (window_start, key, cnt). */
+  def hotKeysPerWindow(events: DataFrame, tsCol: String, keyCol: String,
+                       windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col(keyCol).as("key"), col("cnt"))
+
+  /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
+    * a rank window partitioned by window_start (each partition is one
+    * window's key set — bounded, scale-safe; ties break on the key for
+    * determinism). */
+  def topKPerWindow(batch: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(desc("cnt"), col("key"))
+    batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
 }

@@ -583,4 +583,92 @@ class FunctionsSpec extends SparkSpec {
     assert(quarter.filter(_ % 3 == 0).subsetOf(ids),
       "lower rate must select a subset of the higher rate")
   }
+
+  test("weightedSamplePerKey: k per stratum, deterministic, weight-sensitive") {
+    import graft.operators.Sampling
+    // two strata; in 'a', ids 1-50 carry weight 1 and ids 51-55 weight
+    // 10000 — an E-S key ln(u)/10000 is within (-1e-3, 0) unless u is
+    // astronomically small, while 50 unit-weight keys spread over
+    // (-inf, 0): the heavy five dominate the top-5 deterministically
+    // under the fixed md5-derived uniforms
+    val rows = (1L to 55L).map(i => ("a", i, if (i > 50) 10000.0 else 1.0)) ++
+      (101L to 110L).map(i => ("b", i, 1.0))
+    val df = rows.toDF("stratum", "id", "w")
+
+    val pick = Sampling.weightedSamplePerKey(df, "stratum", "id", col("w"), k = 5)
+    val byStratum = pick.select("stratum", "id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byStratum("a").size == 5 && byStratum("b").size == 5,
+      s"exactly k per stratum: $byStratum")
+    assert(byStratum("a") == Set(51L, 52L, 53L, 54L, 55L),
+      s"heavy rows must win the sample: ${byStratum("a")}")
+
+    val again = Sampling.weightedSamplePerKey(df, "stratum", "id", col("w"), k = 5)
+      .select("stratum", "id").as[(String, Long)].collect().toSet
+    assert(again == pick.select("stratum", "id")
+      .as[(String, Long)].collect().toSet, "hash-derived => deterministic")
+
+    // without replacement: k larger than the stratum returns every row once
+    val all = Sampling.weightedSamplePerKey(df.filter(col("stratum") === "b"),
+      "stratum", "id", col("w"), k = 100)
+    assert(all.count() == 10 &&
+      all.select("id").distinct().count() == 10)
+  }
+
+  test("MinHashUnion: grouped signature equals the signature of the unioned doc") {
+    import graft.functions.Sketches
+    // shingle n=1 => the signature sketches the token SET; min commutes
+    // with union, so the aggregate of per-doc sigs must EXACTLY equal
+    // the sig of one doc holding the union of tokens
+    val mh = Dedup.minhashBanded(1, 32, 8)
+    val parts = Seq(("g", "a b"), ("g", "c d"), ("g", "b c"))
+      .toDF("grp", "text")
+      .select(col("grp"), mh(Text.tokens(col("text"))).getField("_1").as("sig"))
+    val grouped = parts.groupBy("grp")
+      .agg(Sketches.minhashUnion(col("sig")).as("gsig"))
+      .select("gsig").as[Seq[Long]].head()
+    val whole = Seq("a b c d").toDF("text")
+      .select(mh(Text.tokens(col("text"))).getField("_1").as("sig"))
+      .as[Seq[Long]].head()
+    assert(grouped == whole, "merge law: min of sigs == sig of union")
+  }
+
+  test("sigSimilarity estimates cross-group vocabulary Jaccard") {
+    import graft.functions.Sketches
+    // group A vocabulary t1..t40, group B t21..t60 spread over several
+    // docs each: |A∩B| = 20, |A∪B| = 60, exact J = 1/3
+    val docs = Seq(
+      ("A", (1 to 20).map(i => s"t$i").mkString(" ")),
+      ("A", (21 to 40).map(i => s"t$i").mkString(" ")),
+      ("B", (21 to 45).map(i => s"t$i").mkString(" ")),
+      ("B", (46 to 60).map(i => s"t$i").mkString(" "))).toDF("grp", "text")
+    val mh = Dedup.minhashBanded(1, 32, 8)
+    val grouped = docs
+      .select(col("grp"), mh(Text.tokens(col("text"))).getField("_1").as("sig"))
+      .groupBy("grp").agg(Sketches.minhashUnion(col("sig")).as("gsig"))
+    val a = grouped.filter(col("grp") === "A").select(col("gsig").as("sa"))
+    val b = grouped.filter(col("grp") === "B").select(col("gsig").as("sb"))
+    val est = a.crossJoin(b)
+      .select(Sketches.sigSimilarity(col("sa"), col("sb")).as("j"))
+      .as[Double].head()
+    // 32 hashes => sd ≈ sqrt(J(1-J)/32) ≈ 0.083; ±0.25 is a ±3-sd band
+    assert(math.abs(est - 1.0 / 3.0) < 0.25, s"est $est vs exact 1/3")
+    // identical groups estimate exactly 1
+    val self = a.crossJoin(a.select(col("sa").as("sb")))
+      .select(Sketches.sigSimilarity(col("sa"), col("sb")).as("j"))
+      .as[Double].head()
+    assert(self == 1.0)
+  }
+
+  test("tokenEntropy: hand-computed goldens and degenerate docs") {
+    val out = Seq("a b a b", "a a a a", "a b c d", "", "x")
+      .toDF("text")
+      .select(round(Text.tokenEntropy(col("text")), 6).as("e"))
+      .as[Double].collect()
+    assert(out(0) == 1.0) // two tokens, p=1/2 each
+    assert(out(1) == 0.0) // single repeated token
+    assert(out(2) == 2.0) // four distinct, p=1/4 each
+    assert(out(3) == 0.0) // empty doc
+    assert(out(4) == 0.0) // single token
+  }
 }

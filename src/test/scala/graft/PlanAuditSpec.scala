@@ -26,10 +26,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("nested-loop joins only with a bounded broadcast side") {
     // BNLJ is legitimate exactly where the broadcast side is provably
-    // tiny: a scalar aggregate (q_tfidf's doc count) or a dim-bounded
-    // range table (interval/theta joins over the small side)
+    // tiny: a scalar aggregate (q_tfidf's doc count), a dim-bounded
+    // range table (interval/theta joins over the small side), or a
+    // grouped-by-category relation (q_group_similarity's lang pairs)
     val allowed =
-      Set("q_tfidf", "q_join_interval", "q_heavy_hitters", "q_heavy_hitters_approx")
+      Set("q_tfidf", "q_join_interval", "q_heavy_hitters",
+        "q_heavy_hitters_approx", "q_group_similarity")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n

@@ -568,4 +568,36 @@ class StreamingSpec extends SparkSpec {
     val total = branches.values.map(_.count()).sum
     assert(total == ev.count())
   }
+
+  test("hotKeysPerWindow + topKPerWindow: per-window leaderboard finalizes once") {
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = graft.streaming.Jobs.hotKeysPerWindow(
+      in.toDF().toDF("ts", "k"), "ts", "k", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): a×3, b×2, c×1 — then advance the watermark
+      // past 10:10 so the window emits exactly once
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:02:00"), "a"),
+        (ts("2024-01-01 10:03:00"), "a"), (ts("2024-01-01 10:04:00"), "b"),
+        (ts("2024-01-01 10:05:00"), "b"), (ts("2024-01-01 10:06:00"), "c"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:21:00"), "z"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:40:00"), "z"))
+      q.processAllAvailable()
+
+      // the finalized micro-batch output is a bounded batch — rank it
+      val top2 = graft.streaming.Jobs.topKPerWindow(
+        spark.table(name).filter(col("window_start") === ts("2024-01-01 10:00:00")), 2)
+        .select("key", "cnt").as[(String, Long)].collect().toSeq
+      assert(top2 == Seq(("a", 3L), ("b", 2L)), s"leaderboard: $top2")
+      // each (window, key) emitted exactly once (append mode + watermark)
+      val n = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00")).count()
+      assert(n == 3, s"one finalized row per key: $n")
+    } finally q.stop()
+  }
 }
