@@ -492,6 +492,24 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** q_window_frames — the remaining analytic-window family: first/last/
+    * nth value over an EXPLICIT unbounded rows frame (the default RANGE
+    * … CURRENT ROW frame makes `last_value` a running value — the
+    * classic silent bug; both engines get the explicit frame) plus
+    * cume_dist on the default frame. Per-customer, totally ordered by
+    * (date, key) so every output is deterministic. */
+  val q_window_frames: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   // -------------------------------------------------------------------
   // §2.F sorts / limits / set ops
   // -------------------------------------------------------------------
@@ -1182,6 +1200,57 @@ object Queries {
       .orderBy("doc_id", "rn")
   }
 
+  /** q_pmi_bigrams — pointwise mutual information of adjacent token
+    * pairs, the collocation-mining signal (PMI ≫ 0 → a phrase, not
+    * chance co-occurrence; at corpus scale this is how multi-word
+    * vocabulary entries are found). Adjacent bigrams come from ONE
+    * zip-with over each doc's token array (no positional self-join);
+    * unigram counts join back onto the bigram table (token-cardinality
+    * relations, hash joins), and the two corpus totals ride in as
+    * broadcast scalars. Formula pinned termwise against the oracle:
+    * pmi = ln((c₂/N₂) / ((cₐ/N₁)(c_b/N₁))), top-20 with count ≥ 20,
+    * ties broken on the bigram string. */
+  val q_pmi_bigrams: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(Text.tokens(col("text")).as("t"))
+    val uniRows = toks.select(explode(col("t")).as("tok"))
+    val uni = uniRows.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n1 = uniRows.agg(count(lit(1)).as("n1"))
+    val biRows = toks.filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val bi = biRows.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val n2 = biRows.agg(count(lit(1)).as("n2"))
+    val ua = uni.select(col("tok").as("la"), col("c1").as("ca"))
+    val ub = uni.select(col("tok").as("rb"), col("c1").as("cb"))
+    bi.filter(col("cnt") >= 20)
+      .withColumn("la", split(col("bigram"), " ").getItem(0))
+      .withColumn("rb", split(col("bigram"), " ").getItem(1))
+      .join(ua, Seq("la")).join(ub, Seq("rb"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bigram"), col("cnt"),
+        round(log((col("cnt").cast("double") / col("n2")) /
+          ((col("ca").cast("double") / col("n1")) *
+            (col("cb").cast("double") / col("n1")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("bigram"))
+      .limit(20)
+  }
+
+  /** q_fuzzy_match — edit-distance entity resolution with blocking
+    * ([[graft.operators.Dedup.fuzzyPairs]]): part names within
+    * Levenshtein distance 2, candidates blocked by brand (the natural
+    * partition key) and pruned by the length-difference lower bound
+    * before the DP runs — never an all-pairs scan. Spark's builtin
+    * `levenshtein` is codegen'd and takes the threshold argument
+    * (band-limited, early-exit); DuckDB's builtin confirms the same
+    * distances. */
+  val q_fuzzy_match: Q = (s, d) =>
+    Dedup.fuzzyPairs(Tables.part(s, d), "p_partkey", "p_name",
+        Seq("p_brand"), maxDist = 2)
+      .orderBy("id_a", "id_b")
+
   /** q_histogram — fixed-width distribution profile of event values:
     * one shuffled aggregate over ~10 bins (map-side partials do nearly
     * all the work at scale). */
@@ -1268,6 +1337,7 @@ object Queries {
     "q_window_lag" -> q_window_lag,
     "q_window_running" -> q_window_running,
     "q_window_rank" -> q_window_rank,
+    "q_window_frames" -> q_window_frames,
     "q_sort_limit" -> q_sort_limit,
     "q_union" -> q_union,
     "q_intersect" -> q_intersect,
@@ -1297,6 +1367,7 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
+    "q_fuzzy_match" -> q_fuzzy_match,
     "q_group_similarity" -> q_group_similarity,
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
@@ -1316,6 +1387,7 @@ object Queries {
     "q_retention" -> q_retention,
     "q_funnel" -> q_funnel,
     "q_tfidf" -> q_tfidf,
+    "q_pmi_bigrams" -> q_pmi_bigrams,
     "q_histogram" -> q_histogram,
     "q_zorder" -> q_zorder,
     "q_dedup_embed" -> q_dedup_embed,

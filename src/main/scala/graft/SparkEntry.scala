@@ -116,6 +116,20 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderkey",
     "q_window_rank" ->
       "SELECT o_orderkey, o_orderpriority, dense_rank() OVER w AS drank, round(percent_rank() OVER w, 6) AS prank, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
+    // explicit unbounded frame for first/last/nth (the default RANGE
+    // frame would make last_value a running value in BOTH engines — the
+    // explicit frame pins the intended semantics identically)
+    "q_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_totalprice) OVER w2 AS first_price,
+        |       last_value(o_totalprice) OVER w2 AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w2 AS second_price,
+        |       round(cume_dist() OVER w1, 6) AS cd
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q_union" ->
@@ -260,6 +274,12 @@ object SparkEntry {
     // same shingle/cap/Jaccard pipeline as q_dedup_ngram, thresholded at
     // 0.5, then closed transitively with a recursive CTE: every doc gets
     // the minimum doc id reachable through the pair graph
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
@@ -424,6 +444,26 @@ object SparkEntry {
         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // identical PMI formula termwise; ORDER BY the ROUNDED pmi then the
+    // bigram string so the top-20 boundary is deterministic in both
+    "q_pmi_bigrams" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS tok FROM toks),
+        |u AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+        |n1t AS (SELECT count(*) AS n1 FROM uni),
+        |bi AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |b AS (SELECT bigram, count(*) AS cnt FROM bi GROUP BY bigram),
+        |n2t AS (SELECT count(*) AS n2 FROM bi)
+        |SELECT bigram, cnt,
+        |       round(ln((CAST(cnt AS DOUBLE) / n2) /
+        |             ((CAST(ua.c1 AS DOUBLE) / n1) * (CAST(ub.c1 AS DOUBLE) / n1))), 6) AS pmi
+        |FROM b
+        |JOIN u ua ON string_split(b.bigram, ' ')[1] = ua.tok
+        |JOIN u ub ON string_split(b.bigram, ' ')[2] = ub.tok
+        |CROSS JOIN n1t CROSS JOIN n2t
+        |WHERE cnt >= 20
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "q_histogram" ->
       "SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v FROM events GROUP BY 1 ORDER BY bin",
     // the IDENTICAL unrolled Morton interleave the Spark side plans —

@@ -503,4 +503,36 @@ object Dedup {
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")
   }
+
+  /** Fuzzy (edit-distance) near-match pairs with BLOCKING — the entity-
+    * resolution shape: names/titles that differ by typos are the dup
+    * class Jaccard shingles miss on short strings. A raw all-pairs
+    * `levenshtein` is O(n²); the operator equi-joins on `blockCols`
+    * first (a natural partition key — brand, source, zip prefix — the
+    * standard blocking step), prunes by the length-difference lower
+    * bound (|len(a)−len(b)| > maxDist ⇒ distance > maxDist, a cheap
+    * codegen predicate ahead of the DP), and only then runs Spark's
+    * builtin `levenshtein` WITH its threshold argument (band-limited
+    * DP — O(len·maxDist) and early-exit, returning −1 past the bound).
+    * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist. Cost is
+    * one keyed shuffle + per-block quadratic work, so choose blocks
+    * that stay people-sized at scale (add a length bucket to
+    * `blockCols` for heavy blocks). */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+                 blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val a = df.select(
+      Seq(col(idCol).as("id_a"), col(strCol).as("__str_a")) ++
+        blockCols.map(col): _*)
+    val b = df.select(
+      Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
+        blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("__str_a")) - length(col("__str_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("__str_a"), col("__str_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -275,6 +275,41 @@ object IO {
     spark.read.parquet(snapshotDir)
       .select(snapshotSchema.fieldNames.toSeq.map(col): _*)
 
+  /** Small-files compaction for a parquet directory — the steady-state
+    * maintenance op every incremental sink here (append, upsert, IVF
+    * index, streaming micro-batches) eventually needs: thousands of
+    * kilobyte-sized files turn a 100 TB scan into a file-open storm,
+    * bloat the driver's file index, and shred min/max pruning. Rewrites
+    * the directory into ⌈bytes / targetFileBytes⌉ files with `coalesce`
+    * (narrow — no shuffle; rows merge along existing file order, so a
+    * sorted layout stays sorted), then swaps atomically via the same
+    * write-tmp → bak → rename dance as [[upsertSink]]: readers never see
+    * a moment without a complete snapshot, and a crash leaves either the
+    * old or the new directory intact. Single-writer by contract, like
+    * all snapshot maintenance in this pack. Returns the output file
+    * count. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(dst).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "_bak")
+    // the read of `dir` completes while writing _tmp — the swap below
+    // only runs after the write action finished
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compactParquet: $what failed")
+    fs.delete(bak, true)
+    must(fs.rename(dst, bak), s"rename $dst -> $bak")
+    must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+    fs.delete(bak, true)
+    n
+  }
+
   // ---- round-trip helpers -------------------------------------------
 
   def writeCsv(df: DataFrame, path: String): Unit =

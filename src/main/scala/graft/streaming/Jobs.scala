@@ -76,6 +76,22 @@ object Jobs {
       .select(col("window.start").as("window_start"),
         col(keyCol).as("key"), col("cnt"))
 
+  /** The DWS unique-visitors job: watermarked tumbling windows with an
+    * APPROXIMATE distinct-user count (HyperLogLog++). The sketch merges
+    * inside partial aggregation, so per-window state is O(sketch bytes),
+    * not O(users) — the only distinct that survives 100 TB/day streams;
+    * `rsd` trades sketch size against the ±error band. */
+  def windowedUniques(events: DataFrame, tsCol: String, userCol: String,
+                      windowDur: String, watermarkDelay: String,
+                      rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(approx_count_distinct(col(userCol), rsd).as("approx_uniques"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("approx_uniques"), col("n_events"))
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

@@ -660,6 +660,38 @@ class FunctionsSpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("fuzzyPairs: blocking, length pruning, threshold semantics match brute force") {
+    val rows = Seq(
+      (1L, "blue bolt", "b1"), (2L, "blue belt", "b1"),   // dist 1, same block
+      (3L, "blue bolt", "b2"),                            // dup text, OTHER block
+      (4L, "blue bolts", "b1"),                           // dist 1 from 1, len+1
+      (5L, "red widget", "b1"), (6L, "green gadget", "b1"), // far apart
+      (7L, "blu", "b1")                                   // len prune vs all
+    ).toDF("id", "name", "blk")
+    val got = Dedup.fuzzyPairs(rows, "id", "name", Seq("blk"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force within block
+    val data = Seq((1L, "blue bolt", "b1"), (2L, "blue belt", "b1"),
+      (3L, "blue bolt", "b2"), (4L, "blue bolts", "b1"),
+      (5L, "red widget", "b1"), (6L, "green gadget", "b1"), (7L, "blu", "b1"))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na, ba) <- data; (ib, nb, bb) <- data
+      if ia < ib && ba == bb && lev(na, nb) <= 2
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    // the cross-block exact dup must NOT pair (blocking semantics)
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) })
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 4L, 1L)))
+  }
+
   test("tokenEntropy: hand-computed goldens and degenerate docs") {
     val out = Seq("a b a b", "a a a a", "a b c d", "", "x")
       .toDF("text")

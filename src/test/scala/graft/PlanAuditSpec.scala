@@ -31,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     // grouped-by-category relation (q_group_similarity's lang pairs)
     val allowed =
       Set("q_tfidf", "q_join_interval", "q_heavy_hitters",
-        "q_heavy_hitters_approx", "q_group_similarity")
+        "q_heavy_hitters_approx", "q_group_similarity", "q_pmi_bigrams")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n

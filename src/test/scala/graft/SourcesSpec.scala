@@ -260,4 +260,28 @@ class SourcesSpec extends SparkSpec {
       Multimodal.mediaSchema)
     assert(Multimodal.sampleFrames(Multimodal.decodeMeta(zeroDf), stride = 3).count() == 0)
   }
+
+  test("compactParquet: small files merge, data survives byte-for-byte, dir swap is clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, s"row_$i")).toDF("id", "s")
+    df.repartition(16).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 16, "fixture: 16 small files")
+
+    val n = graft.sources.IO.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles() == 1, s"compacted to $n file(s)")
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    assert(back == (1L to 1000L).map(i => (i, s"row_$i")).toSet,
+      "compaction must not lose or alter rows")
+    // no leftover staging/backup dirs
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName).toSet
+    assert(!parent.exists(p => p.endsWith("_tmp") || p.endsWith("_bak")),
+      s"staging dirs must be cleaned: $parent")
+
+    // idempotent re-run on an already-compact dir
+    assert(graft.sources.IO.compactParquet(spark, dir, 1L << 30) == 1)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
 }

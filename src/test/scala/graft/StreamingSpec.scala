@@ -600,4 +600,33 @@ class StreamingSpec extends SparkSpec {
       assert(n == 3, s"one finalized row per key: $n")
     } finally q.stop()
   }
+
+  test("windowedUniques: per-window approx distinct users within the rsd band") {
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = graft.streaming.Jobs.windowedUniques(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): users 1..40, some repeating; [10:10,10:20): 3
+      in.addData((1 to 40).map(u => (ts("2024-01-01 10:05:00"), u.toLong)): _*)
+      in.addData((ts("2024-01-01 10:06:00"), 7L), (ts("2024-01-01 10:07:00"), 7L),
+        (ts("2024-01-01 10:12:00"), 1L), (ts("2024-01-01 10:13:00"), 2L),
+        (ts("2024-01-01 10:14:00"), 2L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:31:00"), 99L)) // advance watermark
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:50:00"), 99L))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .as[(Timestamp, Long, Long)].collect()
+        .map(r => r._1.toString -> (r._2, r._3)).toMap
+      val (u1, n1) = out("2024-01-01 10:00:00.0")
+      assert(n1 == 42L, s"event count exact: $n1")
+      assert(math.abs(u1 - 40L) <= 6, s"approx uniques ~40 at rsd 5%: $u1")
+      val (u2, n2) = out("2024-01-01 10:10:00.0")
+      assert(n2 == 3L && math.abs(u2 - 2L) <= 1, s"window 2: $u2/$n2")
+    } finally q.stop()
+  }
 }
