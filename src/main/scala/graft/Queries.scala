@@ -610,6 +610,116 @@ object Queries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** q_composite_revenue — the TPC-H Q6 shape: a pure scan-filter-agg
+    * with tight range predicates on three columns and no join at all.
+    * Every predicate reaches the parquet scan as a pushed filter, so at
+    * 100 TB this is one narrow pass with row-group min/max skipping —
+    * the plan Catalyst should (and does) produce is Scan → Filter →
+    * partial agg → single-row final agg. */
+  val q_composite_revenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q_composite_urgent_share — the TPC-H Q12 shape on this fixture's
+    * columns: orders⋈lineitem with a ship-date window, counting
+    * high-priority vs other lines per return flag via conditional
+    * aggregates (no second pass, no pivot shuffle). */
+  val q_composite_urgent_share: Q = (s, d) => {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q_composite_promo — the TPC-H Q14 shape: lineitem⋈part (part is
+    * dim-sized → broadcast) with a conditional-revenue ratio per ship
+    * month. The ratio is computed inside one aggregate node — promo and
+    * total revenue are two conditional sums of the same keyed agg, not
+    * two jobs. */
+  val q_composite_promo: Q = (s, d) => {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) * 100.0
+          / sum(rev), 4).as("promo_share"),
+        round(sum(rev), 2).as("revenue"))
+      .orderBy("ym")
+  }
+
+  /** q_composite_top_supplier — the TPC-H Q15 shape: quarterly revenue
+    * per supplier, then the argmax supplier(s) via a broadcast 1-row max
+    * join — no window over the whole relation, no collect(); the
+    * revenue relation is aggregated once and reused for both sides. */
+  val q_composite_top_supplier: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q_composite_big_orders — the TPC-H Q18 shape: large-quantity orders
+    * (HAVING over a keyed lineitem agg) joined back to orders+customer,
+    * top-20. The lineitem agg runs FIRST and shrinks the join input to
+    * the few qualifying order keys — the join never sees the full fact
+    * table twice. */
+  val q_composite_big_orders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** q_composite_cold_customers — the TPC-H Q22 shape: customers with
+    * above-average positive balance and no RECENT orders (≥ 2000-01-01;
+    * the fixture has orders for nearly every customer, so the
+    * unrestricted Q22 anti set is empty), rolled up per nation. The
+    * global average is a 1-row aggregate broadcast into a filter (no
+    * correlated re-scan), and "no recent orders" is a LEFT ANTI hash
+    * join whose date predicate is pushed to the orders scan. The
+    * average is compared UNROUNDED: both engines filter on their own
+    * exact double, avoiding a manufactured 2-dp boundary collision with
+    * the 2-dp balance values. */
+  val q_composite_cold_customers: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy("c_nationkey")
+  }
+
   // -------------------------------------------------------------------
   // §2.H text / §2.K training-data extensions
   // -------------------------------------------------------------------
@@ -1296,6 +1406,147 @@ object Queries {
       .orderBy("lang")
 
   // -------------------------------------------------------------------
+  // dataset-ops family (round 6): versioning diff, profiling, sequence
+  // assembly, rolling time-range frames, mergeable exact/approx distinct
+  // -------------------------------------------------------------------
+
+  /** q_collect_sequence — per-user ordered event-path assembly: the
+    * feature-building shape behind session/behavior sequence models
+    * (and the reference's per-key event accumulation). One keyed
+    * shuffle; the ordering happens INSIDE each group's collected array
+    * (`array_sort` over (ts, event_id, type) structs), never as a
+    * global sort. At 100 TB the group payload — not the engine — is the
+    * bound, which is the right failure mode for sequence assembly. */
+  val q_collect_sequence: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          "->").as("path"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** q_snapshot_diff — dataset-versioning diff: FULL OUTER join of two
+    * dim snapshots keyed on the PK, classifying added / removed /
+    * changed rows (the batch twin of the CDC changelog the reference
+    * consumes — this query PRODUCES a changelog from two snapshots).
+    * Both snapshots derive deterministically from the customer fixture;
+    * the perturbed balance is an exact IEEE `+ 10.0` (no rounding) so
+    * the changed-row comparison is bit-identical across engines. */
+  val q_snapshot_diff: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val prev = cust.filter(col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal").as("old_bal"))
+    val next = cust.filter(col("c_custkey") % 5 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal")).as("new_bal"))
+    prev.join(next, Seq("c_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("old_bal").isNull, "added")
+          .when(col("new_bal").isNull, "removed")
+          .when(col("old_bal") =!= col("new_bal"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("c_custkey", "status", "old_bal", "new_bal")
+      .orderBy("c_custkey")
+  }
+
+  /** q_profile — one-pass column profiler (null count + exact distinct
+    * per column) over orders, emitted long-format. All six columns'
+    * aggregates run in ONE aggregate node (Catalyst plans the multi-
+    * distinct via a single Expand — one shuffle, not six jobs); the
+    * long format comes from exploding a literal array of structs over
+    * the 1-row aggregate, which is free. */
+  val q_profile: Q = (s, d) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+        count_distinct(col(c)).as(s"${c}_nd"))
+    } :+ count(lit(1)).as("n_rows")
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"${c}_nn").as("n_null"),
+          col(s"${c}_nd").as("n_distinct"), col("n_rows"))): _*)).as("p"))
+      .select("p.col_name", "p.n_null", "p.n_distinct", "p.n_rows")
+      .orderBy("col_name")
+  }
+
+  /** q_window_rolling — 7-day RANGE-frame rolling aggregate per user
+    * (the time-windowed feature shape: "value sum in the trailing
+    * week"). A range frame on the epoch-ms ordering key includes tied
+    * timestamps as peers, so the result is deterministic without a
+    * unique-key tiebreak; one keyed shuffle, one sorted pass. */
+  val q_window_rolling: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-604800000L, 0L)
+    Tables.events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        round(sum(col("value")).over(w), 2).as("rolling_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("event_id")
+  }
+
+  /** q_distinct_bitmap — EXACT distinct count via mergeable fixed-width
+    * bitmaps (`bitmap_construct_agg` over 32768-bit buckets, then a sum
+    * of `bitmap_count`s): the scale path for exact distinct when the id
+    * domain is dense integers. Each (key, bucket) group folds to 4 KB
+    * regardless of row count, partial-aggregates map-side, and the
+    * second stage sums scalars — no row-level distinct shuffle at all.
+    * The oracle is plain COUNT(DISTINCT): the bitmap path must be
+    * exactly right, not approximately. */
+  val q_distinct_bitmap: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("event_type")
+
+  /** q_agg_distinct_hll — mergeable HLL sketch distinct (Datasketches
+    * `hll_sketch_agg` / `hll_union_agg`): per-day sketches are built in
+    * one keyed pass, then UNIONED — the pre-aggregated-rollup pattern
+    * that answers "distinct over any date range" at 100 TB by merging
+    * kilobyte sketches instead of re-scanning rows. Estimate is
+    * approximate → oracle-exempt; FunctionsSpec pins the merge law
+    * (union-of-parts == sketch-of-whole, exactly) and the accuracy band
+    * vs exact distinct. */
+  val q_agg_distinct_hll: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_est"))
+
+  /** q_knn_join — batch k-nearest-neighbor join: every probe vector
+    * (here vec_id < 20) gets its top-3 cosine neighbors from the full
+    * corpus. The probe side broadcasts; the corpus is scanned ONCE with
+    * the codegen'd [[graft.functions.VecDot]] cosine; per-probe top-k
+    * folds through the bounded-heap [[graft.functions.TopKAggregator]]
+    * (O(k) state per probe) instead of a window sort over corpus×probes
+    * rows. This is the scale shape: corpus never shuffles by probe. */
+  val q_knn_join: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(probes))
+      .select(col("query_id"), col("vec_id"),
+        Vectors.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("vec_id")).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rn")
+  }
+
+  // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
 
@@ -1346,6 +1597,12 @@ object Queries {
     "q_composite_region" -> q_composite_region,
     "q_composite_returns" -> q_composite_returns,
     "q_composite_priority" -> q_composite_priority,
+    "q_composite_revenue" -> q_composite_revenue,
+    "q_composite_urgent_share" -> q_composite_urgent_share,
+    "q_composite_promo" -> q_composite_promo,
+    "q_composite_top_supplier" -> q_composite_top_supplier,
+    "q_composite_big_orders" -> q_composite_big_orders,
+    "q_composite_cold_customers" -> q_composite_cold_customers,
     "q_keyword_topk" -> q_keyword_topk,
     "q_dedup" -> q_dedup,
     "q_dedup_doc" -> q_dedup_doc,
@@ -1392,5 +1649,12 @@ object Queries {
     "q_zorder" -> q_zorder,
     "q_dedup_embed" -> q_dedup_embed,
     "q_multimodal_join" -> q_multimodal_join,
+    "q_collect_sequence" -> q_collect_sequence,
+    "q_snapshot_diff" -> q_snapshot_diff,
+    "q_profile" -> q_profile,
+    "q_window_rolling" -> q_window_rolling,
+    "q_distinct_bitmap" -> q_distinct_bitmap,
+    "q_agg_distinct_hll" -> q_agg_distinct_hll,
+    "q_knn_join" -> q_knn_join,
   )
 }

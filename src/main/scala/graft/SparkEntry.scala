@@ -26,8 +26,8 @@ object SparkEntry {
     * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
     * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
     * q_dedup_cluster_minhash, q_heavy_hitters_approx,
-    * q_decontaminate_bloom, q_group_similarity — each is instead golden-tested in scalatest
-    * (SURVEY §5.2).
+    * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll —
+    * each is instead golden-tested in scalatest (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -146,6 +146,37 @@ object SparkEntry {
       "SELECT c_custkey, c_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q_composite_priority" ->
       "SELECT o_orderpriority, count(*) AS n_orders FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY) GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_composite_revenue" ->
+      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+    "q_composite_urgent_share" ->
+      "SELECT l_returnflag, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_composite_promo" ->
+      "SELECT strftime(l_shipdate, '%Y-%m') AS ym, round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY ym",
+    "q_composite_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_composite_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_composite_cold_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_keyword_topk" ->
       "SELECT lang, word, cnt, rn FROM (SELECT lang, word, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM (SELECT lang, word, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t WHERE word <> '' GROUP BY lang, word) t2) t3 WHERE rn <= 10 ORDER BY lang, rn",
     "q_dedup" ->
@@ -483,5 +514,51 @@ object SparkEntry {
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->
       "SELECT lang, count(*) AS n_docs, round(avg(CAST(label AS DOUBLE)), 4) AS avg_label, round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
+    "q_collect_sequence" ->
+      "SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id) AS path, count(*) AS n_events FROM events GROUP BY user_id ORDER BY user_id",
+    // the changed-row balance is an exact IEEE `+ 10.0` on both engines
+    // (no rounding) — the <> comparison is bit-identical
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT c_custkey, c_acctbal AS old_bal FROM customer WHERE c_custkey % 7 <> 0),
+        |next_s AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS new_bal
+        |  FROM customer WHERE c_custkey % 5 <> 0)
+        |SELECT coalesce(prev.c_custkey, next_s.c_custkey) AS c_custkey,
+        |       CASE WHEN old_bal IS NULL THEN 'added'
+        |            WHEN new_bal IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS status,
+        |       old_bal, new_bal
+        |FROM prev FULL JOIN next_s ON prev.c_custkey = next_s.c_custkey
+        |WHERE old_bal IS NULL OR new_bal IS NULL OR old_bal <> new_bal
+        |ORDER BY c_custkey""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(*) - count($c) AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, count(*) AS n_rows FROM orders")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+    "q_window_rolling" ->
+      """SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |       round(sum(value) OVER w, 2) AS rolling_7d,
+        |       count(*) OVER w AS n_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // oracle is plain COUNT(DISTINCT): the bitmap path must be exact
+    "q_distinct_bitmap" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20)
+        |SELECT query_id, rn, vec_id AS neighbor_id FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q) t
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
   )
 }

@@ -703,4 +703,57 @@ class FunctionsSpec extends SparkSpec {
     assert(out(3) == 0.0) // empty doc
     assert(out(4) == 0.0) // single token
   }
+
+  test("q_agg_distinct_hll: union-of-parts merge law and accuracy vs exact") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    // merge law: HLL registers fold by max, so the union of per-day
+    // sketches must estimate EXACTLY what one sketch over all rows does
+    val viaUnion = Queries.q_agg_distinct_hll(spark, sfDir)
+      .as[Long].collect().head
+    val wholeSketch = graft.sources.Tables.events(spark, sfDir)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .as[Long].collect().head
+    assert(viaUnion == wholeSketch,
+      s"per-day union estimate $viaUnion != whole-data sketch $wholeSketch")
+    // accuracy: default lgK=12 HLL is near-exact at fixture cardinality
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .agg(countDistinct(col("user_id"))).as[Long].collect().head
+    assert(math.abs(viaUnion - exact).toDouble / exact <= 0.05,
+      s"estimate $viaUnion vs exact $exact")
+  }
+
+  test("q_distinct_bitmap: bitmap two-level path equals the exact distinct") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val viaBitmap = Queries.q_distinct_bitmap(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(viaBitmap == exact, s"bitmap $viaBitmap != exact $exact")
+  }
+
+  test("q_knn_join: rank-1 is self and ranks agree with the window brute force") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, desc, row_number}
+    val got = Queries.q_knn_join(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val probes = got.map(_._1).distinct
+    assert(probes.length == 20 && got.length == 60)
+    // each probe's nearest neighbor is itself (cosine 1.0, unique vectors)
+    got.filter(_._2 == 1L).foreach { case (q, _, n) => assert(q == n) }
+    // agreement with the window-sort formulation (same tie rule: cos desc, id)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val probesDf = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    val brute = emb.crossJoin(broadcast(probesDf))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == brute)
+  }
 }

@@ -27,11 +27,14 @@ class PlanAuditSpec extends SparkSpec {
   test("nested-loop joins only with a bounded broadcast side") {
     // BNLJ is legitimate exactly where the broadcast side is provably
     // tiny: a scalar aggregate (q_tfidf's doc count), a dim-bounded
-    // range table (interval/theta joins over the small side), or a
-    // grouped-by-category relation (q_group_similarity's lang pairs)
+    // range table (interval/theta joins over the small side), a
+    // grouped-by-category relation (q_group_similarity's lang pairs),
+    // a 1-row broadcast scalar (q_composite_cold_customers' average),
+    // or a bounded probe set (q_knn_join's 20 query vectors)
     val allowed =
       Set("q_tfidf", "q_join_interval", "q_heavy_hitters",
-        "q_heavy_hitters_approx", "q_group_similarity", "q_pmi_bigrams")
+        "q_heavy_hitters_approx", "q_group_similarity", "q_pmi_bigrams",
+        "q_composite_cold_customers", "q_knn_join")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n

@@ -388,6 +388,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched click emits null-padded after watermark") {
+    // the retract-free outer-join semantics Spark gives: an unmatched
+    // left row is held in state until the watermark proves no match can
+    // still arrive, THEN emitted null-padded — the streaming twin of the
+    // reference's left join producing late retractions
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"),
+      "left_outer")
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L), // will match
+        (ts("2024-01-01 10:00:00"), 2L))              // will NOT match
+      buys.addData((ts("2024-01-01 10:30:00"), 1L))
+      q.processAllAvailable()
+      // user 2 unmatched but watermark hasn't passed 11:00 yet → held
+      val early = spark.table(name).filter("c_user = 2").count()
+      assert(early == 0L, "unmatched row must stay in state until the watermark passes")
+      // advance both watermarks far past the join window + delay
+      clicks.addData((ts("2024-01-01 14:00:00"), 9L))
+      buys.addData((ts("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("c_user", "b_user")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, Some(1L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, None)), s"null-padded unmatched row missing: $rows")
+    } finally q.stop()
+  }
+
   test("typed Dataset surface: events as case-class Dataset") {
     val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
     val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
