@@ -1546,6 +1546,84 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** q_markov_transitions — next-event transition matrix: per (state →
+    * next-state) counts and conditional probabilities, the behavioral
+    * n-gram statistic behind next-event models. One window pass for the
+    * lead, one keyed agg; the probability normalization runs over the
+    * GROUPED matrix (≤ |states|² rows), never the event stream. */
+  val q_markov_transitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pw = Window.partitionBy("from_state")
+    Tables.events(s, d)
+      .withColumn("to_state", lead(col("event_type"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("event_type").as("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", round(col("cnt") / sum(col("cnt")).over(pw), 6))
+      .orderBy("from_state", "to_state")
+  }
+
+  /** q_dedup_paragraph — sub-document dedup: non-overlapping 16-token
+    * blocks fingerprinted per doc, reporting block hashes that recur
+    * across ≥2 distinct documents (the boilerplate/contamination signal
+    * exact doc-level dedup misses). Same narrow posexplode(sequence)
+    * expansion as q_chunk_docs — no join until the grouped (hash-sized)
+    * aggregate. */
+  val q_dedup_paragraph: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(16))).as(Seq("pos", "start")))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("toks"), col("start") + 1, lit(16)), " ")).as("block_fp"))
+      .groupBy("block_fp")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("block_fp")
+
+  /** q_ewma — exponentially weighted moving average per user (α=0.2,
+    * seeded by the first observation): the classic streaming smoother,
+    * computed batch-side as an in-group left fold (`aggregate` HOF over
+    * the time-sorted collected array). Fold order is identical on both
+    * engines (acc-first, element order ts,event_id), so the doubles are
+    * bit-identical until the display rounding. */
+  val q_ewma: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("seq"))
+      .select(col("user_id"),
+        round(aggregate(
+          slice(col("seq"), lit(2), greatest(size(col("seq")) - 1, lit(0))),
+          element_at(col("seq"), 1).getField("value"),
+          (acc, x) => lit(0.2) * x.getField("value") + lit(0.8) * acc), 6).as("ewma"),
+        size(col("seq")).cast("long").as("n_events"))
+      .orderBy("user_id")
+
+  /** q_chisq — chi-square association between event_type and a derived
+    * user cohort: observed vs expected cell counts, χ² = Σ(o−e)²/e.
+    * The contingency table is ONE keyed agg over the stream; marginals
+    * and the statistic fold over the ≤|types|×|cohorts| grouped matrix
+    * (broadcast-sized), so the stream is scanned exactly once. */
+  val q_chisq: Q = (s, d) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 3).as("cohort"))
+      .groupBy("event_type", "cohort")
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowTot = Window.partitionBy("event_type")
+    val colTot = Window.partitionBy("cohort")
+    val all = Window.partitionBy()
+    cells
+      .withColumn("e",
+        sum(col("o")).over(rowTot) * sum(col("o")).over(colTot) / sum(col("o")).over(all))
+      .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
+        .as("chi2"),
+        count(lit(1)).as("n_cells"))
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -1656,5 +1734,9 @@ object Queries {
     "q_distinct_bitmap" -> q_distinct_bitmap,
     "q_agg_distinct_hll" -> q_agg_distinct_hll,
     "q_knn_join" -> q_knn_join,
+    "q_markov_transitions" -> q_markov_transitions,
+    "q_dedup_paragraph" -> q_dedup_paragraph,
+    "q_ewma" -> q_ewma,
+    "q_chisq" -> q_chisq,
   )
 }

@@ -552,6 +552,49 @@ object SparkEntry {
     // oracle is plain COUNT(DISTINCT): the bitmap path must be exact
     "q_distinct_bitmap" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    "q_markov_transitions" ->
+      """WITH t AS (SELECT event_type AS from_state,
+        |            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |           FROM events),
+        |c AS (SELECT from_state, to_state, count(*) AS cnt FROM t
+        |      WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, cnt,
+        |       round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_state), 6) AS prob
+        |FROM c ORDER BY from_state, to_state""".stripMargin,
+    // same 1-based inclusive slice convention as q_chunk_docs
+    "q_dedup_paragraph" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, md5(array_to_string(toks[start + 1 : start + 16], ' ')) AS block_fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        |        FROM t WHERE len(toks) > 0)
+        |)
+        |SELECT block_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+        |       min(doc_id) AS first_doc_id
+        |FROM c GROUP BY block_fp HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY block_fp""".stripMargin,
+    // list_reduce seeds the fold with the first element and applies
+    // (acc, x) left-to-right — exactly Spark's aggregate() over the
+    // tail seeded by element 1, so the doubles are bit-identical
+    "q_ewma" ->
+      """WITH s AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals, count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       round(CASE WHEN n = 1 THEN vals[1]
+        |             ELSE list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc) END, 6) AS ewma,
+        |       n AS n_events
+        |FROM s ORDER BY user_id""".stripMargin,
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 3 AS cohort, CAST(count(*) AS DOUBLE) AS o
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o, sum(o) OVER (PARTITION BY event_type) * sum(o) OVER (PARTITION BY cohort)
+        |            / sum(o) OVER () AS e
+        |  FROM cells)
+        |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2, count(*) AS n_cells FROM w""".stripMargin,
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20)
         |SELECT query_id, rn, vec_id AS neighbor_id FROM (

@@ -312,6 +312,23 @@ object IO {
 
   // ---- round-trip helpers -------------------------------------------
 
+  /** Bucketed + sorted table write — the co-located-join layout: both
+    * sides of a recurring equi-join written with the SAME bucket count
+    * and key hash-partition identically on disk, so the join plans with
+    * ZERO exchanges (and zero sorts, since each bucket file is sorted
+    * by the key). This is the bucketing lever from SURVEY §4.2: at
+    * 100 TB the shuffle this removes is the dominant cost of every
+    * fact⋈fact join. External table (explicit `path`) so the data
+    * outlives the catalog entry and lands where the caller says. */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+                         bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -284,4 +284,34 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.IO.compactParquet(spark, dir, 1L << 30) == 1)
     assert(spark.read.parquet(dir).count() == 1000)
   }
+
+  test("writeBucketedTable: co-located join plans with zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val base = tmp()
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    try {
+      graft.sources.IO.writeBucketedTable(li, "bkt_lineitem", s"$base/li", "l_orderkey", 8)
+      graft.sources.IO.writeBucketedTable(ord, "bkt_orders", s"$base/ord", "o_orderkey", 8)
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      // both sides hash-partitioned identically on disk → no exchange
+      val shuffles = joined.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle, found: ${shuffles.map(_.nodeName)}")
+      // and it still computes the right thing
+      val viaBuckets = joined.agg(ssum(col("l_quantity"))).collect().head.getDouble(0)
+      val direct = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(ssum(col("l_quantity"))).collect().head.getDouble(0)
+      assert(math.abs(viaBuckets - direct) < 1e-6)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
 }
