@@ -1624,6 +1624,57 @@ object Queries {
         count(lit(1)).as("n_cells"))
   }
 
+  /** q_agg_moments — skewness/kurtosis from RAW POWER SUMS (Σx, Σx²,
+    * Σx³, Σx⁴): the map-side-combinable formulation — four plain sums
+    * merge associatively across 1000 executors, then the shape
+    * statistics derive on the grouped (dim-sized) result. Both engines
+    * evaluate the IDENTICAL derivation expression (m2^1.5 spelled as
+    * m2·√m2 — `pow(x,1.5)` is libm-dependent, `sqrt` is IEEE-exact). */
+  val q_agg_moments: Q = (s, d) => {
+    val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .select(col("l_returnflag"), col("n").cast("long").as("cnt"),
+        round(col("s1") / col("n"), 6).as("mean"), {
+          val mean = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - mean * mean
+          val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+            lit(2.0) * mean * mean * mean
+          round(m3 / (m2 * sqrt(m2)), 6).as("skew")
+        }, {
+          val mean = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - mean * mean
+          val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+            lit(6.0) * mean * mean * (col("s2") / col("n")) -
+            lit(3.0) * mean * mean * mean * mean
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt")
+        })
+      .orderBy("l_returnflag")
+  }
+
+  /** q_anomaly_mad — robust outlier detection via median absolute
+    * deviation (the heavy-tail-safe twin of q_anomaly's z-score, which
+    * a single extreme value can mask by inflating σ). Two grouped
+    * percentile passes (median, then MAD) produce a dim-sized stats
+    * relation that broadcasts into one narrow filter over the stream —
+    * the stream is never shuffled. */
+  val q_anomaly_mad: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val med = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .filter(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6).as("score"))
+      .orderBy("event_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -1738,5 +1789,7 @@ object Queries {
     "q_dedup_paragraph" -> q_dedup_paragraph,
     "q_ewma" -> q_ewma,
     "q_chisq" -> q_chisq,
+    "q_agg_moments" -> q_agg_moments,
+    "q_anomaly_mad" -> q_anomaly_mad,
   )
 }

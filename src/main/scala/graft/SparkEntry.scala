@@ -595,6 +595,35 @@ object SparkEntry {
         |            / sum(o) OVER () AS e
         |  FROM cells)
         |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2, count(*) AS n_cells FROM w""".stripMargin,
+    // identical derivation expression termwise; m2^1.5 spelled m2*sqrt(m2)
+    // (pow(x,1.5) is libm-dependent; sqrt is IEEE-exact on both engines)
+    "q_agg_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2,
+        |         sum(l_quantity*l_quantity*l_quantity) AS s3,
+        |         sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+        |       round(s1/n, 6) AS mean,
+        |       round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+        |             / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 6) AS skew,
+        |       round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n)
+        |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+        |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT e.event_id, e.event_type, e.value, m.med
+        |      FROM events e JOIN m USING (event_type)),
+        |d AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |      FROM a GROUP BY 1)
+        |SELECT a.event_id, a.event_type,
+        |       round((a.value - a.med) / (1.4826 * d.mad), 6) AS score
+        |FROM a JOIN d USING (event_type)
+        |WHERE abs(a.value - a.med) > 3.0 * 1.4826 * d.mad
+        |ORDER BY a.event_id""".stripMargin,
     "q_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20)
         |SELECT query_id, rn, vec_id AS neighbor_id FROM (

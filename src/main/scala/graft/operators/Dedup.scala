@@ -517,13 +517,23 @@ object Dedup {
     * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist. Cost is
     * one keyed shuffle + per-block quadratic work, so choose blocks
     * that stay people-sized at scale (add a length bucket to
-    * `blockCols` for heavy blocks). */
+    * `blockCols` for heavy blocks).
+    *
+    * The probe side is round-robin respread to full parallelism first:
+    * when the build side broadcasts (dim-sized input), the pair loop
+    * inherits the PROBE side's partitioning — and a compact input read
+    * as one split would otherwise run the whole quadratic stage on a
+    * single core (measured 11 s → sub-second at sf0.1). With few
+    * distinct block keys this beats keyed repartition, whose fan-out
+    * is capped at the block-key count. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(
       Seq(col(idCol).as("id_a"), col(strCol).as("__str_a")) ++
         blockCols.map(col): _*)
+      .repartition(parallelism)
     val b = df.select(
       Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
         blockCols.map(col): _*)

@@ -92,6 +92,26 @@ object Jobs {
       .select(col("window.start").as("window_start"),
         col("approx_uniques"), col("n_events"))
 
+  /** Chained two-level windowed aggregation (Spark ≥3.4 multiple
+    * stateful operators): fine-grain tumbling counts roll up into a
+    * coarse window IN THE SAME streaming query — the classic
+    * 10s-preagg → 1min-rollup cascade the reference builds as two jobs
+    * joined by a Kafka topic, collapsed to one query with two state
+    * stores. `window_time` re-derives the event-time column from the
+    * finalized fine window, so the coarse agg's watermark is exact.
+    * Output: (window_start, key, cnt) at the coarse grain. */
+  def chainedWindowRollup(events: DataFrame, tsCol: String, keyCol: String,
+                          fineDur: String, coarseDur: String,
+                          watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), fineDur), col(keyCol))
+      .agg(count(lit(1)).as("fine_cnt"))
+      .groupBy(window(window_time(col("window")), coarseDur), col(keyCol))
+      .agg(sum(col("fine_cnt")).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col(keyCol).as("key"), col("cnt"))
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

@@ -8,10 +8,12 @@ import graft.operators.Dedup
 /** Dev-only: stage-level timing of the heavy sketch queries. */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -20,6 +22,16 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
+    }
+    // named-query mode: `runMain graft.tools.Prof q_x q_y` times just those
+    if (args.nonEmpty) {
+      val qs = graft.Queries.all.toMap
+      args.foreach { id =>
+        val q = qs.getOrElse(id, sys.error(s"unknown query id $id"))
+        time(s"$id (warm)")(q(spark, sfDir).count())
+        time(id)(q(spark, sfDir).count())
+      }
+      spark.stop(); return
     }
     val docs = Tables.documents(spark, sfDir)
     time("docs.count")(docs.count())

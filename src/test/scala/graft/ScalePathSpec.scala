@@ -469,4 +469,48 @@ class ScalePathSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
   }
+
+  test("end-to-end feature-store build: EWMA + sequences + sessions joined, then diffed vs the previous run") {
+    // the batch feature-pipeline composition: three per-user operator
+    // outputs join into one feature table (per-key alignment must hold
+    // exactly), then a snapshot diff against the prior run's table
+    // produces the incremental-publish changelog
+    val ewma = Queries.q_ewma(spark, sfDir)
+      .select(col("user_id"), col("ewma"), col("n_events"))
+    val seqs = Queries.q_collect_sequence(spark, sfDir)
+      .select(col("user_id"), col("path"), col("n_events").as("n_events_seq"))
+    val sess = Queries.q_sessionize(spark, sfDir)
+      .groupBy("user_id").agg(max(col("sess_seq")).as("n_sessions"))
+    val feat = ewma.join(seqs, Seq("user_id")).join(sess, Seq("user_id"))
+    val rows = feat.collect()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length.toLong == users, "exactly one feature row per user")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n_events_seq"),
+        s"operator outputs disagree on user ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("n_sessions") >= 1L)
+      assert(!r.isNullAt(r.fieldIndex("ewma")) && r.getAs[String]("path").nonEmpty)
+    }
+    // previous run: half the users absent, every 5th user's ewma shifted
+    val prev = feat.filter(col("user_id") % 2 === 0)
+      .select(col("user_id"),
+        when(col("user_id") % 5 === 0, col("ewma") + 1.0)
+          .otherwise(col("ewma")).as("ewma"))
+    val cur = feat.select("user_id", "ewma")
+    val diff = prev.withColumnRenamed("ewma", "old_v")
+      .join(cur.withColumnRenamed("ewma", "new_v"), Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_v").isNull, "added")
+          .when(col("new_v").isNull, "removed")
+          .when(col("old_v") =!= col("new_v"), "changed")
+          .otherwise("same"))
+    val byStatus = diff.groupBy("status").count()
+      .as[(String, Long)].collect().toMap
+    val ids = feat.select("user_id").as[Long].collect()
+    val expAdded = ids.count(_ % 2 != 0).toLong
+    val expChanged = ids.count(u => u % 2 == 0 && u % 5 == 0).toLong
+    assert(byStatus.getOrElse("added", 0L) == expAdded, s"$byStatus")
+    assert(byStatus.getOrElse("changed", 0L) == expChanged, s"$byStatus")
+    assert(byStatus.getOrElse("removed", 0L) == 0L, s"$byStatus")
+  }
 }

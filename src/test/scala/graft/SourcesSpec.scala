@@ -285,6 +285,57 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("partitionBy write: partition pruning reads only the selected directory") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val dir = tmp() + "/docs"
+    graft.sources.Tables.documents(spark, sfDir)
+      .write.partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "en").select("doc_id")
+    // collect through THIS df's queryExecution so its scan metrics populate
+    val n = q.collect().length.toLong
+    val enRows = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en").count()
+    assert(n == enRows)
+    val scans = q.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "lang filter must become a partition filter")
+    // files actually read == files under lang=en only, not the whole table
+    def filesUnder(p: String): Int = {
+      val f = new java.io.File(p)
+      if (!f.isDirectory) 0
+      else f.listFiles().map(c =>
+        if (c.isDirectory) filesUnder(c.getPath)
+        else if (c.getName.endsWith(".parquet")) 1 else 0).sum
+    }
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles == filesUnder(s"$dir/lang=en").toLong,
+      s"scan read $readFiles files; lang=en holds ${filesUnder(s"$dir/lang=en")} of ${filesUnder(dir)} total")
+    assert(filesUnder(dir) > filesUnder(s"$dir/lang=en"), "fixture: other partitions exist")
+  }
+
+  test("fileStream with Trigger.AvailableNow: backfill processes everything then stops") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val base = tmp()
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    import spark.implicits._
+    (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(4).write.parquet(inDir)
+    val q = graft.sources.IO.fileStream(spark, inDir, schema)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow drains all currently-visible input then terminates on
+    // its own — the batch-backfill-through-the-streaming-pipeline mode
+    assert(q.awaitTermination(120000), "query must self-terminate")
+    val back = spark.read.parquet(outDir).as[(Long, String)].collect().toSet
+    assert(back == (1L to 100L).map(i => (i, s"r$i")).toSet)
+  }
+
   test("writeBucketedTable: co-located join plans with zero shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.{col, sum => ssum}

@@ -422,6 +422,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chainedWindowRollup: 10s fine counts cascade into 1min coarse windows in one query") {
+    val in = MemoryStream[(Timestamp, String)]
+    val out = graft.streaming.Jobs.chainedWindowRollup(
+      in.toDF().toDF("ts", "k"), "ts", "k", "10 seconds", "1 minute", "10 seconds")
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // three fine windows inside [10:00, 10:01), one inside [10:01, 10:02)
+      in.addData((ts("2024-01-01 10:00:05"), "a"), (ts("2024-01-01 10:00:15"), "a"),
+        (ts("2024-01-01 10:00:45"), "a"), (ts("2024-01-01 10:01:05"), "a"))
+      q.processAllAvailable()
+      // advance the watermark far past both coarse windows; both levels finalize
+      in.addData((ts("2024-01-01 10:05:00"), "z"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:09:00"), "z"))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("window_start", "key", "cnt")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "a", 3L)),
+        s"coarse rollup of three fine windows missing: $rows")
+      assert(rows.contains((ts("2024-01-01 10:01:00"), "a", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stream-static join: per-row dim enrichment without foreachBatch") {
+    // the direct stream⋈static form (no foreachBatch): the static side is
+    // re-planned each micro-batch, so a dim refresh between batches is
+    // picked up — the lightest-weight lookup-join shape
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("uid", "uname")
+    val in = MemoryStream[(Timestamp, Long)]
+    val joined = in.toDF().toDF("ts", "user")
+      .join(dim, col("user") === col("uid"), "left_outer")
+      .select(col("user"), col("uname"))
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:01"), 3L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("alice")), (3L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("typed Dataset surface: events as case-class Dataset") {
     val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
     val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
