@@ -127,6 +127,49 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
   }
 
+  /** Image resize, partition-local (the remaining step of the brief's
+    * decode / feature-extract / RESIZE / frame-sample quartet). The
+    * pixel resample is the stubbed part — deterministic fake: the body
+    * is stride-sampled to the area ratio and the header rewritten with
+    * the target dims; a real implementation swaps in an image library
+    * call here. Non-image rows and undecodable payloads pass through
+    * UNTOUCHED (dirty-data guard: resize never destroys rows). */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.row(media.schema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val contentIdx = media.schema.fieldIndex("content")
+    // keep the width/height METADATA columns consistent with the new
+    // header when the frame carries them
+    val wIdx = media.schema.fieldNames.indexOf("width")
+    val hIdx = media.schema.fieldNames.indexOf("height")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        val decoded =
+          if (r.getString(kindIdx) == "image") FakeCodec.decode(bytes) else None
+        decoded match {
+          case Some((w, h, nf)) if w > 0 && h > 0 =>
+            val body = bytes.drop(16)
+            // stride-sample the body to approximate the area ratio
+            val stride = math.max(1,
+              ((w.toLong * h) / math.max(1L, targetW.toLong * targetH)).toInt)
+            val resampled = body.indices.collect {
+              case i if i % stride == 0 => body(i)
+            }.toArray
+            var out = r.toSeq.updated(contentIdx,
+              FakeCodec.encode(targetW, targetH, nf, resampled))
+            if (wIdx >= 0) out = out.updated(wIdx, Int.box(targetW))
+            if (hIdx >= 0) out = out.updated(hIdx, Int.box(targetH))
+            Row.fromSeq(out)
+          case _ => r
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-size control for wide binary rows: target `targetMb` of
     * payload per partition so executor memory is bounded by partition
     * size, not row count (the 100 TB lever for multimodal tables). */

@@ -220,6 +220,32 @@ class SourcesSpec extends SparkSpec {
     assert(manyParts == 50, s"expected 50 partitions of 2 rows, got $manyParts")
   }
 
+  test("multimodal: resizeImages rewrites header+metadata, shrinks body, passes non-images through") {
+    val bigBody = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val rows = Seq(
+      Row(1L, "image", Multimodal.FakeCodec.encode(64, 64, 1, bigBody),
+        64: Integer, 64: Integer, null, null),
+      Row(2L, "audio", Multimodal.FakeCodec.encode(0, 0, 0, Array[Byte](7)),
+        null, null, 44100: Integer, null),
+      Row(3L, "image", Array[Byte](0, 1), null, null, null, null)) // undecodable
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(media, 16, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // image: header + metadata carry the target dims, body stride-sampled
+    val img = out(1L)
+    val dec = Multimodal.FakeCodec.decode(img.getAs[Array[Byte]]("content"))
+    assert(dec.contains((16, 16, 1)), s"resized header: $dec")
+    assert(img.getAs[Integer]("width") == 16 && img.getAs[Integer]("height") == 16)
+    val newBody = img.getAs[Array[Byte]]("content").length - 16
+    assert(newBody > 0 && newBody < bigBody.length, s"body must shrink: $newBody")
+    // non-image and undecodable rows pass through byte-for-byte
+    assert(out(2L).getAs[Array[Byte]]("content").toSeq ==
+      Multimodal.FakeCodec.encode(0, 0, 0, Array[Byte](7)).toSeq)
+    assert(out(3L).getAs[Array[Byte]]("content").toSeq == Seq[Byte](0, 1))
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
