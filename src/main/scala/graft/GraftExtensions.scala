@@ -6,10 +6,13 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{VecDot, VecLshSignature}
 
-/** Session extension registering the engine's custom Catalyst expressions
-  * as SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` plans the
-  * codegen'd expressions directly — the Spark-native replacement for the
-  * reference's Flink `ScalarFunction` registry (SURVEY.md §2.J).
+/** Session extension registering the engine's custom Catalyst surface —
+  * SQL functions over the codegen'd expressions (`vec_dot`/`vec_cosine`,
+  * the Spark-native replacement for the reference's Flink
+  * `ScalarFunction` registry, SURVEY.md §2.J) and the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule (automatic bin-grid
+  * rewrite of large-large range joins, opt-in via
+  * `spark.graft.rangeJoin.binWidth`).
   *
   * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
   * or `withExtensions` on the session builder.
@@ -17,6 +20,7 @@ import graft.functions.{VecDot, VecLshSignature}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
