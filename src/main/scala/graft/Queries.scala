@@ -1615,10 +1615,13 @@ object Queries {
       .agg(count(lit(1)).cast("double").as("o"))
     val rowTot = Window.partitionBy("event_type")
     val colTot = Window.partitionBy("cohort")
-    val all = Window.partitionBy()
-    cells
+    // the grand total joins as a broadcast 1-row aggregate, not a
+    // partition-less window (WindowExec's single-task anti-pattern);
+    // counts are integers in doubles, so the sum is order-exact
+    val all = cells.agg(sum(col("o")).as("tot"))
+    cells.crossJoin(broadcast(all))
       .withColumn("e",
-        sum(col("o")).over(rowTot) * sum(col("o")).over(colTot) / sum(col("o")).over(all))
+        sum(col("o")).over(rowTot) * sum(col("o")).over(colTot) / col("tot"))
       .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
         .as("chi2"),
         count(lit(1)).as("n_cells"))
@@ -1672,6 +1675,66 @@ object Queries {
       .filter(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
       .select(col("event_id"), col("event_type"),
         round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6).as("score"))
+      .orderBy("event_id")
+  }
+
+  /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
+    * the time-series memory signal (is today predictive of tomorrow).
+    * The metric is defined on the 2-dp-rounded daily sums, so both
+    * engines correlate IDENTICAL inputs; one window pass for the lag,
+    * one keyed Pearson per user. */
+  val q_autocorr: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .withColumn("v_prev", lag(col("v"), 1).over(w))
+      .filter(col("v_prev").isNotNull)
+      .groupBy("user_id")
+      .agg(round(corr(col("v"), col("v_prev")), 6).as("autocorr"),
+        count(lit(1)).as("n_days"))
+      .orderBy("user_id")
+  }
+
+  /** q_concentration — revenue concentration profile: customers ranked
+    * into spend deciles, each decile's share of global revenue (the
+    * Pareto/Gini-style skew diagnostic). The global ranking runs
+    * scale-safe — [[operators.Analytics.globalRowNumber]] range-
+    * repartitions and numbers by partition offsets instead of the
+    * single-partition `ntile() OVER (ORDER BY …)` window, and the
+    * decile is the exact ntile ARITHMETIC on (rank, n). The oracle uses
+    * plain SQL ntile: the arithmetic must reproduce it exactly. */
+  val q_concentration: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val ranked = operators.Analytics.globalRowNumber(
+      rev, Seq(desc("rev"), col("o_custkey")), "rank")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    val total = ranked.agg(sum(col("rev")).as("total_rev"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        operators.Analytics.ntileOfRank(col("rank"), col("n_total"), 10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("rev")), 2).as("decile_rev"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("decile_rev") / col("total_rev"), 6))
+      .select("decile", "n_cust", "decile_rev", "share")
+      .orderBy("decile")
+  }
+
+  /** q_minmax_scale — per-group min-max feature normalization (the ML
+    * prep scaler): grouped min/max broadcast into one narrow pass;
+    * (v−min)/(max−min) is identical IEEE arithmetic on both engines, so
+    * the scaled values match bit-for-bit before display rounding. */
+  val q_minmax_scale: Q = (s, d) => {
+    val stats = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6).as("scaled"))
       .orderBy("event_id")
   }
 
@@ -1791,5 +1854,8 @@ object Queries {
     "q_chisq" -> q_chisq,
     "q_agg_moments" -> q_agg_moments,
     "q_anomaly_mad" -> q_anomaly_mad,
+    "q_autocorr" -> q_autocorr,
+    "q_concentration" -> q_concentration,
+    "q_minmax_scale" -> q_minmax_scale,
   )
 }

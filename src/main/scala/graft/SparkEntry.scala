@@ -612,6 +612,39 @@ object SparkEntry {
         |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
         |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // the metric is defined on the 2-dp daily sums: both engines
+    // correlate identical inputs
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT user_id, v,
+        |         lag(v) OVER (PARTITION BY user_id ORDER BY day) AS v_prev
+        |  FROM daily)
+        |SELECT user_id, round(corr(v, v_prev), 6) AS autocorr, count(*) AS n_days
+        |FROM lagged WHERE v_prev IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |deciled AS (
+        |  SELECT o_custkey, rev,
+        |         CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS decile
+        |  FROM rev),
+        |g AS (SELECT decile, count(*) AS n_cust, round(sum(rev), 2) AS decile_rev
+        |      FROM deciled GROUP BY decile)
+        |SELECT decile, n_cust, decile_rev,
+        |       round(decile_rev / sum(decile_rev) OVER (), 6) AS share
+        |FROM g ORDER BY decile""".stripMargin,
+    "q_minmax_scale" ->
+      """WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+        |           FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |       round((value - mn) / (mx - mn), 6) AS scaled
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |ORDER BY event_id""".stripMargin,
     "q_anomaly_mad" ->
       """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |           FROM events GROUP BY 1),

@@ -206,4 +206,42 @@ class LawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("globalRowNumber: partition-offset numbering == total-order rank; ntileOfRank == SQL ntile") {
+    import graft.operators.Analytics
+    val rev = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val got = Analytics.globalRowNumber(
+        rev, Seq(desc("rev"), col("o_custkey")), "rank")
+      .select(col("o_custkey"), col("rev"), col("rank"))
+      .as[(Long, Double, Long)].collect()
+    // expected ranking computed driver-side (the fixture is 150 rows) —
+    // deliberately NOT via a partition-less window, which is exactly the
+    // single-task anti-pattern globalRowNumber exists to replace
+    val want = got.map(r => (r._1, r._2))
+      .sortBy { case (k, v) => (-v, k) }
+      .zipWithIndex.map { case ((k, v), i) => (k, v, i + 1L) }
+    assert(got.sortBy(_._3).toSeq == want.toSeq)
+    // exact SQL-ntile arithmetic: bucket sizes differ by at most one,
+    // earlier buckets take the extra row — check against the definition
+    // for a count that does NOT divide evenly
+    val n = got.length.toLong
+    val k = 7
+    val buckets = got.map { case (_, _, r) =>
+      val big = n % k; val sizeBig = n / k + 1; val sizeSmall = n / k
+      if (r <= big * sizeBig) (r - 1) / sizeBig + 1
+      else big + (r - big * sizeBig - 1) / sizeSmall + 1
+    }
+    val viaCol = Analytics.globalRowNumber(
+        rev, Seq(desc("rev"), col("o_custkey")), "rank")
+      .select(Analytics.ntileOfRank(col("rank"), lit(n), k).as("b"))
+      .as[Long].collect()
+    val sizes = viaCol.groupBy(identity).view.mapValues(_.size).toMap
+    assert(viaCol.sorted.toSeq == buckets.sorted.toSeq)
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"ntile buckets must differ by at most one row: $sizes")
+    assert((1L until (n % k + 1)).forall(b =>
+      sizes(b) == (n / k + 1).toInt), "earlier buckets take the extra row")
+  }
 }

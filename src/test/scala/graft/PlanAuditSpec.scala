@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     val allowed =
       Set("q_tfidf", "q_join_interval", "q_heavy_hitters",
         "q_heavy_hitters_approx", "q_group_similarity", "q_pmi_bigrams",
-        "q_composite_cold_customers", "q_knn_join")
+        "q_composite_cold_customers", "q_knn_join",
+        // 1-row broadcast grand totals (the windowless replacement for
+        // `sum(...) OVER ()`)
+        "q_chisq", "q_concentration")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
