@@ -1678,6 +1678,21 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q_variant_extract — the Spark 4 VARIANT path for semi-structured
+    * payloads: `parse_json` shreds the JSON string into the binary
+    * variant encoding ONCE, then typed `try_variant_get` plucks fields
+    * without re-parsing (the scale answer to per-access
+    * `get_json_object` string re-parsing; `try_` = the dirty-data
+    * guard, null not job-fail on type mismatch). Same relational
+    * result as q_json_extract — the oracle proves engine-equivalence
+    * of the two access paths. */
+  val q_variant_extract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("try_variant_get(v, '$.k', 'bigint')").as("k_val"))
+      .orderBy("event_id")
+
   /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
     * the time-series memory signal (is today predictive of tomorrow).
     * The metric is defined on the 2-dp-rounded daily sums, so both
@@ -1857,5 +1872,6 @@ object Queries {
     "q_autocorr" -> q_autocorr,
     "q_concentration" -> q_concentration,
     "q_minmax_scale" -> q_minmax_scale,
+    "q_variant_extract" -> q_variant_extract,
   )
 }

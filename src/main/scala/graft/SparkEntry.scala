@@ -612,6 +612,10 @@ object SparkEntry {
         |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
         |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // the variant path must produce the same relation as string-path
+    // JSON extraction (q_json_extract's oracle, same dirty-data nulls)
+    "q_variant_extract" ->
+      "SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events ORDER BY event_id",
     // the metric is defined on the 2-dp daily sums: both engines
     // correlate identical inputs
     "q_autocorr" ->

@@ -468,6 +468,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("complete-mode aggregation: every micro-batch re-emits the full snapshot") {
+    // append emits finalized windows once; COMPLETE re-emits the whole
+    // aggregate table per batch — the Doris-style full-refresh sink mode
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k").groupBy("k").count()
+    val name = nextName()
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      in.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:00:01"), "a"),
+        (ts("2024-01-01 10:00:02"), "b"))
+      q.processAllAvailable()
+      val snap1 = spark.table(name).as[(String, Long)].collect().toSet
+      assert(snap1 == Set(("a", 2L), ("b", 1L)), s"got $snap1")
+      in.addData((ts("2024-01-01 10:00:03"), "b"))
+      q.processAllAvailable()
+      // the sink holds the REPLACED table, including unchanged key 'a'
+      val snap2 = spark.table(name).as[(String, Long)].collect().toSet
+      assert(snap2 == Set(("a", 2L), ("b", 2L)), s"got $snap2")
+    } finally q.stop()
+  }
+
   test("typed Dataset surface: events as case-class Dataset") {
     val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
     val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
