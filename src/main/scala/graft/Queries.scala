@@ -1693,6 +1693,26 @@ object Queries {
         expr("try_variant_get(v, '$.k', 'bigint')").as("k_val"))
       .orderBy("event_id")
 
+  /** q_topk_approx_sketch — approximate heavy-hitter TOP-K via the
+    * Datasketches frequent-items sketch, in its MERGEABLE two-level
+    * form: `approx_top_k_accumulate` builds one bounded sketch per day,
+    * `approx_top_k_combine` merges the daily sketches,
+    * `approx_top_k_estimate` reads out ranked (item, count) pairs —
+    * the same pre-aggregated-rollup pattern as the HLL distinct
+    * (`q_agg_distinct_hll`): top-k over any date range by merging
+    * kilobyte sketches, never re-scanning rows. Sketch estimates are
+    * approximate by construction → oracle-exempt; FunctionsSpec pins
+    * exactness at fixture cardinality (the sketch is exact while its
+    * capacity exceeds the distinct count) against the exact twin. */
+  val q_topk_approx_sketch: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("approx_top_k_accumulate(user_id, 32)").as("sk"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 32), 5)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("user_id"), col("e.count").as("est_cnt"))
+      .orderBy(desc("est_cnt"), col("user_id"))
+
   /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
     * the time-series memory signal (is today predictive of tomorrow).
     * The metric is defined on the 2-dp-rounded daily sums, so both
@@ -1873,5 +1893,6 @@ object Queries {
     "q_concentration" -> q_concentration,
     "q_minmax_scale" -> q_minmax_scale,
     "q_variant_extract" -> q_variant_extract,
+    "q_topk_approx_sketch" -> q_topk_approx_sketch,
   )
 }

@@ -26,7 +26,8 @@ object SparkEntry {
     * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
     * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
     * q_dedup_cluster_minhash, q_heavy_hitters_approx,
-    * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll —
+    * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll,
+    * q_topk_approx_sketch —
     * each is instead golden-tested in scalatest (SURVEY §5.2).
     */
   def oracleSql: Map[String, String] = Map(

@@ -732,6 +732,24 @@ class FunctionsSpec extends SparkSpec {
     assert(viaBitmap == exact, s"bitmap $viaBitmap != exact $exact")
   }
 
+  test("q_topk_approx_sketch: merged daily sketches are exact at fixture cardinality") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val got = Queries.q_topk_approx_sketch(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    // exact twin: global per-user counts, top-5 by (count desc, user_id)
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").count()
+      .orderBy(desc("count"), col("user_id")).limit(5)
+      .as[(Long, Long)].collect().toSeq
+    // the frequent-items sketch is EXACT while its capacity (32) exceeds
+    // the distinct-user count, and merging preserves that — so the
+    // two-level sketch path must reproduce the exact top-5 verbatim
+    val nUsers = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(nUsers <= 32, s"fixture assumption broken: $nUsers users")
+    assert(got == exact, s"sketch $got vs exact $exact")
+  }
+
   test("q_knn_join: rank-1 is self and ranks agree with the window brute force") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, col, desc, row_number}

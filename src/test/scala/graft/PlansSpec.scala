@@ -115,6 +115,22 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints are honored: broadcast / merge / shuffle_hash") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // the per-join strategy controls a tuner reaches for when Catalyst's
+    // size estimates are off (stale stats, post-filter explosions)
+    val li = graft.sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    def join(hint: String) = li.join(ord.hint(hint),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(join("broadcast").queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b }.nonEmpty, "broadcast hint ignored")
+    assert(join("merge").queryExecution.sparkPlan.collect {
+      case s: SortMergeJoinExec => s }.nonEmpty, "merge hint ignored")
+    assert(join("shuffle_hash").queryExecution.sparkPlan.collect {
+      case s: ShuffledHashJoinExec => s }.nonEmpty, "shuffle_hash hint ignored")
+  }
+
   test("RangeJoinRewrite: extra join conjuncts survive the rewrite") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.graft.rangeJoin.binWidth", "20.0")
