@@ -387,6 +387,81 @@ object Dedup {
     delta.write.mode("append").parquet(indexDir)
   }
 
+  /** Persist a MinHash band index for INCREMENTAL near-dup dedup — the
+    * fuzzy twin of [[writeFingerprintIndex]]. Two relations under
+    * `indexDir`: `bands/` holds the narrow (band, bucket, id) triples
+    * (LSH candidate lookup) and `docs/` holds (id, toks) (the exact-
+    * Jaccard confirm side). At 100 TB the bands relation is ~8 rows/doc
+    * of three scalars and the candidate join is a plain hash join on
+    * (band, bucket) — never a scan of the corpus text. */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, shingleN: Int = 3,
+                        numHashes: Int = 32, bands: Int = 8): Unit = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
+    sigs.select(col(idCol).as("id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+  }
+
+  /** Incremental NEAR-dup dedup of an ingest batch against the persisted
+    * band index: (1) intra-batch near-dup collapse via
+    * [[clusterByMinhash]]+[[keepCanonical]] (work ∝ batch); (2) batch
+    * band triples hash-join the index's `bands/` on (band, bucket) →
+    * candidate (batch, indexed) pairs; (3) exact n-gram Jaccard over the
+    * candidates only (token arrays join onto the bounded pair list);
+    * batch docs within `threshold` of ANY indexed doc drop. Same LSH
+    * recall caveat as [[clusterByMinhash]]: a true near-dup whose bands
+    * all miss survives (P(candidate) = 1-(1-j^r)^b).
+    *
+    * Steady-state cost is proportional to the batch and its candidates —
+    * the corpus text is touched only for candidate ids. Returns the
+    * surviving batch rows. */
+  def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                          indexDir: String, threshold: Double,
+                          shingleN: Int = 3, numHashes: Int = 32,
+                          bands: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    // clusterByMinhash returns the intra-batch SURVIVORS directly
+    val intra = clusterByMinhash(batch, idCol, textCol, threshold,
+      shingleN, numHashes, bands)
+    val sigs = minhashSignatures(intra, idCol, textCol, shingleN, numHashes, bands)
+    val batchBands = sigs.select(col(idCol).as("__bid"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val cand = batchBands.join(idxBands, Seq("band", "bucket"))
+      .select(col("__bid"), col("id").as("__iid")).distinct()
+    val batchToks = intra.select(col(idCol).as("__bid"),
+      Text.tokens(col(textCol)).as("__btoks"))
+    val idxToks = spark.read.parquet(s"$indexDir/docs")
+      .select(col("id").as("__iid"), col("toks").as("__itoks"))
+    val dropped = cand
+      .join(batchToks, Seq("__bid"))
+      .join(idxToks, Seq("__iid"))
+      .filter(pairJaccard(shingleN)(col("__btoks"), col("__itoks")) >= threshold)
+      .select(col("__bid").as(idCol)).distinct()
+    intra.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Append surviving batch docs to the near-dup index — bands and token
+    * arrays both, delta materialized BEFORE touching `indexDir` (same
+    * read-then-write discipline as [[appendFingerprintIndex]]; single
+    * writer by contract). Cost ∝ batch. */
+  def appendNearDupIndex(survivors: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, shingleN: Int = 3,
+                         numHashes: Int = 32, bands: Int = 8): Unit = {
+    val sigs = minhashSignatures(survivors, idCol, textCol, shingleN, numHashes, bands)
+    val bandDelta = sigs.select(col(idCol).as("id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
+    val docDelta = survivors.select(col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    bandDelta.write.mode("append").parquet(s"$indexDir/bands")
+    docDelta.write.mode("append").parquet(s"$indexDir/docs")
+  }
+
   /** Incremental exact dedup of an ingest batch against the persisted
     * fingerprint index: (1) intra-batch dedup — keep the minimum-id row
     * per fingerprint (one keyed shuffle over the BATCH only); (2) drop

@@ -470,6 +470,39 @@ class ScalePathSpec extends SparkSpec {
     assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
   }
 
+  test("near-dup index lifecycle: write -> batch dedup vs index -> append advances the horizon") {
+    // corpus: two distinct 41-token docs (same shape as the minhash
+    // agreement fixture — candidacy at j ~ 0.85 is deterministic)
+    val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val baseB = (100 to 140).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, baseA + " end1"), (2L, baseB + " end2"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_idx_").toString
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+
+    // batch: near-copy of indexed doc 1 (drop), intra-batch near-pair
+    // (11 survives, 12 collapses into it), one novel doc (keep)
+    val novel = (200 to 240).map(i => s"c$i").mkString(" ")
+    val batch = Seq(
+      (10L, baseA + " endX"),          // ~indexed doc 1 → dropped
+      (11L, novel + " t1"), (12L, novel + " t2"), // intra-batch pair → 11
+      (13L, (300 to 340).map(i => s"d$i").mkString(" "))) // novel → kept
+      .toDF("doc_id", "text")
+    val surv = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(11L, 13L), s"survivors: $surv")
+
+    // append the survivors; a near-copy of 11 in the NEXT batch now drops
+    Dedup.appendNearDupIndex(
+      batch.filter(col("doc_id").isin(11L, 13L)), "doc_id", "text", dir)
+    val batch2 = Seq((21L, novel + " t9"),          // ~appended doc 11
+      (22L, (400 to 440).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val surv2 = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text", dir, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv2 == Set(22L), s"appended docs must dedup the next batch: $surv2")
+  }
+
   test("end-to-end feature-store build: EWMA + sequences + sessions joined, then diffed vs the previous run") {
     // the batch feature-pipeline composition: three per-user operator
     // outputs join into one feature table (per-key alignment must hold
