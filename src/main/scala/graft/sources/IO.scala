@@ -128,6 +128,34 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming corpus ingest with incremental NEAR-dup dedup: each
+    * micro-batch dedups against the persisted MinHash band index
+    * ([[graft.operators.Dedup.nearDupAgainstIndex]] — intra-batch
+    * collapse, then candidates-only exact confirm vs the index), novel
+    * survivors append to BOTH the clean-corpus output and the index
+    * ([[graft.operators.Dedup.appendNearDupIndex]]), so later batches
+    * dedup against everything already admitted. The checkpoint makes
+    * input consumption exactly-once; the two appends are idempotent
+    * under replay only if the sink completed the batch — same
+    * single-writer/at-least-once append contract as the IVF index sink,
+    * appropriate for the backfill (`AvailableNow`) ingest shape. */
+  def nearDupDedupSink(docs: DataFrame, indexDir: String, outDir: String,
+                       checkpointDir: String, idCol: String, textCol: String,
+                       threshold: Double)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.operators.Dedup
+          .nearDupAgainstIndex(batch, idCol, textCol, indexDir, threshold)
+          .localCheckpoint(true) // one computation feeds both appends
+        survivors.write.mode("append").parquet(outDir)
+        graft.operators.Dedup.appendNearDupIndex(
+          survivors, idCol, textCol, indexDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Keyed upsert sink (the HBase dim-writer analog): every micro-batch is
     * merged into the keyed snapshot directory with last-writer-wins
     * semantics; deletes (`op='d'`) are applied. Overwrites the snapshot

@@ -490,6 +490,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup sink: per-batch index advance, only novel docs admitted") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("nd_sink_").toString
+    val idxDir = s"$base/idx"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val novel1 = (100 to 140).map(i => s"b$i").mkString(" ")
+    val novel2 = (200 to 240).map(i => s"c$i").mkString(" ")
+    // seed the index with one corpus doc
+    graft.operators.Dedup.writeNearDupIndex(
+      Seq((1L, baseA + " end1")).toDF("doc_id", "text"), "doc_id", "text", idxDir)
+
+    val in = MemoryStream[(Long, String)]
+    val q = graft.sources.IO.nearDupDedupSink(
+        in.toDF().toDF("doc_id", "text"), idxDir, outDir, ckDir,
+        "doc_id", "text", threshold = 0.5)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test (sink default: AvailableNow backfill)
+      .start()
+    try {
+      // batch 1: near-copy of the SEEDED doc drops, novel doc admitted
+      in.addData((10L, baseA + " endX"), (11L, novel1 + " t1"))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out1 == Set(11L), s"batch-1 admissions: $out1")
+      // batch 2: near-copy of the batch-1 ADMISSION drops (index advanced)
+      in.addData((21L, novel1 + " t9"), (22L, novel2 + " s1"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(out2 == Set(11L, 22L), s"final clean corpus: $out2")
+    } finally q.stop()
+  }
+
   test("typed Dataset surface: events as case-class Dataset") {
     val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
     val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
