@@ -115,6 +115,28 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRewrite: fires with the interval side on the LEFT too") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "20.0")
+    try {
+      val joined = bands.join(points,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      val plan = joined.queryExecution.sparkPlan
+      assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"rewrite did not fire on the swapped arrangement:\n$plan")
+      val got = joined.select("event_id", "band_id").as[(Long, Long)].collect().toSet
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val want = bands.join(points,
+        col("value") >= col("lo") && col("value") < col("hi"))
+        .select("event_id", "band_id").as[(Long, Long)].collect().toSet
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    }
+  }
+
   test("join strategy hints are honored: broadcast / merge / shuffle_hash") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
     // the per-join strategy controls a tuner reaches for when Catalyst's
