@@ -200,6 +200,66 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Versioned (time-travel) keyed upsert sink: each micro-batch merges
+    * into the LATEST snapshot version and writes the result as a NEW
+    * immutable `v=<n>` directory — old versions are never mutated, so a
+    * reader pinned on any retained version is untouched by concurrent
+    * writer progress (the snapshot-isolation property Delta/Iceberg
+    * tables give; here in plain parquet). The version pointer is the
+    * largest COMPLETE `v=<n>` dir (`_SUCCESS` present — a crashed write
+    * leaves an incomplete dir the listing ignores, and the uncommitted
+    * checkpoint replays the batch). `retain` bounds disk: older versions
+    * delete only after the new version commits. */
+  def versionedUpsertSink(df: DataFrame, baseDir: String, checkpointDir: String,
+                          keyCol: String, snapshotSchema: StructType,
+                          retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(retain >= 1, "retain must be >= 1")
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val versions = snapshotVersions(spark, baseDir)
+        val existing = versions.lastOption match {
+          case Some(v) => readSnapshotVersion(spark, baseDir, v, snapshotSchema)
+          case None => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+        }
+        val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+        val next = versions.lastOption.getOrElse(0L) + 1
+        merged.write.mode("overwrite").parquet(f"$baseDir/v=$next%05d")
+        // GC strictly-older versions beyond the retention window
+        val base = new org.apache.hadoop.fs.Path(baseDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        snapshotVersions(spark, baseDir).dropRight(retain).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(f"$baseDir/v=$v%05d"), true)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Complete snapshot versions under `baseDir`, ascending. */
+  def snapshotVersions(spark: SparkSession, baseDir: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          scala.util.Try(n.drop(2).toLong).toOption
+        else None
+      }.sorted
+  }
+
+  /** Time-travel read of one retained snapshot version. */
+  def readSnapshotVersion(spark: SparkSession, baseDir: String, version: Long,
+                          schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(f"$baseDir/v=$version%05d")
+
   /** Incremental keyed upsert sink — the large-table path next to
     * [[upsertSink]] (which re-merges and rewrites the FULL snapshot every
     * micro-batch: fine for dim-sized tables, O(snapshot) I/O + shuffle per

@@ -51,6 +51,19 @@ object Streams {
       .withColumn("window_end", col("session_window.end"))
       .drop("session_window")
 
+  /** Gap-based session windows with a PER-ROW dynamic gap (Spark's
+    * `session_window(ts, gapExpr)` form): each row extends its session
+    * by its OWN gap — e.g. purchases hold a session open for an hour
+    * while passive views only 10 minutes. Same state/merge semantics as
+    * the fixed-gap [[sessionAgg]]. */
+  def sessionAggDynamicGap(df: DataFrame, tsCol: String, gap: Column,
+                           keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("session_window.start"))
+      .withColumn("window_end", col("session_window.end"))
+      .drop("session_window")
+
   /** Streaming exact dedup bounded by the watermark
     * (`dropDuplicatesWithinWatermark`): state for a key is held only until
     * the watermark passes it — the 100 TB-safe streaming dedup. */

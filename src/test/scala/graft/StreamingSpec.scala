@@ -468,6 +468,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic-gap session window: a row's own gap decides how long it holds the session open") {
+    // views hold a session 10 min, purchases 60 min
+    val rows = Seq(
+      (ts("2024-01-01 10:00:00"), 7L, "view"),     // s1
+      (ts("2024-01-01 10:05:00"), 7L, "view"),     // merges (≤10m) → s1
+      (ts("2024-01-01 10:30:00"), 7L, "purchase"), // 25m later → NEW s2, holds 60m
+      (ts("2024-01-01 11:20:00"), 7L, "view"),     // 50m later, inside purchase hold → s2
+      (ts("2024-01-01 11:45:00"), 7L, "view")      // 25m after a 10m-gap view → NEW s3
+    ).toDF("ts", "user_id", "event_type")
+    // session_window demands CalendarIntervalType (string-literal form),
+    // not the ANSI DayTimeInterval that INTERVAL literals produce
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("10 minutes"))
+    val out = graft.streaming.Streams.sessionAggDynamicGap(
+        rows, "ts", gap, Seq("user_id"), Seq(count(lit(1)).as("n")))
+      .select("window_start", "n").as[(Timestamp, Long)].collect().toSet
+    assert(out == Set(
+      (ts("2024-01-01 10:00:00"), 2L),
+      (ts("2024-01-01 10:30:00"), 2L),
+      (ts("2024-01-01 11:45:00"), 1L)), s"got $out")
+  }
+
   test("complete-mode aggregation: every micro-batch re-emits the full snapshot") {
     // append emits finalized windows once; COMPLETE re-emits the whole
     // aggregate table per batch — the Doris-style full-refresh sink mode
