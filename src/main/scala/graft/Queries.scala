@@ -1713,6 +1713,40 @@ object Queries {
       .select(col("e.item").as("user_id"), col("e.count").as("est_cnt"))
       .orderBy(desc("est_cnt"), col("user_id"))
 
+  /** q_cogroup_timeline — the typed `cogroup` surface
+    * (`KeyValueGroupedDataset.cogroup`, SURVEY §2.J): per-user merge of
+    * TWO differently-shaped relations (events + orders) into one
+    * interleaved timeline signature with arbitrary per-key JVM logic —
+    * the reduce-side custom-join shape Flink's `CoProcessFunction`
+    * serves. Both sides arrive grouped by the same key in one co-shuffle;
+    * the merge is per-key imperative code, bounded by the key's payload.
+    * The oracle reproduces the merge relationally (UNION ALL +
+    * string_agg over the identical (ts, tag, id) order). */
+  val q_cogroup_timeline: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id").as("id"))
+      .as[(Long, Long, Long)]
+    val ord = Tables.orders(s, d)
+      // o_orderdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
+      // NTZ→LTZ cast is the identity DuckDB's epoch_ms(ntz) applies
+      .select(col("o_custkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ms"),
+        col("o_orderkey").as("id"))
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1).cogroup(ord.groupByKey(_._1)) { (uid, evs, ords) =>
+      val merged =
+        (evs.map(e => (e._2, "E", e._3)) ++ ords.map(o => (o._2, "O", o._3)))
+          .toVector.sortBy { case (ms, tag, id) => (ms, tag, id) }
+      if (merged.isEmpty) Iterator.empty
+      else Iterator((uid,
+        merged.map { case (_, tag, id) => s"$tag$id" }.mkString("->"),
+        merged.length.toLong))
+    }.toDF("user_id", "timeline", "n_steps")
+      .orderBy("user_id")
+  }
+
   /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
     * the time-series memory signal (is today predictive of tomorrow).
     * The metric is defined on the 2-dp-rounded daily sums, so both
@@ -1894,5 +1928,6 @@ object Queries {
     "q_minmax_scale" -> q_minmax_scale,
     "q_variant_extract" -> q_variant_extract,
     "q_topk_approx_sketch" -> q_topk_approx_sketch,
+    "q_cogroup_timeline" -> q_cogroup_timeline,
   )
 }

@@ -613,6 +613,19 @@ object SparkEntry {
         |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
         |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // relational twin of the typed-cogroup merge: UNION ALL the two
+    // shapes, then aggregate in the IDENTICAL (ms, tag, id) order
+    "q_cogroup_timeline" ->
+      """WITH steps AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, 'E' AS tag, event_id AS id FROM events
+        |  UNION ALL
+        |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS ms, 'O' AS tag,
+        |         o_orderkey AS id FROM orders
+        |)
+        |SELECT user_id,
+        |       string_agg(tag || CAST(id AS VARCHAR), '->' ORDER BY ms, tag, id) AS timeline,
+        |       count(*) AS n_steps
+        |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the variant path must produce the same relation as string-path
     // JSON extraction (q_json_extract's oracle, same dirty-data nulls)
     "q_variant_extract" ->

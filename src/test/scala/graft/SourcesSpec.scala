@@ -129,6 +129,20 @@ class SourcesSpec extends SparkSpec {
       s"key 1 must survive via the _bak fallback: $got")
   }
 
+  test("schema evolution: mergeSchema unifies old and new file generations") {
+    // generation 1 lacks the column generation 2 added — the normal life
+    // of a long-lived corpus directory; mergeSchema presents the union
+    // schema with nulls for the missing column in old files
+    val dir = tmp() + "/evo"
+    Seq((1L, "a")).toDF("id", "name").write.mode("append").parquet(dir)
+    Seq((2L, "b", 0.9)).toDF("id", "name", "quality").write.mode("append").parquet(dir)
+    val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(unified.schema.fieldNames.toSet == Set("id", "name", "quality"))
+    val rows = unified.select("id", "quality").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.9)), s"got $rows")
+  }
+
   test("versionedUpsertSink: immutable versions, time travel, retention GC") {
     val in = tmp() + "/vin"; val base = tmp() + "/vsnap"; val ckBase = tmp()
     Files.createDirectories(java.nio.file.Paths.get(in))
