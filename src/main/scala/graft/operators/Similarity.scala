@@ -395,4 +395,21 @@ object Similarity {
         Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  /** SEMANTIC dedup end-to-end — the embedding-space twin of
+    * [[graft.operators.Dedup.clusterByMinhash]]: LSH-bucketed cosine
+    * pairs ([[embeddingNearDupPairs]], candidates only — never
+    * all-pairs) → connected components over the confirmed pair graph →
+    * canonical (minimum-id) keep. Same LSH recall caveat: a true
+    * near-dup pair whose sign-signatures differ in any of the
+    * `numPlanes` bits is never a candidate; more planes → finer buckets
+    * (higher precision, lower recall per bucket). Returns surviving
+    * rows of `emb`. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    minCosine: Double, numPlanes: Int = 16,
+                    dim: Int = 64): DataFrame = {
+    val pairs = embeddingNearDupPairs(emb, idCol, vecCol, minCosine,
+      numPlanes, dim)
+    graft.operators.Dedup.keepCanonical(emb, pairs, idCol)
+  }
 }

@@ -359,6 +359,23 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("semanticDedup: transitive embedding clusters collapse to the canonical id") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base2 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = Seq(
+      (0L, base),
+      (1L, base.map(x => x + 1e-4f)),   // ~0 → cluster {0,1,2} keeps 0
+      (2L, base.map(x => x - 1e-4f)),
+      (5L, base2),                       // pair {5,6} keeps 5
+      (6L, base2.map(x => x + 1e-4f)),
+      (9L, Array.fill(64)(rnd.nextGaussian().toFloat))) // singleton
+    val emb = rows.toDF("vec_id", "embedding")
+    val surv = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      minCosine = 0.98).select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(0L, 5L, 9L), s"got $surv")
+  }
+
   test("rolling fingerprint: order-sensitive, md5 is not") {
     val df = Seq(("a b c", "c b a")).toDF("t1", "t2")
     val (r1, r2) = df.select(
