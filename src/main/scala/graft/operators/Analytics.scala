@@ -84,6 +84,21 @@ object Analytics {
       .otherwise(big + idiv(rank - big * sizeBig - 1, sizeSmall) + 1)
   }
 
+  /** One-pass pipeline-stage accounting via the `Observation` API: a
+    * training pipeline must account for every dropped row, but a
+    * separate `count()` per stage re-executes the plan. `observe`
+    * attaches the counters to the SAME pass: rows entering the stage and
+    * rows its predicate keeps, collected as a side effect of whatever
+    * action eventually runs. Read `obs.get` after the action. */
+  def observedFilter(df: DataFrame, keep: Column, name: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows_in"),
+      sum(when(keep, 1L).otherwise(0L)).as("rows_kept"))
+    (observed.filter(keep), obs)
+  }
+
   /** Ordered three-stage funnel: a user's first `stages._1`, then the
     * first `stages._2` at-or-after it, then the first `stages._3`
     * at-or-after that, with the last stage landing within `windowMs`

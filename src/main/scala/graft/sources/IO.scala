@@ -200,6 +200,28 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Exactly-once to a NON-idempotent sink: wrap the per-batch action
+    * with a committed-batch marker. Spark's checkpoint guarantees each
+    * batch id is DELIVERED at least once across restarts; sinks whose
+    * writes don't dedup by themselves (append files, external POSTs —
+    * the reference's Doris stream-load 2PC territory) must skip replayed
+    * ids. The marker (`<markerDir>/<batchId>`) is written AFTER `f`
+    * succeeds: a crash inside `f` replays the batch (at-least-once into
+    * `f`), a crash after the marker skips it — so `f`'s effects must be
+    * atomic-or-restartable, which parquet job commits are. */
+  def idempotentForeachBatch(markerDir: String)
+                            (f: (DataFrame, Long) => Unit)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val dir = new org.apache.hadoop.fs.Path(markerDir)
+    val fs = dir.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
+    if (!fs.exists(marker)) {
+      f(batch, batchId)
+      fs.mkdirs(dir)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Versioned (time-travel) keyed upsert sink: each micro-batch merges
     * into the LATEST snapshot version and writes the result as a NEW
     * immutable `v=<n>` directory — old versions are never mutated, so a

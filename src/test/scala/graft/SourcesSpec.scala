@@ -129,6 +129,36 @@ class SourcesSpec extends SparkSpec {
       s"key 1 must survive via the _bak fallback: $got")
   }
 
+  test("idempotentForeachBatch: a replayed batch id is a no-op") {
+    val base = tmp()
+    val outDir = s"$base/out"; val markerDir = s"$base/markers"
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val write = IO.idempotentForeachBatch(markerDir) { (b, _) =>
+      b.write.mode("append").parquet(outDir)
+    }
+    write(batch, 7L)
+    assert(spark.read.parquet(outDir).count() == 2)
+    // at-least-once delivery replays batch 7 → the marker skips the append
+    write(batch, 7L)
+    assert(spark.read.parquet(outDir).count() == 2, "replay must not double-write")
+    // the next batch id still writes
+    write(batch, 8L)
+    assert(spark.read.parquet(outDir).count() == 4)
+  }
+
+  test("observedFilter: stage accounting rides the same pass, no re-execution") {
+    import graft.operators.Analytics
+    val (kept, obs) = Analytics.observedFilter(
+      graft.sources.Tables.documents(spark, sfDir),
+      col("lang") === "en", "quality_gate")
+    val n = kept.count()  // the one and only action
+    val m = obs.get
+    assert(m("rows_kept") == n)
+    assert(m("rows_in") ==
+      graft.sources.Tables.documents(spark, sfDir).count())
+    assert(m("rows_in").asInstanceOf[Long] > n, "fixture: some rows dropped")
+  }
+
   test("schema evolution: mergeSchema unifies old and new file generations") {
     // generation 1 lacks the column generation 2 added — the normal life
     // of a long-lived corpus directory; mergeSchema presents the union

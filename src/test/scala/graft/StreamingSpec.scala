@@ -448,6 +448,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER interval join: both sides null-pad after the watermark") {
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "10 minutes")
+    val joined = c.join(b,
+      expr("c_user = b_user AND b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 1 HOUR"),
+      "full_outer")
+    val name = nextName()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L), // matches
+        (ts("2024-01-01 10:00:00"), 2L))              // left-unmatched
+      buys.addData((ts("2024-01-01 10:30:00"), 1L),
+        (ts("2024-01-01 10:30:00"), 5L))              // right-unmatched
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 14:00:00"), 9L)) // advance watermarks
+      buys.addData((ts("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("c_user", "b_user")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(rows.contains((Some(1L), Some(1L))), s"matched pair missing: $rows")
+      assert(rows.contains((Some(2L), None)), s"left null-pad missing: $rows")
+      assert(rows.contains((None, Some(5L))), s"right null-pad missing: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join: per-row dim enrichment without foreachBatch") {
     // the direct stream⋈static form (no foreachBatch): the static side is
     // re-planned each micro-batch, so a dim refresh between batches is
