@@ -52,6 +52,21 @@ object Processors {
     }
   }
 
+  /** The SAME first-visit semantics on the CLASSIC state API
+    * (`flatMapGroupsWithState` + `GroupState`) — the migration-parity
+    * surface: most existing Spark jobs run this API, and the engine
+    * supports both state backends with identical outputs. Use with
+    * `.flatMapGroupsWithState(OutputMode.Append,
+    * GroupStateTimeout.NoTimeout())(Processors.firstVisitClassic)`. */
+  def firstVisitClassic(key: Long, rows: Iterator[Visit],
+                        state: org.apache.spark.sql.streaming.GroupState[String])
+      : Iterator[VisitOut] =
+    rows.map { v =>
+      val isFirst = !state.exists || v.date > state.get
+      if (isFirst) state.update(v.date)
+      VisitOut(v.userId, v.date, v.tsMs, isFirst)
+    }
+
   /** Order lifecycle input: `kind` ∈ {created, paid}. Carries a real
     * timestamp column so the watermark survives into `groupByKey`. */
   case class OrderEvent(orderId: Long, kind: String, ts: java.sql.Timestamp)

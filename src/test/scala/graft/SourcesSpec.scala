@@ -61,6 +61,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq((1L, "ok"), (2L, "also ok")))
   }
 
+  test("PERMISSIVE json read quarantines malformed rows in _corrupt_record") {
+    // the other half of the dirty-JSON guard: DROPMALFORMED silently
+    // drops (tested below); PERMISSIVE keeps the broken payload for a
+    // dead-letter queue instead of losing it
+    val dir = tmp() + "/jsonq"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.writeString(java.nio.file.Paths.get(dir, "part.json"),
+      """{"id":1,"name":"ok"}
+        |{broken not json
+        |{"id":2,"name":"also ok"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .select("id", "_corrupt_record").as[(Option[Long], Option[String])]
+      .collect().toSet
+    assert(rows.contains((Some(1L), None)))
+    assert(rows.contains((Some(2L), None)))
+    assert(rows.exists { case (id, cr) =>
+      id.isEmpty && cr.exists(_.contains("broken")) },
+      s"corrupt row must be quarantined with its payload: $rows")
+  }
+
   test("file stream source + exactly-once parquet sink (Kafka stand-in)") {
     val in = tmp() + "/in"; val out = tmp() + "/out"; val ck = tmp() + "/ck"
     Files.createDirectories(java.nio.file.Paths.get(in))

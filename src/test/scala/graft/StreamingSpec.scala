@@ -130,6 +130,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstVisitClassic (flatMapGroupsWithState) matches the transformWithState semantics") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val in = MemoryStream[Processors.Visit]
+    val out = in.toDS()
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(Processors.firstVisitClassic _)
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(Processors.Visit(1L, "2024-01-01", 1000L),
+        Processors.Visit(1L, "2024-01-01", 2000L),
+        Processors.Visit(2L, "2024-01-01", 1500L))
+      q.processAllAvailable()
+      in.addData(Processors.Visit(1L, "2024-01-01", 3000L),
+        Processors.Visit(1L, "2024-01-02", 4000L))
+      q.processAllAvailable()
+      // the classic API must reproduce the transformWithState goldens
+      val flags = spark.table(name).as[Processors.VisitOut].collect()
+        .map(v => (v.userId, v.tsMs) -> v.isFirst).toMap
+      assert(flags((1L, 1000L)) === true)
+      assert(flags((1L, 2000L)) === false)
+      assert(flags((2L, 1500L)) === true)
+      assert(flags((1L, 3000L)) === false)
+      assert(flags((1L, 4000L)) === true)
+    } finally q.stop()
+  }
+
   test("PaymentTimeoutProcessor: event-time timer emits timeout, paid disarms") {
     val in = MemoryStream[Processors.OrderEvent]
     val out = in.toDS()
