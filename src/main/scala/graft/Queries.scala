@@ -1747,6 +1747,29 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_lm_score — unigram language-model quality scoring: train token
+    * probabilities on the corpus itself (one exploded count pass), then
+    * score each document by its mean token log-probability — the
+    * KenLM-style perplexity filter signal, exact and self-contained.
+    * Token probabilities join back by token (the vocabulary relation is
+    * dictionary-sized → broadcast); per-doc aggregation is one keyed
+    * sum. Ordered identically on both engines; round(6) absorbs
+    * summation-order ulps. */
+  val q_lm_score: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(vocab), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(log(col("c").cast("double") / col("n_total")))
+          / count(lit(1)), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
   /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
     * the time-series memory signal (is today predictive of tomorrow).
     * The metric is defined on the 2-dp-rounded daily sums, so both
@@ -1929,5 +1952,6 @@ object Queries {
     "q_variant_extract" -> q_variant_extract,
     "q_topk_approx_sketch" -> q_topk_approx_sketch,
     "q_cogroup_timeline" -> q_cogroup_timeline,
+    "q_lm_score" -> q_lm_score,
   )
 }

@@ -613,6 +613,18 @@ object SparkEntry {
         |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
         |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // termwise-identical unigram LM: per-token ln(c/N) summed per doc
+    // then divided by the doc's token count; round(6) absorbs order ulps
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 6) AS mean_logp
+        |FROM toks JOIN vocab USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // relational twin of the typed-cogroup merge: UNION ALL the two
     // shapes, then aggregate in the IDENTICAL (ms, tag, id) order
     "q_cogroup_timeline" ->
