@@ -1770,6 +1770,79 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_bigram_lm — bigram language-model scoring: corpus-trained
+    * conditional probabilities p(w₂|w₁) = c(w₁w₂)/c(w₁), each document
+    * scored by its mean bigram conditional log-prob. Trained on the
+    * corpus itself, so every document bigram has count ≥ 1 — no
+    * smoothing needed for exactness. Adjacent pairs come from one
+    * zip_with pass per doc (the q_pmi_bigrams shape); both count
+    * relations join back by token key. */
+  val q_bigram_lm: Q = (s, d) => {
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+    val docBigrams = docToks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val uni = docToks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    docBigrams
+      .join(bi, Seq("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uni, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log(col("c2").cast("double") / col("c1")))
+          / count(lit(1)), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** q_winsorize — robust preprocessing: per-group clamp to the
+    * [p1, p99] percentile band (the outlier-capping twin of the MAD
+    * DROP in q_anomaly_mad — winsorization keeps the row, bounded).
+    * Grouped percentiles broadcast into one narrow clamp pass. */
+  val q_winsorize: Q = (s, d) => {
+    val bounds = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.01)).as("p_lo"),
+        percentile(col("value"), lit(0.99)).as("p_hi"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(least(greatest(col("value"), col("p_lo")), col("p_hi")), 6)
+          .as("value_w"),
+        (col("value") < col("p_lo") || col("value") > col("p_hi")).as("clamped"))
+      .orderBy("event_id")
+  }
+
+  /** q_kfold — deterministic k-fold cross-validation assignment: fold =
+    * md5-cell of the id mod k (engine-portable, RNG-free, stable under
+    * corpus growth — the same hash-cell discipline as q_split_train).
+    * A narrow map; no shuffle at all. */
+  val q_kfold: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long") % 5).as("fold"))
+      .orderBy("doc_id")
+
+  /** q_class_weights — inverse-frequency class weights for imbalanced
+    * training (weight(ℓ) = N / (K·n(ℓ))): one keyed count + two 1-row
+    * broadcast scalars. */
+  val q_class_weights: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val perLabel = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val totals = emb.agg(count(lit(1)).as("n_total"),
+      count_distinct(col("label")).as("k"))
+    perLabel.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        round(col("n_total").cast("double") / (col("k") * col("n")), 6)
+          .as("weight"))
+      .orderBy("label")
+  }
+
   /** q_autocorr — per-user lag-1 autocorrelation of daily value sums:
     * the time-series memory signal (is today predictive of tomorrow).
     * The metric is defined on the 2-dp-rounded daily sums, so both
@@ -1953,5 +2026,9 @@ object Queries {
     "q_topk_approx_sketch" -> q_topk_approx_sketch,
     "q_cogroup_timeline" -> q_cogroup_timeline,
     "q_lm_score" -> q_lm_score,
+    "q_bigram_lm" -> q_bigram_lm,
+    "q_winsorize" -> q_winsorize,
+    "q_kfold" -> q_kfold,
+    "q_class_weights" -> q_class_weights,
   )
 }

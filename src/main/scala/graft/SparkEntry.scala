@@ -613,6 +613,40 @@ object SparkEntry {
         |              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
         |             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) AS kurt
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // corpus-trained bigram conditionals: every doc bigram has c2 >= 1,
+    // so the log never sees zero; termwise-identical formula
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+        |  FROM documents),
+        |db AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |uni AS (SELECT unnest(t) AS w1 FROM toks),
+        |u AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+        |b AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(ln(CAST(c2 AS DOUBLE) / c1)) / count(*), 6) AS mean_logp
+        |FROM db
+        |JOIN b USING (bigram)
+        |JOIN u ON string_split(db.bigram, ' ')[1] = u.w1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
+        |         quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type,
+        |       round(least(greatest(value, p_lo), p_hi), 6) AS value_w,
+        |       (value < p_lo OR value > p_hi) AS clamped
+        |FROM events e JOIN bounds USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "q_kfold" ->
+      "SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 5 AS fold FROM documents ORDER BY doc_id",
+    "q_class_weights" ->
+      """WITH p AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |t AS (SELECT count(*) AS n_total, count(DISTINCT label) AS k FROM embeddings)
+        |SELECT label, n, round(CAST(n_total AS DOUBLE) / (k * n), 6) AS weight
+        |FROM p CROSS JOIN t ORDER BY label""".stripMargin,
     // termwise-identical unigram LM: per-token ln(c/N) summed per doc
     // then divided by the doc's token count; round(6) absorbs order ulps
     "q_lm_score" ->
