@@ -1529,7 +1529,12 @@ object Queries {
     * the codegen'd [[graft.functions.VecDot]] cosine; per-probe top-k
     * folds through the bounded-heap [[graft.functions.TopKAggregator]]
     * (O(k) state per probe) instead of a window sort over corpus×probes
-    * rows. This is the scale shape: corpus never shuffles by probe. */
+    * rows. This is the scale shape: corpus never shuffles by probe.
+    * The ranking cosine is rounded to 12 dp on BOTH engines: the oracle
+    * parity would otherwise hinge on Spark's VecDot and DuckDB's
+    * list_cosine_similarity accumulating bit-identical doubles — a ulp
+    * divergence on a near-tie would flip neighbor ranks. 12 dp is far
+    * below any semantic similarity difference and far above ulp noise. */
   val q_knn_join: Q = (s, d) => {
     val topk = udaf(new graft.functions.TopKAggregator(3))
     val emb = Tables.embeddings(s, d)
@@ -1537,7 +1542,7 @@ object Queries {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     emb.crossJoin(broadcast(probes))
       .select(col("query_id"), col("vec_id"),
-        Vectors.cosine(col("embedding"), col("q_emb")).as("cos"))
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
       .groupBy("query_id")
       .agg(topk(col("cos"), col("vec_id")).as("ids"))
       .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
@@ -1702,13 +1707,25 @@ object Queries {
     * (`q_agg_distinct_hll`): top-k over any date range by merging
     * kilobyte sketches, never re-scanning rows. Sketch estimates are
     * approximate by construction → oracle-exempt; FunctionsSpec pins
-    * exactness at fixture cardinality (the sketch is exact while its
-    * capacity exceeds the distinct count) against the exact twin. */
+    * exactness against the exact twin at BOTH fixture SFs.
+    *
+    * SIZING (load-bearing): Spark's `approx_top_k_estimate` returns an
+    * EMPTY array — not a degraded estimate — once the underlying
+    * frequent-items sketch has seen more distinct items than its
+    * `maxItemsTracked` capacity. A capacity of 32 silently produced
+    * zero rows at sf0.01 (~1.5k distinct users). The capacity must be
+    * sized for the key domain, not the fixture: 16384 tracks ~16k
+    * distinct users in a few hundred KB per daily sketch and leaves
+    * ~10× headroom over sf0.1. At a genuinely larger domain (100 TB,
+    * millions of users) the same constant scales linearly in sketch
+    * bytes — raise it with the domain, and prefer the exact keyed-agg
+    * twin (`q_topk`) when the domain outgrows sketch memory. */
+  val TopKSketchCapacity = 16384
   val q_topk_approx_sketch: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(expr("approx_top_k_accumulate(user_id, 32)").as("sk"))
-      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 32), 5)").as("top"))
+      .agg(expr(s"approx_top_k_accumulate(user_id, $TopKSketchCapacity)").as("sk"))
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $TopKSketchCapacity), 5)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("user_id"), col("e.count").as("est_cnt"))
       .orderBy(desc("est_cnt"), col("user_id"))

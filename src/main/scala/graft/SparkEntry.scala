@@ -150,7 +150,7 @@ object SparkEntry {
     "q_composite_revenue" ->
       "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
     "q_composite_urgent_share" ->
-      "SELECT l_returnflag, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_composite_promo" ->
       "SELECT strftime(l_shipdate, '%Y-%m') AS ym, round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 100.0 / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY ym",
     "q_composite_top_supplier" ->
@@ -726,7 +726,7 @@ object SparkEntry {
         |SELECT query_id, rn, vec_id AS neighbor_id FROM (
         |  SELECT q.query_id, e.vec_id,
         |         row_number() OVER (PARTITION BY q.query_id
-        |           ORDER BY list_cosine_similarity(e.embedding, q.q_emb) DESC, e.vec_id) AS rn
+        |           ORDER BY round(list_cosine_similarity(e.embedding, q.q_emb), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q) t
         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
   )

@@ -50,9 +50,15 @@ object Analytics {
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint(eager = true)
-    val counts = sorted
-      .groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // per-partition counts WITHOUT a shuffle: a single map-only job over
+    // the already-checkpointed partitions (one count per partition, ≤
+    // nPart rows collected). The previous groupBy(spark_partition_id())
+    // form paid a two-stage exchange per call — pure scheduling overhead
+    // on an iterative-cadence operator.
+    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+      Iterator(pid -> n)
+    }.collect().toMap
     val offsets: Map[Int, Long] = {
       var acc = 0L
       (0 until nPart).map { p =>

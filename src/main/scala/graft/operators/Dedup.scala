@@ -417,25 +417,44 @@ object Dedup {
     *
     * Steady-state cost is proportional to the batch and its candidates —
     * the corpus text is touched only for candidate ids. Returns the
-    * surviving batch rows. */
+    * surviving batch rows.
+    *
+    * COLD START: an empty index is the natural first state of a
+    * streaming ingest pipeline, so a missing `indexDir` (never seeded
+    * via [[writeNearDupIndex]]) is treated as an empty index — the
+    * batch passes intra-dedup only and the first [[appendNearDupIndex]]
+    * creates the dirs. Seeding and appending assume a SINGLE writer;
+    * concurrent writers to one indexDir are out of contract. */
   def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
                           indexDir: String, threshold: Double,
                           shingleN: Int = 3, numHashes: Int = 32,
                           bands: Int = 8): DataFrame = {
     val spark = batch.sparkSession
-    // clusterByMinhash returns the intra-batch SURVIVORS directly
+    // clusterByMinhash returns the intra-batch SURVIVORS directly.
+    // localCheckpoint: `intra` feeds THREE consumers below (signatures,
+    // token projection, final left-anti) — without it the whole
+    // intra-batch LSH clustering subtree re-evaluates per consumer.
     val intra = clusterByMinhash(batch, idCol, textCol, threshold,
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands).localCheckpoint(true)
     val sigs = minhashSignatures(intra, idCol, textCol, shingleN, numHashes, bands)
     val batchBands = sigs.select(col(idCol).as("__bid"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val idxBands = spark.read.parquet(s"$indexDir/bands")
-    val cand = batchBands.join(idxBands, Seq("band", "bucket"))
-      .select(col("__bid"), col("id").as("__iid")).distinct()
+    def dirExists(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val batchToks = intra.select(col(idCol).as("__bid"),
       Text.tokens(col(textCol)).as("__btoks"))
-    val idxToks = spark.read.parquet(s"$indexDir/docs")
-      .select(col("id").as("__iid"), col("toks").as("__itoks"))
+    // empty-index fallbacks borrow the batch side's schema (same shape)
+    val idxBands =
+      if (dirExists("bands")) spark.read.parquet(s"$indexDir/bands")
+      else batchBands.select(col("__bid").as("id"), col("band"), col("bucket")).limit(0)
+    val cand = batchBands.join(idxBands, Seq("band", "bucket"))
+      .select(col("__bid"), col("id").as("__iid")).distinct()
+    val idxToks =
+      if (dirExists("docs")) spark.read.parquet(s"$indexDir/docs")
+        .select(col("id").as("__iid"), col("toks").as("__itoks"))
+      else batchToks.select(col("__bid").as("__iid"), col("__btoks").as("__itoks")).limit(0)
     val dropped = cand
       .join(batchToks, Seq("__bid"))
       .join(idxToks, Seq("__iid"))
@@ -520,18 +539,28 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("nid")).agg(min("label").as("nbr_label"))
-      val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
       // convergence is decided on the PROPAGATION step alone: an unchanged
       // propagation is exactly the all-neighbors-equal fixpoint, which is
       // the correct-labeling condition. Checking here (not after the
       // shortcut) lets the final round — every round, for a converged
       // clique-like graph — skip the pointer-jump self-join + checkpoint:
       // the jump is only an accelerator, never a correctness step.
-      converged =
-        propagated.filter(col("label") =!= col("old_label")).isEmpty
+      // The changed-count rides the CHECKPOINT materialization as an
+      // `observe` metric instead of a second scan-the-labels action —
+      // one Spark job per round, not two, which is what keeps the
+      // driver-cadence cost of the loop down (iterative plans are
+      // scheduled as many small jobs; every extra action per round
+      // multiplies the loop's exposure to scheduling latency).
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$iter")
+      val propagated = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("old_label"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(eager = true)
+      // sum over an empty relation is null → treat as converged
+      converged = Option(obs.get("changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
       val prev = labels
       if (converged) {
         labels = propagated.select("id", "label")
@@ -554,15 +583,100 @@ object Dedup {
     edges.unpersist(blocking = false)
     // a maxIter exit without convergence means labels are TRUNCATED
     // propagation — silently plausible but wrong (a >maxIter-diameter
-    // chain keeps distinct labels inside one component). Fail loudly so
-    // it can never masquerade as a correct labeling; callers with such
-    // graphs should raise maxIter or switch to large-star/small-star.
+    // chain keeps distinct labels inside one component). NEVER return
+    // them: fall back to the large-star/small-star formulation, whose
+    // round count is O(log² n) regardless of diameter — the
+    // pathological-graph path (crawl mirror chains) that min-label
+    // cannot close within any practical maxIter.
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      return connectedComponentsLogRounds(pairs, idA, idB)
+    }
+    labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the formulation whose round count is O(log² n)
+    * INDEPENDENT of graph diameter, used as the fallback when
+    * [[connectedComponents]]' min-label loop hits `maxIter` (same
+    * output contract: every vertex of the pair list labeled with its
+    * component's minimum id).
+    *
+    * Both operations rewrite the edge set toward a union of stars
+    * centered at component minima, and both are one keyed agg + one
+    * join per round over the EDGE relation (never all-pairs):
+    *  - large-star: every node u links its strictly-larger neighbors
+    *    to m(u) = min(Γ(u) ∪ u) — long chains telescope;
+    *  - small-star: every node links its smaller-or-equal neighbors
+    *    (parent pointers) to that minimum — stars flatten.
+    * At the fixpoint (edge set unchanged under both) every edge is
+    * (leaf → component-min). Each round's edge set is
+    * localCheckpoint-ed (lineage truncation) with the unchanged-count
+    * riding the checkpoint as an `observe` metric — one job per
+    * half-round, same cadence discipline as the min-label loop. */
+  def connectedComponentsLogRounds(pairs: DataFrame, idA: String = "id_a",
+                                   idB: String = "id_b",
+                                   maxIter: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val vertices = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    // canonical orientation (src > dst), self-loops dropped; both star
+    // ops preserve the orientation so rounds compare set-to-set
+    var edges = e0.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(eager = true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u")).agg(min("dst").as("nbr_min"))
+        .select(col("u"), least(col("u"), col("nbr_min")).as("m"))
+      // emit (v, m(u)) for every neighbor v > u; v > u ≥ m keeps the
+      // src > dst orientation and forbids self-loops by construction
+      sym.filter(col("dst") > col("src"))
+        .join(mins, sym("src") === mins("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already point large→small: parent pointers
+      val mins = e.groupBy(col("src").as("u")).agg(min("dst").as("m"))
+      val relink = e.join(mins, e("src") === mins("u"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      relink.union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      // fixpoint test: both relations are DISTINCT sets in the same
+      // orientation, so equal count + empty one-sided difference ⇔ equal
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      val prev = edges
+      edges = next
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within maxIter=$maxIter " +
-          "rounds (graph diameter exceeds maxIter); raise maxIter or use a " +
-          "log-round formulation for large-diameter graphs")
-    labels
+        s"connectedComponentsLogRounds did not converge within $maxIter " +
+          "alternating star rounds — O(log² n) bound exceeded, graph or " +
+          "input likely pathological")
+    // stars: each non-center vertex has exactly one edge to its center;
+    // centers (and isolated-in-pairs vertices) label themselves
+    val leafLabels = edges.groupBy(col("src").as("lid")).agg(min("dst").as("label"))
+    val out = vertices.join(leafLabels, vertices("id") === leafLabels("lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    edges.unpersist(blocking = false)
+    out
   }
 
   /** Keep one canonical document per near-dup cluster: the member with
@@ -594,21 +708,29 @@ object Dedup {
     * that stay people-sized at scale (add a length bucket to
     * `blockCols` for heavy blocks).
     *
-    * The probe side is round-robin respread to full parallelism first:
-    * when the build side broadcasts (dim-sized input), the pair loop
-    * inherits the PROBE side's partitioning — and a compact input read
-    * as one split would otherwise run the whole quadratic stage on a
-    * single core (measured 11 s → sub-second at sf0.1). With few
-    * distinct block keys this beats keyed repartition, whose fan-out
-    * is capped at the block-key count. */
+    * The probe side is round-robin respread to full parallelism first
+    * WHEN the build side is broadcast-sized: a broadcast join inherits
+    * the PROBE side's partitioning, and a compact input read as one
+    * split would otherwise run the whole quadratic stage on a single
+    * core (measured 11 s → sub-second at sf0.1). With few distinct
+    * block keys this beats keyed repartition, whose fan-out is capped
+    * at the block-key count. When the build side is too big to
+    * broadcast the join reshuffles on the block key anyway, so the
+    * respread would be a wasted extra full shuffle — it is gated on the
+    * plan-estimated build size vs `autoBroadcastJoinThreshold`. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(
+    val broadcastable = {
+      val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      thresh > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+    }
+    val aBase = df.select(
       Seq(col(idCol).as("id_a"), col(strCol).as("__str_a")) ++
         blockCols.map(col): _*)
-      .repartition(parallelism)
+    val a = if (broadcastable) aBase.repartition(parallelism) else aBase
     val b = df.select(
       Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
         blockCols.map(col): _*)

@@ -281,8 +281,8 @@ object Similarity {
     * Caveat (documented, not silently wrong): an id whose NEW embedding
     * assigns to a different list than its old one leaves the stale copy
     * in the old list, because that list may be untouched. Appends of new
-    * ids — the steady-state case — are exact; re-embedding migrations
-    * need [[ivfWriteIndex]]'s full rebuild (or a delete pass). */
+    * ids — the steady-state case — are exact; re-embedding migrations go
+    * through [[ivfReembedIndex]] (= [[ivfDeleteIds]] + this append). */
   def ivfAppendIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                      indexDir: String): Unit = {
     val spark = newVecs.sparkSession
@@ -309,6 +309,65 @@ object Similarity {
           .parquet(s"$indexDir/vectors")
       finally merged.unpersist(blocking = false)
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** Delete ids from a persisted IVF index, rewriting ONLY the lists
+    * that contain them — the missing half of the steady-state embedding
+    * refresh story: re-embedding = delete + [[ivfAppendIndex]]
+    * ([[ivfReembedIndex]] composes the two).
+    *
+    * Locating the ids costs one COLUMN-PRUNED scan of the index's
+    * (id, ivf_list) columns — the partition key is the list, not the id,
+    * so membership can't be pruned at the file level; parquet column
+    * pruning keeps the scan to two scalar columns, never the vectors.
+    * The rewrite itself is dynamic partition overwrite of the touched
+    * lists only. A list whose rows are ALL deleted needs explicit
+    * directory removal — dynamic overwrite only replaces partitions
+    * present in the written data, so an emptied list would silently
+    * survive otherwise. Single writer by contract, like append. */
+  def ivfDeleteIds(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   idCol: String, ids: DataFrame): Unit = {
+    val idOnly = ids.select(col(idCol)).distinct().localCheckpoint(eager = true)
+    try {
+      val vectors = spark.read.parquet(s"$indexDir/vectors")
+      // ≤ k ints, same bounded driver-side set as ivfAppendIndex
+      val touched = vectors.join(idOnly, Seq(idCol), "left_semi")
+        .select("ivf_list").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      val remaining = vectors.filter(col("ivf_list").isin(touched: _*))
+        .join(idOnly, Seq(idCol), "left_anti")
+        .localCheckpoint(eager = true) // pin before overwriting the source path
+      try {
+        val keptLists = remaining.select("ivf_list").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (keptLists.nonEmpty)
+          remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ivf_list")
+            .parquet(s"$indexDir/vectors")
+        val emptied = touched.filterNot(keptLists)
+        if (emptied.nonEmpty) {
+          val base = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { l =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"ivf_list=$l"), true)
+          }
+        }
+      } finally remaining.unpersist(blocking = false)
+    } finally idOnly.unpersist(blocking = false)
+  }
+
+  /** Re-embed ids in a persisted IVF index: delete the old copies (from
+    * whatever lists they live in), then append the new embeddings —
+    * each id ends up exactly once, in the list its NEW vector assigns
+    * to, and lists containing neither old nor new copies are untouched
+    * byte-for-byte. Cost: one column-pruned id scan + two
+    * touched-lists-only rewrites. */
+  def ivfReembedIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    ivfDeleteIds(spark, indexDir, idCol, newVecs.select(col(idCol)))
+    ivfAppendIndex(newVecs, idCol, vecCol, indexDir)
   }
 
   /** Load the centroid matrix of a persisted index — k small rows. */

@@ -109,8 +109,13 @@ case class RangeJoinRewrite(spark: SparkSession)
 
       // drop degenerate intervals BEFORE Sequence (start > stop with a
       // positive step is a runtime error, and those intervals are empty
-      // under the half-open predicate anyway)
-      val nonEmpty = Filter(LessThanOrEqual(lo, hi), boundSide)
+      // under the half-open predicate anyway). Both bounds are cast to
+      // double first: this rule runs in the OPTIMIZER, after the
+      // analyzer's type coercion, so a mixed-type comparison it builds
+      // (INT lo vs DOUBLE hi) would stay unresolved and fail planning —
+      // the same cast bin() already applies
+      val nonEmpty = Filter(LessThanOrEqual(
+        Cast(lo, DoubleType), Cast(hi, DoubleType)), boundSide)
       // Sequence is TimeZoneAwareExpression: unresolved until a zone is
       // set (the analyzer's ResolveTimeZone already ran — this rule runs
       // in the optimizer, so it must supply the zone itself)

@@ -749,22 +749,31 @@ class FunctionsSpec extends SparkSpec {
     assert(viaBitmap == exact, s"bitmap $viaBitmap != exact $exact")
   }
 
-  test("q_topk_approx_sketch: merged daily sketches are exact at fixture cardinality") {
-    import org.apache.spark.sql.functions.{col, desc}
-    val got = Queries.q_topk_approx_sketch(spark, sfDir)
-      .as[(Long, Long)].collect().toSeq
-    // exact twin: global per-user counts, top-5 by (count desc, user_id)
-    val exact = graft.sources.Tables.events(spark, sfDir)
-      .groupBy("user_id").count()
-      .orderBy(desc("count"), col("user_id")).limit(5)
-      .as[(Long, Long)].collect().toSeq
-    // the frequent-items sketch is EXACT while its capacity (32) exceeds
-    // the distinct-user count, and merging preserves that — so the
-    // two-level sketch path must reproduce the exact top-5 verbatim
-    val nUsers = graft.sources.Tables.events(spark, sfDir)
-      .select("user_id").distinct().count()
-    assert(nUsers <= 32, s"fixture assumption broken: $nUsers users")
-    assert(got == exact, s"sketch $got vs exact $exact")
+  // Two fixtures on purpose: the sf0.001 toy (150 users) AND sf0.01
+  // (~1.5k users). A capacity-32 sketch passed the toy and returned an
+  // EMPTY relation at every realistic cardinality — Spark's
+  // `approx_top_k_estimate` yields [] once the sketch saturates. The
+  // larger fixture is the one that catches that class of bug.
+  for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+    test(s"q_topk_approx_sketch: merged daily sketches exact vs twin ($dir)") {
+      import org.apache.spark.sql.functions.{col, desc}
+      val got = Queries.q_topk_approx_sketch(spark, dir)
+        .as[(Long, Long)].collect().toSeq
+      // exact twin: global per-user counts, top-5 by (count desc, user_id)
+      val exact = graft.sources.Tables.events(spark, dir)
+        .groupBy("user_id").count()
+        .orderBy(desc("count"), col("user_id")).limit(5)
+        .as[(Long, Long)].collect().toSeq
+      // the frequent-items sketch is EXACT while its capacity exceeds the
+      // distinct-user count, and merging preserves that — so the two-level
+      // sketch path must reproduce the exact top-5 verbatim
+      val nUsers = graft.sources.Tables.events(spark, dir)
+        .select("user_id").distinct().count()
+      assert(nUsers <= Queries.TopKSketchCapacity,
+        s"fixture outgrew sketch capacity: $nUsers users")
+      assert(got.nonEmpty, "sketch estimate returned an empty relation (saturated?)")
+      assert(got == exact, s"sketch $got vs exact $exact")
+    }
   }
 
   test("q_knn_join: rank-1 is self and ranks agree with the window brute force") {
@@ -784,7 +793,8 @@ class FunctionsSpec extends SparkSpec {
       .orderBy(desc("cos"), col("vec_id"))
     val brute = emb.crossJoin(broadcast(probesDf))
       .select(col("query_id"), col("vec_id"),
-        graft.functions.Vectors.cosine(col("embedding"), col("q_emb")).as("cos"))
+        org.apache.spark.sql.functions.round(
+          graft.functions.Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("query_id"), col("rn"), col("vec_id"))

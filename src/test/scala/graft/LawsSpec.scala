@@ -185,6 +185,11 @@ class LawsSpec extends SparkSpec {
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"CC mismatch on $edges")
+      // the log-rounds (large-star/small-star) fallback must produce the
+      // IDENTICAL labeling — it is the same contract, different algorithm
+      val gotLog = Dedup.connectedComponentsLogRounds(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotLog == expected, s"log-rounds CC mismatch on $edges")
     }
   }
 

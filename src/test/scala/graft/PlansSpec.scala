@@ -44,6 +44,35 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("RangeJoinRewrite: mixed-type bounds (INT lo, DOUBLE hi) still plan and match") {
+    // the rule runs in the OPTIMIZER, after analyzer type coercion — a
+    // comparison it constructs between differently-typed bounds must be
+    // cast explicitly or the plan fails to resolve at planning time
+    val mixedBands = spark.range(25)
+      .selectExpr("id AS band_id", "CAST(id * 20 AS INT) AS lo",
+        "id * 20.0 + 25.0 AS hi")
+    val joined = points.join(mixedBands,
+      col("value") >= col("lo") && col("value") < col("hi"))
+    val want = joined.select("event_id", "band_id")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.graft.rangeJoin.binWidth", "20.0")
+    try {
+      val rewritten = points.join(mixedBands,
+        col("value") >= col("lo") && col("value") < col("hi"))
+      val plan = rewritten.queryExecution.sparkPlan // must not throw
+      assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"rewrite did not fire on mixed-type bounds:\n$plan")
+      val got = rewritten.select("event_id", "band_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, "mixed-type rewrite changed the join result")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    }
+  }
+
   test("RangeJoinRewrite: stands down when a side is broadcast-able or the conf is unset") {
     // conf unset → untouched (BNLJ with the dim side broadcast is the
     // right plan and stays)

@@ -127,6 +127,77 @@ class ScalePathSpec extends SparkSpec {
     assert(rowsFor100 == 1L, s"upsert must not duplicate: $rowsFor100 rows")
   }
 
+  test("ivfReembedIndex: moved id lands exactly once in its new list; untouched lists byte-identical") {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 8; m <- 0 until 6) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 6 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_reembed_").toString
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+
+    // pick an id near center 1 and re-embed it near center 2 — the
+    // assignment MUST move lists, the case append alone gets wrong
+    val movedId = rows.find(r => Similarity
+      .nearestLists(r._2, loaded, 1).head ==
+        Similarity.nearestLists(centers(1), loaded, 1).head).get._1
+    val oldList = Similarity.nearestLists(
+      rows.find(_._1 == movedId).get._2, loaded, 1).head
+    val newList = Similarity.nearestLists(centers(2), loaded, 1).head
+    assert(oldList != newList, "fixture must move the id across lists")
+
+    def fileChecksums(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/vectors"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val crc = new java.util.zip.CRC32
+          crc.update(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getPath -> crc.getValue
+        }.toMap
+    }
+    val before = fileChecksums()
+
+    val newVec = centers(2).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    Similarity.ivfReembedIndex(Seq((movedId, newVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+
+    // exactly one copy, in the NEW list — no stale row in the old list
+    val copies = spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") === movedId)
+      .select("ivf_list").as[Int].collect().toSeq
+    assert(copies == Seq(newList),
+      s"re-embedded id must live exactly once in list $newList: $copies")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 48,
+      "re-embed must not change the index cardinality")
+
+    // lists containing neither the old nor the new copy: byte-identical
+    val after = fileChecksums()
+    val untouchedBefore = before.filterNot(_._1.contains(s"ivf_list=$oldList"))
+      .filterNot(_._1.contains(s"ivf_list=$newList"))
+    untouchedBefore.foreach { case (p, crc) =>
+      assert(after.get(p).contains(crc), s"untouched list file changed: $p")
+    }
+
+    // deleting EVERY id of one list removes its partition directory
+    // (dynamic overwrite alone would silently leave it behind)
+    val dropList = Similarity.nearestLists(centers(3), loaded, 1).head
+    val dropIds = spark.read.parquet(s"$dir/vectors")
+      .filter(col("ivf_list") === dropList)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(dropIds.nonEmpty)
+    Similarity.ivfDeleteIds(spark, dir, "vec_id",
+      dropIds.toDF("vec_id"))
+    assert(!new java.io.File(s"$dir/vectors/ivf_list=$dropList").exists(),
+      "an emptied list's partition directory must be removed")
+    assert(spark.read.parquet(s"$dir/vectors").count() == 48 - dropIds.length)
+  }
+
   test("connectedComponents: 300-node chain converges in O(log diameter) rounds") {
     // a path graph is the worst case for plain min-label propagation
     // (rounds = diameter); with the pointer-jumping shortcut the default
@@ -144,6 +215,32 @@ class ScalePathSpec extends SparkSpec {
     val l2 = Dedup.connectedComponents(two).as[(Long, Long)].collect().toMap
     assert(l2.filter(_._1 >= 1000L).values.forall(_ == 1000L))
     assert(l2.filter(_._1 < 1000L).values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: 10k-link chain resolves via the large-star/small-star fallback") {
+    // a 10k-diameter path with maxIter=3 forces min-label to hit its
+    // round budget — the crawl-mirror-chain shape that previously threw.
+    // The automatic fallback to connectedComponentsLogRounds (round
+    // count O(log² n), diameter-independent) must resolve it instead.
+    val chain = spark.range(10000)
+      .selectExpr("id AS id_a", "id + 1 AS id_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 3)
+    import org.apache.spark.sql.functions.{countDistinct, max => smax, min => smin}
+    val (nLabels, minL, maxL, n) = labels
+      .agg(countDistinct("label"), smin("label"), smax("label"), count("*"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(n == 10001L, s"vertex count: $n")
+    assert(nLabels == 1L && minL == 0L && maxL == 0L,
+      s"one component labeled 0 expected: n_labels=$nLabels min=$minL max=$maxL")
+
+    // direct entry point: two disjoint 5k chains stay separate components
+    val two = spark.range(5000).selectExpr("id AS id_a", "id + 1 AS id_b")
+      .union(spark.range(20000, 25000).selectExpr("id AS id_a", "id + 1 AS id_b"))
+    val l2 = Dedup.connectedComponentsLogRounds(two)
+      .as[(Long, Long)].collect().toMap
+    assert(l2.size == 10002)
+    assert(l2.filter(_._1 <= 5000L).values.forall(_ == 0L))
+    assert(l2.filter(_._1 >= 20000L).values.forall(_ == 20000L))
   }
 
   test("decontaminateBloom: subset of exact decontamination, planted leak dropped") {
@@ -501,6 +598,31 @@ class ScalePathSpec extends SparkSpec {
     val surv2 = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text", dir, 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(surv2 == Set(22L), s"appended docs must dedup the next batch: $surv2")
+  }
+
+  test("near-dup index cold start: unseeded indexDir = empty index, first append seeds it") {
+    // an EMPTY index is the natural first state of a streaming ingest
+    // pipeline — nearDupAgainstIndex must not require writeNearDupIndex
+    // to have ever run. Intra-batch dedup still applies.
+    val dir = java.nio.file.Files.createTempDirectory("neardup_cold_").toString + "/idx"
+    val novel = (200 to 240).map(i => s"c$i").mkString(" ")
+    val batch = Seq(
+      (11L, novel + " t1"), (12L, novel + " t2"), // intra-batch pair → 11
+      (13L, (300 to 340).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val surv = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(11L, 13L), s"cold-start survivors: $surv")
+
+    // the first append CREATES the index; the next batch dedups against it
+    Dedup.appendNearDupIndex(
+      batch.filter(col("doc_id").isin(11L, 13L)), "doc_id", "text", dir)
+    val batch2 = Seq((21L, novel + " t9"),
+      (22L, (400 to 440).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val surv2 = Dedup.nearDupAgainstIndex(batch2, "doc_id", "text", dir, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv2 == Set(22L), s"first-append-seeded index must dedup: $surv2")
   }
 
   test("end-to-end feature-store build: EWMA + sequences + sessions joined, then diffed vs the previous run") {
