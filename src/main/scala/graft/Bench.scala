@@ -49,7 +49,17 @@ object Bench {
     // blow the headline number up, never shrink it
     val FailPenaltySec = 1.0e9
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = Queries.all.map { case (name, fn) =>
+    // dev-side isolation lever (unset in the driver run): comma-separated
+    // query ids to bench alone — used to separate a query's own plan cost
+    // from shared-session context (broadcast/GC pressure from the ~120
+    // queries that ran before it in declared order)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(ids) => Queries.all.filter { case (n, _) => ids(n) }
+      case None => Queries.all
+    }
+    val results = selected.map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // consume the query's OWN physical plan (all columns, sorts

@@ -1,0 +1,58 @@
+package graft
+
+/** The oracle-exempt lane at a NON-TOY scale factor.
+  *
+  * The driver's DuckDB oracle never sees the exempt ids (sketch / LSH /
+  * Bloom-seeded queries aren't SQL-reproducible), so they are exactly
+  * the queries where a fixture-cardinality assumption can ship silently:
+  * `q_topk_approx_sketch` passed its sf0.001 spec (150 users ≤ the
+  * sketch's 32-item capacity) and returned an EMPTY relation at every
+  * realistic scale factor. This suite closes that class of gap by
+  * executing EVERY registered query that lacks an `oracleSql` entry at
+  * sf0.01 (~10× the unit-fixture cardinality — the driver's own
+  * correctness SF) and pinning the two properties the oracle would have
+  * checked:
+  *
+  *  1. the query produces rows (no silent saturation/emptiness), and
+  *  2. a repeat run returns the identical result (the determinism the
+  *     driver's hash compare depends on — all exempt queries are
+  *     seeded/RNG-free by design).
+  *
+  * The exempt set is derived from the SAME predicate the driver uses
+  * (`Queries.all` minus `SparkEntry.oracleSql` keys), so a future
+  * exempt id is enrolled here automatically — it cannot opt out by
+  * being forgotten.
+  */
+class ExemptLaneSpec extends SparkSpec {
+
+  private val laneDir = "/root/testdata/sf0.01"
+
+  private val exemptIds: Seq[String] =
+    Queries.all.collect {
+      case (name, _) if !SparkEntry.oracleSql.contains(name) => name
+    }.toSeq
+
+  test("exempt-id census matches the declared contract") {
+    // SURVEY §2 declares 15 oracle-exempt ids as of round 6; widen this
+    // number deliberately (with a new golden law), never by accident
+    assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
+    assert(exemptIds.size <= 20,
+      s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
+        s"its own law spec, not just this lane: $exemptIds")
+  }
+
+  for (id <- exemptIds) {
+    test(s"$id: non-empty and repeat-deterministic at sf0.01") {
+      val fn = Queries.all.toMap.apply(id)
+      val first = fn(spark, laneDir).collect().map(_.toString).toSeq
+      assert(first.nonEmpty,
+        s"$id returned an EMPTY relation at sf0.01 — the exempt lane " +
+          "exists to catch exactly this (sketch saturation, LSH bucket " +
+          "collapse, Bloom over-filtering)")
+      val second = fn(spark, laneDir).collect().map(_.toString).toSeq
+      assert(first == second,
+        s"$id is not repeat-deterministic at sf0.01 — the driver's hash " +
+          "compare (and any cached materialization) requires it")
+    }
+  }
+}

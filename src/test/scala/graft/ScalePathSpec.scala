@@ -266,16 +266,20 @@ class ScalePathSpec extends SparkSpec {
   }
 
   test("q_heavy_hitters_approx: superset of exact heavy hitters, estimates >= truth") {
-    val exact = Queries.q_heavy_hitters(spark, sfDir)
-      .select("user_id", "cnt").as[(Long, Long)].collect().toMap
-    val approx = Queries.q_heavy_hitters_approx(spark, sfDir)
-      .as[(Long, Long)].collect().toMap
-    assert(exact.nonEmpty, "fixture must have heavy hitters")
-    assert(exact.keySet.subsetOf(approx.keySet),
-      s"CMS over-estimates only, so every exact heavy hitter must surface: " +
-        s"missing ${exact.keySet -- approx.keySet}")
-    exact.foreach { case (k, trueCnt) =>
-      assert(approx(k) >= trueCnt, s"estimate for $k below truth")
+    // two fixtures — the CMS width (eps=1e-4) must keep the superset law
+    // and over-estimation bound as key cardinality grows past the toy SF
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val exact = Queries.q_heavy_hitters(spark, dir)
+        .select("user_id", "cnt").as[(Long, Long)].collect().toMap
+      val approx = Queries.q_heavy_hitters_approx(spark, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(exact.nonEmpty, s"fixture must have heavy hitters ($dir)")
+      assert(exact.keySet.subsetOf(approx.keySet),
+        s"CMS over-estimates only, so every exact heavy hitter must surface " +
+          s"($dir): missing ${exact.keySet -- approx.keySet}")
+      exact.foreach { case (k, trueCnt) =>
+        assert(approx(k) >= trueCnt, s"estimate for $k below truth ($dir)")
+      }
     }
   }
 
