@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -1920,6 +1920,181 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** q_incremental_agg — incremental materialized-aggregate refresh,
+    * the OLAP summary-maintenance pattern (the reference's DWS layer
+    * recomputes per-window aggregates as data arrives): the pre-cutoff
+    * SNAPSHOT aggregate and the post-cutoff DELTA aggregate are merged
+    * by partial-state combination (counts and sums are algebraic —
+    * merge = sum of partials; avg derives from merged state, it is
+    * never averaged-of-averages). The ORACLE is the full recompute, so
+    * the driver hash IS the refresh-equivalence law. At 100 TB the
+    * snapshot side is a stored table and only the delta scans — refresh
+    * cost ∝ new data, never corpus size. */
+  val q_incremental_agg: Q = (s, d) => {
+    val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+    val ev = Tables.events(s, d)
+    def partial(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("p_cnt"), sum(col("value")).as("p_sum"))
+    val snapshot = partial(ev.filter(col("ts") < cutoff))
+    val delta = partial(ev.filter(col("ts") >= cutoff))
+    snapshot.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("p_cnt")).as("n_events"),
+        round(sum(col("p_sum")), 2).as("sum_value"),
+        round(sum(col("p_sum")) / sum(col("p_cnt")), 6).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  /** q_vocab_build — corpus vocabulary construction (the tokenizer-prep
+    * step of a training pipeline): token frequencies over the corpus,
+    * low-frequency tail cut (cnt ≥ 10), contiguous vocab ids assigned
+    * by (count desc, token). The id assignment is a GLOBAL total-order
+    * rank — done with [[operators.Analytics.globalRowNumber]]'s
+    * range-repartition + offset numbering, NEVER a single-partition
+    * window (a vocab over 100 TB of text has millions of surviving
+    * tokens; the counts relation shrinks to vocab size before ranking,
+    * so the rank pass is vocab-sized, not corpus-sized). */
+  val q_vocab_build: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+    operators.Analytics.globalRowNumber(
+        counts, Seq(desc("cnt"), col("word")), "vocab_id")
+      .select("word", "cnt", "vocab_id")
+      .orderBy("vocab_id")
+  }
+
+  /** q_rfm — RFM (recency / frequency / monetary) customer
+    * segmentation, the classic warehouse DWS mart: one keyed agg over
+    * orders builds the per-customer triple, then each dimension gets an
+    * exact quintile bucket via [[operators.Analytics.globalRowNumber]]
+    * + [[operators.Analytics.ntileOfRank]] — three rank passes over the
+    * CUSTOMER-sized relation (dim-scale, not fact-scale; the orders
+    * fact is touched once). No single-partition windows anywhere; the
+    * oracle's `ntile(5) OVER (ORDER BY …)` is reproduced by the exact
+    * ntile arithmetic (spec'd law: ntileOfRank == SQL ntile). All three
+    * orderings are tie-broken to total orders by o_custkey. */
+  val q_rfm: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val ref = o.agg(max(col("o_orderdate")).as("ref_date"))
+    val base = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val n = base.agg(count(lit(1)).as("n_total"))
+    def bucket(df: DataFrame, sort: Seq[Column], rankCol: String, out: String) =
+      operators.Analytics.globalRowNumber(df, sort, rankCol)
+        .crossJoin(broadcast(n))
+        .withColumn(out,
+          operators.Analytics.ntileOfRank(col(rankCol), col("n_total"), 5))
+        .drop(rankCol, "n_total")
+    val r = bucket(base, Seq(col("recency_days"), col("o_custkey")),
+      "r_rank", "r_bucket")
+    val f = bucket(r, Seq(desc("frequency"), col("o_custkey")),
+      "f_rank", "f_bucket")
+    val m = bucket(f, Seq(desc("monetary"), col("o_custkey")),
+      "m_rank", "m_bucket")
+    m.select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_bucket", "f_bucket", "m_bucket")
+      .orderBy("o_custkey")
+  }
+
+  /** q_attribution — last-touch marketing attribution: each purchase is
+    * credited to the user's most recent PRIOR non-purchase event type
+    * ("direct" when none exists). One per-user ordered window pass
+    * (`last(…, ignoreNulls)` over rows unbounded-preceding to 1
+    * preceding) then a tiny keyed rollup — the same partitioned-window
+    * shape as sessionization, shuffle-keyed by user, no global window.
+    * The reference's DWS attribution jobs are this exact pattern over
+    * the Kafka click/order streams. */
+  val q_attribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** q_iqr_outliers — Tukey-fence outlier detection per group: values
+    * outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their event_type. The
+    * robust-statistics twin of [[q_anomaly_mad]] (quartiles instead of
+    * MAD): exact per-group quartiles (one agg; group count is tiny),
+    * broadcast back into a single narrow filter pass over the stream.
+    * Fence arithmetic is identical IEEE on both engines (q1 − 1.5·(q3 −
+    * q1)); quantile interpolation parity with DuckDB's `quantile_cont`
+    * is the q_agg_percentile-established equivalence. */
+  val q_iqr_outliers: Q = (s, d) => {
+    val q = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+      .select(col("event_type"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(q), Seq("event_type"))
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
+  /** q_time_weighted_avg — time-weighted mean of an irregular series:
+    * each observation holds until the next one, so it is weighted by
+    * its interval (Σ v·Δt / Σ Δt), the correct average for
+    * unevenly-sampled gauges (the naive mean over-weights bursts). One
+    * per-user lead() window for the interval, one keyed agg. Δt is in
+    * exact integer MICROseconds (`unix_micros`), matching the oracle's
+    * `epoch_us` — both engines truncate the parquet NANOS timestamps
+    * identically. */
+  val q_time_weighted_avg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(col("value") * col("dt")) / sum(col("dt")), 6).as("twa"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  /** q_cohort_ltv — cohort lifetime-value curve: customers cohorted by
+    * first-order month; each (cohort, month-offset) cell aggregates
+    * that month's revenue and actives, with the RUNNING total as the
+    * LTV curve. Two keyed shuffles (first-order map, cell agg) + one
+    * cohort-partitioned window (cells per cohort ≤ months elapsed —
+    * bounded, never data-scale). The cumulative sums the 2-dp-rounded
+    * cell revenues in offset order, so both engines fold identical
+    * doubles in the identical order — exact parity by construction. */
+  val q_cohort_ltv: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val first = o.groupBy("o_custkey")
+      .agg(trunc(min(col("o_orderdate")), "MM").as("cohort_month"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_month"),
+        months_between(trunc(col("o_orderdate"), "MM"), col("cohort_month"))
+          .cast("long").as("month_offset"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .orderBy("cohort_month", "month_offset")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2047,5 +2222,12 @@ object Queries {
     "q_winsorize" -> q_winsorize,
     "q_kfold" -> q_kfold,
     "q_class_weights" -> q_class_weights,
+    "q_incremental_agg" -> q_incremental_agg,
+    "q_vocab_build" -> q_vocab_build,
+    "q_rfm" -> q_rfm,
+    "q_attribution" -> q_attribution,
+    "q_iqr_outliers" -> q_iqr_outliers,
+    "q_time_weighted_avg" -> q_time_weighted_avg,
+    "q_cohort_ltv" -> q_cohort_ltv,
   )
 }

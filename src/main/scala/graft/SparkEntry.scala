@@ -642,6 +642,66 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q_kfold" ->
       "SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 5 AS fold FROM documents ORDER BY doc_id",
+    // the oracle is the FULL recompute; the Spark side refreshes
+    // incrementally (snapshot ⊕ delta) — the hash match IS the
+    // merge-equivalence law
+    "q_incremental_agg" ->
+      "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(sum(value) / count(*), 6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type",
+    "q_vocab_build" ->
+      """SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS vocab_id FROM (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word) c
+        |WHERE cnt >= 10 ORDER BY vocab_id""".stripMargin,
+    "q_rfm" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+        |base AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', max(o_orderdate), (SELECT ref_date FROM ref)) AS recency_days,
+        |         count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_bucket,
+        |       ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_bucket,
+        |       ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_bucket
+        |FROM base ORDER BY o_custkey""".stripMargin,
+    "q_attribution" ->
+      """SELECT coalesce(channel, 'direct') AS channel, count(*) AS n_purchases,
+        |       round(sum(value), 2) AS revenue FROM (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events) t
+        |WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel""".stripMargin,
+    "q_iqr_outliers" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |                  quantile_cont(value, 0.75) AS q3
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, round(e.value, 4) AS value
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value < q1 - 1.5 * (q3 - q1) OR e.value > q3 + 1.5 * (q3 - q1)
+        |ORDER BY e.event_id""".stripMargin,
+    "q_time_weighted_avg" ->
+      """SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twa,
+        |       count(*) AS n_intervals FROM (
+        |  SELECT user_id, value,
+        |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+        |  FROM events) t
+        |WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+        |           FROM orders GROUP BY o_custkey),
+        |cells AS (
+        |  SELECT cohort_month,
+        |         date_diff('month', cohort_month, CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_offset,
+        |         round(sum(o_totalprice), 2) AS revenue,
+        |         count(DISTINCT o.o_custkey) AS n_customers
+        |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey GROUP BY 1, 2)
+        |SELECT cohort_month, month_offset, revenue, n_customers,
+        |       round(sum(revenue) OVER (PARTITION BY cohort_month ORDER BY month_offset
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+        |FROM cells ORDER BY cohort_month, month_offset""".stripMargin,
     "q_class_weights" ->
       """WITH p AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
         |t AS (SELECT count(*) AS n_total, count(DISTINCT label) AS k FROM embeddings)

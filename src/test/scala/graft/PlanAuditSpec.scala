@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_composite_cold_customers", "q_knn_join",
         // 1-row broadcast grand totals (the windowless replacement for
         // `sum(...) OVER ()`)
-        "q_chisq", "q_concentration", "q_lm_score", "q_class_weights")
+        "q_chisq", "q_concentration", "q_lm_score", "q_class_weights",
+        // q_rfm: 1-row reference-date + 1-row customer-count broadcasts
+        "q_rfm")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n

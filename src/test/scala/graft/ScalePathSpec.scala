@@ -326,6 +326,48 @@ class ScalePathSpec extends SparkSpec {
     assert(viaQuant.head == exact.head)
   }
 
+  test("PQ quantization: 8-byte codes, deterministic encode, ADC recall vs brute force") {
+    // same clustered-fixture shape as the int8 test: 6 well-separated
+    // 64-dim gaussian centers × 5 tight members each
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 6; m <- 0 until 5) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 5 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16) &&
+      cbs.forall(_.forall(_.length == 8)), "codebook shape m x k x dim/m")
+
+    // storage contract: m bytes per vector (32x vs 64 float32s)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    val lens = codes.select("pq_code").as[Array[Byte]].collect().map(_.length)
+    assert(lens.forall(_ == 8), s"codes must be m=8 bytes: ${lens.toSet}")
+
+    // seeded train + encode are deterministic (the driver-hash property)
+    val codes2 = Similarity.pqEncode(emb, "vec_id", "embedding",
+      Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16))
+    val asMap = codes.as[(Long, Array[Byte])].collect()
+      .map { case (i, c) => i -> c.toSeq }.toMap
+    val asMap2 = codes2.as[(Long, Array[Byte])].collect()
+      .map { case (i, c) => i -> c.toSeq }.toMap
+    assert(asMap == asMap2, "PQ encode must be repeat-deterministic")
+
+    // ADC retrieval: recall@5 >= 0.8 against exact brute-force cosine,
+    // for a query at each cluster center (cluster members are near-ties
+    // under a coarse 8x16 codebook — set recall is the right law, exact
+    // rank order is not)
+    for (c <- 0 until 6) {
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        centers(c), 5).select("vec_id").as[Long].collect().toSet
+      val approx = Similarity.pqTopK(codes, cbs, centers(c), 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert((exact & approx).size >= 4,
+        s"PQ recall@5 below 0.8 for cluster $c: exact=$exact approx=$approx")
+    }
+  }
+
   test("writeSortedShards: range-disjoint shards replay a global sort") {
     val rnd = new scala.util.Random(41)
     val rows = (0L until 500L).map(i => (i, rnd.nextDouble() * 100))
