@@ -2095,6 +2095,84 @@ object Queries {
       .orderBy("cohort_month", "month_offset")
   }
 
+  /** q_basket_affinity — market-basket part-pair affinity (support +
+    * lift), the classic co-purchase mart: pairs of parts appearing in
+    * the same order, scored by lift = P(a,b)/(P(a)·P(b)). The pair join
+    * is keyed on the ORDER (equi-join, one shuffle) and per-order pair
+    * fan-out is bounded by basket size² (≤13 items here → ≤78 pairs;
+    * never corpus-quadratic). Supports join back on part keys; the
+    * grand total is a 1-row broadcast. The n_both ≥ 3 cut keeps the
+    * output to statistically-meaningful pairs. */
+  val q_basket_affinity: Q = (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val supp = items.groupBy("pk").agg(count(lit(1)).as("n_pk"))
+    val a = items.select(col("ok"), col("pk").as("part_a"))
+    val b = items.select(col("ok"), col("pk").as("part_b"))
+    a.join(b, Seq("ok"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= 3)
+      .join(supp.select(col("pk").as("part_a"), col("n_pk").as("n_pk_a")), Seq("part_a"))
+      .join(supp.select(col("pk").as("part_b"), col("n_pk").as("n_pk_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_orders") /
+          (col("n_pk_a") * col("n_pk_b")), 6).as("lift"))
+      .orderBy(desc("lift"), col("part_a"), col("part_b"))
+  }
+
+  /** q_mom_growth — month-over-month revenue growth, the MoM staple of
+    * the reference's DWS mart layer. The monthly cells are dim-sized
+    * (≤ months elapsed), so "previous month" is a CALENDAR self-join on
+    * `add_months(month, 1)` — not a global-order `lag()` window (which
+    * would plan the single-partition WindowExec this repo bans), and
+    * calendar-join semantics stay correct if a month has no orders
+    * (the gap month's growth is null, not computed vs the wrong month).
+    * First month's mom_pct is null by construction. */
+  val q_mom_growth: Q = (s, d) => {
+    val m = Tables.orders(s, d)
+      .groupBy(trunc(col("o_orderdate"), "MM").as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val prev = m.select(add_months(col("month"), 1).as("month"),
+      col("revenue").as("prev_rev"))
+    m.join(prev, Seq("month"), "left")
+      .select(col("month"), col("revenue"), col("n_orders"),
+        round(lit(100.0) * (col("revenue") - col("prev_rev")) / col("prev_rev"), 4)
+          .as("mom_pct"))
+      .orderBy("month")
+  }
+
+  /** q_url_normalize — canonical-URL dedup over a synthesized crawl
+    * manifest: three raw variants per target page (uppercased
+    * host+scheme with default port, tracking params, fragments)
+    * collapse to one canonical form under [[Text.normalizeUrl]], then
+    * an exact group-dedup counts copies and keeps the minimum doc_id —
+    * the URL-keyed first stage of a crawl pipeline (cheap exact dedup
+    * BEFORE any content hashing). The normalize is a narrow pass; the
+    * dedup is one keyed shuffle on the canonical URL. */
+  val q_url_normalize: Q = (s, d) => {
+    val u = (col("doc_id") % 100).cast("string")
+    val h = ((col("doc_id") % 100) % 5).cast("string")
+    val raw = when(col("doc_id") % 3 === 0,
+        concat(lit("HTTPS://CDN"), h, lit(".EXAMPLE.COM:443/docs/"), u,
+          lit("?utm_source=feed&ref=a&id="), u, lit("#section")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://cdn"), h, lit(".example.com/docs/"), u,
+          lit("?id="), u))
+      .otherwise(
+        concat(lit("https://CDN"), h, lit(".example.com:443/docs/"), u,
+          lit("?id="), u, lit("&utm_campaign=x")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.normalizeUrl(raw).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy("url")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2229,5 +2307,8 @@ object Queries {
     "q_iqr_outliers" -> q_iqr_outliers,
     "q_time_weighted_avg" -> q_time_weighted_avg,
     "q_cohort_ltv" -> q_cohort_ltv,
+    "q_basket_affinity" -> q_basket_affinity,
+    "q_mom_growth" -> q_mom_growth,
+    "q_url_normalize" -> q_url_normalize,
   )
 }

@@ -689,6 +689,46 @@ object SparkEntry {
         |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dt
         |  FROM events) t
         |WHERE dt IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_basket_affinity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |supp AS (SELECT pk, count(*) AS n_pk FROM items GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_both
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_both,
+        |       round(CAST(n_both AS DOUBLE) * n_orders / (sa.n_pk * sb.n_pk), 6) AS lift
+        |FROM pairs JOIN supp sa ON part_a = sa.pk JOIN supp sb ON part_b = sb.pk CROSS JOIN n
+        |WHERE n_both >= 3 ORDER BY lift DESC, part_a, part_b""".stripMargin,
+    "q_mom_growth" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |           FROM orders GROUP BY 1)
+        |SELECT m.month, m.revenue, m.n_orders,
+        |       round(100.0 * (m.revenue - p.revenue) / p.revenue, 4) AS mom_pct
+        |FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 1 MONTH
+        |ORDER BY m.month""".stripMargin,
+    "q_url_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'HTTPS://CDN' || ((doc_id % 100) % 5) || '.EXAMPLE.COM:443/docs/' || (doc_id % 100) || '?utm_source=feed&ref=a&id=' || (doc_id % 100) || '#section'
+        |      WHEN 1 THEN 'https://cdn' || ((doc_id % 100) % 5) || '.example.com/docs/' || (doc_id % 100) || '?id=' || (doc_id % 100)
+        |      ELSE 'https://CDN' || ((doc_id % 100) % 5) || '.example.com:443/docs/' || (doc_id % 100) || '?id=' || (doc_id % 100) || '&utm_campaign=x'
+        |    END AS url
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([^:]+)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)), ':(443|80)$', '') ||
+        |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) ||
+        |    CASE WHEN qsort <> '' THEN '?' || qsort ELSE '' END AS url
+        |  FROM (SELECT doc_id, url,
+        |          array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |            p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))), '&') AS qsort
+        |        FROM raw) t)
+        |SELECT url, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+        |FROM norm GROUP BY url ORDER BY url""".stripMargin,
     "q_cohort_ltv" ->
       """WITH f AS (SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
         |           FROM orders GROUP BY o_custkey),

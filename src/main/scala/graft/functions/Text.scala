@@ -115,6 +115,27 @@ object Text {
     * Same builtin exists in DuckDB → direct oracle parity. */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical URL normalization — the crawl-dedup prep step (the same
+    * page arrives as `HTTP://Host:80/p?utm_source=x&b=1&a=2#frag` and
+    * `http://host/p?a=2&b=1`): lowercase scheme+host, strip default
+    * ports (`:80`/`:443`), drop the fragment, drop tracking params
+    * (`utm_*`, `ref=`), sort surviving query params. Path case is
+    * PRESERVED (it is semantically significant). Pure column-function
+    * composition — regexp extracts + one higher-order filter/sort over
+    * the short param array; no UDF, no shuffle. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([^:]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[^:]+://([^/?#]+)", 1)), ":(443|80)$", "")
+    val path = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
+    val kept = array_sort(filter(
+      split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => !(startswith(p, lit("utm_")) || startswith(p, lit("ref=")))))
+    val qs = array_join(kept, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   /** Shannon entropy (bits) of the document's unigram token distribution
     * — the "natural-language-ness" quality signal: keyword-stuffed spam
     * and boilerplate repeat tokens and sit far below prose of the same

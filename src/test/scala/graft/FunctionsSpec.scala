@@ -709,6 +709,36 @@ class FunctionsSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 4L, 1L)))
   }
 
+  test("normalizeUrl: goldens — case, ports, tracking params, param order, fragments") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercased, default port stripped, fragment dropped,
+      // tracking params removed, survivors sorted
+      ("HTTPS://Example.COM:443/Path/P?utm_source=x&b=2&a=1#frag",
+        "https://example.com/Path/P?a=1&b=2"),
+      // http default port, ref= tracking param
+      ("http://HOST.com:80/p?ref=abc&z=1", "http://host.com/p?z=1"),
+      // NON-default port preserved; path case preserved
+      ("https://Host.com:8443/CaseSensitive", "https://host.com:8443/CaseSensitive"),
+      // already canonical: fixpoint
+      ("https://example.com/p?a=1", "https://example.com/p?a=1"),
+      // all params are tracking → no query string at all
+      ("https://example.com/p?utm_a=1&utm_b=2", "https://example.com/p"),
+      // no query, no fragment
+      ("https://example.com/p", "https://example.com/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.Text.normalizeUrl(col("url")).as("n"))
+      .as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"normalizeUrl($in) = $g, want $want")
+    }
+    // idempotence over the golden outputs (canonical is a fixpoint)
+    val again = cases.map(_._2).toDF("url")
+      .select(graft.functions.Text.normalizeUrl(col("url")).as("n"))
+      .as[String].collect().toSeq
+    assert(again == cases.map(_._2), "normalizeUrl must be idempotent")
+  }
+
   test("tokenEntropy: hand-computed goldens and degenerate docs") {
     val out = Seq("a b a b", "a a a a", "a b c d", "", "x")
       .toDF("text")

@@ -39,7 +39,9 @@ class PlanAuditSpec extends SparkSpec {
         // `sum(...) OVER ()`)
         "q_chisq", "q_concentration", "q_lm_score", "q_class_weights",
         // q_rfm: 1-row reference-date + 1-row customer-count broadcasts
-        "q_rfm")
+        "q_rfm",
+        // q_basket_affinity: 1-row order-count broadcast
+        "q_basket_affinity")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
