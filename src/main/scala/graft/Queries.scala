@@ -2173,6 +2173,49 @@ object Queries {
       .orderBy("url")
   }
 
+  /** q_rolling_active — DAU + trailing-7-day WAU per day: the rolling
+    * DISTINCT that a plain window CANNOT express (count(distinct) over
+    * a range frame is unsupported, and buffering user sets per frame
+    * would be quadratic). The scale shape: dedupe to (day, user) pairs
+    * first (one keyed shuffle, the big cardinality drop), then fan each
+    * pair out to the ≤ 7 trailing days it contributes to via a
+    * DATE-dimension join (the date side is ≤ days-elapsed rows —
+    * broadcast by construction, bounded fan-out ∝ window length), and
+    * count distinct per day. */
+  val q_rolling_active: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(to_date(col("ts")).as("u_day"), col("user_id")).distinct()
+    val days = du.select(col("u_day").as("day")).distinct()
+    val dau = du.groupBy(col("u_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = broadcast(days).join(du,
+        datediff(col("day"), col("u_day")).between(0, 6))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day")).orderBy("day")
+  }
+
+  /** q_gini — Gini concentration coefficient over per-customer revenue
+    * (the whale-dependence risk metric, one scalar for what
+    * [[q_concentration]] shows as deciles): G = 2·Σ(i·xᵢ)/(n·Σxᵢ) −
+    * (n+1)/n over revenues sorted ascending. The global rank is
+    * [[operators.Analytics.globalRowNumber]] over the CUSTOMER-sized
+    * relation (the fact table is reduced first); the three moments fold
+    * in one aggregate. Computed on 2-dp-rounded revenues so both
+    * engines rank and sum identical doubles. */
+  val q_gini: Q = (s, d) => {
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    operators.Analytics.globalRowNumber(
+        rev, Seq(col("rev"), col("o_custkey")), "i")
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+        sum(col("i") * col("rev")).as("si"))
+      .select(
+        round(lit(2.0) * col("si") / (col("n") * col("s")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        col("n"))
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2310,5 +2353,7 @@ object Queries {
     "q_basket_affinity" -> q_basket_affinity,
     "q_mom_growth" -> q_mom_growth,
     "q_url_normalize" -> q_url_normalize,
+    "q_rolling_active" -> q_rolling_active,
+    "q_gini" -> q_gini,
   )
 }

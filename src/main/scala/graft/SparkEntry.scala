@@ -729,6 +729,18 @@ object SparkEntry {
         |        FROM raw) t)
         |SELECT url, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
         |FROM norm GROUP BY url ORDER BY url""".stripMargin,
+    "q_rolling_active" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau FROM days d
+        |        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q_gini" ->
+      """WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY o_custkey),
+        |ranked AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r),
+        |agg AS (SELECT count(*) AS n, sum(rev) AS s, sum(i * rev) AS si FROM ranked)
+        |SELECT round(2.0 * si / (n * s) - (n + 1.0) / n, 6) AS gini, n FROM agg""".stripMargin,
     "q_cohort_ltv" ->
       """WITH f AS (SELECT o_custkey, CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
         |           FROM orders GROUP BY o_custkey),

@@ -41,7 +41,10 @@ class PlanAuditSpec extends SparkSpec {
         // q_rfm: 1-row reference-date + 1-row customer-count broadcasts
         "q_rfm",
         // q_basket_affinity: 1-row order-count broadcast
-        "q_basket_affinity")
+        "q_basket_affinity",
+        // q_rolling_active: date-dimension broadcast (≤ days-elapsed
+        // rows) into the bounded trailing-window fan-out join
+        "q_rolling_active")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
