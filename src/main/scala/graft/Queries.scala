@@ -2194,6 +2194,55 @@ object Queries {
     dau.join(wau, Seq("day")).orderBy("day")
   }
 
+  /** q_benford — Benford first-digit audit over order amounts, the
+    * fraud/data-fabrication screen every DQ suite carries: observed
+    * leading-digit shares vs the Benford expectation log₁₀(1 + 1/d).
+    * One narrow digit-extraction pass + a 9-row aggregate; the total is
+    * a 1-row broadcast. The leading digit comes from `floor` then cast
+    * — NOT a bare double→int cast, which truncates in Spark but ROUNDS
+    * in DuckDB (9.6 → first digit 9 vs 1 — a real cross-engine trap). */
+  val q_benford: Q = (s, d) => {
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+    val n = digits.agg(count(lit(1)).as("total"))
+    digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
+      .orderBy("digit")
+  }
+
+  /** q_cusum — CUSUM changepoint screen per event_type: the running sum
+    * of deviations of the daily mean from the series mean; its peak
+    * |S| and peak day locate the strongest level-shift candidate (the
+    * monitoring classic for drift in a metric stream). Shapes: a daily
+    * pre-aggregate (the big cardinality drop), a per-type mean
+    * broadcast, one PER-TYPE ordered window for the running sum
+    * (bounded partitions — days per type), and a relational argmax
+    * (max join-back, min day on ties) instead of any global window.
+    * All inputs rounded to 4 dp so both engines fold identical doubles
+    * in identical order. */
+  val q_cusum: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 4).as("m"))
+    val st = daily.groupBy("event_type").agg(round(avg(col("m")), 4).as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cs = daily.join(broadcast(st), Seq("event_type"))
+      .withColumn("s", round(sum(col("m") - col("mu")).over(w), 4))
+    val mx = cs.groupBy("event_type").agg(max(abs(col("s"))).as("max_cusum"))
+    cs.join(mx, Seq("event_type"))
+      .filter(abs(col("s")) === col("max_cusum"))
+      .groupBy(col("event_type"), round(col("max_cusum"), 4).as("max_cusum"))
+      .agg(min(col("day")).as("peak_day"))
+      .select("event_type", "max_cusum", "peak_day")
+      .orderBy("event_type")
+  }
+
   /** q_gini — Gini concentration coefficient over per-customer revenue
     * (the whale-dependence risk metric, one scalar for what
     * [[q_concentration]] shows as deciles): G = 2·Σ(i·xᵢ)/(n·Σxᵢ) −
@@ -2355,5 +2404,7 @@ object Queries {
     "q_url_normalize" -> q_url_normalize,
     "q_rolling_active" -> q_rolling_active,
     "q_gini" -> q_gini,
+    "q_benford" -> q_benford,
+    "q_cusum" -> q_cusum,
   )
 }

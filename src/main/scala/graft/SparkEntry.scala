@@ -736,6 +736,26 @@ object SparkEntry {
         |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau FROM days d
         |        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice >= 1),
+        |n AS (SELECT count(*) AS total FROM d)
+        |SELECT digit, count(*) AS cnt,
+        |       round(CAST(count(*) AS DOUBLE) / total, 6) AS observed,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS expected
+        |FROM d CROSS JOIN n GROUP BY digit, total ORDER BY digit""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 4) AS m
+        |               FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, round(avg(m), 4) AS mu FROM daily GROUP BY 1),
+        |cs AS (SELECT d.event_type, day,
+        |              round(sum(m - mu) OVER (PARTITION BY d.event_type ORDER BY day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS s
+        |       FROM daily d JOIN st USING (event_type)),
+        |mx AS (SELECT event_type, max(abs(s)) AS max_cusum FROM cs GROUP BY 1)
+        |SELECT cs.event_type, round(max_cusum, 4) AS max_cusum, min(day) AS peak_day
+        |FROM cs JOIN mx USING (event_type) WHERE abs(s) = max_cusum
+        |GROUP BY cs.event_type, max_cusum ORDER BY cs.event_type""".stripMargin,
     "q_gini" ->
       """WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY o_custkey),
         |ranked AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r),

@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_basket_affinity",
         // q_rolling_active: date-dimension broadcast (≤ days-elapsed
         // rows) into the bounded trailing-window fan-out join
-        "q_rolling_active")
+        "q_rolling_active",
+        // q_benford: 1-row total broadcast
+        "q_benford")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
