@@ -1986,6 +1986,10 @@ object Queries {
       .select(col("o_custkey"),
         datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary"))
+      // consumed by the first rank pass AND the n_total count — one
+      // materialization of the customer-sized triple instead of two
+      // orders scans
+      .localCheckpoint(true)
     val n = base.agg(count(lit(1)).as("n_total"))
     def bucket(df: DataFrame, sort: Seq[Column], rankCol: String, out: String) =
       operators.Analytics.globalRowNumber(df, sort, rankCol)
@@ -2104,8 +2108,13 @@ object Queries {
     * grand total is a 1-row broadcast. The n_both ≥ 3 cut keeps the
     * output to statistically-meaningful pairs. */
   val q_basket_affinity: Q = (s, d) => {
+    // items feeds FIVE consumers (pair sides a/b, two support joins, the
+    // grand total) — localCheckpoint materializes the scan+distinct once
+    // (same single-pass discipline as q_dedup_minhash's signature
+    // relation); without it the plan re-scans the fact table per branch
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(true)
     val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
     val supp = items.groupBy("pk").agg(count(lit(1)).as("n_pk"))
     val a = items.select(col("ok"), col("pk").as("part_a"))
@@ -2183,8 +2192,11 @@ object Queries {
     * broadcast by construction, bounded fan-out ∝ window length), and
     * count distinct per day. */
   val q_rolling_active: Q = (s, d) => {
+    // du feeds three consumers (day dimension, DAU agg, WAU fan-out) —
+    // one materialization instead of three scans of the event stream
     val du = Tables.events(s, d)
       .select(to_date(col("ts")).as("u_day"), col("user_id")).distinct()
+      .localCheckpoint(true)
     val days = du.select(col("u_day").as("day")).distinct()
     val dau = du.groupBy(col("u_day").as("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
