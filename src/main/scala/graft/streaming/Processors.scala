@@ -190,4 +190,52 @@ object Processors {
       out.iterator
     }
   }
+
+  /** Streaming CUSUM drift monitor — the stream form of the batch
+    * `q_cusum` changepoint screen: per key, the first `warmupN`
+    * observations learn the reference level μ (their mean); every later
+    * observation accumulates S ← S + (v − μ), and |S| > `threshold`
+    * emits an ALERT row and restarts S (the standard CUSUM restart, so
+    * repeated drift keeps firing instead of saturating). State is one
+    * fixed-width tuple per key — (n, warmupSum, μ, S) — KB-scale at any
+    * key cardinality; `stateTtl` bounds idle keys exactly like the other
+    * processors. Emits one row per input (running S visible), alert
+    * rows flagged. */
+  case class Drift(key: String, value: Double)
+  case class DriftOut(key: String, n: Long, s: Double, alert: Boolean)
+
+  class DriftMonitorProcessor(warmupN: Long, threshold: Double,
+                              stateTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, Drift, DriftOut] {
+    require(warmupN >= 1 && threshold > 0)
+    @transient private var st: ValueState[(Long, Double, Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double, Double)]("drift",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.scalaDouble, Encoders.scalaDouble), stateTtl)
+
+    override def handleInputRows(key: String, rows: Iterator[Drift],
+                                 timers: TimerValues): Iterator[DriftOut] = {
+      var (n, warmupSum, mu, s) =
+        if (st.exists()) st.get() else (0L, 0.0, 0.0, 0.0)
+      val out = rows.map { m =>
+        n += 1
+        if (n <= warmupN) {
+          warmupSum += m.value
+          if (n == warmupN) mu = warmupSum / warmupN
+          DriftOut(key, n, 0.0, alert = false)
+        } else {
+          s += m.value - mu
+          if (math.abs(s) > threshold) {
+            val peak = s
+            s = 0.0 // restart after alert
+            DriftOut(key, n, peak, alert = true)
+          } else DriftOut(key, n, s, alert = false)
+        }
+      }.toVector
+      st.update((n, warmupSum, mu, s))
+      out.iterator
+    }
+  }
 }

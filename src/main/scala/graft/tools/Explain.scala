@@ -18,9 +18,31 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.Queries.all.filter(q => which.contains(q._1)).foreach { case (name, fn) =>
-      println(s"\n========== $name ==========")
-      fn(spark, sfDir).explain("formatted")
+    if (args.length > 1 && args(1) == "scan-census") {
+      // repeated-scan audit: how many times does each query's plan scan
+      // the same parquet file? A relation feeding N plan branches without
+      // materialization re-scans its source N times — usually fine for
+      // column-pruned double scans (counts + totals), a red flag at ≥3
+      // (see q_basket_affinity's 5-scan fix). Prints only queries with a
+      // path scanned ≥ 3 times.
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      graft.Queries.all.foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val paths = plan.collect { case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString(",")
+          }
+          val hot = paths.groupBy(identity).filter(_._2.length >= 3)
+          if (hot.nonEmpty)
+            println(s"$name: " + hot.map { case (p, n) =>
+              s"${p.split('/').last} x${n.length}" }.mkString(", "))
+        } catch { case e: Throwable => println(s"$name: PLAN ERROR $e") }
+      }
+    } else {
+      graft.Queries.all.filter(q => which.contains(q._1)).foreach { case (name, fn) =>
+        println(s"\n========== $name ==========")
+        fn(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

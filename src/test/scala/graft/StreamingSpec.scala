@@ -328,6 +328,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DriftMonitorProcessor: warmup learns the level, drift alerts and restarts across batches") {
+    val in = MemoryStream[Processors.Drift]
+    val out = in.toDS()
+      .groupByKey(_.key)
+      .transformWithState(new Processors.DriftMonitorProcessor(
+        warmupN = 3, threshold = 1.0),
+        TimeMode.None(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: warmup only (mean 10.0 learned at n=3); stable key too
+      in.addData(Processors.Drift("m", 10.0), Processors.Drift("m", 10.0),
+        Processors.Drift("m", 10.0),
+        Processors.Drift("stable", 5.0), Processors.Drift("stable", 5.0),
+        Processors.Drift("stable", 5.0))
+      q.processAllAvailable()
+      // batch 2: level shift +0.5 per obs on "m" — S = 0.5, 1.0, 1.5 →
+      // alert fires exactly when |S| EXCEEDS 1.0, then restarts; the
+      // stable key stays at its learned level and never alerts
+      in.addData(Processors.Drift("m", 10.5), Processors.Drift("m", 10.5),
+        Processors.Drift("m", 10.5),
+        Processors.Drift("stable", 5.0), Processors.Drift("stable", 5.0))
+      q.processAllAvailable()
+      // batch 3: drift continues after the restart — fires again (no
+      // saturation), proving state (n, mu, S) carried across batches
+      in.addData(Processors.Drift("m", 10.5), Processors.Drift("m", 10.5),
+        Processors.Drift("m", 10.5))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Processors.DriftOut].collect()
+        .map(r => (r.key, r.n) -> ((r.s * 2).round / 2.0, r.alert)).toMap
+      // warmup rows: S pinned to 0, no alerts
+      for (i <- 1L to 3L) assert(rows(("m", i)) == (0.0, false))
+      assert(rows(("m", 4L)) == (0.5, false))
+      assert(rows(("m", 5L)) == (1.0, false), "S == threshold must NOT alert")
+      assert(rows(("m", 6L)) == (1.5, true), "S > threshold must alert")
+      assert(rows(("m", 7L)) == (0.5, false), "S restarts after the alert")
+      assert(rows(("m", 8L)) == (1.0, false))
+      assert(rows(("m", 9L)) == (1.5, true), "repeated drift keeps firing")
+      assert(rows.filter(_._1._1 == "stable").values.forall(_ == (0.0, false)),
+        "a stable series must never alert")
+    } finally q.stop()
+  }
+
   test("session window (streaming): sessions merge across batches and close on watermark") {
     val in = MemoryStream[(Timestamp, Long)]
     val out = Streams.sessionAgg(
