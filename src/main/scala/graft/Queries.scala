@@ -2206,6 +2206,40 @@ object Queries {
     dau.join(wau, Seq("day")).orderBy("day")
   }
 
+  /** q_quality_mix — quality-stratified sampling, the "upsample the good
+    * data" step of pretraining-corpus construction: docs bucket by their
+    * (rounded, cross-engine-identical) quality score, then each bucket
+    * keeps a configured fraction via the deterministic md5-cell rule —
+    * high quality kept whole, mid halved, low heavily downsampled. Same
+    * properties as every sampler here: RNG-free, stable across
+    * runs/engines, membership decided per-row (incremental corpora never
+    * reshuffle). One narrow pass, no shuffle. */
+  val q_quality_mix: Q = (s, d) => {
+    val bucketed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.qualityScore(col("text"), Seq("the", "a")).as("quality"))
+      .withColumn("bucket",
+        when(col("quality") < 0.5, "low")
+          .when(col("quality") < 0.8, "mid")
+          .otherwise("high"))
+    operators.Sampling.mixSample(bucketed, "bucket", "doc_id",
+        Map("low" -> 0.125, "mid" -> 0.5, "high" -> 1.0), defaultRate = 0.0)
+      .select("doc_id", "bucket", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** q_split_grouped — GROUP-aware train/val/test split: the split key
+    * is the document's SOURCE, not its id, so every doc of one source
+    * lands in the same split — the anti-leak discipline for
+    * near-duplicate families (crawl mirrors, same-site boilerplate)
+    * that a row-keyed split would straddle across train and test. Same
+    * md5-cell determinism as [[q_split_train]]; a narrow map. */
+  val q_split_grouped: Q = (s, d) =>
+    operators.Sampling.deterministicSplit(
+        Tables.documents(s, d), "source")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+
   /** q_benford — Benford first-digit audit over order amounts, the
     * fraud/data-fabrication screen every DQ suite carries: observed
     * leading-digit shares vs the Benford expectation log₁₀(1 + 1/d).
@@ -2418,5 +2452,7 @@ object Queries {
     "q_gini" -> q_gini,
     "q_benford" -> q_benford,
     "q_cusum" -> q_cusum,
+    "q_quality_mix" -> q_quality_mix,
+    "q_split_grouped" -> q_split_grouped,
   )
 }

@@ -736,6 +736,23 @@ object SparkEntry {
         |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau FROM days d
         |        JOIN du u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "q_quality_mix" ->
+      """WITH q AS (
+        |  SELECT doc_id, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (
+        |    SELECT doc_id,
+        |           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt,
+        |           CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns
+        |    FROM documents) t),
+        |b AS (SELECT doc_id, quality,
+        |             CASE WHEN quality < 0.5 THEN 'low'
+        |                  WHEN quality < 0.8 THEN 'mid' ELSE 'high' END AS bucket
+        |      FROM q)
+        |SELECT doc_id, bucket, quality FROM b
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE bucket WHEN 'low' THEN '20' WHEN 'mid' THEN '80' ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+    "q_split_grouped" ->
+      "SELECT doc_id, source, CASE WHEN substr(md5(source), 1, 2) < 'cc' THEN 'train' WHEN substr(md5(source), 1, 2) < 'e6' THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id",
     "q_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |           FROM orders WHERE o_totalprice >= 1),
