@@ -56,7 +56,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
-      case Some(ids) => Queries.all.filter { case (n, _) => ids(n) }
+      case Some(ids) =>
+        // a typo'd id must fail loudly — silently benching nothing would
+        // emit a plausible-looking total=0 JSON
+        val unknown = ids -- Queries.all.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown query ids: ${unknown.mkString(",")}")
+        Queries.all.filter { case (n, _) => ids(n) }
       case None => Queries.all
     }
     val results = selected.map { case (name, fn) =>

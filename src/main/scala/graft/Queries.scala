@@ -1713,7 +1713,7 @@ object Queries {
     * EMPTY array — not a degraded estimate — once the underlying
     * frequent-items sketch has seen more distinct items than its
     * `maxItemsTracked` capacity. A capacity of 32 silently produced
-    * zero rows at sf0.01 (~1.5k distinct users). The capacity must be
+    * zero rows at sf0.01 (150 distinct users). The capacity must be
     * sized for the key domain, not the fixture: 16384 tracks ~16k
     * distinct users in a few hundred KB per daily sketch and leaves
     * ~10× headroom over sf0.1. At a genuinely larger domain (100 TB,

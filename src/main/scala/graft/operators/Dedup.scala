@@ -423,8 +423,13 @@ object Dedup {
     * streaming ingest pipeline, so a missing `indexDir` (never seeded
     * via [[writeNearDupIndex]]) is treated as an empty index — the
     * batch passes intra-dedup only and the first [[appendNearDupIndex]]
-    * creates the dirs. Seeding and appending assume a SINGLE writer;
-    * concurrent writers to one indexDir are out of contract. */
+    * creates the dirs. EXACTLY ONE of `bands/`/`docs/` existing is a
+    * corrupt or half-written index and throws — cold start is
+    * both-missing, never one-of-two. A mistyped or unmounted path is
+    * indistinguishable from cold start by construction; callers that
+    * need fail-fast on misconfiguration should pre-seed with
+    * [[writeNearDupIndex]]. Seeding and appending assume a SINGLE
+    * writer; concurrent writers to one indexDir are out of contract. */
   def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
                           indexDir: String, threshold: Double,
                           shingleN: Int = 3, numHashes: Int = 32,
@@ -443,16 +448,21 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    val (hasBands, hasDocs) = (dirExists("bands"), dirExists("docs"))
+    if (hasBands != hasDocs)
+      throw new IllegalStateException(
+        s"near-dup index at $indexDir is corrupt: bands=$hasBands docs=$hasDocs " +
+          "(cold start is BOTH missing; a seeded index has both)")
     val batchToks = intra.select(col(idCol).as("__bid"),
       Text.tokens(col(textCol)).as("__btoks"))
     // empty-index fallbacks borrow the batch side's schema (same shape)
     val idxBands =
-      if (dirExists("bands")) spark.read.parquet(s"$indexDir/bands")
+      if (hasBands) spark.read.parquet(s"$indexDir/bands")
       else batchBands.select(col("__bid").as("id"), col("band"), col("bucket")).limit(0)
     val cand = batchBands.join(idxBands, Seq("band", "bucket"))
       .select(col("__bid"), col("id").as("__iid")).distinct()
     val idxToks =
-      if (dirExists("docs")) spark.read.parquet(s"$indexDir/docs")
+      if (hasDocs) spark.read.parquet(s"$indexDir/docs")
         .select(col("id").as("__iid"), col("toks").as("__itoks"))
       else batchToks.select(col("__bid").as("__iid"), col("__btoks").as("__itoks")).limit(0)
     val dropped = cand
@@ -612,9 +622,11 @@ object Dedup {
     *    (parent pointers) to that minimum — stars flatten.
     * At the fixpoint (edge set unchanged under both) every edge is
     * (leaf → component-min). Each round's edge set is
-    * localCheckpoint-ed (lineage truncation) with the unchanged-count
-    * riding the checkpoint as an `observe` metric — one job per
-    * half-round, same cadence discipline as the min-label loop. */
+    * localCheckpoint-ed (lineage truncation) with its COUNT riding the
+    * checkpoint as an `observe` metric; the exact set-equality test
+    * (`except` — the one shuffle-bearing action) runs only when the
+    * counts match, so a shrinking round costs one job and only a
+    * candidate-fixpoint round pays for the exact comparison. */
   def connectedComponentsLogRounds(pairs: DataFrame, idA: String = "id_a",
                                    idB: String = "id_b",
                                    maxIter: Int = 50): DataFrame = {
@@ -654,14 +666,21 @@ object Dedup {
 
     var iter = 0
     var converged = false
+    var edgeCount = edges.count()
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val obs = org.apache.spark.sql.Observation(s"graft_ccls_round_$iter")
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val nextCount = Option(obs.get("n"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       // fixpoint test: both relations are DISTINCT sets in the same
-      // orientation, so equal count + empty one-sided difference ⇔ equal
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // orientation, so equal count + empty one-sided difference ⇔ equal;
+      // the except only runs on candidate-fixpoint rounds
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       val prev = edges
       edges = next
+      edgeCount = nextCount
       prev.unpersist(blocking = false)
       iter += 1
     }
@@ -722,18 +741,23 @@ object Dedup {
                  blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val b = df.select(
+      Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
+        blockCols.map(col): _*)
+    // gate on the PROJECTED build side's estimated size — Spark's own
+    // broadcast decision sees the column-pruned relation, so measuring
+    // the full input (wide text columns and all) would wrongly skip the
+    // respread exactly when a narrow projection of a wide table still
+    // broadcasts
     val broadcastable = {
       val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       thresh > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+        b.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
     }
     val aBase = df.select(
       Seq(col(idCol).as("id_a"), col(strCol).as("__str_a")) ++
         blockCols.map(col): _*)
     val a = if (broadcastable) aBase.repartition(parallelism) else aBase
-    val b = df.select(
-      Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
-        blockCols.map(col): _*)
     a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("__str_a")) - length(col("__str_b"))) <= maxDist)

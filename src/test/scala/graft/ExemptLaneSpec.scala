@@ -5,7 +5,7 @@ package graft
   * The driver's DuckDB oracle never sees the exempt ids (sketch / LSH /
   * Bloom-seeded queries aren't SQL-reproducible), so they are exactly
   * the queries where a fixture-cardinality assumption can ship silently:
-  * `q_topk_approx_sketch` passed its sf0.001 spec (150 users ≤ the
+  * `q_topk_approx_sketch` passed its sf0.001 spec (15 users ≤ the
   * sketch's 32-item capacity) and returned an EMPTY relation at every
   * realistic scale factor. This suite closes that class of gap by
   * executing EVERY registered query that lacks an `oracleSql` entry at
@@ -27,9 +27,14 @@ class ExemptLaneSpec extends SparkSpec {
 
   private val laneDir = "/root/testdata/sf0.01"
 
+  // hoisted: oracleSql is a def that rebuilds the full SQL map per call
+  private val oracleIds: Set[String] = SparkEntry.oracleSql.keySet
+  private val byName: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+    org.apache.spark.sql.DataFrame] = Queries.all.toMap
+
   private val exemptIds: Seq[String] =
     Queries.all.collect {
-      case (name, _) if !SparkEntry.oracleSql.contains(name) => name
+      case (name, _) if !oracleIds.contains(name) => name
     }.toSeq
 
   test("exempt-id census matches the declared contract") {
@@ -43,7 +48,7 @@ class ExemptLaneSpec extends SparkSpec {
 
   for (id <- exemptIds) {
     test(s"$id: non-empty and repeat-deterministic at sf0.01") {
-      val fn = Queries.all.toMap.apply(id)
+      val fn = byName(id)
       val first = fn(spark, laneDir).collect().map(_.toString).toSeq
       assert(first.nonEmpty,
         s"$id returned an EMPTY relation at sf0.01 — the exempt lane " +

@@ -753,7 +753,7 @@ class FunctionsSpec extends SparkSpec {
 
   test("q_agg_distinct_hll: union-of-parts merge law and accuracy vs exact") {
     import org.apache.spark.sql.functions.{col, countDistinct, expr}
-    // two fixtures (sf0.001: 150 users, sf0.01: ~1.5k) — the accuracy
+    // two fixtures (sf0.001: 15 users, sf0.01: 150) — the accuracy
     // band must hold as cardinality grows, not just on the toy fixture
     // (lgK=12 HLL: ~1.6% typical error, 5% is a generous envelope)
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
@@ -783,8 +783,8 @@ class FunctionsSpec extends SparkSpec {
     assert(viaBitmap == exact, s"bitmap $viaBitmap != exact $exact")
   }
 
-  // Two fixtures on purpose: the sf0.001 toy (150 users) AND sf0.01
-  // (~1.5k users). A capacity-32 sketch passed the toy and returned an
+  // Two fixtures on purpose: the sf0.001 toy (15 users) AND sf0.01
+  // (150 users). A capacity-32 sketch passed the toy and returned an
   // EMPTY relation at every realistic cardinality — Spark's
   // `approx_top_k_estimate` yields [] once the sketch saturates. The
   // larger fixture is the one that catches that class of bug.
