@@ -2311,6 +2311,159 @@ object Queries {
         col("n"))
   }
 
+  /** q_streak — longest consecutive-day activity streak per user, the
+    * classic gaps-and-islands: distinct (user, day-index), a USER-KEYED
+    * row_number (never a global window), then `day_idx − rn` is
+    * constant within each island. Two keyed shuffles on user_id (the
+    * second reuses the first's partitioning); island state never
+    * leaves the executor. Day index is days-since-epoch so both
+    * engines subtract exact integers. */
+  val q_streak: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_idx")
+    days.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), (col("day_idx") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy("user_id")
+      .agg(max("streak_len").as("max_streak"), count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** q_new_returning — per-day new-vs-returning user split (the
+    * acquisition-vs-retention DAU decomposition): each user's first-ever
+    * active day from a keyed min, joined back on the same user_id key
+    * (AQE broadcasts the user-sized map), then one day-keyed count
+    * split. `count(when(…))` on both sides — DuckDB `count(CASE…)`
+    * stays BIGINT where `sum(CASE…)` would go HUGEINT. */
+  val q_new_returning: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val fd = ev.groupBy("user_id").agg(min("day").as("first_day"))
+    ev.join(fd, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(when(col("day") === col("first_day"), 1)).as("new_users"),
+        count(when(col("day") =!= col("first_day"), 1)).as("returning_users"))
+      .orderBy("day")
+  }
+
+  /** q_event_gap — inter-event time statistics per user (engagement
+    * cadence): one user-keyed `lag` over exact integer microseconds
+    * (`unix_micros` == DuckDB `epoch_us`, so gaps, sums and maxes are
+    * integer-exact; only the final mean divides, one IEEE division on
+    * both engines). Keyed window only — per-user event runs sort
+    * within their executor. */
+  val q_event_gap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("total_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+      .select(col("user_id"), col("n_gaps"), col("total_gap_us"),
+        col("max_gap_us"),
+        // mean reported in SECONDS: µs-magnitude means (~3.6e10) + 6 dp
+        // overflow double's 15-16 sig digits and the engines' round()
+        // diverge in the last place; seconds keep it well inside
+        round(col("total_gap_us").cast("double") /
+          (col("n_gaps") * lit(1000000.0)), 6).as("avg_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** q_zipf_fit — Zipf's-law fit over the corpus token distribution
+    * (the pretraining-corpus health check: natural text slopes ≈ −1;
+    * boilerplate/spam corpora flatten or steepen): least-squares slope
+    * of ln(freq) on ln(rank). Frequency rank is a GLOBAL total order →
+    * [[operators.Analytics.globalRowNumber]] over the vocab-sized
+    * counts relation (corpus reduced first), then one 5-moment fold.
+    * ln inputs pre-rounded to 12 dp so both engines sum identical
+    * doubles; slope formula spelled identically on both sides (no
+    * regr_slope — argument-order and null semantics differ across
+    * engines). */
+  val q_zipf_fit: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val xy = operators.Analytics.globalRowNumber(
+        cnt, Seq(desc("c"), col("word")), "r")
+      .select(round(log(col("r").cast("double")), 12).as("x"),
+        round(log(col("c").cast("double")), 12).as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        col("n").as("n_vocab"))
+  }
+
+  /** q_bm25 — BM25 relevance scoring of the corpus against a fixed
+    * query term set (k1=1.2, b=0.75) — the retrieval scorer a
+    * training-data curation stack uses for targeted corpus slicing.
+    * Shape: one token explode feeds both per-doc lengths and the
+    * term-filtered tf counts; df and the (N, avgdl) scalar broadcast
+    * (term-count- and 1-row-sized); the per-doc-length relation is
+    * localCheckpointed once instead of re-scanning the corpus per
+    * consumer. Per-term scores round at 9 dp, the ≤|terms| sum at 6 —
+    * cross-engine fold-order slack. At 100 TB the only big relations
+    * are the token explode and the doc-length map, both corpus-keyed,
+    * shuffled once. */
+  val q_bm25: Q = (s, d) => {
+    val terms = Seq("spark", "join", "scan")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    // doc-length map: consumed by the corpus stats AND the score join —
+    // one materialization (2 longs/doc) instead of two corpus scans
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint(true)
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        round(log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("len") / col("avgdl"))), 9).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** q_token_budget — quality-ordered token-budget selection: the
+    * "fill the training mix with the best N tokens" step. Docs rank by
+    * (quality desc, doc_id) and keep while the RUNNING token total
+    * stays within half the corpus total — the cumulative sum is
+    * [[operators.Analytics.globalRunningSum]] (range-repartition +
+    * per-partition offsets, never a single-partition window), and the
+    * budget predicate is integer arithmetic (`cum*2 ≤ total`), exact at
+    * any scale factor. The corpus total folds from the already-
+    * checkpointed running-sum relation — no second corpus scan. */
+  val q_token_budget: Q = (s, d) => {
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Text.qualityScore(col("text"), Seq("the", "a")).as("quality"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+    val c = operators.Analytics.globalRunningSum(
+      q, Seq(desc("quality"), col("doc_id")), "n_tokens", "cum_tokens")
+    val total = c.agg(sum(col("n_tokens")).as("total_tokens"))
+    c.crossJoin(broadcast(total))
+      .filter(col("cum_tokens") * 2 <= col("total_tokens"))
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2454,5 +2607,11 @@ object Queries {
     "q_cusum" -> q_cusum,
     "q_quality_mix" -> q_quality_mix,
     "q_split_grouped" -> q_split_grouped,
+    "q_streak" -> q_streak,
+    "q_new_returning" -> q_new_returning,
+    "q_event_gap" -> q_event_gap,
+    "q_zipf_fit" -> q_zipf_fit,
+    "q_bm25" -> q_bm25,
+    "q_token_budget" -> q_token_budget,
   )
 }

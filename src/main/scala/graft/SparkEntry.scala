@@ -878,5 +878,61 @@ object SparkEntry {
         |           ORDER BY round(list_cosine_similarity(e.embedding, q.q_emb), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q) t
         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    "q_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx FROM events),
+        |num AS (SELECT user_id, day_idx, row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS rn FROM days),
+        |isl AS (SELECT user_id, day_idx - rn AS grp, count(*) AS streak_len FROM num GROUP BY 1, 2)
+        |SELECT user_id, max(streak_len) AS max_streak, count(*) AS n_streaks
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // count(CASE…) stays BIGINT in DuckDB where sum(CASE…) would widen
+    // to HUGEINT and hash-mismatch Spark's int64
+    "q_new_returning" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1),
+        |ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT day, count(CASE WHEN day = first_day THEN 1 END) AS new_users,
+        |       count(CASE WHEN day <> first_day THEN 1 END) AS returning_users
+        |FROM ev JOIN fd USING (user_id) GROUP BY day ORDER BY day""".stripMargin,
+    "q_event_gap" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |           FROM events)
+        |SELECT user_id, count(gap) AS n_gaps, CAST(sum(gap) AS BIGINT) AS total_gap_us,
+        |       CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |       round(CAST(sum(gap) AS DOUBLE) / (count(gap) * 1000000.0), 6) AS avg_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // slope formula spelled manually on both engines (regr_slope arg
+    // order differs); ln inputs pre-rounded to 12 dp
+    "q_zipf_fit" ->
+      """WITH cnt AS (SELECT word, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |             WHERE word <> '' GROUP BY word),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r FROM cnt),
+        |xy AS (SELECT round(ln(r), 12) AS x, round(ln(c), 12) AS y FROM rk),
+        |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+        |SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope, n AS n_vocab FROM m""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |               (tf + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 9) AS s
+        |       FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, round(sum(s), 6) AS bm25 FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // budget predicate is integer arithmetic (cum*2 <= total): exact and
+    // scale-free at every scale factor
+    "q_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality, CAST(nt AS BIGINT) AS n_tokens FROM (
+        |    SELECT doc_id,
+        |           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt,
+        |           CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns
+        |    FROM documents) t),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM q),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q)
+        |SELECT doc_id, quality, n_tokens, cum_tokens FROM c CROSS JOIN t
+        |WHERE cum_tokens * 2 <= total ORDER BY doc_id""".stripMargin,
   )
 }

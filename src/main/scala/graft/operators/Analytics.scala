@@ -74,6 +74,42 @@ object Analytics {
     spark.createDataFrame(numbered, outSchema)
   }
 
+  /** Scale-safe GLOBAL running sum: `sum(v) OVER (ORDER BY … ROWS
+    * UNBOUNDED PRECEDING)` without the single-partition window — the
+    * same range-repartition + per-partition-offset machinery as
+    * [[globalRowNumber]], accumulating a long `valueCol` instead of a
+    * counter. Per-partition totals (≤ nPart longs) are the only thing
+    * collected to the driver; each partition then prefix-sums locally
+    * starting at its cumulative offset. `sortCols` must be a TOTAL
+    * order (tie-broken to a unique key) for determinism. */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+                       valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(eager = true)
+    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(vIdx)
+      Iterator(pid -> s)
+    }.collect().toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until nPart).map { p =>
+        val o = p -> acc; acc += sums.getOrElse(p, 0L); o
+      }.toMap
+    }
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val summed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { row => run += row.getLong(vIdx); Row.fromSeq(row.toSeq :+ run) }
+    }
+    spark.createDataFrame(summed, outSchema)
+  }
+
   /** Exact `ntile(k)` bucket from a 1-based global rank — the pure
     * arithmetic form of SQL ntile (first `n % k` buckets take one extra
     * row), so the bucket assignment composes with [[globalRowNumber]]

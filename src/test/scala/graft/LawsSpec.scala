@@ -249,4 +249,69 @@ class LawsSpec extends SparkSpec {
     assert((1L until (n % k + 1)).forall(b =>
       sizes(b) == (n / k + 1).toInt), "earlier buckets take the extra row")
   }
+
+  test("globalRunningSum: partition-offset prefix sums == total-order running sum") {
+    import graft.operators.Analytics
+    // customer-keyed order counts: multi-partition input, long values
+    val base = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    val got = Analytics.globalRunningSum(
+        base, Seq(desc("n"), col("o_custkey")), "n", "cum")
+      .select(col("o_custkey"), col("n"), col("cum"))
+      .as[(Long, Long, Long)].collect()
+    // expected prefix sums computed driver-side over the same total order
+    // (150-row fixture) — NOT via a partition-less window, the anti-
+    // pattern globalRunningSum exists to replace
+    var run = 0L
+    val want = got.map(r => (r._1, r._2))
+      .sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => run += v; (k, v, run) }
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == want.toSeq)
+    // last running value is the grand total
+    assert(want.last._3 == got.map(_._2).sum)
+  }
+
+  test("q_streak: gaps-and-islands golden on crafted activity spans") {
+    // user 1: days 1-3 then 5 → max streak 3, two islands
+    // user 2: days 10,12,14 → three singleton islands
+    // user 3: one day → one island of 1
+    // ts written as nanos-since-epoch long — the storage form
+    // Tables.events expects (TIMESTAMP(NANOS) columns arrive as long)
+    val ts = (d: Int) => java.time.Instant
+      .parse(f"2024-01-$d%02dT12:00:00Z").toEpochMilli * 1000000L
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(5)),
+      (2L, ts(10)), (2L, ts(12)), (2L, ts(14)),
+      (3L, ts(20))
+    ).toDF("user_id", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_streak").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.q_streak(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 1L, 3L), (3L, 1L, 1L)))
+  }
+
+  test("q_token_budget: selected set is the maximal quality-ordered prefix within half the corpus tokens") {
+    val sel = Queries.q_token_budget(spark, sfDir)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .as[(Long, Double, Long, Long)].collect()
+    val all = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Text.qualityScore(col("text"), Seq("the", "a"))
+          .as("q"),
+        graft.functions.Text.tokenCount(col("text")).as("t"))
+      .as[(Long, Double, Long)].collect()
+    val total = all.map(_._3).sum
+    // driver-side reference: prefix of (quality desc, doc_id) order while
+    // cum*2 <= total — exactly the integer budget predicate
+    var run = 0L
+    val want = all.sortBy { case (id, q, _) => (-q, id) }
+      .map { case (id, q, t) => run += t; (id, q, t, run) }
+      .takeWhile(_._4 * 2 <= total)
+    assert(sel.sortBy(_._4).toSeq == want.toSeq)
+    assert(sel.nonEmpty && sel.length < all.length,
+      "budget must select a nontrivial strict subset")
+    // running sums are consistent: cum of the selected prefix is exact
+    assert(sel.map(_._3).sum == sel.map(_._4).max)
+  }
 }

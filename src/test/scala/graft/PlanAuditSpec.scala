@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
         // rows) into the bounded trailing-window fan-out join
         "q_rolling_active",
         // q_benford: 1-row total broadcast
-        "q_benford")
+        "q_benford",
+        // q_bm25: 1-row (n_docs, avgdl) corpus-stats broadcast
+        "q_bm25",
+        // q_token_budget: 1-row corpus-token-total broadcast
+        "q_token_budget")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
