@@ -2464,6 +2464,158 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_seasonality_dow — day-of-week activity profile per event type
+    * (the load-shaping / anomaly-baseline seasonality view). Day-of-week
+    * comes from epoch-day arithmetic (`(days_since_epoch + 4) % 7`,
+    * Sunday = 0) — NOT the engines' dow functions, whose week-start
+    * conventions differ (Spark Sunday=1, DuckDB Sunday=0). One keyed
+    * aggregate over a 35-cell output domain. */
+  val q_seasonality_dow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"),
+        ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) +
+          lit(4)) % 7).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(sum(col("value")) / count(lit(1)), 6).as("avg_value"))
+      .orderBy("event_type", "dow")
+
+  /** q_ab_lift — A/B experiment readout: deterministic user-hash
+    * assignment (`user_id % 2` — assignment IS a hash split, the same
+    * RNG-free discipline as the samplers), conversion = any purchase
+    * over 200, then the two-proportion comparison: per-variant rates,
+    * relative lift, and the pooled two-proportion z statistic. Exact
+    * integer counts all the way to four final IEEE expressions (each a
+    * single rounded division chain, identical on both engines). One
+    * user-keyed aggregate + a 2-row fold. */
+  val q_ab_lift: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 200, 1).otherwise(0)).as("converted"))
+      .withColumn("variant", col("user_id") % 2)
+    val v = u.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        count(when(col("converted") === 1, 1)).as("n_conv"))
+    val na = col("na"); val ca = col("ca")
+    val nb = col("nb"); val cb = col("cb")
+    val pPool = (ca + cb).cast("double") / (na + nb)
+    v.agg(max(when(col("variant") === 0, col("n_users"))).as("na"),
+        max(when(col("variant") === 0, col("n_conv"))).as("ca"),
+        max(when(col("variant") === 1, col("n_users"))).as("nb"),
+        max(when(col("variant") === 1, col("n_conv"))).as("cb"))
+      .select(na, ca, nb, cb,
+        round(ca.cast("double") / na, 6).as("rate_a"),
+        round(cb.cast("double") / nb, 6).as("rate_b"),
+        round(cb.cast("double") * na / (ca.cast("double") * nb) - lit(1.0), 6)
+          .as("lift"),
+        round((cb.cast("double") / nb - ca.cast("double") / na) /
+          sqrt(pPool * (lit(1.0) - pPool) *
+            (lit(1.0) / na + lit(1.0) / nb)), 6).as("z_stat"))
+  }
+
+  /** q_survival — Kaplan–Meier survival curve for time-to-first-error
+    * (the reliability twin of cohort retention; right-censored at a
+    * user's last active day when no error ever occurs). The curve
+    * relation is DURATION-DOMAIN-sized (≤ days observed), so at-risk
+    * counts broadcast the time grid against the user-level relation
+    * (bounded fan-out), and the cumulative product runs as a triangular
+    * self-join over the tiny grid — never an ordered window, never a
+    * driver loop. Product computed as exp(Σ ln(1−d/n)) with factors
+    * pre-rounded at 12 dp (engine-identical sums); a saturated factor
+    * (d = n_risk, where ln diverges: Spark yields null, DuckDB errors)
+    * is handled explicitly — survival pins to 0 from that point on. */
+  val q_survival: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val life = ev.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("dl"))
+    val err = ev.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(min("day").as("de"))
+    val u = life.join(err, Seq("user_id"), "left")
+      .select(
+        when(col("de").isNull, datediff(col("dl"), col("d0")))
+          .otherwise(datediff(col("de"), col("d0"))).cast("long").as("dur"),
+        when(col("de").isNull, 0).otherwise(1).as("failed"))
+    val grid = u.filter(col("failed") === 1)
+      .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+    val risk = u.join(broadcast(grid), col("dur") >= col("t"))
+      .groupBy("t", "d").agg(count(lit(1)).as("n_risk"))
+    val a = risk.select(col("t").as("at"), col("d").as("ad"),
+      col("n_risk").as("an"))
+    val b = risk.select(col("t").as("bt"), col("d").as("bd"),
+      col("n_risk").as("bn"))
+    a.join(broadcast(b), col("bt") <= col("at"))
+      .groupBy("at", "ad", "an")
+      .agg(max(when(col("bd") >= col("bn"), 1).otherwise(0)).as("dead"),
+        sum(when(col("bd") < col("bn"),
+          round(log(lit(1.0) - col("bd").cast("double") / col("bn")), 12))
+          .otherwise(0.0)).as("lns"))
+      .select(col("at").as("dur_days"), col("ad").as("n_failed"),
+        col("an").as("n_risk"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("lns")), 6)).as("survival"))
+      .orderBy("dur_days")
+  }
+
+  /** q_pareto — concentration headline: the minimum number of users
+    * covering ≥ 80 % of all events. The cumulative coverage is
+    * [[operators.Analytics.globalRunningSum]] over the user-sized count
+    * relation (fact reduced first); because the running sum is strictly
+    * increasing along the total order, the answer needs no rank column —
+    * it is `count(cum·5 < total·4) + 1`, an exact integer predicate
+    * against the 1-row broadcast total. */
+  val q_pareto: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val o = operators.Analytics.globalRunningSum(
+      c, Seq(desc("n"), col("user_id")), "n", "cum")
+    val tot = c.agg(count(lit(1)).as("n_users"), sum(col("n")).as("total"))
+    o.crossJoin(broadcast(tot))
+      .groupBy("n_users")
+      .agg((count(when(col("cum") * 5 < col("total") * 4, 1)) + lit(1))
+        .as("users_to_80pct"))
+      .select(col("users_to_80pct"), col("n_users"),
+        round(col("users_to_80pct").cast("double") / col("n_users"), 6)
+          .as("user_share"))
+  }
+
+  /** q_growth_accounting — the daily active-user ledger: every active
+    * user-day classified as NEW (first-ever day), RETAINED (also active
+    * yesterday) or RESURRECTED (seen before, gone yesterday), plus the
+    * CHURNED count (active yesterday, gone today). First-day map and
+    * yesterday-presence are user-keyed joins (the self-join is an
+    * equi-join on (user, day+1) — hash-partitioned, no fan-out); the
+    * max-day guard is a 1-row broadcast. At 100 TB every relation here
+    * is (user × active-day)-sized and every shuffle is on the user
+    * key. */
+  val q_growth_accounting: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val fd = du.groupBy("user_id").agg(min("day").as("first_day"))
+    val prev = du.select(col("user_id").as("p_uid"), col("day").as("pday"))
+    val act = du.join(fd, Seq("user_id"))
+      .join(prev, col("user_id") === col("p_uid") &&
+        col("pday") === date_sub(col("day"), 1), "left")
+      .groupBy("day")
+      .agg(count(when(col("first_day") === col("day"), 1)).as("new_users"),
+        count(when(col("pday").isNotNull, 1)).as("retained"),
+        count(when(col("pday").isNull && col("first_day") < col("day"), 1))
+          .as("resurrected"))
+    val mx = du.agg(max("day").as("mxd"))
+    val nxt = du.select(col("user_id").as("n_uid"), col("day").as("nday"))
+    val ch = du.join(nxt, col("user_id") === col("n_uid") &&
+        col("nday") === date_add(col("day"), 1), "left")
+      .crossJoin(broadcast(mx))
+      .filter(col("n_uid").isNull && col("day") < col("mxd"))
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("churned"))
+    act.join(ch, Seq("day"), "left")
+      .select(col("day"), col("new_users"), col("retained"),
+        col("resurrected"), coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy("day")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2613,5 +2765,10 @@ object Queries {
     "q_zipf_fit" -> q_zipf_fit,
     "q_bm25" -> q_bm25,
     "q_token_budget" -> q_token_budget,
+    "q_seasonality_dow" -> q_seasonality_dow,
+    "q_ab_lift" -> q_ab_lift,
+    "q_survival" -> q_survival,
+    "q_pareto" -> q_pareto,
+    "q_growth_accounting" -> q_growth_accounting,
   )
 }

@@ -934,5 +934,69 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q)
         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c CROSS JOIN t
         |WHERE cum_tokens * 2 <= total ORDER BY doc_id""".stripMargin,
+    // epoch-day dow arithmetic (Sunday=0): the engines' dow() functions
+    // disagree on week start
+    "q_seasonality_dow" ->
+      """SELECT event_type, (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |       round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, dow""".stripMargin,
+    "q_ab_lift" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+        |                  max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+        |           FROM events GROUP BY user_id),
+        |v AS (SELECT variant, count(*) AS n_users, count(CASE WHEN converted = 1 THEN 1 END) AS n_conv FROM u GROUP BY variant),
+        |w AS (SELECT max(CASE WHEN variant = 0 THEN n_users END) AS na, max(CASE WHEN variant = 0 THEN n_conv END) AS ca,
+        |             max(CASE WHEN variant = 1 THEN n_users END) AS nb, max(CASE WHEN variant = 1 THEN n_conv END) AS cb
+        |      FROM v)
+        |SELECT na, ca, nb, cb,
+        |       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a, round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+        |       round(CAST(cb AS DOUBLE) * na / (CAST(ca AS DOUBLE) * nb) - 1.0, 6) AS lift,
+        |       round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) /
+        |             sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+        |FROM w""".stripMargin,
+    // cumulative product via exp(sum(ln)) with 12-dp factor rounding;
+    // d = n_risk pins survival to 0 (ln(0): Spark null, DuckDB error)
+    "q_survival" ->
+      """WITH life AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS dl FROM events GROUP BY user_id),
+        |err AS (SELECT user_id, min(CAST(ts AS DATE)) AS de FROM events WHERE event_type = 'error' GROUP BY user_id),
+        |u AS (SELECT CASE WHEN de IS NULL THEN date_diff('day', d0, dl) ELSE date_diff('day', d0, de) END AS dur,
+        |             CASE WHEN de IS NULL THEN 0 ELSE 1 END AS failed
+        |      FROM life l LEFT JOIN err USING (user_id)),
+        |t AS (SELECT dur AS t, count(*) AS d FROM u WHERE failed = 1 GROUP BY dur),
+        |r AS (SELECT t.t, t.d, (SELECT count(*) FROM u WHERE u.dur >= t.t) AS n_risk FROM t),
+        |km AS (SELECT a.t, max(a.d) AS d, max(a.n_risk) AS n_risk,
+        |              max(CASE WHEN b.d >= b.n_risk THEN 1 ELSE 0 END) AS dead,
+        |              sum(CASE WHEN b.d < b.n_risk THEN round(ln(1.0 - CAST(b.d AS DOUBLE) / b.n_risk), 12) ELSE 0 END) AS lns
+        |       FROM r a JOIN r b ON b.t <= a.t GROUP BY a.t)
+        |SELECT t AS dur_days, d AS n_failed, n_risk,
+        |       CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lns), 6) END AS survival
+        |FROM km ORDER BY dur_days""".stripMargin,
+    // strictly-increasing running sum makes the answer a pure count:
+    // min rank with cum*5 >= total*4 == count(cum*5 < total*4) + 1
+    "q_pareto" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total FROM c),
+        |o AS (SELECT n, sum(n) OVER (ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum FROM c)
+        |SELECT count(CASE WHEN cum * 5 < total * 4 THEN 1 END) + 1 AS users_to_80pct, n_users,
+        |       round(CAST(count(CASE WHEN cum * 5 < total * 4 THEN 1 END) + 1 AS DOUBLE) / n_users, 6) AS user_share
+        |FROM o CROSS JOIN tot GROUP BY n_users""".stripMargin,
+    "q_growth_accounting" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1),
+        |base AS (SELECT d.user_id, d.day, f.first_day,
+        |                CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS prev_active
+        |         FROM du d JOIN fd f USING (user_id)
+        |         LEFT JOIN du p ON p.user_id = d.user_id AND p.day = d.day - 1),
+        |act AS (SELECT day, count(CASE WHEN first_day = day THEN 1 END) AS new_users,
+        |               count(CASE WHEN prev_active = 1 THEN 1 END) AS retained,
+        |               count(CASE WHEN prev_active = 0 AND first_day < day THEN 1 END) AS resurrected
+        |        FROM base GROUP BY day),
+        |ch AS (SELECT p.day + 1 AS day, count(*) AS churned
+        |       FROM du p LEFT JOIN du c ON c.user_id = p.user_id AND c.day = p.day + 1
+        |       WHERE c.user_id IS NULL AND p.day < (SELECT max(day) FROM du)
+        |       GROUP BY 1)
+        |SELECT a.day, new_users, retained, resurrected, coalesce(churned, 0) AS churned
+        |FROM act a LEFT JOIN ch USING (day) ORDER BY a.day""".stripMargin,
   )
 }

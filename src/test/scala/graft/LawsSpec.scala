@@ -314,4 +314,50 @@ class LawsSpec extends SparkSpec {
     // running sums are consistent: cum of the selected prefix is exact
     assert(sel.map(_._3).sum == sel.map(_._4).max)
   }
+
+  test("q_survival: Kaplan-Meier golden with right censoring") {
+    // u1 fails at dur 0; u2, u4 fail at dur 2; u3 censored at dur 1;
+    // u5 censored at dur 3. Hand-computed curve:
+    //   S(0) = 1 - 1/5            = 0.8       (all 5 at risk)
+    //   S(2) = 0.8 * (1 - 2/3)    = 0.266667  (u1 failed, u3 censored out)
+    val ns = (d: Int) => java.time.Instant
+      .parse(f"2024-02-$d%02dT00:00:00Z").toEpochMilli * 1000000L
+    val ev = Seq(
+      (1L, ns(1), "error"), // fails day-0
+      (2L, ns(1), "view"), (2L, ns(3), "error"),
+      (3L, ns(1), "view"), (3L, ns(2), "view"), // censored, dur 1
+      (4L, ns(2), "view"), (4L, ns(4), "error"),
+      (5L, ns(1), "view"), (5L, ns(4), "click") // censored, dur 3
+    ).toDF("user_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.q_survival(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 5L, 0.8), (2L, 2L, 3L, 0.266667)))
+  }
+
+  test("q_growth_accounting: conservation laws against independent DAU") {
+    val ga = Queries.q_growth_accounting(spark, sfDir)
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3, r._4, r._5)).toMap
+    val dau = graft.sources.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("dau"))
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    assert(ga.keySet == dau.keySet)
+    val days = dau.keys.toSeq.sorted
+    for (d <- days) {
+      val (nw, ret, res, _) = ga(d)
+      assert(nw + ret + res == dau(d),
+        s"$d: new+retained+resurrected must equal DAU")
+    }
+    // churn ledger: yesterday's actives either retain today or churn
+    for ((y, t) <- days.zip(days.tail)
+         if java.sql.Date.valueOf(t).toLocalDate ==
+           java.sql.Date.valueOf(y).toLocalDate.plusDays(1)) {
+      val (_, ret, _, ch) = ga(t)
+      assert(ret + ch == dau(y), s"$t: retained + churned must equal prior DAU")
+    }
+  }
 }

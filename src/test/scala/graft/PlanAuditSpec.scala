@@ -50,7 +50,14 @@ class PlanAuditSpec extends SparkSpec {
         // q_bm25: 1-row (n_docs, avgdl) corpus-stats broadcast
         "q_bm25",
         // q_token_budget: 1-row corpus-token-total broadcast
-        "q_token_budget")
+        "q_token_budget",
+        // q_survival: duration-domain-sized KM time-grid broadcasts
+        // (at-risk fan-out + triangular cumulative product)
+        "q_survival",
+        // q_pareto: 1-row (n_users, total) broadcast
+        "q_pareto",
+        // q_growth_accounting: 1-row max-day broadcast
+        "q_growth_accounting")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
