@@ -2616,6 +2616,97 @@ object Queries {
       .orderBy("day")
   }
 
+  /** q_target_encoding — smoothed mean target encoding of a categorical
+    * feature (the leakage-safe ML-feature transform): segment encoding =
+    * (Σ target + m·global_mean)/(n + m), m = 10 — shrinks small
+    * categories toward the global mean. Per-customer spend reduces the
+    * fact table first; the global mean is a 1-row broadcast. Both
+    * intermediate sums 2-dp-rounded so the engines fold identical
+    * cells. */
+  val q_target_encoding: Q = (s, d) => {
+    val cs = Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+    val g = cs.agg(round(sum(col("spend")) / count(lit(1)), 6).as("gmean"))
+    cs.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum(col("spend")), 2).as("seg_sum"))
+      .crossJoin(broadcast(g))
+      .select(col("c_mktsegment"), col("n"),
+        round((col("seg_sum") + lit(10.0) * col("gmean")) /
+          (col("n") + lit(10)), 6).as("encoded"),
+        round(col("seg_sum") / col("n"), 6).as("raw_mean"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q_grouped_ols — per-group least-squares fit (price ~ quantity per
+    * return flag): slope, intercept and R² from the five moments folded
+    * in ONE keyed aggregate over 2-dp-rounded inputs — the grouped
+    * regression an ML feature pipeline runs per segment. No regr_*
+    * builtins (engine null/arg conventions differ); the formula is
+    * spelled identically on both sides. Map-side partial aggregation
+    * makes this a single shuffle of 5 doubles per group at any scale. */
+  val q_grouped_ols: Q = (s, d) => {
+    val xy = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      round(col("l_quantity"), 2).as("x"),
+      round(col("l_extendedprice"), 2).as("y"))
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val slopeDen = col("n") * col("sxx") - col("sx") * col("sx")
+    xy.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("grp"), col("n"),
+        round(slopeNum / slopeDen, 6).as("slope"),
+        round((col("sy") - slopeNum / slopeDen * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(pow(slopeNum, 2) /
+          (slopeDen * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+      .orderBy("grp")
+  }
+
+  /** q_percentile_rank — every order's global percentile position
+    * (`percent_rank()` over the whole fact table): the one id that runs
+    * [[operators.Analytics.globalRowNumber]] at FACT scale rather than
+    * dim scale — range-repartition keeps each partition's slice
+    * contiguous, so the numbering is a narrow pass and no single task
+    * ever sees the full relation (the windowed form funnels the entire
+    * table through one sort). Tie-broken to a total order; the rank→
+    * percentile arithmetic is one division against the 1-row broadcast
+    * count. */
+  val q_percentile_rank: Q = (s, d) => {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val ranked = operators.Analytics.globalRowNumber(
+      o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
+    val n = o.agg(count(lit(1)).as("n_rows"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round((col("rnk") - 1).cast("double") / (col("n_rows") - 1), 6)
+          .as("pct_rank"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q_winback — re-activation after absence: per user, the count and
+    * longest of their 3-plus-day gaps between consecutive active days
+    * (the audience a winback campaign targets; the flip side of
+    * [[q_streak]]'s islands). Distinct user-days, one USER-KEYED lag,
+    * one keyed aggregate — integer day arithmetic throughout. */
+  val q_winback: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("gap",
+        datediff(col("day"), lag("day", 1).over(w)).cast("long"))
+      .filter(col("gap") > 2)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_winbacks"), max("gap").as("max_absence_days"))
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2770,5 +2861,9 @@ object Queries {
     "q_survival" -> q_survival,
     "q_pareto" -> q_pareto,
     "q_growth_accounting" -> q_growth_accounting,
+    "q_target_encoding" -> q_target_encoding,
+    "q_grouped_ols" -> q_grouped_ols,
+    "q_percentile_rank" -> q_percentile_rank,
+    "q_winback" -> q_winback,
   )
 }

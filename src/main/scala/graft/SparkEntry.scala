@@ -998,5 +998,36 @@ object SparkEntry {
         |       GROUP BY 1)
         |SELECT a.day, new_users, retained, resurrected, coalesce(churned, 0) AS churned
         |FROM act a LEFT JOIN ch USING (day) ORDER BY a.day""".stripMargin,
+    "q_target_encoding" ->
+      """WITH cs AS (SELECT c.c_custkey, c.c_mktsegment, round(sum(o.o_totalprice), 2) AS spend
+        |            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |            GROUP BY 1, 2),
+        |g AS (SELECT round(sum(spend) / count(*), 6) AS gmean FROM cs),
+        |e AS (SELECT c_mktsegment, count(*) AS n, round(sum(spend), 2) AS seg_sum FROM cs GROUP BY 1)
+        |SELECT c_mktsegment, n, round((seg_sum + 10.0 * gmean) / (n + 10), 6) AS encoded,
+        |       round(seg_sum / n, 6) AS raw_mean
+        |FROM e CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+    // manual five-moment OLS on 2-dp-rounded inputs; no regr_* builtins
+    // (engine argument-order and null conventions differ)
+    "q_grouped_ols" ->
+      """WITH xy AS (SELECT l_returnflag AS grp, round(l_quantity, 2) AS x, round(l_extendedprice, 2) AS y FROM lineitem),
+        |m AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM xy GROUP BY grp)
+        |SELECT grp, n,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |       round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY grp""".stripMargin,
+    "q_percentile_rank" ->
+      """WITH r AS (SELECT o_orderkey, o_totalprice,
+        |                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+        |                  count(*) OVER () AS n FROM orders)
+        |SELECT o_orderkey, o_totalprice, round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) AS pct_rank
+        |FROM r ORDER BY o_orderkey""".stripMargin,
+    "q_winback" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT user_id, date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap FROM du)
+        |SELECT user_id, count(*) AS n_winbacks, max(gap) AS max_absence_days
+        |FROM g WHERE gap > 2 GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

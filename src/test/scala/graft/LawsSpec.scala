@@ -336,6 +336,23 @@ class LawsSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 5L, 0.8), (2L, 2L, 3L, 0.266667)))
   }
 
+  test("grouped OLS moments: a perfect line recovers slope, intercept and r2 = 1") {
+    // y = 3x + 7 exactly, two groups with different x supports — the
+    // five-moment formula must recover the line parameters exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 5.0),
+        ("B", 10.0), ("B", 11.0), ("B", 13.0))
+      .map { case (g, x) => (0L, 0L, 0L, 0, x, 3.0 * x + 7.0, 0.0, 0.0, g, "", null.asInstanceOf[java.sql.Timestamp]) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Queries.q_grouped_ols(spark, dir)
+      .select("grp", "slope", "intercept", "r2")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 3.0, 7.0, 1.0), ("B", 3.0, 7.0, 1.0)))
+  }
+
   test("q_growth_accounting: conservation laws against independent DAU") {
     val ga = Queries.q_growth_accounting(spark, sfDir)
       .as[(java.sql.Date, Long, Long, Long, Long)].collect()

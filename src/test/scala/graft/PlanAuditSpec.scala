@@ -57,7 +57,11 @@ class PlanAuditSpec extends SparkSpec {
         // q_pareto: 1-row (n_users, total) broadcast
         "q_pareto",
         // q_growth_accounting: 1-row max-day broadcast
-        "q_growth_accounting")
+        "q_growth_accounting",
+        // q_target_encoding: 1-row global-mean broadcast
+        "q_target_encoding",
+        // q_percentile_rank: 1-row row-count broadcast
+        "q_percentile_rank")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
