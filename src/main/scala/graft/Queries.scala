@@ -1162,6 +1162,10 @@ object Queries {
   val q_dq_report: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val ord = Tables.orders(s, d)
+    // three independent audit passes = three column-pruned fact scans,
+    // deliberately NOT fused: each check prunes to different columns,
+    // and materializing the wide fact to save two cheap scans is the
+    // wrong trade at scale
     def metric(name: String, violations: DataFrame) =
       violations.agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
@@ -1248,6 +1252,10 @@ object Queries {
     * eval set; every corpus doc (id ≥ 10) sharing any 5-gram with them is
     * dropped. Probe shingles broadcast; the corpus is never shuffled. */
   val q_decontaminate: Q = (s, d) => {
+    // census note: three scans of one file only because probe and corpus
+    // are fixture-carved from the same table; in production they are
+    // different tables (benchmark vs corpus) — one probe scan + the
+    // corpus's inherent two (shingle explode, final anti-join)
     val docs = Tables.documents(s, d)
     Dedup.decontaminate(docs.filter(col("doc_id") >= 10),
         docs.filter(col("doc_id") < 10), "doc_id", "text")
@@ -1290,9 +1298,16 @@ object Queries {
     * cross-join, never a driver-side collect. */
   val q_tfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // tf feeds both the df census and the scoring join; exchange reuse
+    // does NOT apply (the census branch puts a partial aggregate below
+    // its exchange, so the subtrees aren't canonical-equal — verified
+    // with AQE off), so the aggregated (doc, term, tf) relation
+    // materializes once instead of re-running the corpus explode per
+    // consumer
     val tf = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // rank on the ROUNDED score: ln() is not bit-identical across libm
@@ -1323,16 +1338,22 @@ object Queries {
   val q_pmi_bigrams: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(Text.tokens(col("text")).as("t"))
+    // both corpus totals fold from the already-aggregated count
+    // relations (N = Σ counts by construction), and the unigram table —
+    // consumed twice as the left/right join sides — materializes once:
+    // the corpus explodes exactly twice (unigrams, bigrams), was x5
     val uniRows = toks.select(explode(col("t")).as("tok"))
     val uni = uniRows.groupBy("tok").agg(count(lit(1)).as("c1"))
-    val n1 = uniRows.agg(count(lit(1)).as("n1"))
+      .localCheckpoint(true)
+    val n1 = uni.agg(sum(col("c1")).as("n1"))
     val biRows = toks.filter(size(col("t")) >= 2)
       .select(explode(zip_with(
         slice(col("t"), lit(1), size(col("t")) - 1),
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
     val bi = biRows.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-    val n2 = biRows.agg(count(lit(1)).as("n2"))
+      .localCheckpoint(true)
+    val n2 = bi.agg(sum(col("cnt")).as("n2"))
     val ua = uni.select(col("tok").as("la"), col("c1").as("ca"))
     val ub = uni.select(col("tok").as("rb"), col("c1").as("cb"))
     bi.filter(col("cnt") >= 20)
@@ -1671,11 +1692,17 @@ object Queries {
     * the stream is never shuffled. */
   val q_anomaly_mad: Q = (s, d) => {
     val ev = Tables.events(s, d)
+    // the two grouped-percentile relations (≤ n_types rows) materialize
+    // once each, so downstream consumers never re-derive the prior
+    // percentile pass; the two remaining events scans are the floor —
+    // MAD is inherently two sequential percentile passes over the fact
     val med = ev.groupBy("event_type")
       .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .localCheckpoint(true)
     val withMed = ev.join(broadcast(med), Seq("event_type"))
     val mad = withMed.groupBy("event_type")
       .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      .localCheckpoint(true)
     withMed.join(broadcast(mad), Seq("event_type"))
       .filter(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
       .select(col("event_id"), col("event_type"),
@@ -1773,10 +1800,17 @@ object Queries {
     * sum. Ordered identically on both engines; round(6) absorbs
     * summation-order ulps. */
   val q_lm_score: Q = (s, d) => {
+    // the token explode feeds the vocab build AND the scoring join
+    // (exchange reuse can't merge them — partial agg below the census
+    // exchange): materialize the token stream once; the vocab (tiny)
+    // also materializes, and the corpus total folds FROM it
+    // (total = Σc by construction) — one documents scan in all
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .localCheckpoint(true)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+      .localCheckpoint(true)
+    val total = vocab.agg(sum(col("c")).as("n_total"))
     toks
       .join(broadcast(vocab), Seq("tok"))
       .crossJoin(broadcast(total))
@@ -1795,6 +1829,12 @@ object Queries {
     * zip_with pass per doc (the q_pmi_bigrams shape); both count
     * relations join back by token key. */
   val q_bigram_lm: Q = (s, d) => {
+    // the bigram explode feeds the count build AND the scoring join, and
+    // exchange reuse can't merge them (the count branch's partial
+    // aggregate sits below its exchange — verified with AQE off): the
+    // exploded pair relation materializes once, same discipline as the
+    // n-gram inverted index. The unigram branch is the second (and
+    // last) corpus pass.
     val docToks = Tables.documents(s, d)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
     val docBigrams = docToks.filter(size(col("t")) >= 2)
@@ -1802,6 +1842,7 @@ object Queries {
         zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
           slice(col("t"), lit(2), size(col("t")) - 1),
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .localCheckpoint(true)
     val uni = docToks.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
@@ -2272,14 +2313,19 @@ object Queries {
     * All inputs rounded to 4 dp so both engines fold identical doubles
     * in identical order. */
   val q_cusum: Q = (s, d) => {
+    // the (type × day) pre-aggregate and the cumulative-sum relation are
+    // both summary-sized and each feed two consumers — one
+    // materialization each takes the plan from four events scans to one
     val daily = Tables.events(s, d)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(avg(col("value")), 4).as("m"))
+      .localCheckpoint(true)
     val st = daily.groupBy("event_type").agg(round(avg(col("m")), 4).as("mu"))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cs = daily.join(broadcast(st), Seq("event_type"))
       .withColumn("s", round(sum(col("m") - col("mu")).over(w), 4))
+      .localCheckpoint(true)
     val mx = cs.groupBy("event_type").agg(max(abs(col("s"))).as("max_cusum"))
     cs.join(mx, Seq("event_type"))
       .filter(abs(col("s")) === col("max_cusum"))
@@ -2526,17 +2572,21 @@ object Queries {
     * (d = n_risk, where ln diverges: Spark yields null, DuckDB errors)
     * is handled explicitly — survival pins to 0 from that point on. */
   val q_survival: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+    // lifespan and first-error fold in ONE user-keyed pass (a
+    // conditional min instead of a second filtered scan), and the
+    // user-sized duration relation materializes once for its two
+    // consumers (time grid + at-risk counts) — census-verified single
+    // events scan
+    val u = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
-    val life = ev.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("dl"))
-    val err = ev.filter(col("event_type") === "error")
-      .groupBy("user_id").agg(min("day").as("de"))
-    val u = life.join(err, Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("dl"),
+        min(when(col("event_type") === "error", col("day"))).as("de"))
       .select(
         when(col("de").isNull, datediff(col("dl"), col("d0")))
           .otherwise(datediff(col("de"), col("d0"))).cast("long").as("dur"),
         when(col("de").isNull, 0).otherwise(1).as("failed"))
+      .localCheckpoint(true)
     val grid = u.filter(col("failed") === 1)
       .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
     val risk = u.join(broadcast(grid), col("dur") >= col("t"))
@@ -2590,8 +2640,13 @@ object Queries {
     * is (user × active-day)-sized and every shuffle is on the user
     * key. */
   val q_growth_accounting: Q = (s, d) => {
+    // the distinct user-day relation feeds SIX plan branches (first-day
+    // map, yesterday/tomorrow self-joins, max-day scalar, both ledger
+    // sides) — materialize it once; every consumer then reads the
+    // checkpoint instead of re-scanning events (census: was x6)
     val du = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true)
     val fd = du.groupBy("user_id").agg(min("day").as("first_day"))
     val prev = du.select(col("user_id").as("p_uid"), col("day").as("pday"))
     val act = du.join(fd, Seq("user_id"))
@@ -2682,7 +2737,10 @@ object Queries {
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
     val ranked = operators.Analytics.globalRowNumber(
       o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
-    val n = o.agg(count(lit(1)).as("n_rows"))
+    // count from the ranked relation: globalRowNumber already
+    // checkpointed it, so this is a fold over the checkpoint, not a
+    // second orders scan
+    val n = ranked.agg(count(lit(1)).as("n_rows"))
     ranked.crossJoin(broadcast(n))
       .select(col("o_orderkey"), col("o_totalprice"),
         round((col("rnk") - 1).cast("double") / (col("n_rows") - 1), 6)

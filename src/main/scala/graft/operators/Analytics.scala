@@ -155,12 +155,19 @@ object Analytics {
               typeCol: String = "event_type"): DataFrame = {
     val ev = events.select(col(userCol).as("user_id"),
       col(typeCol).as("et"), col(tsCol).as("ts"))
+    // each stage's user-sized first-timestamp map feeds BOTH the next
+    // stage's gate and the final count join — materialize each once, so
+    // the events source is scanned exactly once per stage filter (the
+    // floor: the three scans carry three different pushed predicates)
+    // instead of re-deriving earlier stages per consumer
     val t1 = ev.filter(col("et") === stages._1)
       .groupBy("user_id").agg(min("ts").as("t1"))
+      .localCheckpoint(true)
     val t2 = ev.filter(col("et") === stages._2)
       .join(t1, Seq("user_id"))
       .filter(col("ts") >= col("t1"))
       .groupBy("user_id", "t1").agg(min("ts").as("t2"))
+      .localCheckpoint(true)
     val t3 = ev.filter(col("et") === stages._3)
       .join(t2, Seq("user_id"))
       .filter(col("ts") >= col("t2") &&

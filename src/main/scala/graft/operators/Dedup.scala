@@ -220,8 +220,13 @@ object Dedup {
     * scan; the shuffle key is (block, blockval). */
   def simhashWithNeighbors(docs: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3): DataFrame = {
+    // the (id, simhash) relation feeds three branches (both self-join
+    // sides via `blocked` and the final outer join): materialize the
+    // 16-byte-per-doc signatures once instead of recomputing the
+    // tokenize+simhash scan per branch (census: was x3)
     val sigs = docs.select(col(idCol),
       Text.simhash64(Text.tokens(col(textCol))).as("simhash"))
+      .localCheckpoint(true)
     val blocked = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -264,15 +269,23 @@ object Dedup {
     * plan and hot-shingle cap as [[ngramJaccardTopPairs]]. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, maxDocFreq: Long = 1000L): DataFrame = {
+    // the raw inverted index feeds the hot-shingle census AND the capped
+    // rebuild; the capped index feeds set sizes and BOTH self-join
+    // sides. Materialize each once (same discipline as the MinHash
+    // signature relation): the corpus is scanned and shingled exactly
+    // once, where the unmaterialized plan re-ran the explode+hash up to
+    // eight times (census-caught).
     val shRaw = docs.select(col(idCol).as("id"),
       explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+      .localCheckpoint(eager = true)
     val sh =
-      if (maxDocFreq == Long.MaxValue) shRaw
+      if (maxDocFreq == Long.MaxValue) shRaw // already materialized
       else {
         val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("sh")
         shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+          .localCheckpoint(eager = true)
       }
     // set sizes must count the SAME shingle universe as the intersection:
     // uncapped → straight from the array (narrow, no shuffle); capped →

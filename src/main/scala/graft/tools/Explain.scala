@@ -28,7 +28,13 @@ object Explain {
       import org.apache.spark.sql.execution.FileSourceScanExec
       graft.Queries.all.foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          // sparkPlan, NOT executedPlan: under AQE the executed plan is a
+          // leaf AdaptiveSparkPlanExec wrapper and collect() traverses
+          // nothing — the census would pass vacuously. The pre-AQE plan is
+          // the static upper bound (AQE can only reuse identical
+          // exchanges at runtime, never add scans), same convention as
+          // PlanAuditSpec.
+          val plan = fn(spark, sfDir).queryExecution.sparkPlan
           val paths = plan.collect { case s: FileSourceScanExec =>
             s.relation.location.rootPaths.mkString(",")
           }
