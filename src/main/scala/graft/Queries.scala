@@ -2765,6 +2765,103 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_corr_matrix — pairwise Pearson correlation over three fact
+    * measures, all ten moments folded in ONE pass (map-side partials:
+    * the shuffle carries ten doubles total), then the three pair rows
+    * derive from the 1-row moment relation. Inputs pre-rounded so both
+    * engines fold identical cells; no corr() builtin (null/ordering
+    * conventions differ across engines). */
+  val q_corr_matrix: Q = (s, d) => {
+    val x = Tables.lineitem(s, d).select(
+      round(col("l_quantity"), 2).as("a"),
+      round(col("l_extendedprice"), 2).as("b"),
+      round(col("l_discount"), 4).as("c"))
+    val m = x.agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("c") * col("c")).as("scc"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("c")).as("sac"),
+        sum(col("b") * col("c")).as("sbc"))
+      .localCheckpoint(true) // 1-row relation, three consumers
+    def corrOf(pair: String, sxy: Column, sx: Column, sy: Column,
+               sxx: Column, syy: Column) =
+      m.select(lit(pair).as("pair"),
+        round((col("n") * sxy - sx * sy) /
+          sqrt((col("n") * sxx - sx * sx) * (col("n") * syy - sy * sy)), 6)
+          .as("corr"))
+    corrOf("quantity_extendedprice", col("sab"), col("sa"), col("sb"),
+        col("saa"), col("sbb"))
+      .unionByName(corrOf("quantity_discount", col("sac"), col("sa"),
+        col("sc"), col("saa"), col("scc")))
+      .unionByName(corrOf("extendedprice_discount", col("sbc"), col("sb"),
+        col("sc"), col("sbb"), col("scc")))
+      .orderBy("pair")
+  }
+
+  /** q_mode — deterministic grouped mode: the modal day-of-week per
+    * event type, ties broken to the smallest bucket (engine mode()
+    * builtins leave tie order unspecified — this spells the argmax).
+    * Day-of-week via the same epoch-day arithmetic as
+    * [[q_seasonality_dow]]; one keyed count + one keyed rank over the
+    * 7-bucket-per-group relation. */
+  val q_mode: Q = (s, d) => {
+    val b = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) +
+          lit(4)) % 7).cast("long").as("dow"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("dow"))
+    b.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("mode_dow"), col("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** q_ohlc — daily open/high/low/close candles per event type (the
+    * time-series rollup every monitoring mart carries): open/close are
+    * deterministic endpoint picks via two keyed row_numbers (ties
+    * broken on event_id; never min_by/max_by, whose tie choice is
+    * engine-undefined), fused with high/low/count into ONE grouped
+    * pass — a single scan, two window sorts over the same keyed
+    * partitioning, one aggregate. */
+  val q_ohlc: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("event_type"),
+      to_date(col("ts")).as("day"), col("ts"), col("event_id"), col("value"))
+    val wo = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val wc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rno", row_number().over(wo))
+      .withColumn("rnc", row_number().over(wc))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rno") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rnc") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q_string_agg — ordered string aggregation with a BOUNDED input set
+    * (top-3 users per event type, rank-ordered join of ids): the rank
+    * cut is what makes listagg scale-safe — an unbounded string_agg
+    * over a group is a memory bomb at 100 TB. Order inside the string
+    * is pinned by sorting the collected (rn, id) structs, matching the
+    * oracle's `ORDER BY rn`. */
+  val q_string_agg: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("user_id"))
+    c.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("event_type")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("rn"), col("user_id")))),
+        x => x.getField("user_id").cast("string")), ",").as("top_users"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -2923,5 +3020,9 @@ object Queries {
     "q_grouped_ols" -> q_grouped_ols,
     "q_percentile_rank" -> q_percentile_rank,
     "q_winback" -> q_winback,
+    "q_corr_matrix" -> q_corr_matrix,
+    "q_mode" -> q_mode,
+    "q_ohlc" -> q_ohlc,
+    "q_string_agg" -> q_string_agg,
   )
 }

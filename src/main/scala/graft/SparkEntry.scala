@@ -1029,5 +1029,36 @@ object SparkEntry {
         |g AS (SELECT user_id, date_diff('day', lag(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap FROM du)
         |SELECT user_id, count(*) AS n_winbacks, max(gap) AS max_absence_days
         |FROM g WHERE gap > 2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // manual ten-moment Pearson; no corr() builtin (engine conventions
+    // differ), inputs pre-rounded
+    "q_corr_matrix" ->
+      """WITH x AS (SELECT round(l_quantity, 2) AS a, round(l_extendedprice, 2) AS b, round(l_discount, 4) AS c FROM lineitem),
+        |m AS (SELECT count(*) AS n, sum(a) sa, sum(b) sb, sum(c) sc, sum(a*a) saa, sum(b*b) sbb, sum(c*c) scc,
+        |             sum(a*b) sab, sum(a*c) sac, sum(b*c) sbc FROM x)
+        |SELECT 'quantity_extendedprice' AS pair, round((n*sab - sa*sb) / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)), 6) AS corr FROM m
+        |UNION ALL SELECT 'quantity_discount', round((n*sac - sa*sc) / sqrt((n*saa - sa*sa) * (n*scc - sc*sc)), 6) FROM m
+        |UNION ALL SELECT 'extendedprice_discount', round((n*sbc - sb*sc) / sqrt((n*sbb - sb*sb) * (n*scc - sc*sc)), 6) FROM m
+        |ORDER BY pair""".stripMargin,
+    // spelled argmax with pinned tiebreak: engine mode() builtins leave
+    // tie order unspecified
+    "q_mode" ->
+      """WITH b AS (SELECT event_type, (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |                  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, dow, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, dow) AS rn FROM b)
+        |SELECT event_type, dow AS mode_dow, cnt FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value FROM events),
+        |r AS (SELECT event_type, day, value,
+        |             row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS rno,
+        |             row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rnc FROM e)
+        |SELECT event_type, day, max(CASE WHEN rno = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rnc = 1 THEN value END) AS close, count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "q_string_agg" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn FROM c)
+        |SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn) AS top_users
+        |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
