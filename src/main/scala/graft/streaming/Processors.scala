@@ -204,6 +204,57 @@ object Processors {
   case class Drift(key: String, value: Double)
   case class DriftOut(key: String, n: Long, s: Double, alert: Boolean)
 
+  /** Input row for the streaming funnel. */
+  case class FunnelEvent(userId: Long, etype: String, tsMs: Long)
+
+  /** Output: a stage ADVANCEMENT (stage = 1-based index just reached);
+    * `completed` marks the final stage — at most three rows ever emitted
+    * per user, each exactly once. */
+  case class FunnelOut(userId: Long, stage: Int, tsMs: Long,
+                       completed: Boolean)
+
+  /** Streaming ordered funnel — the stateful twin of the batch
+    * [[graft.operators.Analytics.funnel3]]: per-user monotone stage
+    * machine over an ordered stage list. An event advances the user to
+    * stage k+1 only if it matches stage k+1's type and arrives
+    * at-or-after the stage-k timestamp; duplicates and out-of-order
+    * stage types are ignored, so each advancement emits EXACTLY once
+    * (append-mode safe, idempotent under batch replay of the same
+    * prefix). State per user is one fixed-width timestamp array —
+    * unbounded-key-safe behind `stateTtl`, same discipline as every
+    * processor here. */
+  class FunnelProcessor(stages: Seq[String],
+                        stateTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelOut] {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    @transient private var reached: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reached = getHandle.getValueState[Array[Long]]("reached",
+        Encoders.kryo[Array[Long]], stateTtl)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timers: TimerValues): Iterator[FunnelOut] = {
+      // ts[k] = when stage k was reached, Long.MinValue = not yet
+      val ts = if (reached.exists()) reached.get()
+               else Array.fill(stages.size)(Long.MinValue)
+      val out = Vector.newBuilder[FunnelOut]
+      rows.foreach { e =>
+        val k = stages.indexOf(e.etype)
+        if (k == 0 && ts(0) == Long.MinValue) {
+          ts(0) = e.tsMs
+          out += FunnelOut(key, 1, e.tsMs, completed = stages.size == 1)
+        } else if (k > 0 && ts(k) == Long.MinValue &&
+                   ts(k - 1) != Long.MinValue && e.tsMs >= ts(k - 1)) {
+          ts(k) = e.tsMs
+          out += FunnelOut(key, k + 1, e.tsMs, completed = k == stages.size - 1)
+        }
+      }
+      reached.update(ts)
+      out.result().iterator
+    }
+  }
+
   class DriftMonitorProcessor(warmupN: Long, threshold: Double,
                               stateTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, Drift, DriftOut] {

@@ -372,6 +372,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FunnelProcessor: ordered stage machine advances exactly once per stage across batches") {
+    val in = MemoryStream[Processors.FunnelEvent]
+    val out = in.toDS()
+      .groupByKey(_.userId)
+      .transformWithState(
+        new Processors.FunnelProcessor(Seq("view", "click", "purchase")),
+        TimeMode.None(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 view+click; u2's click BEFORE any view must be ignored
+      in.addData(Processors.FunnelEvent(1L, "view", 100L),
+        Processors.FunnelEvent(2L, "click", 50L),
+        Processors.FunnelEvent(1L, "click", 200L),
+        Processors.FunnelEvent(1L, "view", 150L)) // duplicate stage: ignored
+      q.processAllAvailable()
+      // batch 2: u1 completes (state carried across batches); u2 starts
+      in.addData(Processors.FunnelEvent(2L, "view", 300L),
+        Processors.FunnelEvent(1L, "purchase", 400L))
+      q.processAllAvailable()
+      // batch 3: u2 advances click → purchase in one batch; a purchase
+      // timestamped BEFORE the click must not complete anyone
+      in.addData(Processors.FunnelEvent(2L, "click", 500L),
+        Processors.FunnelEvent(3L, "purchase", 10L),
+        Processors.FunnelEvent(2L, "purchase", 600L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[Processors.FunnelOut].collect()
+        .map(r => (r.userId, r.stage) -> ((r.tsMs, r.completed))).toMap
+      assert(rows.size == 6, s"exactly six advancements, got $rows")
+      assert(rows((1L, 1)) == ((100L, false)))
+      assert(rows((1L, 2)) == ((200L, false)))
+      assert(rows((1L, 3)) == ((400L, true)))
+      assert(rows((2L, 1)) == ((300L, false)))
+      assert(rows((2L, 2)) == ((500L, false)))
+      assert(rows((2L, 3)) == ((600L, true)))
+      assert(!rows.contains((3L, 1)) && !rows.contains((3L, 3)),
+        "stageless user 3 must emit nothing")
+    } finally q.stop()
+  }
+
   test("session window (streaming): sessions merge across batches and close on watermark") {
     val in = MemoryStream[(Timestamp, Long)]
     val out = Streams.sessionAgg(
