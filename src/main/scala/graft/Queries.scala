@@ -2862,6 +2862,84 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** q_unpivot — wide→long melt of three fact measures via `stack`:
+    * ONE scan producing 3 rows per input (the oracle spells the same
+    * relation as a UNION ALL; stack is the single-pass form — a
+    * union-of-selects plan would scan the fact once per measure).
+    * Codegen'd generator, no shuffle beyond the contract sort. */
+  val q_unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3,
+          'quantity', round(l_quantity, 2),
+          'extendedprice', round(l_extendedprice, 2),
+          'discount', round(l_discount, 4)) AS (measure, val)"""))
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** q_attribution_linear — linear multi-touch attribution (the
+    * equal-credit counterpart of [[q_attribution]]'s last-touch): every
+    * touch strictly before a user's FIRST purchase shares that
+    * purchase's value equally. First purchase = keyed row_number over
+    * the purchase subset (ties broken by event_id, never a bare min);
+    * touches pre-aggregate to (user, type) counts so the credit sums as
+    * count × share — the formula the oracle mirrors termwise. Two
+    * differently-filtered event scans (purchases, touches), user-keyed
+    * joins, user-sized checkpoints. */
+  val q_attribution_linear: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val wp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("pval"))
+      .localCheckpoint(true)
+    val tc = ev.filter(col("event_type") =!= "purchase")
+      .join(firstPurchase, Seq("user_id"))
+      .filter(col("ts") < col("pts"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the per-user total AND the credit join
+    val nt = tc.groupBy("user_id").agg(sum(col("c")).as("n_touches"))
+    tc.join(nt, Seq("user_id")).join(firstPurchase, Seq("user_id"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_credited"),
+        round(sum(col("c") * col("pval") / col("n_touches")), 2)
+          .as("credited_value"))
+      .orderBy("event_type")
+  }
+
+  /** q_cumulative_users — the cumulative-distinct growth curve: per
+    * first-active day, new users and the running total of all users
+    * ever seen (an expanding COUNT DISTINCT a window cannot express at
+    * scale — but first-day attribution turns it into a running SUM of
+    * per-day news, done by [[operators.Analytics.globalRunningSum]]
+    * over the day-sized relation). */
+  val q_cumulative_users: Q = (s, d) => {
+    val nd = Tables.events(s, d)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    operators.Analytics.globalRunningSum(
+        nd, Seq(col("day")), "new_users", "cum_users")
+      .orderBy("day")
+  }
+
+  /** q_time_to_convert — signup→first-purchase latency distribution:
+    * conditional mins fold both timestamps in ONE user-keyed pass (no
+    * per-stage scans), latencies are exact integer microseconds scaled
+    * once, and the percentile pair folds over the converted-user
+    * relation. */
+  val q_time_to_convert: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+      .filter(col("s_ts").isNotNull && col("p_ts").isNotNull &&
+        col("p_ts") >= col("s_ts"))
+      .select(((unix_micros(col("p_ts")) - unix_micros(col("s_ts"))) /
+        lit(1000000.0)).as("dt_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("dt_s"), lit(0.5)), 4).as("p50_s"),
+        round(percentile(col("dt_s"), lit(0.9)), 4).as("p90_s"))
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3024,5 +3102,9 @@ object Queries {
     "q_mode" -> q_mode,
     "q_ohlc" -> q_ohlc,
     "q_string_agg" -> q_string_agg,
+    "q_unpivot" -> q_unpivot,
+    "q_attribution_linear" -> q_attribution_linear,
+    "q_cumulative_users" -> q_cumulative_users,
+    "q_time_to_convert" -> q_time_to_convert,
   )
 }

@@ -1060,5 +1060,44 @@ object SparkEntry {
         |r AS (SELECT event_type, user_id, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rn FROM c)
         |SELECT event_type, string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rn) AS top_users
         |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // oracle spells the melt as UNION ALL; the Spark side is a
+    // single-scan stack() — same relation
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure, round(l_quantity, 2) AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 2) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4) FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    // first purchase picked by (ts, event_id) rank — never a bare min
+    // join (equal-ts purchases would double-credit); credit folds as
+    // count × share, termwise-identical to the Spark aggregation
+    "q_attribution_linear" ->
+      """WITH fp AS (SELECT user_id, ts AS pts, value AS pval FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+        |tc AS (SELECT e.user_id, e.event_type, count(*) AS c
+        |       FROM events e JOIN fp ON e.user_id = fp.user_id
+        |       WHERE e.ts < fp.pts AND e.event_type <> 'purchase'
+        |       GROUP BY 1, 2),
+        |nt AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_touches FROM tc GROUP BY 1)
+        |SELECT tc.event_type, CAST(sum(c) AS BIGINT) AS n_credited,
+        |       round(sum(c * pval / n_touches), 2) AS credited_value
+        |FROM tc JOIN nt USING (user_id) JOIN fp USING (user_id)
+        |GROUP BY tc.event_type ORDER BY tc.event_type""".stripMargin,
+    "q_cumulative_users" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+        |nd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM nd ORDER BY day""".stripMargin,
+    "q_time_to_convert" ->
+      """WITH d0 AS (SELECT user_id,
+        |                   min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+        |                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        |            FROM events GROUP BY user_id),
+        |d AS (SELECT (epoch_us(p_ts) - epoch_us(s_ts)) / 1000000.0 AS dt_s
+        |      FROM d0 WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts)
+        |SELECT count(*) AS n_converted, round(quantile_cont(dt_s, 0.5), 4) AS p50_s,
+        |       round(quantile_cont(dt_s, 0.9), 4) AS p90_s FROM d""".stripMargin,
   )
 }
