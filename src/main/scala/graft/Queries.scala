@@ -2414,11 +2414,14 @@ object Queries {
         max(col("gap")).as("max_gap_us"))
       .select(col("user_id"), col("n_gaps"), col("total_gap_us"),
         col("max_gap_us"),
-        // mean reported in SECONDS: µs-magnitude means (~3.6e10) + 6 dp
-        // overflow double's 15-16 sig digits and the engines' round()
-        // diverge in the last place; seconds keep it well inside
-        round(col("total_gap_us").cast("double") /
-          (col("n_gaps") * lit(1000000.0)), 6).as("avg_gap_s"))
+        // mean as FLOOR-integer microseconds: both engines floor the
+        // identical IEEE quotient of two exact integers — fully
+        // deterministic. (A round(…, 6) here is a boundary lottery:
+        // Spark rounds decimally via BigDecimal, DuckDB via float
+        // multiply, and they disagree in the last place on half-way
+        // representations — one in ~600k rows hit it at sf0.1.)
+        floor(col("total_gap_us").cast("double") / col("n_gaps"))
+          .cast("long").as("avg_gap_us"))
       .orderBy("user_id")
   }
 

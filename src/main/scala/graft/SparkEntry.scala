@@ -897,7 +897,7 @@ object SparkEntry {
         |           FROM events)
         |SELECT user_id, count(gap) AS n_gaps, CAST(sum(gap) AS BIGINT) AS total_gap_us,
         |       CAST(max(gap) AS BIGINT) AS max_gap_us,
-        |       round(CAST(sum(gap) AS DOUBLE) / (count(gap) * 1000000.0), 6) AS avg_gap_s
+        |       CAST(floor(CAST(sum(gap) AS DOUBLE) / count(gap)) AS BIGINT) AS avg_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // slope formula spelled manually on both engines (regr_slope arg
     // order differs); ln inputs pre-rounded to 12 dp
