@@ -2943,6 +2943,98 @@ object Queries {
         round(percentile(col("dt_s"), lit(0.5)), 4).as("p50_s"),
         round(percentile(col("dt_s"), lit(0.9)), 4).as("p90_s"))
 
+  /** q_ks_test — two-sample Kolmogorov–Smirnov statistic between two
+    * event types' value distributions: D = max |F₁ − F₂| over the
+    * combined support. The per-value conditional counts reduce the fact
+    * first (distinct-value-sized); BOTH empirical CDFs come from ONE
+    * [[operators.Analytics.globalRunningSums]] pass (one range shuffle,
+    * two prefix columns — never an ordered window); totals fold from
+    * the same checkpoint. Cumulative counts are exact integers; each
+    * CDF value is one IEEE division on both engines. */
+  val q_ks_test: Q = (s, d) => {
+    val sCounts = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("value")
+      .agg(count(when(col("event_type") === "click", 1)).as("c1"),
+        count(when(col("event_type") === "purchase", 1)).as("c2"))
+    val c = operators.Analytics.globalRunningSums(
+      sCounts, Seq(col("value")), Seq("c1" -> "k1", "c2" -> "k2"))
+    val t = c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    c.crossJoin(broadcast(t))
+      .groupBy("n1", "n2")
+      .agg(round(max(abs(col("k1").cast("double") / col("n1") -
+        col("k2").cast("double") / col("n2"))), 6).as("ks_d"))
+      .select(col("ks_d"), col("n1"), col("n2"))
+  }
+
+  /** q_rolling_corr — trailing 7-day correlation between two series
+    * (the co-movement drift monitor): daily conditional means, then the
+    * five correlation moments over each day's trailing week via the
+    * bounded date fan-out join (≤ 7×, the [[q_rolling_active]] shape —
+    * never a global-order window). Daily means 4-dp-rounded so both
+    * engines fold identical cells; windows shorter than 7 days are
+    * suppressed (partial-window corr is noise). */
+  val q_rolling_corr: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(round(avg(when(col("event_type") === "click", col("value"))), 4)
+        .as("x"),
+        round(avg(when(col("event_type") === "purchase", col("value"))), 4)
+          .as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(true) // day-sized, feeds both join sides
+    val p = daily.select(col("day").as("pday"), col("x"), col("y"))
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    broadcast(daily.select("day")).join(p,
+        datediff(col("day"), col("pday")).between(0, 6))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") === 7)
+      .select(col("day"), col("n"),
+        round(slopeNum / sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr7"))
+      .orderBy("day")
+  }
+
+  /** q_psi — Population Stability Index per event type between the two
+    * month halves (the ML-monitoring drift score): quintile fences from
+    * the OVERALL distribution (broadcast, ≤ types rows), one classify
+    * pass with conditional period counts, PSI = Σ (pₐ−p_b)·ln(pₐ/p_b)
+    * folded termwise (12-dp terms, 6-dp sum — the engines' ln/÷ agree
+    * per term, only fold order needs slack). */
+  val q_psi: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val fences = ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.2)).as("q1"),
+        percentile(col("value"), lit(0.4)).as("q2"),
+        percentile(col("value"), lit(0.6)).as("q3"),
+        percentile(col("value"), lit(0.8)).as("q4"))
+    val binned = ev.join(broadcast(fences), Seq("event_type"))
+      .select(col("event_type"),
+        when(col("value") <= col("q1"), 1)
+          .when(col("value") <= col("q2"), 2)
+          .when(col("value") <= col("q3"), 3)
+          .when(col("value") <= col("q4"), 4).otherwise(5).as("bin"),
+        when(to_date(col("ts")) < lit("2024-01-16").cast("date"), "a")
+          .otherwise("b").as("period"))
+      .groupBy("event_type", "bin")
+      .agg(count(when(col("period") === "a", 1)).as("ca"),
+        count(when(col("period") === "b", 1)).as("cb"))
+      .localCheckpoint(true) // (type × 5)-sized, feeds totals + PSI fold
+    val t = binned.groupBy("event_type")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    binned.join(t, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(sum(round((pa - pb) * log(pa / pb), 12)), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3109,5 +3201,8 @@ object Queries {
     "q_attribution_linear" -> q_attribution_linear,
     "q_cumulative_users" -> q_cumulative_users,
     "q_time_to_convert" -> q_time_to_convert,
+    "q_ks_test" -> q_ks_test,
+    "q_rolling_corr" -> q_rolling_corr,
+    "q_psi" -> q_psi,
   )
 }

@@ -1099,5 +1099,44 @@ object SparkEntry {
         |      FROM d0 WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts)
         |SELECT count(*) AS n_converted, round(quantile_cont(dt_s, 0.5), 4) AS p50_s,
         |       round(quantile_cont(dt_s, 0.9), 4) AS p90_s FROM d""".stripMargin,
+    // cumulative counts are exact integers; the oracle's ordered-window
+    // cumsum equals the Spark side's range-partitioned prefix sums
+    "q_ks_test" ->
+      """WITH s AS (SELECT value, count(CASE WHEN event_type = 'click' THEN 1 END) AS c1,
+        |                  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c2
+        |           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM s),
+        |c AS (SELECT value, CAST(sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k1,
+        |             CAST(sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k2 FROM s)
+        |SELECT round(max(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)), 6) AS ks_d, n1, n2
+        |FROM c CROSS JOIN t GROUP BY n1, n2""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT day, x, y FROM (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS x,
+        |         round(avg(CASE WHEN event_type = 'purchase' THEN value END), 4) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1) t
+        |  WHERE x IS NOT NULL AND y IS NOT NULL),
+        |w AS (SELECT d.day, count(*) AS n, sum(p.x) sx, sum(p.y) sy, sum(p.x*p.y) sxy,
+        |             sum(p.x*p.x) sxx, sum(p.y*p.y) syy
+        |      FROM daily d JOIN daily p ON p.day BETWEEN d.day - 6 AND d.day GROUP BY d.day)
+        |SELECT day, n, round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr7
+        |FROM w WHERE n = 7 ORDER BY day""".stripMargin,
+    "q_psi" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.2) q1, quantile_cont(value, 0.4) q2,
+        |                  quantile_cont(value, 0.6) q3, quantile_cont(value, 0.8) q4
+        |           FROM events GROUP BY 1),
+        |e AS (SELECT e.event_type,
+        |             CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2 WHEN value <= q3 THEN 3
+        |                  WHEN value <= q4 THEN 4 ELSE 5 END AS bin,
+        |             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'a' ELSE 'b' END AS period
+        |      FROM events e JOIN b USING (event_type)),
+        |c AS (SELECT event_type, bin, count(CASE WHEN period = 'a' THEN 1 END) AS ca,
+        |             count(CASE WHEN period = 'b' THEN 1 END) AS cb FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1)
+        |SELECT c.event_type,
+        |       round(sum(round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
+        |                 ln((CAST(ca AS DOUBLE)/na) / (CAST(cb AS DOUBLE)/nb)), 12)), 6) AS psi
+        |FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
   )
 }

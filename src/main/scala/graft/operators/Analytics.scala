@@ -83,29 +83,49 @@ object Analytics {
     * starting at its cumulative offset. `sortCols` must be a TOTAL
     * order (tie-broken to a unique key) for determinism. */
   def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
-                       valueCol: String, outCol: String): DataFrame = {
+                       valueCol: String, outCol: String): DataFrame =
+    globalRunningSums(df, sortCols, Seq(valueCol -> outCol))
+
+  /** Multi-column form of [[globalRunningSum]]: N running sums over ONE
+    * total order for one range shuffle + one offset pass (two
+    * single-column calls would shuffle twice). */
+  def globalRunningSums(df: DataFrame, sortCols: Seq[Column],
+                        cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val nPart = math.max(1, spark.sparkContext.defaultParallelism)
-    val vIdx = df.schema.fieldIndex(valueCol)
+    val vIdx = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
+    val k = vIdx.length
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint(eager = true)
     val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      while (it.hasNext) s += it.next().getLong(vIdx)
+      val s = new Array[Long](k)
+      while (it.hasNext) {
+        val row = it.next()
+        var i = 0
+        while (i < k) { s(i) += row.getLong(vIdx(i)); i += 1 }
+      }
       Iterator(pid -> s)
     }.collect().toMap
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
+    val offsets: Map[Int, Array[Long]] = {
+      val acc = new Array[Long](k)
       (0 until nPart).map { p =>
-        val o = p -> acc; acc += sums.getOrElse(p, 0L); o
+        val o = p -> acc.clone()
+        sums.get(p).foreach { s =>
+          var i = 0; while (i < k) { acc(i) += s(i); i += 1 }
+        }
+        o
       }.toMap
     }
-    val outSchema = StructType(df.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
+    val outSchema = StructType(df.schema.fields ++
+      cols.map { case (_, out) => StructField(out, LongType, nullable = false) })
     val summed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = offsets(pid)
-      it.map { row => run += row.getLong(vIdx); Row.fromSeq(row.toSeq :+ run) }
+      val run = offsets(pid).clone()
+      it.map { row =>
+        var i = 0
+        while (i < k) { run(i) += row.getLong(vIdx(i)); i += 1 }
+        Row.fromSeq(row.toSeq ++ run.toSeq)
+      }
     }
     spark.createDataFrame(summed, outSchema)
   }

@@ -61,7 +61,12 @@ class PlanAuditSpec extends SparkSpec {
         // q_target_encoding: 1-row global-mean broadcast
         "q_target_encoding",
         // q_percentile_rank: 1-row row-count broadcast
-        "q_percentile_rank")
+        "q_percentile_rank",
+        // q_ks_test: 1-row (n1, n2) totals broadcast
+        "q_ks_test",
+        // q_rolling_corr: day-dimension broadcast into the bounded
+        // ≤7x trailing-window fan-out (the q_rolling_active shape)
+        "q_rolling_corr")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
