@@ -3035,6 +3035,77 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** q_pareto_by_group — per-group concentration: the minimum number of
+    * users covering half of EACH event type's volume (the grouped twin
+    * of [[q_pareto]]): here the cumulative sum is a USER-KEYED window
+    * per type (groups sort independently inside their partitions — the
+    * global windowless machinery is only needed when there is no
+    * partition key), and the strictly-increasing-sum counting trick
+    * gives the answer without a rank predicate. Integer arithmetic
+    * throughout. */
+  val q_pareto_by_group: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the window pass AND per-type totals
+    val w = Window.partitionBy("event_type").orderBy(desc("n"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val o = c.withColumn("cum", sum(col("n")).over(w))
+    val t = c.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total"))
+    o.join(t, Seq("event_type"))
+      .groupBy("event_type", "n_users")
+      .agg((count(when(col("cum") * 2 < col("total"), 1)) + lit(1))
+        .as("users_to_half"))
+      .select("event_type", "users_to_half", "n_users")
+      .orderBy("event_type")
+  }
+
+  /** q_lag_features — forecasting feature build: per user-day purchase
+    * totals joined with their own 1-day and 7-day lags via CALENDAR
+    * self-joins on (user, day−k) — gap-correct where an offset window
+    * would silently read the previous ROW (the [[q_mom_growth]]
+    * discipline), missing lags fill 0. The user-day relation
+    * materializes once for its three join roles. */
+  val q_lag_features: Q = (s, d) => {
+    val dd = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint(true)
+    val l1 = dd.select(col("user_id").as("u1"), col("day").as("d1"),
+      col("v").as("v1"))
+    val l7 = dd.select(col("user_id").as("u7"), col("day").as("d7"),
+      col("v").as("v7"))
+    dd.join(l1, col("user_id") === col("u1") &&
+        col("d1") === date_sub(col("day"), 1), "left")
+      .join(l7, col("user_id") === col("u7") &&
+        col("d7") === date_sub(col("day"), 7), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        coalesce(col("v1"), lit(0.0)).as("v_1d"),
+        coalesce(col("v7"), lit(0.0)).as("v_7d"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q_abandonment — click-without-purchase within 24 h: each user's
+    * FIRST click, anti-joined against their purchases inside the
+    * following day (equi-key on user + a time-range residual — the
+    * interval ANTI-join shape; the purchase side never shuffles more
+    * than its user-keyed exchange). Exact integer-µs window
+    * arithmetic. */
+  val q_abandonment: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"))
+    fc.join(p, col("user_id") === col("p_uid") &&
+        col("pts") >= col("cts") &&
+        unix_micros(col("pts")) - unix_micros(col("cts")) <= 86400000000L,
+        "left_anti")
+      .select("user_id")
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3204,5 +3275,8 @@ object Queries {
     "q_ks_test" -> q_ks_test,
     "q_rolling_corr" -> q_rolling_corr,
     "q_psi" -> q_psi,
+    "q_pareto_by_group" -> q_pareto_by_group,
+    "q_lag_features" -> q_lag_features,
+    "q_abandonment" -> q_abandonment,
   )
 }

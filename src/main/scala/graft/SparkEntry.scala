@@ -1138,5 +1138,29 @@ object SparkEntry {
         |       round(sum(round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
         |                 ln((CAST(ca AS DOUBLE)/na) / (CAST(cb AS DOUBLE)/nb)), 12)), 6) AS psi
         |FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "q_pareto_by_group" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, n,
+        |             sum(n) OVER (PARTITION BY event_type ORDER BY n DESC, user_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM c),
+        |t AS (SELECT event_type, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT o.event_type, CAST(count(CASE WHEN cum * 2 < total THEN 1 END) + 1 AS BIGINT) AS users_to_half, n_users
+        |FROM o JOIN t USING (event_type) GROUP BY o.event_type, n_users ORDER BY o.event_type""".stripMargin,
+    // calendar self-joins on (user, day-k): gap-correct lags where an
+    // offset window would read the previous ROW
+    "q_lag_features" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT d.user_id, d.day, d.v, coalesce(l1.v, 0.0) AS v_1d, coalesce(l7.v, 0.0) AS v_7d
+        |FROM d LEFT JOIN d l1 ON l1.user_id = d.user_id AND l1.day = d.day - 1
+        |       LEFT JOIN d l7 ON l7.user_id = d.user_id AND l7.day = d.day - 7
+        |ORDER BY d.user_id, d.day""".stripMargin,
+    "q_abandonment" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS cts FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT fc.user_id FROM fc
+        |WHERE NOT EXISTS (SELECT 1 FROM events p WHERE p.user_id = fc.user_id
+        |                  AND p.event_type = 'purchase'
+        |                  AND p.ts >= fc.cts AND epoch_us(p.ts) - epoch_us(fc.cts) <= 86400000000)
+        |ORDER BY fc.user_id""".stripMargin,
   )
 }
