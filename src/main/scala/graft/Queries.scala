@@ -3106,6 +3106,80 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_interp_linear — LINEAR interpolation over each user's daily gap
+    * days (the smoothing twin of [[q_resample_ffill]]'s step fill):
+    * dense per-user grid from `sequence` (bounded by the calendar
+    * horizon), previous/next OBSERVED day via keyed conditional
+    * min/max windows, endpoint values joined back from the observed
+    * relation (checkpointed once for its four roles), then one exact
+    * per-row interpolation expression. Interior gaps only — the grid
+    * spans each user's own [first, last] observed days, so every gap
+    * day has both endpoints by construction. */
+  val q_interp_linear: Q = (s, d) => {
+    val dd = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("v"))
+      .localCheckpoint(true)
+    val sp = dd.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = sp.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("day"))
+    val g = grid.join(dd, Seq("user_id", "day"), "left")
+    val wAsc = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = g
+      .withColumn("pd", max(when(col("v").isNotNull, col("day"))).over(wAsc))
+      .withColumn("nd", min(when(col("v").isNotNull, col("day"))).over(wDesc))
+    val dp = dd.select(col("user_id").as("pu"), col("day").as("pdd"),
+      col("v").as("vp"))
+    val dn = dd.select(col("user_id").as("nu"), col("day").as("ndd"),
+      col("v").as("vn"))
+    f.join(dp, col("user_id") === col("pu") && col("pd") === col("pdd"))
+      .join(dn, col("user_id") === col("nu") && col("nd") === col("ndd"))
+      .select(col("user_id"), col("day"),
+        // per-row arithmetic deliberately UNROUNDED (FIXTURES.md rule):
+        // identical expression order → bit-identical IEEE doubles on
+        // both engines. Rounding here is a half-way lottery — midpoints
+        // of 2-dp endpoints land on exact x.xxx5 values constantly, and
+        // the engines' round() implementations disagree there.
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            datediff(col("day"), col("pd")).cast("double") /
+            datediff(col("nd"), col("pd"))).as("v_interp"),
+        when(col("v").isNotNull, 0).otherwise(1).as("interpolated"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q_weighted_median — exact weighted median per group (price
+    * weighted by integer quantity): keyed cumulative weight vs the
+    * group total, first value where the running weight crosses half.
+    * Weights floored to exact integers so the crossing predicate
+    * `cum·2 ≥ total` never rides a double-sum boundary; order
+    * tie-broken to the primary key. */
+  val q_weighted_median: Q = (s, d) => {
+    val x = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice"), 2).as("v"),
+        floor(col("l_quantity")).cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      .localCheckpoint(true) // feeds the cumsum pass AND the totals
+    val w = Window.partitionBy("grp")
+      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val o = x.withColumn("cum", sum(col("w")).over(w))
+    val t = x.groupBy("grp").agg(sum(col("w")).as("total"))
+    o.join(t, Seq("grp"))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("grp")
+      .agg(min(col("v")).as("weighted_median"),
+        max(col("total")).as("total_weight"))
+      .orderBy("grp")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3278,5 +3352,7 @@ object Queries {
     "q_pareto_by_group" -> q_pareto_by_group,
     "q_lag_features" -> q_lag_features,
     "q_abandonment" -> q_abandonment,
+    "q_interp_linear" -> q_interp_linear,
+    "q_weighted_median" -> q_weighted_median,
   )
 }

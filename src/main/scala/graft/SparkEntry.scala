@@ -1162,5 +1162,35 @@ object SparkEntry {
         |                  AND p.event_type = 'purchase'
         |                  AND p.ts >= fc.cts AND epoch_us(p.ts) - epoch_us(fc.cts) <= 86400000000)
         |ORDER BY fc.user_id""".stripMargin,
+    "q_interp_linear" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 2) AS v
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+        |g AS (SELECT grid.user_id, grid.day, d.v FROM grid LEFT JOIN d USING (user_id, day)),
+        |f AS (SELECT user_id, day, v,
+        |         max(CASE WHEN v IS NOT NULL THEN day END) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        |         min(CASE WHEN v IS NOT NULL THEN day END) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |      FROM g),
+        |pv AS (SELECT f.user_id, f.day, f.v, f.pd, f.nd, dp.v AS vp, dn.v AS vn
+        |       FROM f JOIN d dp ON dp.user_id = f.user_id AND dp.day = f.pd
+        |              JOIN d dn ON dn.user_id = f.user_id AND dn.day = f.nd)
+        |SELECT user_id, day,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE vp + (vn - vp) * CAST(date_diff('day', pd, day) AS DOUBLE) / date_diff('day', pd, nd) END AS v_interp,
+        |       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated
+        |FROM pv ORDER BY user_id, day""".stripMargin,
+    // integer weights: the half-crossing predicate never rides a
+    // double-sum boundary
+    "q_weighted_median" ->
+      """WITH x AS (SELECT l_returnflag AS grp, round(l_extendedprice, 2) AS v,
+        |                  CAST(floor(l_quantity) AS BIGINT) AS w, l_orderkey, l_linenumber
+        |           FROM lineitem WHERE l_quantity >= 1),
+        |o AS (SELECT grp, v, w,
+        |             sum(w) OVER (PARTITION BY grp ORDER BY v, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM x),
+        |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS total FROM x GROUP BY 1)
+        |SELECT o.grp, min(v) AS weighted_median, max(total) AS total_weight
+        |FROM o JOIN t USING (grp) WHERE cum * 2 >= total GROUP BY o.grp ORDER BY o.grp""".stripMargin,
   )
 }
