@@ -3180,6 +3180,73 @@ object Queries {
       .orderBy("grp")
   }
 
+  /** q_hhi — Herfindahl–Hirschman concentration per event type over
+    * user shares, with the effective participant count 1/HHI (the
+    * econometric twin of [[q_gini]]/[[q_pareto]]): share² terms round
+    * at 12 dp (each is one IEEE divide+square from exact integers),
+    * the per-type fold at 6. User-count-sized relations, one keyed
+    * join. */
+  val q_hhi: Q = (s, d) => {
+    val c = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds totals AND the share fold
+    val t = c.groupBy("event_type").agg(sum(col("n")).as("total"))
+    val term = round(pow(col("n").cast("double") / col("total"), 2), 12)
+    c.join(t, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(sum(term), 6).as("hhi"),
+        round(lit(1.0) / sum(term), 4).as("effective_n"))
+      .orderBy("event_type")
+  }
+
+  /** q_theil — Theil T inequality index over customer revenue
+    * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
+    * [[q_gini]] — decomposable across subgroups where Gini is not):
+    * customer-sized relation materialized once for the moment fold and
+    * the term pass; terms 12-dp-rounded (built from the 1-row broadcast
+    * (n, Σx)), final 6. */
+  val q_theil: Q = (s, d) => {
+    val r = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("x"))
+      .localCheckpoint(true)
+    val m = r.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val mu = col("s") / col("n")
+    r.crossJoin(broadcast(m))
+      .groupBy("n")
+      .agg(round(sum(round(col("x") / mu * log(col("x") / mu), 12)) /
+        col("n"), 6).as("theil"))
+      .select(col("theil"), col("n").as("n_customers"))
+  }
+
+  /** q_user_features — the wide per-user ML feature table (churn-model
+    * input): event/purchase counts, spend, active days, span, recency
+    * and intensity — ALL folded in ONE user-keyed conditional-aggregate
+    * pass plus the 1-row max-day broadcast. The capstone shape: at
+    * 100 TB this is a single shuffle of one row per user. */
+  val q_user_features: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+    val base = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("total_spend"),
+        countDistinct(col("day")).as("active_days"),
+        min("day").as("first_day"), max("day").as("last_day"))
+    val mx = ev.agg(max("day").as("ref"))
+    base.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        col("total_spend"), col("active_days"),
+        datediff(col("last_day"), col("first_day")).cast("long")
+          .as("span_days"),
+        datediff(col("ref"), col("last_day")).cast("long").as("recency_days"),
+        round(col("n_events").cast("double") / col("active_days"), 6)
+          .as("events_per_active_day"))
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3354,5 +3421,8 @@ object Queries {
     "q_abandonment" -> q_abandonment,
     "q_interp_linear" -> q_interp_linear,
     "q_weighted_median" -> q_weighted_median,
+    "q_hhi" -> q_hhi,
+    "q_theil" -> q_theil,
+    "q_user_features" -> q_user_features,
   )
 }

@@ -1192,5 +1192,30 @@ object SparkEntry {
         |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS total FROM x GROUP BY 1)
         |SELECT o.grp, min(v) AS weighted_median, max(total) AS total_weight
         |FROM o JOIN t USING (grp) WHERE cum * 2 >= total GROUP BY o.grp ORDER BY o.grp""".stripMargin,
+    "q_hhi" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)
+        |SELECT c.event_type,
+        |       round(sum(round(pow(CAST(n AS DOUBLE) / total, 2), 12)), 6) AS hhi,
+        |       round(1.0 / sum(round(pow(CAST(n AS DOUBLE) / total, 2), 12)), 4) AS effective_n
+        |FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "q_theil" ->
+      """WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS x FROM orders GROUP BY 1),
+        |m AS (SELECT count(*) AS n, sum(x) AS s FROM r)
+        |SELECT round(sum(round(x / (s / n) * ln(x / (s / n)), 12)) / n, 6) AS theil, n AS n_customers
+        |FROM r CROSS JOIN m GROUP BY n""".stripMargin,
+    "q_user_features" ->
+      """WITH base AS (SELECT user_id, count(*) AS n_events,
+        |                     count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |                     round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS total_spend,
+        |                     count(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |                     min(CAST(ts AS DATE)) AS first_day, max(CAST(ts AS DATE)) AS last_day
+        |              FROM events GROUP BY 1),
+        |mx AS (SELECT max(CAST(ts AS DATE)) AS ref FROM events)
+        |SELECT user_id, n_events, n_purchases, total_spend, active_days,
+        |       date_diff('day', first_day, last_day) AS span_days,
+        |       date_diff('day', last_day, ref) AS recency_days,
+        |       round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day
+        |FROM base CROSS JOIN mx ORDER BY user_id""".stripMargin,
   )
 }

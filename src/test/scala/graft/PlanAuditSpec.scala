@@ -66,7 +66,11 @@ class PlanAuditSpec extends SparkSpec {
         "q_ks_test",
         // q_rolling_corr: day-dimension broadcast into the bounded
         // ≤7x trailing-window fan-out (the q_rolling_active shape)
-        "q_rolling_corr")
+        "q_rolling_corr",
+        // q_theil: 1-row (n, Σx) moment broadcast
+        "q_theil",
+        // q_user_features: 1-row max-day broadcast
+        "q_user_features")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
