@@ -3247,6 +3247,50 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** q_abc — ABC inventory classification (A = parts making the first
+    * 80 % of revenue, B = next 15, C = tail): revenue in CENTS-exact
+    * integers (`round(Σ·100)` — double revenue sums would put class
+    * boundaries on a fold-order lottery), cumulative share via
+    * [[operators.Analytics.globalRunningSum]] over the part-sized
+    * relation, class thresholds as pure integer predicates. */
+  val q_abc: Q = (s, d) => {
+    val r = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(round(sum(col("l_extendedprice")) * 100, 0).cast("long")
+        .as("cents"))
+    val o = operators.Analytics.globalRunningSum(
+      r, Seq(desc("cents"), col("l_partkey")), "cents", "cum")
+    val t = o.agg(sum(col("cents")).as("total"))
+    o.crossJoin(broadcast(t))
+      .select(col("l_partkey"),
+        when(col("cum") * 100 <= col("total") * 80, "A")
+          .when(col("cum") * 100 <= col("total") * 95, "B")
+          .otherwise("C").as("cls"))
+      .groupBy("cls").agg(count(lit(1)).as("n_parts"))
+      .orderBy("cls")
+  }
+
+  /** q_segment_migration — customer spend-quintile transition matrix
+    * between two years (the segment-drift view a CRM mart carries):
+    * per-year revenue quintiles via YEAR-KEYED `ntile` windows (groups
+    * sort inside their partitions), then a customer-keyed self-join
+    * counts the 25 (from, to) cells. */
+  val q_segment_migration: Q = (s, d) => {
+    val y = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val w = Window.partitionBy("yr").orderBy(desc("rev"), col("o_custkey"))
+    val r = y.withColumn("q", ntile(5).over(w).cast("long")).localCheckpoint(true)
+    val a = r.filter(col("yr") === 1996)
+      .select(col("o_custkey"), col("q").as("q_from"))
+    val b = r.filter(col("yr") === 1997)
+      .select(col("o_custkey"), col("q").as("q_to"))
+    a.join(b, Seq("o_custkey"))
+      .groupBy("q_from", "q_to").agg(count(lit(1)).as("n"))
+      .orderBy("q_from", "q_to")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3424,5 +3468,7 @@ object Queries {
     "q_hhi" -> q_hhi,
     "q_theil" -> q_theil,
     "q_user_features" -> q_user_features,
+    "q_abc" -> q_abc,
+    "q_segment_migration" -> q_segment_migration,
   )
 }

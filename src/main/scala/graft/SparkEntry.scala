@@ -1217,5 +1217,26 @@ object SparkEntry {
         |       date_diff('day', last_day, ref) AS recency_days,
         |       round(CAST(n_events AS DOUBLE) / active_days, 6) AS events_per_active_day
         |FROM base CROSS JOIN mx ORDER BY user_id""".stripMargin,
+    // cents-exact revenue: double sums would put class boundaries on a
+    // fold-order lottery
+    "q_abc" ->
+      """WITH r AS (SELECT l_partkey, CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS cents
+        |           FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r),
+        |o AS (SELECT l_partkey, cents,
+        |             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM r),
+        |c AS (SELECT l_partkey, CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |                             WHEN cum * 100 <= total * 95 THEN 'B' ELSE 'C' END AS cls
+        |      FROM o CROSS JOIN t)
+        |SELECT cls, count(*) AS n_parts FROM c GROUP BY cls ORDER BY cls""".stripMargin,
+    "q_segment_migration" ->
+      """WITH y AS (SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr, round(sum(o_totalprice), 2) AS rev
+        |           FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2),
+        |r AS (SELECT o_custkey, yr, ntile(5) OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey) AS q
+        |      FROM y),
+        |m AS (SELECT a.q AS q_from, b.q AS q_to, count(*) AS n
+        |      FROM r a JOIN r b ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997 GROUP BY 1, 2)
+        |SELECT q_from, q_to, n FROM m ORDER BY q_from, q_to""".stripMargin,
   )
 }

@@ -70,7 +70,9 @@ class PlanAuditSpec extends SparkSpec {
         // q_theil: 1-row (n, Σx) moment broadcast
         "q_theil",
         // q_user_features: 1-row max-day broadcast
-        "q_user_features")
+        "q_user_features",
+        // q_abc: 1-row revenue-total broadcast
+        "q_abc")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
