@@ -315,6 +315,44 @@ class LawsSpec extends SparkSpec {
     assert(sel.map(_._3).sum == sel.map(_._4).max)
   }
 
+  test("q_ks_test: D matches a driver-side empirical-CDF reference") {
+    val Array((ksD, n1, n2)) = Queries.q_ks_test(spark, sfDir)
+      .select("ks_d", "n1", "n2").as[(Double, Long, Long)].collect()
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_type", "value").as[(String, Double)].collect()
+    val a = rows.filter(_._1 == "click").map(_._2).sorted
+    val b = rows.filter(_._1 == "purchase").map(_._2).sorted
+    assert(n1 == a.length && n2 == b.length)
+    // reference D over the combined support, step functions evaluated
+    // with <= (right-continuous ECDF) — the same convention as the query
+    val support = (a ++ b).distinct.sorted
+    val want = support.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length -
+        b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(ksD - want) < 1e-6, s"ks_d=$ksD want=$want")
+  }
+
+  test("q_weighted_median: crossing rule matches a driver-side reference") {
+    val got = Queries.q_weighted_median(spark, sfDir)
+      .select("grp", "weighted_median")
+      .as[(String, Double)].collect().toMap
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1)
+      .select(col("l_returnflag"), round(col("l_extendedprice"), 2),
+        floor(col("l_quantity")).cast("long"), col("l_orderkey"),
+        col("l_linenumber"))
+      .as[(String, Double, Long, Long, Int)].collect()
+    for ((grp, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(r => (r._2, r._4, r._5))
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      val ref = sorted.find { r => cum += r._3; cum * 2 >= total }.get._2
+      assert(got(grp) == ref, s"$grp: got ${got(grp)} want $ref")
+    }
+  }
+
   test("q_survival: Kaplan-Meier golden with right censoring") {
     // u1 fails at dur 0; u2, u4 fail at dur 2; u3 censored at dur 1;
     // u5 censored at dur 3. Hand-computed curve:
