@@ -3029,9 +3029,16 @@ object Queries {
       .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val pa = col("ca").cast("double") / col("na")
     val pb = col("cb").cast("double") / col("nb")
+    // empty-cell guard: a bin with zero rows in one period makes
+    // ln(pa/pb) diverge — Spark's log returns null (term silently
+    // dropped) where DuckDB ERRORS, so the skip must be explicit and
+    // identical on both sides. Standard PSI practice: empty cells
+    // contribute nothing.
+    val term = when(col("ca") > 0 && col("cb") > 0,
+      round((pa - pb) * log(pa / pb), 12)).otherwise(0.0)
     binned.join(t, Seq("event_type"))
       .groupBy("event_type")
-      .agg(round(sum(round((pa - pb) * log(pa / pb), 12)), 6).as("psi"))
+      .agg(round(sum(term), 6).as("psi"))
       .orderBy("event_type")
   }
 

@@ -1135,8 +1135,10 @@ object SparkEntry {
         |             count(CASE WHEN period = 'b' THEN 1 END) AS cb FROM e GROUP BY 1, 2),
         |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c GROUP BY 1)
         |SELECT c.event_type,
-        |       round(sum(round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
-        |                 ln((CAST(ca AS DOUBLE)/na) / (CAST(cb AS DOUBLE)/nb)), 12)), 6) AS psi
+        |       round(sum(CASE WHEN ca > 0 AND cb > 0
+        |                 THEN round((CAST(ca AS DOUBLE)/na - CAST(cb AS DOUBLE)/nb) *
+        |                      ln((CAST(ca AS DOUBLE)/na) / (CAST(cb AS DOUBLE)/nb)), 12)
+        |                 ELSE 0.0 END), 6) AS psi
         |FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
     "q_pareto_by_group" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),

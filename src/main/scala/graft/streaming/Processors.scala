@@ -239,18 +239,32 @@ object Processors {
       val ts = if (reached.exists()) reached.get()
                else Array.fill(stages.size)(Long.MinValue)
       val out = Vector.newBuilder[FunnelOut]
-      rows.foreach { e =>
-        val k = stages.indexOf(e.etype)
-        if (k == 0 && ts(0) == Long.MinValue) {
-          ts(0) = e.tsMs
-          out += FunnelOut(key, 1, e.tsMs, completed = stages.size == 1)
-        } else if (k > 0 && ts(k) == Long.MinValue &&
-                   ts(k - 1) != Long.MinValue && e.tsMs >= ts(k - 1)) {
-          ts(k) = e.tsMs
-          out += FunnelOut(key, k + 1, e.tsMs, completed = k == stages.size - 1)
+      var changed = false
+      // fold in EVENT-TIME order (ties: earlier stage first, so a
+      // same-timestamp view→click still progresses): the per-key batch
+      // iterator's order after the groupByKey shuffle is NOT arrival
+      // order, and the stage machine's at-or-after rule is an event-time
+      // contract. The sort buffers one key's single-batch rows — bounded
+      // by the micro-batch, not the stream.
+      rows.toArray
+        .sortBy(e => (e.tsMs, stages.indexOf(e.etype)))
+        .foreach { e =>
+          val k = stages.indexOf(e.etype)
+          if (k == 0 && ts(0) == Long.MinValue) {
+            ts(0) = e.tsMs
+            changed = true
+            out += FunnelOut(key, 1, e.tsMs, completed = stages.size == 1)
+          } else if (k > 0 && ts(k) == Long.MinValue &&
+                     ts(k - 1) != Long.MinValue && e.tsMs >= ts(k - 1)) {
+            ts(k) = e.tsMs
+            changed = true
+            out += FunnelOut(key, k + 1, e.tsMs, completed = k == stages.size - 1)
+          }
         }
-      }
-      reached.update(ts)
+      // write state only on advancement: zero-progress keys (noise
+      // events before any stage-1) must not accumulate store entries,
+      // and unchanged keys must not pay a store write per batch
+      if (changed) reached.update(ts)
       out.result().iterator
     }
   }

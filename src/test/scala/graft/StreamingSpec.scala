@@ -399,9 +399,14 @@ class StreamingSpec extends SparkSpec {
         Processors.FunnelEvent(3L, "purchase", 10L),
         Processors.FunnelEvent(2L, "purchase", 600L))
       q.processAllAvailable()
-      val rows = spark.table(name).as[Processors.FunnelOut].collect()
+      val collected = spark.table(name).as[Processors.FunnelOut].collect()
+      // assert on the RAW row count before Map-deduping: a duplicate
+      // emission of the same (user, stage) is exactly the regression the
+      // advance-once contract forbids, and a Map would silently absorb it
+      assert(collected.length == 6,
+        s"exactly six advancement rows, got ${collected.toSeq}")
+      val rows = collected
         .map(r => (r.userId, r.stage) -> ((r.tsMs, r.completed))).toMap
-      assert(rows.size == 6, s"exactly six advancements, got $rows")
       assert(rows((1L, 1)) == ((100L, false)))
       assert(rows((1L, 2)) == ((200L, false)))
       assert(rows((1L, 3)) == ((400L, true)))
