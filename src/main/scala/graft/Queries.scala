@@ -3212,6 +3212,33 @@ object Queries {
     * customer-sized relation materialized once for the moment fold and
     * the term pass; terms 12-dp-rounded (built from the 1-row broadcast
     * (n, Σx)), final 6. */
+  /** q_vocab_coverage — corpus token coverage by top-k vocabulary (the
+    * truncation-loss curve that sizes a tokenizer vocab): rank AND
+    * cumulative token mass come from ONE
+    * [[operators.Analytics.globalRunningSums]] pass (the rank is the
+    * prefix sum of a ones column — no second shuffle), coverage read at
+    * k ∈ {10, 20, 30} against the 1-row broadcast totals. Exact
+    * integer cumulatives; one division per output row. */
+  val q_vocab_coverage: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("one", lit(1L))
+    val ranked = operators.Analytics.globalRunningSums(
+      cnt, Seq(desc("c"), col("word")), Seq("c" -> "cum", "one" -> "r"))
+    val t = ranked.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_vocab"))
+    val base = ranked.crossJoin(broadcast(t))
+    def covAt(k: Int) = base.agg(lit(k.toLong).as("k"),
+      max(when(col("r") <= k, col("cum"))).as("cov"),
+      max(col("total")).as("total"), max(col("n_vocab")).as("n_vocab"))
+    covAt(10).unionByName(covAt(20)).unionByName(covAt(30))
+      .select(col("k"),
+        round(col("cov").cast("double") / col("total"), 6).as("coverage"),
+        col("n_vocab"))
+      .orderBy("k")
+  }
+
   val q_theil: Q = (s, d) => {
     val r = Tables.orders(s, d)
       .groupBy("o_custkey")
@@ -3477,5 +3504,6 @@ object Queries {
     "q_user_features" -> q_user_features,
     "q_abc" -> q_abc,
     "q_segment_migration" -> q_segment_migration,
+    "q_vocab_coverage" -> q_vocab_coverage,
   )
 }

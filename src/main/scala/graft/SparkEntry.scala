@@ -1240,5 +1240,16 @@ object SparkEntry {
         |m AS (SELECT a.q AS q_from, b.q AS q_to, count(*) AS n
         |      FROM r a JOIN r b ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997 GROUP BY 1, 2)
         |SELECT q_from, q_to, n FROM m ORDER BY q_from, q_to""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH cnt AS (SELECT word, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |             WHERE word <> '' GROUP BY word),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS r,
+        |              CAST(sum(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cnt),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS n_vocab FROM cnt)
+        |SELECT k, round(CAST(cov AS DOUBLE) / total, 6) AS coverage, n_vocab FROM (
+        |  SELECT 10 AS k, max(CASE WHEN r <= 10 THEN cum END) AS cov, max(total) AS total, max(n_vocab) AS n_vocab FROM rk CROSS JOIN t
+        |  UNION ALL SELECT 20, max(CASE WHEN r <= 20 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t
+        |  UNION ALL SELECT 30, max(CASE WHEN r <= 30 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t) s
+        |ORDER BY k""".stripMargin,
   )
 }

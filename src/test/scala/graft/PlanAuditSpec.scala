@@ -72,7 +72,9 @@ class PlanAuditSpec extends SparkSpec {
         // q_user_features: 1-row max-day broadcast
         "q_user_features",
         // q_abc: 1-row revenue-total broadcast
-        "q_abc")
+        "q_abc",
+        // q_vocab_coverage: 1-row (total, n_vocab) broadcast
+        "q_vocab_coverage")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
