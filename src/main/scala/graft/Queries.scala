@@ -478,14 +478,18 @@ object Queries {
   }
 
   /** q_window_rank — ranking analytics beyond row_number: dense_rank,
-    * percent_rank, and ntile quartiles per priority class. The window
+    * percent_rank, and ntile quartiles per CUSTOMER. The window
     * ordering is total (price, then key), so every rank function is
-    * deterministic and oracle-exact. */
+    * deterministic and oracle-exact. Partitioned on the customer key —
+    * |customers| parallel slices that stay per-task-bounded at any
+    * scale; the 5-value o_orderpriority partitioning this replaced
+    * would sort the whole order table in 5 serial tasks (the
+    * low-cardinality-window anti-pattern PlanAuditSpec now pins). */
   val q_window_rank: Q = (s, d) => {
-    val w = Window.partitionBy("o_orderpriority")
+    val w = Window.partitionBy("o_custkey")
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
     Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_orderpriority"),
+      .select(col("o_orderkey"), col("o_custkey"),
         dense_rank().over(w).cast("long").as("drank"),
         round(percent_rank().over(w), 6).as("prank"),
         ntile(4).over(w).cast("long").as("quartile"))
@@ -1047,15 +1051,21 @@ object Queries {
     * The distributed replacement for per-group reservoir sampling —
     * deterministic (no RNG state), mergeable (bottom-k of a union is the
     * bottom-k of the bottom-ks), engine-portable (md5 everywhere, so the
-    * DuckDB oracle reproduces it bit-for-bit), and one keyed-window
-    * shuffle at any scale. */
+    * DuckDB oracle reproduces it bit-for-bit). The selection folds
+    * through the bounded-heap [[graft.functions.BottomKStringAggregator]]
+    * (O(k) state per stratum on every partition, map-side combined) —
+    * NOT a `row_number()` window: lang has ~5 values, so the window form
+    * would sort the whole corpus in 5 serial tasks. */
   val q_sample_per_key: Q = (s, d) => {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val bk = udaf(new graft.functions.BottomKStringAggregator(5))
     Tables.documents(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+      .select(col("lang"), md5(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .groupBy("lang")
+      .agg(bk(col("h"), col("doc_id")).as("ids"))
+      .select(col("lang"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("doc_id"))
       .orderBy("lang", "rn")
   }
 
@@ -1579,13 +1589,21 @@ object Queries {
     * GROUPED matrix (≤ |states|² rows), never the event stream. */
   val q_markov_transitions: Q = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val pw = Window.partitionBy("from_state")
-    Tables.events(s, d)
+    // the normalization joins the |states|-row marginal back as a
+    // broadcast, not a window partitioned on from_state (≤ |states|
+    // serial window tasks); the grouped matrix pins once for its two
+    // consumers (exchange reuse does not merge an agg-below-exchange
+    // branch with its join consumer)
+    val m = Tables.events(s, d)
       .withColumn("to_state", lead(col("event_type"), 1).over(w))
       .filter(col("to_state").isNotNull)
       .groupBy(col("event_type").as("from_state"), col("to_state"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("prob", round(col("cnt") / sum(col("cnt")).over(pw), 6))
+      .localCheckpoint(true)
+    val t = m.groupBy("from_state").agg(sum(col("cnt")).as("ft"))
+    m.join(broadcast(t), Seq("from_state"))
+      .withColumn("prob", round(col("cnt") / col("ft"), 6))
+      .select("from_state", "to_state", "cnt", "prob")
       .orderBy("from_state", "to_state")
   }
 
@@ -1635,19 +1653,23 @@ object Queries {
     * and the statistic fold over the ≤|types|×|cohorts| grouped matrix
     * (broadcast-sized), so the stream is scanned exactly once. */
   val q_chisq: Q = (s, d) => {
+    // marginals and the grand total all join back as broadcast
+    // aggregates of the pinned ≤|types|×|cohorts| matrix — no window at
+    // all (partitioning one on event_type/cohort would serialize on ≤5
+    // keys; a partition-less one is the single-task anti-pattern);
+    // counts are integers in doubles, so every sum is order-exact
     val cells = Tables.events(s, d)
       .select(col("event_type"), (col("user_id") % 3).as("cohort"))
       .groupBy("event_type", "cohort")
       .agg(count(lit(1)).cast("double").as("o"))
-    val rowTot = Window.partitionBy("event_type")
-    val colTot = Window.partitionBy("cohort")
-    // the grand total joins as a broadcast 1-row aggregate, not a
-    // partition-less window (WindowExec's single-task anti-pattern);
-    // counts are integers in doubles, so the sum is order-exact
+      .localCheckpoint(true)
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("cohort").agg(sum(col("o")).as("ct"))
     val all = cells.agg(sum(col("o")).as("tot"))
-    cells.crossJoin(broadcast(all))
-      .withColumn("e",
-        sum(col("o")).over(rowTot) * sum(col("o")).over(colTot) / col("tot"))
+    cells.join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("cohort"))
+      .crossJoin(broadcast(all))
+      .withColumn("e", col("rt") * col("ct") / col("tot"))
       .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6)
         .as("chi2"),
         count(lit(1)).as("n_cells"))
@@ -2807,18 +2829,20 @@ object Queries {
     * event type, ties broken to the smallest bucket (engine mode()
     * builtins leave tie order unspecified — this spells the argmax).
     * Day-of-week via the same epoch-day arithmetic as
-    * [[q_seasonality_dow]]; one keyed count + one keyed rank over the
-    * 7-bucket-per-group relation. */
+    * [[q_seasonality_dow]]; one keyed count, then the argmax as a
+    * struct-max AGGREGATE — max(struct(cnt, −dow)) picks the highest
+    * count and the smallest bucket on ties in one keyed fold (no window
+    * partitioned on the ≤|types| key, no rank pass). */
   val q_mode: Q = (s, d) => {
     val b = Tables.events(s, d)
       .groupBy(col("event_type"),
         ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) +
           lit(4)) % 7).cast("long").as("dow"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("dow"))
-    b.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("dow").as("mode_dow"), col("cnt"))
+    b.groupBy("event_type")
+      .agg(max(struct(col("cnt"), (-col("dow")).as("ndow"))).as("m"))
+      .select(col("event_type"), (-col("m.ndow")).cast("long").as("mode_dow"),
+        col("m.cnt").as("cnt"))
       .orderBy("event_type")
   }
 
@@ -2847,21 +2871,21 @@ object Queries {
   }
 
   /** q_string_agg — ordered string aggregation with a BOUNDED input set
-    * (top-3 users per event type, rank-ordered join of ids): the rank
-    * cut is what makes listagg scale-safe — an unbounded string_agg
-    * over a group is a memory bomb at 100 TB. Order inside the string
-    * is pinned by sorting the collected (rn, id) structs, matching the
-    * oracle's `ORDER BY rn`. */
+    * (top-3 users per event type): the rank cut is what makes listagg
+    * scale-safe — an unbounded string_agg over a group is a memory bomb
+    * at 100 TB. The cut folds through the bounded-heap
+    * [[graft.functions.TopKAggregator]] (cnt desc, user asc — counts
+    * are exact in doubles), which hands the ids back ALREADY in rank
+    * order, so the string is one array_join — no rank window partitioned
+    * on the ≤|types| key, no re-sort. */
   val q_string_agg: Q = (s, d) => {
-    val c = Tables.events(s, d)
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.events(s, d)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("event_type").orderBy(desc("cnt"), col("user_id"))
-    c.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
       .groupBy("event_type")
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("rn"), col("user_id")))),
-        x => x.getField("user_id").cast("string")), ",").as("top_users"))
+      .agg(topk(col("cnt").cast("double"), col("user_id")).as("ids"))
+      .select(col("event_type"), array_join(
+        transform(col("ids"), x => x.cast("string")), ",").as("top_users"))
       .orderBy("event_type")
   }
 
@@ -3044,25 +3068,24 @@ object Queries {
 
   /** q_pareto_by_group — per-group concentration: the minimum number of
     * users covering half of EACH event type's volume (the grouped twin
-    * of [[q_pareto]]): here the cumulative sum is a USER-KEYED window
-    * per type (groups sort independently inside their partitions — the
-    * global windowless machinery is only needed when there is no
-    * partition key), and the strictly-increasing-sum counting trick
-    * gives the answer without a rank predicate. Integer arithmetic
-    * throughout. */
+    * of [[q_pareto]]): the cumulative sum runs through
+    * [[operators.Analytics.groupedRunningSums]] — event_type has ≤5
+    * values, so a window partitioned on it would fold every type's full
+    * user list in one serial task each; the grouped prefix-sum
+    * range-repartitions on (type, −n, user) for full parallelism and
+    * hands back per-type grand totals for free. The
+    * strictly-increasing-sum counting trick then gives the answer
+    * without a rank predicate. Integer arithmetic throughout. */
   val q_pareto_by_group: Q = (s, d) => {
     val c = Tables.events(s, d)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // feeds the window pass AND per-type totals
-    val w = Window.partitionBy("event_type").orderBy(desc("n"), col("user_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val o = c.withColumn("cum", sum(col("n")).over(w))
-    val t = c.groupBy("event_type")
-      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("total"))
-    o.join(t, Seq("event_type"))
-      .groupBy("event_type", "n_users")
-      .agg((count(when(col("cum") * 2 < col("total"), 1)) + lit(1))
-        .as("users_to_half"))
+    val o = operators.Analytics.groupedRunningSums(c, Seq("event_type"),
+      Seq(desc("n"), col("user_id")), Seq("n" -> "cum"),
+      totalSuffix = Some("_total"))
+    o.groupBy("event_type")
+      .agg((count(when(col("cum") * 2 < col("cum_total"), 1)) + lit(1))
+        .as("users_to_half"),
+        count(lit(1)).as("n_users"))
       .select("event_type", "users_to_half", "n_users")
       .orderBy("event_type")
   }
@@ -3165,25 +3188,24 @@ object Queries {
     * group total, first value where the running weight crosses half.
     * Weights floored to exact integers so the crossing predicate
     * `cum·2 ≥ total` never rides a double-sum boundary; order
-    * tie-broken to the primary key. */
+    * tie-broken to the primary key.
+    *
+    * The cumulative pass is [[operators.Analytics.groupedWeightedMedian]],
+    * NOT `Window.partitionBy("grp")`: `grp` = l_returnflag has 3
+    * distinct values, so the window form would run 3 serial tasks, each
+    * sorting and folding a third of the fact table — a guaranteed
+    * straggler at scale. The fused grouped prefix-sum range-repartitions
+    * on (grp, v) for full parallelism, locates each group's crossing
+    * partition from the per-(partition, group) weight totals, and
+    * rescans ONLY those partitions — one shuffle, no window, no
+    * downstream aggregate. */
   val q_weighted_median: Q = (s, d) => {
     val x = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 1)
       .select(col("l_returnflag").as("grp"),
         round(col("l_extendedprice"), 2).as("v"),
-        floor(col("l_quantity")).cast("long").as("w"),
-        col("l_orderkey"), col("l_linenumber"))
-      .localCheckpoint(true) // feeds the cumsum pass AND the totals
-    val w = Window.partitionBy("grp")
-      .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val o = x.withColumn("cum", sum(col("w")).over(w))
-    val t = x.groupBy("grp").agg(sum(col("w")).as("total"))
-    o.join(t, Seq("grp"))
-      .filter(col("cum") * 2 >= col("total"))
-      .groupBy("grp")
-      .agg(min(col("v")).as("weighted_median"),
-        max(col("total")).as("total_weight"))
+        floor(col("l_quantity")).cast("long").as("w"))
+    operators.Analytics.groupedWeightedMedian(x, Seq("grp"), "v", "w")
       .orderBy("grp")
   }
 

@@ -116,7 +116,7 @@ object SparkEntry {
     "q_window_running" ->
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders ORDER BY o_custkey, o_orderkey",
     "q_window_rank" ->
-      "SELECT o_orderkey, o_orderpriority, dense_rank() OVER w AS drank, round(percent_rank() OVER w, 6) AS prank, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
+      "SELECT o_orderkey, o_custkey, dense_rank() OVER w AS drank, round(percent_rank() OVER w, 6) AS prank, ntile(4) OVER w AS quartile FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_orderkey",
     // explicit unbounded frame for first/last/nth (the default RANGE
     // frame would make last_value a running value in BOTH engines — the
     // explicit frame pins the intended semantics identically)

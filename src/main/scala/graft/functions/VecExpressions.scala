@@ -194,3 +194,51 @@ case class VecLshSignature(child: Expression, planes: Array[Array[Double]],
 
   override def prettyName: String = "vec_lsh_sig"
 }
+
+/** Codegen'd order-preserving radix cell of a double: the top `topBits`
+  * of the IEEE-754 bit pattern after the standard total-order flip
+  * (negatives bit-inverted, positives sign-flipped), as an int in
+  * [0, 2^topBits). Monotone in the double value, computed WITHOUT
+  * knowing the data's range — the bucketing primitive that lets a
+  * histogram-selection pass (grouped weighted median / exact quantile
+  * narrowing) run on the FIRST scan, fused with the totals aggregate,
+  * instead of needing a min/max pre-pass. One cell spans at most 1/16
+  * of an octave at topBits=16 (4 mantissa bits), so any
+  * non-adversarial value distribution concentrates a cell's rows far
+  * below a driver-collect budget.
+  */
+case class DoubleRadixCell(child: Expression, topBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(topBits >= 1 && topBits <= 31, "topBits must fit a non-negative int")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"double_radix_cell requires a double input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bits = java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
+    val flipped = if (bits < 0) ~bits else bits ^ java.lang.Long.MIN_VALUE
+    (flipped >>> (64 - topBits)).toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val bits = ctx.freshName("bits")
+      val flipped = ctx.freshName("flipped")
+      s"""
+         |long $bits = Double.doubleToRawLongBits($v);
+         |long $flipped = ($bits < 0L) ? ~$bits : ($bits ^ Long.MIN_VALUE);
+         |${ev.value} = (int) ($flipped >>> ${64 - topBits});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "double_radix_cell"
+}

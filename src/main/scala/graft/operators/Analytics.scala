@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Warehouse-style behavioral analytics over an event stream: cohort
   * retention and ordered funnels — the reference's DWS summary-layer
@@ -93,6 +93,7 @@ object Analytics {
                         cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    requireLongCols(df, cols.map(_._1))
     val vIdx = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
     val k = vIdx.length
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
@@ -103,7 +104,9 @@ object Analytics {
       while (it.hasNext) {
         val row = it.next()
         var i = 0
-        while (i < k) { s(i) += row.getLong(vIdx(i)); i += 1 }
+        // null-guarded here (the first pass over every row); the offset
+        // pass below re-reads the identical checkpointed partitions
+        while (i < k) { s(i) += getLongChecked(row, vIdx(i)); i += 1 }
       }
       Iterator(pid -> s)
     }.collect().toMap
@@ -128,6 +131,312 @@ object Analytics {
       }
     }
     spark.createDataFrame(summed, outSchema)
+  }
+
+  /** The value columns these prefix-sum passes fold are read with
+    * `row.getLong` in a tight loop — an Int/Double column would throw a
+    * bare ClassCastException and a null an NPE deep inside a task. Fail
+    * fast at plan-construction time with a message naming the column.
+    * Nullability can't be checked statically (parquet-derived columns
+    * are schema-nullable even when the data never is) — the fold passes
+    * guard `isNullAt` with a clear error instead. */
+  private def requireLongCols(df: DataFrame, cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      val f = df.schema(df.schema.fieldIndex(c))
+      require(f.dataType == LongType,
+        s"running-sum column '$c' must be LongType (cast it first), got ${f.dataType.simpleString}")
+    }
+
+  private def getLongChecked(row: Row, idx: Int): Long = {
+    if (row.isNullAt(idx))
+      throw new IllegalArgumentException(
+        s"running-sum column at field ${idx} is NULL — coalesce nulls before the prefix pass")
+    row.getLong(idx)
+  }
+
+  /** GROUPED running sums: `sum(v) OVER (PARTITION BY g ORDER BY … ROWS
+    * UNBOUNDED PRECEDING)` for a LOW-cardinality group key — the case
+    * where `Window.partitionBy(g)` is a scale killer (|g| partitions =
+    * |g| serial tasks, each sorting and folding 1/|g| of the relation).
+    * Same machinery as [[globalRunningSums]] with the group key leading
+    * the range-repartition sort order: rows of one group are contiguous
+    * within (and across) partitions, per-(partition, group) totals are
+    * collected (≤ nPart·|groups| tiny rows), and each partition resumes
+    * every group at its prefix offset — full nPart-way parallelism
+    * regardless of |groups|.
+    *
+    * `totalSuffix`, when set, also appends each group's GRAND total per
+    * output column (out + suffix) — free here (the totals are already on
+    * the driver), and it saves callers the usual second aggregate+join
+    * over the source.
+    *
+    * Caller contract: |distinct groups| must be driver-bounded (the
+    * collect is O(nPart·|groups|)) — exactly the low-cardinality regime
+    * where the window form degenerates. High-cardinality partitions
+    * belong in `Window.partitionBy`, which is then genuinely parallel. */
+  /** Shared first pass of the grouped prefix-sum family: range-shuffle
+    * on (groupCols, orderCols) so each group's rows are contiguous
+    * within and across partitions, then one forward scan collecting
+    * per-(partition, group) value totals — ≤ nPart·|groups| tiny rows
+    * to the driver. Group-change detection compares fields in place
+    * (no per-row key allocation: the group key Seq is built only at a
+    * boundary, ≤ |groups present in the partition| times). */
+  private def sortedGroupScan(df: DataFrame, groupCols: Seq[String],
+                              orderCols: Seq[Column], valueCols: Seq[String])
+      : (DataFrame, Int, Map[Int, Vector[(Seq[Any], Array[Long])]]) = {
+    val spark = df.sparkSession
+    val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+    requireLongCols(df, valueCols)
+    val gIdx = groupCols.map(df.schema.fieldIndex).toArray
+    val vIdx = valueCols.map(df.schema.fieldIndex).toArray
+    val k = vIdx.length
+    val sortCols = groupCols.map(col) ++ orderCols
+    val sorted = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(eager = true)
+    val partGroupSums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Seq[Any], Array[Long])]
+      var cur: Array[Any] = null
+      var s: Array[Long] = null
+      while (it.hasNext) {
+        val row = it.next()
+        var changed = cur == null
+        var g = 0
+        while (!changed && g < gIdx.length) {
+          if (row.get(gIdx(g)) != cur(g)) changed = true
+          g += 1
+        }
+        if (changed) {
+          cur = gIdx.map(row.get(_))
+          s = new Array[Long](k)
+          buf += ((cur.toSeq, s))
+        }
+        var i = 0
+        // null-guarded here (the first pass over every row); later
+        // passes re-read the identical checkpointed partitions
+        while (i < k) { s(i) += getLongChecked(row, vIdx(i)); i += 1 }
+      }
+      Iterator(pid -> buf.toVector)
+    }.collect().toMap
+    (sorted, nPart, partGroupSums)
+  }
+
+  def groupedRunningSums(df: DataFrame, groupCols: Seq[String],
+                         orderCols: Seq[Column], cols: Seq[(String, String)],
+                         totalSuffix: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val gIdx = groupCols.map(df.schema.fieldIndex).toArray
+    val vIdx = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
+    val k = vIdx.length
+    val (sorted, nPart, partGroupSums) =
+      sortedGroupScan(df, groupCols, orderCols, cols.map(_._1))
+    // prefix offsets per (partition, group), walking partitions in range
+    // order; the running accumulator per group ends at the grand total
+    val acc = scala.collection.mutable.Map.empty[Seq[Any], Array[Long]]
+    val offsets: Map[(Int, Seq[Any]), Array[Long]] =
+      (0 until nPart).flatMap { p =>
+        partGroupSums.getOrElse(p, Vector.empty).map { case (key, s) =>
+          val before = acc.getOrElseUpdate(key, new Array[Long](k)).clone()
+          val a = acc(key)
+          var i = 0
+          while (i < k) { a(i) += s(i); i += 1 }
+          (p, key) -> before
+        }
+      }.toMap
+    val totals: Map[Seq[Any], Array[Long]] = acc.toMap
+    val outSchema = StructType(df.schema.fields ++
+      cols.map { case (_, out) => StructField(out, LongType, nullable = false) } ++
+      totalSuffix.toSeq.flatMap(sfx => cols.map { case (_, out) =>
+        StructField(out + sfx, LongType, nullable = false)
+      }))
+    val summed = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Array[Any] = null
+      var run: Array[Long] = null
+      var tot: Seq[Long] = null
+      it.map { row =>
+        var changed = cur == null
+        var g = 0
+        while (!changed && g < gIdx.length) {
+          if (row.get(gIdx(g)) != cur(g)) changed = true
+          g += 1
+        }
+        if (changed) {
+          cur = gIdx.map(row.get(_))
+          val key = cur.toSeq
+          run = offsets((pid, key)).clone()
+          tot = if (totalSuffix.isDefined) totals(key).toSeq else null
+        }
+        var i = 0
+        while (i < k) { run(i) += row.getLong(vIdx(i)); i += 1 }
+        val base = row.toSeq ++ run.toSeq
+        Row.fromSeq(if (tot == null) base else base ++ tot)
+      }
+    }
+    spark.createDataFrame(summed, outSchema)
+  }
+
+  /** Exact grouped weighted median by HISTOGRAM SELECTION — the
+    * distributed k-th-element algorithm, not a sort: per group, the
+    * smallest `valueCol` whose cumulative `weightCol` reaches half the
+    * group total, found by narrowing a value interval. TWO scans for
+    * any realistic distribution, each a codegen aggregate with map-side
+    * combine — no wide shuffle of data rows, no per-group sort, no
+    * window:
+    *   1. Radix histogram, fused with the totals: `groupBy(group,
+    *      double_radix_cell(v)).agg(sum w, count, min v, max v)`. The
+    *      cell ([[graft.functions.DoubleRadixCell]]) is the top 16 bits
+    *      of the value's order-flipped IEEE pattern — monotone and
+    *      DATA-INDEPENDENT, so no min/max pre-pass is needed and the
+    *      group totals fall out of the same aggregate. The crossing
+    *      cell is found driver-side by an EXACT long prefix walk over
+    *      the ≤ 2^16 (occupied, in practice a few hundred) cells; the
+    *      interval narrows to that cell's actual [min, max] and the
+    *      target to the residual weight. A cell spans ≤ 1/16 octave —
+    *      if it still holds more than `driverBudget` rows (adversarial
+    *      value pile-up), equal-width refinement passes shrink it
+    *      `buckets`-fold each until it fits.
+    *   2. Exact finish: `groupBy(group, v).agg(sum w)` over the final
+    *      interval (≤ driverBudget rows by construction), walked sorted
+    *      on the driver.
+    *
+    * Cell boundaries only STEER the narrowing — the answer is always an
+    * actual data value reached by exact integer weight arithmetic, so
+    * float bucketing can't flip the result. Replaces
+    * `Window.partitionBy(grp)` over a low-cardinality grp (|groups|
+    * serial whole-group sort tasks — a guaranteed straggler at scale)
+    * with |groups|-independent full parallelism and zero shuffled data
+    * rows; the general prefix-sum alternative ([[groupedRunningSums]])
+    * stays the right tool when the running column itself is the output
+    * — a selection query doesn't need the scan materialized.
+    *
+    * Caller contract: |groups| is driver-bounded (per-cell aggregates
+    * collect O(|groups|·occupied cells)). Rows with null value or
+    * weight are excluded. Returns (groupCols*, weighted_median,
+    * total_weight), one row per non-empty group. */
+  def groupedWeightedMedian(df: DataFrame, groupCols: Seq[String],
+                            valueCol: String, weightCol: String,
+                            buckets: Int = 1024, driverBudget: Int = 65536,
+                            maxIters: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    requireLongCols(df, Seq(weightCol))
+    val gc = groupCols.map(col)
+    val proj = df.select((groupCols.map(col) :+
+        col(valueCol).cast("double").as("__v") :+ col(weightCol).as("__w")): _*)
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+    val nG = groupCols.length
+    final case class St(key: IndexedSeq[Any], var lo: Double, var hi: Double,
+                        var need: Long, total: Long, var rows: Long,
+                        var answer: Option[Double])
+    // exact long prefix walk: narrow the state to the crossing cell
+    def narrow(s: St, cells: Seq[(Long, Long, Double, Double)]): Unit = {
+      var cum = 0L
+      var found = false
+      cells.foreach { case (w, n, bmin, bmax) =>
+        if (!found && cum + w >= s.need) {
+          found = true
+          s.need -= cum
+          s.lo = bmin; s.hi = bmax; s.rows = n
+          if (bmin == bmax) s.answer = Some(bmin)
+        } else if (!found) cum += w
+      }
+      // all-zero-weight group (target 0 crosses at the first value) or a
+      // degenerate float interval: answer the interval's low end
+      if (!found) s.answer = Some(s.lo)
+    }
+    // pass 1: radix histogram fused with the group totals — one scan
+    val radixCell = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.DoubleRadixCell(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__v")), 16))
+      .as("__b")
+    val hist0 = proj.groupBy((gc :+ radixCell): _*)
+      .agg(sum(col("__w")).as("s"), count(lit(1)).as("n"),
+        min(col("__v")).as("bmin"), max(col("__v")).as("bmax"))
+      .collect() // bounded: occupied cells only, <= |groups| * 2^16
+      .groupBy(r => (0 until nG).map(r.get(_)))
+    val states = hist0.toSeq.map { case (key, rs) =>
+      val cells = rs
+        .map(r => (r.getInt(nG), r.getLong(nG + 1), r.getLong(nG + 2),
+          r.getDouble(nG + 3), r.getDouble(nG + 4)))
+        .sortBy(_._1) // cell order = value order (the radix map is monotone)
+      val total = cells.map(_._2).sum
+      val s = St(key, cells.head._4, cells.last._5, (total + 1) / 2,
+        total, 0L, None)
+      narrow(s, cells.map(c => (c._2, c._3, c._4, c._5)).toSeq)
+      s
+    }
+    val keySchema = groupCols.map(c => proj.schema(proj.schema.fieldIndex(c)))
+    def intervalDim(sts: Seq[St], extra: St => Seq[Any],
+                    extraFields: Seq[StructField]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          sts.map(s => Row.fromSeq(s.key ++ extra(s))), 1),
+        StructType(keySchema ++ extraFields))
+    // adversarial pile-up only: equal-width refinement until the
+    // crossing interval fits the driver budget
+    var iters = 0
+    while (states.exists(s => s.answer.isEmpty && s.rows > driverBudget) &&
+           iters < maxIters) {
+      iters += 1
+      val active = states.filter(s => s.answer.isEmpty && s.rows > driverBudget)
+      val dim = intervalDim(active,
+        s => Seq(s.lo, s.hi, (s.hi - s.lo) / buckets),
+        Seq(StructField("__lo", DoubleType, nullable = false),
+          StructField("__hi", DoubleType, nullable = false),
+          StructField("__wdt", DoubleType, nullable = false)))
+      val cell = least(lit(buckets - 1), greatest(lit(0),
+        floor((col("__v") - col("__lo")) / col("__wdt")))).as("__b")
+      val hist = proj.join(broadcast(dim), groupCols)
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy((gc :+ cell): _*)
+        .agg(sum(col("__w")).as("s"), count(lit(1)).as("n"),
+          min(col("__v")).as("bmin"), max(col("__v")).as("bmax"))
+        .collect() // bounded: at most |active| * buckets small rows
+        .groupBy(r => (0 until nG).map(r.get(_)))
+      active.foreach { s =>
+        val cells = hist.getOrElse(s.key, Array.empty[Row])
+          .map(r => (r.getLong(nG), r.getLong(nG + 1), r.getLong(nG + 2),
+            r.getDouble(nG + 3), r.getDouble(nG + 4)))
+          .sortBy(_._1) // cell index order = value order (floor is monotone)
+        narrow(s, cells.map(c => (c._2, c._3, c._4, c._5)).toSeq)
+      }
+    }
+    // pass 2: exact finish over the final (small) intervals. The
+    // per-group interval rides as a LITERAL disjunction, not a
+    // broadcast join: one fewer job, and on a raw scan column the
+    // range predicate reaches the parquet row-group statistics
+    val open = states.filter(_.answer.isEmpty)
+    if (open.nonEmpty) {
+      val pred = open.map { s =>
+        groupCols.zipWithIndex.map { case (c, i) =>
+          col(c) === lit(s.key(i))
+        }.reduce(_ && _) &&
+          col("__v") >= lit(s.lo) && col("__v") <= lit(s.hi)
+      }.reduce(_ || _)
+      val fin = proj.filter(pred)
+        .groupBy((gc :+ col("__v")): _*)
+        .agg(sum(col("__w")).as("s"))
+        .collect() // at most driverBudget rows per group by construction
+        .groupBy(r => (0 until nG).map(r.get(_)))
+      open.foreach { s =>
+        val vals = fin.getOrElse(s.key, Array.empty[Row])
+          .map(r => (r.getDouble(nG), r.getLong(nG + 1)))
+          .sortBy(_._1)
+        var cum = 0L
+        vals.foreach { case (v, w) =>
+          if (s.answer.isEmpty) {
+            cum += w
+            if (cum >= s.need) s.answer = Some(v)
+          }
+        }
+        if (s.answer.isEmpty && vals.nonEmpty) s.answer = Some(vals.head._1)
+      }
+    }
+    val outSchema = StructType(keySchema ++ Seq(
+      StructField("weighted_median", DoubleType, nullable = true),
+      StructField("total_weight", LongType, nullable = true)))
+    val rows = states.map(s =>
+      Row.fromSeq(s.key ++ Seq(s.answer.orNull, s.total)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 
   /** Exact `ntile(k)` bucket from a 1-based global rank — the pure

@@ -103,21 +103,25 @@ object Sampling {
     * cluster sizes, incremental under appends, and the DuckDB oracle
     * reproduces the ranking from the same formula (both engines' `ln` is
     * correctly rounded; selection flips would need two keys within one
-    * ulp). One keyed shuffle — the per-stratum rank window, partitioned
-    * on the stratum so it scales with stratum count. Weights must be
-    * strictly positive. */
+    * ulp). The top-k folds through the bounded-heap
+    * [[graft.functions.TopKAggregator]] — O(k) state per stratum on
+    * every partition, map-side combined — NOT a per-stratum rank
+    * window: with few strata the window form sorts the whole input in
+    * |strata| serial tasks. The selected (stratum, id) set (≤
+    * |strata|·k rows) broadcast-semi-joins back for the full rows.
+    * Weights must be strictly positive; ids must be integral. */
   def weightedSamplePerKey(df: DataFrame, stratumCol: String, idCol: String,
                            weight: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4294967296.0)
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(desc("__es_key"), col(idCol))
-    df.withColumn("__es_key", log(u) / weight)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__es_key", "__rn")
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val sel = df.withColumn("__es_key", log(u) / weight)
+      .groupBy(col(stratumCol))
+      .agg(topk(col("__es_key"), col(idCol)).as("__ids"))
+      .select(col(stratumCol), explode(col("__ids")).as(idCol))
+    df.join(broadcast(sel), Seq(stratumCol, idCol), "left_semi")
   }
 
   /** GLOBALLY ordered shard writer — curriculum/quality-sorted training

@@ -271,6 +271,62 @@ class LawsSpec extends SparkSpec {
     assert(want.last._3 == got.map(_._2).sum)
   }
 
+  test("groupedRunningSums: per-group prefix sums + grand totals == driver reference") {
+    import graft.operators.Analytics
+    val gen: Gen[List[(String, Double, Long)]] =
+      Gen.listOfN(80, for {
+        g <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-50.0, 50.0)
+        w <- Gen.choose(0L, 9L)
+      } yield (g, v, w))
+    for (rows <- samples(gen, 3)) {
+      // unique tie-break key for a total order
+      val withId = rows.zipWithIndex.map { case ((g, v, w), i) => (g, v, w, i.toLong) }
+      val df = withId.toDF("g", "v", "w", "id")
+      val got = Analytics.groupedRunningSums(df, Seq("g"),
+          Seq(col("v"), col("id")), Seq("w" -> "cum"), totalSuffix = Some("_total"))
+        .select("g", "v", "w", "id", "cum", "cum_total")
+        .as[(String, Double, Long, Long, Long, Long)].collect()
+        .sortBy(t => (t._1, t._2, t._4))
+      val want = withId.groupBy(_._1).flatMap { case (g, gs) =>
+        val sorted = gs.sortBy(r => (r._2, r._4))
+        val total = sorted.map(_._3).sum
+        var run = 0L
+        sorted.map { case (_, v, w, id) => run += w; (g, v, w, id, run, total) }
+      }.toSeq.sortBy(t => (t._1, t._2, t._4))
+      assert(got.toSeq == want)
+    }
+  }
+
+  test("groupedWeightedMedian: histogram selection == driver reference (negatives, ties, zero weights, forced refinement)") {
+    import graft.operators.Analytics
+    val gen: Gen[List[(String, Double, Long)]] =
+      Gen.listOfN(120, for {
+        g <- Gen.oneOf("a", "b", "c")
+        // negative values exercise the IEEE order-flip in DoubleRadixCell;
+        // a coarse value grid forces duplicate values (exact-finish ties)
+        v <- Gen.choose(-20, 20).map(_ * 2.5)
+        w <- Gen.choose(0L, 5L)
+      } yield (g, v, w))
+    for ((rows, i) <- samples(gen, 3).zipWithIndex) {
+      val df = rows.toDF("g", "v", "w")
+      // driverBudget=4 forces the equal-width refinement loop to run
+      val budget = if (i == 0) 4 else 65536
+      val got = Analytics.groupedWeightedMedian(df, Seq("g"), "v", "w",
+          buckets = 8, driverBudget = budget)
+        .select("g", "weighted_median", "total_weight")
+        .as[(String, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      rows.groupBy(_._1).foreach { case (g, gs) =>
+        val sorted = gs.map(r => (r._2, r._3)).sortBy(_._1)
+        val total = sorted.map(_._2).sum
+        var cum = 0L
+        val ref = sorted.find { r => cum += r._2; cum * 2 >= total }
+          .map(_._1).getOrElse(sorted.head._1)
+        assert(got(g) == ((ref, total)), s"group $g: got ${got(g)} want ($ref, $total)")
+      }
+    }
+  }
+
   test("q_streak: gaps-and-islands golden on crafted activity spans") {
     // user 1: days 1-3 then 5 → max streak 3, two islands
     // user 2: days 10,12,14 → three singleton islands

@@ -12,10 +12,41 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private lazy val plans: Seq[(String, SparkPlan)] =
+  private lazy val executions =
     Queries.all.map { case (n, q) =>
-      n -> q(spark, sfDir).queryExecution.sparkPlan
+      n -> q(spark, sfDir).queryExecution
     }
+
+  private lazy val plans: Seq[(String, SparkPlan)] =
+    executions.map { case (n, qe) => n -> qe.sparkPlan }
+
+  /** MEASURED low-cardinality-window audit: for every logical Window
+    * node, count the distinct partition-spec tuples over the window's
+    * actual input subtree (via the plan bridge — names can't be
+    * trusted, aliases hide the source column). A partition key with ≤
+    * `floor` distinct values means ≤ `floor` parallel tasks, each
+    * sorting its whole slice — the q_weighted_median scale bug this
+    * audit pins. Cardinalities are memoized by (child fingerprint,
+    * spec) so shared shapes (the many user_id windows) measure once. */
+  private val cardMemo = scala.collection.mutable.Map.empty[String, Long]
+  private def lowCardWindows(qe: org.apache.spark.sql.execution.QueryExecution,
+                             floor: Long): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    qe.optimizedPlan.collect {
+      case w: LWindow =>
+        val specSql = w.partitionSpec.map(_.sql).mkString(", ")
+        val key = w.child.semanticHash().toString + "|" + specSql
+        val card = cardMemo.getOrElseUpdate(key, {
+          if (w.partitionSpec.isEmpty) 1L
+          else ColumnBridge.dataFrame(spark, w.child)
+            .select(w.partitionSpec.map(ColumnBridge.column): _*)
+            .distinct().count()
+        })
+        (specSql, card)
+    }.filter(_._2 <= floor)
+      .map { case (spec, card) => s"partitionBy($spec) card=$card" }
+  }
 
   test("no registered query plans a cartesian product") {
     val offenders = plans.collect {
@@ -80,6 +111,35 @@ class PlanAuditSpec extends SparkSpec {
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
     }.toSet
     assert(withBnlj.subsetOf(allowed), s"unexpected BNLJ in: ${withBnlj -- allowed}")
+  }
+
+  test("no window partitions on a low-cardinality key (measured on the fixture)") {
+    // q_keyword_topk ranks the GROUPED (lang, word) vocabulary — a
+    // domain-bounded relation (Heaps' law: vocabulary grows ~√corpus,
+    // not linearly), so the per-lang sort is bounded work that does not
+    // scale with data rows; every data-proportional low-cardinality
+    // window was replaced (bounded heaps / groupedRunningSums /
+    // struct-max argmax / marginal joins) in round 8
+    val allowed: Set[String] = Set("q_keyword_topk")
+    val offenders = executions.flatMap { case (n, qe) =>
+      if (allowed(n)) Nil
+      else lowCardWindows(qe, floor = 10).map(d => s"$n: $d")
+    }
+    assert(offenders.isEmpty, s"low-cardinality windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("the low-cardinality-window audit catches a seeded regression") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the exact shape the audit exists to block: a cumulative window
+    // partitioned on a 3-value key over the full fact table
+    val bad = graft.sources.Tables.lineitem(spark, sfDir)
+      .withColumn("cum", sum(col("l_quantity")).over(
+        Window.partitionBy("l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val flagged = lowCardWindows(bad.queryExecution, floor = 10)
+    assert(flagged.nonEmpty, "seeded 3-value-key window was not flagged")
   }
 
   test("predicate pushdown reaches the parquet scan (q_filter)") {
