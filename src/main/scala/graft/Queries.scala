@@ -1996,8 +1996,12 @@ object Queries {
   val q_incremental_agg: Q = (s, d) => {
     val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
     val ev = Tables.events(s, d)
+    // value pre-rounds to 2 dp so snapshot⊕delta and the oracle's
+    // one-pass recompute fold IDENTICAL doubles — raw partials could
+    // differ by ulps and flip the final round on half-way values
     def partial(df: DataFrame) = df.groupBy("event_type")
-      .agg(count(lit(1)).as("p_cnt"), sum(col("value")).as("p_sum"))
+      .agg(count(lit(1)).as("p_cnt"),
+        sum(round(col("value"), 2)).as("p_sum"))
     val snapshot = partial(ev.filter(col("ts") < cutoff))
     val delta = partial(ev.filter(col("ts") >= cutoff))
     snapshot.unionByName(delta)
@@ -3228,12 +3232,6 @@ object Queries {
       .orderBy("event_type")
   }
 
-  /** q_theil — Theil T inequality index over customer revenue
-    * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
-    * [[q_gini]] — decomposable across subgroups where Gini is not):
-    * customer-sized relation materialized once for the moment fold and
-    * the term pass; terms 12-dp-rounded (built from the 1-row broadcast
-    * (n, Σx)), final 6. */
   /** q_vocab_coverage — corpus token coverage by top-k vocabulary (the
     * truncation-loss curve that sizes a tokenizer vocab): rank AND
     * cumulative token mass come from ONE
@@ -3261,6 +3259,12 @@ object Queries {
       .orderBy("k")
   }
 
+  /** q_theil — Theil T inequality index over customer revenue
+    * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
+    * [[q_gini]] — decomposable across subgroups where Gini is not):
+    * customer-sized relation materialized once for the moment fold and
+    * the term pass; terms 12-dp-rounded (built from the 1-row broadcast
+    * (n, Σx)), final 6. */
   val q_theil: Q = (s, d) => {
     val r = Tables.orders(s, d)
       .groupBy("o_custkey")

@@ -645,8 +645,11 @@ object SparkEntry {
     // the oracle is the FULL recompute; the Spark side refreshes
     // incrementally (snapshot ⊕ delta) — the hash match IS the
     // merge-equivalence law
+    // value pre-rounds to 2 dp on BOTH sides so the snapshot⊕delta fold
+    // and the one-pass recompute sum identical cells (unrounded partials
+    // could differ by ulps and flip the final round on half-way values)
     "q_incremental_agg" ->
-      "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(sum(value) / count(*), 6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type",
+      "SELECT event_type, count(*) AS n_events, round(sum(round(value, 2)), 2) AS sum_value, round(sum(round(value, 2)) / count(*), 6) AS avg_value FROM events GROUP BY event_type ORDER BY event_type",
     "q_vocab_build" ->
       """SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS vocab_id FROM (
         |  SELECT word, count(*) AS cnt FROM (
@@ -720,7 +723,11 @@ object SparkEntry {
         |norm AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([^:]+)://', 1)) || '://' ||
-        |    regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)), ':(443|80)$', '') ||
+        |    CASE lower(regexp_extract(url, '^([^:]+)://', 1))
+        |      WHEN 'https' THEN regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)), ':443$', '')
+        |      WHEN 'http' THEN regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)), ':80$', '')
+        |      ELSE lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1))
+        |    END ||
         |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) ||
         |    CASE WHEN qsort <> '' THEN '?' || qsort ELSE '' END AS url
         |  FROM (SELECT doc_id, url,

@@ -117,16 +117,21 @@ object Text {
 
   /** Canonical URL normalization — the crawl-dedup prep step (the same
     * page arrives as `HTTP://Host:80/p?utm_source=x&b=1&a=2#frag` and
-    * `http://host/p?a=2&b=1`): lowercase scheme+host, strip default
-    * ports (`:80`/`:443`), drop the fragment, drop tracking params
-    * (`utm_*`, `ref=`), sort surviving query params. Path case is
-    * PRESERVED (it is semantically significant). Pure column-function
-    * composition — regexp extracts + one higher-order filter/sort over
-    * the short param array; no UDF, no shuffle. */
+    * `http://host/p?a=2&b=1`): lowercase scheme+host, strip the port
+    * only when it is the SCHEME'S default (https→443, http→80 — an
+    * `http://host:443` is a distinct origin and must not collapse),
+    * drop the fragment, drop tracking params (`utm_*`, `ref=`), sort
+    * surviving query params. Path case is PRESERVED (it is semantically
+    * significant). Pure column-function composition — regexp extracts +
+    * one higher-order filter/sort over the short param array; no UDF,
+    * no shuffle. */
   def normalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([^:]+)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(url, "^[^:]+://([^/?#]+)", 1)), ":(443|80)$", "")
+    val rawHost = lower(regexp_extract(url, "^[^:]+://([^/?#]+)", 1))
+    val host =
+      when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+        .when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+        .otherwise(rawHost)
     val path = regexp_extract(url, "^[^:]+://[^/?#]+([^?#]*)", 1)
     val kept = array_sort(filter(
       split(regexp_extract(url, "\\?([^#]*)", 1), "&"),

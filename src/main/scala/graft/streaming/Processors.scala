@@ -200,8 +200,9 @@ object Processors {
     * fixed-width tuple per key — (n, warmupSum, μ, S) — KB-scale at any
     * key cardinality; `stateTtl` bounds idle keys exactly like the other
     * processors. Emits one row per input (running S visible), alert
-    * rows flagged. */
-  case class Drift(key: String, value: Double)
+    * rows flagged. Observations carry an event timestamp and each
+    * batch folds in (tsMs, value) order — see the processor note. */
+  case class Drift(key: String, value: Double, tsMs: Long)
   case class DriftOut(key: String, n: Long, s: Double, alert: Boolean)
 
   /** Input row for the streaming funnel. */
@@ -223,20 +224,28 @@ object Processors {
     * prefix). State per user is one fixed-width timestamp array —
     * unbounded-key-safe behind `stateTtl`, same discipline as every
     * processor here. */
+  /** Funnel state: when each stage was reached (`Long.MinValue` = not
+    * yet). A PRODUCT type on purpose — the state encoder derives a
+    * named-field schema from it, so the persisted state survives code
+    * evolution (a later release adding a field reads old rows with the
+    * new field defaulted). The kryo encoder this replaced serializes
+    * opaque bytes: any class change invalidates every checkpoint. */
+  case class FunnelState(reachedTs: Seq[Long])
+
   class FunnelProcessor(stages: Seq[String],
                         stateTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, FunnelEvent, FunnelOut] {
     require(stages.size >= 2, "a funnel needs at least two stages")
-    @transient private var reached: ValueState[Array[Long]] = _
+    @transient private var reached: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      reached = getHandle.getValueState[Array[Long]]("reached",
-        Encoders.kryo[Array[Long]], stateTtl)
+      reached = getHandle.getValueState[FunnelState]("reached",
+        Encoders.product[FunnelState], stateTtl)
 
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
                                  timers: TimerValues): Iterator[FunnelOut] = {
       // ts[k] = when stage k was reached, Long.MinValue = not yet
-      val ts = if (reached.exists()) reached.get()
+      val ts = if (reached.exists()) reached.get().reachedTs.toArray
                else Array.fill(stages.size)(Long.MinValue)
       val out = Vector.newBuilder[FunnelOut]
       var changed = false
@@ -264,7 +273,7 @@ object Processors {
       // write state only on advancement: zero-progress keys (noise
       // events before any stage-1) must not accumulate store entries,
       // and unchanged keys must not pay a store write per batch
-      if (changed) reached.update(ts)
+      if (changed) reached.update(FunnelState(ts.toSeq))
       out.result().iterator
     }
   }
@@ -284,7 +293,15 @@ object Processors {
                                  timers: TimerValues): Iterator[DriftOut] = {
       var (n, warmupSum, mu, s) =
         if (st.exists()) st.get() else (0L, 0.0, 0.0, 0.0)
-      val out = rows.map { m =>
+      // fold in EVENT-TIME order (ties by value — equal-value rows are
+      // fold-interchangeable, so the order is effectively total): the
+      // per-key batch iterator after the groupByKey shuffle is NOT
+      // arrival order, and the warmup mean, running S, and alert
+      // positions are all order-dependent — an unsorted fold would make
+      // replays non-reproducible. Same discipline as FunnelProcessor;
+      // the sort buffers one key's single-batch rows, bounded by the
+      // micro-batch, not the stream.
+      val out = rows.toArray.sortBy(m => (m.tsMs, m.value)).map { m =>
         n += 1
         if (n <= warmupN) {
           warmupSum += m.value

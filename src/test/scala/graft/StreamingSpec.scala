@@ -340,32 +340,35 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       // batch 1: warmup only (mean 10.0 learned at n=3); stable key too
-      in.addData(Processors.Drift("m", 10.0), Processors.Drift("m", 10.0),
-        Processors.Drift("m", 10.0),
-        Processors.Drift("stable", 5.0), Processors.Drift("stable", 5.0),
-        Processors.Drift("stable", 5.0))
+      in.addData(Processors.Drift("m", 10.0, 100L), Processors.Drift("m", 10.0, 200L),
+        Processors.Drift("m", 10.0, 300L),
+        Processors.Drift("stable", 5.0, 100L), Processors.Drift("stable", 5.0, 200L),
+        Processors.Drift("stable", 5.0, 300L))
       q.processAllAvailable()
-      // batch 2: level shift +0.5 per obs on "m" — S = 0.5, 1.0, 1.5 →
-      // alert fires exactly when |S| EXCEEDS 1.0, then restarts; the
-      // stable key stays at its learned level and never alerts
-      in.addData(Processors.Drift("m", 10.5), Processors.Drift("m", 10.5),
-        Processors.Drift("m", 10.5),
-        Processors.Drift("stable", 5.0), Processors.Drift("stable", 5.0))
+      // batch 2: DISTINCT values added OUT of event-time order — the
+      // fold must sort on tsMs first (400: 10.5 → S=0.5; 500: 10.0 →
+      // S=0.5; 600: 11.0 → S=1.5 > 1.0 alerts, then restarts); an
+      // arrival-order fold would alert at the wrong position. The
+      // stable key stays at its learned level and never alerts.
+      in.addData(Processors.Drift("m", 11.0, 600L), Processors.Drift("m", 10.5, 400L),
+        Processors.Drift("m", 10.0, 500L),
+        Processors.Drift("stable", 5.0, 400L), Processors.Drift("stable", 5.0, 500L))
       q.processAllAvailable()
       // batch 3: drift continues after the restart — fires again (no
-      // saturation), proving state (n, mu, S) carried across batches
-      in.addData(Processors.Drift("m", 10.5), Processors.Drift("m", 10.5),
-        Processors.Drift("m", 10.5))
+      // saturation), proving state (n, mu, S) carried across batches;
+      // S = 0.5, 1.0 (== threshold: no alert), 1.5 → alert
+      in.addData(Processors.Drift("m", 10.5, 700L), Processors.Drift("m", 10.5, 800L),
+        Processors.Drift("m", 10.5, 900L))
       q.processAllAvailable()
       val rows = spark.table(name).as[Processors.DriftOut].collect()
         .map(r => (r.key, r.n) -> ((r.s * 2).round / 2.0, r.alert)).toMap
       // warmup rows: S pinned to 0, no alerts
       for (i <- 1L to 3L) assert(rows(("m", i)) == (0.0, false))
       assert(rows(("m", 4L)) == (0.5, false))
-      assert(rows(("m", 5L)) == (1.0, false), "S == threshold must NOT alert")
+      assert(rows(("m", 5L)) == (0.5, false), "event-time fold: 10.0 lands at n=5")
       assert(rows(("m", 6L)) == (1.5, true), "S > threshold must alert")
       assert(rows(("m", 7L)) == (0.5, false), "S restarts after the alert")
-      assert(rows(("m", 8L)) == (1.0, false))
+      assert(rows(("m", 8L)) == (1.0, false), "S == threshold must NOT alert")
       assert(rows(("m", 9L)) == (1.5, true), "repeated drift keeps firing")
       assert(rows.filter(_._1._1 == "stable").values.forall(_ == (0.0, false)),
         "a stable series must never alert")
@@ -930,5 +933,92 @@ class StreamingSpec extends SparkSpec {
       val (u2, n2) = out("2024-01-01 10:10:00.0")
       assert(n2 == 3L && math.abs(u2 - 2L) <= 1, s"window 2: $u2/$n2")
     } finally q.stop()
+  }
+
+  test("FunnelProcessor state schema EVOLVES across a restart that adds a field (avro encoding)") {
+    // long-lived streaming state must survive code evolution: phase 1
+    // runs the SHIPPED FunnelProcessor (state = FunnelState(reachedTs)),
+    // phase 2 restarts the SAME checkpoint with a "next release" whose
+    // state class ADDS a field. The avro state encoding reads v1 rows
+    // with the new field defaulted — the path the old kryo encoding
+    // (opaque bytes) could never take. The parquet sink supports
+    // checkpoint recovery (memory sink does not, in append mode).
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try {
+      val ck = java.nio.file.Files.createTempDirectory("tws_evolve_ck_").toString
+      val outDir = java.nio.file.Files.createTempDirectory("tws_evolve_out_").toString
+      val in = MemoryStream[Processors.FunnelEvent]
+      def start(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+          Long, Processors.FunnelEvent, Processors.FunnelOut]) =
+        in.toDS().groupByKey(_.userId)
+          .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ck).outputMode("append").start()
+      val stages = Seq("view", "click", "purchase")
+      val q1 = start(new Processors.FunnelProcessor(stages))
+      try {
+        in.addData(Processors.FunnelEvent(1L, "view", 100L),
+          Processors.FunnelEvent(1L, "click", 200L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start(new FunnelEvolution.FunnelProcessorV2(stages))
+      try {
+        // u1's purchase can only complete if v2 READ v1's carried
+        // stage-2 state; u2 exercises a fresh v2-format write
+        in.addData(Processors.FunnelEvent(1L, "purchase", 400L),
+          Processors.FunnelEvent(2L, "view", 300L))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(outDir).as[Processors.FunnelOut].collect()
+        .map(r => (r.userId, r.stage) -> ((r.tsMs, r.completed))).toMap
+      assert(rows((1L, 1)) == ((100L, false)) && rows((1L, 2)) == ((200L, false)))
+      assert(rows((1L, 3)) == ((400L, true)),
+        s"v2 must complete from v1's carried state: $rows")
+      assert(rows((2L, 1)) == ((300L, false)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
+  }
+}
+
+/** Test-only "next release" of the funnel processor: the SAME state
+  * variable name with a state class that ADDS `lastAdvanceMs` — the
+  * schema-evolution scenario the restart test drives. Logic mirrors
+  * [[graft.streaming.Processors.FunnelProcessor]] with the extra field
+  * maintained. */
+object FunnelEvolution {
+  import org.apache.spark.sql.streaming._
+
+  case class FunnelStateV2(reachedTs: Seq[Long], lastAdvanceMs: Option[Long])
+
+  class FunnelProcessorV2(stages: Seq[String])
+      extends StatefulProcessor[Long, Processors.FunnelEvent, Processors.FunnelOut] {
+    @transient private var reached: ValueState[FunnelStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      reached = getHandle.getValueState[FunnelStateV2]("reached",
+        org.apache.spark.sql.Encoders.product[FunnelStateV2], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Processors.FunnelEvent],
+                                 timers: TimerValues): Iterator[Processors.FunnelOut] = {
+      val prior = if (reached.exists()) reached.get()
+                  else FunnelStateV2(Seq.fill(stages.size)(Long.MinValue), None)
+      val ts = prior.reachedTs.toArray
+      var last = prior.lastAdvanceMs
+      val out = Vector.newBuilder[Processors.FunnelOut]
+      var changed = false
+      rows.toArray.sortBy(e => (e.tsMs, stages.indexOf(e.etype))).foreach { e =>
+        val k = stages.indexOf(e.etype)
+        if (k == 0 && ts(0) == Long.MinValue) {
+          ts(0) = e.tsMs; changed = true; last = Some(e.tsMs)
+          out += Processors.FunnelOut(key, 1, e.tsMs, completed = stages.size == 1)
+        } else if (k > 0 && ts(k) == Long.MinValue &&
+                   ts(k - 1) != Long.MinValue && e.tsMs >= ts(k - 1)) {
+          ts(k) = e.tsMs; changed = true; last = Some(e.tsMs)
+          out += Processors.FunnelOut(key, k + 1, e.tsMs,
+            completed = k == stages.size - 1)
+        }
+      }
+      if (changed) reached.update(FunnelStateV2(ts.toSeq, last))
+      out.result().iterator
+    }
   }
 }
