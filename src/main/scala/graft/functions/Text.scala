@@ -244,4 +244,90 @@ object Text {
       if (best._2 == 0) "und" else best._1
     }
   }
+
+  // ---- BPE merge-pair vocabulary training -----------------------------
+
+  /** One greedy left-to-right merge pass: every non-overlapping adjacent
+    * (a, b) in the symbol sequence becomes the joined symbol — the
+    * classic BPE merge step (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16). */
+  private[graft] def mergePair(syms: Seq[String], a: String,
+                                   b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train BPE merge rules over a (word, frequency) table — the one
+    * tokenizer-pipeline stage frequency vocabs can't give you: LEARNING
+    * the subword merges. Each round is ONE keyed aggregate over the
+    * word-shape table (adjacent-pair counts weighted by word frequency,
+    * map-side combined), a bounded `TakeOrdered(1)` argmax (ties pinned:
+    * count desc, then pair lexicographic — engine-independent), and a
+    * narrow per-row merge map. The loop state is the distinct-WORD table
+    * (vocabulary-sized — Heaps' law, never corpus-row-sized: aggregate
+    * to word counts FIRST, exactly like q_vocab_build), re-pinned by
+    * `localCheckpoint` every few rounds on the `connectedComponents`
+    * iterative-plan discipline so the lineage stays flat. Early-stops
+    * when the best pair's count drops below `minCount` (the
+    * observe-style convergence read — one tiny driver row per round,
+    * never a data-scale collect).
+    *
+    * Words split to characters plus a `</w>` end-of-word marker (the
+    * standard formulation — merges crossing the marker encode "end of
+    * word" subwords). Returns the learned merges in order. */
+  def bpeTrainMerges(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                     freqCol: String, k: Int, minCount: Long = 2L,
+                     checkpointEvery: Int = 8): Seq[(String, String)] = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toSyms = udf { (w: String) => w.map(_.toString) :+ "</w>" }
+    var state = words
+      .select(toSyms(col(wordCol)).as("syms"),
+        col(freqCol).cast("long").as("freq"))
+      .localCheckpoint(eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      round += 1
+      // adjacent pairs with multiplicity, weighted by word frequency;
+      // the argmax is a bounded TakeOrdered — one row to the driver
+      val best = state
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("a"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val applyMerge = udf { (syms: Seq[String]) => mergePair(syms, a, b) }
+        state = state.select(applyMerge(col("syms")).as("syms"), col("freq"))
+        if (round % checkpointEvery == 0)
+          state = state.localCheckpoint(eager = true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply learned merges to one word — the encode side of
+    * [[bpeTrainMerges]]: split to chars + `</w>`, replay the merges in
+    * training order. Returns the word's subword tokens. */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString) :+ "</w>": Seq[String]) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+
+  /** Column form of [[bpeEncodeWord]] — a narrow map with the merge
+    * table riding the closure (k pairs, KBs). */
+  def bpeEncode(merges: Seq[(String, String)]): UserDefinedFunction =
+    udf { (w: String) => bpeEncodeWord(w, merges) }
 }

@@ -835,4 +835,50 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got.toSet == brute)
   }
+
+  test("bpeTrainMerges: classic corpus golden, driver reference parity, determinism, encode") {
+    // the Sennrich et al. worked example: merges must start
+    // (e,s) -> (es,t) -> (est,</w>) (count 9 from newest+widest)
+    val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val words = corpus.toSeq.toDF("word", "freq")
+    val merges = Text.bpeTrainMerges(words, "word", "freq", k = 8)
+    assert(merges.take(3) == Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+
+    // driver-side reference: identical algorithm and tie rule (count
+    // desc, then pair lexicographic) over plain collections
+    def ref(k: Int): Seq[(String, String)] = {
+      var st: Seq[(Seq[String], Long)] =
+        corpus.toSeq.map { case (w, f) => (w.map(_.toString) :+ "</w>", f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.length < k && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        st.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some((pair, c)) if c >= 2 =>
+            out += pair
+            st = st.map { case (syms, f) =>
+              (Text.mergePair(syms, pair._1, pair._2), f)
+            }
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    assert(merges == ref(8), s"got $merges want ${ref(8)}")
+
+    // seeded-free determinism: a second distributed run is identical
+    assert(Text.bpeTrainMerges(words, "word", "freq", k = 8) == merges)
+
+    // encode replays the merges: an UNSEEN word built from learned
+    // subwords segments onto them
+    assert(Text.bpeEncodeWord("lowest", merges) == Seq("low", "est</w>"))
+
+    // early stop: every surviving pair below minCount ends training
+    val tiny = Seq(("ab", 1L)).toDF("word", "freq")
+    assert(Text.bpeTrainMerges(tiny, "word", "freq", k = 5).isEmpty)
+  }
 }
