@@ -242,3 +242,85 @@ case class DoubleRadixCell(child: Expression, topBits: Int)
 
   override def prettyName: String = "double_radix_cell"
 }
+
+/** Codegen'd PQ asymmetric-distance (ADC) lookup: approximate cosine of
+  * a float query against an m-byte PQ code, via per-probe lookup tables.
+  * `dotFlat` / `n2Flat` are the probe's flattened m×k tables (entry
+  * j·k+c = query-subvector·centroid dot, resp. centroid norm²) and ride
+  * the batch plan as COLUMNS of the broadcast probe relation — computed
+  * once per probe on executors, never on the driver. Scoring a code is
+  * then m array lookups inside whole-stage codegen (O(m) per corpus row
+  * instead of O(dim)) — the VecDot discipline applied to the PQ scan.
+  * Subspaces are disjoint coordinates, so the reconstruction's norm² is
+  * exactly the sum of its centroids' norm²s; a zero denominator scores
+  * 0 (the bruteForceTopK zero-vector convention).
+  */
+case class PqAdcScore(dotFlat: Expression, n2Flat: Expression,
+                      qnorm: Expression, code: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  require(k >= 1 && k <= 256, "k must fit one byte per subspace")
+
+  override def first: Expression = dotFlat
+  override def second: Expression = n2Flat
+  override def third: Expression = qnorm
+  override def fourth: Expression = code
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (arr(dotFlat) && arr(n2Flat) && qnorm.dataType == DoubleType &&
+        code.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_adc_score requires (array<double>, array<double>, double, binary), got " +
+        Seq(dotFlat, n2Flat, qnorm, code).map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def nullSafeEval(dt: Any, n2: Any, qn: Any, cd: Any): Any = {
+    val dta = dt.asInstanceOf[ArrayData]
+    val n2a = n2.asInstanceOf[ArrayData]
+    val q = qn.asInstanceOf[Double]
+    val codes = cd.asInstanceOf[Array[Byte]]
+    var dot = 0.0
+    var norm2 = 0.0
+    var j = 0
+    while (j < codes.length) {
+      val c = codes(j) & 0xff
+      dot += dta.getDouble(j * k + c)
+      norm2 += n2a.getDouble(j * k + c)
+      j += 1
+    }
+    val denom = q * math.sqrt(norm2)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (dt, n2, qn, cd) => {
+      val dot = ctx.freshName("dot"); val norm2 = ctx.freshName("norm2")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val denom = ctx.freshName("denom")
+      s"""
+         |double $dot = 0.0;
+         |double $norm2 = 0.0;
+         |for (int $j = 0; $j < $cd.length; $j++) {
+         |  int $c = $cd[$j] & 0xff;
+         |  $dot += $dt.getDouble($j * $k + $c);
+         |  $norm2 += $n2.getDouble($j * $k + $c);
+         |}
+         |double $denom = $qn * Math.sqrt($norm2);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(dotFlat = newFirst, n2Flat = newSecond, qnorm = newThird,
+      code = newFourth)
+
+  override def prettyName: String = "pq_adc_score"
+}

@@ -543,6 +543,77 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
+  /** BATCH PQ ANN — many probes against the codes table in ONE plan (the
+    * re-ranking shape: a probe batch arrives, every probe needs its
+    * top-k): the m×k ADC lookup tables are computed PER PROBE ON
+    * EXECUTORS (a narrow map over the probe relation with the codebooks
+    * broadcast — [[pqTopK]]'s driver-side tables stay a single-probe
+    * convenience only), the probe-with-tables relation broadcasts into
+    * a crossJoin over one corpus-codes scan, each (probe, code) pair is
+    * scored by the codegen'd [[graft.functions.PqAdcScore]] (m array
+    * lookups inside whole-stage codegen), and per-probe top-k folds
+    * through the bounded-heap [[graft.functions.TopKAggregator]] — the
+    * exact q_knn_join scale shape: the corpus never shuffles by probe,
+    * nothing probe-proportional ever reaches the driver.
+    *
+    * Table entries accumulate in the same index order as [[pqTopK]]'s
+    * driver tables, so batch and single-probe scores are bit-identical
+    * (the parity law ScalePathSpec pins). Returns (probeIdCol, rn,
+    * idCol), rank 1 = nearest, ties to the smaller id. */
+  def pqTopKBatch(codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+                  probes: DataFrame, probeIdCol: String, probeVecCol: String,
+                  k: Int, idCol: String = "vec_id"): DataFrame = {
+    val spark = codes.sparkSession
+    val m = codebooks.length
+    val kSub = codebooks(0).length
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val tables = udf { (v: Seq[Float]) =>
+      val cbs = bc.value
+      val sub = v.length / cbs.length
+      val arr = v.toArray
+      val dot = new Array[Double](cbs.length * kSub)
+      val n2 = new Array[Double](cbs.length * kSub)
+      var j = 0
+      while (j < cbs.length) {
+        var c = 0
+        while (c < kSub) {
+          val cent = cbs(j)(c)
+          var sD = 0.0; var sN = 0.0; var i = 0
+          while (i < sub) {
+            sD += arr(j * sub + i) * cent(i)
+            sN += cent(i) * cent(i)
+            i += 1
+          }
+          dot(j * kSub + c) = sD
+          n2(j * kSub + c) = sN
+          c += 1
+        }
+        j += 1
+      }
+      var qn = 0.0
+      arr.foreach(x => qn += x.toDouble * x)
+      (dot, n2, math.sqrt(qn))
+    }
+    val p = probes
+      .select(col(probeIdCol), tables(col(probeVecCol)).as("__t"))
+      .select(col(probeIdCol), col("__t._1").as("__dot"),
+        col("__t._2").as("__n2"), col("__t._3").as("__qn"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val score = ColumnBridge.column(graft.functions.PqAdcScore(
+      ColumnBridge.expression(col("__dot")),
+      ColumnBridge.expression(col("__n2")),
+      ColumnBridge.expression(col("__qn")),
+      ColumnBridge.expression(col("pq_code")), kSub))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    codes.crossJoin(broadcast(p))
+      .select(col(probeIdCol), col(idCol), score.as("sim"))
+      .groupBy(probeIdCol)
+      .agg(topk(col("sim"), col(idCol)).as("ids"))
+      .select(col(probeIdCol), posexplode(col("ids")).as(Seq("pos", idCol)))
+      .select(col(probeIdCol), (col("pos") + 1).cast("long").as("rn"), col(idCol))
+      .orderBy(probeIdCol, "rn")
+  }
+
   /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,
     * member count, representative min id. Buckets with n_vecs > 1 are the
     * near-dup candidate sets (exact cosine confirm happens inside buckets,

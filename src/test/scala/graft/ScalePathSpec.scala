@@ -368,6 +368,42 @@ class ScalePathSpec extends SparkSpec {
     }
   }
 
+  test("pqTopKBatch: batch ADC == per-probe ADC (bit-identical scores); codegen lookup in the plan") {
+    // same clustered fixture as the PQ test
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(6)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 6; m <- 0 until 5) yield {
+      val v = centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      ((c * 5 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+      .localCheckpoint(eager = true)
+
+    // ONE plan for all probes: tables per probe on executors (broadcast
+    // codebooks), codegen'd ADC lookups over a single codes scan,
+    // bounded-heap per-probe top-k — no per-probe driver work at all
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val batchDf = Similarity.pqTopKBatch(codes, cbs, probes,
+      "probe_id", "embedding", k = 5)
+    // the scoring runs through the codegen expression, in the plan
+    // (sparkPlan, not the AQE leaf), not through a driver loop
+    assert(batchDf.queryExecution.sparkPlan.toString.contains("pq_adc_score"))
+    val batch = batchDf.as[(Long, Long, Long)].collect().toSet
+
+    // per-probe path: driver-side tables (the single-probe API)
+    val vecs = rows.toMap
+    val single = (0L until 4L).flatMap { pid =>
+      Similarity.pqTopK(codes, cbs, vecs(pid), 5)
+        .as[(Long, Long)].collect()
+        .map { case (id, rn) => (pid, rn, id) }
+    }.toSet
+    assert(batch == single,
+      s"batch/single divergence: ${batch -- single} vs ${single -- batch}")
+  }
+
   test("writeSortedShards: range-disjoint shards replay a global sort") {
     val rnd = new scala.util.Random(41)
     val rows = (0L until 500L).map(i => (i, rnd.nextDouble() * 100))
