@@ -65,12 +65,61 @@ object Multimodal {
     }
   }
 
+  /** REAL pure-JVM image codec for BMP payloads — `javax.imageio` ships
+    * a BMP reader/writer in the standard JDK, no external library: this
+    * is the honest-stub boundary moving one format into real decode
+    * territory while FakeCodec keeps covering formats whose libraries
+    * aren't in this container. The resample is an explicit
+    * nearest-neighbor loop over `getRGB` (src = floor(dst·srcDim/dstDim))
+    * rather than a Graphics2D draw — deterministic across JVMs (AWT
+    * rendering hints are not), which is what makes the downscale
+    * pixel-assertable in the spec. Decode failures return None and the
+    * caller passes the row through untouched (dirty-data guard). */
+  object JvmImageCodec {
+    def isBmp(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length > 2 &&
+        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+
+    def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case _: Exception => None }
+
+    def resizeNearest(bytes: Array[Byte], tw: Int,
+                      th: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              out.setRGB(x, y, img.getRGB(x * w / tw, y * h / th))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "bmp", baos)
+          Some(baos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+  }
+
   /** Decode media metadata from the binary payload, partition-local, one
     * batch function per partition (the `mapInPandas` shape in Scala:
     * `mapPartitions` amortizes codec init across the partition — exactly
-    * where a real decoder would load its native library once). Malformed
-    * payloads yield null dims rather than failing the task (dirty-data
-    * guard). */
+    * where a real decoder would load its native library once). BMP
+    * payloads decode for REAL ([[JvmImageCodec]]); other formats go
+    * through the FakeCodec header. Malformed payloads yield null dims
+    * rather than failing the task (dirty-data guard). */
   def decodeMeta(media: DataFrame): DataFrame = {
     val schema = StructType(media.schema.fields.filterNot(f =>
       Seq("width", "height", "n_frames").contains(f.name)) ++ Seq(
@@ -85,8 +134,13 @@ object Multimodal {
     media.mapPartitions { it =>
       // codec init happens once per partition here
       it.map { r =>
-        val decoded = FakeCodec.decode(
-          if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx))
+        val bytes =
+          if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        // real BMP decode first; fake-header formats fall through
+        val decoded =
+          if (JvmImageCodec.isBmp(bytes))
+            JvmImageCodec.decodeDims(bytes).map { case (w, h) => (w, h, 1) }
+          else FakeCodec.decode(bytes)
         val kept = keepIdx.toSeq.map(i => r.get(i))
         def boxed(v: Option[Int]): Any = v.map(Int.box).orNull
         Row.fromSeq(kept ++ Seq(
@@ -128,12 +182,13 @@ object Multimodal {
   }
 
   /** Image resize, partition-local (the remaining step of the brief's
-    * decode / feature-extract / RESIZE / frame-sample quartet). The
-    * pixel resample is the stubbed part — deterministic fake: the body
-    * is stride-sampled to the area ratio and the header rewritten with
-    * the target dims; a real implementation swaps in an image library
-    * call here. Non-image rows and undecodable payloads pass through
-    * UNTOUCHED (dirty-data guard: resize never destroys rows). */
+    * decode / feature-extract / RESIZE / frame-sample quartet). BMP
+    * payloads resize for REAL — [[JvmImageCodec.resizeNearest]]
+    * (`javax.imageio`, pure JDK, deterministic nearest-neighbor); other
+    * formats keep the deterministic FakeCodec stand-in (body
+    * stride-sampled to the area ratio, header rewritten). Non-image
+    * rows and undecodable payloads pass through UNTOUCHED (dirty-data
+    * guard: resize never destroys rows). */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
     import org.apache.spark.sql.Encoders
@@ -148,23 +203,32 @@ object Multimodal {
       it.map { r =>
         val bytes =
           if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
-        val decoded =
-          if (r.getString(kindIdx) == "image") FakeCodec.decode(bytes) else None
-        decoded match {
-          case Some((w, h, nf)) if w > 0 && h > 0 =>
-            val body = bytes.drop(16)
-            // stride-sample the body to approximate the area ratio
-            val stride = math.max(1,
-              ((w.toLong * h) / math.max(1L, targetW.toLong * targetH)).toInt)
-            val resampled = body.indices.collect {
-              case i if i % stride == 0 => body(i)
-            }.toArray
-            var out = r.toSeq.updated(contentIdx,
-              FakeCodec.encode(targetW, targetH, nf, resampled))
-            if (wIdx >= 0) out = out.updated(wIdx, Int.box(targetW))
-            if (hIdx >= 0) out = out.updated(hIdx, Int.box(targetH))
-            Row.fromSeq(out)
-          case _ => r
+        val isImage = r.getString(kindIdx) == "image"
+        def withDims(content: Array[Byte]): Row = {
+          var out = r.toSeq.updated(contentIdx, content)
+          if (wIdx >= 0) out = out.updated(wIdx, Int.box(targetW))
+          if (hIdx >= 0) out = out.updated(hIdx, Int.box(targetH))
+          Row.fromSeq(out)
+        }
+        if (isImage && JvmImageCodec.isBmp(bytes)) {
+          JvmImageCodec.resizeNearest(bytes, targetW, targetH) match {
+            case Some(resized) => withDims(resized)
+            case None => r // undecodable: pass through untouched
+          }
+        } else {
+          val decoded = if (isImage) FakeCodec.decode(bytes) else None
+          decoded match {
+            case Some((w, h, nf)) if w > 0 && h > 0 =>
+              val body = bytes.drop(16)
+              // stride-sample the body to approximate the area ratio
+              val stride = math.max(1,
+                ((w.toLong * h) / math.max(1L, targetW.toLong * targetH)).toInt)
+              val resampled = body.indices.collect {
+                case i if i % stride == 0 => body(i)
+              }.toArray
+              withDims(FakeCodec.encode(targetW, targetH, nf, resampled))
+            case _ => r
+          }
         }
       }
     }(enc)

@@ -341,6 +341,56 @@ class SourcesSpec extends SparkSpec {
     assert(out(3L).getAs[Array[Byte]]("content").toSeq == Seq[Byte](0, 1))
   }
 
+  test("multimodal: REAL BMP decode + pixel-correct nearest-neighbor downscale (javax.imageio)") {
+    // golden 4x4 BMP: four 2x2 solid-color quadrants
+    val red = 0xFF0000; val green = 0x00FF00; val blue = 0x0000FF; val white = 0xFFFFFF
+    val src = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val c = (x / 2, y / 2) match {
+        case (0, 0) => red
+        case (1, 0) => green
+        case (0, 1) => blue
+        case _ => white
+      }
+      src.setRGB(x, y, c)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "bmp", baos)
+    val bmpBytes = baos.toByteArray
+    assert(Multimodal.JvmImageCodec.isBmp(bmpBytes))
+
+    val rows = Seq(
+      Row(1L, "image", bmpBytes, null, null, null, null),
+      Row(2L, "audio", bmpBytes, null, null, 44100: Integer, null)) // kind guard
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+
+    // decodeMeta reads the REAL dimensions out of the BMP payload
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[Integer]("width") == 4 &&
+      meta(1L).getAs[Integer]("height") == 4)
+
+    // 4x4 -> 2x2 nearest-neighbor picks source pixels (0,0) (2,0) (0,2)
+    // (2,2) — exactly one per quadrant: pixel-correct downscale
+    val out = Multimodal.resizeImages(media, 2, 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val resized = out(1L).getAs[Array[Byte]]("content")
+    assert(Multimodal.JvmImageCodec.isBmp(resized), "resized payload is a real BMP")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    def rgb(x: Int, y: Int) = img.getRGB(x, y) & 0xFFFFFF
+    assert(rgb(0, 0) == red && rgb(1, 0) == green &&
+      rgb(0, 1) == blue && rgb(1, 1) == white,
+      s"pixels: ${(rgb(0,0), rgb(1,0), rgb(0,1), rgb(1,1))}")
+    assert(out(1L).getAs[Integer]("width") == 2 &&
+      out(1L).getAs[Integer]("height") == 2)
+    // the pass-through guard holds for a non-image row with BMP bytes
+    assert(out(2L).getAs[Array[Byte]]("content").toSeq == bmpBytes.toSeq)
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
