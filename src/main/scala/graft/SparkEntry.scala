@@ -511,8 +511,9 @@ object SparkEntry {
          |      FROM events)
          |ORDER BY event_id""".stripMargin
     },
+    // rank on round(cos, 12) — the q_knn_join near-tie discipline
     "q_similarity_topk" ->
-      "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
+      "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 12) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     "q_multimodal_join" ->
       "SELECT lang, count(*) AS n_docs, round(avg(CAST(label AS DOUBLE)), 4) AS avg_label, round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
     "q_collect_sequence" ->

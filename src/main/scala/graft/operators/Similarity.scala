@@ -39,11 +39,15 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: returns (id, rank). Ties broken by id.
     * `orderBy(...).limit(k)` → TakeOrderedAndProject: O(n) scan, O(k) state
-    * per partition — survives arbitrary n. */
+    * per partition — survives arbitrary n. The ranking cosine rounds to
+    * 12 dp (the q_knn_join discipline): cross-engine rank parity must
+    * not hinge on two engines accumulating bit-identical doubles — a
+    * ulp divergence on a near-tie would flip neighbor ranks. 12 dp is
+    * far below any semantic similarity difference. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      query: Array[Float], k: Int): DataFrame = {
     val withSim = emb.select(col(idCol),
-      Vectors.cosineTo(col(vecCol), query).as("sim"))
+      round(Vectors.cosineTo(col(vecCol), query), 12).as("sim"))
     rankTopK(withSim.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 

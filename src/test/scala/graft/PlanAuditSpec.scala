@@ -142,6 +142,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(flagged.nonEmpty, "seeded 3-value-key window was not flagged")
   }
 
+  test("oracle SQL never ranks on an unrounded double expression") {
+    // the q_knn_join lesson, pinned: an ORDER BY over a computed double
+    // (division, ln/log/sqrt/exp, cosine, avg) makes cross-engine rank
+    // parity hinge on bit-identical accumulation — a ulp divergence on a
+    // near-tie flips ranks and the row hash. Every ranking expression
+    // must round (12 dp for similarities) or be integer-valued. The
+    // detector strips round(...) spans from each ORDER BY clause and
+    // flags surviving double-producing tokens; genuinely-safe cases go
+    // in the allowlist WITH a justification.
+    val risky = Seq("/", "ln(", "log(", "sqrt(", "exp(",
+      "list_cosine_similarity", "avg(")
+    def stripFn(s: String, fn: String): String = {
+      val j = s.indexOf(fn)
+      if (j < 0) s
+      else {
+        var k = j + fn.length; var d = 1
+        while (k < s.length && d > 0) {
+          if (s(k) == '(') d += 1 else if (s(k) == ')') d -= 1
+          k += 1
+        }
+        stripFn(s.substring(0, j) + s.substring(k), fn)
+      }
+    }
+    def orderByClauses(sql: String): Seq[String] = {
+      val q = sql.toLowerCase
+      "order by".r.findAllMatchIn(q).map { m =>
+        var i = m.end; var depth = 0
+        val sb = new StringBuilder
+        var stop = false
+        while (i < q.length && !stop) {
+          val c = q(i)
+          if (c == '(') depth += 1
+          else if (c == ')') { if (depth == 0) stop = true else depth -= 1 }
+          if (!stop) { sb.append(c); i += 1 }
+        }
+        sb.toString.split(" limit ").head
+      }.toSeq
+    }
+    val allowed = Set[String]() // none today — all rankings round or are integral
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) if !allowed(name) =>
+        orderByClauses(sql)
+          .map(cl => cl -> stripFn(cl, "round("))
+          .filter { case (_, stripped) => risky.exists(stripped.contains) }
+          .map { case (cl, _) => s"$name: ORDER BY ${cl.trim.take(80)}" }
+      case _ => Nil
+    }
+    assert(offenders.isEmpty,
+      s"unrounded double ranking in oracle SQL:\n${offenders.mkString("\n")}")
+  }
+
   test("predicate pushdown reaches the parquet scan (q_filter)") {
     val scans = plans.toMap.apply("q_filter").collect {
       case f: FileSourceScanExec => f
