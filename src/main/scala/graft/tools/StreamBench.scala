@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * numbers; this records ours for the record. */
 object StreamBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("state")) { stateScale(args.drop(1)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rate = if (args.nonEmpty) args(0).toInt else 500000
     val seconds = if (args.length > 1) args(1).toInt else 15
@@ -43,6 +44,80 @@ object StreamBench {
     val wall = (System.nanoTime() - t0) / 1e9
     val rps = processed / wall
     println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"rows":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** State-scale evidence mode (`runMain graft.tools.StreamBench state
+    * <nKeys> [rate] [processor]`): drive a keyed `transformWithState`
+    * processor ([[graft.streaming.Processors.FirstVisitProcessor]] or
+    * `funnel`) to ≥ nKeys DISTINCT keys under the RocksDB provider —
+    * every rate-source row is a fresh key, so the store grows one row
+    * per input — then report keys/s plus the state-store metrics the
+    * 100 TB stateful-claim rests on: rows in state, in-memory usage,
+    * and the RocksDB file/snapshot footprint, all from the query's own
+    * `StreamingQueryProgress.stateOperators`. One JSON line. */
+  private def stateScale(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nKeys = if (args.nonEmpty) args(0).toLong else 1000000L
+    val rate = if (args.length > 1) args(1).toInt else 500000
+    val which = if (args.length > 2) args(2) else "firstVisit"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.Processors
+
+    val ck = java.nio.file.Files.createTempDirectory("streambench_ck_").toString
+    val rows = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", cpus).load()
+    val out = which match {
+      case "funnel" =>
+        rows.select(col("value").as("userId"), lit("view").as("etype"),
+            col("value").as("tsMs"))
+          .as[Processors.FunnelEvent]
+          .groupByKey(_.userId)
+          .transformWithState(
+            new Processors.FunnelProcessor(Seq("view", "click", "purchase")),
+            TimeMode.None(), OutputMode.Append())
+      case _ =>
+        rows.select(col("value").as("userId"),
+            date_format(col("timestamp"), "yyyy-MM-dd").as("date"),
+            col("value").as("tsMs"))
+          .as[Processors.Visit]
+          .groupByKey(_.userId)
+          .transformWithState(new Processors.FirstVisitProcessor(),
+            TimeMode.None(), OutputMode.Append())
+    }
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    val deadline = System.currentTimeMillis + 10 * 60 * 1000
+    var stateRows = 0L
+    while (stateRows < nKeys && System.currentTimeMillis < deadline) {
+      Thread.sleep(500)
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        stateRows = p.stateOperators(0).numRowsTotal
+    }
+    val p = q.lastProgress
+    val wall = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val so = p.stateOperators(0)
+    val custom = so.customMetrics
+    def cm(k: String): Long =
+      if (custom.containsKey(k)) custom.get(k).longValue() else -1L
+    if (sys.env.contains("SPARK_GRAFT_DUMP_METRICS"))
+      System.err.println("custom metrics: " + custom.keySet())
+    println(f"""{"metric":"state_keys_per_sec","value":${stateRows / wall}%.0f,"processor":"$which","state_rows":$stateRows,"wall_sec":$wall%.1f,"memory_used_bytes":${so.memoryUsedBytes},"rocksdb_sst_bytes":${cm("rocksdbSstFileSize")},"rocksdb_pinned_mem_bytes":${cm("rocksdbPinnedBlocksMemoryUsage")},"snapshot_upload_bytes":${cm("rocksdbBytesCopied")},"cpus":$cpus}""")
     spark.stop()
   }
 }
