@@ -1582,6 +1582,26 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** q_knn_join_pq — the 100 TB twin of [[q_knn_join]]: the same batch
+    * probes × corpus top-3, but scored over PQ CODES (8 bytes/vector,
+    * a 32× scan-size cut) via [[operators.Similarity.pqTopKBatch]] —
+    * per-probe ADC tables on executors, codegen'd lookup, bounded-heap
+    * top-k, one codes scan. Oracle-exempt (PQ is approximate by
+    * construction; seeded train/encode make it repeat-deterministic —
+    * the exempt-lane laws); recall vs exact is law-tested in
+    * ScalePathSpec. */
+  val q_knn_join_pq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cbs = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs)
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.pqTopKBatch(codes, cbs, probes, "query_id", "embedding",
+      k = 3, idCol = "vec_id")
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .orderBy("query_id", "rn")
+  }
+
   /** q_markov_transitions — next-event transition matrix: per (state →
     * next-state) counts and conditional probabilities, the behavioral
     * n-gram statistic behind next-event models. One window pass for the
@@ -3213,6 +3233,24 @@ object Queries {
       .orderBy("grp")
   }
 
+  /** q_weighted_p90 — grouped weighted 90th percentile (the tail-price
+    * statistic): the same histogram-selection machinery as
+    * [[q_weighted_median]] at φ=0.9, over l_linestatus — a 2-value
+    * group key, the degenerate case where a partitioned window would
+    * collapse to 2 serial tasks. The crossing target `ceil(0.9·total)`
+    * is the identical IEEE expression on both engines, so the integer
+    * targets agree exactly. */
+  val q_weighted_p90: Q = (s, d) => {
+    val x = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1)
+      .select(col("l_linestatus").as("grp"),
+        round(col("l_extendedprice"), 2).as("v"),
+        floor(col("l_quantity")).cast("long").as("w"))
+    operators.Analytics.groupedWeightedQuantile(x, Seq("grp"), "v", "w",
+        phi = 0.9, outCol = "weighted_p90")
+      .orderBy("grp")
+  }
+
   /** q_hhi — Herfindahl–Hirschman concentration per event type over
     * user shares, with the effective participant count 1/HHI (the
     * econometric twin of [[q_gini]]/[[q_pareto]]): share² terms round
@@ -3257,6 +3295,33 @@ object Queries {
         round(col("cov").cast("double") / col("total"), 6).as("coverage"),
         col("n_vocab"))
       .orderBy("k")
+  }
+
+  /** q_bpe_merges — LEARNED BPE merge rules over the corpus vocabulary
+    * ([[Text.bpeTrainMerges]]): word frequencies (cnt ≥ 10 cutoff, the
+    * q_vocab_build discipline — training state is vocabulary-sized,
+    * never corpus-sized), 12 merge rounds, one keyed pair-aggregate +
+    * bounded argmax per round. Oracle-exempt: the iterative argmax has
+    * no tractable SQL form (a recursive CTE can't re-aggregate per
+    * round); determinism + the classic-corpus golden live in
+    * FunctionsSpec, and the exempt lane checks non-empty +
+    * repeat-determinism at the driver SF. */
+  val q_bpe_merges: Q = (s, d) => {
+    // train on the HEAD vocabulary (top 4096 words by count, ties to
+    // the word — a bounded TakeOrdered): standard BPE practice, and it
+    // pins the per-round pair-aggregate to a fixed-size state no
+    // matter the corpus scale
+    val words = Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(4096)
+    val merges = Text.bpeTrainMerges(words, "word", "cnt", k = 12)
+    val spark = s
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1L, a, b) }
+      .toDF("merge_rank", "left_sym", "right_sym")
+      .orderBy("merge_rank")
   }
 
   /** q_theil — Theil T inequality index over customer revenue
@@ -3525,6 +3590,9 @@ object Queries {
     "q_abandonment" -> q_abandonment,
     "q_interp_linear" -> q_interp_linear,
     "q_weighted_median" -> q_weighted_median,
+    "q_weighted_p90" -> q_weighted_p90,
+    "q_knn_join_pq" -> q_knn_join_pq,
+    "q_bpe_merges" -> q_bpe_merges,
     "q_hhi" -> q_hhi,
     "q_theil" -> q_theil,
     "q_user_features" -> q_user_features,

@@ -1202,6 +1202,23 @@ object SparkEntry {
         |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS total FROM x GROUP BY 1)
         |SELECT o.grp, min(v) AS weighted_median, max(total) AS total_weight
         |FROM o JOIN t USING (grp) WHERE cum * 2 >= total GROUP BY o.grp ORDER BY o.grp""".stripMargin,
+    // the crossing target ceil(0.9*total) is the identical IEEE double
+    // expression on both engines before the integer cast, so the
+    // targets agree exactly; the oracle may use the grouped window the
+    // Spark side deliberately avoids (the oracle only needs to be
+    // correct, not scale-safe)
+    "q_weighted_p90" ->
+      """WITH x AS (SELECT l_linestatus AS grp, round(l_extendedprice, 2) AS v,
+        |                  CAST(floor(l_quantity) AS BIGINT) AS w
+        |           FROM lineitem WHERE l_quantity >= 1),
+        |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS total FROM x GROUP BY 1),
+        |c AS (SELECT grp, v,
+        |             CAST(sum(w) OVER (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM x)
+        |SELECT c.grp, min(v) AS weighted_p90, max(total) AS total_weight
+        |FROM c JOIN t USING (grp)
+        |WHERE cum >= CAST(ceil(0.9 * total) AS BIGINT)
+        |GROUP BY c.grp ORDER BY c.grp""".stripMargin,
     "q_hhi" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1)

@@ -316,7 +316,22 @@ object Analytics {
   def groupedWeightedMedian(df: DataFrame, groupCols: Seq[String],
                             valueCol: String, weightCol: String,
                             buckets: Int = 1024, driverBudget: Int = 65536,
-                            maxIters: Int = 10): DataFrame = {
+                            maxIters: Int = 10): DataFrame =
+    groupedWeightedQuantile(df, groupCols, valueCol, weightCol, 0.5,
+      "weighted_median", buckets, driverBudget, maxIters)
+
+  /** General grouped weighted quantile by the same histogram selection:
+    * smallest value whose cumulative weight reaches ceil(phi*total).
+    * phi = 0.5 is [[groupedWeightedMedian]]; the crossing target is the
+    * ONLY phi-dependent piece, spelled `ceil(phi * total)` so an oracle
+    * computing the identical IEEE expression lands on the identical
+    * integer target. */
+  def groupedWeightedQuantile(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String, weightCol: String,
+                              phi: Double, outCol: String,
+                              buckets: Int = 1024, driverBudget: Int = 65536,
+                              maxIters: Int = 10): DataFrame = {
+    require(phi > 0.0 && phi < 1.0, s"phi must be in (0,1), got $phi")
     val spark = df.sparkSession
     requireLongCols(df, Seq(weightCol))
     val gc = groupCols.map(col)
@@ -359,8 +374,8 @@ object Analytics {
           r.getDouble(nG + 3), r.getDouble(nG + 4)))
         .sortBy(_._1) // cell order = value order (the radix map is monotone)
       val total = cells.map(_._2).sum
-      val s = St(key, cells.head._4, cells.last._5, (total + 1) / 2,
-        total, 0L, None)
+      val s = St(key, cells.head._4, cells.last._5,
+        math.ceil(phi * total).toLong, total, 0L, None)
       narrow(s, cells.map(c => (c._2, c._3, c._4, c._5)).toSeq)
       s
     }
@@ -432,7 +447,7 @@ object Analytics {
       }
     }
     val outSchema = StructType(keySchema ++ Seq(
-      StructField("weighted_median", DoubleType, nullable = true),
+      StructField(outCol, DoubleType, nullable = true),
       StructField("total_weight", LongType, nullable = true)))
     val rows = states.map(s =>
       Row.fromSeq(s.key ++ Seq(s.answer.orNull, s.total)))

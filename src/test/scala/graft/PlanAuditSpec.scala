@@ -66,6 +66,9 @@ class PlanAuditSpec extends SparkSpec {
       Set("q_tfidf", "q_join_interval", "q_heavy_hitters",
         "q_heavy_hitters_approx", "q_group_similarity", "q_pmi_bigrams",
         "q_composite_cold_customers", "q_knn_join",
+        // q_knn_join_pq: the same bounded probe-set broadcast as
+        // q_knn_join (8 probe vectors + their ADC tables)
+        "q_knn_join_pq",
         // 1-row broadcast grand totals (the windowless replacement for
         // `sum(...) OVER ()`)
         "q_chisq", "q_concentration", "q_lm_score", "q_class_weights",
