@@ -3324,6 +3324,71 @@ object Queries {
       .orderBy("merge_rank")
   }
 
+  /** Edge list shared by the graph-analytics ids: the nation-level trade
+    * graph. src = the ordering customer's nation, dst = the supplying
+    * nation, weight = discounted revenue (per-line product left raw —
+    * bit-identical IEEE on both engines per the file-header discipline —
+    * rounded once at the edge aggregate, so downstream folds see exact
+    * 2-dp cells), aggregated to one edge per (src,dst) — at most 25×25
+    * rows no matter the fact-table scale.
+    * Built by ONE fact scan, a fact-sized orders join, and two broadcast
+    * dim joins; everything downstream (degree, PageRank state) is
+    * node/edge-sized, so the graph ids cost one aggregation of the fact
+    * table plus arithmetic on a ≤625-row relation at any SF. */
+  private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(round(sum(col("rev")), 2).as("w"), count(lit(1)).as("n_lines"))
+  }
+
+  /** q_graph_degree — weighted degree centrality on the nation trade
+    * graph: per nation, out-strength (revenue it ORDERS, as the customer
+    * side) and in-strength (revenue it SUPPLIES), plus line counts, left-
+    * joined onto the full nation dim so isolated nations report zeros.
+    * The oracle mirrors the two-level aggregation (per-edge subtotal,
+    * then per-node) exactly, so both engines fold identical cells. */
+  val q_graph_degree: Q = (s, d) => {
+    val e = nationTradeEdges(s, d).localCheckpoint(eager = true)
+    val out = e.groupBy(col("src").as("nk_out"))
+      .agg(round(sum(col("w")), 2).as("out_w"), sum(col("n_lines")).as("out_lines"))
+    val inn = e.groupBy(col("dst").as("nk_in"))
+      .agg(round(sum(col("w")), 2).as("in_w"), sum(col("n_lines")).as("in_lines"))
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .join(out, col("n_nationkey") === col("nk_out"), "left")
+      .join(inn, col("n_nationkey") === col("nk_in"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("out_w"), lit(0.0)).as("out_w"),
+        coalesce(col("out_lines"), lit(0L)).as("out_lines"),
+        coalesce(col("in_w"), lit(0.0)).as("in_w"),
+        coalesce(col("in_lines"), lit(0L)).as("in_lines"))
+      .orderBy("nation")
+  }
+
+  /** q_pagerank — weighted PageRank over the nation trade graph
+    * ([[operators.Graph.pagerank]]: 15 power-iteration rounds, one
+    * edge-keyed join + one dst-keyed aggregate per round, rank state
+    * node-sized, 12-dp pre-rounded contributions for fold-order-free
+    * determinism). Oracle-exempt: the iterative fixpoint has no
+    * tractable SQL form — the golden vs a driver-side reference and the
+    * multi-edge/mass laws live in GraphSpec; the exempt lane checks
+    * non-empty + repeat-determinism at the driver SF. */
+  val q_pagerank: Q = (s, d) => {
+    val ranks = operators.Graph.pagerank(nationTradeEdges(s, d), "src", "dst", "w")
+    ranks.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("rank"))
+      .orderBy(desc("rank"), col("nation"))
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3599,5 +3664,7 @@ object Queries {
     "q_abc" -> q_abc,
     "q_segment_migration" -> q_segment_migration,
     "q_vocab_coverage" -> q_vocab_coverage,
+    "q_graph_degree" -> q_graph_degree,
+    "q_pagerank" -> q_pagerank,
   )
 }

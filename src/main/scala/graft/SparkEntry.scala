@@ -1276,5 +1276,31 @@ object SparkEntry {
         |  UNION ALL SELECT 20, max(CASE WHEN r <= 20 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t
         |  UNION ALL SELECT 30, max(CASE WHEN r <= 30 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t) s
         |ORDER BY k""".stripMargin,
+    // mirrors the Spark side's TWO-LEVEL aggregation exactly: the
+    // per-line product stays raw (bit-identical IEEE on both engines),
+    // is rounded once at the edge subtotal, and the node level then
+    // folds exact 2-dp cells
+    "q_graph_degree" ->
+      """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |                    l.l_extendedprice * (1.0 - l.l_discount) AS rev
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e AS (SELECT src, dst, round(sum(rev), 2) AS w, count(*) AS n_lines
+        |      FROM raw GROUP BY src, dst),
+        |o AS (SELECT src AS nk, round(sum(w), 2) AS out_w,
+        |             CAST(sum(n_lines) AS BIGINT) AS out_lines FROM e GROUP BY 1),
+        |i AS (SELECT dst AS nk, round(sum(w), 2) AS in_w,
+        |             CAST(sum(n_lines) AS BIGINT) AS in_lines FROM e GROUP BY 1)
+        |SELECT n.n_name AS nation,
+        |       coalesce(o.out_w, 0.0) AS out_w,
+        |       CAST(coalesce(o.out_lines, 0) AS BIGINT) AS out_lines,
+        |       coalesce(i.in_w, 0.0) AS in_w,
+        |       CAST(coalesce(i.in_lines, 0) AS BIGINT) AS in_lines
+        |FROM nation n
+        |LEFT JOIN o ON n.n_nationkey = o.nk
+        |LEFT JOIN i ON n.n_nationkey = i.nk
+        |ORDER BY nation""".stripMargin,
   )
 }

@@ -24,10 +24,14 @@ object Graph {
     * variant; documented rather than redistributed, and the golden spec
     * pins it against a driver-side reference with the same convention.
     *
-    * Per-node contribution sums are pre-rounded at 12 dp (each term is
-    * a rank×weight÷outweight triple over exact inputs) so repeat runs
-    * fold identical doubles regardless of reduce order — the exempt
-    * lane's determinism contract.
+    * Per-node contribution terms are scaled to exact 1e-12-grain LONGS
+    * before the dst-keyed fold, so the per-iteration sum is INTEGER
+    * arithmetic — bit-identical under any reduce order or partitioning,
+    * the exempt lane's determinism contract. (A 12-dp double pre-round
+    * is NOT enough: the double sum of rounded terms still differs by an
+    * ulp across fold orders, and one ulp at a round-half boundary flips
+    * the printed 12th decimal — observed live at sf0.01.) Scaled ranks
+    * are ≤1e12 so the fold cannot overflow a long.
     *
     * `edges` columns: (srcCol, dstCol, weightCol). Multi-edges are
     * legal (they just add weight). Returns (node, rank).
@@ -50,12 +54,14 @@ object Graph {
     for (i <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"),
-          round(col("rank") * col("w") / col("outw"), 12).as("c"))
+          round(col("rank") * col("w") / col("outw") * lit(1e12))
+            .cast("long").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in"))
       // left join: nodes with no in-edges keep the teleport floor
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          round(lit(base) + lit(damping) * coalesce(col("in"), lit(0.0)), 12)
+          round(lit(base) + lit(damping) *
+            (coalesce(col("in"), lit(0L)).cast("double") / lit(1e12)), 12)
             .as("rank"))
         .localCheckpoint(true)
     }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md /
   * FIXTURES.md). In the reference these shapes arrive over Kafka /
@@ -47,22 +48,37 @@ object Tables {
     customer(s, d).as[Rows.Customer]
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * long and floor-convert to microseconds — lossless on this data (every
-    * value is µs-aligned; verified against the parquet footers) and
-    * identical to DuckDB's native ns read for all comparisons at ≥µs grain.
+  /** `events.parquet` has shipped `ts` under THREE parquet physical
+    * encodings across driver testdata generations, so the loader
+    * normalizes by the OBSERVED read schema rather than assuming one:
     *
-    * Note the `nanosAsLong` flag is session-wide (there is no per-read
-    * option for it): this engine sets it deliberately and uniformly — any
-    * TIMESTAMP(NANOS) parquet column read through this engine comes back
-    * as a nanos long, never a silently-degraded timestamp.
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is on, which this
+    *    engine sets deliberately and session-wide (there is no per-read
+    *    option) — the column arrives as a nanos long and is
+    *    floor-converted to µs (lossless here: every value is µs-aligned,
+    *    verified against the parquet footers).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current driver
+    *    generation: arrives as TIMESTAMP_NTZ; cast to TIMESTAMP
+    *    interprets the wall-clock in the session zone, which build.sbt /
+    *    every entrypoint pins to UTC — byte-identical to DuckDB's naive
+    *    read of the same file.
+    *  - TIMESTAMP(MICROS, adjusted): already the session TimestampType
+    *    (files this engine writes itself, e.g. law-spec round-trips) —
+    *    passed through.
+    *
+    * All three land on the same TimestampType µs column, so every
+    * downstream query and oracle is generation-independent.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType            => timestamp_micros(expr("ts div 1000"))
+      case _: TimestampNTZType => col("ts").cast(TimestampType)
+      case _                   => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
 }
 

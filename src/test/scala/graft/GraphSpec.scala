@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Laws for the iterative graph pack ([[graft.operators.Graph]]) and its
+  * registry ids. The PageRank golden is pinned against an INDEPENDENT
+  * driver-side reference that replicates the library's two documented
+  * conventions — dangling-mass leak (no redistribution) and exact
+  * 1e-12-grain scaled-long contribution folds — so a silent change to
+  * either shows up as a numeric diff, not a re-derived test. */
+class GraphSpec extends SparkSpec {
+
+  private def r12(x: Double): Double =
+    BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // Spark's `round(doubleExpr)` (scale 0, HALF_UP) — the term scaling
+  private def toPico(x: Double): Long =
+    BigDecimal(x * 1e12).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Reference power iteration, same conventions as [[Graph.pagerank]]. */
+  private def refPagerank(edges: Seq[(Long, Long, Double)], damping: Double,
+                          iters: Int): Map[Long, Double] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val base = (1.0 - damping) / n
+    var rank = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _, w) => toPico(rank(u) * w / outw(u)) }.sum
+      }.toMap
+      rank = nodes.map(v =>
+        v -> r12(base + damping * (in.getOrElse(v, 0L).toDouble / 1e12))).toMap
+    }
+    rank
+  }
+
+  private def edgeDf(edges: Seq[(Long, Long, Double)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "dst", "w")
+  }
+
+  // a source node (1: no in-edges), a dangling node (4: no out-edges),
+  // a 2↔3 cycle, and uneven weights — every convention exercised
+  private val g: Seq[(Long, Long, Double)] =
+    Seq((1L, 2L, 1.0), (1L, 3L, 3.0), (2L, 3L, 1.0), (3L, 2L, 2.0),
+      (2L, 4L, 1.0), (3L, 4L, 1.0))
+
+  test("pagerank matches the driver-side reference on the golden graph") {
+    val got = Graph.pagerank(edgeDf(g), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPagerank(g, 0.85, 15)
+    assert(got.keySet == want.keySet)
+    for ((v, r) <- want)
+      assert(math.abs(got(v) - r) < 1e-9, s"node $v: got ${got(v)}, want $r")
+    // source node holds exactly the teleport floor
+    assert(math.abs(got(1L) - r12(0.15 / 4)) < 1e-12)
+  }
+
+  test("multi-edges add weight: duplicated edge == single double-weight edge") {
+    val dup = g ++ Seq((1L, 2L, 1.0))
+    val merged = g.map { case (s0, d0, w0) =>
+      if ((s0, d0) == ((1L, 2L))) (s0, d0, w0 + 1.0) else (s0, d0, w0)
+    }
+    val a = Graph.pagerank(edgeDf(dup), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pagerank(edgeDf(merged), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    for ((v, r) <- b) assert(math.abs(a(v) - r) < 1e-12, s"node $v")
+  }
+
+  test("rank mass: positive everywhere, ≤1 (dangling leak), floor respected") {
+    val got = Graph.pagerank(edgeDf(g), "src", "dst", "w")
+      .collect().map(_.getDouble(1))
+    val floor = 0.15 / 4
+    assert(got.forall(r => r >= floor - 1e-12), "every rank ≥ teleport floor")
+    val total = got.sum
+    assert(total <= 1.0 + 1e-9, s"leaky formulation can't exceed 1: $total")
+    assert(total > floor * 4, "damped mass flows somewhere")
+  }
+
+  test("q_pagerank: nation trade ranks at the unit fixture") {
+    val rows = Queries.all.toMap.apply("q_pagerank")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val ranks = rows.map(_.getDouble(1))
+    assert(ranks.forall(_ > 0))
+    // registered ORDER BY desc(rank) — pinned here so a contract change
+    // (the driver hash-compares ordered output) can't slip silently
+    assert(ranks.sameElements(ranks.sortBy(-_)))
+    // supplier nations (the only in-edge targets) outrank pure customer
+    // nations, which all sit at the teleport floor
+    val floor = ranks.min
+    assert(ranks.max > floor * 2, "trade mass concentrates on supplier nations")
+  }
+
+  test("q_graph_degree: out-mass equals in-mass over the closed graph") {
+    val df = Queries.all.toMap.apply("q_graph_degree")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 25, "left join onto the full nation dim")
+    val outW = rows.map(_.getDouble(1)).sum
+    val inW = rows.map(_.getDouble(3)).sum
+    assert(math.abs(outW - inW) < 1e-6,
+      s"every edge leaves one nation and enters one: $outW vs $inW")
+    assert(rows.map(_.getLong(2)).sum == rows.map(_.getLong(4)).sum)
+  }
+}
