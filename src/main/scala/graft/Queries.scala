@@ -3389,6 +3389,48 @@ object Queries {
       .orderBy(desc("rank"), col("nation"))
   }
 
+  /** q_graph_triangles — triangle census of the (undirected) nation
+    * trade graph via [[operators.Graph.triangleCensus]]: degree-ordered
+    * orientation caps the wedge fan-out at O(√m) per node — the
+    * formulation that survives data-proportional graphs — and every
+    * count is exact integer arithmetic. The oracle closes triangles by
+    * the numeric a&lt;b&lt;c convention; both count each triangle exactly
+    * once, so the censuses agree. */
+  val q_graph_triangles: Q = (s, d) =>
+    operators.Graph.triangleCensus(nationTradeEdges(s, d), "src", "dst", "w")
+
+  /** q_graph_reciprocity — share of directed trade edges with a reverse
+    * edge (nations that buy from nations that buy from them). Exact
+    * integer counts; the one double (the ratio) is a single division
+    * rounded at 6 dp, identical on both engines. */
+  val q_graph_reciprocity: Q = (s, d) => {
+    val e = nationTradeEdges(s, d)
+      .select("src", "dst").where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(eager = true)
+    val rev = e.select(col("src").as("rs"), col("dst").as("rd"))
+    e.join(rev, col("src") === col("rd") && col("dst") === col("rs"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        count(col("rs")).as("n_reciprocal"),
+        round(count(col("rs")).cast("double") / count(lit(1)), 6).as("reciprocity"))
+  }
+
+  /** q_graph_communities — label-propagation communities on the nation
+    * trade graph ([[operators.Graph.labelPropagation]]: 10 fixed
+    * synchronous rounds, incident weights folded as exact cent-longs,
+    * argmax ties to the smallest label — integer-deterministic end to
+    * end). Oracle-exempt: the iterative fixpoint has no tractable SQL
+    * form; the toy-graph golden vs a driver-side reference lives in
+    * GraphSpec and the exempt lane checks non-empty + determinism. */
+  val q_graph_communities: Q = (s, d) => {
+    val labels = operators.Graph.labelPropagation(
+      nationTradeEdges(s, d), "src", "dst", "w")
+    labels.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("community").cast("long").as("community"))
+      .orderBy("nation")
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3666,5 +3708,8 @@ object Queries {
     "q_vocab_coverage" -> q_vocab_coverage,
     "q_graph_degree" -> q_graph_degree,
     "q_pagerank" -> q_pagerank,
+    "q_graph_triangles" -> q_graph_triangles,
+    "q_graph_reciprocity" -> q_graph_reciprocity,
+    "q_graph_communities" -> q_graph_communities,
   )
 }

@@ -1302,5 +1302,34 @@ object SparkEntry {
         |LEFT JOIN o ON n.n_nationkey = o.nk
         |LEFT JOIN i ON n.n_nationkey = i.nk
         |ORDER BY nation""".stripMargin,
+    // closes triangles by the numeric a<b<c convention (the Spark side
+    // orients by degree) - each triangle counted exactly once either way
+    "q_graph_triangles" ->
+      """WITH raw AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+        |      FROM (SELECT a AS x FROM und UNION SELECT b FROM und) t),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |      FROM und e1
+        |      JOIN und e2 ON e2.a = e1.b
+        |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""".stripMargin,
+    "q_graph_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           JOIN customer c ON o.o_custkey = c.c_custkey
+        |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           WHERE c.c_nationkey <> s.s_nationkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |       CAST(count(r.src) AS BIGINT) AS n_reciprocal,
+        |       round(CAST(count(r.src) AS DOUBLE) / count(*), 6) AS reciprocity
+        |FROM e AS l LEFT JOIN e AS r ON l.src = r.dst AND l.dst = r.src""".stripMargin,
   )
 }

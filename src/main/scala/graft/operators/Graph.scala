@@ -67,4 +67,93 @@ object Graph {
     }
     ranks
   }
+
+  /** Undirected simple edge list from a directed multi-edge relation:
+    * self-loops dropped, direction collapsed via (least, greatest),
+    * parallel edges merged (weights summed as exact 1e-2-grain longs —
+    * "cents" — so every downstream fold is integer arithmetic). The
+    * result is localCheckpoint'ed: callers fan out into multi-join
+    * shapes (degree, orientation, wedge closure) and must not re-scan
+    * the upstream fact tables per consumer. */
+  private def undirect(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String): DataFrame = {
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        round(col(weightCol).cast("double") * lit(100.0)).cast("long").as("wc"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(col("wc")).as("wc"))
+      .localCheckpoint(true)
+  }
+
+  /** Triangle census by DEGREE-ORDERED orientation — the scalable
+    * formulation (each undirected edge becomes ONE directed edge from
+    * its lower-(degree, id) endpoint, capping out-degree at O(√m), so
+    * the wedge join is near-linear in edges rather than Σdeg² — the
+    * standard MapReduce/Cohen scheme). Wedges anchored at a node pair
+    * its out-neighbors in orientation order; one equi-join against the
+    * oriented edges closes them. Every count is an exact integer; each
+    * triangle is counted exactly once. Returns one row:
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                     weightCol: String): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo = the endpoint ordered first
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"),
+            col("db").as("dhi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+            col("da").as("dhi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
+      .localCheckpoint(true)
+    // wedge (lo; u, v): u, v out-neighbors of lo, ordered by (deg, id)
+    // so (u, v) is itself orientation-ordered — closable by ONE lookup
+    val x = oriented.select(col("lo"), col("hi").as("u"), col("dhi").as("du"))
+    val y = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+    val wedges = x.join(y, Seq("lo"))
+      .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("u").as("lo"), col("v").as("hi"))
+    val tri = wedges.join(oriented.select("lo", "hi"), Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes")))
+    sizes.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Community detection by synchronous label propagation, `iters`
+    * fixed rounds (fixed — not convergence-gated — so the output is a
+    * pure function of the input): labels start as node ids; each round
+    * every node adopts the label with the greatest incident weight,
+    * ties to the SMALLEST label. Weights fold as exact cent-longs and
+    * the argmax is `max(struct(weight, -label))` — integer arithmetic
+    * end to end, so the result is reduce-order-free (the exempt lane's
+    * determinism contract). One incidence join + one keyed argmax per
+    * round; label state is node-sized. Returns (node, community). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    // symmetric incidence: each undirected edge heard from both ends
+    val inc = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+      .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+      .localCheckpoint(true)
+    var labels = inc.select(col("n")).distinct()
+      .withColumn("label", col("n"))
+    for (_ <- 1 to iters) {
+      labels = inc
+        .join(labels.withColumnRenamed("n", "m"), Seq("m"))
+        .groupBy(col("n"), col("label")).agg(sum(col("wc")).as("lw"))
+        .groupBy(col("n"))
+        .agg(max(struct(col("lw"), (-col("label")).as("neg"))).as("best"))
+        .select(col("n"), (-col("best.neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("n").as("node"), col("label").as("community"))
+  }
 }

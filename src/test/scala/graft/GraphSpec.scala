@@ -95,6 +95,69 @@ class GraphSpec extends SparkSpec {
     assert(ranks.max > floor * 2, "trade mass concentrates on supplier nations")
   }
 
+  /** Reference label propagation, same conventions as
+    * [[Graph.labelPropagation]] (cent-long folds, (weight, -label) argmax). */
+  private def refLabelProp(edges: Seq[(Long, Long, Double)],
+                           iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map { case (u, v, w) => ((math.min(u, v), math.max(u, v)),
+        BigDecimal(w * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val inc = und.toSeq.flatMap { case ((a, b), wc) =>
+      Seq((a, b, wc), (b, a, wc)) }
+    var labels = inc.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = inc.groupBy(_._1).view.mapValues { es =>
+        es.groupBy(e => labels(e._2)).view.mapValues(_.map(_._3).sum)
+          .toSeq.maxBy { case (lbl, w) => (w, -lbl) }._1
+      }.toMap
+    }
+    labels
+  }
+
+  test("triangleCensus: K4 + pendant, with self-loops/reverse/parallel noise") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 4—5; a self-loop, a
+    // reversed duplicate, and a parallel edge must all normalize away
+    val edges: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0), (2L, 3L, 1.0),
+        (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0),
+        (2L, 2L, 9.0), (2L, 1L, 1.0), (1L, 2L, 5.0))
+    val row = Graph.triangleCensus(edgeDf(edges), "src", "dst", "w").collect().head
+    assert(row.getLong(0) == 5, "n_nodes")
+    assert(row.getLong(1) == 7, "n_edges")
+    assert(row.getLong(2) == 4, "n_triangles")
+  }
+
+  test("labelPropagation matches the reference and splits the barbell") {
+    // two tight triangles bridged by one weak edge
+    val barbell: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+        (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0),
+        (3L, 4L, 0.1))
+    val got = Graph.labelPropagation(edgeDf(barbell), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refLabelProp(barbell, 10)
+    assert(got == want, s"got $got want $want")
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "left block one community")
+    assert(Set(got(4L), got(5L), got(6L)).size == 1, "right block one community")
+    assert(got(1L) != got(4L), "weak bridge does not merge the blocks")
+  }
+
+  test("graph registry ids: census sanity at the unit fixture") {
+    val byName = Queries.all.toMap
+    val tri = byName("q_graph_triangles")(spark, sfDir).collect().head
+    val (nodes, edges, tris) = (tri.getLong(0), tri.getLong(1), tri.getLong(2))
+    assert(nodes <= 25 && edges <= nodes * (nodes - 1) / 2)
+    assert(tris >= 0)
+    val rec = byName("q_graph_reciprocity")(spark, sfDir).collect().head
+    assert(rec.getLong(0) > 0)
+    assert(rec.getLong(1) <= rec.getLong(0))
+    val ratio = rec.getDouble(2)
+    assert(ratio >= 0.0 && ratio <= 1.0)
+    val comm = byName("q_graph_communities")(spark, sfDir).collect()
+    assert(comm.nonEmpty && comm.length <= 25)
+  }
+
   test("q_graph_degree: out-mass equals in-mass over the closed graph") {
     val df = Queries.all.toMap.apply("q_graph_degree")(spark, sfDir)
     val rows = df.collect()

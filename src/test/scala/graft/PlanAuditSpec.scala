@@ -108,7 +108,10 @@ class PlanAuditSpec extends SparkSpec {
         // q_abc: 1-row revenue-total broadcast
         "q_abc",
         // q_vocab_coverage: 1-row (total, n_vocab) broadcast
-        "q_vocab_coverage")
+        "q_vocab_coverage",
+        // q_graph_triangles: 1-row census crossJoins (n_nodes × n_edges
+        // × n_triangles scalar aggregates)
+        "q_graph_triangles")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
