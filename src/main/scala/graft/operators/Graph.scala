@@ -63,7 +63,12 @@ object Graph {
           round(lit(base) + lit(damping) *
             (coalesce(col("in"), lit(0L)).cast("double") / lit(1e12)), 12)
             .as("rank"))
-        .localCheckpoint(true)
+      // checkpoint on a CADENCE, not per round: the loop count is FIXED
+      // (unlike connectedComponents' data-dependent convergence loop, which
+      // must materialize per round to read its observe metric), so lineage
+      // only ever nests a bounded handful of join rounds between cuts —
+      // one materialization job per cadence instead of one per round
+      if (i % 5 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -145,14 +150,15 @@ object Graph {
       .localCheckpoint(true)
     var labels = inc.select(col("n")).distinct()
       .withColumn("label", col("n"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       labels = inc
         .join(labels.withColumnRenamed("n", "m"), Seq("m"))
         .groupBy(col("n"), col("label")).agg(sum(col("wc")).as("lw"))
         .groupBy(col("n"))
         .agg(max(struct(col("lw"), (-col("label")).as("neg"))).as("best"))
         .select(col("n"), (-col("best.neg")).as("label"))
-        .localCheckpoint(true)
+      // fixed round count → cadence checkpointing (see pagerank)
+      if (i % 5 == 0 || i == iters) labels = labels.localCheckpoint(true)
     }
     labels.select(col("n").as("node"), col("label").as("community"))
   }

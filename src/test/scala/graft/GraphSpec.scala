@@ -143,6 +143,29 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) != got(4L), "weak bridge does not merge the blocks")
   }
 
+  test("triangleCensus: degree-ordered == naive numeric closure, 5k pseudorandom edges") {
+    // deterministic pseudorandom multigraph (hash arithmetic, no RNG):
+    // ~5k directed edges over ~300 nodes, duplicates/self-loops included
+    val edges = spark.range(5000).select(
+      pmod(hash(col("id")), lit(300)).cast("long").as("src"),
+      pmod(hash(col("id") * 7 + 1), lit(300)).cast("long").as("dst"),
+      lit(1.0).as("w"))
+    val fast = Graph.triangleCensus(edges, "src", "dst", "w").collect().head
+    // independent naive formulation — the oracle's a<b<c convention,
+    // expressed directly in DataFrames (quadratic wedges; fine at test
+    // scale, the thing the degree-ordered plan exists to avoid)
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val e1 = und.select(col("a").as("x"), col("b").as("y"))
+    val e2 = und.select(col("a").as("y"), col("b").as("z"))
+    val e3 = und.select(col("a").as("x"), col("b").as("z"))
+    val naive = e1.join(e2, "y").join(e3, Seq("x", "z")).count()
+    assert(fast.getLong(2) == naive,
+      s"degree-ordered census ${fast.getLong(2)} != naive closure $naive")
+    assert(fast.getLong(1) == und.count(), "edge counts agree")
+  }
+
   test("graph registry ids: census sanity at the unit fixture") {
     val byName = Queries.all.toMap
     val tri = byName("q_graph_triangles")(spark, sfDir).collect().head
