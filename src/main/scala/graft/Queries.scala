@@ -3326,11 +3326,16 @@ object Queries {
 
   /** Edge list shared by the graph-analytics ids: the nation-level trade
     * graph. src = the ordering customer's nation, dst = the supplying
-    * nation, weight = discounted revenue (per-line product left raw —
-    * bit-identical IEEE on both engines per the file-header discipline —
-    * rounded once at the edge aggregate, so downstream folds see exact
-    * 2-dp cells), aggregated to one edge per (src,dst) — at most 25×25
-    * rows no matter the fact-table scale.
+    * nation, weight = discounted revenue in INTEGER CENTS: the per-line
+    * product is a bit-identical IEEE double on both engines, and
+    * `round(rev*100)` rounds that same double on both sides (Spark's
+    * BigDecimal half-up and DuckDB's away-from-zero agree on every
+    * non-boundary double, and a true half boundary never lands exactly
+    * on a binary double) — from there every fold at every level is
+    * exact long arithmetic, immune to the fold-order ulp drift that a
+    * `round(sum(double),2)` cascade suffers (observed live: two-level
+    * rounding diverged by 0.01 on 2 of 50 cells at sf0.001). One edge
+    * per (src,dst) — at most 25×25 rows no matter the fact-table scale.
     * Built by ONE fact scan, a fact-sized orders join, and two broadcast
     * dim joins; everything downstream (degree, PageRank state) is
     * node/edge-sized, so the graph ids cost one aggregation of the fact
@@ -3346,21 +3351,25 @@ object Queries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(round(sum(col("rev")), 2).as("w"), count(lit(1)).as("n_lines"))
+      .agg(sum(round(col("rev") * lit(100.0)).cast("long")).as("wc"),
+        count(lit(1)).as("n_lines"))
   }
 
   /** q_graph_degree — weighted degree centrality on the nation trade
     * graph: per nation, out-strength (revenue it ORDERS, as the customer
     * side) and in-strength (revenue it SUPPLIES), plus line counts, left-
     * joined onto the full nation dim so isolated nations report zeros.
-    * The oracle mirrors the two-level aggregation (per-edge subtotal,
-    * then per-node) exactly, so both engines fold identical cells. */
+    * All folds are exact cent-longs (see [[nationTradeEdges]]); the
+    * displayed doubles are `cents/100` — an exact 2-dp quantity, so the
+    * output round is boundary-free on both engines. */
   val q_graph_degree: Q = (s, d) => {
     val e = nationTradeEdges(s, d).localCheckpoint(eager = true)
     val out = e.groupBy(col("src").as("nk_out"))
-      .agg(round(sum(col("w")), 2).as("out_w"), sum(col("n_lines")).as("out_lines"))
+      .agg(round(sum(col("wc")).cast("double") / lit(100.0), 2).as("out_w"),
+        sum(col("n_lines")).as("out_lines"))
     val inn = e.groupBy(col("dst").as("nk_in"))
-      .agg(round(sum(col("w")), 2).as("in_w"), sum(col("n_lines")).as("in_lines"))
+      .agg(round(sum(col("wc")).cast("double") / lit(100.0), 2).as("in_w"),
+        sum(col("n_lines")).as("in_lines"))
     Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
       .join(out, col("n_nationkey") === col("nk_out"), "left")
       .join(inn, col("n_nationkey") === col("nk_in"), "left")
@@ -3381,7 +3390,7 @@ object Queries {
     * multi-edge/mass laws live in GraphSpec; the exempt lane checks
     * non-empty + repeat-determinism at the driver SF. */
   val q_pagerank: Q = (s, d) => {
-    val ranks = operators.Graph.pagerank(nationTradeEdges(s, d), "src", "dst", "w")
+    val ranks = operators.Graph.pagerank(nationTradeEdges(s, d), "src", "dst", "wc")
     ranks.join(
         broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
         col("node") === col("n_nationkey"))
@@ -3397,7 +3406,7 @@ object Queries {
     * the numeric a&lt;b&lt;c convention; both count each triangle exactly
     * once, so the censuses agree. */
   val q_graph_triangles: Q = (s, d) =>
-    operators.Graph.triangleCensus(nationTradeEdges(s, d), "src", "dst", "w")
+    operators.Graph.triangleCensus(nationTradeEdges(s, d), "src", "dst", "wc")
 
   /** q_graph_reciprocity — share of directed trade edges with a reverse
     * edge (nations that buy from nations that buy from them). Exact
@@ -3423,7 +3432,7 @@ object Queries {
     * GraphSpec and the exempt lane checks non-empty + determinism. */
   val q_graph_communities: Q = (s, d) => {
     val labels = operators.Graph.labelPropagation(
-      nationTradeEdges(s, d), "src", "dst", "w")
+      nationTradeEdges(s, d), "src", "dst", "wc")
     labels.join(
         broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
         col("node") === col("n_nationkey"))

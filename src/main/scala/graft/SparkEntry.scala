@@ -1276,22 +1276,23 @@ object SparkEntry {
         |  UNION ALL SELECT 20, max(CASE WHEN r <= 20 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t
         |  UNION ALL SELECT 30, max(CASE WHEN r <= 30 THEN cum END), max(total), max(n_vocab) FROM rk CROSS JOIN t) s
         |ORDER BY k""".stripMargin,
-    // mirrors the Spark side's TWO-LEVEL aggregation exactly: the
-    // per-line product stays raw (bit-identical IEEE on both engines),
-    // is rounded once at the edge subtotal, and the node level then
-    // folds exact 2-dp cells
+    // mirrors the Spark side's integer-cents design: round(rev*100)
+    // rounds the SAME bit-identical double on both engines, every fold
+    // is exact BIGINT, and cents/100 is an exact 2-dp quantity so the
+    // output round is boundary-free (a round(sum(double),2) cascade
+    // diverged by 0.01 on half-way cells - observed at sf0.001)
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-        |                    l.l_extendedprice * (1.0 - l.l_discount) AS rev
+        |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
         |             FROM lineitem l
         |             JOIN orders o ON l.l_orderkey = o.o_orderkey
         |             JOIN customer c ON o.o_custkey = c.c_custkey
         |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |e AS (SELECT src, dst, round(sum(rev), 2) AS w, count(*) AS n_lines
+        |e AS (SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc, count(*) AS n_lines
         |      FROM raw GROUP BY src, dst),
-        |o AS (SELECT src AS nk, round(sum(w), 2) AS out_w,
+        |o AS (SELECT src AS nk, round(CAST(sum(wc) AS BIGINT) / 100.0, 2) AS out_w,
         |             CAST(sum(n_lines) AS BIGINT) AS out_lines FROM e GROUP BY 1),
-        |i AS (SELECT dst AS nk, round(sum(w), 2) AS in_w,
+        |i AS (SELECT dst AS nk, round(CAST(sum(wc) AS BIGINT) / 100.0, 2) AS in_w,
         |             CAST(sum(n_lines) AS BIGINT) AS in_lines FROM e GROUP BY 1)
         |SELECT n.n_name AS nation,
         |       coalesce(o.out_w, 0.0) AS out_w,
