@@ -3,7 +3,10 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Iterative graph analytics over edge DataFrames — the PageRank twin of
+/** Iterative graph analytics over edge DataFrames (driver brief's
+  * training-pipeline extensions; SURVEY.md §2.K — the reference's own
+  * surface has no graph operators, so these are beyond-reference
+  * capability like Dedup/Similarity). The PageRank twin of
   * [[Dedup.connectedComponents]], built on the same loop discipline:
   * node/edge-keyed relations only, one shuffle per iteration, eager
   * `localCheckpoint` to keep the lineage flat, and never a

@@ -19,9 +19,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
-      case "events" => events(spark, sfDir)
-      case other    => spark.read.parquet(s"$sfDir/$other.parquet")
+      case "events"   => events(spark, sfDir)
+      case "orders"   => guardNanos(spark, sfDir, "orders", "o_orderdate")
+      case "lineitem" => guardNanos(spark, sfDir, "lineitem", "l_shipdate")
+      case other      => spark.read.parquet(s"$sfDir/$other.parquet")
     }
+
+  /** Generation-proofing for the other timestamped tables: because
+    * [[events]] sets `nanosAsLong` SESSION-WIDE, a future testdata
+    * generation that ships orders/lineitem timestamps as
+    * TIMESTAMP(NANOS) would arrive as raw nanos LONGS and silently
+    * break 100+ date queries. Convert that case to the session
+    * TimestampType; the current naive-µs (NTZ) and any adjusted-µs
+    * generation pass through unchanged — both already hash-match the
+    * DuckDB oracle at all three SFs. */
+  private def guardNanos(spark: SparkSession, sfDir: String, name: String,
+                         tsCol: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema(tsCol).dataType match {
+      case LongType =>
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case _ => raw
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
