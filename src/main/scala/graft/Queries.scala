@@ -3408,6 +3408,15 @@ object Queries {
   val q_graph_triangles: Q = (s, d) =>
     operators.Graph.triangleCensus(nationTradeEdges(s, d), "src", "dst", "wc")
 
+  /** q_graph_clustering — global clustering coefficient of the nation
+    * trade graph ([[operators.Graph.clusteringCensus]]): 3·triangles /
+    * wedges, both exact integer counts (wedges fold node-sized
+    * deg·(deg−1)/2 longs; triangles come from the degree-ordered
+    * closure). The single double is one division of identical BIGINTs
+    * on both engines, rounded at 6 dp. */
+  val q_graph_clustering: Q = (s, d) =>
+    operators.Graph.clusteringCensus(nationTradeEdges(s, d), "src", "dst", "wc")
+
   /** q_graph_reciprocity — share of directed trade edges with a reverse
     * edge (nations that buy from nations that buy from them). Exact
     * integer counts; the one double (the ratio) is a single division
@@ -3718,6 +3727,7 @@ object Queries {
     "q_graph_degree" -> q_graph_degree,
     "q_pagerank" -> q_pagerank,
     "q_graph_triangles" -> q_graph_triangles,
+    "q_graph_clustering" -> q_graph_clustering,
     "q_graph_reciprocity" -> q_graph_reciprocity,
     "q_graph_communities" -> q_graph_communities,
   )

@@ -1321,6 +1321,27 @@ object SparkEntry {
         |      JOIN und e2 ON e2.a = e1.b
         |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""".stripMargin,
+    // wedge count folds exact integers; the one double is a single
+    // division of identical BIGINTs on both engines
+    "q_graph_clustering" ->
+      """WITH raw AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |w AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+        |      FROM (SELECT count(*) AS d
+        |            FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und) u
+        |            GROUP BY x) dd),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |      FROM und e1
+        |      JOIN und e2 ON e2.a = e1.b
+        |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT w.n_wedges, t.n_triangles,
+        |       round(3.0 * t.n_triangles / w.n_wedges, 6) AS global_clustering
+        |FROM w, t""".stripMargin,
     "q_graph_reciprocity" ->
       """WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
         |           FROM lineitem l

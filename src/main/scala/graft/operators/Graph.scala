@@ -105,10 +105,39 @@ object Graph {
     * (n_nodes, n_edges, n_triangles). */
   def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String,
                      weightCol: String): DataFrame = {
+    val (und, deg, oriented) = orientedParts(edges, srcCol, dstCol, weightCol)
+    val sizes = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes")))
+    sizes.crossJoin(closedTriangles(oriented))
+      .select("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Global clustering coefficient: 3·triangles / wedges, where the
+    * wedge count Σ deg·(deg−1)/2 folds node-sized exact longs and the
+    * triangle count comes from the same degree-ordered closure as
+    * [[triangleCensus]]. The one double is a single division of exact
+    * integers — identical on any engine — rounded at 6 dp. Returns one
+    * row (n_wedges, n_triangles, global_clustering). */
+  def clusteringCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String): DataFrame = {
+    val (_, deg, oriented) = orientedParts(edges, srcCol, dstCol, weightCol)
+    val wedges = deg.agg(
+      (sum(col("deg") * (col("deg") - lit(1L))) / lit(2)).cast("long")
+        .as("n_wedges"))
+    wedges.crossJoin(closedTriangles(oriented))
+      .select(col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+
+  /** Shared degree-ordered orientation: every undirected edge directed
+    * from its lower-(degree, id) endpoint. Out-degree is then O(√m),
+    * which is what keeps the wedge join near-linear. */
+  private def orientedParts(edges: DataFrame, srcCol: String, dstCol: String,
+                            weightCol: String): (DataFrame, DataFrame, DataFrame) = {
     val und = undirect(edges, srcCol, dstCol, weightCol)
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): lo = the endpoint ordered first
     val oriented = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
@@ -120,18 +149,20 @@ object Graph {
             col("da").as("dhi"))).as("e"))
       .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
       .localCheckpoint(true)
-    // wedge (lo; u, v): u, v out-neighbors of lo, ordered by (deg, id)
-    // so (u, v) is itself orientation-ordered — closable by ONE lookup
+    (und, deg, oriented)
+  }
+
+  /** Wedge (lo; u, v) — u, v out-neighbors of lo ordered by (deg, id),
+    * so the pair is itself orientation-ordered and closable by ONE
+    * equi-join against the oriented edges. One row: n_triangles. */
+  private def closedTriangles(oriented: DataFrame): DataFrame = {
     val x = oriented.select(col("lo"), col("hi").as("u"), col("dhi").as("du"))
     val y = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
     val wedges = x.join(y, Seq("lo"))
       .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
       .select(col("u").as("lo"), col("v").as("hi"))
-    val tri = wedges.join(oriented.select("lo", "hi"), Seq("lo", "hi"))
+    wedges.join(oriented.select("lo", "hi"), Seq("lo", "hi"))
       .agg(count(lit(1)).as("n_triangles"))
-    val sizes = und.agg(count(lit(1)).as("n_edges")).crossJoin(
-      deg.agg(count(lit(1)).as("n_nodes")))
-    sizes.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
   }
 
   /** Community detection by synchronous label propagation, `iters`

@@ -126,6 +126,11 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(0) == 5, "n_nodes")
     assert(row.getLong(1) == 7, "n_edges")
     assert(row.getLong(2) == 4, "n_triangles")
+    // same graph: degrees (3,3,3,4,1) → 15 wedges, coeff = 12/15
+    val cc = Graph.clusteringCensus(edgeDf(edges), "src", "dst", "w").collect().head
+    assert(cc.getLong(0) == 15, "n_wedges")
+    assert(cc.getLong(1) == 4)
+    assert(math.abs(cc.getDouble(2) - 0.8) < 1e-12, "global clustering 12/15")
   }
 
   test("labelPropagation matches the reference and splits the barbell") {
