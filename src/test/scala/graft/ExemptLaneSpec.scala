@@ -38,7 +38,7 @@ class ExemptLaneSpec extends SparkSpec {
     }.toSeq
 
   test("exempt-id census matches the declared contract") {
-    // SURVEY §2 declares 15 oracle-exempt ids as of round 6; widen this
+    // SURVEY §2 declares 19 oracle-exempt ids as of round 8; widen this
     // number deliberately (with a new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
     assert(exemptIds.size <= 20,
