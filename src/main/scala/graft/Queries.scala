@@ -3336,10 +3336,13 @@ object Queries {
     * `round(sum(double),2)` cascade suffers (observed live: two-level
     * rounding diverged by 0.01 on 2 of 50 cells at sf0.001). One edge
     * per (src,dst) — at most 25×25 rows no matter the fact-table scale.
-    * Built by ONE fact scan, a fact-sized orders join, and two broadcast
-    * dim joins; everything downstream (degree, PageRank state) is
-    * node/edge-sized, so the graph ids cost one aggregation of the fact
-    * table plus arithmetic on a ≤625-row relation at any SF. */
+    * Built by ONE fact scan and keyed joins; customer/supplier carry NO
+    * broadcast hint — they are fact-PROPORTIONAL tables (unlike the
+    * 25-row nation dim), so the strategy is left to Catalyst/AQE:
+    * broadcast at test SFs, shuffle join at cluster scale. Everything
+    * downstream (degree, PageRank state) is node/edge-sized, so the
+    * graph ids cost one aggregation of the fact table plus arithmetic
+    * on a ≤625-row relation at any SF. */
   private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"),
@@ -3348,8 +3351,8 @@ object Queries {
     val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
     val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(sum(round(col("rev") * lit(100.0)).cast("long")).as("wc"),
         count(lit(1)).as("n_lines"))
