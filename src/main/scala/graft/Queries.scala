@@ -3420,6 +3420,23 @@ object Queries {
   val q_graph_clustering: Q = (s, d) =>
     operators.Graph.clusteringCensus(nationTradeEdges(s, d), "src", "dst", "wc")
 
+  /** q_graph_local_clustering — per-nation local clustering coefficient
+    * ([[operators.Graph.localClustering]]): how tightly each nation's
+    * trade partners trade among themselves. Left-joined onto the full
+    * nation dim (isolated nations report zeros); counts exact longs,
+    * the coefficient one division of exact integers at 6 dp. */
+  val q_graph_local_clustering: Q = (s, d) => {
+    val lc = operators.Graph.localClustering(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .join(lc, col("n_nationkey") === col("node"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        coalesce(col("local_clustering"), lit(0.0)).as("local_clustering"))
+      .orderBy("nation")
+  }
+
   /** q_graph_reciprocity — share of directed trade edges with a reverse
     * edge (nations that buy from nations that buy from them). Exact
     * integer counts; the one double (the ratio) is a single division
@@ -3731,6 +3748,7 @@ object Queries {
     "q_pagerank" -> q_pagerank,
     "q_graph_triangles" -> q_graph_triangles,
     "q_graph_clustering" -> q_graph_clustering,
+    "q_graph_local_clustering" -> q_graph_local_clustering,
     "q_graph_reciprocity" -> q_graph_reciprocity,
     "q_graph_communities" -> q_graph_communities,
   )

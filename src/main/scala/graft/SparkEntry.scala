@@ -1342,6 +1342,38 @@ object SparkEntry {
         |SELECT w.n_wedges, t.n_triangles,
         |       round(3.0 * t.n_triangles / w.n_wedges, 6) AS global_clustering
         |FROM w, t""".stripMargin,
+    // per-node triangle membership: three corner projections of the
+    // same a<b<c closure, UNION ALL'd before the keyed count
+    "q_graph_local_clustering" ->
+      """WITH raw AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |dd AS (SELECT x AS n, count(*) AS d
+        |       FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und) u GROUP BY x),
+        |tr AS (SELECT n, count(*) AS t FROM (
+        |         SELECT e1.a AS n FROM und e1
+        |         JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |         UNION ALL
+        |         SELECT e1.b FROM und e1
+        |         JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |         UNION ALL
+        |         SELECT e2.b FROM und e1
+        |         JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) c
+        |       GROUP BY n)
+        |SELECT nn.n_name AS nation,
+        |       CAST(coalesce(dd.d, 0) AS BIGINT) AS degree,
+        |       CAST(coalesce(tr.t, 0) AS BIGINT) AS n_triangles,
+        |       CASE WHEN coalesce(dd.d, 0) >= 2
+        |            THEN round(coalesce(tr.t, 0) * 2.0 / (dd.d * (dd.d - 1)), 6)
+        |            ELSE 0.0 END AS local_clustering
+        |FROM nation nn
+        |LEFT JOIN dd ON nn.n_nationkey = dd.n
+        |LEFT JOIN tr ON nn.n_nationkey = tr.n
+        |ORDER BY nation""".stripMargin,
     "q_graph_reciprocity" ->
       """WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
         |           FROM lineitem l

@@ -130,6 +130,34 @@ object Graph {
           .as("global_clustering"))
   }
 
+  /** Per-node triangle membership and LOCAL clustering coefficient
+    * 2·tri(v) / (deg(v)·(deg(v)−1)): the same degree-ordered closure as
+    * [[triangleCensus]], but each closed triangle is exploded to its
+    * three corners before the keyed count, so membership stays one
+    * node-keyed aggregate. Counts exact longs; the coefficient is one
+    * division of exact integers rounded at 6 dp (0.0 for deg < 2).
+    * Returns (node, degree, n_triangles, local_clustering) for every
+    * node with at least one edge. */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String): DataFrame = {
+    val (_, deg, oriented) = orientedParts(edges, srcCol, dstCol, weightCol)
+    val x = oriented.select(col("lo").as("anchor"), col("hi").as("u"), col("dhi").as("du"))
+    val y = oriented.select(col("lo").as("anchor"), col("hi").as("v"), col("dhi").as("dv"))
+    val wedges = x.join(y, Seq("anchor"))
+      .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("anchor"), col("u").as("lo"), col("v").as("hi"))
+    val corners = wedges.join(oriented.select("lo", "hi"), Seq("lo", "hi"))
+      .select(explode(array(col("anchor"), col("lo"), col("hi"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(coalesce(col("n_tri"), lit(0L)) * lit(2.0) /
+            (col("deg") * (col("deg") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("local_clustering"))
+  }
+
   /** Shared degree-ordered orientation: every undirected edge directed
     * from its lower-(degree, id) endpoint. Out-degree is then O(√m),
     * which is what keeps the wedge join near-linear. */

@@ -131,6 +131,16 @@ class GraphSpec extends SparkSpec {
     assert(cc.getLong(0) == 15, "n_wedges")
     assert(cc.getLong(1) == 4)
     assert(math.abs(cc.getDouble(2) - 0.8) < 1e-12, "global clustering 12/15")
+    // local: K4 nodes are in 3 triangles each — 1,2,3 fully clustered
+    // (2·3/(3·2)=1.0), node 4 diluted by the pendant (2·3/(4·3)=0.5),
+    // node 5 deg-1 → 0.0
+    val lc = Graph.localClustering(edgeDf(edges), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(lc(1L) == ((3L, 3L, 1.0)) && lc(2L) == ((3L, 3L, 1.0)) &&
+      lc(3L) == ((3L, 3L, 1.0)))
+    assert(lc(4L) == ((4L, 3L, 0.5)))
+    assert(lc(5L) == ((1L, 0L, 0.0)))
   }
 
   test("labelPropagation matches the reference and splits the barbell") {
