@@ -3343,7 +3343,9 @@ object Queries {
     * downstream (degree, PageRank state) is node/edge-sized, so the
     * graph ids cost one aggregation of the fact table plus arithmetic
     * on a ≤625-row relation at any SF. */
-  private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: PlanAuditSpec pins the UN-checkpointed plan's join
+  // strategy (the eager localCheckpoint in callers hides it from Explain)
+  private[graft] def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))

@@ -1340,7 +1340,9 @@ object SparkEntry {
         |      JOIN und e2 ON e2.a = e1.b
         |      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT w.n_wedges, t.n_triangles,
-        |       round(3.0 * t.n_triangles / w.n_wedges, 6) AS global_clustering
+        |       CASE WHEN w.n_wedges > 0
+        |            THEN round(3.0 * t.n_triangles / w.n_wedges, 6)
+        |            ELSE 0.0 END AS global_clustering
         |FROM w, t""".stripMargin,
     // per-node triangle membership: three corner projections of the
     // same a<b<c closure, UNION ALL'd before the keyed count

@@ -78,17 +78,29 @@ object Graph {
 
   /** Undirected simple edge list from a directed multi-edge relation:
     * self-loops dropped, direction collapsed via (least, greatest),
-    * parallel edges merged (weights summed as exact 1e-2-grain longs —
-    * "cents" — so every downstream fold is integer arithmetic). The
-    * result is localCheckpoint'ed: callers fan out into multi-join
-    * shapes (degree, orientation, wedge closure) and must not re-scan
-    * the upstream fact tables per consumer. */
+    * parallel edges merged with exact-long weight sums. The UNIT
+    * contract: an already-integral weight column (the registry callers
+    * pass integer cents) is taken AS-IS — re-scaling it by 100 would
+    * silently fold "hundredths of cents" and burn 100× of the 2^53
+    * double-cast headroom at large SFs; a fractional column is
+    * quantized to 1e-2-grain longs ("cents") so every downstream fold
+    * is still integer arithmetic. The result is localCheckpoint'ed:
+    * callers fan out into multi-join shapes (degree, orientation,
+    * wedge closure) and must not re-scan the upstream fact tables per
+    * consumer. */
   private def undirect(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val wc = edges.schema(weightCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        col(weightCol).cast("long")
+      case _ =>
+        round(col(weightCol).cast("double") * lit(100.0)).cast("long")
+    }
     edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"),
-        round(col(weightCol).cast("double") * lit(100.0)).cast("long").as("wc"))
+        wc.as("wc"))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum(col("wc")).as("wc"))
       .localCheckpoint(true)
@@ -126,8 +138,11 @@ object Graph {
         .as("n_wedges"))
     wedges.crossJoin(closedTriangles(oriented))
       .select(col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("global_clustering"))
+        // wedge-free graphs (every degree ≤ 1, or no edges): 0/0 would be
+        // NaN on both engines — report 0.0, mirroring localClustering
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("global_clustering"))
   }
 
   /** Per-node triangle membership and LOCAL clustering coefficient
@@ -197,8 +212,10 @@ object Graph {
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round
     * every node adopts the label with the greatest incident weight,
-    * ties to the SMALLEST label. Weights fold as exact cent-longs and
-    * the argmax is `max(struct(weight, -label))` — integer arithmetic
+    * ties to the SMALLEST label. Weights fold as exact longs (the
+    * [[undirect]] unit contract: integral inputs as-is, fractional
+    * quantized to cents — the labeling is invariant under the uniform
+    * scale) and the argmax is `max(struct(weight, -label))` — integer arithmetic
     * end to end, so the result is reduce-order-free (the exempt lane's
     * determinism contract). One incidence join + one keyed argmax per
     * round; label state is node-sized. Returns (node, community). */

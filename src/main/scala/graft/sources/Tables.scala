@@ -25,22 +25,40 @@ object Tables {
       case other      => spark.read.parquet(s"$sfDir/$other.parquet")
     }
 
-  /** Generation-proofing for the other timestamped tables: because
-    * [[events]] sets `nanosAsLong` SESSION-WIDE, a future testdata
-    * generation that ships orders/lineitem timestamps as
+  /** Generation-proofing for the other timestamped tables: a future
+    * testdata generation that ships orders/lineitem timestamps as
     * TIMESTAMP(NANOS) would arrive as raw nanos LONGS and silently
     * break 100+ date queries. Convert that case to the session
     * TimestampType; the current naive-µs (NTZ) and any adjusted-µs
     * generation pass through unchanged — both already hash-match the
-    * DuckDB oracle at all three SFs. */
+    * DuckDB oracle at all three SFs.
+    *
+    * `nanosAsLong` is set HERE, not only in [[events]], so behavior is
+    * load-order independent: a session that reads orders/lineitem
+    * before any events() call must not fail on a TIMESTAMP(NANOS)
+    * generation ([PARQUET_TYPE_ILLEGAL] from the vectorized reader). */
   private def guardNanos(spark: SparkSession, sfDir: String, name: String,
                          tsCol: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
     raw.schema(tsCol).dataType match {
       case LongType =>
-        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+        raw.withColumn(tsCol, timestamp_micros(epochToMicros(tsCol)))
       case _ => raw
     }
+  }
+
+  /** Magnitude-aware epoch normalizer for a LONG column that could be
+    * either nanos (a TIMESTAMP(NANOS) file read under `nanosAsLong`) or
+    * genuine epoch micros (a future generation shipping a plain BIGINT
+    * column — blind `div 1000` would make those timestamps 1000× too
+    * small). Epoch NANOS for any instant after 1971 exceed 3×10¹⁶ while
+    * epoch MICROS stay below 8×10¹⁵ until year 2200, so 10¹⁶ cleanly
+    * separates the encodings per value. */
+  private def epochToMicros(tsCol: String): org.apache.spark.sql.Column = {
+    val nanosFloor = 10000000000000000L // 1e16
+    when(abs(col(tsCol)) >= nanosFloor, expr(s"$tsCol div 1000"))
+      .otherwise(col(tsCol))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
@@ -94,7 +112,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val ts = raw.schema("ts").dataType match {
-      case LongType            => timestamp_micros(expr("ts div 1000"))
+      case LongType            => timestamp_micros(epochToMicros("ts"))
       case _: TimestampNTZType => col("ts").cast(TimestampType)
       case _                   => col("ts")
     }

@@ -143,6 +143,34 @@ class GraphSpec extends SparkSpec {
     assert(lc(5L) == ((1L, 0L, 0.0)))
   }
 
+  test("undirect unit contract: integer weights as-is == doubles quantized to cents") {
+    // the registry callers pass integer CENTS; re-scaling those by 100
+    // would fold hundredths-of-cents and burn 100× of the 2^53 headroom.
+    // Labeling is invariant under the uniform ×100, so the long-weight
+    // graph must land on exactly the double-weight labels.
+    val s = spark
+    import s.implicits._
+    val dbl: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+        (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0),
+        (3L, 4L, 0.1))
+    val cents = dbl.map { case (a, b, w) => (a, b, math.round(w * 100)) }
+    val viaDouble = Graph.labelPropagation(edgeDf(dbl), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLong = Graph.labelPropagation(
+        cents.toDF("src", "dst", "w"), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDouble == viaLong)
+  }
+
+  test("clusteringCensus: wedge-free graph reports 0.0, not NaN") {
+    // one isolated edge: zero wedges → the 3·tri/wedges division is 0/0
+    val lone = edgeDf(Seq((1L, 2L, 1.0)))
+    val row = Graph.clusteringCensus(lone, "src", "dst", "w").collect().head
+    assert(row.getLong(0) == 0 && row.getLong(1) == 0)
+    assert(row.getDouble(2) == 0.0, "guarded division must yield 0.0")
+  }
+
   test("labelPropagation matches the reference and splits the barbell") {
     // two tight triangles bridged by one weak edge
     val barbell: Seq[(Long, Long, Double)] =

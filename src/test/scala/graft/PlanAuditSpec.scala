@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Static plan audit across EVERY registered query: the scale-killer
   * checklist (cartesian products, unbounded nested-loop joins, lost
@@ -197,6 +197,47 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"unrounded double ranking in oracle SQL:\n${offenders.mkString("\n")}")
+  }
+
+  test("trade-graph edge builder resolves to broadcast joins at fixture SF") {
+    // `nationTradeEdges` deliberately carries NO broadcast hints (its
+    // cust/supp sides are fact-proportional — an unconditional hint OOMs
+    // a cluster-scale build), relying on Catalyst's stats to broadcast at
+    // test SFs. The eager localCheckpoint in every caller hides the
+    // resolved strategy from Explain dumps, so a stats/AQE regression
+    // would silently turn the shared edge builder into three chained
+    // SMJs across 7 registry ids. Pin it here on the UN-checkpointed
+    // plan: at fixture SF all three joins must resolve to broadcast.
+    val plan = Queries.nationTradeEdges(spark, sfDir).queryExecution.sparkPlan
+    val merged = plan.collect { case j: SortMergeJoinExec => j }
+    val shuffled = plan.collect { case j: ShuffledHashJoinExec => j }
+    assert(merged.isEmpty && shuffled.isEmpty,
+      s"edge builder lost its stats-driven broadcasts: " +
+        s"${merged.size} SMJ + ${shuffled.size} SHJ in\n$plan")
+    val broadcasts = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(broadcasts.size == 3,
+      s"expected the ord/cust/supp joins as 3 broadcast hash joins, " +
+        s"got ${broadcasts.size}")
+  }
+
+  test("the edge-builder broadcast audit catches a seeded stats regression") {
+    // same build with stats-based broadcast disabled MUST trip the
+    // detector — proves the assertion measures strategy resolution, not
+    // a shape that passes vacuously
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = Queries.nationTradeEdges(spark, sfDir)
+        .queryExecution.sparkPlan
+      val nonBroadcast = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(nonBroadcast.nonEmpty,
+        "seeded autoBroadcastJoinThreshold=-1 did not surface a " +
+          "non-broadcast join — the audit would miss a real regression")
+    } finally spark.conf.set(key, saved)
   }
 
   test("predicate pushdown reaches the parquet scan (q_filter)") {
