@@ -3471,6 +3471,47 @@ object Queries {
       .orderBy("nation")
   }
 
+  /** q_graph_components — connected components of the (undirected)
+    * nation trade graph: every nation labeled with the minimum nationkey
+    * reachable through trade edges, isolated nations labeling
+    * themselves. Reuses [[operators.Dedup.connectedComponents]] (the
+    * near-dup cluster machinery — min-label propagation + pointer
+    * jumping, O(log diameter) rounds, large-star/small-star fallback)
+    * over the ≤625-row edge list; the oracle walks the same edges with
+    * a recursive CTE (the q_dedup_cluster pattern). Exact integer
+    * labels end to end. */
+  val q_graph_components: Q = (s, d) => {
+    val e = nationTradeEdges(s, d)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    val comp = operators.Dedup.connectedComponents(e)
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .join(comp, col("n_nationkey") === col("id"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("label"), col("n_nationkey")).cast("long").as("component"))
+      .orderBy("nation")
+  }
+
+  /** q_graph_sssp — weighted single-source shortest paths from nation 0
+    * over the trade graph ([[operators.Graph.shortestPaths]]:
+    * distributed Bellman–Ford relaxation, one incidence join + one
+    * keyed min per round, node-sized distance state, exact cent-long
+    * distances — reduce-order-free). Oracle-exempt: the iterative
+    * fixpoint has no tractable SQL form; the golden vs a driver-side
+    * Dijkstra lives in GraphSpec and the exempt lane checks non-empty +
+    * repeat-determinism. Distances display as 2-dp revenue (`cents/100`
+    * — exact). Only reachable nations appear. */
+  val q_graph_sssp: Q = (s, d) => {
+    val dist = operators.Graph.shortestPaths(
+      nationTradeEdges(s, d), "src", "dst", "wc", source = 0L)
+    dist.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        round(col("dist").cast("double") / lit(100.0), 2).as("dist_w"))
+      .orderBy("dist_w", "nation")
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3753,5 +3794,7 @@ object Queries {
     "q_graph_local_clustering" -> q_graph_local_clustering,
     "q_graph_reciprocity" -> q_graph_reciprocity,
     "q_graph_communities" -> q_graph_communities,
+    "q_graph_components" -> q_graph_components,
+    "q_graph_sssp" -> q_graph_sssp,
   )
 }

@@ -21,14 +21,17 @@ object SparkEntry {
     Queries.all.toMap
 
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
-    * oracle-exempt ops (approx sketches / hash-seeded LSH / heuristics):
+    * oracle-exempt ops — approx sketches / hash-seeded LSH / heuristics:
     * q_agg_approx_distinct, q_agg_approx_percentile, q_lang_id,
     * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
     * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
     * q_dedup_cluster_minhash, q_heavy_hitters_approx,
     * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll,
-    * q_topk_approx_sketch —
-    * each is instead golden-tested in scalatest (SURVEY §5.2).
+    * q_topk_approx_sketch — and iterative fixpoints with no tractable
+    * SQL form: q_bpe_merges, q_knn_join_pq (PQ-quantized ANN),
+    * q_pagerank, q_graph_communities, q_graph_sssp.
+    * Each is instead golden-tested in scalatest (SURVEY §5.2) and runs
+    * through the sf0.01 exempt lane (ExemptLaneSpec).
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -1387,5 +1390,27 @@ object SparkEntry {
         |       CAST(count(r.src) AS BIGINT) AS n_reciprocal,
         |       round(CAST(count(r.src) AS DOUBLE) / count(*), 6) AS reciprocity
         |FROM e AS l LEFT JOIN e AS r ON l.src = r.dst AND l.dst = r.src""".stripMargin,
+    // the q_dedup_cluster recursive-CTE pattern over the trade edges:
+    // reach = transitive closure of the symmetrized edge set, component
+    // = min reachable id; isolated nations label themselves
+    "q_graph_components" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |edges AS (SELECT src AS a, dst AS b FROM raw
+        |          UNION SELECT dst, src FROM raw),
+        |reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        |comp AS (SELECT id, least(id, min(m)) AS component FROM reach GROUP BY id)
+        |SELECT n.n_name AS nation,
+        |       CAST(coalesce(c.component, n.n_nationkey) AS BIGINT) AS component
+        |FROM nation n LEFT JOIN comp c ON n.n_nationkey = c.id
+        |ORDER BY nation""".stripMargin,
   )
 }

@@ -208,6 +208,75 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Weighted single-source shortest paths over the undirected graph by
+    * distributed relaxation (parallel Bellman–Ford): each round every
+    * node offers `dist(n) + w(n,m)` to its neighbors and keeps the
+    * minimum offer seen — one incidence join + one keyed min per round,
+    * distance state node-sized, the [[Dedup.connectedComponents]] loop
+    * discipline (observe-metric convergence riding the checkpoint
+    * materialization, one Spark job per round). Distances are EXACT
+    * LONGS in the [[undirect]] weight unit (cents from the registry
+    * callers), so every min-fold is integer arithmetic — reduce-order
+    * free, the exempt lane's determinism contract.
+    *
+    * Rounds needed = the source's unweighted eccentricity (a shortest
+    * path settles one hop per round at worst) — small for the
+    * small-diameter graphs a trade/social/web pack meets. There is no
+    * pointer-jump shortcut here: min-plus path doubling would square
+    * the EDGE relation (O(m²) candidate paths), the classic reason
+    * distributed SSSP stays round-iterative. A `maxIter` exit without
+    * convergence would return TRUNCATED distances (silently wrong), so
+    * it throws instead. Only nodes reachable from `source` appear in
+    * the result (node, dist). Negative weights are rejected up front
+    * (one driver-bounded 1-row aggregate). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, source: Long,
+                    maxIter: Int = 40): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val minRow = und.agg(min(col("wc"))).collect().head
+    val minW: Option[Long] =
+      if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
+    require(minW.forall(_ >= 0L),
+      s"shortestPaths requires non-negative weights, found ${minW.get}")
+    val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+      .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+      .localCheckpoint(true)
+    // literal 1-row seed: the source is at distance 0 even when isolated
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("n"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val offers = incSym
+        .join(dist.select(col("n").as("m"), col("dist").as("dm")), Seq("m"))
+        .select(col("n"), (col("dm") + col("wc")).as("cand"))
+        .groupBy("n").agg(min(col("cand")).as("cand"))
+      val obs = org.apache.spark.sql.Observation(s"graft_sssp_round_$iter")
+      // full outer: a node can be newly reached this round (no old dist)
+      val next = dist.join(offers, Seq("n"), "full")
+        .select(col("n"), col("dist").as("old"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+        .observe(obs, sum(when(col("old").isNull ||
+          col("dist") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = dist
+      dist = next.select("n", "dist")
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
+    incSym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"shortestPaths did not converge within $maxIter rounds — " +
+          "distances would be truncated; raise maxIter for this graph")
+    dist.select(col("n").as("node"), col("dist").as("dist"))
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round

@@ -38,8 +38,10 @@ class ExemptLaneSpec extends SparkSpec {
     }.toSeq
 
   test("exempt-id census matches the declared contract") {
-    // SURVEY §2 declares 19 oracle-exempt ids as of round 8; widen this
-    // number deliberately (with a new golden law), never by accident
+    // SURVEY §2 declares 20 oracle-exempt ids as of round 9 (the 19 from
+    // round 8 + q_graph_sssp, golden-pinned vs a driver-side Dijkstra in
+    // GraphSpec); widen this number deliberately (with a new golden
+    // law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
     assert(exemptIds.size <= 20,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +

@@ -209,6 +209,94 @@ class GraphSpec extends SparkSpec {
     assert(fast.getLong(1) == und.count(), "edge counts agree")
   }
 
+  /** Driver-side Dijkstra, same conventions as [[Graph.shortestPaths]]:
+    * undirected, self-loops dropped, parallel edges merged as cent-long
+    * sums, exact integer distances. */
+  private def refDijkstra(edges: Seq[(Long, Long, Double)],
+                          source: Long): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map { case (u, v, w) => ((math.min(u, v), math.max(u, v)),
+        BigDecimal(w * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val adj = und.toSeq.flatMap { case ((a, b), wc) =>
+      Seq(a -> (b, wc), b -> (a, wc)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.Map(source -> 0L)
+    val done = scala.collection.mutable.Set.empty[Long]
+    val pq = scala.collection.mutable.PriorityQueue((0L, source))(
+      Ordering.by { case (d, _) => -d })
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (!done(u)) {
+        done += u
+        for ((v, w) <- adj.getOrElse(u, Nil) if !done(v)) {
+          val nd = d + w
+          if (nd < dist.getOrElse(v, Long.MaxValue)) {
+            dist(v) = nd; pq.enqueue((nd, v))
+          }
+        }
+      }
+    }
+    dist.toMap
+  }
+
+  test("shortestPaths matches driver Dijkstra; unreachable nodes absent") {
+    // weighted diamond (1-2-4 longer than 1-3-4), a far chain node, an
+    // unreachable island {8,9}, plus self-loop/parallel-edge noise
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0),
+        (1L, 1L, 9.0), (3L, 1L, 1.5))
+    val got = Graph.shortestPaths(edgeDf(wg), "src", "dst", "w", source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refDijkstra(wg, 1L)
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(8L) && !got.contains(9L), "island must be absent")
+    assert(got(1L) == 0L, "source at distance zero")
+    // parallel edges 1-3 (2.0) and 3-1 (1.5) merge to 3.5 < direct 1-2=5
+    assert(got(4L) == want(4L) && want(4L) == 650L,
+      "cent-exact min path through the merged 1-3 edge")
+  }
+
+  test("shortestPaths: isolated source yields the single 0-distance row") {
+    val got = Graph.shortestPaths(edgeDf(g), "src", "dst", "w", source = 99L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(99L -> 0L))
+  }
+
+  test("q_graph_components: labels are component minima over the trade graph") {
+    val rows = Queries.all.toMap.apply("q_graph_components")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length == 25, "left join onto the full nation dim")
+    // every component's label is the minimum nationkey inside it, so
+    // labels are a subset of [0, 25) and the count of distinct labels
+    // equals the count of components
+    assert(rows.forall { case (_, c) => c >= 0 && c < 25 })
+    // nations with any trade edge share labels consistently: a directed
+    // edge implies same component
+    def asLong(v: Any): Long = v.asInstanceOf[Number].longValue
+    val byNation = rows.toMap
+    val names = graft.sources.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => asLong(r.get(0)) -> r.getString(1)).toMap
+    val edges = Queries.nationTradeEdges(spark, sfDir)
+      .select("src", "dst").collect()
+      .map(r => (asLong(r.get(0)), asLong(r.get(1))))
+    assert(edges.nonEmpty)
+    for ((s0, d0) <- edges)
+      assert(byNation(names(s0)) == byNation(names(d0)),
+        s"edge $s0->$d0 spans two components")
+  }
+
+  test("q_graph_sssp: source nation at 0.0, ordered by distance") {
+    val rows = Queries.all.toMap.apply("q_graph_sssp")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val dists = rows.map(_.getDouble(1))
+    assert(dists.head == 0.0, "the source nation leads at distance zero")
+    assert(dists.sameElements(dists.sorted), "registered ORDER BY dist_w")
+    assert(dists.forall(_ >= 0.0))
+  }
+
   test("graph registry ids: census sanity at the unit fixture") {
     val byName = Queries.all.toMap
     val tri = byName("q_graph_triangles")(spark, sfDir).collect().head
