@@ -80,6 +80,14 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else FailPenaltySec
       }
+      // between-id hygiene: every localCheckpoint a query materialized
+      // stays registered as a persistent RDD for the session's lifetime
+      // — 180+ ids of leftovers inflate GC/memory pressure on ADJACENT
+      // ids (the recurring "registry-adjacent elevation" signature is
+      // partly this, not only host steal). Each sample rebuilds its
+      // lineage from scratch, so dropping finished blocks is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // min = the plan's cost with host noise stripped (the headline);
       // median = the typical observed cost, reported alongside so the
       // per-query noise spread is visible in every BENCH file

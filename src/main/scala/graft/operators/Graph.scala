@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Size gate for the single-task fixpoint path of the iterative
+    * operators: a measured edge count at or below this runs the whole
+    * iteration inside ONE executor task (zero per-round stages);
+    * above it, the distributed per-round loop runs. Why this exists:
+    * profiled at sf0.1 the iterated state is already data-sized (AQE
+    * coalesces every per-round shuffle to 1 partition) and the
+    * remaining ~250 ms/round is pure stage-scheduling + AQE
+    * materialization overhead — a floor no partitioning choice can
+    * cut. 2M edges ≈ 64 MB in task memory and ~15·m = 30M scalar ops
+    * for a 15-round fixpoint: comfortably one task, far below the
+    * crossover where per-round distribution wins. The gate is a
+    * MEASURED row count (one cheap count on a checkpointed relation),
+    * mirroring AQE's own runtime-size strategy picks — never a
+    * hardcoded repartition. */
+  private[graft] val LocalFixpointMaxEdges = 2000000L
+
   /** Weighted PageRank by power iteration: `iters` rounds of
     *
     *   rank'(v) = (1-d)/n + d · Σ_{(u,v)∈E} rank(u) · w(u,v) / outw(u)
@@ -41,13 +57,17 @@ object Graph {
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, damping: Double = 0.85,
-               iters: Int = 15): DataFrame = {
+               iters: Int = 15,
+               localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
     val outw = e0.groupBy("src").agg(sum(col("w")).as("outw"))
     val e = e0.join(outw, Seq("src")).localCheckpoint(true)
+    // measured-size strategy pick (see LocalFixpointMaxEdges): the edge
+    // relation is checkpointed, so this count is one cheap cached job
+    if (e.count() <= localMaxEdges) return pagerankOneTask(e, damping, iters)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -74,6 +94,60 @@ object Graph {
       if (i % 5 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** The single-task fixpoint path of [[pagerank]]: the joined
+    * (src, dst, w, outw) edge relation — `outw` computed by the SAME
+    * distributed aggregate as the loop path, so the two paths share
+    * every double — is coalesced into one task that runs all `iters`
+    * rounds locally. Arithmetic is replicated operation-for-operation
+    * (java `BigDecimal.valueOf(...).setScale(..., HALF_UP)` is exactly
+    * Spark's `Round` on doubles; contribution folds are the same
+    * 1e-12-grain longs), so the output is BIT-IDENTICAL to the
+    * distributed loop — pinned by a GraphSpec parity law that forces
+    * the distributed path via `localMaxEdges = 0`. Not a driver
+    * collect: the iteration runs in one EXECUTOR task and the result
+    * stays a node-sized distributed relation. */
+  private def pagerankOneTask(e: DataFrame, damping: Double,
+                              iters: Int): DataFrame = {
+    val ss = e.sparkSession
+    import ss.implicits._
+    val rows = e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w"), col("outw"))
+      .as[(Long, Long, Double, Double)]
+    rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      if (es.isEmpty) Iterator.empty
+      else {
+        import java.math.{BigDecimal => JBD, RoundingMode}
+        // Spark Round(double, 0) then cast long
+        def pico(x: Double): Long =
+          JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).doubleValue.toLong
+        // Spark Round(double, 12)
+        def r12(x: Double): Double =
+          JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP).doubleValue
+        val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Long]
+        es.foreach { case (u, v, _, _) => nodeSet += u; nodeSet += v }
+        val nodes = nodeSet.toArray
+        val n = nodes.length
+        val base = (1.0 - damping) / n
+        val rank = scala.collection.mutable.HashMap.empty[Long, Double]
+        nodes.foreach(v => rank(v) = 1.0 / n)
+        var i = 0
+        while (i < iters) {
+          val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          es.foreach { case (u, v, w, ow) =>
+            val c = pico(rank(u) * w / ow * 1e12)
+            in(v) = in.getOrElse(v, 0L) + c
+          }
+          nodes.foreach { v =>
+            rank(v) = r12(base + damping * (in.getOrElse(v, 0L).toDouble / 1e12))
+          }
+          i += 1
+        }
+        nodes.iterator.map(v => (v, rank(v)))
+      }
+    }.toDF("node", "rank")
   }
 
   /** Undirected simple edge list from a directed multi-edge relation:
@@ -231,7 +305,8 @@ object Graph {
     * (one driver-bounded 1-row aggregate). */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, source: Long,
-                    maxIter: Int = 40): DataFrame = {
+                    maxIter: Int = 40,
+                    localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
     val und = undirect(edges, srcCol, dstCol, weightCol)
     val minRow = und.agg(min(col("wc"))).collect().head
@@ -239,6 +314,10 @@ object Graph {
       if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
     require(minW.forall(_ >= 0L),
       s"shortestPaths requires non-negative weights, found ${minW.get}")
+    // measured-size strategy pick (see LocalFixpointMaxEdges); exact
+    // long min-folds, so path parity is trivial (GraphSpec law)
+    if (und.count() <= localMaxEdges)
+      return shortestPathsOneTask(und, source, maxIter)
     val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
       .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
       .localCheckpoint(true)
@@ -277,6 +356,43 @@ object Graph {
     dist.select(col("n").as("node"), col("dist").as("dist"))
   }
 
+  /** The single-task fixpoint path of [[shortestPaths]]: the same
+    * synchronous Bellman–Ford rounds (relax from the PREVIOUS round's
+    * distances) over the normalized edge list in one executor task.
+    * Distances are exact longs, so parity with the distributed loop is
+    * by construction (GraphSpec law forces both paths). Keeps the
+    * maxIter-truncation throw — identical failure contract. */
+  private def shortestPathsOneTask(und: DataFrame, source: Long,
+                                   maxIter: Int): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a").cast("long"), col("b").cast("long"),
+      col("wc")).as[(Long, Long, Long)]
+    rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      val dist = scala.collection.mutable.HashMap(source -> 0L)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val next = dist.clone()
+        es.foreach { case (a, b, wc) =>
+          for ((n0, m0) <- Seq((a, b), (b, a)); dm <- dist.get(m0)) {
+            val cand = dm + wc
+            if (cand < next.getOrElse(n0, Long.MaxValue)) next(n0) = cand
+          }
+        }
+        converged = next == dist
+        dist.clear(); dist ++= next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"shortestPaths did not converge within $maxIter rounds — " +
+            "distances would be truncated; raise maxIter for this graph")
+      dist.iterator
+    }.toDF("node", "dist")
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round
@@ -289,9 +405,13 @@ object Graph {
     * determinism contract). One incidence join + one keyed argmax per
     * round; label state is node-sized. Returns (node, community). */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       weightCol: String, iters: Int = 10): DataFrame = {
+                       weightCol: String, iters: Int = 10,
+                       localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val und = undirect(edges, srcCol, dstCol, weightCol)
+    // measured-size strategy pick (see LocalFixpointMaxEdges); integer
+    // arithmetic end to end, so path parity is trivial (GraphSpec law)
+    if (und.count() <= localMaxEdges) return labelPropagationOneTask(und, iters)
     // symmetric incidence: each undirected edge heard from both ends
     val inc = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
       .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
@@ -309,5 +429,49 @@ object Graph {
       if (i % 5 == 0 || i == iters) labels = labels.localCheckpoint(true)
     }
     labels.select(col("n").as("node"), col("label").as("community"))
+  }
+
+  /** The single-task fixpoint path of [[labelPropagation]]: the
+    * normalized undirected edge list runs all rounds in one executor
+    * task. Every quantity is an exact long and the argmax is the same
+    * (weight, −label) lexicographic max, so the output is identical to
+    * the distributed loop by construction — pinned by the GraphSpec
+    * parity law (distributed forced via `localMaxEdges = 0`). */
+  private def labelPropagationOneTask(und: DataFrame, iters: Int): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a").cast("long"), col("b").cast("long"),
+      col("wc")).as[(Long, Long, Long)]
+    rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      if (es.isEmpty) Iterator.empty
+      else {
+        val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Long]
+        es.foreach { case (a, b, _) => nodeSet += a; nodeSet += b }
+        val nodes = nodeSet.toArray
+        val labels = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach(v => labels(v) = v)
+        var i = 0
+        while (i < iters) {
+          // per-node incident weight by neighbor label, both edge ends
+          val acc = scala.collection.mutable
+            .HashMap.empty[Long, scala.collection.mutable.HashMap[Long, Long]]
+          def add(n0: Long, lbl: Long, wc: Long): Unit = {
+            val m = acc.getOrElseUpdate(n0,
+              scala.collection.mutable.HashMap.empty[Long, Long])
+            m(lbl) = m.getOrElse(lbl, 0L) + wc
+          }
+          es.foreach { case (a, b, wc) =>
+            add(a, labels(b), wc); add(b, labels(a), wc)
+          }
+          nodes.foreach { v =>
+            val best = acc(v).maxBy { case (lbl, w) => (w, -lbl) }
+            labels(v) = best._1
+          }
+          i += 1
+        }
+        nodes.iterator.map(v => (v, labels(v)))
+      }
+    }.toDF("node", "community")
   }
 }

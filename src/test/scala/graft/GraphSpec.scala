@@ -143,6 +143,43 @@ class GraphSpec extends SparkSpec {
     assert(lc(5L) == ((1L, 0L, 0.0)))
   }
 
+  test("pagerank: single-task fixpoint is bit-identical to the distributed loop") {
+    // the size gate picks the one-task path for every graph this small;
+    // localMaxEdges = 0 forces the distributed loop so BOTH paths stay
+    // exercised and their exact (==, not tolerance) parity is law
+    val local = Graph.pagerank(edgeDf(g), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pagerank(edgeDf(g), "src", "dst", "w", localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
+  }
+
+  test("pagerank path parity holds on 5k pseudorandom edges") {
+    val edges = spark.range(5000).select(
+      pmod(hash(col("id")), lit(300)).cast("long").as("src"),
+      pmod(hash(col("id") * 7 + 1), lit(300)).cast("long").as("dst"),
+      lit(1.0).as("w"))
+      .where(col("src") =!= col("dst")).localCheckpoint(true)
+    val local = Graph.pagerank(edges, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pagerank(edges, "src", "dst", "w", localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local == dist)
+  }
+
+  test("labelPropagation: single-task fixpoint == distributed loop") {
+    val barbell: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+        (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0),
+        (3L, 4L, 0.1))
+    val local = Graph.labelPropagation(edgeDf(barbell), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.labelPropagation(edgeDf(barbell), "src", "dst", "w",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("undirect unit contract: integer weights as-is == doubles quantized to cents") {
     // the registry callers pass integer CENTS; re-scaling those by 100
     // would fold hundredths-of-cents and burn 100× of the 2^53 headroom.
@@ -256,6 +293,19 @@ class GraphSpec extends SparkSpec {
     // parallel edges 1-3 (2.0) and 3-1 (1.5) merge to 3.5 < direct 1-2=5
     assert(got(4L) == want(4L) && want(4L) == 650L,
       "cent-exact min path through the merged 1-3 edge")
+  }
+
+  test("shortestPaths: single-task fixpoint == distributed loop") {
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0),
+        (1L, 1L, 9.0), (3L, 1L, 1.5))
+    val local = Graph.shortestPaths(edgeDf(wg), "src", "dst", "w", source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.shortestPaths(edgeDf(wg), "src", "dst", "w", source = 1L,
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 
   test("shortestPaths: isolated source yields the single 0-distance row") {
