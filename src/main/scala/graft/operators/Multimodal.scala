@@ -65,20 +65,37 @@ object Multimodal {
     }
   }
 
-  /** REAL pure-JVM image codec for BMP payloads — `javax.imageio` ships
-    * a BMP reader/writer in the standard JDK, no external library: this
-    * is the honest-stub boundary moving one format into real decode
-    * territory while FakeCodec keeps covering formats whose libraries
-    * aren't in this container. The resample is an explicit
-    * nearest-neighbor loop over `getRGB` (src = floor(dst·srcDim/dstDim))
-    * rather than a Graphics2D draw — deterministic across JVMs (AWT
-    * rendering hints are not), which is what makes the downscale
-    * pixel-assertable in the spec. Decode failures return None and the
-    * caller passes the row through untouched (dirty-data guard). */
+  /** REAL pure-JVM image codec — `javax.imageio` ships readers AND
+    * writers for BMP, PNG, JPEG and GIF in the standard JDK, no
+    * external library: the honest-stub boundary covers the whole
+    * JDK-native format set (FakeCodec remains only for formats whose
+    * libraries genuinely aren't in this container — TIFF-extensions,
+    * WebP, video, audio). Containers are sniffed by magic bytes, and
+    * a resized payload re-encodes in its ORIGINAL container. The
+    * resample is an explicit nearest-neighbor loop over `getRGB`
+    * (src = floor(dst·srcDim/dstDim)) rather than a Graphics2D draw —
+    * deterministic across JVMs (AWT rendering hints are not), which is
+    * what makes the downscale pixel-assertable in the spec (exactly for
+    * the lossless containers; JPEG re-encode is the JDK's deterministic
+    * quantizer, asserted within a per-channel tolerance). Decode
+    * failures return None and the caller passes the row through
+    * untouched (dirty-data guard). */
   object JvmImageCodec {
-    def isBmp(bytes: Array[Byte]): Boolean =
-      bytes != null && bytes.length > 2 &&
-        bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+    /** Magic-byte sniff → ImageIO writer format name, for the formats
+      * the JDK both reads and writes. */
+    def detectFormat(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length < 4) None
+      else if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) Some("bmp")
+      else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) Some("png")
+      else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8 &&
+        (bytes(2) & 0xFF) == 0xFF) Some("jpg")
+      else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte) Some("gif")
+      else None
+    }
+
+    def isBmp(bytes: Array[Byte]): Boolean = detectFormat(bytes).contains("bmp")
 
     def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] =
       try {
@@ -87,8 +104,8 @@ object Multimodal {
         if (img == null) None else Some((img.getWidth, img.getHeight))
       } catch { case _: Exception => None }
 
-    def resizeNearest(bytes: Array[Byte], tw: Int,
-                      th: Int): Option[Array[Byte]] =
+    def resizeNearest(bytes: Array[Byte], tw: Int, th: Int,
+                      format: String): Option[Array[Byte]] =
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
@@ -107,8 +124,9 @@ object Multimodal {
             y += 1
           }
           val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "bmp", baos)
-          Some(baos.toByteArray)
+          if (javax.imageio.ImageIO.write(out, format, baos))
+            Some(baos.toByteArray)
+          else None
         }
       } catch { case _: Exception => None }
   }
@@ -116,10 +134,10 @@ object Multimodal {
   /** Decode media metadata from the binary payload, partition-local, one
     * batch function per partition (the `mapInPandas` shape in Scala:
     * `mapPartitions` amortizes codec init across the partition — exactly
-    * where a real decoder would load its native library once). BMP
-    * payloads decode for REAL ([[JvmImageCodec]]); other formats go
-    * through the FakeCodec header. Malformed payloads yield null dims
-    * rather than failing the task (dirty-data guard). */
+    * where a real decoder would load its native library once).
+    * BMP/PNG/JPEG/GIF payloads decode for REAL ([[JvmImageCodec]]);
+    * other formats go through the FakeCodec header. Malformed payloads
+    * yield null dims rather than failing the task (dirty-data guard). */
   def decodeMeta(media: DataFrame): DataFrame = {
     val schema = StructType(media.schema.fields.filterNot(f =>
       Seq("width", "height", "n_frames").contains(f.name)) ++ Seq(
@@ -136,9 +154,10 @@ object Multimodal {
       it.map { r =>
         val bytes =
           if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
-        // real BMP decode first; fake-header formats fall through
+        // real decode for the JDK-native containers; fake-header
+        // formats fall through
         val decoded =
-          if (JvmImageCodec.isBmp(bytes))
+          if (JvmImageCodec.detectFormat(bytes).isDefined)
             JvmImageCodec.decodeDims(bytes).map { case (w, h) => (w, h, 1) }
           else FakeCodec.decode(bytes)
         val kept = keepIdx.toSeq.map(i => r.get(i))
@@ -182,13 +201,14 @@ object Multimodal {
   }
 
   /** Image resize, partition-local (the remaining step of the brief's
-    * decode / feature-extract / RESIZE / frame-sample quartet). BMP
-    * payloads resize for REAL — [[JvmImageCodec.resizeNearest]]
-    * (`javax.imageio`, pure JDK, deterministic nearest-neighbor); other
-    * formats keep the deterministic FakeCodec stand-in (body
-    * stride-sampled to the area ratio, header rewritten). Non-image
-    * rows and undecodable payloads pass through UNTOUCHED (dirty-data
-    * guard: resize never destroys rows). */
+    * decode / feature-extract / RESIZE / frame-sample quartet).
+    * BMP/PNG/JPEG/GIF payloads resize for REAL —
+    * [[JvmImageCodec.resizeNearest]] (`javax.imageio`, pure JDK,
+    * deterministic nearest-neighbor, re-encoded in the ORIGINAL
+    * container); other formats keep the deterministic FakeCodec
+    * stand-in (body stride-sampled to the area ratio, header
+    * rewritten). Non-image rows and undecodable payloads pass through
+    * UNTOUCHED (dirty-data guard: resize never destroys rows). */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
     import org.apache.spark.sql.Encoders
@@ -210,8 +230,10 @@ object Multimodal {
           if (hIdx >= 0) out = out.updated(hIdx, Int.box(targetH))
           Row.fromSeq(out)
         }
-        if (isImage && JvmImageCodec.isBmp(bytes)) {
-          JvmImageCodec.resizeNearest(bytes, targetW, targetH) match {
+        val realFmt =
+          if (isImage) JvmImageCodec.detectFormat(bytes) else None
+        if (realFmt.isDefined) {
+          JvmImageCodec.resizeNearest(bytes, targetW, targetH, realFmt.get) match {
             case Some(resized) => withDims(resized)
             case None => r // undecodable: pass through untouched
           }

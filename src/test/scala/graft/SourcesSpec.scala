@@ -391,6 +391,93 @@ class SourcesSpec extends SparkSpec {
     assert(out(2L).getAs[Array[Byte]]("content").toSeq == bmpBytes.toSeq)
   }
 
+  test("multimodal: REAL PNG decode + pixel-exact downscale, re-encoded as PNG") {
+    val red = 0xFF0000; val green = 0x00FF00; val blue = 0x0000FF; val white = 0xFFFFFF
+    val src = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val c = (x / 2, y / 2) match {
+        case (0, 0) => red
+        case (1, 0) => green
+        case (0, 1) => blue
+        case _ => white
+      }
+      src.setRGB(x, y, c)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", baos)
+    val pngBytes = baos.toByteArray
+    assert(Multimodal.JvmImageCodec.detectFormat(pngBytes).contains("png"))
+
+    val rows = Seq(Row(1L, "image", pngBytes, null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert(meta.getAs[Integer]("width") == 4 && meta.getAs[Integer]("height") == 4)
+
+    val resized = Multimodal.resizeImages(media, 2, 2).collect()
+      .head.getAs[Array[Byte]]("content")
+    // resized payload stays in its ORIGINAL container
+    assert(Multimodal.JvmImageCodec.detectFormat(resized).contains("png"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    def rgb(x: Int, y: Int) = img.getRGB(x, y) & 0xFFFFFF
+    // PNG is lossless: nearest-neighbor picks one source pixel per
+    // quadrant — exact pixel assertions
+    assert(rgb(0, 0) == red && rgb(1, 0) == green &&
+      rgb(0, 1) == blue && rgb(1, 1) == white,
+      s"pixels: ${(rgb(0, 0), rgb(1, 0), rgb(0, 1), rgb(1, 1))}")
+  }
+
+  test("multimodal: REAL JPEG decode + downscale within quantizer tolerance") {
+    // 64x64 solid quadrants: JPEG's 8x8 DCT blocks are interior-exact on
+    // solid regions; the 2x2 nearest-neighbor picks pixels (0,0) (32,0)
+    // (0,32) (32,32) — each deep inside a solid quadrant
+    val red = 0xFF0000; val green = 0x00FF00; val blue = 0x0000FF; val white = 0xFFFFFF
+    val src = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val c = (x / 32, y / 32) match {
+        case (0, 0) => red
+        case (1, 0) => green
+        case (0, 1) => blue
+        case _ => white
+      }
+      src.setRGB(x, y, c)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", baos)
+    val jpgBytes = baos.toByteArray
+    assert(Multimodal.JvmImageCodec.detectFormat(jpgBytes).contains("jpg"))
+
+    val rows = Seq(Row(1L, "image", jpgBytes, null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert(meta.getAs[Integer]("width") == 64 && meta.getAs[Integer]("height") == 64)
+
+    // 16x16 target: each 8x8 quadrant spans whole luma AND (4:2:0
+    // subsampled) chroma blocks — a 2x2 target would share ONE chroma
+    // sample across all four pixels and wash the hues out entirely
+    val resized = Multimodal.resizeImages(media, 16, 16).collect()
+      .head.getAs[Array[Byte]]("content")
+    assert(Multimodal.JvmImageCodec.detectFormat(resized).contains("jpg"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    def channels(v: Int): Seq[Int] = Seq((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+    def close(got: Int, want: Int, tol: Int): Boolean =
+      channels(got).zip(channels(want)).forall { case (g, w) => math.abs(g - w) <= tol }
+    // two lossy quantization passes (encode 64x64, re-encode 16x16):
+    // per-channel tolerance at quadrant-interior pixels, hues apart
+    val tol = 48
+    assert(close(img.getRGB(2, 2) & 0xFFFFFF, red, tol), "q1 red")
+    assert(close(img.getRGB(13, 2) & 0xFFFFFF, green, tol), "q2 green")
+    assert(close(img.getRGB(2, 13) & 0xFFFFFF, blue, tol), "q3 blue")
+    assert(close(img.getRGB(13, 13) & 0xFFFFFF, white, tol), "q4 white")
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
