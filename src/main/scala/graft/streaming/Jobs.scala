@@ -112,6 +112,38 @@ object Jobs {
       .select(col("window.start").as("window_start"),
         col(keyCol).as("key"), col("cnt"))
 
+  /** Streaming twin of the batch graph pack's `q_graph_degree`
+    * (SURVEY.md §2.K): per-window weighted degree over a trade-edge
+    * stream — out-strength (weight the node emits as src), in-strength
+    * (weight it receives as dst) and edge counts, per tumbling window.
+    * The edge stream is symmetrized by a union of two projections of
+    * the SAME watermarked stream before the windowed aggregate (both
+    * branches carry the watermark, so append-mode finalize-once
+    * semantics hold: each (window, node) row emits exactly once when
+    * the watermark passes the window end, late edges drop). State is
+    * (open windows × nodes)-sized — never edge-sized — which is what
+    * survives an unbounded edge stream. Output: (window_start, node,
+    * out_w, out_edges, in_w, in_edges). */
+  def windowedDegree(edges: DataFrame, tsCol: String, srcCol: String,
+                     dstCol: String, weightCol: String, windowDur: String,
+                     watermarkDelay: String): DataFrame = {
+    val wm = edges.withWatermark(tsCol, watermarkDelay)
+    val outs = wm.select(col(tsCol).as("__ts"), col(srcCol).as("node"),
+      col(weightCol).cast("double").as("out_w"), lit(1L).as("out_edges"),
+      lit(0.0).as("in_w"), lit(0L).as("in_edges"))
+    val ins = wm.select(col(tsCol).as("__ts"), col(dstCol).as("node"),
+      lit(0.0).as("out_w"), lit(0L).as("out_edges"),
+      col(weightCol).cast("double").as("in_w"), lit(1L).as("in_edges"))
+    outs.union(ins)
+      .groupBy(window(col("__ts"), windowDur), col("node"))
+      .agg(round(sum(col("out_w")), 2).as("out_w"),
+        sum(col("out_edges")).as("out_edges"),
+        round(sum(col("in_w")), 2).as("in_w"),
+        sum(col("in_edges")).as("in_edges"))
+      .select(col("window.start").as("window_start"), col("node"),
+        col("out_w"), col("out_edges"), col("in_w"), col("in_edges"))
+  }
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

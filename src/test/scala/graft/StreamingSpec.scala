@@ -52,6 +52,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDegree: per-window degree finalizes once; late edges drop") {
+    // trade-edge stream (ts, src, dst, w): the streaming twin of
+    // q_graph_degree — out/in strength + edge counts per node per window
+    val in = MemoryStream[(Timestamp, Long, Long, Double)]
+    val deg = graft.streaming.Jobs.windowedDegree(
+      in.toDF().toDF("ts", "src", "dst", "w"),
+      "ts", "src", "dst", "w", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = deg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): 1->2 (5.0), 2->1 (2.0), 1->3 (1.5)
+      in.addData((ts("2024-01-01 10:01:00"), 1L, 2L, 5.0),
+        (ts("2024-01-01 10:04:00"), 2L, 1L, 2.0),
+        (ts("2024-01-01 10:08:00"), 1L, 3L, 1.5))
+      q.processAllAvailable()
+      // advance the watermark past 10:10 → first window finalizes
+      in.addData((ts("2024-01-01 10:21:00"), 4L, 5L, 9.0))
+      q.processAllAvailable()
+      // a late edge for the finalized window must NOT appear
+      in.addData((ts("2024-01-01 10:02:00"), 9L, 1L, 100.0),
+        (ts("2024-01-01 10:31:00"), 4L, 5L, 1.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:00:00"), 7L, 8L, 1.0))
+      q.processAllAvailable()
+      val w1 = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .collect().map(r => r.getLong(1) ->
+          (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+      assert(w1.keySet == Set(1L, 2L, 3L), s"nodes: ${w1.keySet}")
+      assert(w1(1L) == ((6.5, 2L, 2.0, 1L)), s"node 1: ${w1(1L)}")
+      assert(w1(2L) == ((2.0, 1L, 5.0, 1L)), s"node 2: ${w1(2L)}")
+      assert(w1(3L) == ((0.0, 0L, 1.5, 1L)), s"node 3: ${w1(3L)}")
+      assert(!w1.contains(9L), "late edge finalized-window row must drop")
+      // finalize-once: exactly one row per (window, node)
+      val n1 = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00")).count()
+      assert(n1 == 3L, s"finalize-once violated: $n1 rows")
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
