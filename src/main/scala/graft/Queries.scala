@@ -3512,6 +3512,16 @@ object Queries {
       .orderBy("dist_w", "nation")
   }
 
+  /** q_graph_assortativity — degree assortativity of the nation trade
+    * graph ([[operators.Graph.assortativityCensus]]): do high-degree
+    * nations trade with other high-degree nations (r > 0) or with the
+    * periphery (r < 0)? All sums exact integers (Decimal(38,0) folds ↔
+    * DuckDB HUGEINT); one rounded division; regular-graph degeneracy
+    * reports 0.0 on both engines. */
+  val q_graph_assortativity: Q = (s, d) =>
+    operators.Graph.assortativityCensus(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3796,5 +3806,6 @@ object Queries {
     "q_graph_communities" -> q_graph_communities,
     "q_graph_components" -> q_graph_components,
     "q_graph_sssp" -> q_graph_sssp,
+    "q_graph_assortativity" -> q_graph_assortativity,
   )
 }

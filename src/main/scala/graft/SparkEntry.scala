@@ -1412,5 +1412,29 @@ object SparkEntry {
         |       CAST(coalesce(c.component, n.n_nationkey) AS BIGINT) AS component
         |FROM nation n LEFT JOIN comp c ON n.n_nationkey = c.id
         |ORDER BY nation""".stripMargin,
+    // symmetrized endpoint-degree pairs; all sums exact integers
+    // (DuckDB BIGINT sums promote to HUGEINT ↔ Spark Decimal(38,0));
+    // regular graphs (denominator 0) report 0.0 on both engines
+    "q_graph_assortativity" ->
+      """WITH raw AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |deg AS (SELECT x AS n, count(*) AS d
+        |        FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und) u GROUP BY x),
+        |pts AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+        |j AS (SELECT du.d AS dx, dv.d AS dy
+        |      FROM pts JOIN deg du ON pts.u = du.n JOIN deg dv ON pts.v = dv.n),
+        |s AS (SELECT count(*) AS n_pts, sum(dx) AS sx, sum(dx * dy) AS sxy,
+        |             sum(dx * dx) AS sxx FROM j)
+        |SELECT CAST(n_pts / 2 AS BIGINT) AS n_edges,
+        |       CASE WHEN n_pts * sxx - sx * sx > 0
+        |            THEN round(CAST(n_pts * sxy - sx * sx AS DOUBLE) /
+        |                       CAST(n_pts * sxx - sx * sx AS DOUBLE), 6)
+        |            ELSE 0.0 END AS assortativity
+        |FROM s""".stripMargin,
   )
 }

@@ -543,11 +543,22 @@ object Dedup {
     * classic iterative-Spark lineage bomb). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localMaxEdges: Long = Graph.LocalFixpointMaxEdges)
+      : DataFrame = {
     val e = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     val edges = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = true)
+    // measured-size strategy pick (Graph.LocalFixpointMaxEdges): below
+    // the gate the component labeling runs as union-find in ONE executor
+    // task — the min-label fixpoint is UNIQUE (every vertex → min
+    // reachable id), so ANY correct algorithm produces the identical
+    // relation and path parity is semantic, not numeric (DedupSpec law
+    // forces the distributed loop via localMaxEdges = 0 to pin it).
+    // The symmetrized relation holds 2 rows per undirected edge.
+    if (edges.count() / 2 <= localMaxEdges)
+      return connectedComponentsOneTask(edges)
     // seed with round 1 already applied: from identity labels the first
     // propagation is exactly label = min(id, min neighbor id), which one
     // keyed agg over the edge list computes without the join — saves a
@@ -616,6 +627,41 @@ object Dedup {
       return connectedComponentsLogRounds(pairs, idA, idB)
     }
     labels
+  }
+
+  /** The single-task path of [[connectedComponents]]: path-halving
+    * union-find over the symmetrized edge list in one executor task,
+    * then each component relabeled to its minimum member id — exactly
+    * the distributed loop's output contract. Not a driver collect: the
+    * work runs in one EXECUTOR task and the result stays a distributed
+    * relation. */
+  private def connectedComponentsOneTask(edges: DataFrame): DataFrame = {
+    val ss = edges.sparkSession
+    import ss.implicits._
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.getOrElse(x, x) != x) {
+            val p = parent(x)
+            parent(x) = parent.getOrElse(p, p) // path halving
+            x = parent(x)
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min root: the final relabel pass needs roots, and
+          // min-rooting keeps it a single find per vertex
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val keys = parent.keys.toArray
+        keys.iterator.map(v => (v, find(v)))
+      }.toDF("id", "label")
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR

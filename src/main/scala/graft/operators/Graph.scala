@@ -247,6 +247,41 @@ object Graph {
           .otherwise(lit(0.0)).as("local_clustering"))
   }
 
+  /** Degree assortativity of the undirected simple graph: the Pearson
+    * correlation of endpoint degrees over the SYMMETRIZED edge-endpoint
+    * pairs (each undirected edge contributes (deg a, deg b) and
+    * (deg b, deg a) — Newman's convention, which makes Σx = Σy and
+    * collapses Pearson to r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)).
+    * Every sum folds EXACT integers (degree products fit a long for any
+    * vertex count < 2³¹; the folds are Decimal(38,0), overflow-safe at
+    * any realistic edge count — DuckDB's BIGINT sums promote to
+    * HUGEINT, the same exactness); the single double is one division
+    * of identical exact integers rounded at 6 dp. Degenerate regular
+    * graphs (every degree equal — the denominator is 0) report 0.0 on
+    * both engines. Returns one row (n_edges, assortativity). */
+  def assortativityCensus(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String): DataFrame = {
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val pts = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+    val dx = deg.select(col("n").as("u"), col("deg").as("dx"))
+    val dy = deg.select(col("n").as("v"), col("deg").as("dy"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = pts.join(dx, Seq("u")).join(dy, Seq("v"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"))
+    val num = col("n_pts") * col("sxy") - col("sx") * col("sx")
+    val den = col("n_pts") * col("sxx") - col("sx") * col("sx")
+    s.select((col("n_pts") / 2).cast("long").as("n_edges"),
+      when(den > 0,
+        round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(0.0)).as("assortativity"))
+  }
+
   /** Shared degree-ordered orientation: every undirected edge directed
     * from its lower-(degree, id) endpoint. Out-degree is then O(√m),
     * which is what keeps the wedge join near-linear. */

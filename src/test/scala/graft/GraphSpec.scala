@@ -208,6 +208,26 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(2) == 0.0, "guarded division must yield 0.0")
   }
 
+  test("assortativity: star graph is perfectly disassortative; regular graph guards to 0") {
+    // S4 star: hub degree 4, leaves degree 1 → every edge pairs extreme
+    // degrees → r = −1 exactly (integer arithmetic end to end)
+    val star = edgeDf(Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0),
+      (0L, 4L, 1.0)))
+    val s = Graph.assortativityCensus(star, "src", "dst", "w").collect().head
+    assert(s.getLong(0) == 4)
+    assert(s.getDouble(1) == -1.0, s"star assortativity: ${s.getDouble(1)}")
+    // K4 is 3-regular: zero degree variance → guarded 0.0, not NaN
+    val k4 = edgeDf(Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0),
+      (2L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0)))
+    val k = Graph.assortativityCensus(k4, "src", "dst", "w").collect().head
+    assert(k.getLong(0) == 6 && k.getDouble(1) == 0.0)
+    // registry id: r bounded in [−1, 1]
+    val row = Queries.all.toMap.apply("q_graph_assortativity")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) > 0)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+  }
+
   test("labelPropagation matches the reference and splits the barbell") {
     // two tight triangles bridged by one weak edge
     val barbell: Seq[(Long, Long, Double)] =

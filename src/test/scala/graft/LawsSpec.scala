@@ -182,9 +182,16 @@ class LawsSpec extends SparkSpec {
     }
     for (edges <- samples(edgesGen, 4) if edges.nonEmpty) {
       val expected = components(edges)
+      // default path (one-task union-find below the size gate)
       val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"CC mismatch on $edges")
+      // the distributed min-label loop (forced via localMaxEdges = 0)
+      // must produce the IDENTICAL labeling — the fixpoint is unique
+      val gotDist = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+          localMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist == expected, s"distributed CC mismatch on $edges")
       // the log-rounds (large-star/small-star) fallback must produce the
       // IDENTICAL labeling — it is the same contract, different algorithm
       val gotLog = Dedup.connectedComponentsLogRounds(edges.toDF("id_a", "id_b"))

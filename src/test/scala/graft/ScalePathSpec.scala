@@ -203,7 +203,9 @@ class ScalePathSpec extends SparkSpec {
     // (rounds = diameter); with the pointer-jumping shortcut the default
     // maxIter=20 must comfortably close a diameter-299 chain (~2^20 max)
     val chain = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(chain)
+    // localMaxEdges = 0 forces the distributed loop: this test exists to
+    // exercise the pointer-jumping convergence, not the one-task gate
+    val labels = Dedup.connectedComponents(chain, localMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == 300)
     assert(labels.values.forall(_ == 0L),
@@ -212,7 +214,8 @@ class ScalePathSpec extends SparkSpec {
     // two disjoint chains stay distinct components
     val two = chain.union(
       (1000L until 1050L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
-    val l2 = Dedup.connectedComponents(two).as[(Long, Long)].collect().toMap
+    val l2 = Dedup.connectedComponents(two, localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(l2.filter(_._1 >= 1000L).values.forall(_ == 1000L))
     assert(l2.filter(_._1 < 1000L).values.forall(_ == 0L))
   }
@@ -224,7 +227,8 @@ class ScalePathSpec extends SparkSpec {
     // count O(log² n), diameter-independent) must resolve it instead.
     val chain = spark.range(10000)
       .selectExpr("id AS id_a", "id + 1 AS id_b")
-    val labels = Dedup.connectedComponents(chain, maxIter = 3)
+    val labels = Dedup.connectedComponents(chain, maxIter = 3,
+      localMaxEdges = 0L)
     import org.apache.spark.sql.functions.{countDistinct, max => smax, min => smin}
     val (nLabels, minL, maxL, n) = labels
       .agg(countDistinct("label"), smin("label"), smax("label"), count("*"))
