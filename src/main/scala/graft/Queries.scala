@@ -2559,6 +2559,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_pack_sequences — deterministic sharded sequence packing
+    * ([[operators.Sampling.packSequencesSharded]]): docs shard by
+    * `doc_id mod 8`, pack ascending-id by NEXT-fit into 256-token
+    * bins. A pure function of the data (no physical-partition bin
+    * ids, unlike the max-utilization [[operators.Sampling.packSequences]]),
+    * which is what makes it the oracle-checked member of the packing
+    * family — the DuckDB mirror replays the same one-open-bin rule row
+    * by row in a recursive CTE. Token counts are the whitespace
+    * tokenizer ([[functions.Text.tokenCount]] ↔ `string_split`), exact
+    * on both engines. */
+  val q_pack_sequences: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      Text.tokenCount(col("text")).as("n_tokens"))
+    operators.Sampling.packSequencesSharded(
+        docs, "doc_id", "n_tokens", maxTokens = 256L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
+  /** q_skyline — Pareto frontier of the part catalog
+    * ([[operators.Analytics.skyline]]): parts where no other part is
+    * both cheaper-or-equal (p_retailprice) and bigger-or-equal (p_size)
+    * with at least one strict — the classic multi-criteria shortlist
+    * operator (Börzsönyi et al., "The Skyline Operator"). Two-phase
+    * distributive plan: per-partition local skyline discards dominated
+    * mass without a shuffle, then one frontier-sized pass; the oracle
+    * is the textbook NOT EXISTS dominance query. */
+  val q_skyline: Q = (s, d) => {
+    val p = Tables.part(s, d).select("p_partkey", "p_retailprice", "p_size")
+    operators.Analytics.skyline(
+        p, "p_partkey", Seq("p_retailprice"), Seq("p_size"))
+      .orderBy("p_partkey")
+  }
+
   /** q_seasonality_dow — day-of-week activity profile per event type
     * (the load-shaping / anomaly-baseline seasonality view). Day-of-week
     * comes from epoch-day arithmetic (`(days_since_epoch + 4) % 7`,
@@ -3522,6 +3555,25 @@ object Queries {
     operators.Graph.assortativityCensus(
       nationTradeEdges(s, d), "src", "dst", "wc")
 
+  /** q_graph_kcore — k-core decomposition of the nation trade graph
+    * ([[operators.Graph.coreness]]: distributed h-index fixpoint, one
+    * incidence join + one node-partitioned window per round, node-sized
+    * integer state, observe-metric convergence). Core number per nation
+    * = the deepest k-core it survives — the standard "dense hub vs
+    * periphery" split a trade/social pack leads with. Oracle-exempt:
+    * the peeling fixpoint has no tractable SQL form; GraphSpec pins a
+    * driver-side peeling reference golden plus the one-task/distributed
+    * parity law, and the exempt lane checks non-empty + determinism. */
+  val q_graph_kcore: Q = (s, d) => {
+    val core = operators.Graph.coreness(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    core.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("coreness"))
+      .orderBy(desc("coreness"), col("nation"))
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3763,6 +3815,8 @@ object Queries {
     "q_zipf_fit" -> q_zipf_fit,
     "q_bm25" -> q_bm25,
     "q_token_budget" -> q_token_budget,
+    "q_pack_sequences" -> q_pack_sequences,
+    "q_skyline" -> q_skyline,
     "q_seasonality_dow" -> q_seasonality_dow,
     "q_ab_lift" -> q_ab_lift,
     "q_survival" -> q_survival,
@@ -3807,5 +3861,6 @@ object Queries {
     "q_graph_components" -> q_graph_components,
     "q_graph_sssp" -> q_graph_sssp,
     "q_graph_assortativity" -> q_graph_assortativity,
+    "q_graph_kcore" -> q_graph_kcore,
   )
 }

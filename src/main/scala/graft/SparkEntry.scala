@@ -29,7 +29,7 @@ object SparkEntry {
     * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll,
     * q_topk_approx_sketch — and iterative fixpoints with no tractable
     * SQL form: q_bpe_merges, q_knn_join_pq (PQ-quantized ANN),
-    * q_pagerank, q_graph_communities, q_graph_sssp.
+    * q_pagerank, q_graph_communities, q_graph_sssp, q_graph_kcore.
     * Each is instead golden-tested in scalatest (SURVEY §5.2) and runs
     * through the sf0.01 exempt lane (ExemptLaneSpec).
     */
@@ -945,6 +945,33 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM q)
         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c CROSS JOIN t
         |WHERE cum_tokens * 2 <= total ORDER BY doc_id""".stripMargin,
+    // the recursive CTE replays packSequencesSharded's next-fit rule row
+    // by row: one open bin per shard, overflow closes it — each
+    // iteration advances every shard by exactly one ascending-id doc
+    "q_pack_sequences" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(1 AS BIGINT) AS seq_id, n_tokens AS fill
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+        |         CASE WHEN p.fill + d.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |         CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |  FROM pack p JOIN docs d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_id, n_tokens FROM pack ORDER BY doc_id""".stripMargin,
+    // textbook NOT EXISTS dominance (Börzsönyi et al.) — minimize
+    // p_retailprice, maximize p_size, strict on at least one
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     // epoch-day dow arithmetic (Sunday=0): the engines' dow() functions
     // disagree on week start
     "q_seasonality_dow" ->

@@ -523,4 +523,60 @@ object Analytics {
         count(col("t2")).as("n_stage2"),
         count(col("t3")).as("n_stage3"))
   }
+
+  /** Skyline (Pareto frontier): the rows not DOMINATED by any other —
+    * q dominates r when q is ≤ r on every minimize-dim, ≥ r on every
+    * maximize-dim, and strictly better on at least one (duplicates of
+    * the same point therefore all survive). Computed by the classic
+    * distributive two-phase scheme: each partition reduces to its LOCAL
+    * skyline in one `mapPartitions` pass (the global skyline is a
+    * subset of the union of local skylines — dominance is transitive,
+    * so a point dominated globally is dominated by some local
+    * survivor), then the union of survivors — frontier-sized, not
+    * data-sized — runs the same pass once more in a single executor
+    * task. The first phase is the 100 TB workhorse (each task discards
+    * its dominated mass locally, no shuffle of dropped rows); the
+    * second is bounded by the FRONTIER size, which any skyline
+    * operator must materialize anyway — for an anti-chain input the
+    * frontier IS the data and no algorithm shrinks it. Local passes
+    * keep an O(s) candidate buffer (s = running skyline size). Returns
+    * the surviving (idCol) rows of `df` via one semi-join — `idCol`
+    * must be unique. */
+  def skyline(df: DataFrame, idCol: String,
+              minimizeCols: Seq[String], maximizeCols: Seq[String]): DataFrame = {
+    require(minimizeCols.nonEmpty || maximizeCols.nonEmpty,
+      "skyline needs at least one dominance dimension")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // negate maximize-dims: dominance becomes all-≤ with one-<
+    val dims = minimizeCols.map(c => col(c).cast("double")) ++
+      maximizeCols.map(c => (-col(c)).cast("double"))
+    val pts = df.select(col(idCol).cast("long"), array(dims: _*))
+      .as[(Long, Seq[Double])]
+    def localPass(it: Iterator[(Long, Seq[Double])]): Iterator[(Long, Seq[Double])] = {
+      val keep = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      def dominates(a: Array[Double], b: Array[Double]): Boolean = {
+        var allLe = true; var oneLt = false; var i = 0
+        while (i < a.length && allLe) {
+          if (a(i) > b(i)) allLe = false
+          else if (a(i) < b(i)) oneLt = true
+          i += 1
+        }
+        allLe && oneLt
+      }
+      it.foreach { case (id, s) =>
+        val p = s.toArray
+        if (!keep.exists { case (_, q) => dominates(q, p) }) {
+          val survivors = keep.filterNot { case (_, q) => dominates(p, q) }
+          keep.clear(); keep ++= survivors
+          keep += ((id, p))
+        }
+      }
+      keep.iterator.map { case (id, p) => (id, p.toSeq) }
+    }
+    val winners = pts.mapPartitions(localPass _)
+      .coalesce(1).mapPartitions(localPass _)
+      .select(col("_1").as(idCol))
+    df.join(broadcast(winners), Seq(idCol), "left_semi")
+  }
 }

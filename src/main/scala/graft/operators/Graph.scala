@@ -428,6 +428,113 @@ object Graph {
     }.toDF("node", "dist")
   }
 
+  /** k-core decomposition (coreness per node) by the distributed
+    * h-index fixpoint (Lü et al., "The H-index of a network", and the
+    * Montresor et al. distributed k-core scheme): estimates start at
+    * degree; each round every node replaces its estimate with
+    * `min(old, H(neighbor estimates))` where H is the h-index (the
+    * largest h such that ≥ h neighbors have estimate ≥ h). Estimates
+    * are monotone non-increasing and stay upper bounds of the true
+    * core number, so the fixpoint IS the coreness — pinned in
+    * GraphSpec against a driver-side peeling reference. Each round is
+    * ONE incidence join + one node-partitioned window (rank neighbor
+    * estimates desc, h = max(min(est, rank))) — node-keyed state,
+    * integer arithmetic end to end, reduce-order-free. Convergence is
+    * observe-metric (no changed estimate), riding the per-round
+    * checkpoint; a `maxIter` exit without convergence would return
+    * over-estimates (silently wrong), so it throws — the
+    * [[shortestPaths]] failure contract. Returns (node, coreness) for
+    * every node with at least one edge. */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, maxIter: Int = 100,
+               localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    // measured-size strategy pick (see LocalFixpointMaxEdges); exact
+    // integer h-index folds, so path parity is trivial (GraphSpec law)
+    if (und.count() <= localMaxEdges) return corenessOneTask(und, maxIter)
+    val inc = und.select(col("a").as("n"), col("b").as("m"))
+      .union(und.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint(true)
+    var est = inc.groupBy("n").agg(count(lit(1)).as("est"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n").orderBy(col("em").desc, col("m"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val h = inc
+        .join(est.select(col("n").as("m"), col("est").as("em")), Seq("m"))
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("n").agg(max(least(col("em"), col("rnk"))).as("h"))
+      val obs = org.apache.spark.sql.Observation(s"graft_kcore_round_$iter")
+      val next = est.join(h, Seq("n"))
+        .select(col("n"), col("est").as("old"),
+          least(col("est"), col("h")).as("est"))
+        .observe(obs, sum(when(col("est") < col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = est
+      est = next.select("n", "est")
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
+    inc.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreness did not converge within $maxIter rounds — estimates " +
+          "would be over-estimates; raise maxIter for this graph")
+    est.select(col("n").as("node"), col("est").as("coreness"))
+  }
+
+  /** The single-task fixpoint path of [[coreness]]: the same synchronous
+    * h-index rounds over the normalized undirected edge list in one
+    * executor task. Every quantity is an exact int, so parity with the
+    * distributed loop is by construction (GraphSpec law forces both
+    * paths). Keeps the maxIter-truncation throw. */
+  private def corenessOneTask(und: DataFrame, maxIter: Int): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+    rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      if (es.isEmpty) Iterator.empty
+      else {
+        val adj = scala.collection.mutable
+          .HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+        }
+        val est = scala.collection.mutable.HashMap.empty[Long, Long]
+        adj.foreach { case (v, ns) => est(v) = ns.length.toLong }
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          var changed = false
+          val snap = est.clone()
+          adj.foreach { case (v, ns) =>
+            val vals = ns.map(snap).sortBy(x => -x)
+            var h = 0L
+            var i = 0
+            while (i < vals.length && vals(i) >= i + 1) { h = i + 1; i += 1 }
+            val nv = math.min(snap(v), h)
+            if (nv < est(v)) { est(v) = nv; changed = true }
+          }
+          converged = !changed
+          iter += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"coreness did not converge within $maxIter rounds — estimates " +
+              "would be over-estimates; raise maxIter for this graph")
+        est.iterator
+      }
+    }.toDF("node", "coreness")
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round

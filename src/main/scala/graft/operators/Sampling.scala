@@ -198,4 +198,45 @@ object Sampling {
       }
       .toDF("bin_id", idCol, tokensCol)
   }
+
+  /** Deterministic sharded sequence packing — the ORACLE-CHECKABLE twin
+    * of [[packSequences]]: docs shard by `id mod nShards` (a pure
+    * function of the data, not of the physical partitioning), each
+    * shard packs ITS OWN docs in ascending-id order by NEXT-fit (one
+    * open bin: a doc that does not fit the current bin closes it and
+    * opens the next — the one-pass rule a sequential reader of a sorted
+    * shard would apply, and the one a recursive-CTE oracle can replay
+    * row by row). Output is a pure function of (df, maxTokens,
+    * nShards): same result on any partitioning, any engine — unlike
+    * [[packSequences]]'s physical-partition bins, which buy maximum
+    * utilization at the price of layout dependence. Scale contract:
+    * shards are the parallelism unit AND the memory unit (one shard's
+    * (id, tokens) pairs sort in one task — pick nShards so a shard's
+    * doc COUNT fits a task, the same contract as any keyed
+    * mapGroups); at 100 TB that is nShards in the tens of thousands,
+    * still one wide groupBy. Oversized docs (≥ maxTokens) take a
+    * singleton bin via the same next-fit arithmetic. Returns
+    * (shard, seq_id, idCol, tokensCol), seq_id 1-based per shard. */
+  def packSequencesSharded(df: DataFrame, idCol: String, tokensCol: String,
+                           maxTokens: Long, nShards: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("shard"),
+        col(idCol).cast("long"), col(tokensCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.toArray.sortBy(_._2) // ascending id: the declared order
+        var seq = 0L
+        var fill = 0L
+        docs.iterator.map { case (_, id, toks) =>
+          if (seq == 0L || fill + toks > maxTokens) { seq += 1; fill = 0L }
+          fill += toks
+          (shard, seq, id, toks)
+        }
+      }
+      .toDF("shard", "seq_id", idCol, tokensCol)
+  }
 }

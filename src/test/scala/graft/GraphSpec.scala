@@ -382,6 +382,88 @@ class GraphSpec extends SparkSpec {
     assert(comm.nonEmpty && comm.length <= 25)
   }
 
+  /** Reference peeling (Batagelj–Zaveršnik): repeatedly strip a
+    * minimum-degree node; core(v) = the running max of the min degree
+    * at the moment v is removed. Tie order does not change core
+    * numbers — the independent check for [[Graph.coreness]]'s h-index
+    * fixpoint. */
+  private def refCoreness(edges: Seq[(Long, Long, Double)]): Map[Long, Long] = {
+    val simple = edges.collect { case (a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = scala.collection.mutable
+      .HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+    simple.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val core = scala.collection.mutable.HashMap.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (n0, s0) => (s0.size, n0) }
+      k = math.max(k, ns.size.toLong)
+      core(v) = k
+      ns.foreach(u => adj(u) -= v)
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("coreness matches the peeling reference (K4 + triangle + chain)") {
+    // K4 {1,2,3,4} (core 3) bridged to triangle {5,6,7} (core 2) by a
+    // chain node 10 (degree 2 → core 2: the 2-core needs min-degree ≥ 2
+    // in the subgraph, not a cycle), pendant 11 off node 1, island 8-9,
+    // plus self-loop/parallel/reverse noise the undirect must absorb
+    val kg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0), (2L, 3L, 1.0),
+        (2L, 4L, 1.0), (3L, 4L, 1.0), (5L, 6L, 1.0), (6L, 7L, 1.0),
+        (7L, 5L, 1.0), (4L, 10L, 1.0), (10L, 5L, 1.0), (1L, 11L, 1.0),
+        (8L, 9L, 1.0), (2L, 2L, 5.0), (3L, 2L, 9.0), (4L, 1L, 2.0))
+    val got = Graph.coreness(edgeDf(kg), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refCoreness(kg)
+    assert(got == want, s"got $got want $want")
+    assert(got(1L) == 3L && got(6L) == 2L && got(10L) == 2L &&
+      got(11L) == 1L && got(8L) == 1L)
+  }
+
+  test("coreness: single-task fixpoint == distributed loop") {
+    val kg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0), (2L, 3L, 1.0),
+        (2L, 4L, 1.0), (3L, 4L, 1.0), (5L, 6L, 1.0), (6L, 7L, 1.0),
+        (7L, 5L, 1.0), (4L, 10L, 1.0), (10L, 5L, 1.0), (1L, 11L, 1.0))
+    val local = Graph.coreness(edgeDf(kg), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.coreness(edgeDf(kg), "src", "dst", "w",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
+  test("coreness equals the peeling reference on 5k pseudorandom edges") {
+    // deterministic LCG edges (no Math.random in specs), ~700 nodes
+    val es = {
+      var x = 42L
+      def nxt(): Long = { x = (x * 6364136223846793005L + 1442695040888963407L); x }
+      (1 to 5000).map { _ =>
+        val a = math.floorMod(nxt(), 700L); val b = math.floorMod(nxt(), 700L)
+        (a, b, 1.0)
+      }.filter { case (a, b, _) => a != b }
+    }
+    val local = Graph.coreness(edgeDf(es), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refCoreness(es)
+    assert(local == want)
+  }
+
+  test("q_graph_kcore: trade-graph core numbers are sane and ordered") {
+    val rows = Queries.all.toMap.apply("q_graph_kcore")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val cores = rows.map(_.getLong(1))
+    assert(cores.forall(c => c >= 1L && c <= 24L))
+    // orderBy(desc(coreness), nation) contract
+    assert(cores.sameElements(cores.sorted(Ordering[Long].reverse)))
+  }
+
   test("q_graph_degree: out-mass equals in-mass over the closed graph") {
     val df = Queries.all.toMap.apply("q_graph_degree")(spark, sfDir)
     val rows = df.collect()

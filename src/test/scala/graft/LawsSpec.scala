@@ -219,6 +219,62 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("packSequencesSharded == driver next-fit replay; partitioning-invariant") {
+    for ((lens, caseIdx) <- samples(lengthsGen, 3).zipWithIndex) {
+      val rows = lens.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      val docs = rows.toDF("doc_id", "n_tokens")
+      val got = operators.Sampling
+        .packSequencesSharded(docs, "doc_id", "n_tokens",
+          maxTokens = 512L, nShards = 4)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+      // driver replay of the declared rule: per shard ascending id,
+      // one open bin, overflow (or oversize) closes it
+      val want = rows.groupBy(_._1 % 4).toSeq.flatMap { case (shard, ds) =>
+        var seq = 0L; var fill = 0L
+        ds.sortBy(_._1).map { case (id, toks) =>
+          if (seq == 0L || fill + toks > 512L) { seq += 1; fill = 0L }
+          fill += toks
+          (shard, seq, id, toks)
+        }
+      }.sortBy(_._3)
+      assert(got.toSeq == want, s"case $caseIdx")
+      // pure function of the data: any physical partitioning, same result
+      val re = operators.Sampling
+        .packSequencesSharded(docs.repartition(7), "doc_id", "n_tokens",
+          maxTokens = 512L, nShards = 4)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+      assert(re.toSeq == got.toSeq, s"case $caseIdx: partitioning leaked")
+      // budget invariant: multi-doc bins stay within budget
+      got.groupBy(r => (r._1, r._2)).values.foreach { bin =>
+        if (bin.length > 1)
+          assert(bin.map(_._4).sum <= 512L, s"case $caseIdx: bin over budget")
+      }
+    }
+  }
+
+  test("skyline == quadratic dominance reference; dominated mass absent") {
+    // crafted frontier: ties, duplicate points, a dominated cluster
+    val pts = Seq(
+      (1L, 1.0, 10), (2L, 2.0, 20), (3L, 3.0, 30),   // frontier chain
+      (4L, 2.5, 20), (5L, 2.0, 15),                   // dominated by 2
+      (6L, 1.0, 10),                                  // duplicate of 1 — kept
+      (7L, 0.5, 5), (8L, 9.0, 31), (9L, 9.0, 31))     // 7/8/9 frontier (8≡9)
+    val df = pts.toDF("id", "price", "size")
+    val got = operators.Analytics
+      .skyline(df, "id", Seq("price"), Seq("size"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = pts.filter { case (i, p0, s0) =>
+      !pts.exists { case (j, p1, s1) =>
+        j != i && p1 <= p0 && s1 >= s0 && (p1 < p0 || s1 > s0) }
+    }.map(_._1).sorted
+    assert(got == want && got == Seq(1L, 2L, 3L, 6L, 7L, 8L, 9L))
+    // partitioning-invariance of the two-phase plan
+    val re = operators.Analytics
+      .skyline(df.repartition(5), "id", Seq("price"), Seq("size"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(re == got)
+  }
+
   test("globalRowNumber: partition-offset numbering == total-order rank; ntileOfRank == SQL ntile") {
     import graft.operators.Analytics
     val rev = graft.sources.Tables.orders(spark, sfDir)
