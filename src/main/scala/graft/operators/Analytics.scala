@@ -574,8 +574,12 @@ object Analytics {
       }
       keep.iterator.map { case (id, p) => (id, p.toSeq) }
     }
+    // repartition (a SHUFFLE), not coalesce: a no-shuffle coalesce(1)
+    // would collapse the phase-1 mapPartitions into the single merged
+    // task and serialize the whole scan — the barrier is what lets
+    // phase 1 run data-parallel and ships only frontier-sized survivors
     val winners = pts.mapPartitions(localPass _)
-      .coalesce(1).mapPartitions(localPass _)
+      .repartition(1).mapPartitions(localPass _)
       .select(col("_1").as(idCol))
     df.join(broadcast(winners), Seq(idCol), "left_semi")
   }

@@ -443,8 +443,14 @@ object Graph {
     * observe-metric (no changed estimate), riding the per-round
     * checkpoint; a `maxIter` exit without convergence would return
     * over-estimates (silently wrong), so it throws — the
-    * [[shortestPaths]] failure contract. Returns (node, coreness) for
-    * every node with at least one edge. */
+    * [[shortestPaths]] failure contract. Skew: the per-node window
+    * sorts deg(v) neighbor estimates — the irreducible cost of any
+    * neighborhood aggregate; a celebrity node's slice is one task's
+    * sort of its degree (the incidence JOIN side is AQE-skew-splittable;
+    * the window sort is not, and every distributed k-core formulation
+    * shares it — the alternative, per-round degree-decrement peeling,
+    * serializes on the global min instead). Returns (node, coreness)
+    * for every node with at least one edge. */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, maxIter: Int = 100,
                localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {

@@ -259,4 +259,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(widths.nonEmpty && widths.max <= 4,
       s"scan reads more columns than the projection needs: $widths")
   }
+
+  test("skyline's phase-1/phase-2 barrier is a shuffle, not a coalesce") {
+    // Analytics.skyline merges local frontiers with repartition(1) — a
+    // SHUFFLE. A no-shuffle coalesce(1) would be a silent scale killer:
+    // the narrow dependency collapses the phase-1 mapPartitions into
+    // the single merged task, serializing the whole scan (mapPartitions
+    // pipelines INTO the coalesced task). The physical signature is the
+    // Exchange between the two passes.
+    import org.apache.spark.sql.execution.CoalesceExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plans.toMap.apply("q_skyline")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+      "skyline lost its phase barrier — local frontiers no longer " +
+        "merge through a shuffle")
+    assert(p.collect { case c: CoalesceExec => c }.isEmpty,
+      "skyline plans a no-shuffle coalesce — phase 1 collapses into " +
+        "one task")
+    // seeded regression: the bad shape this audit exists to block is
+    // detectable by exactly this signature
+    val bad = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey").coalesce(1)
+    val badPlan = bad.queryExecution.sparkPlan
+    assert(badPlan.collect { case c: CoalesceExec => c }.nonEmpty,
+      "seeded coalesce(1) not visible as CoalesceExec — audit blind")
+  }
 }
