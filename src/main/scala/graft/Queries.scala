@@ -3574,6 +3574,27 @@ object Queries {
       .orderBy(desc("coreness"), col("nation"))
   }
 
+  /** q_graph_closeness — harmonic closeness centrality of the nation
+    * trade graph ([[operators.Graph.harmonicCloseness]]): Σ 1/d(s,v)
+    * over all sources, the disconnection-robust centrality. Runs the
+    * EXACT all-sources form because the node set is nation-sized; at
+    * 100 TB the same operator takes a landmark sample (closeness folds
+    * linearly over sources). Oracle-exempt: the multi-source fixpoint
+    * has no tractable SQL form (a recursive-CTE all-pairs enumeration
+    * is exponential on weighted graphs); GraphSpec pins a golden vs a
+    * driver-side all-pairs Dijkstra plus the one-task/distributed
+    * parity law. Distances are exact cent-longs; the 1/d fold is
+    * 1e-12-grain integer arithmetic — reduce-order-free. */
+  val q_graph_closeness: Q = (s, d) => {
+    val c = operators.Graph.harmonicCloseness(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    c.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_reached"), col("closeness"))
+      .orderBy(desc("closeness"), col("nation"))
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3862,5 +3883,6 @@ object Queries {
     "q_graph_sssp" -> q_graph_sssp,
     "q_graph_assortativity" -> q_graph_assortativity,
     "q_graph_kcore" -> q_graph_kcore,
+    "q_graph_closeness" -> q_graph_closeness,
   )
 }

@@ -541,6 +541,156 @@ object Graph {
     }.toDF("node", "coreness")
   }
 
+  /** Harmonic closeness centrality from multi-source shortest paths:
+    * C(v) = Σ_{s ∈ sources, s ≠ v, d(s,v) < ∞} 1 / d(s,v) — the
+    * disconnection-robust closeness variant (an unreachable pair
+    * contributes 0, no 1/∞ special case; Boldi & Vigna, "Axioms for
+    * centrality"). Distances come from a SOURCE-TAGGED generalization
+    * of [[shortestPaths]]: state is (src, node, dist) — K·n rows for K
+    * sources — and each round is still ONE incidence join + one
+    * (src, node)-keyed min, so the loop discipline (checkpoint cadence,
+    * observe-metric convergence, exact cent-long distances,
+    * maxIter-truncation throw) carries over unchanged. At 100 TB the
+    * exact all-sources form is O(n²) state — run it with `sources` as
+    * a LANDMARK SAMPLE (the standard estimator: closeness folds
+    * linearly over sources, so a uniform sample scales by n/K); the
+    * registry id passes all nodes because the trade graph is
+    * node-small, and documents that contract. The per-source terms
+    * 1/d are rounded to exact 1e-12-grain longs before the node-keyed
+    * fold (the [[pagerank]] trick) so the sum is reduce-order-free;
+    * the printed value is the long sum / 1e12 rounded at 6 dp, scaled
+    * by the [[undirect]] cent unit (distances are cents, so terms are
+    * 100/d_cents — 1/d in display weight units). Returns
+    * (node, n_reached, closeness) for every node on an edge:
+    * n_reached = sources reaching v (excluding v itself). */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, sources: Option[Seq[Long]] = None,
+                        maxIter: Int = 40,
+                        localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    // long-normalized node ids: the multi-source state seeds from a
+    // driver-built (src, n, dist) literal relation, so the edge side
+    // must carry the same type (int nation keys would CCE the collect
+    // and type-coerce every per-round join)
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("wc"))
+    val minRow = und.agg(min(col("wc"))).collect().head
+    val minW: Option[Long] =
+      if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
+    require(minW.forall(_ >= 0L),
+      s"harmonicCloseness requires non-negative weights, found ${minW.get}")
+    val srcList: Seq[Long] = sources.getOrElse {
+      // all nodes — the exact form; driver-bounded only by node count,
+      // callers at scale pass a landmark sample instead
+      und.select(col("a")).union(und.select(col("b")))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    }
+    require(srcList.nonEmpty, "harmonicCloseness needs at least one source")
+    if (und.count() <= localMaxEdges)
+      return harmonicClosenessOneTask(und, srcList, maxIter)
+    val ss = edges.sparkSession
+    import ss.implicits._
+    val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+      .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+      .localCheckpoint(true)
+    var dist = srcList.map(s0 => (s0, s0, 0L)).toDF("src", "n", "dist")
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val offers = incSym
+        .join(dist.select(col("src"), col("n").as("m"), col("dist").as("dm")),
+          Seq("m"))
+        .select(col("src"), col("n"), (col("dm") + col("wc")).as("cand"))
+        .groupBy("src", "n").agg(min(col("cand")).as("cand"))
+      val obs = org.apache.spark.sql.Observation(s"graft_hc_round_$iter")
+      val next = dist.join(offers, Seq("src", "n"), "full")
+        .select(col("src"), col("n"), col("dist").as("old"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+        .observe(obs, sum(when(col("old").isNull ||
+          col("dist") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = dist
+      dist = next.select("src", "n", "dist")
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
+    incSym.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"harmonicCloseness did not converge within $maxIter rounds — " +
+          "distances would be truncated; raise maxIter for this graph")
+    closenessFold(dist, graphNodes(und))
+  }
+
+  /** Every node on an edge — the output domain of the closeness fold
+    * (a node reached by NO source must still report closeness 0). */
+  private def graphNodes(und: DataFrame): DataFrame =
+    und.select(col("a").as("n")).union(und.select(col("b").as("n"))).distinct()
+
+  /** The shared (src, node, dist) → (node, n_reached, closeness) fold:
+    * self-pairs dropped, 1/d terms scaled to exact 1e-12-grain longs
+    * (d is cents → term = 100/d in weight units), integer-summed per
+    * node, displayed at 6 dp. Isolated-from-all-sources nodes on an
+    * edge still appear via the left join over the node set. */
+  private def closenessFold(dist: DataFrame, nodes: DataFrame): DataFrame = {
+    val terms = dist.where(col("src") =!= col("n") && col("dist") > 0L)
+      .select(col("n"),
+        round(lit(100.0) / col("dist").cast("double") * lit(1e12))
+          .cast("long").as("t"))
+      .groupBy("n").agg(count(lit(1)).as("n_reached"), sum(col("t")).as("ts"))
+    nodes.join(terms, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        round(coalesce(col("ts"), lit(0L)).cast("double") / lit(1e12), 6)
+          .as("closeness"))
+  }
+
+  /** The single-task path of [[harmonicCloseness]]: synchronous
+    * Bellman–Ford per source over the normalized edge list in one
+    * executor task, then the SAME distributed [[closenessFold]] over
+    * the exact long distances — term arithmetic is identical
+    * (Spark `round` on both paths), so parity with the distributed
+    * loop is by construction (GraphSpec law). */
+  private def harmonicClosenessOneTask(und: DataFrame, srcList: Seq[Long],
+                                       maxIter: Int): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a").cast("long"), col("b").cast("long"),
+      col("wc")).as[(Long, Long, Long)]
+    val srcs = srcList.toArray
+    val dist = rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      srcs.iterator.flatMap { s0 =>
+        val d = scala.collection.mutable.HashMap(s0 -> 0L)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          val next = d.clone()
+          es.foreach { case (a, b, wc) =>
+            for ((n0, m0) <- Seq((a, b), (b, a)); dm <- d.get(m0)) {
+              val cand = dm + wc
+              if (cand < next.getOrElse(n0, Long.MaxValue)) next(n0) = cand
+            }
+          }
+          converged = next == d
+          d.clear(); d ++= next
+          iter += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"harmonicCloseness did not converge within $maxIter rounds — " +
+              "distances would be truncated; raise maxIter for this graph")
+        d.iterator.map { case (n0, dd) => (s0, n0, dd) }
+      }
+    }.toDF("src", "n", "dist")
+    closenessFold(dist, graphNodes(und))
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round

@@ -382,6 +382,62 @@ class GraphSpec extends SparkSpec {
     assert(comm.nonEmpty && comm.length <= 25)
   }
 
+  /** Driver-side harmonic closeness replicating the library's exact
+    * arithmetic: Dijkstra distances per source (cent-longs), each 1/d
+    * term pico-rounded to a long, integer-summed, 6-dp display. */
+  private def refHarmonicCloseness(edges: Seq[(Long, Long, Double)],
+                                   sources: Seq[Long]): Map[Long, (Long, Double)] = {
+    val nodes = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1, e._2)).distinct
+    val perSource = sources.map(s0 => s0 -> refDijkstra(edges, s0)).toMap
+    nodes.map { v =>
+      val terms = sources.flatMap { s0 =>
+        perSource(s0).get(v).filter(d => s0 != v && d > 0L)
+      }
+      val ts = terms.map(d => toPico(100.0 / d)).sum
+      val c = BigDecimal(ts.toDouble / 1e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      v -> (terms.size.toLong, c)
+    }.toMap
+  }
+
+  test("harmonicCloseness matches the driver all-pairs Dijkstra golden") {
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0),
+        (1L, 1L, 9.0), (3L, 1L, 1.5))
+    val got = Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L)
+    val want = refHarmonicCloseness(wg, nodes.sorted)
+    assert(got == want, s"got $got want $want")
+    // island pair reaches only each other; main component never reaches it
+    assert(got(8L)._1 == 1L && got(9L)._1 == 1L && got(1L)._1 == 4L)
+  }
+
+  test("harmonicCloseness: single-task == distributed; landmark subset folds") {
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0))
+    def run(localMax: Long, srcs: Option[Seq[Long]]) =
+      Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w",
+          sources = srcs, localMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(run(0L, None) == run(Graph.LocalFixpointMaxEdges, None))
+    // landmark sampling contract: a source subset folds only its terms
+    val sub = run(Graph.LocalFixpointMaxEdges, Some(Seq(1L, 8L)))
+    assert(sub == refHarmonicCloseness(wg, Seq(1L, 8L)))
+  }
+
+  test("q_graph_closeness: trade-graph centralities are sane and ordered") {
+    val rows = Queries.all.toMap.apply("q_graph_closeness")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.forall(_ >= 0.0))
+    assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+    assert(rows.map(_.getLong(1)).forall(n => n >= 0L && n <= 24L))
+  }
+
   /** Reference peeling (Batagelj–Zaveršnik): repeatedly strip a
     * minimum-degree node; core(v) = the running max of the min degree
     * at the moment v is removed. Tie order does not change core
