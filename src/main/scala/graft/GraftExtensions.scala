@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VecDot, VecLshSignature}
+import graft.functions.{JaroWinkler, VecDot, VecLshSignature}
 
 /** Session extension registering the engine's custom Catalyst surface —
   * SQL functions over the codegen'd expressions (`vec_dot`/`vec_cosine`,
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (a, b) = (children.head, children(1))
         TryEval(Divide(VecDot(a, b),
           Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b)))))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "jaro_winkler(a, b) takes exactly 2 arguments")
+        JaroWinkler(children.head, children(1))
       }))
   }
 }

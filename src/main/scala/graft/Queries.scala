@@ -1392,6 +1392,31 @@ object Queries {
         Seq("p_brand"), maxDist = 2)
       .orderBy("id_a", "id_b")
 
+  /** q_jaro_match — graded fuzzy name matching by Jaro–Winkler
+    * similarity ([[functions.JaroWinkler]], a codegen'd Catalyst
+    * Expression — the record-linkage scorer that weights shared
+    * prefixes, complementing [[q_fuzzy_match]]'s edit-distance gate):
+    * part-name pairs blocked by brand, scored inside whole-stage
+    * codegen, kept above 0.8. The threshold and the output compare on
+    * the 6-dp ROUNDED score (both engines compute the same classic
+    * algorithm; the round absorbs sub-ulp arithmetic-order drift).
+    * Oracle: DuckDB's builtin `jaro_winkler_similarity` — same
+    * variant, probed (see [[functions.JaroWinklerAlgo]]). */
+  val q_jaro_match: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("__n_a"),
+      col("p_brand"))
+    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("__n_b"),
+      col("p_brand"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw",
+        round(functions.StringFns.jaroWinkler(col("__n_a"), col("__n_b")), 6))
+      .filter(col("jw") > 0.8)
+      .select("id_a", "id_b", "jw")
+      .orderBy("id_a", "id_b")
+  }
+
   /** q_histogram — fixed-width distribution profile of event values:
     * one shuffled aggregate over ~10 bins (map-side partials do nearly
     * all the work at scale). */
@@ -3766,6 +3791,7 @@ object Queries {
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_dedup_ngram" -> q_dedup_ngram,
     "q_fuzzy_match" -> q_fuzzy_match,
+    "q_jaro_match" -> q_jaro_match,
     "q_group_similarity" -> q_group_similarity,
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,

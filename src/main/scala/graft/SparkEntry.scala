@@ -316,6 +316,16 @@ object SparkEntry {
         |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // DuckDB's builtin implements the same classic Jaro-Winkler variant
+    // as graft.functions.JaroWinkler (probed: window max(len)/2-1,
+    // boost only above 0.7, prefix cap 4, either-empty -> 0); both
+    // engines threshold and compare on the 6-dp rounded score
+    "q_jaro_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) > 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents

@@ -103,6 +103,42 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(c - expectedC) < 1e-12)
   }
 
+  test("jaroWinkler: codegen'd expression matches the DuckDB-probed goldens") {
+    // expected doubles probed from DuckDB's jaro_winkler_similarity
+    // (the oracle builtin) — classic textbook cases + the variant
+    // discriminators: boost suppressed at jaro ≤ 0.7, prefix cap 4,
+    // either-empty → 0, transposition halving
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+      ("ab", "abcdefghij", 0.7866666666666667),
+      ("PENNSYLVANIA", "PENNCISYLVNIA", 0.8980186480186481),
+      ("jellyfish", "smellyfish", 0.8962962962962964))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(graft.functions.StringFns.jaroWinkler(col("a"), col("b")).as("jw"),
+        graft.functions.StringFns.jaroWinkler(col("b"), col("a")).as("rev"))
+      .as[(Double, Double)].collect()
+    cases.zip(got).foreach { case ((a, b, want), (jw, rev)) =>
+      assert(math.abs(jw - want) < 1e-12, s"$a / $b: got $jw want $want")
+      assert(jw == rev, s"$a / $b: not symmetric")
+    }
+  }
+
+  test("SQL extension: jaro_winkler usable from spark.sql; null-safe") {
+    val v = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").as[Double].head()
+    assert(math.abs(v - 0.9611111111111111) < 1e-12)
+    val n = spark.sql(
+      "SELECT jaro_winkler(CAST(NULL AS STRING), 'x') AS jw").collect().head
+    assert(n.isNullAt(0), "null in must be null out")
+  }
+
   test("lsh signature: identical vectors share all bands; opposite vectors none") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),
