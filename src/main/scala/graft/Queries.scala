@@ -3620,6 +3620,25 @@ object Queries {
       .orderBy(desc("closeness"), col("nation"))
   }
 
+  /** q_graph_betweenness — betweenness centrality of the nation trade
+    * graph ([[operators.Graph.betweenness]]: distributed Brandes —
+    * multi-source BFS wave forward, dependency sweep backward by
+    * descending level, exact long path counts, pico-quantized δ folds).
+    * Unweighted (hop-count) betweenness over the undirected simple
+    * graph; exact all-sources here (node-small), landmark sample at
+    * scale (Brandes–Pich). Oracle-exempt (two-phase fixpoint, no SQL
+    * form); GraphSpec pins structural goldens (path/star/diamond) and
+    * the one-task/distributed parity law. */
+  val q_graph_betweenness: Q = (s, d) => {
+    val bt = operators.Graph.betweenness(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    bt.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("betweenness"))
+      .orderBy(desc("betweenness"), col("nation"))
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3910,5 +3929,6 @@ object Queries {
     "q_graph_assortativity" -> q_graph_assortativity,
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,
+    "q_graph_betweenness" -> q_graph_betweenness,
   )
 }

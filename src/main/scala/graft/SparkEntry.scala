@@ -30,7 +30,7 @@ object SparkEntry {
     * q_topk_approx_sketch — and iterative fixpoints with no tractable
     * SQL form: q_bpe_merges, q_knn_join_pq (PQ-quantized ANN),
     * q_pagerank, q_graph_communities, q_graph_sssp, q_graph_kcore,
-    * q_graph_closeness.
+    * q_graph_closeness, q_graph_betweenness.
     * Each is instead golden-tested in scalatest (SURVEY §5.2) and runs
     * through the sf0.01 exempt lane (ExemptLaneSpec).
     */

@@ -691,6 +691,189 @@ object Graph {
     closenessFold(dist, graphNodes(und))
   }
 
+  /** Betweenness centrality (unweighted, undirected) by distributed
+    * Brandes (Brandes 2001): a level-synchronous multi-source BFS
+    * forward wave — state (src, node, dist, sigma), sigma the exact
+    * LONG shortest-path count, one frontier⋈edges join + (src,node)
+    * keyed sigma-sum per round, rounds = diameter — then the backward
+    * dependency sweep by DESCENDING level: δ(v) = Σ_{w ∈ succ(v)}
+    * σ(v)/σ(w) · (1 + δ(w)), one level per round. The δ accumulation
+    * would be reduce-order-dependent double math, so every
+    * contribution is quantized to 1e-12-grain longs BEFORE its keyed
+    * sum (the [[pagerank]] discipline): c = round(σv/σw · (1e12 +
+    * δw_pico)) folded as integers — bit-stable under any partitioning,
+    * and replicated operation-for-operation by the one-task path below
+    * the [[LocalFixpointMaxEdges]] gate (GraphSpec parity law).
+    * Betweenness(v) = Σ_src δ_src(v) / 2 (each unordered pair counted
+    * from both endpoints), displayed at 6 dp. Edge weights are
+    * IGNORED (hop-count Brandes — the weighted variant needs Dijkstra
+    * waves whose levels are not discrete rounds); `sources` defaults
+    * to all nodes (exact) and takes a LANDMARK SAMPLE at scale, the
+    * standard estimator (Brandes–Pich 2007): scale by n/K. State is
+    * K·n rows; at 100 TB pick K ≪ n. Returns (node, betweenness) for
+    * every node on an edge. */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String, sources: Option[Seq[Long]] = None,
+                  maxIter: Int = 60,
+                  localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .localCheckpoint(true)
+    val srcList: Seq[Long] = sources.getOrElse {
+      und.select(col("a")).union(und.select(col("b")))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    }
+    require(srcList.nonEmpty, "betweenness needs at least one source")
+    if (und.count() <= localMaxEdges)
+      return betweennessOneTask(und, srcList, maxIter)
+    val ss = edges.sparkSession
+    import ss.implicits._
+    val incSym = und.select(col("a").as("n"), col("b").as("m"))
+      .union(und.select(col("b").as("n"), col("a").as("m")))
+      .localCheckpoint(true)
+    // ---- forward wave: visited (src, n, dist, sigma) ----
+    var visited = srcList.map(s0 => (s0, s0, 0, 1L))
+      .toDF("src", "n", "dist", "sigma").localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (frontier.count() > 0 && d < maxIter) {
+      val cand = frontier.select(col("src"), col("n").as("__from"),
+          col("sigma"))
+        .join(incSym.select(col("n").as("__from"), col("m").as("n")),
+          Seq("__from"))
+        .groupBy(col("src"), col("n")).agg(sum(col("sigma")).as("sigma"))
+      val nextFrontier = cand
+        .join(visited.select(col("src"), col("n"), lit(1).as("__seen")),
+          Seq("src", "n"), "left_anti")
+        .select(col("src"), col("n"), lit(d + 1).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      visited = visited.union(nextFrontier).localCheckpoint(true)
+      frontier.unpersist(blocking = false)
+      frontier = nextFrontier
+      d += 1
+    }
+    if (frontier.count() > 0)
+      throw new IllegalStateException(
+        s"betweenness BFS did not exhaust within $maxIter rounds — " +
+          "deltas would be truncated; raise maxIter for this graph")
+    frontier.unpersist(blocking = false)
+    // ---- backward sweep by descending level ----
+    // deltaPico(src, n): accumulated dependency, 1e-12-grain longs
+    val maxDist = d - 1 // deepest level that holds nodes
+    var delta = visited.select(col("src"), col("n"), lit(0L).as("dp"))
+      .localCheckpoint(true)
+    var lvl = maxDist
+    while (lvl >= 1) {
+      // successors at `lvl` push contributions to predecessors at lvl-1
+      val wNodes = visited.where(col("dist") === lvl)
+        .join(delta, Seq("src", "n"))
+        .select(col("src"), col("n").as("w"), col("sigma").as("sw"),
+          col("dp").as("dw"))
+      val contribs = wNodes
+        .join(incSym.select(col("n").as("w"), col("m").as("n")), Seq("w"))
+        .join(visited.where(col("dist") === lvl - 1)
+            .select(col("src"), col("n"), col("sigma").as("sv")),
+          Seq("src", "n"))
+        .select(col("src"), col("n"),
+          round(col("sv").cast("double") / col("sw").cast("double") *
+            (lit(1e12) + col("dw").cast("double"))).cast("long").as("c"))
+        .groupBy("src", "n").agg(sum(col("c")).as("cd"))
+      delta = delta.join(contribs, Seq("src", "n"), "left")
+        .select(col("src"), col("n"),
+          (col("dp") + coalesce(col("cd"), lit(0L))).as("dp"))
+        .localCheckpoint(true)
+      lvl -= 1
+    }
+    // fold: betweenness(v) = Σ_{src ≠ v} δ_src(v) / 2
+    val nodes = graphNodes(und)
+    val bt = delta.where(col("src") =!= col("n"))
+      .groupBy("n").agg(sum(col("dp")).as("dps"))
+    nodes.join(bt, Seq("n"), "left")
+      .select(col("n").as("node"),
+        round(coalesce(col("dps"), lit(0L)).cast("double") / lit(2e12), 6)
+          .as("betweenness"))
+  }
+
+  /** The single-task path of [[betweenness]]: exact Brandes per source
+    * in one executor task, replicating the distributed path's
+    * pico-quantized δ arithmetic operation-for-operation (java
+    * BigDecimal HALF_UP ≡ Spark `round`), so the output is
+    * bit-identical (GraphSpec parity law). */
+  private def betweennessOneTask(und: DataFrame, srcList: Seq[Long],
+                                 maxIter: Int): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a"), col("b")).as[(Long, Long)]
+    val srcs = srcList.toArray
+    rows.coalesce(1).mapPartitions { it =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def pico(x: Double): Long =
+        JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).doubleValue.toLong
+      val es = it.toArray
+      if (es.isEmpty) Iterator.empty
+      else {
+        val adj = scala.collection.mutable
+          .HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+        }
+        val nodes = adj.keys.toArray
+        val dps = scala.collection.mutable.HashMap.empty[Long, Long]
+        srcs.foreach { s0 =>
+          if (adj.contains(s0)) {
+            val dist = scala.collection.mutable.HashMap(s0 -> 0)
+            val sigma = scala.collection.mutable.HashMap(s0 -> 1L)
+            var frontier = List(s0)
+            var dd = 0
+            val levels = scala.collection.mutable.ArrayBuffer(List(s0))
+            while (frontier.nonEmpty && dd < maxIter) {
+              val next = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+              frontier.foreach { v =>
+                adj(v).foreach { w =>
+                  if (!dist.contains(w))
+                    next(w) = next.getOrElse(w, 0L) + sigma(v)
+                }
+              }
+              frontier = next.keys.toList
+              frontier.foreach { w => dist(w) = dd + 1; sigma(w) = next(w) }
+              if (frontier.nonEmpty) levels += frontier
+              dd += 1
+            }
+            if (frontier.nonEmpty)
+              throw new IllegalStateException(
+                s"betweenness BFS did not exhaust within $maxIter rounds — " +
+                  "deltas would be truncated; raise maxIter for this graph")
+            val dp = scala.collection.mutable.HashMap.empty[Long, Long]
+            var lvl = levels.length - 1
+            while (lvl >= 1) {
+              levels(lvl).foreach { w =>
+                val dw = dp.getOrElse(w, 0L)
+                adj(w).foreach { v =>
+                  if (dist.get(v).contains(lvl - 1)) {
+                    val c = pico(sigma(v).toDouble / sigma(w).toDouble *
+                      (1e12 + dw.toDouble))
+                    dp(v) = dp.getOrElse(v, 0L) + c
+                  }
+                }
+              }
+              lvl -= 1
+            }
+            dp.foreach { case (v, x) =>
+              if (v != s0) dps(v) = dps.getOrElse(v, 0L) + x
+            }
+          }
+        }
+        nodes.iterator.map { v =>
+          val x = dps.getOrElse(v, 0L)
+          (v, JBD.valueOf(x.toDouble / 2e12)
+            .setScale(6, RoundingMode.HALF_UP).doubleValue)
+        }
+      }
+    }.toDF("node", "betweenness")
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round

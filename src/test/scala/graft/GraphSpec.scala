@@ -438,6 +438,53 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).forall(n => n >= 0L && n <= 24L))
   }
 
+  test("betweenness: path, star and split-path structural goldens") {
+    // P4 (1-2-3-4): inner nodes carry 2.0 each, endpoints 0
+    val p4 = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+    val gotP = Graph.betweenness(edgeDf(p4), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotP == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0), s"$gotP")
+    // star S4: hub carries all C(3,2)=3 pairs, leaves 0
+    val s4 = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0))
+    val gotS = Graph.betweenness(edgeDf(s4), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotS == Map(0L -> 3.0, 1L -> 0.0, 2L -> 0.0, 3L -> 0.0), s"$gotS")
+    // diamond (4-cycle) 1-2-4 / 1-3-4: each crossing pair — (1,4) and
+    // (2,3) — splits over two equal shortest paths, so EVERY node lies
+    // on half of exactly one pair: σ-weighted dependency = 0.5 each
+    val dia = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 4L, 1.0), (3L, 4L, 1.0))
+    val gotD = Graph.betweenness(edgeDf(dia), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotD == Map(1L -> 0.5, 2L -> 0.5, 3L -> 0.5, 4L -> 0.5), s"$gotD")
+  }
+
+  test("betweenness: single-task == distributed; weights ignored") {
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0), (1L, 1L, 9.0))
+    val local = Graph.betweenness(edgeDf(wg), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.betweenness(edgeDf(wg), "src", "dst", "w",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local == dist, s"local $local dist $dist")
+    // hop-count semantics: reweighting every edge changes nothing
+    val rw = Graph.betweenness(edgeDf(wg.map { case (a, b, _) => (a, b, 7.0) }),
+        "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rw == local)
+    // island edge 8-9: no third node, zero betweenness
+    assert(local(8L) == 0.0 && local(9L) == 0.0)
+  }
+
+  test("q_graph_betweenness: trade-graph centralities are sane and ordered") {
+    val rows = Queries.all.toMap.apply("q_graph_betweenness")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val bs = rows.map(_.getDouble(1))
+    assert(bs.forall(_ >= 0.0))
+    assert(bs.sameElements(bs.sorted(Ordering[Double].reverse)))
+  }
+
   /** Reference peeling (Batagelj–Zaveršnik): repeatedly strip a
     * minimum-degree node; core(v) = the running max of the min degree
     * at the moment v is removed. Tie order does not change core
