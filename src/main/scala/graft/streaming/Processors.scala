@@ -320,4 +320,43 @@ object Processors {
       out.iterator
     }
   }
+
+  /** Input/output rows for the streaming sequence packer. */
+  case class PackDoc(shard: Long, docId: Long, nTokens: Long)
+  case class PackOut(shard: Long, seqId: Long, docId: Long, nTokens: Long)
+
+  /** Streaming sequence packing — the stream form of the batch
+    * [[graft.operators.Sampling.packSequencesSharded]] (the training-
+    * data ingest path: documents arrive continuously and must land in
+    * fixed-token-budget bins without a batch re-pack). Keyed by shard;
+    * state is ONE open bin per shard — (seqId, fill), a fixed-width
+    * tuple, KB-scale at any shard cardinality — and the packing rule is
+    * the same NEXT-fit the batch operator declares: a doc that does not
+    * fit (or any doc ≥ the budget) closes the bin and opens the next.
+    * Within a micro-batch docs fold in ascending docId order (sorted
+    * here, so a batch's output is replay-deterministic); ACROSS batches
+    * arrival order governs — the streaming contract, pinned by the
+    * StreamingSpec law: one batch holding all docs reproduces the batch
+    * operator's packing exactly. */
+  class PackingProcessor(maxTokens: Long, stateTtl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, PackDoc, PackOut] {
+    require(maxTokens > 0, "maxTokens must be positive")
+    @transient private var bin: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bin = getHandle.getValueState[(Long, Long)]("bin",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), stateTtl)
+
+    override def handleInputRows(key: Long, rows: Iterator[PackDoc],
+                                 timers: TimerValues): Iterator[PackOut] = {
+      var (seq, fill) = if (bin.exists()) bin.get() else (0L, 0L)
+      val out = rows.toVector.sortBy(_.docId).map { d =>
+        if (seq == 0L || fill + d.nTokens > maxTokens) { seq += 1; fill = 0L }
+        fill += d.nTokens
+        PackOut(key, seq, d.docId, d.nTokens)
+      }
+      bin.update((seq, fill))
+      out.iterator
+    }
+  }
 }

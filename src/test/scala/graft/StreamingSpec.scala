@@ -171,6 +171,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PackingProcessor: per-shard next-fit state across batches; batch parity") {
+    val in = MemoryStream[Processors.PackDoc]
+    val out = in.toDS()
+      .groupByKey(_.shard)
+      .transformWithState(new Processors.PackingProcessor(maxTokens = 100L),
+        TimeMode.None(), OutputMode.Append())
+    val name = nextName()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // batch 1, shard 0: docs 2,0 (sorted → 0,2) fill bin 1 to 90;
+      // shard 1: oversized doc 1 takes singleton bin 1
+      in.addData(Processors.PackDoc(0L, 2L, 50L), Processors.PackDoc(0L, 0L, 40L),
+        Processors.PackDoc(1L, 1L, 150L))
+      q.processAllAvailable()
+      // batch 2, shard 0: doc 4 (20) overflows 90+20 → bin 2; doc 6 (70)
+      // fits bin 2 at 90; shard 1: doc 3 (10) opens bin 2 (prev fill 150)
+      in.addData(Processors.PackDoc(0L, 6L, 70L), Processors.PackDoc(0L, 4L, 20L),
+        Processors.PackDoc(1L, 3L, 10L))
+      q.processAllAvailable()
+      val got = spark.table(name).as[Processors.PackOut].collect()
+        .map(p => p.docId -> (p.shard, p.seqId)).toMap
+      assert(got == Map(0L -> (0L, 1L), 2L -> (0L, 1L), 1L -> (1L, 1L),
+        4L -> (0L, 2L), 6L -> (0L, 2L), 3L -> (1L, 2L)), s"$got")
+    } finally q.stop()
+    // law: ONE batch holding all docs == the batch operator's packing
+    val docs = Seq((0L, 40L), (1L, 150L), (2L, 50L), (3L, 10L), (4L, 20L),
+      (6L, 70L))
+    val in2 = MemoryStream[Processors.PackDoc]
+    val out2 = in2.toDS()
+      .groupByKey(_.shard)
+      .transformWithState(new Processors.PackingProcessor(maxTokens = 100L),
+        TimeMode.None(), OutputMode.Append())
+    val name2 = nextName()
+    val q2 = out2.writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      in2.addData(docs.map { case (id, n) =>
+        Processors.PackDoc(id % 2, id, n) }: _*)
+      q2.processAllAvailable()
+      val stream = spark.table(name2).as[Processors.PackOut].collect()
+        .map(p => (p.shard, p.seqId, p.docId, p.nTokens)).sortBy(_._3).toSeq
+      val batch = graft.operators.Sampling.packSequencesSharded(
+          docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          maxTokens = 100L, nShards = 2)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+      assert(stream == batch, s"stream $stream batch $batch")
+    } finally q2.stop()
+  }
+
   test("firstVisitClassic (flatMapGroupsWithState) matches the transformWithState semantics") {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val in = MemoryStream[Processors.Visit]
