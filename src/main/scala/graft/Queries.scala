@@ -3639,6 +3639,34 @@ object Queries {
       .orderBy(desc("betweenness"), col("nation"))
   }
 
+  /** q_mutual_info — mutual information between market segment and
+    * nation over the customer dim: the feature-selection screen
+    * (I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))), the information-
+    * theoretic sibling of [[q_chisq]]. ONE scan: the joint contingency
+    * is the only aggregate over the data — both marginals and the
+    * grand total fold FROM the checkpointed joint (domain-sized, not
+    * data-sized), so at 100 TB this is one shuffle over (x,y) pairs
+    * and then arithmetic on a |X|·|Y| relation. Counts are exact
+    * longs; log args are single-rounding-free double ratios built the
+    * same way on both engines; per-term 12-dp round + 6-dp final (the
+    * [[q_theil]] ln-determinism discipline). */
+  val q_mutual_info: Q = (s, d) => {
+    val joint = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(eager = true)
+    val mx = joint.groupBy("x").agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy("y").agg(sum(col("nxy")).as("ny"))
+    val tot = joint.agg(sum(col("nxy")).as("n"))
+    joint.join(mx, Seq("x")).join(my, Seq("y")).crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(col("nxy").cast("double") / col("n") *
+          log(col("nxy").cast("double") * col("n") /
+            (col("nx").cast("double") * col("ny"))), 12).as("term"))
+      .groupBy("n").agg(round(sum(col("term")), 6).as("mi"))
+      .select(col("mi"), col("n").cast("long").as("n_rows"))
+  }
+
   /** q_theil — Theil T inequality index over customer revenue
     * ((1/n)·Σ (x/μ)·ln(x/μ), the information-theoretic twin of
     * [[q_gini]] — decomposable across subgroups where Gini is not):
@@ -3930,5 +3958,6 @@ object Queries {
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,
     "q_graph_betweenness" -> q_graph_betweenness,
+    "q_mutual_info" -> q_mutual_info,
   )
 }

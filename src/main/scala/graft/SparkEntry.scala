@@ -1267,6 +1267,17 @@ object SparkEntry {
         |       round(sum(round(pow(CAST(n AS DOUBLE) / total, 2), 12)), 6) AS hhi,
         |       round(1.0 / sum(round(pow(CAST(n AS DOUBLE) / total, 2), 12)), 4) AS effective_n
         |FROM c JOIN t USING (event_type) GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    // marginals and the total fold FROM the joint (one data scan on
+    // both engines); Spark long counts <-> DuckDB HUGEINT sums, both
+    // cast to double only inside the ratio terms
+    "q_mutual_info" ->
+      """WITH j AS (SELECT c_mktsegment AS x, c_nationkey AS y, count(*) AS nxy FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, sum(nxy) AS nx FROM j GROUP BY 1),
+        |my AS (SELECT y, sum(nxy) AS ny FROM j GROUP BY 1),
+        |t AS (SELECT sum(nxy) AS n FROM j)
+        |SELECT round(sum(round(CAST(nxy AS DOUBLE) / n * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 12)), 6) AS mi,
+        |       CAST(n AS BIGINT) AS n_rows
+        |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t GROUP BY n""".stripMargin,
     "q_theil" ->
       """WITH r AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS x FROM orders GROUP BY 1),
         |m AS (SELECT count(*) AS n, sum(x) AS s FROM r)

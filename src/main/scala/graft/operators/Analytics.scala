@@ -583,4 +583,22 @@ object Analytics {
       .select(col("_1").as(idCol))
     df.join(broadcast(winners), Seq(idCol), "left_semi")
   }
+
+  /** Incremental skyline maintenance: fold a new batch into an existing
+    * frontier WITHOUT re-scanning history — the streaming-ingest form
+    * of [[skyline]]. Correct because skyline is a distributive
+    * semilattice fold: dominance is transitive, so any historical row
+    * already dominated stays dominated by a frontier member, giving
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ B) — pinned as a LawsSpec
+    * law. Cost per batch is one [[skyline]] pass over
+    * frontier ∪ batch: the frontier side is frontier-sized, so
+    * maintenance work is batch-proportional (the same contract as the
+    * incremental dedup/IVF indexes). Both inputs must carry `idCol`
+    * and every dominance column. */
+  def skylineMerge(frontier: DataFrame, batch: DataFrame, idCol: String,
+                   minimizeCols: Seq[String], maximizeCols: Seq[String]): DataFrame = {
+    val cols = (idCol +: (minimizeCols ++ maximizeCols)).map(col)
+    skyline(frontier.select(cols: _*).unionByName(batch.select(cols: _*)),
+      idCol, minimizeCols, maximizeCols)
+  }
 }

@@ -275,6 +275,29 @@ class LawsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("skylineMerge: incremental fold == full recompute (semilattice law)") {
+    // batch A: an early frontier; batch B: points that dominate part of
+    // it, extend it, and duplicate one frontier point
+    val aPts = Seq((1L, 5.0, 10), (2L, 3.0, 7), (3L, 8.0, 20), (4L, 6.0, 12))
+    val bPts = Seq((5L, 2.0, 8), (6L, 8.0, 25), (7L, 5.0, 10), (8L, 9.0, 9))
+    val a = aPts.toDF("id", "price", "size")
+    val b = bPts.toDF("id", "price", "size")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val full = operators.Analytics
+      .skyline(a.unionByName(b), "id", Seq("price"), Seq("size"))
+    val frontier = operators.Analytics
+      .skyline(a, "id", Seq("price"), Seq("size"))
+    val merged = operators.Analytics
+      .skylineMerge(frontier, b, "id", Seq("price"), Seq("size"))
+    assert(ids(merged) == ids(full), s"${ids(merged)} vs ${ids(full)}")
+    // the incremental path must drop newly-dominated history (2 falls
+    // to 5, 3 falls to 6), keep both copies of the duplicate frontier
+    // point (1 ≡ 7 — no strict dominance between equals), and reject
+    // the dominated newcomer 8 (falls to 7)
+    assert(ids(merged) == Seq(1L, 4L, 5L, 6L, 7L))
+  }
+
   test("globalRowNumber: partition-offset numbering == total-order rank; ntileOfRank == SQL ntile") {
     import graft.operators.Analytics
     val rev = graft.sources.Tables.orders(spark, sfDir)
