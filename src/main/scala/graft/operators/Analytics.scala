@@ -581,7 +581,13 @@ object Analytics {
     val winners = pts.mapPartitions(localPass _)
       .repartition(1).mapPartitions(localPass _)
       .select(col("_1").as(idCol))
-    df.join(broadcast(winners), Seq(idCol), "left_semi")
+    // no broadcast HINT on the semi-join back: the frontier is usually
+    // tiny (AQE sees the runtime size of the 1-partition merge output
+    // and broadcasts it), but an anti-chain input makes the frontier
+    // DATA-sized and a forced broadcast would OOM exactly there — the
+    // same unconditional-hint trap the trade-graph edge builder
+    // documents. Strategy stays a measured runtime pick.
+    df.join(winners, Seq(idCol), "left_semi")
   }
 
   /** Incremental skyline maintenance: fold a new batch into an existing

@@ -103,6 +103,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_rolling_corr",
         // q_theil: 1-row (n, Σx) moment broadcast
         "q_theil",
+        // q_mutual_info: 1-row grand-total broadcast (folded from the
+        // domain-sized joint, not the data)
+        "q_mutual_info",
         // q_user_features: 1-row max-day broadcast
         "q_user_features",
         // q_abc: 1-row revenue-total broadcast
