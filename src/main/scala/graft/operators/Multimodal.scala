@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing here — schema, partition sizing, batched
   * per-partition processing, metadata propagation — is real and tested.
-  * The codec itself is STUBBED with a deterministic fake (`FakeCodec`):
-  * this container has no image/audio libraries, so the stub decodes a
-  * synthetic header instead of real JPEG/WAV bytes. Swapping in a real
-  * codec changes only the function passed to [[mapBinary]].
+  * Codecs: BMP/PNG/JPEG/GIF decode/resize for REAL via `javax.imageio`
+  * ([[JvmImageCodec]]) and RIFF/WAVE integer-PCM decodes for REAL via
+  * `javax.sound.sampled` ([[JvmAudioCodec]]) — both pure-JDK, headless.
+  * Formats needing native libraries absent from this container
+  * (JPEG2000, MP3/AAC, video codecs) stay on the deterministic
+  * `FakeCodec` header stub, honestly marked. Swapping in a real codec
+  * changes only the partition-local decode function.
   */
 object Multimodal {
 
@@ -131,6 +134,125 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** REAL audio codec for RIFF/WAVE PCM payloads via `javax.sound.sampled`
+    * (pure JDK, headless — the audio sibling of [[JvmImageCodec]]).
+    * 8/16/24/32-bit integer PCM decode to channel-averaged mono doubles
+    * in [−1, 1]; everything else (compressed codecs need native libs
+    * absent here) stays on the FakeCodec honest stub. Deterministic:
+    * pure integer → double conversion, no resampling randomness. */
+  object JvmAudioCodec {
+    def isWav(bytes: Array[Byte]): Boolean =
+      bytes != null && bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E'
+
+    /** (sampleRate, channels, bitsPerSample, nSampleFrames). */
+    def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        val out = Some((f.getSampleRate.toInt, f.getChannels,
+          f.getSampleSizeInBits, in.getFrameLength))
+        in.close(); out
+      } catch { case _: Exception => None }
+
+    /** Channel-averaged mono samples in [−1, 1] (integer PCM only). */
+    def samples(bytes: Array[Byte]): Option[Array[Double]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val enc = f.getEncoding
+        if (enc != PCM_SIGNED && enc != PCM_UNSIGNED) { in.close(); None }
+        else {
+          val bits = f.getSampleSizeInBits
+          val bytesPer = bits / 8
+          val ch = f.getChannels
+          val raw = in.readAllBytes(); in.close()
+          val nFrames = raw.length / (bytesPer * ch)
+          val out = new Array[Double](nFrames)
+          val full = (1L << (bits - 1)).toDouble
+          var fi = 0
+          while (fi < nFrames) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (fi * ch + c) * bytesPer
+              var v = 0L
+              if (f.isBigEndian) {
+                var b = 0
+                while (b < bytesPer) { v = (v << 8) | (raw(off + b) & 0xFFL); b += 1 }
+              } else {
+                var b = bytesPer - 1
+                while (b >= 0) { v = (v << 8) | (raw(off + b) & 0xFFL); b -= 1 }
+              }
+              val signed =
+                if (enc == PCM_UNSIGNED) v - (1L << (bits - 1))
+                else { // sign-extend
+                  val shift = 64 - bits
+                  (v << shift) >> shift
+                }
+              acc += signed.toDouble / full
+              c += 1
+            }
+            out(fi) = acc / ch
+            fi += 1
+          }
+          Some(out)
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Acoustic features from real WAV payloads — the audio leg of the
+    * decode / feature-extract quartet: per media_id, duration (s), RMS
+    * energy, zero-crossing rate (crossings per sample) and absolute
+    * peak, each rounded at 6 dp for cross-run stability. Non-WAV or
+    * undecodable payloads yield null features (dirty-data guard — rows
+    * survive). Partition-local batch decode, the [[decodeMeta]] shape. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true),
+      StructField("zcr", DoubleType, nullable = true),
+      StructField("peak", DoubleType, nullable = true)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes =
+          if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
+        val feats = for {
+          meta <- JvmAudioCodec.decodeMeta(bytes)
+          s <- JvmAudioCodec.samples(bytes) if s.nonEmpty
+        } yield {
+          val n = s.length
+          var sq = 0.0; var peak = 0.0; var crossings = 0L
+          var i = 0
+          while (i < n) {
+            val v = s(i)
+            sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((s(i - 1) >= 0) != (v >= 0))) crossings += 1
+            i += 1
+          }
+          (r6(n.toDouble / meta._1), r6(math.sqrt(sq / n)),
+            r6(crossings.toDouble / n), r6(peak))
+        }
+        def boxed(v: Option[Double]): Any = v.map(Double.box).orNull
+        Row(r.getLong(idIdx),
+          boxed(feats.map(_._1)), boxed(feats.map(_._2)),
+          boxed(feats.map(_._3)), boxed(feats.map(_._4)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Decode media metadata from the binary payload, partition-local, one
     * batch function per partition (the `mapInPandas` shape in Scala:
     * `mapPartitions` amortizes codec init across the partition — exactly
@@ -154,14 +276,19 @@ object Multimodal {
       it.map { r =>
         val bytes =
           if (r.isNullAt(contentIdx)) null else r.getAs[Array[Byte]](contentIdx)
-        // real decode for the JDK-native containers; fake-header
-        // formats fall through
+        // real decode for the JDK-native containers (images via ImageIO,
+        // WAV PCM via javax.sound — null dims, real frame count); fake-
+        // header formats fall through
         val decoded =
           if (JvmImageCodec.detectFormat(bytes).isDefined)
             JvmImageCodec.decodeDims(bytes).map { case (w, h) => (w, h, 1) }
+          else if (JvmAudioCodec.isWav(bytes))
+            JvmAudioCodec.decodeMeta(bytes).map { case (_, _, _, frames) =>
+              (-1, -1, math.min(frames, Int.MaxValue.toLong).toInt) }
           else FakeCodec.decode(bytes)
         val kept = keepIdx.toSeq.map(i => r.get(i))
-        def boxed(v: Option[Int]): Any = v.map(Int.box).orNull
+        def boxed(v: Option[Int]): Any =
+          v.filter(_ >= 0).map(Int.box).orNull // audio: no spatial dims
         Row.fromSeq(kept ++ Seq(
           boxed(decoded.map(_._1)), boxed(decoded.map(_._2)),
           boxed(decoded.map(_._3))))

@@ -478,6 +478,54 @@ class SourcesSpec extends SparkSpec {
     assert(close(img.getRGB(13, 13) & 0xFFFFFF, white, tol), "q4 white")
   }
 
+  test("multimodal: REAL WAV decode + acoustic features (javax.sound, sine golden)") {
+    // synthesize a 1 kHz sine, 0.1 s @ 8 kHz, 16-bit mono PCM — the
+    // closed-form golden: RMS = A/sqrt(2), ZCR = 2 crossings per cycle
+    val rate = 8000; val n = 800; val freq = 1000.0; val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n)
+      bb.putShort((amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(Multimodal.JvmAudioCodec.isWav(wav))
+    assert(Multimodal.JvmAudioCodec.decodeMeta(wav)
+      .contains((rate, 1, 16, n.toLong)))
+
+    val rows = Seq(
+      Row(1L, "audio", wav, null, null, rate: Integer, null),
+      Row(2L, "audio", Array[Byte](1, 2, 3), null, null, null, null)) // malformed
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+
+    // decodeMeta: real frame count, no spatial dims for audio
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getAs[Integer]("n_frames") == n)
+    assert(meta(1L).getAs[Integer]("width") == null &&
+      meta(1L).getAs[Integer]("height") == null)
+
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val f1 = feats(1L)
+    assert(math.abs(f1.getAs[Double]("duration_s") - 0.1) < 1e-9)
+    // sine RMS = A/sqrt(2) (quantization + windowing keep it within 1%)
+    assert(math.abs(f1.getAs[Double]("rms") - amp / math.sqrt(2)) < 0.01 * amp,
+      s"rms ${f1.getAs[Double]("rms")}")
+    // 1 kHz over 0.1 s = 100 cycles = ~200 crossings over 800 samples
+    assert(math.abs(f1.getAs[Double]("zcr") - 0.25) < 0.01,
+      s"zcr ${f1.getAs[Double]("zcr")}")
+    assert(math.abs(f1.getAs[Double]("peak") - amp) < 0.01)
+    // dirty-data guard: malformed payload keeps its row, null features
+    assert(feats(2L).isNullAt(feats(2L).fieldIndex("rms")))
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
