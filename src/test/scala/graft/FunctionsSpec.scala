@@ -130,6 +130,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("jaroWinkler == independent naive reference on random strings") {
+    // independently-written reference: match sets via index lists, t
+    // derived by pairing matched positions (not the production walk)
+    def ref(s1: String, s2: String): Double = {
+      val (l1, l2) = (s1.length, s2.length)
+      if (l1 == 0 || l2 == 0) return 0.0
+      val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+      val used = scala.collection.mutable.Set.empty[Int]
+      val pairs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (i <- 0 until l1) {
+        val hit = (math.max(0, i - window) to math.min(l2 - 1, i + window))
+          .find(j => !used(j) && s1(i) == s2(j))
+        hit.foreach { j => used += j; pairs += ((i, j)) }
+      }
+      val m = pairs.length
+      if (m == 0) return 0.0
+      val s2Order = pairs.map(_._2).sorted
+      val mismatches = pairs.map(_._2).zip(s2Order)
+        .count { case (got, want) => s2(got) != s2(want) }
+      val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+        (m.toDouble - mismatches / 2) / m) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        val p = s1.zip(s2).take(4).takeWhile { case (a, b) => a == b }.length
+        jaro + p * 0.1 * (1.0 - jaro)
+      }
+    }
+    var x = 99L
+    def nxt(m: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(x, m.toLong).toInt
+    }
+    def word(): String = (0 until nxt(13)).map(_ => ('a' + nxt(4)).toChar).mkString
+    val cases = (0 until 500).map(_ => (word(), word()))
+    val got = cases.toDF("a", "b")
+      .select(graft.functions.StringFns.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    cases.zip(got).foreach { case ((a, b), jw) =>
+      assert(jw == ref(a, b), s"'$a' / '$b': got $jw want ${ref(a, b)}")
+    }
+  }
+
   test("SQL extension: jaro_winkler usable from spark.sql; null-safe") {
     val v = spark.sql(
       "SELECT jaro_winkler('MARTHA', 'MARHTA') AS jw").as[Double].head()

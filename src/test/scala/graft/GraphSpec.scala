@@ -477,6 +477,75 @@ class GraphSpec extends SparkSpec {
     assert(local(8L) == 0.0 && local(9L) == 0.0)
   }
 
+  /** Independent per-source Brandes replicating the library's
+    * documented pico-quantized δ arithmetic. */
+  private def refBetweenness(edges: Seq[(Long, Long, Double)]): Map[Long, Double] = {
+    def pico(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val simple = edges.collect { case (a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val dps = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { s0 =>
+      val dist = scala.collection.mutable.HashMap(s0 -> 0)
+      val sigma = scala.collection.mutable.HashMap(s0 -> 1L)
+      var frontier = Seq(s0)
+      val order = scala.collection.mutable.ArrayBuffer(frontier)
+      var d = 0
+      while (frontier.nonEmpty) {
+        val next = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        frontier.foreach { v =>
+          adj(v).foreach { w =>
+            if (!dist.contains(w)) next(w) = next.getOrElse(w, 0L) + sigma(v)
+          }
+        }
+        frontier = next.keys.toSeq
+        frontier.foreach { w => dist(w) = d + 1; sigma(w) = next(w) }
+        if (frontier.nonEmpty) order += frontier
+        d += 1
+      }
+      val dp = scala.collection.mutable.HashMap.empty[Long, Long]
+      (order.length - 1 to 1 by -1).foreach { lvl =>
+        order(lvl).foreach { w =>
+          val dw = dp.getOrElse(w, 0L)
+          adj(w).foreach { v =>
+            if (dist.get(v).contains(lvl - 1))
+              dp(v) = dp.getOrElse(v, 0L) +
+                pico(sigma(v).toDouble / sigma(w).toDouble * (1e12 + dw.toDouble))
+          }
+        }
+      }
+      dp.foreach { case (v, x) => if (v != s0) dps(v) = dps.getOrElse(v, 0L) + x }
+    }
+    nodes.map { v =>
+      v -> BigDecimal(dps.getOrElse(v, 0L).toDouble / 2e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("betweenness matches the independent reference on random graphs (both paths)") {
+    def lcgEdges(n: Int, nodes: Long, seed: Long): Seq[(Long, Long, Double)] = {
+      var x = seed
+      def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      (1 to n).map { _ =>
+        (math.floorMod(nxt(), nodes), math.floorMod(nxt(), nodes), 1.0)
+      }.filter { case (a, b, _) => a != b }
+    }
+    // one-task path: 800 pseudorandom edges over 200 nodes
+    val big = lcgEdges(800, 200L, 42L)
+    val gotBig = Graph.betweenness(edgeDf(big), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotBig == refBetweenness(big))
+    // distributed path forced on a smaller graph
+    val small = lcgEdges(60, 25L, 7L)
+    val gotSmall = Graph.betweenness(edgeDf(small), "src", "dst", "w",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotSmall == refBetweenness(small))
+  }
+
   test("q_graph_betweenness: trade-graph centralities are sane and ordered") {
     val rows = Queries.all.toMap.apply("q_graph_betweenness")(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 25)

@@ -275,6 +275,27 @@ class LawsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("skyline == quadratic reference on random 3-d points (mixed directions)") {
+    // LCG points over a small integer lattice → dense ties and
+    // duplicates, the regime where dominance edge cases live
+    var x = 42L
+    def nxt(m: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(x, m.toLong).toInt
+    }
+    val pts = (0 until 400).map(i => (i.toLong, nxt(12), nxt(12), nxt(12)))
+    val df = pts.toDF("id", "a", "b", "c")
+    val got = operators.Analytics
+      .skyline(df.repartition(7), "id", Seq("a", "b"), Seq("c"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = pts.filter { case (i, a0, b0, c0) =>
+      !pts.exists { case (j, a1, b1, c1) =>
+        j != i && a1 <= a0 && b1 <= b0 && c1 >= c0 &&
+          (a1 < a0 || b1 < b0 || c1 > c0) }
+    }.map(_._1).sorted
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
+
   test("skylineMerge: incremental fold == full recompute (semilattice law)") {
     // batch A: an early frontier; batch B: points that dominate part of
     // it, extend it, and duplicate one frontier point
