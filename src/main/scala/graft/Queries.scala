@@ -3774,6 +3774,133 @@ object Queries {
       .orderBy("q_from", "q_to")
   }
 
+  /** q_auc — grouped ROC-AUC by the rank-sum (Mann–Whitney) identity,
+    * computed WINDOWLESS from the per-(group, score) class histogram:
+    * AUC = Σ_{i,j} pos_i·neg_j·([s_i>s_j] + ½[s_i=s_j]) / (P·N). The
+    * label is a return (R vs A among finished lines), the score the
+    * line quantity, grouped by ship year — the model-eval shape an ML
+    * mart runs per segment. The histogram is SCORE-DOMAIN-sized (the
+    * standard at-scale AUC form: continuous scores get bucketed first;
+    * here the domain is the 50 integral quantities), so the pairwise
+    * self-join is bounded arithmetic independent of data rows — no
+    * low-cardinality window, no global sort, and the one data-
+    * proportional stage is the histogram aggregate itself. Counts are
+    * exact longs; the pair products fold in Decimal(38,0) (pos·neg per
+    * cell can pass 2⁶³ at petabyte group sizes; DuckDB mirrors with
+    * HUGEINT); the single double is one division, rounded at 6 dp.
+    * Degenerate one-class groups are filtered on BOTH engines. */
+  val q_auc: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val h = base.groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint(eager = true)
+    val h1 = h.select(col("grp"), col("score").as("s1"), col("pos"))
+    val h2 = h.select(col("grp"), col("score").as("s2"), col("neg"))
+    val num = h1.join(h2, Seq("grp")).where(col("s1") >= col("s2"))
+      .groupBy("grp")
+      .agg(sum(col("pos").cast(dec) * col("neg").cast(dec) *
+        when(col("s1") > col("s2"), lit(2)).otherwise(lit(1)).cast(dec))
+        .as("num2"))
+    val tot = h.groupBy("grp")
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    tot.join(num, Seq("grp"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("grp").as("ship_year"), col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+      .orderBy("ship_year")
+  }
+
+  /** q_graph_modularity — Newman–Girvan modularity of the REGION
+    * partition over the weighted nation trade graph
+    * ([[operators.Graph.modularity]]): how much trade stays inside a
+    * region versus what a degree-preserving random graph would put
+    * there. The partition is a dim attribute (nation → region), so the
+    * score is oracle-checkable in closed form — unlike the LPA labels
+    * of q_graph_communities, which need the iterative fixpoint. Exact
+    * cent-long folds promoted to Decimal(38,0) for the squared
+    * strengths (↔ DuckDB HUGEINT); one final division rounded at 6 dp;
+    * w_total displayed as exact 2-dp dollars. */
+  val q_graph_modularity: Q = (s, d) => {
+    val comm = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    operators.Graph.modularity(nationTradeEdges(s, d), "src", "dst", "wc",
+        comm, "n_nationkey", "n_regionkey")
+      .select(col("n_communities"),
+        round(col("w_sum").cast("double") / lit(100.0), 2).as("w_total"),
+        col("modularity"))
+  }
+
+  /** q_graph_ktruss — 4-truss of the STRONG trade graph
+    * ([[operators.Graph.ktruss]]): edges above the mean edge weight
+    * (the thresholding that makes cohesion non-trivial on a near-
+    * complete graph), peeled until every surviving edge sits on ≥ 2
+    * triangles of survivors — the standard cohesive-subgraph cut above
+    * k-core (k-truss bounds EDGE embeddedness, not node degree).
+    * Reports each surviving edge with its support, nation-named.
+    * Oracle-exempt: the peeling fixpoint re-aggregates per round (no
+    * tractable SQL form); the reference golden (driver-side peeling on
+    * pseudorandom graphs) and the one-task/distributed parity law live
+    * in GraphSpec; the exempt lane runs it at the driver SF. The mean
+    * threshold is a 1-row aggregate of the ≤625-row edge relation —
+    * driver-bounded. */
+  val q_graph_ktruss: Q = (s, d) => {
+    val e = nationTradeEdges(s, d).localCheckpoint(eager = true)
+    val meanRow = e.agg((sum(col("wc")) / count(lit(1))).as("m"))
+      .collect().head
+    val mean = if (meanRow.isNullAt(0)) 0.0 else meanRow.getDouble(0)
+    val strong = e.where(col("wc").cast("double") > mean)
+    val truss = operators.Graph.ktruss(strong, "src", "dst", "wc", k = 4)
+    val names = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    truss
+      .join(broadcast(names.select(col("n_nationkey").as("ka"),
+        col("n_name").as("nation_a"))), col("a") === col("ka"))
+      .join(broadcast(names.select(col("n_nationkey").as("kb"),
+        col("n_name").as("nation_b"))), col("b") === col("kb"))
+      .select(col("nation_a"), col("nation_b"), col("support"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  /** q_bpe_encode — ENCODE the corpus with the learned BPE merges (the
+    * apply side of [[q_bpe_merges]]): per document, the word count,
+    * subword count and fertility (subwords per word) under the 12-rule
+    * merge table — the tokenizer-budget planning view. The encode is
+    * DICTIONARY-ENCODED (the q_jaro_match discipline): merges replay
+    * once per DISTINCT word (vocabulary-sized work — Heaps' law), then
+    * a word-keyed join expands to per-document counts; per-word state
+    * is the merge table riding the closure (12 pairs, KBs). Oracle-
+    * exempt (the merge training is the q_bpe_merges iterative argmax);
+    * encode-law goldens live in FunctionsSpec and the exempt lane runs
+    * it at the driver SF. */
+  val q_bpe_encode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val head = vocab.orderBy(desc("cnt"), col("word")).limit(4096)
+    val merges = Text.bpeTrainMerges(head, "word", "cnt", k = 12)
+    val enc = Text.bpeEncode(merges)
+    val wordLen = vocab.select(col("word"))
+      .withColumn("n_sub", size(enc(col("word"))).cast("long"))
+    val docWords = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+    docWords.join(wordLen, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("subwords_per_word"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -3974,5 +4101,9 @@ object Queries {
     "q_graph_closeness" -> q_graph_closeness,
     "q_graph_betweenness" -> q_graph_betweenness,
     "q_mutual_info" -> q_mutual_info,
+    "q_auc" -> q_auc,
+    "q_graph_modularity" -> q_graph_modularity,
+    "q_graph_ktruss" -> q_graph_ktruss,
+    "q_bpe_encode" -> q_bpe_encode,
   )
 }

@@ -30,7 +30,8 @@ object SparkEntry {
     * q_topk_approx_sketch — and iterative fixpoints with no tractable
     * SQL form: q_bpe_merges, q_knn_join_pq (PQ-quantized ANN),
     * q_pagerank, q_graph_communities, q_graph_sssp, q_graph_kcore,
-    * q_graph_closeness, q_graph_betweenness.
+    * q_graph_closeness, q_graph_betweenness, q_graph_ktruss (peeling
+    * fixpoint), q_bpe_encode (rides the q_bpe_merges training).
     * Each is instead golden-tested in scalatest (SURVEY §5.2) and runs
     * through the sf0.01 exempt lane (ExemptLaneSpec).
     */
@@ -1485,5 +1486,65 @@ object SparkEntry {
         |                       CAST(n_pts * sxx - sx * sx AS DOUBLE), 6)
         |            ELSE 0.0 END AS assortativity
         |FROM s""".stripMargin,
+    // grouped AUC from the per-(group, score) class histogram — the
+    // rank-sum identity as a bounded pairwise fold; HUGEINT products
+    // mirror the Spark side's Decimal(38,0) (pos·neg per cell can pass
+    // 2^63 at petabyte group sizes); one-class groups filtered on both
+    // engines
+    "q_auc" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp, l_quantity AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A')),
+        |h AS (SELECT grp, score, CAST(sum(y) AS BIGINT) AS pos,
+        |             CAST(sum(1 - y) AS BIGINT) AS neg
+        |      FROM base GROUP BY grp, score),
+        |pairs AS (SELECT h1.grp,
+        |                 CAST(h1.pos AS HUGEINT) * CAST(h2.neg AS HUGEINT) *
+        |                 (CASE WHEN h1.score > h2.score THEN 2 ELSE 1 END) AS t
+        |          FROM h h1 JOIN h h2 ON h1.grp = h2.grp AND h1.score >= h2.score),
+        |tot AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |               CAST(sum(neg) AS BIGINT) AS n_neg FROM h GROUP BY grp),
+        |num AS (SELECT grp, sum(t) AS num2 FROM pairs GROUP BY grp)
+        |SELECT t.grp AS ship_year, t.n_pos, t.n_neg,
+        |       round(CAST(n.num2 AS DOUBLE) / (2.0 * t.n_pos * t.n_neg), 6) AS auc
+        |FROM tot t JOIN num n ON t.grp = n.grp
+        |WHERE t.n_pos > 0 AND t.n_neg > 0
+        |ORDER BY ship_year""".stripMargin,
+    // Newman–Girvan modularity of the region partition over the
+    // weighted (cent-long) undirected trade graph: Q = (4W·ΣW_c − ΣS_c²)
+    // / (4W²) — every fold exact (HUGEINT ↔ Spark Decimal(38,0)), one
+    // final division rounded at 6 dp
+    "q_graph_modularity" ->
+      """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |             FROM lineitem l
+        |             JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |             JOIN customer c ON o.o_custkey = c.c_custkey
+        |             JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS (SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |               CAST(sum(wc) AS BIGINT) AS wc
+        |        FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |comm AS (SELECT n_nationkey AS node, n_regionkey AS community FROM nation),
+        |wtot AS (SELECT CAST(coalesce(sum(wc), 0) AS BIGINT) AS w FROM und),
+        |intra AS (SELECT CAST(coalesce(sum(und.wc), 0) AS BIGINT) AS wi FROM und
+        |          JOIN comm ca ON und.a = ca.node JOIN comm cb ON und.b = cb.node
+        |          WHERE ca.community = cb.community),
+        |strength AS (SELECT n, CAST(sum(wc) AS BIGINT) AS s FROM (
+        |               SELECT a AS n, wc FROM und UNION ALL SELECT b, wc FROM und) u
+        |             GROUP BY n),
+        |sc AS (SELECT c.community, CAST(sum(s.s) AS BIGINT) AS sc
+        |       FROM strength s JOIN comm c ON s.n = c.node GROUP BY 1),
+        |agg AS (SELECT coalesce(sum(CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)),
+        |                        CAST(0 AS HUGEINT)) AS ss,
+        |               count(*) AS ncomm FROM sc)
+        |SELECT CAST(ncomm AS BIGINT) AS n_communities,
+        |       round(CAST(w AS DOUBLE) / 100.0, 2) AS w_total,
+        |       CASE WHEN w > 0
+        |            THEN round(CAST(4 * CAST(w AS HUGEINT) * CAST(wi AS HUGEINT) - ss AS DOUBLE) /
+        |                       CAST(4 * CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS DOUBLE), 6)
+        |            ELSE 0.0 END AS modularity
+        |FROM wtot CROSS JOIN intra CROSS JOIN agg""".stripMargin,
   )
 }

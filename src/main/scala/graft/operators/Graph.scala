@@ -874,6 +874,197 @@ object Graph {
     }.toDF("node", "betweenness")
   }
 
+  /** Weighted modularity of a GIVEN node partition over the undirected
+    * simple graph (Newman–Girvan): Q = Σ_c [ W_c/W − (S_c/(2W))² ],
+    * where W is the total undirected edge weight, W_c the intra-
+    * community weight and S_c the community's summed node strength.
+    * Communities arrive as a (node, community) relation — a dim
+    * attribute, a [[labelPropagation]] labeling, a
+    * [[graft.operators.Dedup.connectedComponents]] output — so the
+    * score composes with any partitioner. Everything data-proportional
+    * is ONE edge aggregation ([[undirect]]) plus node-keyed joins; the
+    * folds are exact integers in the [[undirect]] weight unit, promoted
+    * to Decimal(38,0) for the squared-strength terms (S_c ≤ 2W, so S_c²
+    * stays under 10³⁸ for any W < 10¹⁸·⁵ — comfortably past 100 TB of
+    * cent-weights; DuckDB's HUGEINT promotion gives the oracle the same
+    * exactness). The single double is one division of identical exact
+    * integers, Q = (4W·ΣW_c − ΣS_c²) / (4W²), rounded at 6 dp; an
+    * edgeless graph guards to 0.0. Returns one row
+    * (n_communities, w_sum, modularity) — n_communities counts
+    * communities holding at least one on-edge node; w_sum is W in the
+    * input weight unit (cents from the registry callers). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 weightCol: String, communities: DataFrame,
+                 nodeCol: String, commCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val comm = communities.select(col(nodeCol).as("__node"),
+      col(commCol).as("__comm"))
+    val wtot = und.agg(coalesce(sum(col("wc")), lit(0L)).as("w"))
+    val intra = und
+      .join(comm.select(col("__node").as("a"), col("__comm").as("ca")), Seq("a"))
+      .join(comm.select(col("__node").as("b"), col("__comm").as("cb")), Seq("b"))
+      .where(col("ca") === col("cb"))
+      .agg(coalesce(sum(col("wc")), lit(0L)).as("wi"))
+    val strength = und.select(col("a").as("n"), col("wc"))
+      .union(und.select(col("b").as("n"), col("wc")))
+      .groupBy("n").agg(sum(col("wc")).as("s"))
+    val perComm = strength.join(comm, col("n") === col("__node"))
+      .groupBy("__comm").agg(sum(col("s")).as("sc"))
+    val agg = perComm.agg(
+      coalesce(sum(col("sc").cast(dec) * col("sc").cast(dec)),
+        lit(0).cast(dec)).as("ss"),
+      count(lit(1)).as("ncomm"))
+    val num = lit(4).cast(dec) * col("w").cast(dec) * col("wi").cast(dec) -
+      col("ss")
+    val den = lit(4).cast(dec) * col("w").cast(dec) * col("w").cast(dec)
+    wtot.crossJoin(intra).crossJoin(agg)
+      .select(col("ncomm").as("n_communities"), col("w").as("w_sum"),
+        when(col("w") > 0,
+          round(num.cast("double") / den.cast("double"), 6))
+          .otherwise(lit(0.0)).as("modularity"))
+  }
+
+  /** k-truss of the undirected simple graph: the maximal subgraph in
+    * which every edge has SUPPORT ≥ k−2 (support = triangles through
+    * the edge). Computed by synchronous peeling rounds — the standard
+    * distributed scheme (Cohen, "Graph twiddling in a MapReduce
+    * world"): each round re-counts support over the SURVIVING edge set
+    * via the same degree-ordered triangle closure as [[triangleCensus]]
+    * (each triangle found once, exploded to its three edges for the
+    * edge-keyed count) and drops every edge below threshold at once.
+    * The fixpoint is order-independent (the k-truss is the unique
+    * maximal such subgraph, and surviving-edge supports are a property
+    * of that subgraph), which is what makes the one-task path below the
+    * [[LocalFixpointMaxEdges]] gate trivially parity-exact (GraphSpec
+    * law). Convergence is observe-metric (zero drops), riding the
+    * per-round checkpoint; a `maxIter` exit without convergence would
+    * return a SUPERSET of the truss (silently wrong), so it throws —
+    * the [[coreness]] failure contract. All counts exact longs. Returns
+    * the surviving edges (a, b, support). */
+  def ktruss(edges: DataFrame, srcCol: String, dstCol: String,
+             weightCol: String, k: Int, maxIter: Int = 100,
+             localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(k >= 2, s"k-truss needs k >= 2, got $k")
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+    var e = und.select("a", "b")
+    // measured-size strategy pick (see LocalFixpointMaxEdges); integer
+    // fixpoint, order-independent, so path parity is by construction
+    if (e.count() <= localMaxEdges) return ktrussOneTask(e, k, maxIter)
+    var result: DataFrame = null
+    // blocks from the PREVIOUS round, released once this round's
+    // checkpoint has materialized (the final round's survive for the
+    // caller; Bench unpersists between ids)
+    var lastRound: Seq[DataFrame] = Seq(und)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val (sup, oriented) = edgeSupport(e)
+      val obs = org.apache.spark.sql.Observation(s"graft_ktruss_round_$iter")
+      val scored = e.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .observe(obs, sum(when(col("support") < k - 2, 1L)
+          .otherwise(0L)).as("dropped"))
+        .localCheckpoint(true)
+      converged =
+        Option(obs.get("dropped")).forall(_.asInstanceOf[Long] == 0L)
+      oriented.unpersist(blocking = false)
+      lastRound.foreach(_.unpersist(blocking = false))
+      lastRound = Seq(scored)
+      result = scored.where(col("support") >= k - 2)
+      e = result.select("a", "b")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ktruss did not converge within $maxIter rounds — the result " +
+          "would be a superset of the truss; raise maxIter for this graph")
+    result
+  }
+
+  /** Per-edge triangle support over a simple (a < b) edge list, by the
+    * [[triangleCensus]] degree-ordered closure: each triangle found
+    * exactly once, then exploded to its three unordered edges for one
+    * edge-keyed count. Returns the (a, b, support) relation (supported
+    * edges only — callers left-join and default to 0) PLUS the round's
+    * checkpointed oriented relation so the caller can release its
+    * blocks once downstream has materialized. */
+  private def edgeSupport(simple: DataFrame): (DataFrame, DataFrame) = {
+    val deg = simple.select(col("a").as("n"))
+      .union(simple.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = simple
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"), col("db").as("dhi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+            col("da").as("dhi"))).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"), col("e.dhi").as("dhi"))
+      .localCheckpoint(true)
+    val x = oriented.select(col("lo").as("anchor"), col("hi").as("u"),
+      col("dhi").as("du"))
+    val y = oriented.select(col("lo").as("anchor"), col("hi").as("v"),
+      col("dhi").as("dv"))
+    val tri = x.join(y, Seq("anchor"))
+      .where(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("anchor"), col("u").as("lo"), col("v").as("hi"))
+      .join(oriented.select("lo", "hi"), Seq("lo", "hi"))
+      .select(col("anchor"), col("lo").as("u"), col("hi").as("v"))
+    val sup = tri.select(explode(array(
+        struct(least(col("anchor"), col("u")).as("a"),
+          greatest(col("anchor"), col("u")).as("b")),
+        struct(least(col("anchor"), col("v")).as("a"),
+          greatest(col("anchor"), col("v")).as("b")),
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    (sup, oriented)
+  }
+
+  /** The single-task path of [[ktruss]]: the same synchronous peeling
+    * rounds (recount support over survivors, drop all below threshold
+    * at once) in one executor task — identical round semantics, so the
+    * maxIter-truncation throw carries over, and the fixpoint is the
+    * same unique subgraph as the distributed loop (GraphSpec law). */
+  private def ktrussOneTask(simple: DataFrame, k: Int,
+                            maxIter: Int): DataFrame = {
+    val ss = simple.sparkSession
+    import ss.implicits._
+    val rows = simple.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+    rows.coalesce(1).mapPartitions { it =>
+      var es = it.toArray
+      var converged = false
+      var iter = 0
+      var support = Map.empty[(Long, Long), Long]
+      while (!converged && iter < maxIter) {
+        val adj = scala.collection.mutable
+          .HashMap.empty[Long, scala.collection.mutable.Set[Long]]
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+        }
+        support = es.map { case (a, b) =>
+          (a, b) -> adj(a).count(adj(b)).toLong
+        }.toMap
+        val next = es.filter(e => support(e) >= k - 2)
+        converged = next.length == es.length
+        es = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"ktruss did not converge within $maxIter rounds — the result " +
+            "would be a superset of the truss; raise maxIter for this graph")
+      es.iterator.map { case (a, b) => (a, b, support((a, b))) }
+    }.toDF("a", "b", "support")
+  }
+
   /** Community detection by synchronous label propagation, `iters`
     * fixed rounds (fixed — not convergence-gated — so the output is a
     * pure function of the input): labels start as node ids; each round

@@ -38,15 +38,18 @@ class ExemptLaneSpec extends SparkSpec {
     }.toSeq
 
   test("exempt-id census matches the declared contract") {
-    // SURVEY §2 declares 23 oracle-exempt ids as of round 9 (the 19 from
+    // SURVEY §2 declares 25 oracle-exempt ids as of round 9 (the 19 from
     // round 8 + q_graph_sssp, golden-pinned vs a driver-side Dijkstra,
     // + q_graph_kcore, golden-pinned vs a driver-side peeling reference,
     // + q_graph_closeness, golden-pinned vs a driver-side all-pairs
     // Dijkstra, + q_graph_betweenness, golden-pinned vs structural
-    // Brandes values, all in GraphSpec); widen this number deliberately
-    // (with a new golden law), never by accident
+    // Brandes values, + q_graph_ktruss, golden-pinned vs a driver-side
+    // peeling reference (all in GraphSpec), + q_bpe_encode,
+    // cross-checked against a direct driver-side encode in
+    // FunctionsSpec); widen this number deliberately (with a new golden
+    // law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 23,
+    assert(exemptIds.size <= 25,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

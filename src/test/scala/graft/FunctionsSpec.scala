@@ -959,4 +959,48 @@ class FunctionsSpec extends SparkSpec {
     val tiny = Seq(("ab", 1L)).toDF("word", "freq")
     assert(Text.bpeTrainMerges(tiny, "word", "freq", k = 5).isEmpty)
   }
+
+  test("q_bpe_encode: fertility laws and dictionary-encode consistency") {
+    // encode laws on the helper first: zero merges → chars+1 symbols;
+    // each additional merge rule never increases a word's token count
+    val corpus = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val words = corpus.toSeq.toDF("word", "freq")
+    val merges = Text.bpeTrainMerges(words, "word", "freq", k = 8)
+    for (w <- corpus.keys) {
+      assert(Text.bpeEncodeWord(w, Nil).length == w.length + 1)
+      val lens = merges.indices.map(i =>
+        Text.bpeEncodeWord(w, merges.take(i + 1)).length)
+      assert((Text.bpeEncodeWord(w, Nil).length +: lens)
+        .sliding(2).forall(p => p(1) <= p(0)),
+        s"token count must be monotone non-increasing in merges for '$w'")
+    }
+    // registry id: per-document fertility from the dictionary-encoded
+    // join must equal a direct per-occurrence encode (golden cross-check
+    // on the fixture), and fertility sits in (0, chars+1]
+    val got = Queries.all.toMap.apply("q_bpe_encode")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (nw, ns, f) =>
+      nw > 0 && ns >= nw && f >= 1.0 }, // ≥1 token per word (the </w> floor)
+      "subword count bounded below by word count")
+    // direct recompute for a handful of docs via the same training run
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).limit(5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val vocabHead = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word")).limit(4096)
+    val m2 = Text.bpeTrainMerges(vocabHead, "word", "cnt", k = 12)
+    for ((id, text) <- docs) {
+      // the registry tokenizer verbatim (space-split, drop empties)
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      val nSub = toks.map(w => Text.bpeEncodeWord(w, m2).length.toLong).sum
+      val (nw, ns, _) = got(id)
+      assert(nw == toks.length.toLong,
+        s"doc $id word count: registry $nw vs direct ${toks.length}")
+      assert(ns == nSub, s"doc $id subwords: registry $ns vs direct $nSub")
+    }
+  }
 }

@@ -636,6 +636,130 @@ class GraphSpec extends SparkSpec {
     assert(cores.sameElements(cores.sorted(Ordering[Long].reverse)))
   }
 
+  test("modularity: hand-computed barbell golden; whole-graph community is exactly 0") {
+    // two unit-weight triangles bridged once: W=700 cents, intra=600,
+    // S_A = S_B = 700 → Q = (4·700·600 − 2·700²)/(4·700²) = 0.357143
+    val s = spark
+    import s.implicits._
+    val barbell: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0),
+        (4L, 5L, 1.0), (5L, 6L, 1.0), (4L, 6L, 1.0), (3L, 4L, 1.0))
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "comm")
+    val row = Graph.modularity(edgeDf(barbell), "src", "dst", "w",
+      comm, "node", "comm").collect().head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 700L)
+    assert(row.getDouble(2) == 0.357143, s"barbell Q: ${row.getDouble(2)}")
+    // the trivial partition (everything one community): Q ≡ 0 exactly
+    // (4W·W − (2W)² = 0 — an identity, not an approximation)
+    val one = comm.select(col("node"), lit(0L).as("comm"))
+    val r1 = Graph.modularity(edgeDf(barbell), "src", "dst", "w",
+      one, "node", "comm").collect().head
+    assert(r1.getLong(0) == 1 && r1.getDouble(2) == 0.0)
+    // edgeless graph guards the 0/0 to 0.0
+    val empty = edgeDf(Seq((1L, 1L, 5.0))) // only a self-loop → no edges
+    val r0 = Graph.modularity(empty, "src", "dst", "w",
+      comm, "node", "comm").collect().head
+    assert(r0.getLong(0) == 0 && r0.getLong(1) == 0L && r0.getDouble(2) == 0.0)
+  }
+
+  test("q_graph_modularity: region partition score is sane at the unit fixture") {
+    val row = Queries.all.toMap.apply("q_graph_modularity")(spark, sfDir)
+      .collect().head
+    assert(row.getLong(0) >= 1 && row.getLong(0) <= 5, "≤5 regions")
+    assert(row.getDouble(1) > 0, "total trade weight positive")
+    val q = row.getDouble(2)
+    assert(q >= -0.5 && q <= 1.0, s"modularity bounds: $q")
+  }
+
+  /** Reference k-truss by synchronous peeling (the library's exact round
+    * semantics): recount common-neighbor support over survivors, drop
+    * everything below k−2 at once, repeat to fixpoint. */
+  private def refKtruss(edges: Seq[(Long, Long, Double)],
+                        k: Int): Map[(Long, Long), Long] = {
+    var es = edges.collect { case (a, b, _) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.distinct
+    var sup = Map.empty[(Long, Long), Long]
+    var changed = true
+    while (changed) {
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sup = es.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }.toMap
+      val next = es.filter(e => sup(e) >= k - 2)
+      changed = next.size != es.size
+      es = next
+    }
+    es.map(e => e -> sup(e)).toMap
+  }
+
+  test("ktruss: K4+pendant structural goldens across k; cascade peels to empty") {
+    val kg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0), (2L, 3L, 1.0),
+        (2L, 4L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0),
+        (2L, 2L, 9.0), (2L, 1L, 1.0), (1L, 2L, 5.0)) // + noise
+    def run(k: Int) = Graph.ktruss(edgeDf(kg), "src", "dst", "w", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // k=3: the pendant edge (support 0) peels, K4 survives at support 2
+    val t3 = run(3)
+    assert(t3.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    assert(t3.values.forall(_ == 2L))
+    // k=4: K4 is exactly the 4-truss
+    assert(run(4) == t3)
+    // k=5: nothing has support 3 — empty result
+    assert(run(5).isEmpty)
+    // cascade: two triangles sharing edge (2,3) — at k=4 the outer
+    // edges peel in round 1, which starves (2,3) in round 2 → empty
+    val chain: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0),
+        (2L, 4L, 1.0), (3L, 4L, 1.0))
+    val tc = Graph.ktruss(edgeDf(chain), "src", "dst", "w", k = 4)
+    assert(tc.collect().isEmpty, "cascading peel must reach the empty fixpoint")
+  }
+
+  test("ktruss matches the peeling reference on random graphs (both paths)") {
+    // splitmix64-mixed endpoints: a RAW-LCG pair draw is triangle-free
+    // by construction (consecutive outputs are affinely related mod the
+    // node count), which would make this test vacuous — the finalizer
+    // breaks that correlation
+    def mixEdges(n: Int, nodes: Long, seed: Long): Seq[(Long, Long, Double)] = {
+      def mix(z0: Long): Long = {
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      (0 until n).map { i =>
+        (math.floorMod(mix(seed + 2L * i), nodes),
+          math.floorMod(mix(seed + 2L * i + 1), nodes), 1.0)
+      }.filter { case (a, b, _) => a != b }
+    }
+    val big = mixEdges(2000, 120L, 42L) // dense enough for a rich 5-truss
+    val gotBig = Graph.ktruss(edgeDf(big), "src", "dst", "w", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotBig == refKtruss(big, 5))
+    assert(gotBig.nonEmpty, "fixture graph should retain a 5-truss")
+    // distributed path forced; fixpoint is the unique maximal subgraph,
+    // so parity with the one-task path is exact
+    val small = mixEdges(300, 40L, 7L)
+    val gotDist = Graph.ktruss(edgeDf(small), "src", "dst", "w", k = 4,
+        localMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotDist == refKtruss(small, 4))
+    val gotLocal = Graph.ktruss(edgeDf(small), "src", "dst", "w", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotDist == gotLocal)
+  }
+
+  test("q_graph_ktruss: strong-trade 4-truss is sane at the unit fixture") {
+    val rows = Queries.all.toMap.apply("q_graph_ktruss")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the fixture's strong trade graph holds a 4-truss")
+    assert(rows.forall(_.getLong(2) >= 2L), "every survivor has support ≥ k−2")
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length == pairs.length, "simple edges, no duplicates")
+    assert(pairs.forall { case (a, b) => a != b })
+  }
+
   test("q_graph_degree: out-mass equals in-mass over the closed graph") {
     val df = Queries.all.toMap.apply("q_graph_degree")(spark, sfDir)
     val rows = df.collect()

@@ -112,9 +112,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_abc",
         // q_vocab_coverage: 1-row (total, n_vocab) broadcast
         "q_vocab_coverage",
-        // q_graph_triangles / q_graph_clustering: 1-row census
-        // crossJoins (scalar count aggregates)
-        "q_graph_triangles", "q_graph_clustering")
+        // q_graph_triangles / q_graph_clustering / q_graph_modularity:
+        // 1-row census crossJoins (scalar count aggregates)
+        "q_graph_triangles", "q_graph_clustering", "q_graph_modularity")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
