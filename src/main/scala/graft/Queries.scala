@@ -3790,7 +3790,6 @@ object Queries {
     * HUGEINT); the single double is one division, rounded at 6 dp.
     * Degenerate one-class groups are filtered on BOTH engines. */
   val q_auc: Q = (s, d) => {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = Tables.lineitem(s, d)
       .where(col("l_linestatus") === "F" &&
         col("l_returnflag").isin("R", "A"))
@@ -3800,20 +3799,9 @@ object Queries {
     val h = base.groupBy("grp", "score")
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
       .localCheckpoint(eager = true)
-    val h1 = h.select(col("grp"), col("score").as("s1"), col("pos"))
-    val h2 = h.select(col("grp"), col("score").as("s2"), col("neg"))
-    val num = h1.join(h2, Seq("grp")).where(col("s1") >= col("s2"))
-      .groupBy("grp")
-      .agg(sum(col("pos").cast(dec) * col("neg").cast(dec) *
-        when(col("s1") > col("s2"), lit(2)).otherwise(lit(1)).cast(dec))
-        .as("num2"))
-    val tot = h.groupBy("grp")
-      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
-    tot.join(num, Seq("grp"))
-      .where(col("n_pos") > 0 && col("n_neg") > 0)
+    operators.Analytics.aucFromHistogram(h, Seq("grp"))
       .select(col("grp").as("ship_year"), col("n_pos"), col("n_neg"),
-        round(col("num2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        col("auc"))
       .orderBy("ship_year")
   }
 

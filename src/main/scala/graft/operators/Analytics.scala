@@ -607,4 +607,42 @@ object Analytics {
     skyline(frontier.select(cols: _*).unionByName(batch.select(cols: _*)),
       idCol, minimizeCols, maximizeCols)
   }
+
+  /** Grouped ROC-AUC from a per-(group, score) class HISTOGRAM — the
+    * rank-sum (Mann–Whitney) identity as a bounded pairwise fold:
+    *
+    *   AUC = Σ_{i,j} pos_i·neg_j·([s_i>s_j] + ½[s_i=s_j]) / (P·N)
+    *
+    * This is the at-scale AUC formulation (continuous scores get
+    * bucketed into the histogram first): the histogram is score-
+    * DOMAIN-sized, so the self-join is arithmetic independent of data
+    * rows — no data-proportional window, no global sort. Input `h`
+    * carries `groupCols ++ (score, pos, neg)` and should already be
+    * pinned (checkpoint / finalized micro-batch): it is read three
+    * times. Counts fold as exact longs; pair products in Decimal(38,0)
+    * (pos·neg per cell can pass 2⁶³ at petabyte group sizes — DuckDB
+    * oracles mirror with HUGEINT); the single double is one division
+    * rounded at 6 dp. One-class groups (P or N zero — AUC undefined)
+    * are dropped. Shared verbatim by the batch registry id (q_auc) and
+    * the streaming per-window finalize ([[graft.streaming.Jobs
+    * .aucPerWindow]]), which is what makes their parity a law rather
+    * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  def aucFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = groupCols.map(col)
+    val h1 = h.select(g :+ col("score").as("s1") :+ col("pos"): _*)
+    val h2 = h.select(g :+ col("score").as("s2") :+ col("neg"): _*)
+    val num = h1.join(h2, groupCols).where(col("s1") >= col("s2"))
+      .groupBy(g: _*)
+      .agg(sum(col("pos").cast(dec) * col("neg").cast(dec) *
+        when(col("s1") > col("s2"), lit(2)).otherwise(lit(1)).cast(dec))
+        .as("num2"))
+    val tot = h.groupBy(g: _*)
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    tot.join(num, groupCols)
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(g :+ col("n_pos") :+ col("n_neg") :+
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"): _*)
+  }
 }

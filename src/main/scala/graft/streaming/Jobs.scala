@@ -144,6 +144,42 @@ object Jobs {
         col("out_w"), col("out_edges"), col("in_w"), col("in_edges"))
   }
 
+  /** Per-window (score → class counts) histogram over a labeled event
+    * stream — the streaming half of the grouped-AUC pipeline (the
+    * eval-metric twin of [[windowedDegree]]'s graph story): watermarked
+    * tumbling windows, one (window, score)-keyed conditional aggregate.
+    * State is (open windows × score domain)-sized — the score domain is
+    * bounded by construction (the at-scale AUC contract: continuous
+    * scores get bucketed before this job), so state never grows with
+    * the event rate. Append mode: each (window, score) row emits
+    * exactly once when the watermark passes the window end; late rows
+    * drop. `labelCol` is numeric, nonzero = positive. Output:
+    * (window_start, score, pos, neg) — feed finalized micro-batches to
+    * [[aucPerWindow]]. */
+  def windowedClassHistogram(events: DataFrame, tsCol: String,
+                             scoreCol: String, labelCol: String,
+                             windowDur: String,
+                             watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(scoreCol).as("score"))
+      .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("neg"))
+      .select(col("window.start").as("window_start"), col("score"),
+        col("pos"), col("neg"))
+
+  /** Per-window ROC-AUC over a FINALIZED [[windowedClassHistogram]]
+    * micro-batch — [[graft.operators.Analytics.aucFromHistogram]] keyed
+    * by window_start, so the streaming metric is BY CONSTRUCTION the
+    * same fold as the batch q_auc registry id (StreamingSpec pins the
+    * parity as a law). One-class windows are dropped (AUC undefined),
+    * mirroring the batch filter. The batch is PINNED here (it is
+    * window-domain-sized, so the checkpoint is cheap): the fold reads
+    * it three times, and a sink-view replay would otherwise both
+    * re-scan and trip the self-join's reference dedup. */
+  def aucPerWindow(batch: DataFrame): DataFrame =
+    graft.operators.Analytics.aucFromHistogram(
+      batch.localCheckpoint(true), Seq("window_start"))
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

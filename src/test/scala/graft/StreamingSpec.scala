@@ -93,6 +93,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedClassHistogram + aucPerWindow: finalize-once AUC equals the batch fold") {
+    // the eval-metric streaming twin of q_auc: same histogram shape,
+    // same Analytics.aucFromHistogram fold — parity is a law
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = hist.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): pos scores {3,1,2}, neg {2,4}
+      // pairwise: (3>2)=1, (2=2)=½, rest 0 → AUC = 1.5/6 = 0.25
+      in.addData((ts("2024-01-01 10:01:00"), 3.0, 1L),
+        (ts("2024-01-01 10:02:00"), 1.0, 1L),
+        (ts("2024-01-01 10:03:00"), 2.0, 1L),
+        (ts("2024-01-01 10:04:00"), 2.0, 0L),
+        (ts("2024-01-01 10:05:00"), 4.0, 0L))
+      q.processAllAvailable()
+      // advance the watermark past 10:10 (finalizes w1) and seed a
+      // one-class window [10:20,10:30)
+      in.addData((ts("2024-01-01 10:21:00"), 9.0, 1L))
+      q.processAllAvailable()
+      // a late row for finalized w1 must drop; advance past 10:30
+      in.addData((ts("2024-01-01 10:06:00"), 9.0, 0L),
+        (ts("2024-01-01 10:41:00"), 1.0, 1L))
+      q.processAllAvailable()
+      val finalized = spark.table(name)
+      // finalize-once histogram: w1 has exactly its 4 distinct scores
+      assert(finalized.filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .count() == 4L)
+      val auc = graft.streaming.Jobs.aucPerWindow(finalized)
+        .collect().map(r => r.getTimestamp(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(auc.keySet == Set("2024-01-01 10:00:00.0"),
+        s"one-class window must drop from the AUC view: ${auc.keySet}")
+      assert(auc("2024-01-01 10:00:00.0") == ((3L, 2L, 0.25)), s"$auc")
+      // parity law: the batch fold over the same (non-late) rows
+      val batchRows = Seq((3.0, 1L), (1.0, 1L), (2.0, 1L), (2.0, 0L),
+        (4.0, 0L)).toDF("score", "label")
+      val h = batchRows.groupBy(lit("w").as("g"), col("score"))
+        .agg(sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("neg"))
+      val b = graft.operators.Analytics.aucFromHistogram(h, Seq("g"))
+        .collect().head
+      assert((b.getLong(1), b.getLong(2), b.getDouble(3)) == ((3L, 2L, 0.25)))
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
