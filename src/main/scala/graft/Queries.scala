@@ -3654,6 +3654,48 @@ object Queries {
       .orderBy(desc("betweenness"), col("nation"))
   }
 
+  /** q_graph_betweenness_landmark — the 100 TB form of
+    * [[q_graph_betweenness]]: landmark-sampled Brandes (Brandes–Pich
+    * 2007) over K = 12 deterministically md5-picked source nations,
+    * δ sums extrapolated by n/K. This is the betweenness you actually
+    * run on a billion-node graph — sweep state is K·n rows instead of
+    * n² — registered so the estimator itself (not just the exact
+    * machinery) is exercised end-to-end at every SF. Oracle-exempt
+    * like its exact twin (two-phase fixpoint, no SQL form); GraphSpec
+    * pins the K = n degenerate-equality law, the accuracy band vs the
+    * exact fixture values, the one-task/distributed parity, and the
+    * forward-state ∝ K cost bound. */
+  val q_graph_betweenness_landmark: Q = (s, d) => {
+    val bt = operators.Graph.betweenness(
+      nationTradeEdges(s, d), "src", "dst", "wc", landmarkK = Some(12))
+    bt.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("betweenness").as("betweenness_est"))
+      .orderBy(desc("betweenness_est"), col("nation"))
+  }
+
+  /** q_graph_closeness_landmark — the 100 TB form of
+    * [[q_graph_closeness]]: harmonic closeness from K = 12
+    * deterministically md5-picked landmark sources, the per-node 1/d
+    * sums extrapolated by n/K (closeness folds linearly over sources,
+    * so the uniform sample is unbiased). `n_reached` stays the RAW
+    * reached-landmark count (≤ K — the visible cost witness that the
+    * sweep touched K sources, not n). Oracle-exempt like its exact
+    * twin; GraphSpec pins the K = n degenerate equality, the accuracy
+    * band, and n_reached ≤ K. */
+  val q_graph_closeness_landmark: Q = (s, d) => {
+    val c = operators.Graph.harmonicCloseness(
+      nationTradeEdges(s, d), "src", "dst", "wc", landmarkK = Some(12))
+    c.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_reached"),
+        col("closeness").as("closeness_est"))
+      .orderBy(desc("closeness_est"), col("nation"))
+  }
+
   /** q_mutual_info — mutual information between market segment and
     * nation over the customer dim: the feature-selection screen
     * (I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y)))), the information-
@@ -3836,14 +3878,15 @@ object Queries {
     * tractable SQL form); the reference golden (driver-side peeling on
     * pseudorandom graphs) and the one-task/distributed parity law live
     * in GraphSpec; the exempt lane runs it at the driver SF. The mean
-    * threshold is a 1-row aggregate of the ≤625-row edge relation —
-    * driver-bounded. */
+    * threshold folds IN-PLAN: the 1-row aggregate broadcast-cross-joins
+    * back onto the edges (the q_theil/q_abc discipline — the registry
+    * never blocks the driver mid-plan for a scalar). */
   val q_graph_ktruss: Q = (s, d) => {
     val e = nationTradeEdges(s, d).localCheckpoint(eager = true)
-    val meanRow = e.agg((sum(col("wc")) / count(lit(1))).as("m"))
-      .collect().head
-    val mean = if (meanRow.isNullAt(0)) 0.0 else meanRow.getDouble(0)
-    val strong = e.where(col("wc").cast("double") > mean)
+    val meanDf = e.agg((sum(col("wc")) / count(lit(1))).as("__mean_wc"))
+    val strong = e.crossJoin(broadcast(meanDf))
+      .where(col("wc").cast("double") > col("__mean_wc"))
+      .drop("__mean_wc")
     val truss = operators.Graph.ktruss(strong, "src", "dst", "wc", k = 4)
     val names = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
     truss
@@ -4088,6 +4131,8 @@ object Queries {
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,
     "q_graph_betweenness" -> q_graph_betweenness,
+    "q_graph_betweenness_landmark" -> q_graph_betweenness_landmark,
+    "q_graph_closeness_landmark" -> q_graph_closeness_landmark,
     "q_mutual_info" -> q_mutual_info,
     "q_auc" -> q_auc,
     "q_graph_modularity" -> q_graph_modularity,

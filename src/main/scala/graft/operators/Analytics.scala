@@ -628,6 +628,14 @@ object Analytics {
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
   def aucFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // fail fast on the column contract: the fold below hardcodes
+    // score/pos/neg (the histogram shape both producers emit), and a
+    // wrong-shaped input would otherwise surface as an opaque resolver
+    // error three selects deep
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"aucFromHistogram input is missing column '$c' " +
+        s"(have: ${h.columns.mkString(", ")})")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = groupCols.map(col)
     val h1 = h.select(g :+ col("score").as("s1") :+ col("pos"): _*)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames (driver brief's
@@ -380,10 +380,10 @@ object Graph {
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       val prev = dist
       dist = next.select("n", "dist")
-      prev.unpersist(blocking = false)
+      Checkpoints.drop(prev)
       iter += 1
     }
-    incSym.unpersist(blocking = false)
+    Checkpoints.drop(incSym)
     if (!converged)
       throw new IllegalStateException(
         s"shortestPaths did not converge within $maxIter rounds — " +
@@ -483,10 +483,10 @@ object Graph {
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       val prev = est
       est = next.select("n", "est")
-      prev.unpersist(blocking = false)
+      Checkpoints.drop(prev)
       iter += 1
     }
-    inc.unpersist(blocking = false)
+    Checkpoints.drop(inc)
     if (!converged)
       throw new IllegalStateException(
         s"coreness did not converge within $maxIter rounds — estimates " +
@@ -551,11 +551,13 @@ object Graph {
     * (src, node)-keyed min, so the loop discipline (checkpoint cadence,
     * observe-metric convergence, exact cent-long distances,
     * maxIter-truncation throw) carries over unchanged. At 100 TB the
-    * exact all-sources form is O(n²) state — run it with `sources` as
-    * a LANDMARK SAMPLE (the standard estimator: closeness folds
-    * linearly over sources, so a uniform sample scales by n/K); the
-    * registry id passes all nodes because the trade graph is
-    * node-small, and documents that contract. The per-source terms
+    * exact all-sources form is O(n²) state — pass `landmarkK` for the
+    * LANDMARK estimator (closeness folds linearly over sources, so the
+    * K deterministically md5-picked sources extrapolate by n/K; at
+    * K = n it degenerates to the exact form bit-for-bit — GraphSpec
+    * law). Explicit `sources` stay UNSCALED (the caller owns the
+    * estimator); `n_reached` always reports RAW reached-source counts
+    * (≤ K in landmark mode — the pinned cost witness). The per-source terms
     * 1/d are rounded to exact 1e-12-grain longs before the node-keyed
     * fold (the [[pagerank]] trick) so the sum is reduce-order-free;
     * the printed value is the long sum / 1e12 rounded at 6 dp, scaled
@@ -565,9 +567,14 @@ object Graph {
     * n_reached = sources reaching v (excluding v itself). */
   def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
                         weightCol: String, sources: Option[Seq[Long]] = None,
+                        landmarkK: Option[Int] = None,
                         maxIter: Int = 40,
                         localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    require(sources.isEmpty || landmarkK.isEmpty,
+      "pass explicit sources OR landmarkK, not both")
+    require(landmarkK.forall(_ >= 1),
+      s"landmarkK must be positive, got ${landmarkK.get}")
     // long-normalized node ids: the multi-source state seeds from a
     // driver-built (src, n, dist) literal relation, so the edge side
     // must carry the same type (int nation keys would CCE the collect
@@ -580,22 +587,26 @@ object Graph {
       if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
     require(minW.forall(_ >= 0L),
       s"harmonicCloseness requires non-negative weights, found ${minW.get}")
-    val srcList: Seq[Long] = sources.getOrElse {
-      // all nodes — the exact form; driver-bounded only by node count,
-      // callers at scale pass a landmark sample instead
-      und.select(col("a")).union(und.select(col("b")))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val nodes = graphNodes(und)
+    val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
+    // landmark estimator: the sampled 1/d sums extrapolate by n/K
+    // (closeness folds linearly over sources); exact modes scale by
+    // 1.0 — an IEEE identity, so the fold stays bit-identical
+    val scale: Double = landmarkK match {
+      case Some(_) =>
+        val nV = nodes.count(); val kA = srcDf.count()
+        if (kA == 0L) 1.0 else nV.toDouble / kA
+      case None => 1.0
     }
-    require(srcList.nonEmpty, "harmonicCloseness needs at least one source")
-    if (und.count() <= localMaxEdges)
-      return harmonicClosenessOneTask(und, srcList, maxIter)
-    val ss = edges.sparkSession
-    import ss.implicits._
+    if (und.count() <= localMaxEdges) {
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      return harmonicClosenessOneTask(und, srcList, maxIter, scale)
+    }
     val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
       .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
       .localCheckpoint(true)
-    var dist = srcList.map(s0 => (s0, s0, 0L)).toDF("src", "n", "dist")
-      .localCheckpoint(true)
+    var dist = srcDf.select(col("s").as("src"), col("s").as("n"),
+      lit(0L).as("dist")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -616,15 +627,15 @@ object Graph {
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       val prev = dist
       dist = next.select("src", "n", "dist")
-      prev.unpersist(blocking = false)
+      Checkpoints.drop(prev)
       iter += 1
     }
-    incSym.unpersist(blocking = false)
+    Checkpoints.drop(incSym)
     if (!converged)
       throw new IllegalStateException(
         s"harmonicCloseness did not converge within $maxIter rounds — " +
           "distances would be truncated; raise maxIter for this graph")
-    closenessFold(dist, graphNodes(und))
+    closenessFold(dist, nodes, scale)
   }
 
   /** Every node on an edge — the output domain of the closeness fold
@@ -637,7 +648,8 @@ object Graph {
     * (d is cents → term = 100/d in weight units), integer-summed per
     * node, displayed at 6 dp. Isolated-from-all-sources nodes on an
     * edge still appear via the left join over the node set. */
-  private def closenessFold(dist: DataFrame, nodes: DataFrame): DataFrame = {
+  private def closenessFold(dist: DataFrame, nodes: DataFrame,
+                            scale: Double = 1.0): DataFrame = {
     val terms = dist.where(col("src") =!= col("n") && col("dist") > 0L)
       .select(col("n"),
         round(lit(100.0) / col("dist").cast("double") * lit(1e12))
@@ -646,8 +658,8 @@ object Graph {
     nodes.join(terms, Seq("n"), "left")
       .select(col("n").as("node"),
         coalesce(col("n_reached"), lit(0L)).as("n_reached"),
-        round(coalesce(col("ts"), lit(0L)).cast("double") / lit(1e12), 6)
-          .as("closeness"))
+        round(coalesce(col("ts"), lit(0L)).cast("double") * lit(scale) /
+          lit(1e12), 6).as("closeness"))
   }
 
   /** The single-task path of [[harmonicCloseness]]: synchronous
@@ -657,7 +669,8 @@ object Graph {
     * (Spark `round` on both paths), so parity with the distributed
     * loop is by construction (GraphSpec law). */
   private def harmonicClosenessOneTask(und: DataFrame, srcList: Seq[Long],
-                                       maxIter: Int): DataFrame = {
+                                       maxIter: Int,
+                                       scale: Double = 1.0): DataFrame = {
     val ss = und.sparkSession
     import ss.implicits._
     val rows = und.select(col("a").cast("long"), col("b").cast("long"),
@@ -688,7 +701,7 @@ object Graph {
         d.iterator.map { case (n0, dd) => (s0, n0, dd) }
       }
     }.toDF("src", "n", "dist")
-    closenessFold(dist, graphNodes(und))
+    closenessFold(dist, graphNodes(und), scale)
   }
 
   /** Betweenness centrality (unweighted, undirected) by distributed
@@ -708,56 +721,50 @@ object Graph {
     * from both endpoints), displayed at 6 dp. Edge weights are
     * IGNORED (hop-count Brandes — the weighted variant needs Dijkstra
     * waves whose levels are not discrete rounds); `sources` defaults
-    * to all nodes (exact) and takes a LANDMARK SAMPLE at scale, the
-    * standard estimator (Brandes–Pich 2007): scale by n/K. State is
-    * K·n rows; at 100 TB pick K ≪ n. Returns (node, betweenness) for
-    * every node on an edge. */
+    * to all nodes (exact). At scale pass `landmarkK`: the LANDMARK
+    * estimator (Brandes–Pich 2007) sweeps only K deterministically
+    * md5-picked sources and extrapolates by n/K — state is K·n rows
+    * instead of n², and at K = n the machinery degenerates to the
+    * exact form bit-for-bit (GraphSpec law; the accuracy band and the
+    * state ∝ K cost bound are pinned there too). Explicit `sources`
+    * stay UNSCALED (the caller owns the estimator). Returns
+    * (node, betweenness) for every node on an edge. */
   def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
                   weightCol: String, sources: Option[Seq[Long]] = None,
+                  landmarkK: Option[Int] = None,
                   maxIter: Int = 60,
                   localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
-    val und = undirect(edges, srcCol, dstCol, weightCol)
+    require(sources.isEmpty || landmarkK.isEmpty,
+      "pass explicit sources OR landmarkK, not both")
+    require(landmarkK.forall(_ >= 1),
+      s"landmarkK must be positive, got ${landmarkK.get}")
+    val undRaw = undirect(edges, srcCol, dstCol, weightCol)
+    val und = undRaw
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .localCheckpoint(true)
-    val srcList: Seq[Long] = sources.getOrElse {
-      und.select(col("a")).union(und.select(col("b")))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // the long-normalized re-checkpoint supersedes undirect's internal
+    // checkpoint — release the inner blocks deterministically
+    Checkpoints.drop(undRaw)
+    val nodes = graphNodes(und)
+    val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
+    // Brandes–Pich estimator scale: landmark δ sums extrapolate by n/K;
+    // exact modes multiply by 1.0 — an IEEE identity, so the fold stays
+    // bit-identical to the historical unscaled form
+    val scale: Double = landmarkK match {
+      case Some(_) =>
+        val nV = nodes.count(); val kA = srcDf.count()
+        if (kA == 0L) 1.0 else nV.toDouble / kA
+      case None => 1.0
     }
-    require(srcList.nonEmpty, "betweenness needs at least one source")
-    if (und.count() <= localMaxEdges)
-      return betweennessOneTask(und, srcList, maxIter)
-    val ss = edges.sparkSession
-    import ss.implicits._
+    if (und.count() <= localMaxEdges) {
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      return betweennessOneTask(und, srcList, maxIter, scale)
+    }
     val incSym = und.select(col("a").as("n"), col("b").as("m"))
       .union(und.select(col("b").as("n"), col("a").as("m")))
       .localCheckpoint(true)
-    // ---- forward wave: visited (src, n, dist, sigma) ----
-    var visited = srcList.map(s0 => (s0, s0, 0, 1L))
-      .toDF("src", "n", "dist", "sigma").localCheckpoint(true)
-    var frontier = visited
-    var d = 0
-    while (frontier.count() > 0 && d < maxIter) {
-      val cand = frontier.select(col("src"), col("n").as("__from"),
-          col("sigma"))
-        .join(incSym.select(col("n").as("__from"), col("m").as("n")),
-          Seq("__from"))
-        .groupBy(col("src"), col("n")).agg(sum(col("sigma")).as("sigma"))
-      val nextFrontier = cand
-        .join(visited.select(col("src"), col("n"), lit(1).as("__seen")),
-          Seq("src", "n"), "left_anti")
-        .select(col("src"), col("n"), lit(d + 1).as("dist"), col("sigma"))
-        .localCheckpoint(true)
-      visited = visited.union(nextFrontier).localCheckpoint(true)
-      frontier.unpersist(blocking = false)
-      frontier = nextFrontier
-      d += 1
-    }
-    if (frontier.count() > 0)
-      throw new IllegalStateException(
-        s"betweenness BFS did not exhaust within $maxIter rounds — " +
-          "deltas would be truncated; raise maxIter for this graph")
-    frontier.unpersist(blocking = false)
+    val (visited, d) = brandesForwardState(incSym, srcDf, maxIter)
     // ---- backward sweep by descending level ----
     // deltaPico(src, n): accumulated dependency, 1e-12-grain longs
     val maxDist = d - 1 // deepest level that holds nodes
@@ -779,29 +786,107 @@ object Graph {
           round(col("sv").cast("double") / col("sw").cast("double") *
             (lit(1e12) + col("dw").cast("double"))).cast("long").as("c"))
         .groupBy("src", "n").agg(sum(col("c")).as("cd"))
+      val prevDelta = delta
       delta = delta.join(contribs, Seq("src", "n"), "left")
         .select(col("src"), col("n"),
           (col("dp") + coalesce(col("cd"), lit(0L))).as("dp"))
         .localCheckpoint(true)
+      // same discipline as the forward wave: the new level's checkpoint
+      // is eager, so the superseded δ state (also src × node) drops now
+      // instead of accumulating one copy per level
+      Checkpoints.drop(prevDelta)
       lvl -= 1
     }
-    // fold: betweenness(v) = Σ_{src ≠ v} δ_src(v) / 2
-    val nodes = graphNodes(und)
+    // the final δ checkpoint truncates lineage, so the BFS state and the
+    // symmetric incidence list are dead weight from here — release them
+    // (und stays: the node-domain fold below derives from it)
+    Checkpoints.drop(visited)
+    Checkpoints.drop(incSym)
+    // fold: betweenness(v) = scale · Σ_{src ≠ v} δ_src(v) / 2
     val bt = delta.where(col("src") =!= col("n"))
       .groupBy("n").agg(sum(col("dp")).as("dps"))
     nodes.join(bt, Seq("n"), "left")
       .select(col("n").as("node"),
-        round(coalesce(col("dps"), lit(0L)).cast("double") / lit(2e12), 6)
-          .as("betweenness"))
+        round(coalesce(col("dps"), lit(0L)).cast("double") * lit(scale) /
+          lit(2e12), 6).as("betweenness"))
+  }
+
+  /** The shared seed relation of the centrality sweeps, built IN-PLAN
+    * from the node set (no V-sized driver collect on the distributed
+    * path): explicit `sources` as a literal relation; `landmarkK` as
+    * the first K nodes in deterministic md5 order (the registry's
+    * sampling discipline — reproducible across runs and engines);
+    * neither → every node (the exact all-sources form). */
+  private def sourceSeed(nodes: DataFrame, sources: Option[Seq[Long]],
+                         landmarkK: Option[Int],
+                         ss: SparkSession): DataFrame =
+    sources match {
+      case Some(list) =>
+        require(list.nonEmpty, "centrality needs at least one source")
+        import ss.implicits._
+        list.toDF("s")
+      case None => landmarkK match {
+        case Some(k) =>
+          nodes.orderBy(md5(col("n").cast("string")), col("n"))
+            .limit(k).select(col("n").as("s"))
+        case None => nodes.select(col("n").as("s"))
+      }
+    }
+
+  /** The forward Brandes wave as level-synchronous multi-source BFS:
+    * seeds (src=s, n=s, dist=0, σ=1) from the seed relation, one
+    * frontier⋈edges join + (src, n)-keyed σ-sum per round. State is
+    * |seeds|·V rows — the quantity the landmark estimator bounds
+    * (GraphSpec pins state ∝ K as a law via this probe). Superseded
+    * checkpoints drop as soon as their successor materializes, so the
+    * block manager holds O(1) copies of the state, not O(diameter).
+    * Returns (visited, depth); throws if the wave does not exhaust. */
+  private[graft] def brandesForwardState(incSym: DataFrame, srcDf: DataFrame,
+                                         maxIter: Int): (DataFrame, Int) = {
+    var visited = srcDf.select(col("s").as("src"), col("s").as("n"),
+      lit(0).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (frontier.count() > 0 && d < maxIter) {
+      val cand = frontier.select(col("src"), col("n").as("__from"),
+          col("sigma"))
+        .join(incSym.select(col("n").as("__from"), col("m").as("n")),
+          Seq("__from"))
+        .groupBy(col("src"), col("n")).agg(sum(col("sigma")).as("sigma"))
+      val nextFrontier = cand
+        .join(visited.select(col("src"), col("n"), lit(1).as("__seen")),
+          Seq("src", "n"), "left_anti")
+        .select(col("src"), col("n"), lit(d + 1).as("dist"), col("sigma"))
+        .localCheckpoint(true)
+      // the union checkpoint MATERIALIZES before the superseded visited
+      // blocks drop — on a landmark run the (src × node) state is the
+      // largest relation in the job, and leaking one copy per BFS round
+      // would hold O(diameter) copies of it in the block manager
+      val prevVisited = visited
+      visited = visited.union(nextFrontier).localCheckpoint(true)
+      Checkpoints.drop(prevVisited)
+      Checkpoints.drop(frontier)
+      frontier = nextFrontier
+      d += 1
+    }
+    if (frontier.count() > 0)
+      throw new IllegalStateException(
+        s"betweenness BFS did not exhaust within $maxIter rounds — " +
+          "deltas would be truncated; raise maxIter for this graph")
+    Checkpoints.drop(frontier)
+    (visited, d)
   }
 
   /** The single-task path of [[betweenness]]: exact Brandes per source
     * in one executor task, replicating the distributed path's
     * pico-quantized δ arithmetic operation-for-operation (java
     * BigDecimal HALF_UP ≡ Spark `round`), so the output is
-    * bit-identical (GraphSpec parity law). */
+    * bit-identical (GraphSpec parity law). `scale` is the landmark
+    * estimator factor, applied in the same (dps · scale) / 2e12 order
+    * as the distributed fold (1.0 in exact modes — IEEE identity). */
   private def betweennessOneTask(und: DataFrame, srcList: Seq[Long],
-                                 maxIter: Int): DataFrame = {
+                                 maxIter: Int,
+                                 scale: Double = 1.0): DataFrame = {
     val ss = und.sparkSession
     import ss.implicits._
     val rows = und.select(col("a"), col("b")).as[(Long, Long)]
@@ -867,7 +952,7 @@ object Graph {
         }
         nodes.iterator.map { v =>
           val x = dps.getOrElse(v, 0L)
-          (v, JBD.valueOf(x.toDouble / 2e12)
+          (v, JBD.valueOf(x.toDouble * scale / 2e12)
             .setScale(6, RoundingMode.HALF_UP).doubleValue)
         }
       }
@@ -970,8 +1055,8 @@ object Graph {
         .localCheckpoint(true)
       converged =
         Option(obs.get("dropped")).forall(_.asInstanceOf[Long] == 0L)
-      oriented.unpersist(blocking = false)
-      lastRound.foreach(_.unpersist(blocking = false))
+      Checkpoints.drop(oriented)
+      lastRound.foreach(Checkpoints.drop)
       lastRound = Seq(scored)
       result = scored.where(col("support") >= k - 2)
       e = result.select("a", "b")

@@ -153,14 +153,18 @@ object Jobs {
     * scores get bucketed before this job), so state never grows with
     * the event rate. Append mode: each (window, score) row emits
     * exactly once when the watermark passes the window end; late rows
-    * drop. `labelCol` is numeric, nonzero = positive. Output:
+    * drop. `labelCol` is numeric, nonzero = positive; NULL labels are
+    * FILTERED before the aggregate (an unlabeled event belongs to
+    * neither class — dropping it keeps pos+neg equal to the counted
+    * row population instead of silently understating both). Output:
     * (window_start, score, pos, neg) — feed finalized micro-batches to
     * [[aucPerWindow]]. */
   def windowedClassHistogram(events: DataFrame, tsCol: String,
                              scoreCol: String, labelCol: String,
                              windowDur: String,
                              watermarkDelay: String): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay)
+    events.filter(col(labelCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowDur), col(scoreCol).as("score"))
       .agg(sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("pos"),
         sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("neg"))

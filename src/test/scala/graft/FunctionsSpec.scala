@@ -997,10 +997,18 @@ class FunctionsSpec extends SparkSpec {
       // the registry tokenizer verbatim (space-split, drop empties)
       val toks = text.split(" ", -1).filter(_.nonEmpty)
       val nSub = toks.map(w => Text.bpeEncodeWord(w, m2).length.toLong).sum
-      val (nw, ns, _) = got(id)
-      assert(nw == toks.length.toLong,
-        s"doc $id word count: registry $nw vs direct ${toks.length}")
-      assert(ns == nSub, s"doc $id subwords: registry $ns vs direct $nSub")
+      got.get(id) match {
+        // an empty/whitespace-only doc tokenizes to zero words and is
+        // absent from the registry's explode→groupBy output — assert
+        // that correspondence instead of throwing NoSuchElementException
+        case None =>
+          assert(toks.isEmpty,
+            s"doc $id absent from registry output yet has ${toks.length} tokens")
+        case Some((nw, ns, _)) =>
+          assert(nw == toks.length.toLong,
+            s"doc $id word count: registry $nw vs direct ${toks.length}")
+          assert(ns == nSub, s"doc $id subwords: registry $ns vs direct $nSub")
+      }
     }
   }
 }

@@ -554,6 +554,138 @@ class GraphSpec extends SparkSpec {
     assert(bs.sameElements(bs.sorted(Ordering[Double].reverse)))
   }
 
+  private def lcgEdges(n: Int, nodes: Long, seed: Long): Seq[(Long, Long, Double)] = {
+    var x = seed
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    (1 to n).map { _ =>
+      (math.floorMod(nxt(), nodes), math.floorMod(nxt(), nodes), 1.0)
+    }.filter { case (a, b, _) => a != b }
+  }
+
+  test("landmark centrality: K = n degenerates to the exact form (both operators, both paths)") {
+    val wg = lcgEdges(60, 20L, 11L)
+    val nV = wg.flatMap(e => Seq(e._1, e._2)).distinct.size
+    def bmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactB = bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w"))
+    // landmarkK covering every node: selection = all nodes, scale = 1.0
+    // exactly — the estimator machinery must be bit-identical to exact
+    assert(bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(nV))) == exactB)
+    assert(bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(nV), localMaxEdges = 0L)) == exactB)
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exactC = cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w"))
+    assert(cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(nV))) == exactC)
+    assert(cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(nV), localMaxEdges = 0L)) == exactC)
+  }
+
+  test("landmark betweenness: accuracy band vs exact; parity across the gate") {
+    // the 100 TB claim, measured: K = n/2 md5-picked landmarks,
+    // extrapolated by n/K, must land inside a pinned band of the exact
+    // values on the seeded random fixture (Brandes–Pich 2007 — the
+    // estimator is unbiased over uniform samples; the md5 pick is one
+    // fixed sample, so the band is measured once and pinned with slack)
+    val wg = lcgEdges(120, 30L, 23L)
+    val nV = wg.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val k = nV / 2
+    def bmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w"))
+    val est = bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(k)))
+    // one-task == distributed in landmark mode too (same md5 selection,
+    // same scale, same pico arithmetic)
+    val estDist = bmap(Graph.betweenness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(k), localMaxEdges = 0L))
+    assert(est == estDist, s"landmark parity: $est vs $estDist")
+    assert(est.keySet == exact.keySet)
+    val meanExact = exact.values.sum / exact.size
+    val mae = exact.keys.map(v => math.abs(est(v) - exact(v))).sum / exact.size
+    assert(mae <= 0.5 * meanExact,
+      s"landmark MAE $mae exceeds half the mean exact value $meanExact")
+    // rank fidelity at the top: the exact argmax stays in the estimated
+    // top quartile (what a landmark screen is actually used for)
+    val topExact = exact.maxBy(p => (p._2, -p._1))._1
+    val topQuartile = est.toSeq.sortBy(p => (-p._2, p._1))
+      .take(math.max(1, nV / 4)).map(_._1).toSet
+    assert(topQuartile.contains(topExact),
+      s"exact argmax $topExact missing from estimated top quartile $topQuartile")
+  }
+
+  test("landmark closeness: accuracy band; n_reached bounded by K") {
+    val wg = lcgEdges(120, 30L, 23L)
+    val nV = wg.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val k = nV / 2
+    def cmap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w"))
+    val est = cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(k)))
+    assert(est == cmap(Graph.harmonicCloseness(edgeDf(wg), "src", "dst", "w",
+      landmarkK = Some(k), localMaxEdges = 0L)))
+    // the visible cost witness: only K sources were swept
+    assert(est.values.forall(_._1 <= k.toLong),
+      s"n_reached exceeds landmark count $k: $est")
+    val meanExact = exact.values.map(_._2).sum / exact.size
+    val mae = exact.keys.map(v => math.abs(est(v)._2 - exact(v)._2)).sum / exact.size
+    assert(mae <= 0.35 * meanExact,
+      s"landmark closeness MAE $mae exceeds band (mean exact $meanExact)")
+  }
+
+  test("landmark forward state is K·n rows, not n² (cost ∝ landmarks)") {
+    val s = spark
+    import s.implicits._
+    // connected graph: a ring over 16 nodes — every source reaches all
+    val ring = (0L until 16L).map(i => (i, (i + 1) % 16, 1.0))
+    val und = edgeDf(ring).select(col("src").cast("long").as("a"),
+      col("dst").cast("long").as("b"))
+    val incSym = und.select(col("a").as("n"), col("b").as("m"))
+      .union(und.select(col("b").as("n"), col("a").as("m")))
+    val k = 3
+    val srcDf = Seq(0L, 5L, 11L).toDF("s")
+    val (visited, _) = Graph.brandesForwardState(incSym, srcDf, 60)
+    try assert(visited.count() == k * 16L,
+      s"forward state must be K·V = ${k * 16}, got ${visited.count()}")
+    finally visited.unpersist(blocking = false)
+  }
+
+  test("betweenness distributed loops hold O(1) checkpoint state, not O(levels)") {
+    // a long path (diameter 11): the old leak pattern held one
+    // superseded (src × node) checkpoint per BFS round plus one per
+    // backward level — ~2·diameter blocks; the fixed loops keep only
+    // the live state (und + final δ) plus bounded slack
+    val p12 = (1L until 12L).map(i => (i, i + 1, 1.0))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Graph.betweenness(edgeDf(p12), "src", "dst", "w",
+      localMaxEdges = 0L)
+    out.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 4,
+      s"betweenness left ${leaked.size} checkpoint RDDs registered — " +
+        "per-level state is leaking again")
+    out.unpersist(blocking = false)
+  }
+
+  test("landmark registry ids: trade-graph estimates are sane and ordered") {
+    val qb = Queries.all.toMap.apply("q_graph_betweenness_landmark")(spark, sfDir)
+      .collect()
+    assert(qb.nonEmpty && qb.length <= 25)
+    val bs = qb.map(_.getDouble(1))
+    assert(bs.forall(_ >= 0.0))
+    assert(bs.sameElements(bs.sorted(Ordering[Double].reverse)))
+    val qc = Queries.all.toMap.apply("q_graph_closeness_landmark")(spark, sfDir)
+      .collect()
+    assert(qc.nonEmpty && qc.length <= 25)
+    assert(qc.map(_.getLong(1)).forall(n => n >= 0L && n <= 12L))
+    val cs = qc.map(_.getDouble(2))
+    assert(cs.forall(_ >= 0.0))
+    assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+  }
+
   /** Reference peeling (Batagelj–Zaveršnik): repeatedly strip a
     * minimum-degree node; core(v) = the running max of the min degree
     * at the moment v is removed. Tie order does not change core

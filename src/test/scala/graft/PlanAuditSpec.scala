@@ -287,4 +287,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(badPlan.collect { case c: CoalesceExec => c }.nonEmpty,
       "seeded coalesce(1) not visible as CoalesceExec — audit blind")
   }
+
+  test("no registered query body blocks the driver on collect()") {
+    // source-level sweep: the registry discipline is that scalar
+    // thresholds fold IN-PLAN (crossJoin(broadcast(aggDf)) — q_theil,
+    // q_abc, q_graph_ktruss, ...), never via a driver-side
+    // .collect().head mid-plan. Operators may collect driver-bounded
+    // state (BPE argmax rows, graph node lists) — the sweep targets
+    // Queries.scala only, where every body is a pure plan builder.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Queries.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val hits = src.linesIterator.zipWithIndex.collect {
+      case (line, i) if line.contains(".collect(") => s"line ${i + 1}: ${line.trim}"
+    }.toSeq
+    assert(hits.isEmpty,
+      "driver-blocking collect() in a registered query body:\n" +
+        hits.mkString("\n"))
+  }
 }
