@@ -3905,17 +3905,23 @@ object Queries {
     * DICTIONARY-ENCODED (the q_jaro_match discipline): merges replay
     * once per DISTINCT word (vocabulary-sized work — Heaps' law), then
     * a word-keyed join expands to per-document counts; per-word state
-    * is the merge table riding the closure (12 pairs, KBs). Oracle-
-    * exempt (the merge training is the q_bpe_merges iterative argmax);
-    * encode-law goldens live in FunctionsSpec and the exempt lane runs
-    * it at the driver SF. */
+    * is the merge table riding the closure (12 pairs, KBs). The merges
+    * come from the PERSISTED artifact ([[Text.bpeWriteMerges]] →
+    * [[Text.bpeReadMerges]] — the write/apply lifecycle every encode
+    * job at scale runs: train once, read the k-row table, never
+    * retrain per query; the extend law lives in ScalePathSpec).
+    * Oracle-exempt (the merge training is the q_bpe_merges iterative
+    * argmax); encode-law goldens live in FunctionsSpec and the exempt
+    * lane runs it at the driver SF. */
   val q_bpe_encode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val vocab = docs.select(explode(Text.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(eager = true)
     val head = vocab.orderBy(desc("cnt"), col("word")).limit(4096)
-    val merges = Text.bpeTrainMerges(head, "word", "cnt", k = 12)
+    val idxDir = scratchDir("graft_bpe_idx", d)
+    Text.bpeWriteMerges(head, "word", "cnt", k = 12, idxDir)
+    val merges = Text.bpeReadMerges(s, idxDir)
     val enc = Text.bpeEncode(merges)
     val wordLen = vocab.select(col("word"))
       .withColumn("n_sub", size(enc(col("word"))).cast("long"))

@@ -283,15 +283,22 @@ object Text {
     * word" subwords). Returns the learned merges in order. */
   def bpeTrainMerges(words: org.apache.spark.sql.DataFrame, wordCol: String,
                      freqCol: String, k: Int, minCount: Long = 2L,
-                     checkpointEvery: Int = 8): Seq[(String, String)] = {
+                     checkpointEvery: Int = 8,
+                     initial: Seq[(String, String)] = Nil): Seq[(String, String)] = {
     require(k >= 1, s"k must be positive, got $k")
-    val toSyms = udf { (w: String) => w.map(_.toString) :+ "</w>" }
+    require(initial.size <= k,
+      s"initial merge table (${initial.size}) already at/above target vocab $k")
+    // `initial` replays an EXISTING merge table before training starts
+    // (the extend side of the artifact lifecycle): state begins where
+    // the persisted tokenizer left off, and only k - initial.size new
+    // rounds run. Returns ONLY the newly learned merges.
+    val toSyms = udf { (w: String) => bpeEncodeWord(w, initial) }
     var state = words
       .select(toSyms(col(wordCol)).as("syms"),
         col(freqCol).cast("long").as("freq"))
       .localCheckpoint(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var round = 0
+    var round = initial.size
     var done = false
     while (round < k && !done) {
       round += 1
@@ -330,4 +337,65 @@ object Text {
     * table riding the closure (k pairs, KBs). */
   def bpeEncode(merges: Seq[(String, String)]): UserDefinedFunction =
     udf { (w: String) => bpeEncodeWord(w, merges) }
+
+  // ---- persisted merge-table artifact lifecycle -----------------------
+  // The learned tokenizer is the derived structure a training pipeline
+  // reuses MOST (every downstream encode job reads it), so it gets the
+  // same write/apply/extend discipline as the fingerprint and IVF
+  // indexes: train once, persist the ordered merge table, encode any
+  // corpus against the artifact, extend in place when the corpus grows.
+  // Layout: parquet (merge_rank ASC from 1, left_sym, right_sym) — the
+  // rank order IS the tokenizer (BPE replays merges in training order),
+  // so readers always sort by it rather than trusting file order.
+
+  /** Train k merge rounds and persist the ordered merge table at `dir`
+    * (overwrite — this is the train-once step). Returns the merges. */
+  def bpeWriteMerges(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                     freqCol: String, k: Int, dir: String,
+                     minCount: Long = 2L): Seq[(String, String)] = {
+    val merges = bpeTrainMerges(words, wordCol, freqCol, k, minCount)
+    writeMergeRows(words.sparkSession, merges, baseRank = 0,
+      dir = dir, overwrite = true)
+    merges
+  }
+
+  /** Load a persisted merge table in training order. The table is
+    * k rows (the vocab budget) — driver-bounded by construction, like
+    * the IVF centroid load. */
+  def bpeReadMerges(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir)
+      .select("merge_rank", "left_sym", "right_sym")
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Extend a persisted merge table to `k` total rules on a (grown)
+    * corpus: the existing rules replay as training state and only the
+    * NEW rounds run; new rows APPEND after the existing ranks, which
+    * are never rewritten — ranks already shipped to encode jobs stay
+    * valid (the fingerprint-index append discipline: cost proportional
+    * to the new rounds, prefix immutable). Single writer per artifact
+    * by contract. Returns the full extended merge table. */
+  def bpeExtendMerges(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                      freqCol: String, k: Int, dir: String,
+                      minCount: Long = 2L): Seq[(String, String)] = {
+    val spark = words.sparkSession
+    val existing = bpeReadMerges(spark, dir)
+    val added = bpeTrainMerges(words, wordCol, freqCol, k, minCount,
+      initial = existing)
+    writeMergeRows(spark, added, baseRank = existing.size,
+      dir = dir, overwrite = false)
+    existing ++ added
+  }
+
+  private def writeMergeRows(spark: org.apache.spark.sql.SparkSession,
+                             merges: Seq[(String, String)], baseRank: Int,
+                             dir: String, overwrite: Boolean): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (baseRank + i + 1L, a, b) }
+      .toDF("merge_rank", "left_sym", "right_sym")
+      .coalesce(1) // k rows — one file, not one file per shuffle partition
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(dir)
+  }
 }

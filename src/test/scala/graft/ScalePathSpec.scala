@@ -653,6 +653,48 @@ class ScalePathSpec extends SparkSpec {
     assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
   }
 
+  test("BPE merge artifact lifecycle: round-trip, immutable prefix, extend == retrain at fixed vocab") {
+    import graft.functions.Text
+    val dir = java.nio.file.Files.createTempDirectory("bpe_idx_").toString + "/merges"
+    val corpus1 = Seq(("low", 50L), ("lower", 30L), ("lowest", 20L))
+      .toDF("word", "cnt")
+    // train-once: write == in-memory train; read replays training order
+    val written = Text.bpeWriteMerges(corpus1, "word", "cnt", k = 4, dir)
+    assert(written.length == 4)
+    assert(Text.bpeReadMerges(spark, dir) == written, "read must round-trip")
+    assert(written == Text.bpeTrainMerges(corpus1, "word", "cnt", k = 4))
+
+    // corpus grows with a LIGHT tail (original patterns stay dominant)
+    val grown = corpus1.unionByName(
+      Seq(("newest", 6L), ("widest", 3L)).toDF("word", "cnt"))
+    val extended = Text.bpeExtendMerges(grown, "word", "cnt", k = 8, dir)
+
+    // the production guarantee: extend APPENDS — ranks already shipped
+    // to encode jobs never change
+    assert(extended.take(4) == written, "extend rewrote the merge prefix")
+    assert(extended.length == 8)
+    assert(Text.bpeReadMerges(spark, dir) == extended,
+      "artifact must hold the extended table in rank order")
+
+    // fixture premise for the equality law: retraining from scratch on
+    // the grown corpus reproduces the original first 4 merges (the tail
+    // is too light to reorder the top pairs) — asserted so a fixture
+    // drift fails HERE, not as a mysterious law failure below
+    val retrain = Text.bpeTrainMerges(grown, "word", "cnt", k = 8)
+    assert(retrain.take(4) == written,
+      s"fixture premise broken: retrain head ${retrain.take(4)} != $written")
+    // the law: extend-then-encode == retrain-then-encode at fixed vocab
+    // (identical state after the shared prefix => identical argmax path)
+    assert(retrain == extended, s"extend $extended != retrain $retrain")
+    for (w <- Seq("low", "lowest", "newest", "slower", "widest"))
+      assert(Text.bpeEncodeWord(w, extended) == Text.bpeEncodeWord(w, retrain))
+
+    // extend is idempotent at the target vocab: k == current size means
+    // zero new rounds and an unchanged artifact
+    assert(Text.bpeExtendMerges(grown, "word", "cnt", k = 8, dir) == extended)
+    assert(Text.bpeReadMerges(spark, dir) == extended)
+  }
+
   test("near-dup index lifecycle: write -> batch dedup vs index -> append advances the horizon") {
     // corpus: two distinct 41-token docs (same shape as the minhash
     // agreement fixture — candidacy at j ~ 0.85 is deterministic)
