@@ -3654,6 +3654,29 @@ object Queries {
       .orderBy(desc("betweenness"), col("nation"))
   }
 
+  /** q_graph_betweenness_weighted — betweenness over the trade graph's
+    * ACTUAL weights ([[operators.Graph.betweennessWeighted]]: Dijkstra-
+    * wave Brandes — exact cent-long shortest-WEIGHT paths, σ counts
+    * minimum-weight paths, δ via the chained distance/σ/δ fixpoints,
+    * pico-quantized folds). The hop-count twin treats every trade lane
+    * as equal; this one routes centrality along cheap corridors — the
+    * form that matters when weights ARE the semantics (latency, cost,
+    * trade volume). Oracle-exempt (three chained fixpoints, no SQL
+    * form); GraphSpec pins a weight-reroute structural golden, the
+    * uniform-weights == hop-count law, an independent driver-side
+    * Dijkstra–Brandes reference on random weighted graphs, and
+    * one-task/distributed parity. */
+  val q_graph_betweenness_weighted: Q = (s, d) => {
+    val bt = operators.Graph.betweennessWeighted(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    bt.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("betweenness").as("betweenness_w"))
+      .orderBy(desc("betweenness_w"), col("nation"))
+  }
+
   /** q_graph_betweenness_landmark — the 100 TB form of
     * [[q_graph_betweenness]]: landmark-sampled Brandes (Brandes–Pich
     * 2007) over K = 12 deterministically md5-picked source nations,
@@ -4137,6 +4160,7 @@ object Queries {
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,
     "q_graph_betweenness" -> q_graph_betweenness,
+    "q_graph_betweenness_weighted" -> q_graph_betweenness_weighted,
     "q_graph_betweenness_landmark" -> q_graph_betweenness_landmark,
     "q_graph_closeness_landmark" -> q_graph_closeness_landmark,
     "q_mutual_info" -> q_mutual_info,

@@ -959,6 +959,276 @@ object Graph {
     }.toDF("node", "betweenness")
   }
 
+  /** WEIGHTED betweenness centrality (undirected, strictly positive
+    * weights) — the Dijkstra-wave generalization of [[betweenness]]:
+    * shortest paths minimize exact cent-long WEIGHT sums (the
+    * [[undirect]] unit), σ counts minimum-weight paths, and the
+    * Brandes dependency δ(v) = Σ_{w ∈ succ(v)} σv/σw · (1 + δw) runs
+    * over the per-source shortest-path DAG. Weighted levels are not
+    * discrete BFS rounds, so the distributed path is three chained
+    * FIXPOINTS, each one incidence join + keyed fold per round on the
+    * established loop discipline (eager checkpoints, observe-metric
+    * convergence, superseded-state [[Checkpoints.drop]]):
+    *
+    *   1. distances — the multi-source Bellman–Ford of
+    *      [[harmonicCloseness]] ((src, n, dist) state);
+    *   2. σ — path counts propagate along SP-DAG edges
+    *      (dist(v) + w(v,n) = dist(n)) until stable: round i fixes
+    *      every node within i DAG-hops of its source, so rounds =
+    *      DAG depth;
+    *   3. δ — RECOMPUTED each round from the current successor δ
+    *      (not accumulated): deepest nodes stabilize at 0 first, each
+    *      round finalizes the next shallower rank, convergence =
+    *      unchanged δ everywhere.
+    *
+    * Contributions are pico-quantized (c = round(σv/σw·(1e12+δw)))
+    * BEFORE their keyed sums — the [[betweenness]] discipline — so the
+    * converged δ equals the one-task descending-distance sweep
+    * bit-for-bit (GraphSpec parity law), and with uniform weights the
+    * result equals hop-count [[betweenness]] exactly (the SP structure
+    * coincides — also a GraphSpec law). Zero-weight edges are REJECTED:
+    * they collapse SP-DAG ranks (v and w at equal distance) and the
+    * descending-distance sweep is no longer well-founded. `sources` /
+    * `landmarkK` behave exactly as in [[betweenness]] (Brandes–Pich
+    * n/K extrapolation, md5 landmark pick, K·n state). Returns
+    * (node, betweenness) for every node on an edge. */
+  def betweennessWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                          weightCol: String,
+                          sources: Option[Seq[Long]] = None,
+                          landmarkK: Option[Int] = None,
+                          maxIter: Int = 60,
+                          localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    require(sources.isEmpty || landmarkK.isEmpty,
+      "pass explicit sources OR landmarkK, not both")
+    require(landmarkK.forall(_ >= 1),
+      s"landmarkK must be positive, got ${landmarkK.get}")
+    val undRaw = undirect(edges, srcCol, dstCol, weightCol)
+    val und = undRaw.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("wc")).localCheckpoint(true)
+    Checkpoints.drop(undRaw)
+    val minRow = und.agg(min(col("wc"))).collect().head
+    if (!minRow.isNullAt(0))
+      require(minRow.getLong(0) > 0L,
+        "betweennessWeighted requires strictly positive weights — " +
+          s"found ${minRow.getLong(0)} (zero collapses SP-DAG ranks)")
+    val nodes = graphNodes(und)
+    val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
+    val scale: Double = landmarkK match {
+      case Some(_) =>
+        val nV = nodes.count(); val kA = srcDf.count()
+        if (kA == 0L) 1.0 else nV.toDouble / kA
+      case None => 1.0
+    }
+    if (und.count() <= localMaxEdges) {
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      return betweennessWeightedOneTask(und, srcList, maxIter, scale)
+    }
+    val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+      .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+      .localCheckpoint(true)
+    // ---- fixpoint 1: exact weighted distances (src, n, dist) ----
+    var dist = srcDf.select(col("s").as("src"), col("s").as("n"),
+      lit(0L).as("dist")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val offers = incSym
+        .join(dist.select(col("src"), col("n").as("m"), col("dist").as("dm")),
+          Seq("m"))
+        .select(col("src"), col("n"), (col("dm") + col("wc")).as("cand"))
+        .groupBy("src", "n").agg(min(col("cand")).as("cand"))
+      val obs = org.apache.spark.sql.Observation(s"graft_bwd_round_$iter")
+      val next = dist.join(offers, Seq("src", "n"), "full")
+        .select(col("src"), col("n"), col("dist").as("old"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+        .observe(obs, sum(when(col("old").isNull ||
+          col("dist") < col("old"), 1L).otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = dist
+      dist = next.select("src", "n", "dist")
+      Checkpoints.drop(prev)
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"betweennessWeighted distances did not converge within $maxIter " +
+          "rounds — raise maxIter for this graph")
+    // ---- the per-source shortest-path DAG: dist(v) + w = dist(n) ----
+    val dag = incSym.select(col("n").as("v"), col("m").as("w_node"),
+        col("wc"))
+      .join(dist.select(col("src"), col("n").as("v"), col("dist").as("dv")),
+        Seq("v"))
+      .join(dist.select(col("src"), col("n").as("w_node"),
+        col("dist").as("dw")), Seq("src", "w_node"))
+      .where(col("dv") + col("wc") === col("dw"))
+      .select(col("src"), col("v"), col("w_node"))
+      .localCheckpoint(true)
+    // ---- fixpoint 2: σ along the DAG ----
+    var sigma = dist.select(col("src"), col("n"),
+        when(col("n") === col("src"), 1L).otherwise(0L).as("sigma"))
+      .localCheckpoint(true)
+    converged = false
+    iter = 0
+    while (!converged && iter < maxIter) {
+      val inSum = dag
+        .join(sigma.select(col("src"), col("n").as("v"),
+          col("sigma").as("sv")), Seq("src", "v"))
+        .groupBy(col("src"), col("w_node").as("n"))
+        .agg(sum(col("sv")).as("insum"))
+      val obs = org.apache.spark.sql.Observation(s"graft_bws_round_$iter")
+      val next = sigma.select(col("src"), col("n"), col("sigma").as("old"))
+        .join(inSum, Seq("src", "n"), "left")
+        .select(col("src"), col("n"), col("old"),
+          when(col("n") === col("src"), 1L)
+            .otherwise(coalesce(col("insum"), lit(0L))).as("sigma"))
+        .observe(obs, sum(when(col("sigma") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = sigma
+      sigma = next.select("src", "n", "sigma")
+      Checkpoints.drop(prev)
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"betweennessWeighted σ did not converge within $maxIter rounds — " +
+          "raise maxIter for this graph")
+    // ---- fixpoint 3: δ recomputed from successor δ until stable ----
+    var delta = dist.select(col("src"), col("n"), lit(0L).as("dp"))
+      .localCheckpoint(true)
+    converged = false
+    iter = 0
+    while (!converged && iter < maxIter) {
+      val contribs = dag
+        .join(sigma.select(col("src"), col("n").as("v"),
+          col("sigma").as("sv")), Seq("src", "v"))
+        .join(sigma.select(col("src"), col("n").as("w_node"),
+          col("sigma").as("sw")), Seq("src", "w_node"))
+        .join(delta.select(col("src"), col("n").as("w_node"),
+          col("dp").as("dpw")), Seq("src", "w_node"))
+        .select(col("src"), col("v").as("n"),
+          round(col("sv").cast("double") / col("sw").cast("double") *
+            (lit(1e12) + col("dpw").cast("double"))).cast("long").as("c"))
+        .groupBy("src", "n").agg(sum(col("c")).as("cd"))
+      val obs = org.apache.spark.sql.Observation(s"graft_bwb_round_$iter")
+      val next = delta.select(col("src"), col("n"), col("dp").as("old"))
+        .join(contribs, Seq("src", "n"), "left")
+        .select(col("src"), col("n"), col("old"),
+          coalesce(col("cd"), lit(0L)).as("dp"))
+        .observe(obs, sum(when(col("dp") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
+      val prev = delta
+      delta = next.select("src", "n", "dp")
+      Checkpoints.drop(prev)
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"betweennessWeighted δ did not converge within $maxIter rounds — " +
+          "raise maxIter for this graph")
+    Checkpoints.drop(dag)
+    Checkpoints.drop(sigma)
+    Checkpoints.drop(dist)
+    Checkpoints.drop(incSym)
+    val bt = delta.where(col("src") =!= col("n"))
+      .groupBy("n").agg(sum(col("dp")).as("dps"))
+    nodes.join(bt, Seq("n"), "left")
+      .select(col("n").as("node"),
+        round(coalesce(col("dps"), lit(0L)).cast("double") * lit(scale) /
+          lit(2e12), 6).as("betweenness"))
+  }
+
+  /** The single-task path of [[betweennessWeighted]]: exact per-source
+    * Dijkstra (binary-heap, lazy deletion) with cent-long distances and
+    * long σ accumulation, then the dependency sweep by STRICTLY
+    * descending distance (well-founded because weights are strictly
+    * positive), replicating the distributed fixpoint's pico-quantized
+    * δ arithmetic operation-for-operation. */
+  private def betweennessWeightedOneTask(und: DataFrame, srcList: Seq[Long],
+                                         maxIter: Int,
+                                         scale: Double): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a"), col("b"), col("wc")).as[(Long, Long, Long)]
+    val srcs = srcList.toArray
+    rows.coalesce(1).mapPartitions { it =>
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def pico(x: Double): Long =
+        JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).doubleValue.toLong
+      val es = it.toArray
+      if (es.isEmpty) Iterator.empty
+      else {
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+        es.foreach { case (a, b, wc) =>
+          adj.getOrElseUpdate(a,
+            scala.collection.mutable.ArrayBuffer.empty) += ((b, wc))
+          adj.getOrElseUpdate(b,
+            scala.collection.mutable.ArrayBuffer.empty) += ((a, wc))
+        }
+        val nodes = adj.keys.toArray
+        val dps = scala.collection.mutable.HashMap.empty[Long, Long]
+        srcs.foreach { s0 =>
+          if (adj.contains(s0)) {
+            val dist = scala.collection.mutable.HashMap.empty[Long, Long]
+            val sigma = scala.collection.mutable.HashMap.empty[Long, Long]
+            val settled = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val done = scala.collection.mutable.HashSet.empty[Long]
+            val pq = scala.collection.mutable.PriorityQueue
+              .empty[(Long, Long)](Ordering.by[(Long, Long), (Long, Long)](
+                p => (-p._1, -p._2)))
+            dist(s0) = 0L; sigma(s0) = 1L; pq.enqueue((0L, s0))
+            while (pq.nonEmpty) {
+              val (d0, u) = pq.dequeue()
+              if (!done(u) && dist(u) == d0) {
+                done += u; settled += u
+                adj(u).foreach { case (v, wc) =>
+                  val cand = d0 + wc
+                  val dv = dist.get(v)
+                  if (dv.forall(cand < _)) {
+                    dist(v) = cand; sigma(v) = sigma(u); pq.enqueue((cand, v))
+                  } else if (dv.contains(cand)) {
+                    sigma(v) += sigma(u)
+                  }
+                }
+              }
+            }
+            // dependency sweep: strictly descending distance (ties carry
+            // no DAG edges under positive weights, so tie order is moot)
+            val dp = scala.collection.mutable.HashMap.empty[Long, Long]
+            settled.reverseIterator.foreach { w =>
+              if (w != s0 || dist(w) > 0L) {
+                val dw = dp.getOrElse(w, 0L)
+                adj(w).foreach { case (v, wc) =>
+                  if (dist.get(v).contains(dist(w) - wc)) {
+                    val c = pico(sigma(v).toDouble / sigma(w).toDouble *
+                      (1e12 + dw.toDouble))
+                    dp(v) = dp.getOrElse(v, 0L) + c
+                  }
+                }
+              }
+            }
+            dp.foreach { case (v, x) =>
+              if (v != s0) dps(v) = dps.getOrElse(v, 0L) + x
+            }
+          }
+        }
+        nodes.iterator.map { v =>
+          val x = dps.getOrElse(v, 0L)
+          (v, JBD.valueOf(x.toDouble * scale / 2e12)
+            .setScale(6, RoundingMode.HALF_UP).doubleValue)
+        }
+      }
+    }.toDF("node", "betweenness")
+  }
+
   /** Weighted modularity of a GIVEN node partition over the undirected
     * simple graph (Newman–Girvan): Q = Σ_c [ W_c/W − (S_c/(2W))² ],
     * where W is the total undirected edge weight, W_c the intra-

@@ -38,18 +38,19 @@ class ExemptLaneSpec extends SparkSpec {
     }.toSeq
 
   test("exempt-id census matches the declared contract") {
-    // SURVEY §2 declares 25 oracle-exempt ids as of round 9 (the 19 from
-    // round 8 + q_graph_sssp, golden-pinned vs a driver-side Dijkstra,
-    // + q_graph_kcore, golden-pinned vs a driver-side peeling reference,
-    // + q_graph_closeness, golden-pinned vs a driver-side all-pairs
-    // Dijkstra, + q_graph_betweenness, golden-pinned vs structural
-    // Brandes values, + q_graph_ktruss, golden-pinned vs a driver-side
-    // peeling reference (all in GraphSpec), + q_bpe_encode,
-    // cross-checked against a direct driver-side encode in
-    // FunctionsSpec); widen this number deliberately (with a new golden
-    // law), never by accident
+    // SURVEY §2 declares 28 oracle-exempt ids as of round 10: the 25
+    // from round 9 (19 from round 8 + q_graph_sssp / q_graph_kcore /
+    // q_graph_closeness / q_graph_betweenness / q_graph_ktruss, each
+    // golden-pinned vs a driver-side reference in GraphSpec, +
+    // q_bpe_encode, cross-checked in FunctionsSpec) + round 10's
+    // q_graph_betweenness_landmark and q_graph_closeness_landmark
+    // (GraphSpec: K=n degenerate equality, accuracy bands, state ∝ K)
+    // and q_graph_betweenness_weighted (GraphSpec: reroute golden,
+    // uniform-weights == hop-count law, driver Dijkstra–Brandes
+    // reference, path parity); widen this number deliberately (with a
+    // new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 25,
+    assert(exemptIds.size <= 28,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

@@ -670,6 +670,130 @@ class GraphSpec extends SparkSpec {
     out.unpersist(blocking = false)
   }
 
+  /** Independent driver-side Dijkstra–Brandes replicating the library's
+    * conventions: per-pair cent quantization then parallel-edge weight
+    * sum (the [[Graph.undirect]] contract), exact long distances and σ,
+    * descending-distance dependency sweep with pico-quantized δ. */
+  private def refBetweennessWeighted(
+      edges: Seq[(Long, Long, Double)]): Map[Long, Double] = {
+    def pico(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val und = edges.collect { case (a, b, w) if a != b =>
+        ((math.min(a, b), math.max(a, b)),
+          BigDecimal(w * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val adj = und.toSeq.flatMap { case ((a, b), wc) =>
+      Seq(a -> (b, wc), b -> (a, wc)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val dps = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { s0 =>
+      val dist = scala.collection.mutable.HashMap(s0 -> 0L)
+      val sigma = scala.collection.mutable.HashMap(s0 -> 1L)
+      val settled = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val done = scala.collection.mutable.HashSet.empty[Long]
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Long, Long)](Ordering.by[(Long, Long), (Long, Long)](
+          p => (-p._1, -p._2)))
+      pq.enqueue((0L, s0))
+      while (pq.nonEmpty) {
+        val (d0, u) = pq.dequeue()
+        if (!done(u) && dist(u) == d0) {
+          done += u; settled += u
+          adj(u).foreach { case (v, wc) =>
+            val cand = d0 + wc
+            val dv = dist.get(v)
+            if (dv.forall(cand < _)) {
+              dist(v) = cand; sigma(v) = sigma(u); pq.enqueue((cand, v))
+            } else if (dv.contains(cand)) sigma(v) += sigma(u)
+          }
+        }
+      }
+      val dp = scala.collection.mutable.HashMap.empty[Long, Long]
+      settled.reverseIterator.foreach { w =>
+        val dw = dp.getOrElse(w, 0L)
+        adj(w).foreach { case (v, wc) =>
+          if (dist.get(v).contains(dist(w) - wc)) {
+            dp(v) = dp.getOrElse(v, 0L) +
+              pico(sigma(v).toDouble / sigma(w).toDouble * (1e12 + dw.toDouble))
+          }
+        }
+      }
+      dp.foreach { case (v, x) => if (v != s0) dps(v) = dps.getOrElse(v, 0L) + x }
+    }
+    nodes.map { v =>
+      v -> BigDecimal(dps.getOrElse(v, 0L).toDouble / 2e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  test("betweennessWeighted: weight-reroute golden; hop-count twin disagrees") {
+    // triangle 1-2 (1.0), 2-3 (1.0), 1-3 (3.0): the cheapest 1↔3 route
+    // runs THROUGH 2 (cost 2 < 3), so 2 carries the pair under weights
+    // while hop-count sees a direct edge and gives 2 nothing
+    val tri = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 3.0))
+    val w = Graph.betweennessWeighted(edgeDf(tri), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0), s"$w")
+    val h = Graph.betweenness(edgeDf(tri), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(2L) == 0.0, s"hop-count must not route through 2: $h")
+    // strictly positive weights are a contract, not a wish
+    intercept[IllegalArgumentException] {
+      Graph.betweennessWeighted(
+        edgeDf(Seq((1L, 2L, 0.0), (2L, 3L, 1.0))), "src", "dst", "w")
+        .collect()
+    }
+  }
+
+  test("betweennessWeighted: uniform weights degenerate to hop-count exactly") {
+    // equal weights preserve the shortest-path structure, σ and δ — the
+    // weighted machinery must reproduce hop-count betweenness verbatim.
+    // Deduplicate the pair list first: undirect SUMS parallel edges, so
+    // a repeated pair would carry weight 2.0 and break uniformity
+    val g = lcgEdges(80, 20L, 5L)
+      .map { case (a, b, _) => (math.min(a, b), math.max(a, b), 1.0) }
+      .distinct
+    val hop = Graph.betweenness(edgeDf(g), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wtd = Graph.betweennessWeighted(edgeDf(g), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wtd == hop, s"weighted $wtd != hop-count $hop under uniform weights")
+  }
+
+  test("betweennessWeighted matches the driver reference; one-task == distributed") {
+    // varied weights with deliberate parallel edges (undirect sums them)
+    def wEdges(n: Int, nodes: Long, seed: Long): Seq[(Long, Long, Double)] = {
+      var x = seed
+      def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      (1 to n).map { _ =>
+        (math.floorMod(nxt(), nodes), math.floorMod(nxt(), nodes),
+          (math.floorMod(nxt(), 9L) + 1L) / 2.0)
+      }.filter { case (a, b, _) => a != b }
+    }
+    val big = wEdges(400, 60L, 99L)
+    val gotBig = Graph.betweennessWeighted(edgeDf(big), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotBig == refBetweennessWeighted(big))
+    val small = wEdges(50, 16L, 3L)
+    val local = Graph.betweennessWeighted(edgeDf(small), "src", "dst", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val distd = Graph.betweennessWeighted(edgeDf(small), "src", "dst", "w",
+        localMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local == distd, s"local $local dist $distd")
+    assert(local == refBetweennessWeighted(small))
+  }
+
+  test("q_graph_betweenness_weighted: trade-graph centralities are sane and ordered") {
+    val rows = Queries.all.toMap.apply("q_graph_betweenness_weighted")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val bs = rows.map(_.getDouble(1))
+    assert(bs.forall(_ >= 0.0))
+    assert(bs.sameElements(bs.sorted(Ordering[Double].reverse)))
+  }
+
   test("landmark registry ids: trade-graph estimates are sane and ordered") {
     val qb = Queries.all.toMap.apply("q_graph_betweenness_landmark")(spark, sfDir)
       .collect()
