@@ -757,6 +757,64 @@ object Dedup {
     out
   }
 
+  /** INCREMENTAL connected components: fold a BATCH of new edges into
+    * an existing (id, label) labeling without re-touching history — the
+    * streaming/ingest twin of [[connectedComponents]], built on the
+    * persisted-index discipline (fingerprint / near-dup-band / IVF):
+    * steady-state work is proportional to the batch, never the corpus.
+    *
+    *   1. CONTRACT — each batch endpoint maps through the current
+    *      labeling (two id-keyed joins; an unlabeled endpoint is a new
+    *      node and stands for itself), yielding a batch-sized edge list
+    *      over component REPRESENTATIVES;
+    *   2. CLUSTER — [[connectedComponents]] over the contracted list
+    *      (touched-components-sized, so its one-task gate almost always
+    *      fires) emits the remap old-representative → new label;
+    *   3. RELABEL — the labeling left-joins the remap on its label
+    *      column (touched components rewrite, untouched pass through)
+    *      and newly seen nodes append with their contracted label.
+    *
+    * Labels stay component MINIMA by construction: existing labels are
+    * min-of-members, the contracted cluster takes the min over merged
+    * representatives and new ids — min over mins is the global min. So
+    * incremental == batch recompute EXACTLY (ScalePathSpec law:
+    * folding batches one at a time equals [[connectedComponents]] over
+    * the union). The relabel pass scans the labeling once per batch —
+    * a node-sized narrow join (at 100 TB, partition the labeling by
+    * hash(label) and rewrite only buckets the remap touches — the
+    * [[graft.operators.Similarity.ivfAppendIndex]] layout). */
+  def componentsMerge(labels: DataFrame, batch: DataFrame,
+                      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("label").cast("long").as("label"))
+    val e = batch.select(col(idA).cast("long").as("ea"),
+      col(idB).cast("long").as("eb"))
+    val contracted = e
+      .join(lab.select(col("id").as("ea"), col("label").as("la")),
+        Seq("ea"), "left")
+      .join(lab.select(col("id").as("eb"), col("label").as("lb")),
+        Seq("eb"), "left")
+      .select(coalesce(col("la"), col("ea")).as("id_a"),
+        coalesce(col("lb"), col("eb")).as("id_b"))
+      .localCheckpoint(eager = true) // batch-sized; feeds CC + the appends
+    val remap = connectedComponents(contracted)
+      .localCheckpoint(eager = true) // touched-representative-sized
+    val relabeled = lab
+      .join(remap.select(col("id").as("label"), col("label").as("__nl")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("__nl"), col("label")).as("label"))
+    // contracted endpoints are either existing LABELS (which are
+    // themselves live node ids — the labeling invariant) or new node
+    // ids: one anti-join against the id column isolates the new nodes
+    val newNodes = contracted
+      .select(col("id_a").as("id")).union(contracted.select(col("id_b").as("id")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val newLabeled = newNodes.join(remap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    relabeled.unionByName(newLabeled)
+  }
+
   /** Keep one canonical document per near-dup cluster: the member with
     * the minimum id survives; documents in no pair keep themselves. The
     * training-data dedup endgame — pairs from any detector

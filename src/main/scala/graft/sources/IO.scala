@@ -156,6 +156,58 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming INCREMENTAL connected components: each micro-batch of
+    * edges folds into a persisted (id, label) component labeling via
+    * [[graft.operators.Dedup.componentsMerge]] — contract the batch
+    * through the current labels, cluster the batch-sized contracted
+    * graph, relabel only touched components. The labeling snapshot
+    * swaps with the [[upsertSink]] write-then-swap discipline (never a
+    * moment without a readable snapshot; `_bak` recovers a crash
+    * between renames). Replay safety: componentsMerge is IDEMPOTENT —
+    * re-folding an already-applied batch contracts every edge to
+    * within-component self-pairs and the relabel is the identity — so
+    * at-least-once batch delivery converges. Missing snapshot = empty
+    * labeling (the nearDupAgainstIndex cold-start contract).
+    * ScalePathSpec pins incremental == full-recompute across batches. */
+  def componentsSink(edges: DataFrame, labelsDir: String,
+                     checkpointDir: String,
+                     idA: String = "id_a", idB: String = "id_b")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dst = new org.apache.hadoop.fs.Path(labelsDir)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bak = new org.apache.hadoop.fs.Path(labelsDir + "_bak")
+        val tmp = new org.apache.hadoop.fs.Path(labelsDir + "_tmp")
+        val readFrom =
+          if (fs.exists(dst)) dst else if (fs.exists(bak)) bak else null
+        val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val existing =
+          if (readFrom == null)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), labelSchema)
+          else spark.read.schema(labelSchema).parquet(readFrom.toString)
+        // the _tmp write fully consumes the read of the live snapshot
+        // BEFORE any rename touches it — no read-own-input hazard and no
+        // node-sized checkpoint needed
+        graft.operators.Dedup.componentsMerge(existing, batch, idA, idB)
+          .write.mode("overwrite").parquet(tmp.toString)
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"componentsSink: $what failed")
+        fs.delete(bak, true)
+        if (fs.exists(dst)) must(fs.rename(dst, bak), s"rename $dst -> $bak")
+        must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+        fs.delete(bak, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Keyed upsert sink (the HBase dim-writer analog): every micro-batch is
     * merged into the keyed snapshot directory with last-writer-wins
     * semantics; deletes (`op='d'`) are applied. Overwrites the snapshot

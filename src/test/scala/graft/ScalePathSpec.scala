@@ -653,6 +653,69 @@ class ScalePathSpec extends SparkSpec {
     assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
   }
 
+  test("componentsMerge: folding batches one at a time equals full recompute") {
+    def labelsOf(edges: Seq[(Long, Long)]) =
+      Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // three batches exercising every merge shape: fresh components,
+    // a new node attaching to an old component, a bridge edge merging
+    // TWO old components (the higher-labeled side must fully relabel),
+    // an intra-component edge (no-op), and an isolated new pair
+    val b1 = Seq((5L, 6L), (8L, 9L), (20L, 21L))
+    val b2 = Seq((6L, 7L), (1L, 2L), (8L, 9L))
+    val b3 = Seq((7L, 9L), (30L, 31L), (2L, 5L))
+    var labels = Dedup.connectedComponents(b1.toDF("id_a", "id_b"))
+    for (b <- Seq(b2, b3)) {
+      labels = Dedup.componentsMerge(labels, b.toDF("id_a", "id_b"))
+        .localCheckpoint(true)
+    }
+    val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = labelsOf(b1 ++ b2 ++ b3)
+    assert(inc == full, s"incremental $inc != recompute $full")
+    // b3's bridge chain: 1-2-5-6-7-9-8 all collapse to min id 1
+    assert(inc(9L) == 1L && inc(5L) == 1L && inc(8L) == 1L)
+    assert(inc(20L) == 20L && inc(30L) == 30L, "untouched/isolated comps keep minima")
+    // idempotence: re-folding an applied batch is the identity (the
+    // replay-safety claim the streaming sink's at-least-once rests on)
+    val replay = Dedup.componentsMerge(labels, b3.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay == inc, "componentsMerge must be idempotent under replay")
+  }
+
+  test("componentsSink: streaming edge batches maintain the persisted labeling incrementally") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cc_stream_").toString + "/labels"
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_stream_ckpt_").toString
+    val in = MemoryStream[(Long, Long)]
+    def run(): Unit = {
+      val q = graft.sources.IO.componentsSink(
+        in.toDF().toDF("id_a", "id_b"), dir, ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snapshot(): Map[Long, Long] =
+      spark.read.parquet(dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 1 cold-starts the snapshot
+    in.addData((5L, 6L), (8L, 9L))
+    run()
+    assert(snapshot() == Map(5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+    // batch 2 attaches a new node and merges the two components
+    in.addData((6L, 9L), (9L, 3L))
+    run()
+    val s2 = snapshot()
+    assert(s2 == Map(3L -> 3L, 5L -> 3L, 6L -> 3L, 8L -> 3L, 9L -> 3L), s"$s2")
+    // batch 3: incremental across restarts == one-shot recompute
+    in.addData((100L, 101L), (3L, 100L))
+    run()
+    val s3 = snapshot()
+    val full = Dedup.connectedComponents(
+      Seq((5L, 6L), (8L, 9L), (6L, 9L), (9L, 3L), (100L, 101L), (3L, 100L))
+        .toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s3 == full, s"streamed $s3 != recompute $full")
+  }
+
   test("BPE merge artifact lifecycle: round-trip, immutable prefix, extend == retrain at fixed vocab") {
     import graft.functions.Text
     val dir = java.nio.file.Files.createTempDirectory("bpe_idx_").toString + "/merges"
