@@ -136,10 +136,14 @@ object Multimodal {
 
   /** REAL audio codec for RIFF/WAVE PCM payloads via `javax.sound.sampled`
     * (pure JDK, headless — the audio sibling of [[JvmImageCodec]]).
-    * 8/16/24/32-bit integer PCM decode to channel-averaged mono doubles
-    * in [−1, 1]; everything else (compressed codecs need native libs
-    * absent here) stays on the FakeCodec honest stub. Deterministic:
-    * pure integer → double conversion, no resampling randomness. */
+    * 8/16/24/32-bit integer PCM AND 32/64-bit IEEE-float PCM (WAVE
+    * format code 3) decode to channel-averaged mono doubles in [−1, 1];
+    * multi-channel frames DOWNMIX by the plain channel mean (the law
+    * SourcesSpec pins: identical channels ≡ mono, antiphase channels
+    * cancel to silence). Everything else (compressed codecs need native
+    * libs absent here) stays on the FakeCodec honest stub.
+    * Deterministic: pure integer/bit-level → double conversion, no
+    * resampling randomness. */
   object JvmAudioCodec {
     def isWav(bytes: Array[Byte]): Boolean =
       bytes != null && bytes.length >= 12 &&
@@ -166,9 +170,13 @@ object Multimodal {
         val f = in.getFormat
         import javax.sound.sampled.AudioFormat.Encoding._
         val enc = f.getEncoding
-        if (enc != PCM_SIGNED && enc != PCM_UNSIGNED) { in.close(); None }
-        else {
-          val bits = f.getSampleSizeInBits
+        val bits = f.getSampleSizeInBits
+        val isFloat = enc == PCM_FLOAT
+        if (!isFloat && enc != PCM_SIGNED && enc != PCM_UNSIGNED) {
+          in.close(); None
+        } else if (isFloat && bits != 32 && bits != 64) {
+          in.close(); None // exotic float widths: honest refusal
+        } else {
           val bytesPer = bits / 8
           val ch = f.getChannels
           val raw = in.readAllBytes(); in.close()
@@ -189,13 +197,18 @@ object Multimodal {
                 var b = bytesPer - 1
                 while (b >= 0) { v = (v << 8) | (raw(off + b) & 0xFFL); b -= 1 }
               }
-              val signed =
-                if (enc == PCM_UNSIGNED) v - (1L << (bits - 1))
+              val sample =
+                if (isFloat) {
+                  // v holds the raw IEEE bits, endian-assembled above
+                  if (bits == 32) java.lang.Float.intBitsToFloat(v.toInt).toDouble
+                  else java.lang.Double.longBitsToDouble(v)
+                } else if (enc == PCM_UNSIGNED)
+                  (v - (1L << (bits - 1))).toDouble / full
                 else { // sign-extend
                   val shift = 64 - bits
-                  (v << shift) >> shift
+                  ((v << shift) >> shift).toDouble / full
                 }
-              acc += signed.toDouble / full
+              acc += sample
               c += 1
             }
             out(fi) = acc / ch

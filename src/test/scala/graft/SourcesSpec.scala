@@ -526,6 +526,79 @@ class SourcesSpec extends SparkSpec {
     assert(feats(2L).isNullAt(feats(2L).fieldIndex("rms")))
   }
 
+  test("multimodal: 32-bit FLOAT WAV decode (format code 3, hand-rolled header)") {
+    // IEEE-float WAVs come out of DAWs and scientific tooling; the
+    // fixture is hand-rolled (RIFF + fmt(code 3) + fact + data) so the
+    // parser is exercised on the wire format, not on what
+    // AudioSystem.write happens to emit
+    val rate = 8000; val n = 800; val freq = 1000.0; val amp = 0.5
+    def floatWav(samples: Array[Float], channels: Int): Array[Byte] = {
+      val dataLen = samples.length * 4
+      val bb = java.nio.ByteBuffer.allocate(58 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(50 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(3) // WAVE_FORMAT_IEEE_FLOAT
+      bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * channels * 4); bb.putShort((channels * 4).toShort)
+      bb.putShort(32)
+      bb.put("fact".getBytes); bb.putInt(4)
+      bb.putInt(samples.length / channels)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putFloat)
+      bb.array()
+    }
+    val mono = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate)).toFloat)
+    val wav = floatWav(mono, 1)
+    assert(Multimodal.JvmAudioCodec.isWav(wav))
+    assert(Multimodal.JvmAudioCodec.decodeMeta(wav).contains((rate, 1, 32, n.toLong)))
+    val s = Multimodal.JvmAudioCodec.samples(wav).get
+    assert(s.length == n)
+    // float path is bit-exact (no quantization): sample-level equality
+    for (i <- 0 until n) assert(math.abs(s(i) - mono(i)) < 1e-9)
+    val rms = math.sqrt(s.map(v => v * v).sum / n)
+    assert(math.abs(rms - amp / math.sqrt(2)) < 0.002 * amp, s"rms $rms")
+  }
+
+  test("multimodal: multi-channel downmix law (identical == mono; antiphase cancels)") {
+    val rate = 8000; val n = 400; val freq = 500.0; val amp = 0.4
+    def pcm16Wav(interleaved: Array[Short], channels: Int): Array[Byte] = {
+      val pcm = new Array[Byte](interleaved.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      interleaved.foreach(bb.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        (interleaved.length / channels).toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val sine = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+    // L == R: the channel-mean downmix must equal the mono decode
+    val dup = Array.tabulate(2 * n)(i => sine(i / 2))
+    val sDup = Multimodal.JvmAudioCodec.samples(pcm16Wav(dup, 2)).get
+    val sMono = Multimodal.JvmAudioCodec.samples(pcm16Wav(sine, 1)).get
+    assert(sDup.length == n && sMono.length == n)
+    for (i <- 0 until n) assert(math.abs(sDup(i) - sMono(i)) < 1e-12,
+      s"identical-channel downmix must be the mono signal at $i")
+    // L == −R: antiphase channels cancel to (near-)silence — the mean
+    // downmix convention, pinned (half-sum, not sum)
+    val anti = Array.tabulate(2 * n)(i =>
+      if (i % 2 == 0) sine(i / 2) else (-sine(i / 2)).toShort)
+    val sAnti = Multimodal.JvmAudioCodec.samples(pcm16Wav(anti, 2)).get
+    val rmsAnti = math.sqrt(sAnti.map(v => v * v).sum / n)
+    // ±1 LSB asymmetry of two's complement bounds the residue
+    assert(rmsAnti < 1.0 / 32767, s"antiphase residue rms $rmsAnti")
+    // stereo meta reports 2 channels and the true frame count
+    assert(Multimodal.JvmAudioCodec.decodeMeta(pcm16Wav(anti, 2))
+      .contains((rate, 2, 16, n.toLong)))
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
