@@ -297,6 +297,7 @@ object Text {
       .select(toSyms(col(wordCol)).as("syms"),
         col(freqCol).cast("long").as("freq"))
       .localCheckpoint(eager = true)
+    var lastCkpt = state
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = initial.size
     var done = false
@@ -318,8 +319,12 @@ object Text {
         merges += ((a, b))
         val applyMerge = udf { (syms: Seq[String]) => mergePair(syms, a, b) }
         state = state.select(applyMerge(col("syms")).as("syms"), col("freq"))
-        if (round % checkpointEvery == 0)
+        if (round % checkpointEvery == 0) {
           state = state.localCheckpoint(eager = true)
+          // the new checkpoint supersedes the previous one's blocks
+          graft.operators.Checkpoints.drop(lastCkpt)
+          lastCkpt = state
+        }
       }
     }
     merges.toSeq

@@ -608,13 +608,13 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
           .localCheckpoint(eager = true)
-        propagated.unpersist(blocking = false)
+        Checkpoints.drop(propagated)
         labels = updated
       }
-      prev.unpersist(blocking = false)
+      Checkpoints.drop(prev)
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    Checkpoints.drop(edges)
     // a maxIter exit without convergence means labels are TRUNCATED
     // propagation — silently plausible but wrong (a >maxIter-diameter
     // chain keeps distinct labels inside one component). NEVER return
@@ -623,7 +623,7 @@ object Dedup {
     // pathological-graph path (crawl mirror chains) that min-label
     // cannot close within any practical maxIter.
     if (!converged) {
-      labels.unpersist(blocking = false)
+      Checkpoints.drop(labels)
       return connectedComponentsLogRounds(pairs, idA, idB)
     }
     labels
@@ -740,7 +740,7 @@ object Dedup {
       val prev = edges
       edges = next
       edgeCount = nextCount
-      prev.unpersist(blocking = false)
+      Checkpoints.drop(prev)
       iter += 1
     }
     if (!converged)
@@ -751,9 +751,14 @@ object Dedup {
     // stars: each non-center vertex has exactly one edge to its center;
     // centers (and isolated-in-pairs vertices) label themselves
     val leafLabels = edges.groupBy(col("src").as("lid")).agg(min("dst").as("label"))
+    // pin the labeling BEFORE releasing its inputs: the main path also
+    // returns a checkpointed relation, and a real block drop under a
+    // lazy result would strand it (localCheckpoint lineage is truncated)
     val out = vertices.join(leafLabels, vertices("id") === leafLabels("lid"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
-    edges.unpersist(blocking = false)
+      .localCheckpoint(eager = true)
+    Checkpoints.drop(edges)
+    Checkpoints.drop(vertices)
     out
   }
 

@@ -311,8 +311,8 @@ object Similarity {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ivf_list")
           .parquet(s"$indexDir/vectors")
-      finally merged.unpersist(blocking = false)
-    } finally assigned.unpersist(blocking = false)
+      finally Checkpoints.drop(merged)
+    } finally Checkpoints.drop(assigned)
   }
 
   /** Delete ids from a persisted IVF index, rewriting ONLY the lists
@@ -357,8 +357,8 @@ object Similarity {
             fs.delete(new org.apache.hadoop.fs.Path(base, s"ivf_list=$l"), true)
           }
         }
-      } finally remaining.unpersist(blocking = false)
-    } finally idOnly.unpersist(blocking = false)
+      } finally Checkpoints.drop(remaining)
+    } finally Checkpoints.drop(idOnly)
   }
 
   /** Re-embed ids in a persisted IVF index: delete the old copies (from

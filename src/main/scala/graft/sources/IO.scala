@@ -422,7 +422,7 @@ object IO {
               fs.delete(
                 new org.apache.hadoop.fs.Path(s"$snapshotDir/__bucket=$b"), true)
             }
-          } finally pinned.unpersist(blocking = false)
+          } finally graft.operators.Checkpoints.drop(pinned)
         }
         ()
       }
