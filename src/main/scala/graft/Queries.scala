@@ -253,6 +253,29 @@ object Queries {
         round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
       .orderBy("c_custkey")
 
+  /** q_join_full — full outer join: the reconciliation shape (which
+    * customers spent in Q1 1995, Q2 1995, or both — unmatched sides
+    * survive with NULL spend on the absent quarter). Both inputs are
+    * keyed pre-aggregates, so the join itself is one hash shuffle on
+    * the key; at 100 TB this is the standard two-snapshot diff. NULLs
+    * are the SEMANTICS here (absence ≠ zero spend), so no coalesce on
+    * the measure columns. */
+  val q_join_full: Q = (s, d) => {
+    def quarter(lo: String, hi: String, out: String) =
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as(out))
+    val q1 = quarter("1995-01-01", "1995-04-01", "spend_q1")
+      .withColumnRenamed("o_custkey", "k1")
+    val q2 = quarter("1995-04-01", "1995-07-01", "spend_q2")
+      .withColumnRenamed("o_custkey", "k2")
+    q1.join(q2, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("custkey"),
+        col("spend_q1"), col("spend_q2"))
+      .orderBy("custkey")
+  }
+
   /** q_join_semi — EXISTS. */
   val q_join_semi: Q = (s, d) =>
     Tables.customer(s, d)
@@ -3870,6 +3893,131 @@ object Queries {
       .orderBy("ship_year")
   }
 
+  /** q_pr_curve — grouped precision/recall/F1 at EVERY score threshold,
+    * from the same per-(group, score) class histogram as [[q_auc]] (the
+    * eval-pack sibling): tp(t) = Σ_{s ≥ t} pos and fp(t) = Σ_{s ≥ t}
+    * neg fold by a within-group histogram self-join — score-DOMAIN²
+    * arithmetic, independent of data rows, hash-joined on the group key
+    * (no low-cardinality window, no global sort; the one
+    * data-proportional stage is the histogram aggregate). Counts exact
+    * longs; F1 = 2·tp/(2·tp+fp+fn) folds from integers in one rounded
+    * division (never composed from two rounded doubles). */
+  val q_pr_curve: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val h = base.groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint(eager = true)
+    val tot = h.groupBy("grp").agg(sum(col("pos")).as("p_all"))
+    val cum = h.select(col("grp"), col("score").as("threshold"))
+      .join(h.select(col("grp"), col("score").as("s2"), col("pos"),
+        col("neg")), Seq("grp"))
+      .where(col("s2") >= col("threshold"))
+      .groupBy("grp", "threshold")
+      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
+    cum.join(tot, Seq("grp"))
+      .where(col("p_all") > 0L) // zero-positive groups: recall undefined
+      .select(col("grp").as("ship_year"), col("threshold"), col("tp"),
+        col("fp"), (col("p_all") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("prec"),
+        round(col("tp").cast("double") / col("p_all"), 6).as("rec"),
+        round(lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("p_all") - col("tp")), 6)
+          .as("f1"))
+      .orderBy("ship_year", "threshold")
+  }
+
+  /** q_calibration — reliability diagram + per-bin Brier score over the
+    * eval pack's (score, label) pairs: predicted probability p̂ =
+    * score/50 (the bounded-score contract — continuous scores get
+    * quantized upstream exactly like the AUC histogram), 10 equi-width
+    * bins, per bin the count, mean p̂, empirical positive rate, their
+    * gap and the Brier contribution. EVERY numerator is an exact
+    * integer fold (score and 50·y are longs, so Σ(score−50y)² is
+    * exact); each output is ONE rounded division — no composed rounded
+    * doubles, no window, one data-proportional aggregate. */
+  val q_calibration: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    base
+      .groupBy(least(floor(col("score") / lit(5)).cast("long"), lit(9L))
+        .as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).as("ssum"),
+        sum(col("y")).as("pos"),
+        sum((col("score") - lit(50L) * col("y")) *
+          (col("score") - lit(50L) * col("y"))).as("sqsum"))
+      .select(col("bin"), col("n"),
+        round(col("ssum").cast("double") / (lit(50.0) * col("n")), 6)
+          .as("mean_pred"),
+        round(col("pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round((lit(50L) * col("pos") - col("ssum")).cast("double") /
+          (lit(50.0) * col("n")), 6).as("gap"),
+        round(col("sqsum").cast("double") / (lit(2500.0) * col("n")), 6)
+          .as("brier"))
+      .orderBy("bin")
+  }
+
+  /** q_ndcg — grouped ranking quality (NDCG@10): each order is a
+    * "query" whose lineitems rank by (extendedprice DESC, linenumber)
+    * — the retrieval-order proxy — against graded relevance
+    * l_quantity; mean NDCG folds per order priority (the
+    * search/RAG-eval shape: millions of bounded ranking groups, one
+    * high-cardinality window partition per group — never a global
+    * sort). Determinism discipline: each DCG term rel/log₂(rank+1) is
+    * quantized to an exact pico-long BEFORE its sum (log₂ spelled
+    * ln(r+1)/ln(2) identically on both engines — 10 distinct ln inputs
+    * at k = 10), per-order NDCG is one 6-dp division of exact longs,
+    * and the cross-order mean folds 1e-6-grain micro-longs (the
+    * [[q_pagerank]] exact-fold rule) so no engine ever sums raw
+    * doubles. */
+  val q_ndcg: Q = (s, d) => {
+    val ranked = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity").cast("long").as("rel"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(desc("l_extendedprice"), col("l_linenumber"))
+    val byRel = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(desc("rel"), col("l_linenumber"))
+    def picoTerm(rankCol: Column): Column =
+      round(col("rel").cast("double") /
+        (log(rankCol.cast("double") + lit(1.0)) / log(lit(2.0))) * lit(1e12))
+        .cast("long")
+    val terms = ranked
+      .withColumn("r_score", row_number().over(byScore))
+      .withColumn("r_ideal", row_number().over(byRel))
+      .select(col("l_orderkey"),
+        when(col("r_score") <= 10, picoTerm(col("r_score")))
+          .otherwise(lit(0L)).as("dcg_t"),
+        when(col("r_ideal") <= 10, picoTerm(col("r_ideal")))
+          .otherwise(lit(0L)).as("idcg_t"))
+    val perOrder = terms.groupBy("l_orderkey")
+      .agg(sum(col("dcg_t")).as("dcg_p"), sum(col("idcg_t")).as("idcg_p"))
+      .where(col("idcg_p") > 0L)
+      .select(col("l_orderkey"),
+        round(col("dcg_p").cast("double") / col("idcg_p"), 6).as("ndcg"))
+    perOrder
+      .join(Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("ndcg") * lit(1e6)).cast("long")).as("micro"))
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        round(col("micro").cast("double") / col("n_orders") / lit(1e6), 6)
+          .as("mean_ndcg"))
+      .orderBy("priority")
+  }
+
   /** q_graph_modularity — Newman–Girvan modularity of the REGION
     * partition over the weighted nation trade graph
     * ([[operators.Graph.modularity]]): how much trade stays inside a
@@ -3984,6 +4132,7 @@ object Queries {
     "q_join_asof" -> q_join_asof,
     "q_join_asof_tolerance" -> q_join_asof_tolerance,
     "q_join_left" -> q_join_left,
+    "q_join_full" -> q_join_full,
     "q_join_semi" -> q_join_semi,
     "q_join_anti" -> q_join_anti,
     "q_agg_groupby" -> q_agg_groupby,
@@ -4165,6 +4314,9 @@ object Queries {
     "q_graph_closeness_landmark" -> q_graph_closeness_landmark,
     "q_mutual_info" -> q_mutual_info,
     "q_auc" -> q_auc,
+    "q_pr_curve" -> q_pr_curve,
+    "q_calibration" -> q_calibration,
+    "q_ndcg" -> q_ndcg,
     "q_graph_modularity" -> q_graph_modularity,
     "q_graph_ktruss" -> q_graph_ktruss,
     "q_bpe_encode" -> q_bpe_encode,

@@ -1511,6 +1511,107 @@ object SparkEntry {
         |FROM tot t JOIN num n ON t.grp = n.grp
         |WHERE t.n_pos > 0 AND t.n_neg > 0
         |ORDER BY ship_year""".stripMargin,
+    // eval pack: full PR sweep from the same class histogram as q_auc —
+    // within-group domain^2 self-join, exact BIGINT counts, each metric
+    // one rounded division (F1 folds from integers, never from two
+    // rounded doubles)
+    "q_pr_curve" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+        |         CAST(l_quantity AS BIGINT) AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A')),
+        |h AS (SELECT grp, score, CAST(sum(y) AS BIGINT) AS pos,
+        |             CAST(sum(1 - y) AS BIGINT) AS neg
+        |      FROM base GROUP BY grp, score),
+        |tot AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS p_all FROM h GROUP BY grp),
+        |cum AS (SELECT h1.grp, h1.score AS threshold,
+        |               CAST(sum(h2.pos) AS BIGINT) AS tp,
+        |               CAST(sum(h2.neg) AS BIGINT) AS fp
+        |        FROM h h1 JOIN h h2 ON h1.grp = h2.grp AND h2.score >= h1.score
+        |        GROUP BY h1.grp, h1.score)
+        |SELECT c.grp AS ship_year, c.threshold, c.tp, c.fp,
+        |       t.p_all - c.tp AS fn,
+        |       round(CAST(c.tp AS DOUBLE) / (c.tp + c.fp), 6) AS prec,
+        |       round(CAST(c.tp AS DOUBLE) / t.p_all, 6) AS rec,
+        |       round(2.0 * c.tp / (2 * c.tp + c.fp + t.p_all - c.tp), 6) AS f1
+        |FROM cum c JOIN tot t ON c.grp = t.grp
+        |WHERE t.p_all > 0
+        |ORDER BY ship_year, threshold""".stripMargin,
+    // reliability diagram: p-hat = score/50, 10 equi-width bins; every
+    // numerator an exact integer fold, each output one rounded division
+    "q_calibration" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A'))
+        |SELECT LEAST(CAST(floor(score / 5) AS BIGINT), 9) AS bin,
+        |       count(*) AS n,
+        |       round(CAST(CAST(sum(score) AS BIGINT) AS DOUBLE) /
+        |             (50.0 * count(*)), 6) AS mean_pred,
+        |       round(CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) / count(*), 6)
+        |         AS frac_pos,
+        |       round(CAST(50 * CAST(sum(y) AS BIGINT) -
+        |                  CAST(sum(score) AS BIGINT) AS DOUBLE) /
+        |             (50.0 * count(*)), 6) AS gap,
+        |       round(CAST(CAST(sum((score - 50 * y) * (score - 50 * y))
+        |                       AS BIGINT) AS DOUBLE) /
+        |             (2500.0 * count(*)), 6) AS brier
+        |FROM base GROUP BY bin ORDER BY bin""".stripMargin,
+    // grouped NDCG@10: per-order ranking by price vs graded relevance
+    // l_quantity; DCG terms pico-quantized BEFORE their sums (log2
+    // spelled ln(r+1)/ln(2) identically on both engines), per-order
+    // NDCG one 6-dp division of exact longs, cross-order mean over
+    // 1e-6-grain micro-longs
+    "q_ndcg" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS rel,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber) AS r_score,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY CAST(l_quantity AS BIGINT) DESC, l_linenumber)
+        |           AS r_ideal
+        |  FROM lineitem),
+        |terms AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN r_score <= 10 THEN
+        |      CAST(round(CAST(rel AS DOUBLE) /
+        |        (ln(CAST(r_score AS DOUBLE) + 1.0) / ln(2.0)) * 1e12)
+        |        AS BIGINT) ELSE 0 END AS dcg_t,
+        |    CASE WHEN r_ideal <= 10 THEN
+        |      CAST(round(CAST(rel AS DOUBLE) /
+        |        (ln(CAST(r_ideal AS DOUBLE) + 1.0) / ln(2.0)) * 1e12)
+        |        AS BIGINT) ELSE 0 END AS idcg_t
+        |  FROM ranked),
+        |per_order AS (
+        |  SELECT l_orderkey,
+        |         round(CAST(CAST(sum(dcg_t) AS BIGINT) AS DOUBLE) /
+        |               CAST(sum(idcg_t) AS BIGINT), 6) AS ndcg
+        |  FROM terms GROUP BY l_orderkey
+        |  HAVING CAST(sum(idcg_t) AS BIGINT) > 0)
+        |SELECT o.o_orderpriority AS priority, count(*) AS n_orders,
+        |       round(CAST(CAST(sum(CAST(round(ndcg * 1e6) AS BIGINT))
+        |                       AS BIGINT) AS DOUBLE) / count(*) / 1e6, 6)
+        |         AS mean_ndcg
+        |FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY priority""".stripMargin,
+    // full outer join: quarter-over-quarter customer-spend
+    // reconciliation; NULL means absent that quarter (not zero)
+    "q_join_full" ->
+      """WITH q1 AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS spend_q1
+        |            FROM orders
+        |            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |              AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        |            GROUP BY o_custkey),
+        |     q2 AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS spend_q2
+        |            FROM orders
+        |            WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+        |              AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |            GROUP BY o_custkey)
+        |SELECT COALESCE(q1.k, q2.k) AS custkey, q1.spend_q1, q2.spend_q2
+        |FROM q1 FULL OUTER JOIN q2 ON q1.k = q2.k
+        |ORDER BY custkey""".stripMargin,
     // Newman–Girvan modularity of the region partition over the
     // weighted (cent-long) undirected trade graph: Q = (4W·ΣW_c − ΣS_c²)
     // / (4W²) — every fold exact (HUGEINT ↔ Spark Decimal(38,0)), one
