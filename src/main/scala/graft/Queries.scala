@@ -3947,22 +3947,9 @@ object Queries {
         col("l_returnflag").isin("R", "A"))
       .select(col("l_quantity").cast("long").as("score"),
         when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
-    base
-      .groupBy(least(floor(col("score") / lit(5)).cast("long"), lit(9L))
-        .as("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("score")).as("ssum"),
-        sum(col("y")).as("pos"),
-        sum((col("score") - lit(50L) * col("y")) *
-          (col("score") - lit(50L) * col("y"))).as("sqsum"))
-      .select(col("bin"), col("n"),
-        round(col("ssum").cast("double") / (lit(50.0) * col("n")), 6)
-          .as("mean_pred"),
-        round(col("pos").cast("double") / col("n"), 6).as("frac_pos"),
-        round((lit(50L) * col("pos") - col("ssum")).cast("double") /
-          (lit(50.0) * col("n")), 6).as("gap"),
-        round(col("sqsum").cast("double") / (lit(2500.0) * col("n")), 6)
-          .as("brier"))
+    val h = base.groupBy("score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    operators.Analytics.calibrationFromHistogram(h, Seq.empty)
       .orderBy("bin")
   }
 

@@ -627,6 +627,43 @@ object Analytics {
     * the streaming per-window finalize ([[graft.streaming.Jobs
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  /** Grouped CALIBRATION (reliability diagram + Brier) from the same
+    * per-(group, score) class histogram as [[aucFromHistogram]] — the
+    * second metric the one histogram pays for: p̂ = score/`scoreMax`,
+    * equi-width bins of `binWidth` clamped at `maxBin`, per bin the
+    * count, mean p̂, empirical positive rate, their gap and the Brier
+    * contribution. One histogram-sized aggregate (h is scanned ONCE —
+    * no pin needed); with integral scores every numerator folds as an
+    * exact integer, so the batch registry id (q_calibration) and the
+    * streaming per-window twin ([[graft.streaming.Jobs
+    * .calibrationPerWindow]]) are the SAME arithmetic by construction.
+    * Returns `groupCols ++ (bin, n, mean_pred, frac_pos, gap, brier)`. */
+  def calibrationFromHistogram(h: DataFrame, groupCols: Seq[String],
+                               binWidth: Long = 5L, maxBin: Long = 9L,
+                               scoreMax: Long = 50L): DataFrame = {
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"calibrationFromHistogram input is missing column " +
+        s"'$c' (have: ${h.columns.mkString(", ")})")
+    val g = groupCols.map(col)
+    val cellN = col("pos") + col("neg")
+    h.groupBy(g :+ least(floor(col("score") / lit(binWidth)).cast("long"),
+        lit(maxBin)).as("bin"): _*)
+      .agg(sum(cellN).as("n"),
+        sum(col("score") * cellN).as("ssum"),
+        sum(col("pos")).as("posn"),
+        sum((col("score") - lit(scoreMax)) * (col("score") - lit(scoreMax)) *
+          col("pos") + col("score") * col("score") * col("neg")).as("sqsum"))
+      .select(g :+ col("bin") :+ col("n") :+
+        round(col("ssum").cast("double") /
+          (lit(scoreMax.toDouble) * col("n")), 6).as("mean_pred") :+
+        round(col("posn").cast("double") / col("n"), 6).as("frac_pos") :+
+        round((lit(scoreMax) * col("posn") - col("ssum")).cast("double") /
+          (lit(scoreMax.toDouble) * col("n")), 6).as("gap") :+
+        round(col("sqsum").cast("double") /
+          (lit(scoreMax.toDouble * scoreMax) * col("n")), 6).as("brier"): _*)
+  }
+
   def aucFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
     // fail fast on the column contract: the fold below hardcodes
     // score/pos/neg (the histogram shape both producers emit), and a

@@ -184,6 +184,20 @@ object Jobs {
     graft.operators.Analytics.aucFromHistogram(
       batch.localCheckpoint(true), Seq("window_start"))
 
+  /** Per-window CALIBRATION over a FINALIZED [[windowedClassHistogram]]
+    * micro-batch — the second metric the one histogram pays for:
+    * [[graft.operators.Analytics.calibrationFromHistogram]] keyed by
+    * window_start, so the streaming reliability diagram is BY
+    * CONSTRUCTION the q_calibration fold (StreamingSpec parity law).
+    * Bins follow the batch contract (p̂ = score/50, width-5 bins
+    * clamped at 9) unless overridden. The single histogram-sized
+    * aggregate scans the batch once — no pin needed. */
+  def calibrationPerWindow(batch: DataFrame, binWidth: Long = 5L,
+                           maxBin: Long = 9L,
+                           scoreMax: Long = 50L): DataFrame =
+    graft.operators.Analytics.calibrationFromHistogram(
+      batch, Seq("window_start"), binWidth, maxBin, scoreMax)
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calibrationPerWindow: streaming reliability bins equal the batch fold") {
+    // the calibration twin of the AUC parity law: same
+    // windowedClassHistogram input, same calibrationFromHistogram fold
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = hist.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): scores spanning bins 0 (3), 2 (12) and
+      // 9 (50 — the clamp case); labels mixed
+      in.addData((ts("2024-01-01 10:01:00"), 3.0, 1L),
+        (ts("2024-01-01 10:02:00"), 3.0, 0L),
+        (ts("2024-01-01 10:03:00"), 12.0, 1L),
+        (ts("2024-01-01 10:04:00"), 50.0, 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:21:00"), 9.0, 1L)) // finalize w1
+      q.processAllAvailable()
+      val finalized = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      val got = graft.streaming.Jobs.calibrationPerWindow(finalized)
+        .collect().map(r => r.getLong(1) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6))).toMap
+      // batch fold over the same rows through the SAME operator
+      val batchH = Seq((3.0, 1L, 0L), (3.0, 0L, 1L), (12.0, 1L, 0L),
+          (50.0, 1L, 0L))
+        .toDF("score", "pos", "neg")
+        .groupBy("score").agg(sum("pos").as("pos"), sum("neg").as("neg"))
+      val want = graft.operators.Analytics
+        .calibrationFromHistogram(batchH, Seq.empty)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5))).toMap
+      assert(got == want, s"stream $got != batch $want")
+      // the clamp case landed in bin 9 with p-hat exactly 1.0
+      assert(got(9L)._2 == 1.0 && got.keySet == Set(0L, 2L, 9L))
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
