@@ -3932,6 +3932,101 @@ object Queries {
       .orderBy("ship_year", "threshold")
   }
 
+  /** q_avg_precision — grouped AVERAGE PRECISION (the area under the
+    * precision-recall curve by the step rule: AP = Σ_t ΔR(t)·P(t) =
+    * Σ_t pos_t·prec(t)/P), folded entirely from the [[q_auc]] class
+    * histogram: the per-threshold precision comes from the same
+    * within-group domain² cumulative self-join as [[q_pr_curve]], each
+    * threshold's term pos_t·tp/(tp+fp) is quantized to an exact
+    * 1e-6-grain long BEFORE the group sum (term ≤ pos_t, so micro-longs
+    * stay inside double-exact range at any data scale), and AP is one
+    * rounded division by the positive total. The AUC-PR companion of
+    * q_auc — the metric of record under class imbalance. */
+  val q_avg_precision: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val h = base.groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint(eager = true)
+    val tot = h.groupBy("grp").agg(sum(col("pos")).as("p_all"))
+    val cum = h.select(col("grp"), col("score").as("threshold"))
+      .join(h.select(col("grp"), col("score").as("s2"), col("pos"),
+        col("neg")), Seq("grp"))
+      .where(col("s2") >= col("threshold"))
+      .groupBy("grp", "threshold")
+      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
+    val terms = cum
+      .join(h.select(col("grp"), col("score").as("threshold"),
+        col("pos").as("pos_t")), Seq("grp", "threshold"))
+      .select(col("grp"),
+        round(col("pos_t").cast("double") * col("tp") /
+          (col("tp") + col("fp")) * lit(1e6)).cast("long").as("term"))
+    terms.groupBy("grp").agg(sum(col("term")).as("m"))
+      .join(tot, Seq("grp"))
+      .where(col("p_all") > 0L)
+      .select(col("grp").as("ship_year"), col("p_all").as("n_pos"),
+        round(col("m").cast("double") / col("p_all") / lit(1e6), 6)
+          .as("avg_prec"))
+      .orderBy("ship_year")
+  }
+
+  /** q_kendall_tau — grouped Kendall rank correlation (τ-b, the
+    * tie-corrected form) between quantity and discount, folded from a
+    * 2-D CONTINGENCY table — the rank-correlation shape that actually
+    * runs at 100 TB: both variables live on bounded integral domains
+    * (quantity 1..50, discount-cents 0..10 — continuous inputs get
+    * quantized upstream, the histogram contract), so concordant /
+    * discordant pair mass is domain⁴ cell-pair arithmetic (≤ 550² rows
+    * per group) over counts, never an O(N²) row join or a global sort.
+    * Doubled-form folds avoid halving: num2 = 2(C−D), D0 = N(N−1),
+    * T1 = Σ t_x(t_x−1), T2 = Σ t_y(t_y−1), τ = num2/√((D0−T1)(D0−T2))
+    * — every count Decimal(38,0) (pair masses pass 2⁶³ at petabyte N;
+    * DuckDB mirrors with HUGEINT), one IEEE sqrt (correctly rounded on
+    * both engines) and one rounded division. All-tied degenerate
+    * groups (zero denominator) are filtered on both engines. */
+  val q_kendall_tau: Q = (s, d) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = Tables.lineitem(s, d)
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * lit(100.0)).cast("long").as("y"))
+    val cells = base.groupBy("grp", "x", "y").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val c1 = cells.select(col("grp"), col("x").as("x1"), col("y").as("y1"),
+      col("n").as("n1"))
+    val c2 = cells.select(col("grp"), col("x").as("x2"), col("y").as("y2"),
+      col("n").as("n2"))
+    val cd = c1.join(c2, Seq("grp")).where(col("x2") > col("x1"))
+      .select(col("grp"),
+        when(col("y2") > col("y1"),
+          col("n1").cast(dec) * col("n2").cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("c"),
+        when(col("y2") < col("y1"),
+          col("n1").cast(dec) * col("n2").cast(dec))
+          .otherwise(lit(0L).cast(dec)).as("dd"))
+      .groupBy("grp").agg(sum(col("c")).as("cc"), sum(col("dd")).as("dsc"))
+    val tx = cells.groupBy("grp", "x").agg(sum(col("n")).as("t"))
+      .groupBy("grp").agg(
+        sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec)).as("t1"))
+    val ty = cells.groupBy("grp", "y").agg(sum(col("n")).as("t"))
+      .groupBy("grp").agg(
+        sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec)).as("t2"))
+    val nn = cells.groupBy("grp").agg(sum(col("n")).as("nr"))
+      .select(col("grp"), col("nr"),
+        (col("nr").cast(dec) * (col("nr") - lit(1L)).cast(dec)).as("d0"))
+    cd.join(tx, Seq("grp")).join(ty, Seq("grp")).join(nn, Seq("grp"))
+      .where(col("d0") > col("t1") && col("d0") > col("t2"))
+      .select(col("grp").as("ship_year"), col("nr").as("n_rows"),
+        round((lit(2L).cast(dec) * (col("cc") - col("dsc"))).cast("double") /
+          sqrt((col("d0") - col("t1")).cast("double") *
+            (col("d0") - col("t2")).cast("double")), 6).as("tau"))
+      .orderBy("ship_year")
+  }
+
   /** q_calibration — reliability diagram + per-bin Brier score over the
     * eval pack's (score, label) pairs: predicted probability p̂ =
     * score/50 (the bounded-score contract — continuous scores get
@@ -4302,6 +4397,8 @@ object Queries {
     "q_mutual_info" -> q_mutual_info,
     "q_auc" -> q_auc,
     "q_pr_curve" -> q_pr_curve,
+    "q_avg_precision" -> q_avg_precision,
+    "q_kendall_tau" -> q_kendall_tau,
     "q_calibration" -> q_calibration,
     "q_ndcg" -> q_ndcg,
     "q_graph_modularity" -> q_graph_modularity,

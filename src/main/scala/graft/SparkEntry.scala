@@ -1538,6 +1538,76 @@ object SparkEntry {
         |FROM cum c JOIN tot t ON c.grp = t.grp
         |WHERE t.p_all > 0
         |ORDER BY ship_year, threshold""".stripMargin,
+    // average precision (AUC-PR) by the step rule from the same class
+    // histogram: per-threshold terms micro-quantized before the group
+    // sum, one rounded division by the positive total
+    "q_avg_precision" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+        |         CAST(l_quantity AS BIGINT) AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A')),
+        |h AS (SELECT grp, score, CAST(sum(y) AS BIGINT) AS pos,
+        |             CAST(sum(1 - y) AS BIGINT) AS neg
+        |      FROM base GROUP BY grp, score),
+        |tot AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS p_all FROM h GROUP BY grp),
+        |cum AS (SELECT h1.grp, h1.score AS threshold,
+        |               CAST(sum(h2.pos) AS BIGINT) AS tp,
+        |               CAST(sum(h2.neg) AS BIGINT) AS fp
+        |        FROM h h1 JOIN h h2 ON h1.grp = h2.grp AND h2.score >= h1.score
+        |        GROUP BY h1.grp, h1.score),
+        |terms AS (SELECT c.grp,
+        |                 CAST(round(CAST(h.pos AS DOUBLE) * c.tp /
+        |                            (c.tp + c.fp) * 1e6) AS BIGINT) AS term
+        |          FROM cum c
+        |          JOIN h ON h.grp = c.grp AND h.score = c.threshold)
+        |SELECT tr.grp AS ship_year, t.p_all AS n_pos,
+        |       round(CAST(CAST(sum(tr.term) AS BIGINT) AS DOUBLE) /
+        |             t.p_all / 1e6, 6) AS avg_prec
+        |FROM terms tr JOIN tot t ON tr.grp = t.grp
+        |WHERE t.p_all > 0
+        |GROUP BY tr.grp, t.p_all
+        |ORDER BY ship_year""".stripMargin,
+    // Kendall tau-b from the 2-D quantity x discount-cents contingency:
+    // doubled-form folds (num2 = 2(C-D), D0 = N(N-1), T = sum t(t-1))
+    // in HUGEINT <-> Spark Decimal(38,0); one IEEE sqrt + one rounded
+    // division; all-tied degenerate groups filtered on both engines
+    "q_kendall_tau" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_discount * 100.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |cells AS (SELECT grp, x, y, count(*) AS n FROM base GROUP BY grp, x, y),
+        |cd AS (SELECT c1.grp,
+        |              sum(CASE WHEN c2.y > c1.y THEN
+        |                    CAST(c1.n AS HUGEINT) * CAST(c2.n AS HUGEINT)
+        |                  ELSE 0 END) AS cc,
+        |              sum(CASE WHEN c2.y < c1.y THEN
+        |                    CAST(c1.n AS HUGEINT) * CAST(c2.n AS HUGEINT)
+        |                  ELSE 0 END) AS dsc
+        |       FROM cells c1 JOIN cells c2
+        |         ON c1.grp = c2.grp AND c2.x > c1.x
+        |       GROUP BY c1.grp),
+        |tx AS (SELECT grp, sum(CAST(t AS HUGEINT) * CAST(t - 1 AS HUGEINT)) AS t1
+        |       FROM (SELECT grp, x, CAST(sum(n) AS BIGINT) AS t
+        |             FROM cells GROUP BY grp, x) GROUP BY grp),
+        |ty AS (SELECT grp, sum(CAST(t AS HUGEINT) * CAST(t - 1 AS HUGEINT)) AS t2
+        |       FROM (SELECT grp, y, CAST(sum(n) AS BIGINT) AS t
+        |             FROM cells GROUP BY grp, y) GROUP BY grp),
+        |nn AS (SELECT grp, CAST(sum(n) AS BIGINT) AS nr,
+        |              CAST(CAST(sum(n) AS BIGINT) AS HUGEINT) *
+        |              CAST(CAST(sum(n) AS BIGINT) - 1 AS HUGEINT) AS d0
+        |       FROM cells GROUP BY grp)
+        |SELECT cd.grp AS ship_year, nn.nr AS n_rows,
+        |       round(CAST(2 * (cd.cc - cd.dsc) AS DOUBLE) /
+        |             sqrt(CAST(nn.d0 - tx.t1 AS DOUBLE) *
+        |                  CAST(nn.d0 - ty.t2 AS DOUBLE)), 6) AS tau
+        |FROM cd JOIN tx ON cd.grp = tx.grp
+        |        JOIN ty ON cd.grp = ty.grp
+        |        JOIN nn ON cd.grp = nn.grp
+        |WHERE nn.d0 > tx.t1 AND nn.d0 > ty.t2
+        |ORDER BY ship_year""".stripMargin,
     // reliability diagram: p-hat = score/50, 10 equi-width bins; every
     // numerator an exact integer fold, each output one rounded division
     "q_calibration" ->

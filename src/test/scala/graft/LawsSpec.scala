@@ -641,6 +641,55 @@ class LawsSpec extends SparkSpec {
     assert(oneLine.nonEmpty, "fixture should contain a single-line order")
   }
 
+  test("q_avg_precision: range and ledger against the PR sweep") {
+    val ap = Queries.q_avg_precision(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(ap.nonEmpty)
+    assert(ap.forall(r => r._3 > 0.0 && r._3 <= 1.0),
+      s"AP must lie in (0,1]: ${ap.toSeq}")
+    // same positive ledger as the PR sweep (tp + fn at any threshold)
+    val pr = Queries.q_pr_curve(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    val prLedger = pr.groupBy(_._1).view.mapValues(rs => rs.head._3 + rs.head._5).toMap
+    assert(ap.map(r => r._1 -> r._2).toMap == prLedger,
+      "n_pos must equal the PR sweep's positive ledger")
+  }
+
+  test("q_kendall_tau matches an independent driver-side tau-b on the fixture") {
+    val got = Queries.q_kendall_tau(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(v => v._2 >= -1.0 && v._2 <= 1.0))
+    // independent witness: BigInt tau-b from the raw rows, same
+    // doubled-form formula, computed driver-side
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_discount") * lit(100.0)).cast("long").as("y"))
+      .as[(Long, Long, Long)].collect()
+    for ((g, pts0) <- rows.groupBy(_._1)) {
+      val pts = pts0.map(p => (p._2, p._3))
+      val cells = pts.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      var cc = BigInt(0); var dd = BigInt(0)
+      for (((x1, y1), n1) <- cells; ((x2, y2), n2) <- cells if x2 > x1) {
+        if (y2 > y1) cc += BigInt(n1) * n2
+        else if (y2 < y1) dd += BigInt(n1) * n2
+      }
+      val n = pts.length.toLong
+      val d0 = BigInt(n) * (n - 1)
+      val t1 = pts.groupBy(_._1).values
+        .map(v => BigInt(v.length.toLong) * (v.length - 1)).sum
+      val t2 = pts.groupBy(_._2).values
+        .map(v => BigInt(v.length.toLong) * (v.length - 1)).sum
+      val tau = (BigInt(2) * (cc - dd)).toDouble /
+        math.sqrt((d0 - t1).toDouble * (d0 - t2).toDouble)
+      val want = BigDecimal(tau).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(got(g)._1 == n, s"grp $g row count")
+      assert(got(g)._2 == want, s"grp $g: registry ${got(g)._2} vs driver $want")
+    }
+  }
+
   test("q_join_full: both-sides preservation and the union ledger") {
     val rows = Queries.q_join_full(spark, sfDir)
       .as[(Long, Option[Double], Option[Double])].collect()
