@@ -3912,23 +3912,8 @@ object Queries {
     val h = base.groupBy("grp", "score")
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
       .localCheckpoint(eager = true)
-    val tot = h.groupBy("grp").agg(sum(col("pos")).as("p_all"))
-    val cum = h.select(col("grp"), col("score").as("threshold"))
-      .join(h.select(col("grp"), col("score").as("s2"), col("pos"),
-        col("neg")), Seq("grp"))
-      .where(col("s2") >= col("threshold"))
-      .groupBy("grp", "threshold")
-      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
-    cum.join(tot, Seq("grp"))
-      .where(col("p_all") > 0L) // zero-positive groups: recall undefined
-      .select(col("grp").as("ship_year"), col("threshold"), col("tp"),
-        col("fp"), (col("p_all") - col("tp")).as("fn"),
-        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
-          .as("prec"),
-        round(col("tp").cast("double") / col("p_all"), 6).as("rec"),
-        round(lit(2.0) * col("tp") /
-          (lit(2L) * col("tp") + col("fp") + col("p_all") - col("tp")), 6)
-          .as("f1"))
+    operators.Analytics.prCurveFromHistogram(h, Seq("grp"))
+      .withColumnRenamed("grp", "ship_year")
       .orderBy("ship_year", "threshold")
   }
 
@@ -3952,25 +3937,8 @@ object Queries {
     val h = base.groupBy("grp", "score")
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
       .localCheckpoint(eager = true)
-    val tot = h.groupBy("grp").agg(sum(col("pos")).as("p_all"))
-    val cum = h.select(col("grp"), col("score").as("threshold"))
-      .join(h.select(col("grp"), col("score").as("s2"), col("pos"),
-        col("neg")), Seq("grp"))
-      .where(col("s2") >= col("threshold"))
-      .groupBy("grp", "threshold")
-      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
-    val terms = cum
-      .join(h.select(col("grp"), col("score").as("threshold"),
-        col("pos").as("pos_t")), Seq("grp", "threshold"))
-      .select(col("grp"),
-        round(col("pos_t").cast("double") * col("tp") /
-          (col("tp") + col("fp")) * lit(1e6)).cast("long").as("term"))
-    terms.groupBy("grp").agg(sum(col("term")).as("m"))
-      .join(tot, Seq("grp"))
-      .where(col("p_all") > 0L)
-      .select(col("grp").as("ship_year"), col("p_all").as("n_pos"),
-        round(col("m").cast("double") / col("p_all") / lit(1e6), 6)
-          .as("avg_prec"))
+    operators.Analytics.avgPrecisionFromHistogram(h, Seq("grp"))
+      .withColumnRenamed("grp", "ship_year")
       .orderBy("ship_year")
   }
 

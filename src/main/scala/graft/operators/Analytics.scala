@@ -627,6 +627,81 @@ object Analytics {
     * the streaming per-window finalize ([[graft.streaming.Jobs
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  /** Grouped PRECISION/RECALL/F1 at every score threshold from the
+    * per-(group, score) class histogram — the sweep behind
+    * [[avgPrecisionFromHistogram]] and the batch q_pr_curve id:
+    * tp(t)/fp(t) fold by a within-group histogram self-join (score-
+    * DOMAIN² arithmetic hash-joined on the group key — no
+    * low-cardinality window, no global sort), F1 folds from integers
+    * in ONE rounded division. `h` is read three times — pass it
+    * pinned. Zero-positive groups drop (recall undefined). Returns
+    * `groupCols ++ (threshold, tp, fp, fn, prec, rec, f1)`. */
+  def prCurveFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "prCurveFromHistogram needs at least one group column (the join " +
+        "re-keys on it; wrap a global sweep in a constant group)")
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"prCurveFromHistogram input is missing column '$c' " +
+        s"(have: ${h.columns.mkString(", ")})")
+    val g = groupCols.map(col)
+    val tot = h.groupBy(g: _*).agg(sum(col("pos")).as("p_all"))
+    val cum = h.select(g :+ col("score").as("threshold"): _*)
+      .join(h.select(g :+ col("score").as("s2") :+ col("pos") :+
+        col("neg"): _*), groupCols)
+      .where(col("s2") >= col("threshold"))
+      .groupBy(g :+ col("threshold"): _*)
+      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
+    cum.join(tot, groupCols)
+      .where(col("p_all") > 0L)
+      .select(g :+ col("threshold") :+ col("tp") :+ col("fp") :+
+        (col("p_all") - col("tp")).as("fn") :+
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("prec") :+
+        round(col("tp").cast("double") / col("p_all"), 6).as("rec") :+
+        round(lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("p_all") - col("tp")), 6)
+          .as("f1"): _*)
+  }
+
+  /** Grouped AVERAGE PRECISION (AUC-PR by the step rule) from the
+    * class histogram: AP = Σ_t pos_t·prec(t)/P over the same cumulative
+    * self-join as [[prCurveFromHistogram]], each term quantized to an
+    * exact 1e-6-grain long BEFORE the group sum (term ≤ pos_t, so
+    * micro-longs stay double-exact at any scale), one rounded division
+    * by the positive total. `h` is read three times — pass it pinned.
+    * Returns `groupCols ++ (n_pos, avg_prec)`. */
+  def avgPrecisionFromHistogram(h: DataFrame,
+                                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "avgPrecisionFromHistogram needs at least one group column (the join " +
+        "re-keys on it; wrap a global sweep in a constant group)")
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"avgPrecisionFromHistogram input is missing column " +
+        s"'$c' (have: ${h.columns.mkString(", ")})")
+    val g = groupCols.map(col)
+    val tot = h.groupBy(g: _*).agg(sum(col("pos")).as("p_all"))
+    val cum = h.select(g :+ col("score").as("threshold"): _*)
+      .join(h.select(g :+ col("score").as("s2") :+ col("pos") :+
+        col("neg"): _*), groupCols)
+      .where(col("s2") >= col("threshold"))
+      .groupBy(g :+ col("threshold"): _*)
+      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
+    val terms = cum
+      .join(h.select(g :+ col("score").as("threshold") :+
+        col("pos").as("pos_t"): _*), groupCols :+ "threshold")
+      .select(g :+
+        round(col("pos_t").cast("double") * col("tp") /
+          (col("tp") + col("fp")) * lit(1e6)).cast("long").as("term"): _*)
+    terms.groupBy(g: _*).agg(sum(col("term")).as("m"))
+      .join(tot, groupCols)
+      .where(col("p_all") > 0L)
+      .select(g :+ col("p_all").as("n_pos") :+
+        round(col("m").cast("double") / col("p_all") / lit(1e6), 6)
+          .as("avg_prec"): _*)
+  }
+
   /** Grouped CALIBRATION (reliability diagram + Brier) from the same
     * per-(group, score) class histogram as [[aucFromHistogram]] — the
     * second metric the one histogram pays for: p̂ = score/`scoreMax`,

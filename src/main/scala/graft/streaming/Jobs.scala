@@ -198,6 +198,23 @@ object Jobs {
     graft.operators.Analytics.calibrationFromHistogram(
       batch, Seq("window_start"), binWidth, maxBin, scoreMax)
 
+  /** Per-window PRECISION/RECALL sweep over a FINALIZED
+    * [[windowedClassHistogram]] micro-batch — the q_pr_curve fold keyed
+    * by window_start (the batch is PINNED: the sweep self-joins the
+    * histogram three times). Completes the eval pack's batch/stream
+    * symmetry: AUC, calibration, PR and AP all ride the ONE histogram
+    * both modes share (StreamingSpec parity laws). */
+  def prCurvePerWindow(batch: DataFrame): DataFrame =
+    graft.operators.Analytics.prCurveFromHistogram(
+      batch.localCheckpoint(true), Seq("window_start"))
+
+  /** Per-window AVERAGE PRECISION over a FINALIZED
+    * [[windowedClassHistogram]] micro-batch — the q_avg_precision fold
+    * keyed by window_start (batch pinned: read three times). */
+  def apPerWindow(batch: DataFrame): DataFrame =
+    graft.operators.Analytics.avgPrecisionFromHistogram(
+      batch.localCheckpoint(true), Seq("window_start"))
+
   /** Per-window top-k over a FINALIZED [[hotKeysPerWindow]] micro-batch:
     * a rank window partitioned by window_start (each partition is one
     * window's key set — bounded, scale-safe; ties break on the key for

@@ -184,6 +184,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("prCurvePerWindow + apPerWindow: streaming sweeps equal the batch folds") {
+    // the PR/AP legs of the eval-pack symmetry: one histogram, four
+    // metrics, identical folds in both modes
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = hist.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): pos {3,1}, neg {2,2,4}
+      in.addData((ts("2024-01-01 10:01:00"), 3.0, 1L),
+        (ts("2024-01-01 10:02:00"), 1.0, 1L),
+        (ts("2024-01-01 10:03:00"), 2.0, 0L),
+        (ts("2024-01-01 10:04:00"), 2.0, 0L),
+        (ts("2024-01-01 10:05:00"), 4.0, 0L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:21:00"), 9.0, 1L)) // finalize w1
+      q.processAllAvailable()
+      val finalized = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      val gotPr = graft.streaming.Jobs.prCurvePerWindow(finalized)
+        .collect().map(r => (1 until r.length).map(r.get).toList).toSet
+      val gotAp = graft.streaming.Jobs.apPerWindow(finalized)
+        .collect().map(r => (1 until r.length).map(r.get).toList).toSet
+      // batch folds over the same rows through the SAME operators,
+      // keyed by a constant group
+      val batchH = Seq((3.0, 1L, 0L), (1.0, 1L, 0L), (2.0, 0L, 1L),
+          (2.0, 0L, 1L), (4.0, 0L, 1L))
+        .toDF("score", "pos", "neg")
+        .groupBy(lit("w").as("g"), col("score"))
+        .agg(sum("pos").as("pos"), sum("neg").as("neg"))
+        .localCheckpoint(true)
+      val wantPr = graft.operators.Analytics
+        .prCurveFromHistogram(batchH, Seq("g"))
+        .collect().map(r => (1 until r.length).map(r.get).toList).toSet
+      val wantAp = graft.operators.Analytics
+        .avgPrecisionFromHistogram(batchH, Seq("g"))
+        .collect().map(r => (1 until r.length).map(r.get).toList).toSet
+      assert(gotPr == wantPr, s"PR sweep: stream $gotPr != batch $wantPr")
+      assert(gotAp == wantAp, s"AP: stream $gotAp != batch $wantAp")
+      // spot-check the sweep: at threshold 1 everything is predicted
+      // positive -> precision = 2/5, recall 1
+      // (rows are threshold, tp, fp, fn, prec, rec, f1)
+      assert(wantPr.exists(r => r.head == 1.0 && r(4) == 0.4 && r(5) == 1.0),
+        s"threshold-1 row wrong: $wantPr")
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
