@@ -3677,6 +3677,26 @@ object Queries {
       .orderBy(desc("betweenness"), col("nation"))
   }
 
+  /** q_graph_eccentricity — weighted eccentricity of each nation in
+    * the trade graph ([[operators.Graph.eccentricity]]): the cost of
+    * the WORST trade route from each nation — min = the graph center,
+    * max = the diameter endpoints. Rides the same multi-source
+    * distance fixpoint as closeness/weighted-betweenness (one loop,
+    * three folds). Oracle-exempt (iterative fixpoint); GraphSpec pins
+    * a driver all-pairs-Dijkstra golden, the landmark-subset contract
+    * and path parity; the exempt lane runs it at the driver SF.
+    * Distances display as exact 2-dp revenue (cents/100). */
+  val q_graph_eccentricity: Q = (s, d) => {
+    val e = operators.Graph.eccentricity(
+      nationTradeEdges(s, d), "src", "dst", "wc")
+    e.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_reached"),
+        round(col("ecc_cents").cast("double") / lit(100.0), 2).as("ecc_w"))
+      .orderBy("ecc_w", "nation")
+  }
+
   /** q_graph_betweenness_weighted — betweenness over the trade graph's
     * ACTUAL weights ([[operators.Graph.betweennessWeighted]]: Dijkstra-
     * wave Brandes — exact cent-long shortest-WEIGHT paths, σ counts
@@ -4359,6 +4379,7 @@ object Queries {
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,
     "q_graph_betweenness" -> q_graph_betweenness,
+    "q_graph_eccentricity" -> q_graph_eccentricity,
     "q_graph_betweenness_weighted" -> q_graph_betweenness_weighted,
     "q_graph_betweenness_landmark" -> q_graph_betweenness_landmark,
     "q_graph_closeness_landmark" -> q_graph_closeness_landmark,

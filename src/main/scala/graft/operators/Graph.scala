@@ -605,6 +605,24 @@ object Graph {
     val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
       .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
       .localCheckpoint(true)
+    val dist = multiSourceDistances(incSym, srcDf, maxIter, "harmonicCloseness")
+    Checkpoints.drop(incSym)
+    closenessFold(dist, nodes, scale)
+  }
+
+  /** The shared multi-source exact-distance fixpoint (source-tagged
+    * Bellman–Ford): state (src, n, dist) in cent-longs, one incidence
+    * join + one (src, n)-keyed min per round, observe-metric
+    * convergence, superseded checkpoints dropped per round. Seeds from
+    * the `srcDf(s)` relation IN-PLAN (no V-sized driver collect).
+    * Shared by [[harmonicCloseness]], [[betweennessWeighted]] and
+    * [[eccentricity]] — one loop, three folds. Returns the CHECKPOINTED
+    * final distance relation (caller owns its release); throws on
+    * maxIter truncation (`opName` labels the error and the per-round
+    * observe metric). */
+  private[graft] def multiSourceDistances(incSym: DataFrame, srcDf: DataFrame,
+                                          maxIter: Int,
+                                          opName: String): DataFrame = {
     var dist = srcDf.select(col("s").as("src"), col("s").as("n"),
       lit(0L).as("dist")).localCheckpoint(true)
     var converged = false
@@ -615,7 +633,7 @@ object Graph {
           Seq("m"))
         .select(col("src"), col("n"), (col("dm") + col("wc")).as("cand"))
         .groupBy("src", "n").agg(min(col("cand")).as("cand"))
-      val obs = org.apache.spark.sql.Observation(s"graft_hc_round_$iter")
+      val obs = org.apache.spark.sql.Observation(s"graft_${opName}_r$iter")
       val next = dist.join(offers, Seq("src", "n"), "full")
         .select(col("src"), col("n"), col("dist").as("old"),
           when(col("dist").isNull, col("cand"))
@@ -630,12 +648,51 @@ object Graph {
       Checkpoints.drop(prev)
       iter += 1
     }
-    Checkpoints.drop(incSym)
     if (!converged)
       throw new IllegalStateException(
-        s"harmonicCloseness did not converge within $maxIter rounds — " +
+        s"$opName did not converge within $maxIter rounds — " +
           "distances would be truncated; raise maxIter for this graph")
-    closenessFold(dist, nodes, scale)
+    dist
+  }
+
+  /** Single-task twin of [[multiSourceDistances]]: synchronous
+    * Bellman–Ford per source over the normalized edge list in one
+    * executor task — identical exact cent-long distances, so any fold
+    * over the two relations is parity-exact by construction. */
+  private[graft] def multiSourceDistancesOneTask(und: DataFrame,
+                                                 srcList: Seq[Long],
+                                                 maxIter: Int,
+                                                 opName: String): DataFrame = {
+    val ss = und.sparkSession
+    import ss.implicits._
+    val rows = und.select(col("a").cast("long"), col("b").cast("long"),
+      col("wc")).as[(Long, Long, Long)]
+    val srcs = srcList.toArray
+    rows.coalesce(1).mapPartitions { it =>
+      val es = it.toArray
+      srcs.iterator.flatMap { s0 =>
+        val d = scala.collection.mutable.HashMap(s0 -> 0L)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          val next = d.clone()
+          es.foreach { case (a, b, wc) =>
+            for ((n0, m0) <- Seq((a, b), (b, a)); dm <- d.get(m0)) {
+              val cand = dm + wc
+              if (cand < next.getOrElse(n0, Long.MaxValue)) next(n0) = cand
+            }
+          }
+          converged = next == d
+          d.clear(); d ++= next
+          iter += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"$opName did not converge within $maxIter rounds — " +
+              "distances would be truncated; raise maxIter for this graph")
+        d.iterator.map { case (n0, dd) => (s0, n0, dd) }
+      }
+    }.toDF("src", "n", "dist")
   }
 
   /** Every node on an edge — the output domain of the closeness fold
@@ -670,38 +727,58 @@ object Graph {
     * loop is by construction (GraphSpec law). */
   private def harmonicClosenessOneTask(und: DataFrame, srcList: Seq[Long],
                                        maxIter: Int,
-                                       scale: Double = 1.0): DataFrame = {
-    val ss = und.sparkSession
-    import ss.implicits._
-    val rows = und.select(col("a").cast("long"), col("b").cast("long"),
-      col("wc")).as[(Long, Long, Long)]
-    val srcs = srcList.toArray
-    val dist = rows.coalesce(1).mapPartitions { it =>
-      val es = it.toArray
-      srcs.iterator.flatMap { s0 =>
-        val d = scala.collection.mutable.HashMap(s0 -> 0L)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < maxIter) {
-          val next = d.clone()
-          es.foreach { case (a, b, wc) =>
-            for ((n0, m0) <- Seq((a, b), (b, a)); dm <- d.get(m0)) {
-              val cand = dm + wc
-              if (cand < next.getOrElse(n0, Long.MaxValue)) next(n0) = cand
-            }
-          }
-          converged = next == d
-          d.clear(); d ++= next
-          iter += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"harmonicCloseness did not converge within $maxIter rounds — " +
-              "distances would be truncated; raise maxIter for this graph")
-        d.iterator.map { case (n0, dd) => (s0, n0, dd) }
+                                       scale: Double = 1.0): DataFrame =
+    closenessFold(
+      multiSourceDistancesOneTask(und, srcList, maxIter, "harmonicCloseness"),
+      graphNodes(und), scale)
+
+  /** Weighted ECCENTRICITY per node (+ the diameter/radius endpoints):
+    * ecc(v) = max over REACHED u of the exact cent-long shortest-path
+    * weight d(v, u) — the standard finite-eccentricity convention on
+    * disconnected graphs (unreachable pairs contribute nothing, the
+    * [[harmonicCloseness]] robustness stance). Rides the SAME
+    * [[multiSourceDistances]] fixpoint as closeness and weighted
+    * betweenness — one loop, three folds — so the one-task/distributed
+    * parity is inherited, not re-proven. Exact all-sources is O(n²)
+    * state; `landmarkK` runs the sweep from K md5-picked sources and
+    * reports their EXACT eccentricities (no extrapolation — a sampled
+    * max is a lower bound, not an unbiased estimate; the classic
+    * double-sweep diameter heuristic reads max ecc off a few sources).
+    * Returns (node, n_reached, ecc_cents) for each SOURCE: distances
+    * stay exact cent-longs for the caller to display. */
+  def eccentricity(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, sources: Option[Seq[Long]] = None,
+                   landmarkK: Option[Int] = None,
+                   maxIter: Int = 40,
+                   localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    require(sources.isEmpty || landmarkK.isEmpty,
+      "pass explicit sources OR landmarkK, not both")
+    require(landmarkK.forall(_ >= 1),
+      s"landmarkK must be positive, got ${landmarkK.get}")
+    val und = undirect(edges, srcCol, dstCol, weightCol)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("wc"))
+    val minRow = und.agg(min(col("wc"))).collect().head
+    require(minRow.isNullAt(0) || minRow.getLong(0) >= 0L,
+      "eccentricity requires non-negative weights")
+    val nodes = graphNodes(und)
+    val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
+    val dist =
+      if (und.count() <= localMaxEdges) {
+        val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+        multiSourceDistancesOneTask(und, srcList, maxIter, "eccentricity")
+      } else {
+        val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+          .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+          .localCheckpoint(true)
+        val d = multiSourceDistances(incSym, srcDf, maxIter, "eccentricity")
+        Checkpoints.drop(incSym)
+        d
       }
-    }.toDF("src", "n", "dist")
-    closenessFold(dist, graphNodes(und), scale)
+    dist.where(col("src") =!= col("n"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc_cents"))
   }
 
   /** Betweenness centrality (unweighted, undirected) by distributed
@@ -1028,35 +1105,10 @@ object Graph {
       .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
       .localCheckpoint(true)
     // ---- fixpoint 1: exact weighted distances (src, n, dist) ----
-    var dist = srcDf.select(col("s").as("src"), col("s").as("n"),
-      lit(0L).as("dist")).localCheckpoint(true)
+    val dist = multiSourceDistances(incSym, srcDf, maxIter,
+      "betweennessWeighted")
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val offers = incSym
-        .join(dist.select(col("src"), col("n").as("m"), col("dist").as("dm")),
-          Seq("m"))
-        .select(col("src"), col("n"), (col("dm") + col("wc")).as("cand"))
-        .groupBy("src", "n").agg(min(col("cand")).as("cand"))
-      val obs = org.apache.spark.sql.Observation(s"graft_bwd_round_$iter")
-      val next = dist.join(offers, Seq("src", "n"), "full")
-        .select(col("src"), col("n"), col("dist").as("old"),
-          when(col("dist").isNull, col("cand"))
-            .when(col("cand").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("cand"))).as("dist"))
-        .observe(obs, sum(when(col("old").isNull ||
-          col("dist") < col("old"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint(true)
-      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
-      val prev = dist
-      dist = next.select("src", "n", "dist")
-      Checkpoints.drop(prev)
-      iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"betweennessWeighted distances did not converge within $maxIter " +
-          "rounds — raise maxIter for this graph")
     // ---- the per-source shortest-path DAG: dist(v) + w = dist(n) ----
     val dag = incSym.select(col("n").as("v"), col("m").as("w_node"),
         col("wc"))

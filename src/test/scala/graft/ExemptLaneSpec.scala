@@ -47,10 +47,12 @@ class ExemptLaneSpec extends SparkSpec {
     // (GraphSpec: K=n degenerate equality, accuracy bands, state ∝ K)
     // and q_graph_betweenness_weighted (GraphSpec: reroute golden,
     // uniform-weights == hop-count law, driver Dijkstra–Brandes
-    // reference, path parity); widen this number deliberately (with a
-    // new golden law), never by accident
+    // reference, path parity) and q_graph_eccentricity (GraphSpec:
+    // driver all-pairs-Dijkstra golden over the shared multi-source
+    // distance fixpoint) — 29 total; widen this number deliberately
+    // (with a new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 28,
+    assert(exemptIds.size <= 29,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

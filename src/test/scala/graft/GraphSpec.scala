@@ -785,6 +785,43 @@ class GraphSpec extends SparkSpec {
     assert(local == refBetweennessWeighted(small))
   }
 
+  test("eccentricity matches the driver all-pairs Dijkstra; landmark subset exact; parity") {
+    val wg: Seq[(Long, Long, Double)] =
+      Seq((1L, 2L, 5.0), (2L, 4L, 5.0), (1L, 3L, 2.0), (3L, 4L, 3.0),
+        (4L, 5L, 10.0), (2L, 3L, 0.5), (8L, 9L, 1.0), (1L, 1L, 9.0))
+    def run(srcs: Option[Seq[Long]], localMax: Long) =
+      Graph.eccentricity(edgeDf(wg), "src", "dst", "w", sources = srcs,
+          localMaxEdges = localMax)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(None, Graph.LocalFixpointMaxEdges)
+    // driver reference: per-source Dijkstra, ecc = max reached distance
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L)
+    val want = nodes.map { s0 =>
+      val d = refDijkstra(wg, s0).filter { case (v, _) => v != s0 }
+      s0 -> (d.size.toLong, d.values.max)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // the island pair sees only each other: ecc = its single edge
+    assert(got(8L) == ((1L, 100L)) && got(9L) == ((1L, 100L)))
+    // one-task == distributed (shared fixpoint, shared fold)
+    assert(run(None, 0L) == got)
+    // landmark/sources mode: EXACT eccentricities for just those
+    // sources — no extrapolation (a sampled max is a lower bound)
+    val sub = run(Some(Seq(1L, 8L)), Graph.LocalFixpointMaxEdges)
+    assert(sub.keySet == Set(1L, 8L) && sub(1L) == want(1L) && sub(8L) == want(8L))
+  }
+
+  test("q_graph_eccentricity: trade-graph worst-routes are sane and center-first") {
+    val rows = Queries.all.toMap.apply("q_graph_eccentricity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val es = rows.map(_.getDouble(2))
+    assert(es.forall(_ > 0.0))
+    assert(es.sameElements(es.sorted), "center (min ecc) must sort first")
+    // radius <= diameter, both attained
+    assert(es.head <= es.last)
+  }
+
   test("q_graph_betweenness_weighted: trade-graph centralities are sane and ordered") {
     val rows = Queries.all.toMap.apply("q_graph_betweenness_weighted")(spark, sfDir)
       .collect()
