@@ -4015,6 +4015,30 @@ object Queries {
       .orderBy("ship_year")
   }
 
+  /** q_isotonic_calibration — the monotone probability calibrator
+    * ([[operators.Analytics.isotonicFromHistogram]]: pool-adjacent-
+    * violators over the q_auc class histogram, per ship-year group).
+    * Where [[q_calibration]] DIAGNOSES miscalibration, this FITS the
+    * correction: fitted(score) is the isotonic regression of the
+    * empirical positive rate — the post-hoc calibration map a serving
+    * layer applies. Oracle-exempt (the pooling recursion has no
+    * tractable SQL form); LawsSpec pins monotonicity, the pooled-mass
+    * ledger, idempotence and an independent driver-side PAV reference,
+    * and the exempt lane runs it at the driver SF. */
+  val q_isotonic_calibration: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val h = base.groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    operators.Analytics.isotonicFromHistogram(h, Seq("grp"))
+      .withColumnRenamed("grp", "ship_year")
+      .orderBy("ship_year", "score")
+  }
+
   /** q_calibration — reliability diagram + per-bin Brier score over the
     * eval pack's (score, label) pairs: predicted probability p̂ =
     * score/50 (the bounded-score contract — continuous scores get
@@ -4389,6 +4413,7 @@ object Queries {
     "q_avg_precision" -> q_avg_precision,
     "q_kendall_tau" -> q_kendall_tau,
     "q_calibration" -> q_calibration,
+    "q_isotonic_calibration" -> q_isotonic_calibration,
     "q_ndcg" -> q_ndcg,
     "q_graph_modularity" -> q_graph_modularity,
     "q_graph_ktruss" -> q_graph_ktruss,

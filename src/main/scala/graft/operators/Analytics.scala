@@ -627,6 +627,65 @@ object Analytics {
     * the streaming per-window finalize ([[graft.streaming.Jobs
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  /** Grouped ISOTONIC calibration (pool-adjacent-violators) from the
+    * per-(group, score) class histogram — the nonparametric calibrator
+    * that turns raw scores into monotone probabilities (the standard
+    * post-hoc calibration step next to [[calibrationFromHistogram]]'s
+    * diagnostic): per group, the empirical rates pos/(pos+neg) over the
+    * ascending score domain are pooled until monotone, each pool's
+    * fitted value the weighted mean of its members. At-scale shape:
+    * the data-proportional work is the histogram aggregate upstream;
+    * PAV itself runs on the score-DOMAIN-sized cell list (bounded by
+    * the histogram contract), gathered per group with `collect_list`
+    * inside one task — never a driver collect, never a global sort.
+    * Arithmetic is ENGINE-FREE exact: pool merge decisions compare
+    * rates as BigInt cross-products (a/b ≥ c/d ⇔ a·d ≥ c·b — no double
+    * epsilon anywhere), and the fitted value is one HALF_UP 6-dp
+    * division of exact long sums. Returns `groupCols ++ (score, n,
+    * fitted)` — fitted is non-decreasing in score within every group
+    * (the law LawsSpec pins, with a driver PAV reference and the
+    * pooled-mass ledger Σ fitted·n == Σ pos). */
+  def isotonicFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"isotonicFromHistogram input is missing column '$c' " +
+        s"(have: ${h.columns.mkString(", ")})")
+    val g = groupCols.map(col)
+    val pav = udf { (cells: Seq[org.apache.spark.sql.Row]) =>
+      // blocks of (member (score, n) list, pooled pos, pooled n); cells
+      // arrive sorted by score (sort_array on the leading struct field)
+      final case class Block(members: List[(Double, Long)], p: Long, n: Long)
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+      cells.foreach { r =>
+        var b = Block(List((r.getDouble(0), r.getLong(2))), r.getLong(1),
+          r.getLong(2))
+        // pool while the previous block's rate exceeds this one's:
+        // prev.p/prev.n > b.p/b.n  ⇔  prev.p·b.n > b.p·prev.n
+        while (blocks.nonEmpty &&
+          BigInt(blocks.last.p) * b.n > BigInt(b.p) * blocks.last.n) {
+          val prev = blocks.remove(blocks.length - 1)
+          b = Block(prev.members ++ b.members, prev.p + b.p, prev.n + b.n)
+        }
+        blocks += b
+      }
+      blocks.iterator.flatMap { b =>
+        val fitted = BigDecimal(b.p).bigDecimal
+          .divide(BigDecimal(b.n).bigDecimal, 6,
+            java.math.RoundingMode.HALF_UP).doubleValue
+        b.members.map { case (sc, nc) => (sc, nc, fitted) }
+      }.toSeq
+    }
+    h.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col("score").cast("double").as("s"),
+        col("pos").cast("long").as("p"),
+        (col("pos") + col("neg")).cast("long").as("n")))).as("cells"))
+      .select(g :+ col("cells") :+
+        explode(pav(col("cells"))).as("seg"): _*)
+      .select(g :+ col("seg._1").as("score") :+ col("seg._2").as("n") :+
+        col("seg._3").as("fitted"): _*)
+  }
+
   /** Grouped PRECISION/RECALL/F1 at every score threshold from the
     * per-(group, score) class histogram — the sweep behind
     * [[avgPrecisionFromHistogram]] and the batch q_pr_curve id:

@@ -198,6 +198,14 @@ object Jobs {
     graft.operators.Analytics.calibrationFromHistogram(
       batch, Seq("window_start"), binWidth, maxBin, scoreMax)
 
+  /** Per-window ISOTONIC calibration over a FINALIZED
+    * [[windowedClassHistogram]] micro-batch — the PAV fold keyed by
+    * window_start: every finalized window yields a fresh monotone
+    * calibration map (one histogram-sized aggregate, scanned once). */
+  def isotonicPerWindow(batch: DataFrame): DataFrame =
+    graft.operators.Analytics.isotonicFromHistogram(
+      batch, Seq("window_start"))
+
   /** Per-window PRECISION/RECALL sweep over a FINALIZED
     * [[windowedClassHistogram]] micro-batch — the q_pr_curve fold keyed
     * by window_start (the batch is PINNED: the sweep self-joins the

@@ -49,10 +49,12 @@ class ExemptLaneSpec extends SparkSpec {
     // uniform-weights == hop-count law, driver Dijkstra–Brandes
     // reference, path parity) and q_graph_eccentricity (GraphSpec:
     // driver all-pairs-Dijkstra golden over the shared multi-source
-    // distance fixpoint) — 29 total; widen this number deliberately
-    // (with a new golden law), never by accident
+    // distance fixpoint) and q_isotonic_calibration (LawsSpec: PAV
+    // monotonicity/ledger/idempotence + driver reference) — 30 total;
+    // widen this number deliberately (with a new golden law), never by
+    // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 29,
+    assert(exemptIds.size <= 30,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

@@ -690,6 +690,70 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("q_isotonic_calibration: monotone fit, pooled-mass ledger, driver PAV reference, idempotence") {
+    val rows = Queries.q_isotonic_calibration(spark, sfDir)
+      .as[(Long, Double, Long, Double)].collect() // (grp, score, n, fitted)
+    assert(rows.nonEmpty)
+    val byGrp = rows.groupBy(_._1)
+    // independent driver-side PAV over the same histogram
+    val hist = graft.sources.Tables.lineitem(spark, sfDir)
+      .where(col("l_linestatus") === "F" && col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1))
+      .toMap
+    def refPav(cells: Seq[(Long, Long, Long)]): Map[Long, Double] = {
+      val blocks = scala.collection.mutable.ArrayBuffer
+        .empty[(List[Long], BigInt, BigInt)]
+      cells.foreach { case (sc, p0, n0) =>
+        var b = (List(sc), BigInt(p0), BigInt(n0))
+        while (blocks.nonEmpty && blocks.last._2 * b._3 > b._2 * blocks.last._3) {
+          val pr = blocks.remove(blocks.length - 1)
+          b = (pr._1 ++ b._1, pr._2 + b._2, pr._3 + b._3)
+        }
+        blocks += b
+      }
+      blocks.flatMap { case (scs, p0, n0) =>
+        val f = BigDecimal(p0).bigDecimal
+          .divide(BigDecimal(n0).bigDecimal, 6, java.math.RoundingMode.HALF_UP)
+          .doubleValue
+        scs.map(_ -> f)
+      }.toMap
+    }
+    for ((g, rs) <- byGrp) {
+      val sorted = rs.sortBy(_._2)
+      // 1. monotone non-decreasing in score
+      assert(sorted.map(_._4).sliding(2)
+        .forall(p => p.length < 2 || p(0) <= p(1)),
+        s"grp $g: fitted must be monotone: ${sorted.toSeq}")
+      // 2. matches the independent reference exactly
+      val want = refPav(hist(g)).map { case (k, v) => k.toDouble -> v }
+      assert(sorted.map(r => r._2 -> r._4).toMap == want,
+        s"grp $g: registry PAV != driver PAV")
+      // 3. pooled-mass ledger: sum fitted*n recovers the positives
+      //    (within the 6-dp per-cell rounding x total mass)
+      val fitMass = sorted.map(r => r._4 * r._3).sum
+      val posMass = hist(g).map(_._2).sum.toDouble
+      assert(math.abs(fitMass - posMass) <= 1e-6 * sorted.map(_._3).sum / 2 + 1e-6,
+        s"grp $g: ledger ${fitMass} vs positives $posMass")
+    }
+    // 4. idempotence: PAV of an already-monotone histogram is identity
+    //    (feed the fitted rates back as a pos/neg histogram at n=1e6)
+    val mono = Seq((1L, 100000L, 900000L), (2L, 250000L, 750000L),
+      (3L, 250000L, 750000L), (4L, 990000L, 10000L))
+      .toDF("score", "pos", "negn")
+      .select(col("score"), col("pos"), (lit(1000000L) - col("pos")).as("neg"))
+    val again = graft.operators.Analytics
+      .isotonicFromHistogram(mono.withColumn("g", lit(1L)), Seq("g"))
+      .select("score", "fitted").as[(Double, Double)].collect().toMap
+    assert(again == Map(1.0 -> 0.1, 2.0 -> 0.25, 3.0 -> 0.25, 4.0 -> 0.99),
+      s"PAV must fix already-monotone input: $again")
+  }
+
   test("q_join_full: both-sides preservation and the union ledger") {
     val rows = Queries.q_join_full(spark, sfDir)
       .as[(Long, Option[Double], Option[Double])].collect()

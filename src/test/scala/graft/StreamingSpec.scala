@@ -234,6 +234,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("isotonicPerWindow: streaming PAV equals the batch fold") {
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = hist.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // window [10:00,10:10): rates 1.0 @score1, 0.0 @score2, 1.0
+      // @score3 — the middle violator pools with a neighbor
+      in.addData((ts("2024-01-01 10:01:00"), 1.0, 1L),
+        (ts("2024-01-01 10:02:00"), 2.0, 0L),
+        (ts("2024-01-01 10:03:00"), 3.0, 1L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:21:00"), 9.0, 1L)) // finalize w1
+      q.processAllAvailable()
+      val finalized = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      val got = graft.streaming.Jobs.isotonicPerWindow(finalized)
+        .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      // PAV: 1.0 then 0.0 violates -> pool {1,2} to 0.5; 1.0 stands
+      assert(got == Map(1.0 -> (1L, 0.5), 2.0 -> (1L, 0.5),
+        3.0 -> (1L, 1.0)), s"$got")
+      // parity with the batch fold over the same histogram
+      val batchH = Seq((1.0, 1L, 0L), (2.0, 0L, 1L), (3.0, 1L, 0L))
+        .toDF("score", "pos", "neg").withColumn("g", lit(1L))
+      val want = graft.operators.Analytics
+        .isotonicFromHistogram(batchH, Seq("g"))
+        .collect().map(r => r.getDouble(1) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
