@@ -270,6 +270,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eval-pipeline composition: ONE windowed histogram feeds AUC, PR, AP, calibration and isotonic") {
+    // the end-to-end claim behind the eval pack: a single watermarked
+    // class histogram pays for every metric, and the metrics agree with
+    // each other on the same finalized window
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = hist.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // a PERFECTLY separated window: all positives above all negatives
+      in.addData((ts("2024-01-01 10:01:00"), 40.0, 1L),
+        (ts("2024-01-01 10:02:00"), 45.0, 1L),
+        (ts("2024-01-01 10:03:00"), 10.0, 0L),
+        (ts("2024-01-01 10:04:00"), 5.0, 0L),
+        (ts("2024-01-01 10:05:00"), 15.0, 0L))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:21:00"), 9.0, 1L)) // finalize w1
+      q.processAllAvailable()
+      val w1 = spark.table(name)
+        .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+        .localCheckpoint(true)
+      val rows = 5L
+      // AUC and AP are both 1 on perfect separation
+      val auc = graft.streaming.Jobs.aucPerWindow(w1)
+        .select("auc").as[Double].head()
+      assert(auc == 1.0)
+      val ap = graft.streaming.Jobs.apPerWindow(w1)
+        .select("avg_prec").as[Double].head()
+      assert(ap == 1.0)
+      // the PR sweep contains a perfect operating point (prec=rec=1)
+      val pr = graft.streaming.Jobs.prCurvePerWindow(w1)
+        .select("prec", "rec").as[(Double, Double)].collect()
+      assert(pr.contains((1.0, 1.0)), s"perfect point missing: ${pr.toSeq}")
+      // calibration bins partition the window's rows exactly
+      val calib = graft.streaming.Jobs.calibrationPerWindow(w1)
+        .select("n").as[Long].collect()
+      assert(calib.sum == rows)
+      // isotonic fit is monotone and its pooled mass recovers the
+      // positives
+      val iso = graft.streaming.Jobs.isotonicPerWindow(w1)
+        .orderBy("score").select("n", "fitted").as[(Long, Double)].collect()
+      assert(iso.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(math.abs(iso.map(r => r._1 * r._2).sum - 2.0) < 1e-6,
+        "pooled mass must equal the window's positive count")
+    } finally q.stop()
+  }
+
   test("sliding window agg: rows land in every overlapping window; watermark finalizes") {
     val in = MemoryStream[(Timestamp, Long)]
     val agg = Streams.slidingAgg(
