@@ -4015,6 +4015,62 @@ object Queries {
       .orderBy("ship_year")
   }
 
+  /** q_lift_curve — grouped lift / cumulative-gains sweep
+    * ([[operators.Analytics.liftFromHistogram]]): at each score
+    * threshold, what fraction of the population is flagged, what
+    * fraction of positives that captures (gain) and how many times
+    * better than random the slice is (lift = precision/prevalence).
+    * The campaign-targeting twin of [[q_pr_curve]], same domain²
+    * histogram fold, every ratio ONE rounded division of exact longs. */
+  val q_lift_curve: Q = (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F" &&
+        col("l_returnflag").isin("R", "A"))
+      .select(year(col("l_shipdate")).cast("long").as("grp"),
+        col("l_quantity").cast("long").as("score"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val h = base.groupBy("grp", "score")
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .localCheckpoint(eager = true)
+    operators.Analytics.liftFromHistogram(h, Seq("grp"))
+      .withColumnRenamed("grp", "ship_year")
+      .orderBy("ship_year", "threshold")
+  }
+
+  /** q_mrr — grouped MEAN RECIPROCAL RANK: each order is a "query"
+    * whose lineitems rank by (extendedprice DESC, linenumber); the
+    * reciprocal rank of the FIRST returned item (returnflag R) scores
+    * the ranking, orders with no returned item score 0 (the standard
+    * MRR convention). Per-order work is a high-cardinality window +
+    * one keyed min — never a global sort; the cross-order mean folds
+    * exact 1e-6-grain micro-longs (round(1e6/rank) is identical on
+    * both engines — integral inputs, one rounding), one division per
+    * group. Completes the ranking-metric trio with [[q_ndcg]] and
+    * [[q_avg_precision]]. */
+  val q_mrr: Q = (s, d) => {
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy(desc("l_extendedprice"), col("l_linenumber"))
+    val firstRel = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .withColumn("r", row_number().over(byScore))
+      .where(col("l_returnflag") === "R")
+      .groupBy("l_orderkey").agg(min(col("r")).as("first_rel"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(firstRel, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderpriority"),
+        coalesce(round(lit(1e6) / col("first_rel")).cast("long"), lit(0L))
+          .as("rr_micro"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("rr_micro")).as("m"))
+      .select(col("o_orderpriority").as("priority"), col("n_orders"),
+        round(col("m").cast("double") / col("n_orders") / lit(1e6), 6)
+          .as("mrr"))
+      .orderBy("priority")
+  }
+
   /** q_isotonic_calibration — the monotone probability calibrator
     * ([[operators.Analytics.isotonicFromHistogram]]: pool-adjacent-
     * violators over the q_auc class histogram, per ship-year group).
@@ -4413,6 +4469,8 @@ object Queries {
     "q_avg_precision" -> q_avg_precision,
     "q_kendall_tau" -> q_kendall_tau,
     "q_calibration" -> q_calibration,
+    "q_lift_curve" -> q_lift_curve,
+    "q_mrr" -> q_mrr,
     "q_isotonic_calibration" -> q_isotonic_calibration,
     "q_ndcg" -> q_ndcg,
     "q_graph_modularity" -> q_graph_modularity,

@@ -1628,6 +1628,53 @@ object SparkEntry {
         |                       AS BIGINT) AS DOUBLE) /
         |             (2500.0 * count(*)), 6) AS brier
         |FROM base GROUP BY bin ORDER BY bin""".stripMargin,
+    // lift / cumulative gains from the same class histogram: flagged
+    // fraction, gain (= recall) and lift = tp*N / ((tp+fp)*P), each one
+    // rounded division of exact BIGINTs
+    "q_lift_curve" ->
+      """WITH base AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
+        |         CAST(l_quantity AS BIGINT) AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A')),
+        |h AS (SELECT grp, score, CAST(sum(y) AS BIGINT) AS pos,
+        |             CAST(sum(1 - y) AS BIGINT) AS neg
+        |      FROM base GROUP BY grp, score),
+        |tot AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS p_all,
+        |               CAST(sum(pos + neg) AS BIGINT) AS n_all
+        |        FROM h GROUP BY grp),
+        |cum AS (SELECT h1.grp, h1.score AS threshold,
+        |               CAST(sum(h2.pos) AS BIGINT) AS tp,
+        |               CAST(sum(h2.neg) AS BIGINT) AS fp
+        |        FROM h h1 JOIN h h2 ON h1.grp = h2.grp AND h2.score >= h1.score
+        |        GROUP BY h1.grp, h1.score)
+        |SELECT c.grp AS ship_year, c.threshold,
+        |       c.tp + c.fp AS n_flagged,
+        |       round(CAST(c.tp + c.fp AS DOUBLE) / t.n_all, 6) AS frac_flagged,
+        |       round(CAST(c.tp AS DOUBLE) / t.p_all, 6) AS gain,
+        |       round(CAST(c.tp AS DOUBLE) * t.n_all /
+        |             (CAST(c.tp + c.fp AS DOUBLE) * t.p_all), 6) AS lift
+        |FROM cum c JOIN tot t ON c.grp = t.grp
+        |WHERE t.p_all > 0
+        |ORDER BY ship_year, threshold""".stripMargin,
+    // mean reciprocal rank: first returned item per price-ranked order,
+    // micro-long reciprocal ranks, one division per priority group
+    "q_mrr" ->
+      """WITH ranked AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber) AS r
+        |  FROM lineitem),
+        |first_rel AS (
+        |  SELECT l_orderkey, CAST(min(r) AS BIGINT) AS first_rel
+        |  FROM ranked WHERE l_returnflag = 'R' GROUP BY l_orderkey)
+        |SELECT o.o_orderpriority AS priority, count(*) AS n_orders,
+        |       round(CAST(CAST(sum(COALESCE(
+        |               CAST(round(1e6 / f.first_rel) AS BIGINT), 0))
+        |             AS BIGINT) AS DOUBLE) / count(*) / 1e6, 6) AS mrr
+        |FROM orders o LEFT JOIN first_rel f ON o.o_orderkey = f.l_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY priority""".stripMargin,
     // grouped NDCG@10: per-order ranking by price vs graded relevance
     // l_quantity; DCG terms pico-quantized BEFORE their sums (log2
     // spelled ln(r+1)/ln(2) identically on both engines), per-order

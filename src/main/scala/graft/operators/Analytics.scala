@@ -627,6 +627,45 @@ object Analytics {
     * the streaming per-window finalize ([[graft.streaming.Jobs
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  /** Grouped LIFT / CUMULATIVE-GAINS curve from the class histogram —
+    * the targeting view of the [[prCurveFromHistogram]] sweep: at each
+    * threshold, the flagged fraction (tp+fp)/N, the gain (= recall:
+    * fraction of positives captured) and the lift prec/prevalence =
+    * tp·N / ((tp+fp)·P) — how many times better than random targeting
+    * the top slice is. Same within-group domain² cumulative self-join;
+    * every ratio folds from exact longs in ONE rounded division (lift
+    * in particular is never composed from two rounded doubles). `h` is
+    * read three times — pass it pinned. Returns `groupCols ++
+    * (threshold, n_flagged, frac_flagged, gain, lift)`. */
+  def liftFromHistogram(h: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "liftFromHistogram needs at least one group column (the join " +
+        "re-keys on it; wrap a global sweep in a constant group)")
+    val have = h.columns.toSet
+    for (c <- Seq("score", "pos", "neg") ++ groupCols)
+      require(have(c), s"liftFromHistogram input is missing column '$c' " +
+        s"(have: ${h.columns.mkString(", ")})")
+    val g = groupCols.map(col)
+    val tot = h.groupBy(g: _*).agg(sum(col("pos")).as("p_all"),
+      sum(col("pos") + col("neg")).as("n_all"))
+    val cum = h.select(g :+ col("score").as("threshold"): _*)
+      .join(h.select(g :+ col("score").as("s2") :+ col("pos") :+
+        col("neg"): _*), groupCols)
+      .where(col("s2") >= col("threshold"))
+      .groupBy(g :+ col("threshold"): _*)
+      .agg(sum(col("pos")).as("tp"), sum(col("neg")).as("fp"))
+    cum.join(tot, groupCols)
+      .where(col("p_all") > 0L)
+      .select(g :+ col("threshold") :+
+        (col("tp") + col("fp")).as("n_flagged") :+
+        round((col("tp") + col("fp")).cast("double") / col("n_all"), 6)
+          .as("frac_flagged") :+
+        round(col("tp").cast("double") / col("p_all"), 6).as("gain") :+
+        round(col("tp").cast("double") * col("n_all") /
+          ((col("tp") + col("fp")).cast("double") * col("p_all")), 6)
+          .as("lift"): _*)
+  }
+
   /** Grouped ISOTONIC calibration (pool-adjacent-violators) from the
     * per-(group, score) class histogram — the nonparametric calibrator
     * that turns raw scores into monotone probabilities (the standard

@@ -754,6 +754,55 @@ class LawsSpec extends SparkSpec {
       s"PAV must fix already-monotone input: $again")
   }
 
+  test("q_lift_curve: full coverage lifts exactly 1; gain falls with threshold; identity gain = lift x frac") {
+    val rows = Queries.q_lift_curve(spark, sfDir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((g, rs0) <- rows.groupBy(_._1)) {
+      val rs = rs0.sortBy(_._2)
+      // lowest threshold flags everyone: lift = 1, gain = 1 by definition
+      assert(rs.head._4 == 1.0 && rs.head._5 == 1.0 && rs.head._6 == 1.0,
+        s"grp $g floor row: ${rs.head}")
+      // gain (recall) is non-increasing as the threshold rises
+      assert(rs.map(_._5).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+      // identity: gain = lift x frac_flagged (to rounding grain)
+      assert(rs.forall(r => math.abs(r._5 - r._6 * r._4) < 5e-5),
+        s"grp $g: gain != lift x frac: ${rs.find(r => math.abs(r._5 - r._6 * r._4) >= 5e-5)}")
+      assert(rs.forall(_._6 > 0.0))
+    }
+  }
+
+  test("q_mrr: range, and a direct driver recompute per priority") {
+    val got = Queries.q_mrr(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(v => v._2 >= 0.0 && v._2 <= 1.0))
+    // independent recompute: rank per order by (price desc, linenumber),
+    // reciprocal rank of the first 'R' item, micro-long mean
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .as[(Long, Int, Double, String)].collect()
+    val firstRel: Map[Long, Int] = li.groupBy(_._1).view.mapValues { ls =>
+      val ranked = ls.sortBy(l => (-l._3, l._2))
+      ranked.indexWhere(_._4 == "R") + 1 // 0 if none -> becomes 0 below
+    }.toMap
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val want = orders.groupBy(_._2).map { case (prio, os) =>
+      val micros = os.map { case (ok, _) =>
+        val r = firstRel.getOrElse(ok, 0)
+        if (r <= 0) 0L
+        else BigDecimal(1e6 / r).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      prio -> (os.length.toLong,
+        BigDecimal(micros.sum.toDouble / os.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == want, s"registry $got vs driver $want")
+  }
+
   test("q_join_full: both-sides preservation and the union ledger") {
     val rows = Queries.q_join_full(spark, sfDir)
       .as[(Long, Option[Double], Option[Double])].collect()
