@@ -4015,6 +4015,28 @@ object Queries {
       .orderBy("ship_year")
   }
 
+  /** q_holt_winters — weekly-seasonal forecast of daily event volume
+    * per event type ([[operators.Analytics.holtWintersForecast]]:
+    * additive Holt–Winters, trend-adjusted init, period 7, 7-day
+    * horizon). The data-proportional work is ONE (type, day) count
+    * aggregate; the triple recurrence runs per key on the bounded
+    * calendar-length series in a single task. Oracle-exempt (the
+    * recurrence has no tractable SQL form); LawsSpec pins the
+    * exact-fit law (linear + seasonal input ⇒ zero residual, exact
+    * forecasts for ANY smoothing constants) and a driver-side
+    * recurrence reference on the registry output; the exempt lane runs
+    * it at the driver SF. */
+  val q_holt_winters: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("day_i"))
+      .groupBy("event_type", "day_i")
+      .agg(count(lit(1)).cast("double").as("n"))
+    operators.Analytics.holtWintersForecast(daily, Seq("event_type"),
+        "day_i", "n", period = 7, horizon = 7)
+      .orderBy("event_type", "h")
+  }
+
   /** q_lift_curve — grouped lift / cumulative-gains sweep
     * ([[operators.Analytics.liftFromHistogram]]): at each score
     * threshold, what fraction of the population is flagged, what
@@ -4469,6 +4491,7 @@ object Queries {
     "q_avg_precision" -> q_avg_precision,
     "q_kendall_tau" -> q_kendall_tau,
     "q_calibration" -> q_calibration,
+    "q_holt_winters" -> q_holt_winters,
     "q_lift_curve" -> q_lift_curve,
     "q_mrr" -> q_mrr,
     "q_isotonic_calibration" -> q_isotonic_calibration,

@@ -627,6 +627,81 @@ object Analytics {
     * the streaming per-window finalize ([[graft.streaming.Jobs
     * .aucPerWindow]]), which is what makes their parity a law rather
     * than a coincidence. Returns `groupCols ++ (n_pos, n_neg, auc)`. */
+  /** Grouped HOLT–WINTERS (additive level + trend + seasonality)
+    * forecasting — the missing piece between [[q_ewma]]'s smoothing and
+    * a real seasonal forecast: per key, the classic triple recurrence
+    * over the ordered series, then an `horizon`-step-ahead forecast
+    * l_T + h·b_T + s_{T−m+((h−1) mod m)}. Initialization is the
+    * trend-adjusted form (trend = season-over-season mean shift / m;
+    * level = first-season mean shifted to t = m−1; seasonals =
+    * detrended first-season deviations), which
+    * gives the EXACT-FIT law LawsSpec pins: a purely linear + seasonal
+    * series is reproduced with zero residual and exact forecasts for
+    * ANY smoothing constants (the recurrences preserve exact state when
+    * the residual is 0). At-scale shape: the data-proportional work is
+    * the upstream per-(key, bucket) aggregate; the recurrence runs on
+    * the BOUNDED per-key series (calendar-sized by contract) gathered
+    * with `collect_list` inside one task per key — the
+    * [[isotonicFromHistogram]] discipline, never a driver collect.
+    * Deterministic: one fixed left-to-right double recurrence, no
+    * reduce-order dependence. Returns `keyCols ++ (h, forecast)` with
+    * forecast rounded at 6 dp; keys whose series is shorter than two
+    * full seasons are dropped (the init needs them — a silent partial
+    * init would forecast garbage). */
+  def holtWintersForecast(df: DataFrame, keyCols: Seq[String],
+                          orderCol: String, valueCol: String,
+                          period: Int, horizon: Int,
+                          alpha: Double = 0.3, beta: Double = 0.1,
+                          gamma: Double = 0.2): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(keyCols.nonEmpty, "holtWintersForecast needs key columns")
+    for (p0 <- Seq(alpha, beta, gamma))
+      require(p0 > 0.0 && p0 < 1.0, s"smoothing constants must be in (0,1)")
+    val g = keyCols.map(col)
+    val hw = udf { (cells: Seq[org.apache.spark.sql.Row]) =>
+      val xs = cells.map(_.getDouble(1)).toArray
+      val m = period
+      if (xs.length < 2 * m) Seq.empty[(Int, Double)]
+      else {
+        def mean(from: Int): Double = {
+          var s0 = 0.0; var i = from
+          while (i < from + m) { s0 += xs(i); i += 1 }
+          s0 / m
+        }
+        val trend0 = (mean(m) - mean(0)) / m
+        // trend-adjusted init: the naive level = first-season mean sits
+        // at the season MIDPOINT and breaks the exact-fit law on linear
+        // series; shifting by (m-1)/2 trend steps puts it at t = m-1,
+        // and detrending the seasonal estimates completes the exactness
+        var level = mean(0) + trend0 * (m - 1) / 2.0
+        var trend = trend0
+        val seas = Array.tabulate(m)(i =>
+          xs(i) - (level - (m - 1 - i) * trend0))
+        var t = m
+        while (t < xs.length) {
+          val sOld = seas(t % m)
+          val lOld = level
+          level = alpha * (xs(t) - sOld) + (1.0 - alpha) * (lOld + trend)
+          trend = beta * (level - lOld) + (1.0 - beta) * trend
+          seas(t % m) = gamma * (xs(t) - level) + (1.0 - gamma) * sOld
+          t += 1
+        }
+        (1 to horizon).map { h =>
+          val f = level + h * trend + seas((xs.length + h - 1) % m)
+          h -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        }
+      }
+    }
+    df.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("double").as("o"),
+        col(valueCol).cast("double").as("v")))).as("cells"))
+      .select(g :+ explode(hw(col("cells"))).as("seg"): _*)
+      .select(g :+ col("seg._1").as("h") :+ col("seg._2").as("forecast"): _*)
+  }
+
   /** Grouped LIFT / CUMULATIVE-GAINS curve from the class histogram —
     * the targeting view of the [[prCurveFromHistogram]] sweep: at each
     * threshold, the flagged fraction (tp+fp)/N, the gain (= recall:

@@ -803,6 +803,67 @@ class LawsSpec extends SparkSpec {
     assert(got == want, s"registry $got vs driver $want")
   }
 
+  test("holtWintersForecast: exact-fit law on linear+seasonal input; driver parity on the registry id") {
+    // a purely linear + weekly-seasonal series: HW with the
+    // trend-adjusted init reproduces it exactly, so every h-step
+    // forecast is the closed-form value — for ANY smoothing constants
+    val m = 7
+    val seasonal = Array(5.0, -3.0, 2.0, 0.0, -4.0, 1.0, -1.0)
+    def x(t: Int): Double = 100.0 + 2.5 * t + seasonal(t % m)
+    val series = (0 until 28).map(t => (1L, t.toLong, x(t)))
+    val df = series.toDF("k", "t", "v")
+    for ((a, b, g) <- Seq((0.3, 0.1, 0.2), (0.7, 0.5, 0.6))) {
+      val fc = graft.operators.Analytics
+        .holtWintersForecast(df, Seq("k"), "t", "v", period = m,
+          horizon = 7, alpha = a, beta = b, gamma = g)
+        .select("h", "forecast").as[(Int, Double)].collect().toMap
+      for (h <- 1 to 7) {
+        val want = BigDecimal(x(27 + h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(fc(h) - want) < 1e-5,
+          s"alpha=$a h=$h: ${fc(h)} vs exact $want")
+      }
+    }
+    // short series (under two seasons) must be dropped, not mis-fit
+    val short = (0 until 10).map(t => (1L, t.toLong, x(t))).toDF("k", "t", "v")
+    assert(graft.operators.Analytics.holtWintersForecast(short, Seq("k"),
+      "t", "v", period = m, horizon = 3).count() == 0L)
+
+    // registry id: independent driver-side recurrence over the same
+    // daily counts
+    val got = Queries.q_holt_winters(spark, sfDir)
+      .as[(String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("d0"))
+      .groupBy("event_type", "d0").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3.toDouble).toArray).toMap
+    for ((et, xs) <- daily if xs.length >= 2 * m) {
+      def mean(from: Int): Double = xs.slice(from, from + m).sum / m
+      val tr0 = (mean(m) - mean(0)) / m
+      var level = mean(0) + tr0 * (m - 1) / 2.0
+      var trend = tr0
+      val seas = Array.tabulate(m)(i => xs(i) - (level - (m - 1 - i) * tr0))
+      var t = m
+      while (t < xs.length) {
+        val sOld = seas(t % m); val lOld = level
+        level = 0.3 * (xs(t) - sOld) + 0.7 * (lOld + trend)
+        trend = 0.1 * (level - lOld) + 0.9 * trend
+        seas(t % m) = 0.2 * (xs(t) - level) + 0.8 * sOld
+        t += 1
+      }
+      for (h <- 1 to 7) {
+        val want = BigDecimal(level + h * trend + seas((xs.length + h - 1) % m))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got((et, h)) == want, s"$et h=$h: ${got((et, h))} vs $want")
+      }
+    }
+  }
+
   test("q_join_full: both-sides preservation and the union ledger") {
     val rows = Queries.q_join_full(spark, sfDir)
       .as[(Long, Option[Double], Option[Double])].collect()
