@@ -216,6 +216,13 @@ object Jobs {
     graft.operators.Analytics.prCurveFromHistogram(
       batch.localCheckpoint(true), Seq("window_start"))
 
+  /** Per-window LIFT / cumulative-gains sweep over a FINALIZED
+    * [[windowedClassHistogram]] micro-batch — the q_lift_curve fold
+    * keyed by window_start (batch pinned: read three times). */
+  def liftPerWindow(batch: DataFrame): DataFrame =
+    graft.operators.Analytics.liftFromHistogram(
+      batch.localCheckpoint(true), Seq("window_start"))
+
   /** Per-window AVERAGE PRECISION over a FINALIZED
     * [[windowedClassHistogram]] micro-batch — the q_avg_precision fold
     * keyed by window_start (batch pinned: read three times). */

@@ -310,6 +310,13 @@ class StreamingSpec extends SparkSpec {
       val calib = graft.streaming.Jobs.calibrationPerWindow(w1)
         .select("n").as[Long].collect()
       assert(calib.sum == rows)
+      // lift at full coverage is exactly 1 (random targeting)
+      val lift = graft.streaming.Jobs.liftPerWindow(w1)
+        .orderBy("threshold").select("frac_flagged", "lift")
+        .as[(Double, Double)].collect()
+      assert(lift.head == ((1.0, 1.0)), s"full-coverage lift: ${lift.head}")
+      assert(lift.last._2 == 2.5, // top slice: 2 of 2 positives in 2/5 rows
+        s"top-slice lift: ${lift.last}")
       // isotonic fit is monotone and its pooled mass recovers the
       // positives
       val iso = graft.streaming.Jobs.isotonicPerWindow(w1)
