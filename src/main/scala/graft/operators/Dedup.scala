@@ -820,6 +820,105 @@ object Dedup {
     relabeled.unionByName(newLabeled)
   }
 
+  /** BUCKETED persisted components store — the layout that makes
+    * [[componentsMerge]]'s relabel pass batch-proportional at 100 TB:
+    * the (id, label) labeling lives as parquet partitioned by
+    * `__bucket = pmod(label, buckets)`, and a merge REWRITES ONLY the
+    * buckets whose labels changed (dynamic partition overwrite — the
+    * [[graft.operators.Similarity.ivfAppendIndex]] discipline) instead
+    * of snapshotting the whole labeling. Rows move buckets when their
+    * component merges (the new minimum can hash elsewhere), so the
+    * touched set is old ∪ new buckets of every changed component, plus
+    * the new nodes' buckets; a bucket emptied by the move is deleted
+    * explicitly (dynamic overwrite only rewrites partitions present in
+    * the OUTPUT — the ivfReembed emptied-list guard). Read side: the
+    * batch contraction joins the full store by id (a hash join — reads
+    * prune nothing, which is fine; the WIN is the write side, where
+    * history volume no longer gets rewritten per batch). Single writer
+    * per store by contract. */
+  def writeComponentsStore(labels: DataFrame, dir: String,
+                           buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    labels.select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("label"),
+        pmod(col("label").cast("long"), lit(buckets.toLong)).as("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+  }
+
+  /** Load the full labeling from a bucketed store (drops the bucket
+    * column — it is derivable). */
+  def readComponentsStore(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame =
+    spark.read.parquet(dir).select(col("id"), col("label"))
+
+  /** Fold a batch of edges into the bucketed store IN PLACE: same
+    * semantics as [[componentsMerge]] (ScalePathSpec pins relation
+    * equality), but only the touched label-buckets rewrite. Returns the
+    * touched bucket ids (the cost witness the spec asserts on — and
+    * that untouched bucket directories stay byte-identical). */
+  def mergeIntoComponentsStore(batch: DataFrame, dir: String,
+                               idA: String = "id_a", idB: String = "id_b",
+                               buckets: Int = 64): Seq[Long] = {
+    val spark = batch.sparkSession
+    val lab = readComponentsStore(spark, dir)
+      .select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("label"))
+    val e = batch.select(col(idA).cast("long").as("ea"),
+      col(idB).cast("long").as("eb"))
+    val contracted = e
+      .join(lab.select(col("id").as("ea"), col("label").as("la")),
+        Seq("ea"), "left")
+      .join(lab.select(col("id").as("eb"), col("label").as("lb")),
+        Seq("eb"), "left")
+      .select(coalesce(col("la"), col("ea")).as("id_a"),
+        coalesce(col("lb"), col("eb")).as("id_b"))
+      .localCheckpoint(eager = true)
+    val remap = connectedComponents(contracted)
+      .localCheckpoint(eager = true) // (old representative | new node) -> label
+    // changed components + new nodes decide the touched buckets
+    val changed = remap.where(col("id") =!= col("label"))
+    val bkt = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(buckets.toLong))
+    val touched = changed.select(bkt(col("id")).as("b"))
+      .union(changed.select(bkt(col("label")).as("b")))
+      .union(remap.join(lab.select(col("id")), Seq("id"), "left_anti")
+        .select(bkt(col("label")).as("b")))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    if (touched.isEmpty) return touched // replay/no-op batch: zero writes
+    // rows to rewrite: everything in the touched buckets, relabeled,
+    // plus the new nodes — pinned BEFORE overwriting the partitions it
+    // reads (the read-write-cycle break)
+    val inTouched = lab.where(bkt(col("label")).isin(touched: _*))
+      .join(remap.select(col("id").as("label"), col("label").as("__nl")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("__nl"), col("label")).as("label"))
+    val newNodes = contracted
+      .select(col("id_a").as("id")).union(contracted.select(col("id_b").as("id")))
+      .distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+      .join(remap, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    val pinned = inTouched.unionByName(newNodes)
+      .select(col("id"), col("label"), bkt(col("label")).as("__bucket"))
+      .localCheckpoint(eager = true)
+    pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(dir)
+    // a bucket whose every row moved elsewhere is absent from the
+    // output and survives dynamic overwrite — delete it explicitly
+    val written = pinned.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"__bucket=$b"), true)
+    }
+    Checkpoints.drop(pinned)
+    Checkpoints.drop(remap)
+    Checkpoints.drop(contracted)
+    touched
+  }
+
   /** Keep one canonical document per near-dup cluster: the member with
     * the minimum id survives; documents in no pair keep themselves. The
     * training-data dedup endgame — pairs from any detector

@@ -716,6 +716,51 @@ class ScalePathSpec extends SparkSpec {
     assert(s3 == full, s"streamed $s3 != recompute $full")
   }
 
+  test("bucketed components store: touched-buckets-only rewrite equals the flat merge") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("cc_store_").toString + "/labels"
+    val B = 8
+    // seed: components {5,6}, {8,9}, {20,21} -> labels 5, 8, 20
+    val b1 = Seq((5L, 6L), (8L, 9L), (20L, 21L))
+    Dedup.writeComponentsStore(
+      Dedup.connectedComponents(b1.toDF("id_a", "id_b")), dir, B)
+    def snapshot(): Map[Long, Long] =
+      Dedup.readComponentsStore(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snapshot() == Map(5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L,
+      20L -> 20L, 21L -> 20L))
+    def bucketBytes(b: Long): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dir/__bucket=$b")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+    }
+    // component 20 lives in bucket 20 % 8 = 4 and is untouched below
+    val untouchedBefore = bucketBytes(20L % B)
+    // batch: merge {5,6} with {8,9} via a 6-9 bridge and attach new node 3
+    val touched = Dedup.mergeIntoComponentsStore(
+      Seq((6L, 9L), (9L, 3L)).toDF("id_a", "id_b"), dir, buckets = B)
+    val after = snapshot()
+    // flat-merge semantics hold exactly
+    val want = Dedup.connectedComponents(
+      (b1 ++ Seq((6L, 9L), (9L, 3L))).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == want, s"bucketed $after != flat $want")
+    // cost witness: only the merged components' buckets rewrote —
+    // 5 % 8 = 5 (old), 8 % 8 = 0 (old), 3 % 8 = 3 (new label) — and
+    // the untouched component's bucket files are byte-identical
+    assert(touched.toSet.subsetOf(Set(0L, 3L, 5L)), s"touched $touched")
+    assert(bucketBytes(20L % B) == untouchedBefore,
+      "untouched bucket must not rewrite")
+    // emptied-bucket guard: labels 5 and 8 are gone (all rows now label
+    // 3); their old bucket dirs must not retain stale rows
+    assert(after.values.toSet == Set(3L, 20L))
+    // replay is a zero-write no-op
+    assert(Dedup.mergeIntoComponentsStore(
+      Seq((6L, 9L), (9L, 3L)).toDF("id_a", "id_b"), dir, buckets = B).isEmpty)
+    assert(snapshot() == want)
+  }
+
   test("BPE merge artifact lifecycle: round-trip, immutable prefix, extend == retrain at fixed vocab") {
     import graft.functions.Text
     val dir = java.nio.file.Files.createTempDirectory("bpe_idx_").toString + "/merges"
