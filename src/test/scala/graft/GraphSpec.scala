@@ -811,6 +811,32 @@ class GraphSpec extends SparkSpec {
     assert(sub.keySet == Set(1L, 8L) && sub(1L) == want(1L) && sub(8L) == want(8L))
   }
 
+  test("eccentricity matches the driver reference on random weighted graphs (both paths)") {
+    def wEdges(n: Int, nodes: Long, seed: Long): Seq[(Long, Long, Double)] = {
+      var x = seed
+      def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      (1 to n).map { _ =>
+        (math.floorMod(nxt(), nodes), math.floorMod(nxt(), nodes),
+          (math.floorMod(nxt(), 9L) + 1L) / 2.0)
+      }.filter { case (a, b, _) => a != b }
+    }
+    for (seed <- Seq(17L, 29L)) {
+      val wg = wEdges(120, 30L, seed)
+      def run(localMax: Long) =
+        Graph.eccentricity(edgeDf(wg), "src", "dst", "w",
+            localMaxEdges = localMax)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val got = run(Graph.LocalFixpointMaxEdges)
+      val nodes = wg.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = nodes.map { s0 =>
+        val d = refDijkstra(wg, s0).filter { case (v, _) => v != s0 }
+        s0 -> (d.size.toLong, if (d.isEmpty) 0L else d.values.max)
+      }.filter(_._2._1 > 0L).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+      assert(run(0L) == got, s"seed $seed: path parity")
+    }
+  }
+
   test("q_graph_eccentricity: trade-graph worst-routes are sane and center-first") {
     val rows = Queries.all.toMap.apply("q_graph_eccentricity")(spark, sfDir)
       .collect()

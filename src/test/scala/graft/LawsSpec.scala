@@ -864,6 +864,64 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("isotonicFromHistogram matches the driver PAV on random histograms") {
+    // LCG-random (group, score, pos, neg) histograms — the independent
+    // reference is the BigInt PAV from the fixture test, re-run across
+    // randomized shapes including all-tied and strictly-monotone runs
+    var x = 77L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    def pav(cells: Seq[(Long, Long, Long)]): Map[Double, Double] = {
+      val blocks = scala.collection.mutable.ArrayBuffer
+        .empty[(List[Long], BigInt, BigInt)]
+      cells.sortBy(_._1).foreach { case (sc, p0, n0) =>
+        var b = (List(sc), BigInt(p0), BigInt(n0))
+        while (blocks.nonEmpty && blocks.last._2 * b._3 > b._2 * blocks.last._3) {
+          val pr = blocks.remove(blocks.length - 1)
+          b = (pr._1 ++ b._1, pr._2 + b._2, pr._3 + b._3)
+        }
+        blocks += b
+      }
+      blocks.flatMap { case (scs, p0, n0) =>
+        val f = BigDecimal(p0).bigDecimal
+          .divide(BigDecimal(n0).bigDecimal, 6, java.math.RoundingMode.HALF_UP)
+          .doubleValue
+        scs.map(_.toDouble -> f)
+      }.toMap
+    }
+    for (trial <- 1 to 4) {
+      val cells = (0 until 20).map { sc =>
+        val pos = math.floorMod(nxt(), 50L)
+        val neg = math.floorMod(nxt(), 50L) + (if (pos == 0) 1L else 0L)
+        (trial.toLong, sc.toLong, pos, neg)
+      }.filter { case (_, _, p0, n0) => p0 + n0 > 0 }
+      val got = graft.operators.Analytics.isotonicFromHistogram(
+          cells.toDF("g", "score", "pos", "neg"), Seq("g"))
+        .select("score", "fitted").as[(Double, Double)].collect().toMap
+      val want = pav(cells.map(c => (c._2, c._3, c._3 + c._4)))
+      assert(got == want, s"trial $trial: $got != $want")
+    }
+  }
+
+  test("componentsMerge: randomized batch folding equals full recompute") {
+    var x = 13L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    def batch(n: Int): Seq[(Long, Long)] =
+      (1 to n).map(_ => (math.floorMod(nxt(), 60L), math.floorMod(nxt(), 60L)))
+        .filter { case (a, b) => a != b }
+    for (trial <- 1 to 3) {
+      val batches = Seq(batch(15), batch(12), batch(18), batch(10))
+      var labels = Dedup.connectedComponents(batches.head.toDF("id_a", "id_b"))
+      for (b <- batches.tail)
+        labels = Dedup.componentsMerge(labels, b.toDF("id_a", "id_b"))
+          .localCheckpoint(true)
+      val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(
+          batches.flatten.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc == full, s"trial $trial: incremental $inc != recompute $full")
+    }
+  }
+
   test("q_join_full: both-sides preservation and the union ledger") {
     val rows = Queries.q_join_full(spark, sfDir)
       .as[(Long, Option[Double], Option[Double])].collect()
