@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only near-dup scale probe: MEASURES the LSH candidate-bounding
+  * claim behind `Dedup.clusterByMinhash` at a corpus size far above the
+  * fixtures. Builds a deterministic synthetic corpus of `nDocs`
+  * documents in near-dup clusters (cluster size ~ `dupRate` duplicates
+  * per base doc, each duplicate a light token mutation), then times the
+  * full scale path (fused minhash signatures → banded candidates →
+  * exact-Jaccard confirm → connected components → canonical keep) and
+  * prints ONE JSON line with the wall time, the LSH candidate-pair
+  * count versus the all-pairs count it replaced, and the survivor
+  * count. Usage: runMain graft.tools.DedupScale [nDocs] [dupRate]
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nDocs = if (args.nonEmpty) args(0).toInt else 100000
+    val dupRate = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // deterministic corpus: base docs of 40 LCG-picked words from a 5k
+    // vocabulary; each cluster = 1 base + (id % dupRate) mutated copies
+    // (every copy rewrites a couple of positions — exact Jaccard stays
+    // well above the 0.5 threshold)
+    val docs = spark.range(nDocs.toLong).select(col("id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val cluster = id / dupRate
+          val variant = id % dupRate
+          var x = cluster * 6364136223846793005L + 1442695040888963407L
+          def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+          val words = Array.tabulate(40)(_ => s"w${math.floorMod(nxt(), 5000L)}")
+          if (variant > 0L) { // mutate two positions per variant
+            val p1 = math.floorMod(variant * 7L, 40L).toInt
+            val p2 = math.floorMod(variant * 13L + 3L, 40L).toInt
+            words(p1) = s"m${variant}a"; words(p2) = s"m${variant}b"
+          }
+          (id, words.mkString(" "))
+        }
+      }.toDF("doc_id", "text").localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text").localCheckpoint(true)
+    val candidatePairs = graft.operators.Dedup
+      .minhashCandidateIds(sigs, "doc_id").count()
+    val survivors = graft.operators.Dedup
+      .clusterByMinhash(docs, "doc_id", "text", threshold = 0.5).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
+    println(s"""{"metric":"neardup_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"sec":${math.round(sec * 10) / 10.0},"candidate_pairs":$candidatePairs,"all_pairs":$allPairs,"survivors":$survivors}""")
+    spark.stop()
+  }
+}
