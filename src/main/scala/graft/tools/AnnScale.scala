@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only ANN scale probe: MEASURES the IVF pruning claim at a
+  * vector count far above the fixtures. Builds a deterministic
+  * synthetic embedding table (`nVecs` × `dim` floats around `nLists`
+  * LCG cluster centers), trains/writes the partitioned IVF index, then
+  * times `nQueries` probe queries (`ivfTopKIndexed`, partition-pruned
+  * to `nprobe` of `nLists` lists) and computes recall@k against the
+  * brute-force cosine top-k on a query subsample. Prints ONE JSON
+  * line: build seconds, mean query seconds, recall. Usage:
+  * runMain graft.tools.AnnScale [nVecs] [dim] [nLists] [nprobe]
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val nVecs = if (args.nonEmpty) args(0).toInt else 1000000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nLists = if (args.length > 2) args(2).toInt else 256
+    val nprobe = if (args.length > 3) args(3).toInt else 8
+    val k = 10
+    val nQueries = 50
+    val recallSample = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // deterministic synthetic embeddings: LCG unit-ish vectors around
+    // nLists cluster centers (ANN structure without RNG dependencies)
+    def lcgVec(seed: Long, n: Int, scale: Float): Array[Float] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (math.floorMod(x, 2001L) - 1000L) / 1000f * scale
+      }
+    }
+    val centers = Array.tabulate(nLists)(c => lcgVec(c * 7919L + 17L, dim, 1f))
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val emb = spark.range(nVecs.toLong).select(col("id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val c = (id % bcCenters.value.length).toInt
+          val noise = lcgVec(id * 31L + 5L, bcCenters.value(c).length, 0.15f)
+          val v = bcCenters.value(c).zip(noise).map { case (a, b) => a + b }
+          (id, v)
+        }
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("ann_scale_").toString
+    val tb0 = System.nanoTime()
+    val centroids = graft.operators.Similarity
+      .ivfTrainDistributed(emb, "embedding", k = nLists, iters = 5)
+    graft.operators.Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+
+    val queries = Array.tabulate(nQueries) { q =>
+      val c = q % nLists
+      centers(c).zip(lcgVec(q * 131L + 7L, dim, 0.1f)).map { case (a, b) => a + b }
+    }
+    val tq0 = System.nanoTime()
+    val annResults = queries.map { qv =>
+      graft.operators.Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+        "embedding", qv, k, nprobe).select("vec_id").as[Long].collect().toSet
+    }
+    val querySec = (System.nanoTime() - tq0) / 1e9 / nQueries
+
+    // brute-force recall on a subsample: one pass per probe over the
+    // checkpointed table (the honest baseline the index must reproduce)
+    var hit = 0; var tot = 0
+    (0 until recallSample).foreach { qi =>
+      val qv = queries(qi)
+      val brute = emb.select(col("vec_id"),
+          graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+      hit += (annResults(qi) & brute).size
+      tot += brute.size
+    }
+    val recall = math.round(hit.toDouble / tot * 1000) / 1000.0
+    println(s"""{"metric":"ann_scale","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"query_sec":${math.round(querySec * 1000) / 1000.0},"recall_at_$k":$recall}""")
+    spark.stop()
+  }
+}
