@@ -846,10 +846,16 @@ object Dedup {
   }
 
   /** Load the full labeling from a bucketed store (drops the bucket
-    * column — it is derivable). */
+    * column — it is derivable). The schema is DECLARED, not inferred:
+    * a freshly seeded EMPTY store (the streaming cold start) has no
+    * data files to infer from. */
   def readComponentsStore(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): DataFrame =
-    spark.read.parquet(dir).select(col("id"), col("label"))
+                          dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.read.schema(StructType(Seq(
+        StructField("id", LongType), StructField("label", LongType))))
+      .parquet(dir).select(col("id"), col("label"))
+  }
 
   /** Fold a batch of edges into the bucketed store IN PLACE: same
     * semantics as [[componentsMerge]] (ScalePathSpec pins relation

@@ -208,6 +208,31 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming incremental connected components over the BUCKETED
+    * store: [[componentsSink]]'s swap rewrites the whole labeling per
+    * micro-batch (never a moment without a readable snapshot — right
+    * for serving); this variant folds each batch via
+    * [[graft.operators.Dedup.mergeIntoComponentsStore]], rewriting ONLY
+    * the touched label-buckets — the write-volume-proportional shape
+    * for large labelings. Durability trade documented there: dynamic
+    * partition overwrite is per-partition-atomic, and a replayed batch
+    * converges (re-contracting its edges re-derives the merge), so
+    * at-least-once delivery is safe; the store must be seeded with
+    * [[graft.operators.Dedup.writeComponentsStore]] (possibly empty).
+    * ScalePathSpec pins parity with the swap sink. */
+  def componentsStoreSink(edges: DataFrame, storeDir: String,
+                          checkpointDir: String, buckets: Int = 64,
+                          idA: String = "id_a", idB: String = "id_b")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.mergeIntoComponentsStore(
+          batch, storeDir, idA, idB, buckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Keyed upsert sink (the HBase dim-writer analog): every micro-batch is
     * merged into the keyed snapshot directory with last-writer-wins
     * semantics; deletes (`op='d'`) are applied. Overwrites the snapshot

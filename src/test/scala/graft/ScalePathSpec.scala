@@ -761,6 +761,33 @@ class ScalePathSpec extends SparkSpec {
     assert(snapshot() == want)
   }
 
+  test("componentsStoreSink: streaming batches fold into the bucketed store; parity with the swap sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("cc_bsink_").toString + "/labels"
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_bsink_ck_").toString
+    // cold start: an explicitly seeded EMPTY store (the documented
+    // bootstrap — mergeIntoComponentsStore requires a readable dir)
+    Dedup.writeComponentsStore(
+      Seq.empty[(Long, Long)].toDF("id", "label"), store, buckets = 8)
+    val in = MemoryStream[(Long, Long)]
+    def run(): Unit = {
+      val q = graft.sources.IO.componentsStoreSink(
+        in.toDF().toDF("id_a", "id_b"), store, ckpt, buckets = 8).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData((5L, 6L), (8L, 9L))
+    run()
+    in.addData((6L, 9L), (9L, 3L))
+    run()
+    val got = Dedup.readComponentsStore(spark, store).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.connectedComponents(
+        Seq((5L, 6L), (8L, 9L), (6L, 9L), (9L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"bucketed stream $got != recompute $want")
+  }
+
   test("BPE merge artifact lifecycle: round-trip, immutable prefix, extend == retrain at fixed vocab") {
     import graft.functions.Text
     val dir = java.nio.file.Files.createTempDirectory("bpe_idx_").toString + "/merges"

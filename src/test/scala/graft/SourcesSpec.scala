@@ -559,6 +559,31 @@ class SourcesSpec extends SparkSpec {
     for (i <- 0 until n) assert(math.abs(s(i) - mono(i)) < 1e-9)
     val rms = math.sqrt(s.map(v => v * v).sum / n)
     assert(math.abs(rms - amp / math.sqrt(2)) < 0.002 * amp, s"rms $rms")
+
+    // 64-bit (double) float PCM: same header with bits=32 -> 64 and
+    // 8-byte samples; decode must be bit-exact too
+    def doubleWav(samples: Array[Double]): Array[Byte] = {
+      val dataLen = samples.length * 8
+      val bb = java.nio.ByteBuffer.allocate(58 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(50 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(3); bb.putShort(1); bb.putInt(rate)
+      bb.putInt(rate * 8); bb.putShort(8); bb.putShort(64)
+      bb.put("fact".getBytes); bb.putInt(4); bb.putInt(samples.length)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(bb.putDouble)
+      bb.array()
+    }
+    val mono64 = Array.tabulate(n)(i =>
+      amp * math.sin(2 * math.Pi * freq * i / rate))
+    val wav64 = doubleWav(mono64)
+    assert(Multimodal.JvmAudioCodec.decodeMeta(wav64)
+      .contains((rate, 1, 64, n.toLong)))
+    val s64 = Multimodal.JvmAudioCodec.samples(wav64).get
+    assert(s64.length == n)
+    for (i <- 0 until n) assert(s64(i) == mono64(i),
+      s"double PCM must decode bit-exactly at $i")
   }
 
   test("multimodal: multi-channel downmix law (identical == mono; antiphase cancels)") {
