@@ -119,9 +119,13 @@ object Bench {
         Some("bench_out.json").filter(new java.io.File(_).isFile)
       }.orElse {
         val dir = new java.io.File(".")
+        // NUMERIC round ordering: lexicographic sort would put
+        // BENCH_r9.json after BENCH_r10.json and adjudicate against a
+        // stale record from round 10 onward
+        val rx = "BENCH_r(\\d+)\\.json".r
         Option(dir.listFiles()).toSeq.flatten
-          .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
-          .sorted.lastOption
+          .map(_.getName).collect { case n @ rx(r) => (r.toInt, n) }
+          .sortBy(_._1).lastOption.map(_._2)
       }
       candidate.flatMap { path =>
         try {
@@ -181,7 +185,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (k, _) => finalMin(k) }.sum
     val totalMed = results.map(_._2._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"adjudicated":$adjJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // run provenance (VERDICT r10 recordkeeping): stamp WHICH run this
+    // artifact is, so a committed bench_out.json and a BASELINE.md
+    // narrative row can cite the same run unambiguously
+    val runMeta = {
+      val ts = java.time.Instant.now().toString
+      val sha = try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() == 0 && out.matches("[0-9a-f]+")) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+      s""""run_meta":{"ts":"$ts","git_sha":"$sha","adjudications":${adjudicated.size},"n_queries":${results.size}}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"agg":"min","total_median":$totalMed,$runMeta,"queries":$qs,"queries_median":$qsMed,"adjudicated":$adjJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes every stdout line with [info], which defeated the
     // driver's JSON parse in round 1 (BENCH_r01 "parsed": null) — also

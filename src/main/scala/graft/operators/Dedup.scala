@@ -866,9 +866,17 @@ object Dedup {
                                idA: String = "id_a", idB: String = "id_b",
                                buckets: Int = 64): Seq[Long] = {
     val spark = batch.sparkSession
+    // dedup by id on the read: dynamic partition overwrite is only
+    // per-partition atomic, so a crash between the new-label bucket
+    // write and the old-label bucket rewrite can leave one id in two
+    // buckets with different labels. Replayed batches converge the
+    // LABELS but would never remove the duplicate ROW; folding to
+    // min(label) here makes every merge read a clean labeling and
+    // physically repairs the duplicate whenever its bucket rewrites.
     val lab = readComponentsStore(spark, dir)
       .select(col("id").cast("long").as("id"),
         col("label").cast("long").as("label"))
+      .groupBy("id").agg(min("label").as("label"))
     val e = batch.select(col(idA).cast("long").as("ea"),
       col(idB).cast("long").as("eb"))
     val contracted = e

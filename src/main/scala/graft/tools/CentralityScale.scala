@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * the Brandes–Pich estimator sweeps K sources for K·n state. This
   * probe times the DISTRIBUTED path (the localMaxEdges=0 force — the
   * path a real cluster runs) at a ladder of K values and prints one
-  * JSON line with per-K wall seconds and the measured forward-state
-  * row counts, so BASELINE.md can record cost ∝ K with numbers.
+  * JSON line with per-K wall seconds and the OUTPUT node count
+  * (`out_rows` = one row per node at every K — a sanity column, not
+  * the K·n forward-state size; the state-∝-K evidence is the GraphSpec
+  * forward-state probe), so BASELINE.md can record cost ∝ K with
+  * numbers.
   * Usage: runMain graft.tools.CentralityScale [nodes] [edges] [k,k,k]
   */
 object CentralityScale {
