@@ -4032,8 +4032,11 @@ object Queries {
         unix_date(to_date(col("ts"))).cast("long").as("day_i"))
       .groupBy("event_type", "day_i")
       .agg(count(lit(1)).cast("double").as("n"))
+    // fillValue = 0: a day with zero events is a real observation of 0
+    // on the calendar grid, not a skippable row — without it the weekly
+    // seasonal phase of everything after a gap day shifts by one
     operators.Analytics.holtWintersForecast(daily, Seq("event_type"),
-        "day_i", "n", period = 7, horizon = 7)
+        "day_i", "n", period = 7, horizon = 7, fillValue = Some(0.0))
       .orderBy("event_type", "h")
   }
 

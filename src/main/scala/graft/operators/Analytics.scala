@@ -645,14 +645,27 @@ object Analytics {
     * [[isotonicFromHistogram]] discipline, never a driver collect.
     * Deterministic: one fixed left-to-right double recurrence, no
     * reduce-order dependence. Returns `keyCols ++ (h, forecast)` with
-    * forecast rounded at 6 dp; keys whose series is shorter than two
-    * full seasons are dropped (the init needs them — a silent partial
-    * init would forecast garbage). */
+    * forecast rounded at 6 dp; keys whose series (grid length, after
+    * any gap fill) is shorter than two full seasons are dropped (the
+    * init needs them — a silent partial init would forecast garbage).
+    *
+    * SEASONAL PHASE rides the ORDER VALUE, not the row position: the
+    * per-key series is reindexed onto the unit-spaced integer grid of
+    * `orderCol` offsets from the key's first observation, so the
+    * seasonal index of observation t is (t − t₀) mod m in CALENDAR
+    * steps. An absent bucket (a zero-event day in a count series)
+    * would otherwise silently shift the seasonal phase of every later
+    * observation and forecast. Gaps fill with `fillValue` when given
+    * (0.0 is the right policy for count series); with `fillValue =
+    * None` a non-contiguous series is a contract violation and throws
+    * — never a silent mis-phase. Duplicate grid positions and
+    * non-integral spacing always throw. */
   def holtWintersForecast(df: DataFrame, keyCols: Seq[String],
                           orderCol: String, valueCol: String,
                           period: Int, horizon: Int,
                           alpha: Double = 0.3, beta: Double = 0.1,
-                          gamma: Double = 0.2): DataFrame = {
+                          gamma: Double = 0.2,
+                          fillValue: Option[Double] = None): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     require(keyCols.nonEmpty, "holtWintersForecast needs key columns")
@@ -660,8 +673,49 @@ object Analytics {
       require(p0 > 0.0 && p0 < 1.0, s"smoothing constants must be in (0,1)")
     val g = keyCols.map(col)
     val hw = udf { (cells: Seq[org.apache.spark.sql.Row]) =>
-      val xs = cells.map(_.getDouble(1)).toArray
       val m = period
+      // reindex onto the orderCol grid (cells arrive sorted by o)
+      val xs: Array[Double] =
+        if (cells.isEmpty) Array.empty[Double]
+        else {
+          val o0 = cells.head.getDouble(0)
+          val pos = new Array[Int](cells.length)
+          var i = 0
+          while (i < cells.length) {
+            val p = cells(i).getDouble(0) - o0
+            val r = math.rint(p)
+            if (math.abs(p - r) > 1e-6)
+              throw new IllegalArgumentException(
+                "holtWintersForecast: order values must sit on a " +
+                  s"unit-spaced integer grid, found offset $p from the " +
+                  "series start")
+            pos(i) = r.toInt
+            if (i > 0 && pos(i) == pos(i - 1))
+              throw new IllegalArgumentException(
+                "holtWintersForecast: duplicate order value at grid " +
+                  s"position ${pos(i)} — the (key, order) pair must be " +
+                  "unique (aggregate upstream)")
+            i += 1
+          }
+          val n = pos(cells.length - 1) + 1
+          if (n == cells.length) cells.map(_.getDouble(1)).toArray
+          else fillValue match {
+            case Some(fv) =>
+              val arr = Array.fill(n)(fv)
+              var j = 0
+              while (j < cells.length) {
+                arr(pos(j)) = cells(j).getDouble(1); j += 1
+              }
+              arr
+            case None =>
+              throw new IllegalArgumentException(
+                s"holtWintersForecast: non-contiguous series (${cells.length} " +
+                  s"observations spanning $n grid steps) and no fillValue " +
+                  "policy — pass fillValue (Some(0.0) for count series) or " +
+                  "densify upstream; silently skipping gaps would shift the " +
+                  "seasonal phase")
+          }
+        }
       if (xs.length < 2 * m) Seq.empty[(Int, Double)]
       else {
         def mean(from: Int): Double = {

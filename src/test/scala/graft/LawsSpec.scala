@@ -841,7 +841,15 @@ class LawsSpec extends SparkSpec {
       .groupBy("event_type", "d0").agg(count(lit(1)).as("n"))
       .as[(String, Long, Long)].collect()
       .groupBy(_._1).view
-      .mapValues(_.sortBy(_._2).map(_._3.toDouble).toArray).toMap
+      .mapValues { rows =>
+        // densify onto the calendar grid with 0-fill — the registry id's
+        // fillValue = Some(0.0) policy, replicated independently
+        val sorted = rows.sortBy(_._2)
+        val d0 = sorted.head._2
+        val arr = Array.fill((sorted.last._2 - d0 + 1).toInt)(0.0)
+        sorted.foreach { case (_, d, c) => arr((d - d0).toInt) = c.toDouble }
+        arr
+      }.toMap
     for ((et, xs) <- daily if xs.length >= 2 * m) {
       def mean(from: Int): Double = xs.slice(from, from + m).sum / m
       val tr0 = (mean(m) - mean(0)) / m
@@ -862,6 +870,59 @@ class LawsSpec extends SparkSpec {
         assert(got((et, h)) == want, s"$et h=$h: ${got((et, h))} vs $want")
       }
     }
+  }
+
+  test("holtWintersForecast: calendar-grid reindex — a gap never shifts the seasonal phase") {
+    val m = 7
+    val seasonal = Array(5.0, -3.0, 2.0, 0.0, -4.0, 1.0, -1.0)
+    def x(t: Int): Double = 100.0 + 2.5 * t + seasonal(t % m)
+    def chainMsgs(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).toSeq
+    // drop t = 9 from a 28-step series: positional seasonal indexing
+    // would shift the phase of every t >= 10 by one step (the driver-
+    // flagged mis-phasing); the grid contract must instead (a) THROW
+    // without a fill policy, (b) keep every surviving observation at
+    // its calendar position under fillValue
+    val gapped = (0 until 28).filter(_ != 9).map(t => (1L, t.toLong, x(t)))
+      .toDF("k", "t", "v")
+    val noPolicy = intercept[Exception] {
+      graft.operators.Analytics.holtWintersForecast(gapped, Seq("k"), "t",
+        "v", period = m, horizon = 3).collect()
+    }
+    assert(chainMsgs(noPolicy).exists(_.contains("non-contiguous")),
+      s"expected the contiguity contract, got: ${chainMsgs(noPolicy)}")
+    // fill policy: driver reference over the SAME dense grid (x(9) -> 0)
+    val got = graft.operators.Analytics.holtWintersForecast(gapped, Seq("k"),
+        "t", "v", period = m, horizon = 7, fillValue = Some(0.0))
+      .select("h", "forecast").as[(Int, Double)].collect().toMap
+    val xs = Array.tabulate(28)(t => if (t == 9) 0.0 else x(t))
+    def mean(from: Int): Double = xs.slice(from, from + m).sum / m
+    val tr0 = (mean(m) - mean(0)) / m
+    var level = mean(0) + tr0 * (m - 1) / 2.0
+    var trend = tr0
+    val seas = Array.tabulate(m)(i => xs(i) - (level - (m - 1 - i) * tr0))
+    var t = m
+    while (t < xs.length) {
+      val sOld = seas(t % m); val lOld = level
+      level = 0.3 * (xs(t) - sOld) + 0.7 * (lOld + trend)
+      trend = 0.1 * (level - lOld) + 0.9 * trend
+      seas(t % m) = 0.2 * (xs(t) - level) + 0.8 * sOld
+      t += 1
+    }
+    for (h <- 1 to 7) {
+      val want = BigDecimal(level + h * trend + seas((xs.length + h - 1) % m))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(h) == want, s"h=$h: ${got(h)} vs grid reference $want")
+    }
+    // duplicate grid position: always a contract violation
+    val dup = ((0 until 28).map(t => (1L, t.toLong, x(t))) :+ (1L, 9L, 1.0))
+      .toDF("k", "t", "v")
+    val dupErr = intercept[Exception] {
+      graft.operators.Analytics.holtWintersForecast(dup, Seq("k"), "t", "v",
+        period = m, horizon = 3, fillValue = Some(0.0)).collect()
+    }
+    assert(chainMsgs(dupErr).exists(_.contains("duplicate order value")))
   }
 
   test("isotonicFromHistogram matches the driver PAV on random histograms") {
