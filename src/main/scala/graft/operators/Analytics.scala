@@ -58,7 +58,7 @@ object Analytics {
     val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; while (it.hasNext) { it.next(); n += 1 }
       Iterator(pid -> n)
-    }.collect().toMap
+    }.collect().toMap // bounded: one small row per partition (<= nPart)
     val offsets: Map[Int, Long] = {
       var acc = 0L
       (0 until nPart).map { p =>
@@ -109,7 +109,7 @@ object Analytics {
         while (i < k) { s(i) += getLongChecked(row, vIdx(i)); i += 1 }
       }
       Iterator(pid -> s)
-    }.collect().toMap
+    }.collect().toMap // bounded: one small row per partition (<= nPart)
     val offsets: Map[Int, Array[Long]] = {
       val acc = new Array[Long](k)
       (0 until nPart).map { p =>
@@ -217,7 +217,7 @@ object Analytics {
         while (i < k) { s(i) += getLongChecked(row, vIdx(i)); i += 1 }
       }
       Iterator(pid -> buf.toVector)
-    }.collect().toMap
+    }.collect().toMap // bounded: one small row per partition (<= nPart)
     (sorted, nPart, partGroupSums)
   }
 
@@ -430,7 +430,7 @@ object Analytics {
       val fin = proj.filter(pred)
         .groupBy((gc :+ col("__v")): _*)
         .agg(sum(col("__w")).as("s"))
-        .collect() // at most driverBudget rows per group by construction
+        .collect() // bounded: at most driverBudget rows per group by construction
         .groupBy(r => (0 until nG).map(r.get(_)))
       open.foreach { s =>
         val vals = fin.getOrElse(s.key, Array.empty[Row])

@@ -897,7 +897,7 @@ object Dedup {
       .union(changed.select(bkt(col("label")).as("b")))
       .union(remap.join(lab.select(col("id")), Seq("id"), "left_anti")
         .select(bkt(col("label")).as("b")))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted // bounded: <= `buckets` ids
     if (touched.isEmpty) return touched // replay/no-op batch: zero writes
     // rows to rewrite: everything in the touched buckets, relabeled,
     // plus the new nodes — pinned BEFORE overwriting the partitions it
@@ -921,7 +921,7 @@ object Dedup {
     // a bucket whose every row moved elsewhere is absent from the
     // output and survives dynamic overwrite — delete it explicitly
     val written = pinned.select("__bucket").distinct()
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(_.getLong(0)).toSet // bounded: <= `buckets` ids
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(written).foreach { b =>

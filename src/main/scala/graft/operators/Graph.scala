@@ -162,8 +162,25 @@ object Graph {
     * callers fan out into multi-join shapes (degree, orientation,
     * wedge closure) and must not re-scan the upstream fact tables per
     * consumer. */
+  /** Marker the in-plan weight guard embeds in its raise_error message
+    * so [[undirect]]'s checkpoint-time catch can translate the task
+    * failure back into the IllegalArgumentException the operator
+    * contracts promise. */
+  private val WeightContractTag = "GRAFT_WEIGHT_CONTRACT"
+
+  private def messageChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).toSeq
+
+  /** `minWeight = Some((lo, what))` enforces the weight contract
+    * IN-PLAN: a `raise_error` branch rides the aggregated weight column
+    * through the eager checkpoint this helper already runs, so the
+    * validation costs ZERO extra Spark jobs — it replaced a blocking
+    * 1-row `agg(min).collect()` driver round-trip per operator call
+    * (and puts `operators/` inside the PlanAuditSpec no-collect sweep). */
   private def undirect(edges: DataFrame, srcCol: String, dstCol: String,
-                       weightCol: String): DataFrame = {
+                       weightCol: String,
+                       minWeight: Option[(Long, String)] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val wc = edges.schema(weightCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
@@ -171,13 +188,30 @@ object Graph {
       case _ =>
         round(col(weightCol).cast("double") * lit(100.0)).cast("long")
     }
-    edges.select(
+    val agg = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"),
         wc.as("wc"))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(sum(col("wc")).as("wc"))
-      .localCheckpoint(true)
+    val guarded = minWeight match {
+      case Some((lo, what)) =>
+        // checked on the AGGREGATED per-pair weight (parallel edges
+        // sum), exactly what the old min-probe validated
+        agg.select(col("a"), col("b"),
+          when(col("wc") < lit(lo),
+            raise_error(concat(lit(s"$WeightContractTag: $what, found "),
+              col("wc").cast("string"))))
+            .otherwise(col("wc")).as("wc"))
+      case None => agg
+    }
+    try guarded.localCheckpoint(true)
+    catch {
+      case e: Throwable
+          if messageChain(e).exists(_.contains(WeightContractTag)) =>
+        throw new IllegalArgumentException(
+          messageChain(e).find(_.contains(WeightContractTag)).get)
+    }
   }
 
   /** Triangle census by DEGREE-ORDERED orientation — the scalable
@@ -336,19 +370,15 @@ object Graph {
     * distributed SSSP stays round-iterative. A `maxIter` exit without
     * convergence would return TRUNCATED distances (silently wrong), so
     * it throws instead. Only nodes reachable from `source` appear in
-    * the result (node, dist). Negative weights are rejected up front
-    * (one driver-bounded 1-row aggregate). */
+    * the result (node, dist). Negative weights are rejected by the
+    * in-plan guard riding [[undirect]]'s checkpoint (no extra job). */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, source: Long,
                     maxIter: Int = 40,
                     localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
-    val und = undirect(edges, srcCol, dstCol, weightCol)
-    val minRow = und.agg(min(col("wc"))).collect().head
-    val minW: Option[Long] =
-      if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
-    require(minW.forall(_ >= 0L),
-      s"shortestPaths requires non-negative weights, found ${minW.get}")
+    val und = undirect(edges, srcCol, dstCol, weightCol,
+      minWeight = Some((0L, "shortestPaths requires non-negative weights")))
     // measured-size strategy pick (see LocalFixpointMaxEdges); exact
     // long min-folds, so path parity is trivial (GraphSpec law)
     if (und.count() <= localMaxEdges)
@@ -579,14 +609,10 @@ object Graph {
     // driver-built (src, n, dist) literal relation, so the edge side
     // must carry the same type (int nation keys would CCE the collect
     // and type-coerce every per-round join)
-    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val und = undirect(edges, srcCol, dstCol, weightCol,
+        minWeight = Some((0L, "harmonicCloseness requires non-negative weights")))
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
         col("wc"))
-    val minRow = und.agg(min(col("wc"))).collect().head
-    val minW: Option[Long] =
-      if (minRow.isNullAt(0)) None else Some(minRow.getLong(0))
-    require(minW.forall(_ >= 0L),
-      s"harmonicCloseness requires non-negative weights, found ${minW.get}")
     val nodes = graphNodes(und)
     val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
     // landmark estimator: the sampled 1/d sums extrapolate by n/K
@@ -599,7 +625,7 @@ object Graph {
       case None => 1.0
     }
     if (und.count() <= localMaxEdges) {
-      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
       return harmonicClosenessOneTask(und, srcList, maxIter, scale)
     }
     val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
@@ -756,17 +782,15 @@ object Graph {
       "pass explicit sources OR landmarkK, not both")
     require(landmarkK.forall(_ >= 1),
       s"landmarkK must be positive, got ${landmarkK.get}")
-    val und = undirect(edges, srcCol, dstCol, weightCol)
+    val und = undirect(edges, srcCol, dstCol, weightCol,
+        minWeight = Some((0L, "eccentricity requires non-negative weights")))
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
         col("wc"))
-    val minRow = und.agg(min(col("wc"))).collect().head
-    require(minRow.isNullAt(0) || minRow.getLong(0) >= 0L,
-      "eccentricity requires non-negative weights")
     val nodes = graphNodes(und)
     val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
     val dist =
       if (und.count() <= localMaxEdges) {
-        val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+        val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
         multiSourceDistancesOneTask(und, srcList, maxIter, "eccentricity")
       } else {
         val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
@@ -835,7 +859,7 @@ object Graph {
       case None => 1.0
     }
     if (und.count() <= localMaxEdges) {
-      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
       return betweennessOneTask(und, srcList, maxIter, scale)
     }
     val incSym = und.select(col("a").as("n"), col("b").as("m"))
@@ -1080,15 +1104,12 @@ object Graph {
       "pass explicit sources OR landmarkK, not both")
     require(landmarkK.forall(_ >= 1),
       s"landmarkK must be positive, got ${landmarkK.get}")
-    val undRaw = undirect(edges, srcCol, dstCol, weightCol)
+    val undRaw = undirect(edges, srcCol, dstCol, weightCol,
+      minWeight = Some((1L, "betweennessWeighted requires strictly " +
+        "positive weights (zero collapses SP-DAG ranks)")))
     val und = undRaw.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"), col("wc")).localCheckpoint(true)
     Checkpoints.drop(undRaw)
-    val minRow = und.agg(min(col("wc"))).collect().head
-    if (!minRow.isNullAt(0))
-      require(minRow.getLong(0) > 0L,
-        "betweennessWeighted requires strictly positive weights — " +
-          s"found ${minRow.getLong(0)} (zero collapses SP-DAG ranks)")
     val nodes = graphNodes(und)
     val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
     val scale: Double = landmarkK match {
@@ -1098,7 +1119,7 @@ object Graph {
       case None => 1.0
     }
     if (und.count() <= localMaxEdges) {
-      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
       return betweennessWeightedOneTask(und, srcList, maxIter, scale)
     }
     val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))

@@ -296,7 +296,7 @@ object Similarity {
     try {
       // ≤ k ints — a fixed-size driver-side set, never data-scale
       val touched = assigned.select("ivf_list").distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
       if (touched.isEmpty) return // empty batch: nothing to rewrite
       val existing = spark.read.parquet(s"$indexDir/vectors")
         .filter(col("ivf_list").isin(touched: _*))
@@ -336,14 +336,14 @@ object Similarity {
       val vectors = spark.read.parquet(s"$indexDir/vectors")
       // ≤ k ints, same bounded driver-side set as ivfAppendIndex
       val touched = vectors.join(idOnly, Seq(idCol), "left_semi")
-        .select("ivf_list").distinct().collect().map(_.getInt(0)).toSeq.sorted
+        .select("ivf_list").distinct().collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
       if (touched.isEmpty) return
       val remaining = vectors.filter(col("ivf_list").isin(touched: _*))
         .join(idOnly, Seq(idCol), "left_anti")
         .localCheckpoint(eager = true) // pin before overwriting the source path
       try {
         val keptLists = remaining.select("ivf_list").distinct()
-          .collect().map(_.getInt(0)).toSet
+          .collect().map(_.getInt(0)).toSet // bounded: <= k list ids
         if (keptLists.nonEmpty)
           remaining.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -379,7 +379,7 @@ object Similarity {
                        indexDir: String): Array[Array[Float]] =
     spark.read.parquet(s"$indexDir/centroids")
       .select("centroid_id", "centroid").orderBy("centroid_id")
-      .collect().map(_.getSeq[Float](1).toArray)
+      .collect().map(_.getSeq[Float](1).toArray) // bounded: k centroid rows
 
   /** Candidate scan of a persisted index: only the probed lists. Exposed
     * separately so the plan's partition pruning is testable — the spec

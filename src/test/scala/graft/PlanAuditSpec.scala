@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -292,9 +293,8 @@ class PlanAuditSpec extends SparkSpec {
     // source-level sweep: the registry discipline is that scalar
     // thresholds fold IN-PLAN (crossJoin(broadcast(aggDf)) — q_theil,
     // q_abc, q_graph_ktruss, ...), never via a driver-side
-    // .collect().head mid-plan. Operators may collect driver-bounded
-    // state (BPE argmax rows, graph node lists) — the sweep targets
-    // Queries.scala only, where every body is a pure plan builder.
+    // .collect().head mid-plan. Queries.scala bodies are pure plan
+    // builders: ZERO collect sites allowed.
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/Queries.scala")),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -304,5 +304,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(hits.isEmpty,
       "driver-blocking collect() in a registered query body:\n" +
         hits.mkString("\n"))
+  }
+
+  test("every operators/ collect site carries a written bound and the census is pinned") {
+    // operators MAY collect driver-bounded state (per-partition count
+    // rows, <= K landmark lists, <= k IVF list ids, k centroid rows) —
+    // but every site must SAY its bound where it collects (a `bounded:`
+    // justification within the two lines ending at the call), and the
+    // per-file site census is pinned so a new collect cannot slip in as
+    // "just one more": adding one forces writing its bound AND bumping
+    // the census here, consciously. The four 1-row min-weight
+    // `agg(min).collect()` probes Graph carried through r10 are gone —
+    // that contract now rides undirect's checkpoint as an in-plan
+    // raise_error guard (zero extra jobs), which is why Graph's census
+    // counts only the <= K source lists.
+    val expected = Map(
+      "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
+      "Dedup.scala" -> 2,     // touched + written component-store bucket ids (<= buckets)
+      "Graph.scala" -> 4,     // <= K landmark/explicit source lists
+      "Similarity.scala" -> 4 // <= k IVF list ids x3, k centroid rows
+    )
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/operators")
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(files.nonEmpty, "operators/ sweep found no sources")
+    val unjustified = scala.collection.mutable.ArrayBuffer.empty[String]
+    val census = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for (f <- files) {
+      val lines = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8).linesIterator.toVector
+      for (i <- lines.indices
+           if lines(i).contains(".collect(")
+           // scaladoc/comment mentions are not call sites
+           if !lines(i).trim.startsWith("*") && !lines(i).trim.startsWith("//")) {
+        census(f.getFileName.toString) += 1
+        val window = lines.slice(math.max(0, i - 1), i + 1).mkString("\n")
+        if (!window.contains("bounded:"))
+          unjustified += s"${f.getFileName}:${i + 1}: ${lines(i).trim}"
+      }
+    }
+    assert(unjustified.isEmpty,
+      "collect() in operators/ without a written `bounded:` justification:\n" +
+        unjustified.mkString("\n"))
+    assert(census.toMap == expected,
+      s"operators/ collect census drifted: got ${census.toMap}, pinned $expected — " +
+        "a new site needs its bound written at the call AND the census " +
+        "updated here")
   }
 }
