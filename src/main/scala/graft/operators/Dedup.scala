@@ -933,6 +933,75 @@ object Dedup {
     touched
   }
 
+  /** Measured-size gate for the components-store write strategy
+    * (BASELINE.md "components store gate"): below this labeling size
+    * the BUCKETED store's fixed costs dominate — `tools/ComponentsScale`
+    * measured the touched-buckets path 3.4× SLOWER in wall time at a
+    * 4M-node labeling (3.1 s flat vs 10.7 s bucketed: fixed
+    * dynamic-overwrite machinery + 256-partition listing overhead)
+    * even though it writes 3.7× fewer bytes. Flat write throughput in
+    * that run was ~1.3M rows/s, so the ~7.6 s fixed overhead buys
+    * roughly a 10M-row flat rewrite — the crossover estimate this
+    * default records. Same discipline as
+    * [[Graph.LocalFixpointMaxEdges]]: strategy picks by measured size,
+    * not by caller guesswork. */
+  val ComponentsStoreMaxFlatRows: Long = 10L * 1000 * 1000
+
+  /** What [[mergeComponentsStore]] did: which route ran and (bucketed
+    * route only) which label-buckets rewrote. */
+  case class ComponentsMergeReport(route: String, touchedBuckets: Seq[Long])
+
+  private def storeIsBucketed(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(base) &&
+      fs.listStatus(base).exists(_.getPath.getName.startsWith("__bucket="))
+  }
+
+  /** SIZE-GATED components-store merge — the entry point
+    * [[graft.sources.IO.componentsStoreSink]] folds batches through:
+    * labelings at or below `maxFlatRows` route through a FLAT snapshot
+    * rewrite ([[componentsMerge]] + one overwrite — cheaper than the
+    * bucketed machinery below the gate, measured in
+    * `tools/ComponentsScale`), larger ones through the bucketed
+    * touched-partitions-only [[mergeIntoComponentsStore]], converting a
+    * flat store to the bucketed layout once when it first crosses the
+    * gate. Both routes produce the IDENTICAL labeling (the min-label
+    * fixpoint is unique — ScalePathSpec law); the gate only picks the
+    * write strategy. Gate reads the CURRENT store's row count — one
+    * column-pruned scan, the price of not making the caller guess. */
+  def mergeComponentsStore(batch: DataFrame, dir: String,
+                           idA: String = "id_a", idB: String = "id_b",
+                           buckets: Int = 64,
+                           maxFlatRows: Long = ComponentsStoreMaxFlatRows)
+      : ComponentsMergeReport = {
+    val spark = batch.sparkSession
+    val storeRows = readComponentsStore(spark, dir).count()
+    if (storeRows > maxFlatRows) {
+      if (!storeIsBucketed(spark, dir)) {
+        // one-time layout conversion at the gate crossing: pin the
+        // labeling, rewrite bucketed (full overwrite replaces the flat
+        // files), then merge touched-buckets-only
+        val lab = readComponentsStore(spark, dir).localCheckpoint(eager = true)
+        try writeComponentsStore(lab, dir, buckets)
+        finally Checkpoints.drop(lab)
+      }
+      ComponentsMergeReport("bucketed",
+        mergeIntoComponentsStore(batch, dir, idA, idB, buckets))
+    } else {
+      val lab = readComponentsStore(spark, dir)
+        .groupBy("id").agg(min("label").as("label")) // crash-dup repair, as in the bucketed read
+      val merged = componentsMerge(lab, batch, idA, idB)
+        .localCheckpoint(eager = true) // fully consume the store read before overwriting it
+      // static overwrite deletes the whole dir first, so a previously
+      // bucketed store below the gate converges back to the flat layout
+      try merged.write.mode("overwrite").parquet(dir)
+      finally Checkpoints.drop(merged)
+      ComponentsMergeReport("flat", Seq.empty)
+    }
+  }
+
   /** Keep one canonical document per near-dup cluster: the member with
     * the minimum id survives; documents in no pair keep themselves. The
     * training-data dedup endgame — pairs from any detector

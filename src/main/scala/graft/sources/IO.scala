@@ -219,16 +219,23 @@ object IO {
     * converges (re-contracting its edges re-derives the merge), so
     * at-least-once delivery is safe; the store must be seeded with
     * [[graft.operators.Dedup.writeComponentsStore]] (possibly empty).
-    * ScalePathSpec pins parity with the swap sink. */
+    * Routing is SIZE-GATED ([[graft.operators.Dedup
+    * .mergeComponentsStore]]): labelings at or below `maxFlatRows` take
+    * the flat-snapshot rewrite (measured cheaper below the gate —
+    * BASELINE.md "components store gate"), larger ones the bucketed
+    * touched-partitions path; both produce the identical labeling.
+    * ScalePathSpec pins parity with the swap sink and across routes. */
   def componentsStoreSink(edges: DataFrame, storeDir: String,
                           checkpointDir: String, buckets: Int = 64,
-                          idA: String = "id_a", idB: String = "id_b")
+                          idA: String = "id_a", idB: String = "id_b",
+                          maxFlatRows: Long =
+                            graft.operators.Dedup.ComponentsStoreMaxFlatRows)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     edges.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.mergeIntoComponentsStore(
-          batch, storeDir, idA, idB, buckets)
+        graft.operators.Dedup.mergeComponentsStore(
+          batch, storeDir, idA, idB, buckets, maxFlatRows)
         ()
       }
       .trigger(Trigger.AvailableNow())

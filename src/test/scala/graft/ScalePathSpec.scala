@@ -761,6 +761,49 @@ class ScalePathSpec extends SparkSpec {
     assert(snapshot() == want)
   }
 
+  test("components store gate: both routes produce the identical labeling; layout follows the gate") {
+    import java.nio.file.Files
+    val b1 = Seq((5L, 6L), (8L, 9L), (20L, 21L))
+    val batch = Seq((6L, 9L), (9L, 3L))
+    val want = Dedup.connectedComponents((b1 ++ batch).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucketDirs(dir: String): Seq[String] = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("__bucket=")).toSeq
+    }
+    // FLAT route: a 6-row labeling sits far under the default gate, even
+    // when the store was seeded in the bucketed layout — the overwrite
+    // converges it to the flat snapshot
+    val flatDir = Files.createTempDirectory("cc_gate_f_").toString + "/labels"
+    Dedup.writeComponentsStore(
+      Dedup.connectedComponents(b1.toDF("id_a", "id_b")), flatDir, 8)
+    val rf = Dedup.mergeComponentsStore(batch.toDF("id_a", "id_b"), flatDir,
+      buckets = 8)
+    assert(rf.route == "flat" && rf.touchedBuckets.isEmpty, s"$rf")
+    assert(bucketDirs(flatDir).isEmpty,
+      "below the gate the store must converge to the flat layout")
+    val gotF = Dedup.readComponentsStore(spark, flatDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF == want, s"flat route $gotF != recompute $want")
+    // BUCKETED route (maxFlatRows = 0 forces the gate): the store starts
+    // FLAT, so the crossing converts the layout once, then merges
+    // touched-buckets-only — and the labeling is IDENTICAL (the
+    // min-label fixpoint is unique; the gate only picks the write
+    // strategy)
+    val bDir = Files.createTempDirectory("cc_gate_b_").toString + "/labels"
+    Dedup.connectedComponents(b1.toDF("id_a", "id_b"))
+      .write.parquet(bDir) // flat seed
+    val rb = Dedup.mergeComponentsStore(batch.toDF("id_a", "id_b"), bDir,
+      buckets = 8, maxFlatRows = 0L)
+    assert(rb.route == "bucketed" && rb.touchedBuckets.nonEmpty, s"$rb")
+    assert(bucketDirs(bDir).nonEmpty,
+      "above the gate the store must be bucketed")
+    val gotB = Dedup.readComponentsStore(spark, bDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB == want, s"bucketed route $gotB != recompute $want")
+  }
+
   test("componentsStoreSink: streaming batches fold into the bucketed store; parity with the swap sink") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -772,8 +815,12 @@ class ScalePathSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id", "label"), store, buckets = 8)
     val in = MemoryStream[(Long, Long)]
     def run(): Unit = {
+      // maxFlatRows = 0 pins the BUCKETED route — this test is the
+      // bucketed sink's parity law (the gate's own routing law is the
+      // "components store gate" test)
       val q = graft.sources.IO.componentsStoreSink(
-        in.toDF().toDF("id_a", "id_b"), store, ckpt, buckets = 8).start()
+        in.toDF().toDF("id_a", "id_b"), store, ckpt, buckets = 8,
+        maxFlatRows = 0L).start()
       try q.processAllAvailable() finally q.stop()
     }
     in.addData((5L, 6L), (8L, 9L))
