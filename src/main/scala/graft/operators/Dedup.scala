@@ -364,16 +364,79 @@ object Dedup {
   }
 
   /** Persisted exact-dedup fingerprint index: the distinct md5 fingerprints
-    * of a corpus, written as parquet. The steady-state companion of
-    * [[dedupAgainstIndex]]: at 100 TB the corpus is deduped ONCE, the
-    * index (16 bytes/distinct doc — orders of magnitude smaller than the
-    * corpus) persists, and every subsequent ingest batch dedups against
-    * the index instead of re-scanning history. */
+    * of a corpus, written as parquet PARTITIONED by the fingerprint-hash
+    * bucket `__bucket = pmod(xxhash64(fp), buckets)`. The steady-state
+    * companion of [[dedupAgainstIndex]]: at 100 TB the corpus is deduped
+    * ONCE, the index (16 bytes/distinct doc — orders of magnitude smaller
+    * than the corpus) persists, and every subsequent ingest batch dedups
+    * against the index instead of re-scanning history. The bucketed
+    * layout exists for [[deleteFromFingerprintIndex]]: a takedown
+    * rewrites only the buckets holding the removed fingerprints (dynamic
+    * partition overwrite — per-partition atomic, replay-idempotent), the
+    * same touched-partitions discipline as the IVF and components
+    * stores. Reads are unaffected (the partition column is dropped by
+    * the fp projections). */
   def writeFingerprintIndex(docs: DataFrame, textCol: String,
-                            indexDir: String): Unit =
+                            indexDir: String, buckets: Int = 64): Unit =
     docs.select(Text.fingerprint(col(textCol)).as("fp"))
       .distinct()
-      .write.mode("overwrite").parquet(indexDir)
+      .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
+
+  /** Remove the fingerprints of `deletedDocs` from a persisted
+    * fingerprint index — the TAKEDOWN verb of the lifecycle
+    * (write/append/delete): opt-out content must leave every index that
+    * references it, batch-proportionally. Contract: the index pairs with
+    * a DEDUPED corpus (one surviving doc per fingerprint — exactly what
+    * [[dedupAgainstIndex]] maintains), so a deleted doc's fingerprint
+    * has no other owner and delete == rebuild-without-those-docs
+    * (ScalePathSpec law). Touched buckets come from a SEMI-JOIN against
+    * the index, so replaying a delete finds nothing and writes nothing;
+    * untouched bucket directories stay byte-identical. Returns the
+    * touched bucket ids (the cost witness). Single writer by contract,
+    * like append. */
+  def deleteFromFingerprintIndex(deletedDocs: DataFrame, textCol: String,
+                                 indexDir: String): Seq[Long] = {
+    val spark = deletedDocs.sparkSession
+    val fps = deletedDocs.select(Text.fingerprint(col(textCol)).as("fp"))
+      .distinct().localCheckpoint(eager = true)
+    try {
+      val idx = spark.read.parquet(indexDir)
+        .select(col("fp"), col("__bucket").cast("long").as("__bucket"))
+      val touched = idx.join(fps, Seq("fp"), "left_semi")
+        .select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= buckets ids
+      if (touched.isEmpty) return touched // replay / unknown docs: zero writes
+      val remaining = idx.filter(col("__bucket").isin(touched: _*))
+        .join(fps, Seq("fp"), "left_anti")
+        .localCheckpoint(eager = true) // pin before overwriting the source path
+      try {
+        remaining.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(indexDir)
+        val written = remaining.select("__bucket").distinct()
+          .collect().map(_.getLong(0)).toSet // bounded: <= buckets ids
+        dropEmptiedPartitions(spark, indexDir, "__bucket", touched, written)
+      } finally Checkpoints.drop(remaining)
+      touched
+    } finally Checkpoints.drop(fps)
+  }
+
+  /** Delete the `partCol=v` directories of buckets that were touched by
+    * a rewrite but absent from its output — dynamic partition overwrite
+    * only replaces partitions PRESENT in the written data, so a bucket
+    * emptied by a delete/move would silently keep its stale files (the
+    * ivfDeleteIds / mergeIntoComponentsStore guard, shared). */
+  private def dropEmptiedPartitions(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, partCol: String,
+                                    touched: Seq[Long],
+                                    written: Set[Long]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$partCol=$b"), true)
+    }
+  }
 
   /** Append a new batch's fingerprints to the index — only fingerprints
     * not already present are written (anti-join keeps the index
@@ -391,13 +454,14 @@ object Dedup {
     * same fingerprint; serialize appends per index (the lifecycle is
     * pinned in ScalePathSpec). */
   def appendFingerprintIndex(docs: DataFrame, textCol: String,
-                             indexDir: String): Unit = {
+                             indexDir: String, buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
-    val idx = spark.read.parquet(indexDir)
+    val idx = spark.read.parquet(indexDir).select("fp")
     val delta = docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
       .join(idx, Seq("fp"), "left_anti")
+      .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
       .localCheckpoint(true) // finish reading indexDir BEFORE writing to it
-    delta.write.mode("append").parquet(indexDir)
+    delta.write.mode("append").partitionBy("__bucket").parquet(indexDir)
   }
 
   /** Persist a MinHash band index for INCREMENTAL near-dup dedup — the
@@ -407,15 +471,73 @@ object Dedup {
     * Jaccard confirm side). At 100 TB the bands relation is ~8 rows/doc
     * of three scalars and the candidate join is a plain hash join on
     * (band, bucket) — never a scan of the corpus text. */
+  /** Partition key of the near-dup index's relations: the ID-hash
+    * bucket. Both `bands/` and `docs/` carry it, so a takedown
+    * ([[deleteFromNearDupIndex]]) rewrites only the bucket directories
+    * holding the removed ids in each. (Distinct from the LSH `bucket`
+    * column — that is a JOIN key, this is the storage layout.) */
+  private def idBucket(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong))
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
                         indexDir: String, shingleN: Int = 3,
-                        numHashes: Int = 32, bands: Int = 8): Unit = {
+                        numHashes: Int = 32, bands: Int = 8,
+                        storeBuckets: Int = 64): Unit = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
     sigs.select(col(idCol).as("id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
-      .write.mode("overwrite").parquet(s"$indexDir/bands")
+      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$indexDir/bands")
     docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
+      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$indexDir/docs")
+  }
+
+  /** Remove ids from a persisted near-dup index — the TAKEDOWN verb:
+    * the ids' band triples and token arrays both leave the index, so
+    * future batches can no longer be suppressed as near-dups of removed
+    * content. Touched ID-hash buckets come from a semi-join against
+    * `docs/` (every indexed id has a docs row, band rows only if it had
+    * shingles — the same hash, so one touched set covers both
+    * relations); a replayed delete finds nothing and writes nothing,
+    * untouched bucket directories stay byte-identical, and delete ==
+    * rebuild-without-those-ids (ScalePathSpec law). Returns the touched
+    * bucket ids. Single writer by contract. */
+  def deleteFromNearDupIndex(ids: DataFrame, idCol: String,
+                             indexDir: String): Seq[Long] = {
+    val spark = ids.sparkSession
+    val idOnly = ids.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = true)
+    try {
+      val docsRel = spark.read.parquet(s"$indexDir/docs")
+        .select(col("id"), col("toks"),
+          col("__bucket").cast("long").as("__bucket"))
+      val touched = docsRel.join(idOnly, Seq("id"), "left_semi")
+        .select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= storeBuckets ids
+      if (touched.isEmpty) return touched
+      def rewrite(sub: String, rel: DataFrame): Unit = {
+        val remaining = rel.filter(col("__bucket").isin(touched: _*))
+          .join(idOnly, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true) // pin before overwriting the source
+        try {
+          remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket").parquet(s"$indexDir/$sub")
+          val written = remaining.select("__bucket").distinct()
+            .collect().map(_.getLong(0)).toSet // bounded: <= storeBuckets ids
+          dropEmptiedPartitions(spark, s"$indexDir/$sub", "__bucket",
+            touched, written)
+        } finally Checkpoints.drop(remaining)
+      }
+      rewrite("docs", docsRel)
+      rewrite("bands", spark.read.parquet(s"$indexDir/bands")
+        .select(col("id"), col("band"), col("bucket"),
+          col("__bucket").cast("long").as("__bucket")))
+      touched
+    } finally Checkpoints.drop(idOnly)
   }
 
   /** Incremental NEAR-dup dedup of an ingest batch against the persisted
@@ -492,16 +614,21 @@ object Dedup {
     * writer by contract). Cost ∝ batch. */
   def appendNearDupIndex(survivors: DataFrame, idCol: String, textCol: String,
                          indexDir: String, shingleN: Int = 3,
-                         numHashes: Int = 32, bands: Int = 8): Unit = {
+                         numHashes: Int = 32, bands: Int = 8,
+                         storeBuckets: Int = 64): Unit = {
     val sigs = minhashSignatures(survivors, idCol, textCol, shingleN, numHashes, bands)
     val bandDelta = sigs.select(col(idCol).as("id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
       .localCheckpoint(true)
     val docDelta = survivors.select(col(idCol).as("id"),
         Text.tokens(col(textCol)).as("toks"))
+      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
       .localCheckpoint(true)
-    bandDelta.write.mode("append").parquet(s"$indexDir/bands")
-    docDelta.write.mode("append").parquet(s"$indexDir/docs")
+    bandDelta.write.mode("append").partitionBy("__bucket")
+      .parquet(s"$indexDir/bands")
+    docDelta.write.mode("append").partitionBy("__bucket")
+      .parquet(s"$indexDir/docs")
   }
 
   /** Incremental exact dedup of an ingest batch against the persisted
@@ -515,7 +642,7 @@ object Dedup {
   def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
                         indexDir: String): DataFrame = {
     val spark = batch.sparkSession
-    val idx = spark.read.parquet(indexDir)
+    val idx = spark.read.parquet(indexDir).select("fp")
     val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     withFp
@@ -1000,6 +1127,103 @@ object Dedup {
       finally Checkpoints.drop(merged)
       ComponentsMergeReport("flat", Seq.empty)
     }
+  }
+
+  /** Remove nodes from a persisted components store — the TAKEDOWN verb
+    * of the components lifecycle. Deleting a node can SPLIT its
+    * component (it may have been the only bridge), so the store alone
+    * cannot answer the new labeling: the caller supplies the current
+    * EDGE relation and the affected components are re-solved from their
+    * surviving edges. Work shape:
+    *
+    *   1. affected labels = components containing a deleted id (≤ |ids|
+    *      labels — takedown batches are small by nature);
+    *   2. surviving members of those components (store semi-join —
+    *      affected-components-sized);
+    *   3. surviving edges INSIDE those components (both endpoints
+    *      surviving members — one edge-relation scan with two hash
+    *      semi-joins; the read side is edge-proportional, the same
+    *      honest posture as the merge's full-store contraction read:
+    *      the WIN is the write side);
+    *   4. [[connectedComponents]] over that affected-only edge set
+    *      (touched-components-sized, so the one-task gate usually
+    *      fires); members with no surviving edge keep themselves;
+    *   5. write: bucketed store → dynamic overwrite of ONLY the buckets
+    *      holding affected components' old or new labels (byte-identity
+    *      elsewhere, emptied dirs dropped); flat store → snapshot
+    *      rewrite.
+    *
+    * delete == rebuild-without-those-nodes exactly (ScalePathSpec law:
+    * the min-label fixpoint over the surviving graph is unique); a
+    * replayed delete finds no affected labels and writes nothing.
+    * Returns touched bucket ids (empty for the flat route / no-op).
+    * Single writer by contract. */
+  def deleteFromComponentsStore(ids: DataFrame, edges: DataFrame, dir: String,
+                                idA: String = "id_a", idB: String = "id_b",
+                                buckets: Int = 64): Seq[Long] = {
+    val spark = ids.sparkSession
+    val del = ids.select(ids.columns.head).toDF("id")
+      .select(col("id").cast("long").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    try {
+      val lab = readComponentsStore(spark, dir)
+        .groupBy("id").agg(min("label").as("label")) // crash-dup repair
+      val affected = lab.join(del, Seq("id"), "left_semi")
+        .select("label").distinct().localCheckpoint(eager = true)
+      try {
+        if (affected.isEmpty) return Seq.empty // replay / unknown ids
+        val members = lab.join(affected, Seq("label"), "left_semi")
+          .join(del, Seq("id"), "left_anti")
+          .select("id").localCheckpoint(eager = true)
+        try {
+          val e = edges.select(col(idA).cast("long").as("ea"),
+            col(idB).cast("long").as("eb"))
+          val affEdges = e
+            .join(members.select(col("id").as("ea")), Seq("ea"), "left_semi")
+            .join(members.select(col("id").as("eb")), Seq("eb"), "left_semi")
+            .select(col("ea").as("id_a"), col("eb").as("id_b"))
+          val relab = connectedComponents(affEdges)
+            .localCheckpoint(eager = true)
+          try {
+            val newRows = members
+              .join(relab, Seq("id"), "left")
+              .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+            if (storeIsBucketed(spark, dir)) {
+              val bkt = (c: Column) => pmod(c, lit(buckets.toLong))
+              val touched = affected.select(bkt(col("label")).as("b"))
+                .union(newRows.select(bkt(col("label")).as("b")))
+                .distinct()
+                .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= buckets ids
+              // cohabitants of the touched buckets pass through; rows of
+              // affected components (deleted ids included) are replaced
+              // by newRows — their labels' buckets are all in `touched`
+              val inTouched = lab.where(bkt(col("label")).isin(touched: _*))
+                .join(affected, Seq("label"), "left_anti")
+                .select("id", "label")
+              val pinned = inTouched.unionByName(newRows)
+                .select(col("id"), col("label"), bkt(col("label")).as("__bucket"))
+                .localCheckpoint(eager = true)
+              try {
+                pinned.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("__bucket").parquet(dir)
+                val written = pinned.select("__bucket").distinct()
+                  .collect().map(_.getLong(0)).toSet // bounded: <= buckets ids
+                dropEmptiedPartitions(spark, dir, "__bucket", touched, written)
+              } finally Checkpoints.drop(pinned)
+              touched
+            } else {
+              val out = lab.join(affected, Seq("label"), "left_anti")
+                .unionByName(newRows)
+                .localCheckpoint(eager = true) // consume the read first
+              try out.write.mode("overwrite").parquet(dir)
+              finally Checkpoints.drop(out)
+              Seq.empty
+            }
+          } finally Checkpoints.drop(relab)
+        } finally Checkpoints.drop(members)
+      } finally Checkpoints.drop(affected)
+    } finally Checkpoints.drop(del)
   }
 
   /** Keep one canonical document per near-dup cluster: the member with

@@ -634,7 +634,7 @@ class ScalePathSpec extends SparkSpec {
     // fingerprints and stays distinct
     Dedup.appendFingerprintIndex(
       batch1.filter(col("doc_id").isin(11L, 14L)), "text", dir)
-    val idx1 = spark.read.parquet(dir).as[String].collect()
+    val idx1 = spark.read.parquet(dir).select("fp").as[String].collect()
     assert(idx1.length == 4 && idx1.distinct.length == 4,
       s"index distinct after append: ${idx1.toSeq}")
 
@@ -651,6 +651,132 @@ class ScalePathSpec extends SparkSpec {
     val surv2 = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", dir)
       .select("doc_id").as[Long].collect().toSet
     assert(surv2 == Set(22L), s"appended fp must dedup the next batch: $surv2")
+  }
+
+  // ---- takedown lifecycle laws: every persisted artifact must honor
+  // opt-out/deletion batch-proportionally (touched partitions only),
+  // with delete == rebuild-without-the-ids and idempotent replay ------
+
+  /** (bucket-dir name, sorted (file, size) list) for every `__bucket=`
+    * partition under `dir` — the byte-identity witness. */
+  private def bucketFiles(dir: String): Map[String, Seq[(String, Long)]] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.startsWith("__bucket=")).map { b =>
+      b.getName -> b.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+    }.toMap
+  }
+  private def bucketIdOf(dirName: String): Long =
+    dirName.stripPrefix("__bucket=").toLong
+
+  test("fingerprint index takedown: delete == rebuild; untouched buckets byte-identical; replay no-op") {
+    val base = java.nio.file.Files.createTempDirectory("fp_del_").toString
+    val dir = base + "/idx"
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (4L, "eta theta")).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(corpus, "text", dir)
+    val before = bucketFiles(dir)
+    val touched = Dedup.deleteFromFingerprintIndex(
+      corpus.filter(col("doc_id") === 2L), "text", dir)
+    assert(touched.nonEmpty, "delete of an indexed doc must touch its bucket")
+    // untouched bucket dirs are byte-identical
+    val after = bucketFiles(dir)
+    for ((b, files) <- before if !touched.contains(bucketIdOf(b)))
+      assert(after(b) == files, s"untouched bucket $b rewrote")
+    // delete == rebuild without the doc
+    val rebuilt = base + "/rebuilt"
+    Dedup.writeFingerprintIndex(
+      corpus.filter(col("doc_id") =!= 2L), "text", rebuilt)
+    assert(
+      spark.read.parquet(dir).select("fp").as[String].collect().toSet ==
+        spark.read.parquet(rebuilt).select("fp").as[String].collect().toSet,
+      "deleted index must equal the rebuild without the doc")
+    // behavior: the removed content re-enters; surviving content still dedups
+    val re = Dedup.dedupAgainstIndex(
+      Seq((9L, "gamma delta"), (10L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir).select("doc_id").as[Long].collect().toSet
+    assert(re == Set(9L), s"post-takedown ingest: $re")
+    // replay: the fingerprints are gone, so zero buckets touched
+    assert(Dedup.deleteFromFingerprintIndex(
+      corpus.filter(col("doc_id") === 2L), "text", dir).isEmpty,
+      "replayed delete must be a zero-write no-op")
+  }
+
+  test("near-dup index takedown: delete == rebuild; untouched buckets byte-identical; replay no-op") {
+    val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val baseB = (100 to 140).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, baseA + " end1"), (2L, baseB + " end2"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("neardup_del_").toString
+    val dir = root + "/idx"
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", dir)
+    val beforeDocs = bucketFiles(s"$dir/docs")
+    val beforeBands = bucketFiles(s"$dir/bands")
+    val touched = Dedup.deleteFromNearDupIndex(
+      Seq(1L).toDF("doc_id"), "doc_id", dir)
+    assert(touched.nonEmpty)
+    for ((b, files) <- beforeDocs if !touched.contains(bucketIdOf(b)))
+      assert(bucketFiles(s"$dir/docs")(b) == files, s"untouched docs/$b rewrote")
+    for ((b, files) <- beforeBands if !touched.contains(bucketIdOf(b)))
+      assert(bucketFiles(s"$dir/bands")(b) == files, s"untouched bands/$b rewrote")
+    // behavior == rebuild-without-doc-1: a near-copy of removed doc 1
+    // now SURVIVES ingest; a near-copy of surviving doc 2 still drops
+    val batch = Seq((10L, baseA + " endX"), (11L, baseB + " endY"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", dir, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(10L), s"post-takedown survivors: $surv")
+    val rebuilt = root + "/rebuilt"
+    Dedup.writeNearDupIndex(corpus.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", rebuilt)
+    val survR = Dedup.nearDupAgainstIndex(batch, "doc_id", "text", rebuilt, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survR == surv, "deleted index must behave as the rebuild")
+    // relation equality: both sub-relations hold exactly doc 2's rows
+    assert(spark.read.parquet(s"$dir/docs").select("id").as[Long]
+      .collect().toSet == Set(2L))
+    assert(spark.read.parquet(s"$dir/bands").select("id").as[Long]
+      .collect().toSet == Set(2L))
+    // replay: zero writes
+    assert(Dedup.deleteFromNearDupIndex(
+      Seq(1L).toDF("doc_id"), "doc_id", dir).isEmpty)
+  }
+
+  test("components store takedown: bridge removal splits the component; delete == rebuild on both layouts") {
+    // path 1-2-3-4 (node 2 is a bridge), plus components {8,9}, {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L), (20L, 21L))
+    val e = edges.toDF("id_a", "id_b")
+    // expected rebuild without node 2: 1 isolates; {3,4} split off; the
+    // other components are untouched
+    val want = Map(1L -> 1L, 3L -> 3L, 4L -> 3L, 8L -> 8L, 9L -> 8L,
+      20L -> 20L, 21L -> 20L)
+    // BUCKETED layout: touched buckets only, byte-identity elsewhere
+    val bDir = java.nio.file.Files.createTempDirectory("cc_del_b_")
+      .toString + "/labels"
+    Dedup.writeComponentsStore(Dedup.connectedComponents(e), bDir, 8)
+    val before = bucketFiles(bDir)
+    val touched = Dedup.deleteFromComponentsStore(
+      Seq(2L).toDF("id"), e, bDir, buckets = 8)
+    // affected component label 1 -> bucket 1; new labels {1, 3} -> {1, 3}
+    assert(touched.toSet == Set(1L, 3L), s"touched $touched")
+    for ((b, files) <- before if !touched.contains(bucketIdOf(b)))
+      assert(bucketFiles(bDir)(b) == files, s"untouched bucket $b rewrote")
+    val gotB = Dedup.readComponentsStore(spark, bDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotB == want, s"bucketed takedown $gotB != rebuild $want")
+    // replay: node 2 no longer in the store -> no affected components
+    assert(Dedup.deleteFromComponentsStore(
+      Seq(2L).toDF("id"), e, bDir, buckets = 8).isEmpty)
+    // FLAT layout: same labeling through the snapshot route
+    val fDir = java.nio.file.Files.createTempDirectory("cc_del_f_")
+      .toString + "/labels"
+    Dedup.connectedComponents(e).write.parquet(fDir)
+    assert(Dedup.deleteFromComponentsStore(
+      Seq(2L).toDF("id"), e, fDir, buckets = 8).isEmpty) // flat: no bucket ids
+    val gotF = Dedup.readComponentsStore(spark, fDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF == want, s"flat takedown $gotF != rebuild $want")
   }
 
   test("componentsMerge: folding batches one at a time equals full recompute") {
