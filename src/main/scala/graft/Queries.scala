@@ -3608,6 +3608,35 @@ object Queries {
       .orderBy("dist_w", "nation")
   }
 
+  /** q_graph_sssp_hops — HOP-COUNT single-source shortest paths from
+    * nation 0: the SAME distributed Bellman–Ford relaxation loop as
+    * [[q_graph_sssp]] ([[operators.Graph.shortestPaths]]) driven with
+    * unit weights over the deduplicated undirected edge set, so dist =
+    * BFS depth. Exists to put the multi-round relaxation FIXPOINT under
+    * the driver's hard rows+schema+hash oracle: hop distances ARE
+    * DuckDB-1.0-expressible (a depth-pruned recursive closure whose
+    * (node, depth) state is ≤ n·(n+1) rows, so it terminates), where
+    * the weighted min-plus fixpoint is not (path-sum state explodes on
+    * weighted cyclic graphs; in-recursion aggregation needs DuckDB
+    * ≥ 1.3 `USING KEY` — the documented reason q_graph_sssp stays
+    * exempt). Only nations reachable from the source appear. */
+  val q_graph_sssp_hops: Q = (s, d) => {
+    // symmetrize + dedup BEFORE assigning unit weights: undirect SUMS
+    // parallel edges, so a bidirectional trade pair would cost 2 hops
+    val und1 = nationTradeEdges(s, d)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .withColumn("w1", lit(1L))
+    val dist = operators.Graph.shortestPaths(und1, "src", "dst", "w1",
+      source = 0L)
+    dist.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("dist").cast("long").as("hops"))
+      .orderBy("hops", "nation")
+  }
+
   /** q_graph_assortativity — degree assortativity of the nation trade
     * graph ([[operators.Graph.assortativityCensus]]): do high-degree
     * nations trade with other high-degree nations (r > 0) or with the
@@ -4480,6 +4509,7 @@ object Queries {
     "q_graph_communities" -> q_graph_communities,
     "q_graph_components" -> q_graph_components,
     "q_graph_sssp" -> q_graph_sssp,
+    "q_graph_sssp_hops" -> q_graph_sssp_hops,
     "q_graph_assortativity" -> q_graph_assortativity,
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,

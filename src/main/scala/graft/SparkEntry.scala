@@ -1462,6 +1462,31 @@ object SparkEntry {
         |       CAST(coalesce(c.component, n.n_nationkey) AS BIGINT) AS component
         |FROM nation n LEFT JOIN comp c ON n.n_nationkey = c.id
         |ORDER BY nation""".stripMargin,
+    // hop-count SSSP: depth-pruned BFS closure — (node, depth) state is
+    // bounded by n·(n+1) rows, so the recursion terminates (the weighted
+    // variant's min-plus fixpoint does NOT admit this form in DuckDB 1.0
+    // — q_graph_sssp stays exempt for exactly that reason); min(depth)
+    // per node after the closure, source node present at depth 0
+    "q_graph_sssp_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |sym AS (SELECT a AS n, b AS m FROM und UNION SELECT b, a FROM und),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION
+        |  SELECT CAST(s.m AS BIGINT), w.depth + 1
+        |  FROM walk w JOIN sym s ON w.node = s.n
+        |  WHERE w.depth < 25),
+        |d AS (SELECT node, min(depth) AS hops FROM walk GROUP BY node)
+        |SELECT n.n_name AS nation, CAST(d.hops AS BIGINT) AS hops
+        |FROM d JOIN nation n ON d.node = n.n_nationkey
+        |ORDER BY hops, nation""".stripMargin,
     // symmetrized endpoint-degree pairs; all sums exact integers
     // (DuckDB BIGINT sums promote to HUGEINT ↔ Spark Decimal(38,0));
     // regular graphs (denominator 0) report 0.0 on both engines

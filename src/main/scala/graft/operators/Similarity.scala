@@ -374,6 +374,165 @@ object Similarity {
     ivfAppendIndex(newVecs, idCol, vecCol, indexDir)
   }
 
+  // ---- drift detection + retrain lifecycle --------------------------
+
+  /** Per-list row counts of a persisted index — a scan of the partition
+    * key column only (parquet reads no vector data for it). The census
+    * the drift trigger and the split policy read. */
+  def ivfListSizes(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+      .groupBy(col("ivf_list").cast("int").as("ivf_list"))
+      .agg(count(lit(1)).as("n"))
+
+  /** MEASURED drift trigger: [[ivfAppendIndex]] assigns new vectors to
+    * the ORIGINAL centroids, so under distribution drift appended mass
+    * piles into few lists — their probe cost grows without bound, and
+    * drifted content that straddles old centroid boundaries SCATTERS
+    * across lists, decaying recall at fixed `nprobe` (both measured:
+    * ScalePathSpec drift law, AnnScale drift row in BASELINE.md). Fires
+    * when max(list size) > skewFactor × mean(list size) — a k-row
+    * census, free to evaluate after every append epoch. Remedies:
+    * [[ivfSplitOversizedLists]] (incremental, touched-lists-only — the
+    * cost lever) or [[ivfRetrainIndex]] (full, corpus-proportional —
+    * the recall lever). */
+  def ivfNeedsRetrain(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, skewFactor: Double = 4.0): Boolean = {
+    val sizes = ivfListSizes(spark, indexDir)
+      .select(col("n")).collect().map(_.getLong(0)) // bounded: k list rows
+    sizes.nonEmpty &&
+      sizes.max.toDouble > skewFactor * (sizes.sum.toDouble / sizes.length)
+  }
+
+  /** FULL retrain — the drift remedy that restores fresh-build recall:
+    * re-trains `k` centroids on the index's OWN vectors (the distributed
+    * trainer — nothing data-scale reaches the driver) and rebuilds the
+    * index BESIDE the live one, then swaps directories (write-then-
+    * rename, the componentsSink discipline — no corpus-sized checkpoint,
+    * and the live index serves reads until the swap; a crash leaves
+    * `_bak`/`_next` for recovery). Cost is one corpus read + one write —
+    * paid once per drift epoch, amortized over the many batch-
+    * proportional appends that caused it. ScalePathSpec pins the
+    * recall-preservation law: post-retrain recall == fresh-build recall
+    * on the drifted corpus. Single writer by contract. */
+  def ivfRetrainIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, vecCol: String, k: Int,
+                      iters: Int = 8, seed: Long = 42L): Unit = {
+    val vecs = spark.read.parquet(s"$indexDir/vectors").drop("ivf_list")
+    val centroids = ivfTrainDistributed(vecs, vecCol, k, iters, seed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(conf)
+    val next = new org.apache.hadoop.fs.Path(indexDir + "_next")
+    val bak = new org.apache.hadoop.fs.Path(indexDir + "_bak")
+    fs.delete(next, true)
+    // builds next/ while READING the live index — distinct paths, no
+    // read-own-input hazard, no checkpoint of the corpus
+    ivfWriteIndex(vecs, vecCol, centroids, next.toString)
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"ivfRetrainIndex: $what failed")
+    fs.delete(bak, true)
+    must(fs.rename(live, bak), s"rename $live -> $bak")
+    must(fs.rename(next, live), s"rename $next -> $live")
+    fs.delete(bak, true)
+  }
+
+  /** 2-means refinement over a bounded in-memory sample (the
+    * [[ivfTrain]] loop body, shared with [[ivfSplitList]]). */
+  private def lloyd(sample: Array[Array[Float]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Float]] = {
+    var cents = kppInit(sample, k, seed)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, cents)
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** Split ONE oversized inverted list in place — the INCREMENTAL drift
+    * lever: 2-means over the list's own vectors (seeded bounded sample),
+    * sub-centroid A replaces the old centroid at id `list`, sub-centroid
+    * B appends as a NEW list id k. Only the split list's partition
+    * rewrites (rows keeping A stay in `list`, rows nearer B move to the
+    * new partition — dynamic overwrite + emptied-dir guard); every other
+    * list directory is untouched byte-for-byte; the k-row centroid table
+    * rewrites (it is tiny by construction). Splitting separates
+    * co-resident sub-clusters, so fixed-`nprobe` probes scan less and
+    * aim better; drifted content scattered across OTHER lists is
+    * [[ivfRetrainIndex]]'s job — that distinction is the documented
+    * policy, not a silent claim. */
+  def ivfSplitList(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   idCol: String, vecCol: String, list: Int,
+                   sampleSize: Int = 1024, iters: Int = 8,
+                   seed: Long = 42L): Unit = {
+    val centroids = ivfReadCentroids(spark, indexDir)
+    require(list >= 0 && list < centroids.length,
+      s"list $list out of range [0, ${centroids.length})")
+    val newId = centroids.length
+    val rows = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list") === list) // partition-pruned to the one list
+      .select(col(idCol), col(vecCol))
+    val sample = rows.select(vecCol).rdd
+      .takeSample(withReplacement = false, sampleSize, seed)
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= 2, s"list $list has < 2 vectors — nothing to split")
+    val subs = lloyd(sample, 2, iters, seed)
+    val bc = spark.sparkContext.broadcast(subs)
+    val pick = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bc.value) }
+    val pinned = rows
+      .withColumn("ivf_list",
+        when(pick(col(vecCol)) === 0, lit(list)).otherwise(lit(newId)))
+      .localCheckpoint(eager = true) // one list's rows; pin before overwriting it
+    try {
+      pinned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ivf_list").parquet(s"$indexDir/vectors")
+      val written = pinned.select("ivf_list").distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: <= 2 ids
+      // degenerate split (every row nearer one sub-centroid): the other
+      // partition was touched-but-unwritten — drop its stale files
+      if (!written(list)) {
+        val p = new org.apache.hadoop.fs.Path(
+          s"$indexDir/vectors/ivf_list=$list")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    } finally Checkpoints.drop(pinned)
+    val updated = centroids.updated(list, subs(0)) :+ subs(1)
+    import spark.implicits._
+    updated.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Split every list whose size exceeds skewFactor × mean — the
+    * policy loop over [[ivfSplitList]] using the [[ivfListSizes]]
+    * census. Returns the split list ids (cost witness). */
+  def ivfSplitOversizedLists(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, idCol: String, vecCol: String,
+                             skewFactor: Double = 4.0,
+                             sampleSize: Int = 1024, iters: Int = 8,
+                             seed: Long = 42L): Seq[Int] = {
+    val sizes = ivfListSizes(spark, indexDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: k list rows
+    if (sizes.isEmpty) return Seq.empty
+    val mean = sizes.map(_._2).sum.toDouble / sizes.length
+    val oversized = sizes.filter(_._2 > skewFactor * mean).map(_._1).sorted
+    oversized.foreach(l =>
+      ivfSplitList(spark, indexDir, idCol, vecCol, l, sampleSize, iters, seed))
+    oversized.toSeq
+  }
+
   /** Load the centroid matrix of a persisted index — k small rows. */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Array[Array[Float]] =

@@ -12,14 +12,26 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k on a query subsample. Prints ONE JSON
   * line: build seconds, mean query seconds, recall. Usage:
   * runMain graft.tools.AnnScale [nVecs] [dim] [nLists] [nprobe]
+  *
+  * DRIFT mode (`runMain graft.tools.AnnScale drift [nVecs] …`) measures
+  * the append-drift story instead: build the base index, append a 25%
+  * batch of vectors around NEW centers (bisectors of adjacent base
+  * centers — the worst case for stale centroids: every drifted vector
+  * scatters into one of two old lists), then report recall at the drift
+  * modes through the STALE index, after `ivfRetrainIndex`, and through a
+  * FRESH build on the combined corpus — the measured evidence for the
+  * `ivfNeedsRetrain` trigger and the recall-preservation law.
   */
 object AnnScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val nVecs = if (args.nonEmpty) args(0).toInt else 1000000
-    val dim = if (args.length > 1) args(1).toInt else 64
-    val nLists = if (args.length > 2) args(2).toInt else 256
-    val nprobe = if (args.length > 3) args(3).toInt else 8
+    val driftMode = args.headOption.contains("drift")
+    val rest = if (driftMode) args.drop(1) else args
+    if (driftMode) { driftProbe(rest, cpus); return }
+    val nVecs = if (rest.nonEmpty) rest(0).toInt else 1000000
+    val dim = if (rest.length > 1) rest(1).toInt else 64
+    val nLists = if (rest.length > 2) rest(2).toInt else 256
+    val nprobe = if (rest.length > 3) rest(3).toInt else 8
     val k = 10
     val nQueries = 50
     val recallSample = 10
@@ -86,6 +98,93 @@ object AnnScale {
     }
     val recall = math.round(hit.toDouble / tot * 1000) / 1000.0
     println(s"""{"metric":"ann_scale","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"query_sec":${math.round(querySec * 1000) / 1000.0},"recall_at_$k":$recall}""")
+    spark.stop()
+  }
+
+  private def driftProbe(args: Array[String], cpus: String): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toInt else 1000000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nLists = if (args.length > 2) args(2).toInt else 256
+    val nprobe = if (args.length > 3) args(3).toInt else 8
+    val k = 10
+    val recallSample = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def lcgVec(seed: Long, n: Int, scale: Float): Array[Float] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (math.floorMod(x, 2001L) - 1000L) / 1000f * scale
+      }
+    }
+    val centers = Array.tabulate(nLists)(c => lcgVec(c * 7919L + 17L, dim, 1f))
+    // drift centers: bisectors of adjacent base centers — every drifted
+    // vector lands in one of TWO stale lists, noise deciding which
+    val driftCenters = Array.tabulate(nLists)(c =>
+      centers(c).zip(centers((c + 1) % nLists)).map { case (a, b) => (a + b) / 2 })
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcD = spark.sparkContext.broadcast(driftCenters)
+    def table(n: Int, idOffset: Long, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+      spark.range(n.toLong).select(col("id")).mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val c = (id % bc.value.length).toInt
+          val noise = lcgVec(id * 31L + 5L, bc.value(c).length, 0.15f)
+          (id + idOffset, bc.value(c).zip(noise).map { case (a, b) => a + b })
+        }
+      }.toDF("vec_id", "embedding")
+    val emb = table(nVecs, 0L, bcC).localCheckpoint(true)
+    val drift = table(nVecs / 4, nVecs.toLong, bcD).localCheckpoint(true)
+    val full = emb.unionByName(drift).localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("ann_drift_").toString + "/idx"
+    val centroids = graft.operators.Similarity
+      .ivfTrainDistributed(emb, "embedding", k = nLists, iters = 5)
+    graft.operators.Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    val ta0 = System.nanoTime()
+    graft.operators.Similarity.ivfAppendIndex(drift, "vec_id", "embedding", dir)
+    val appendSec = (System.nanoTime() - ta0) / 1e9
+    val sizes = graft.operators.Similarity.ivfListSizes(spark, dir)
+      .select("n").as[Long].collect()
+    val skew = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    val triggered = graft.operators.Similarity.ivfNeedsRetrain(spark, dir, 1.5)
+
+    val queries = Array.tabulate(recallSample) { q =>
+      driftCenters(q % nLists).zip(lcgVec(q * 131L + 7L, dim, 0.1f))
+        .map { case (a, b) => a + b }
+    }
+    def recall(idxDir: String): Double = {
+      var hit = 0; var tot = 0
+      queries.foreach { qv =>
+        val ann = graft.operators.Similarity.ivfTopKIndexed(spark, idxDir,
+          "vec_id", "embedding", qv, k, nprobe)
+          .select("vec_id").as[Long].collect().toSet
+        val brute = full.select(col("vec_id"),
+            graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
+          .orderBy(desc("sim"), col("vec_id")).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+        hit += (ann & brute).size; tot += brute.size
+      }
+      math.round(hit.toDouble / tot * 1000) / 1000.0
+    }
+    val staleRecall = recall(dir)
+    val tr0 = System.nanoTime()
+    graft.operators.Similarity.ivfRetrainIndex(spark, dir, "embedding",
+      k = nLists + nLists / 4, iters = 5)
+    val retrainSec = (System.nanoTime() - tr0) / 1e9
+    val retrainedRecall = recall(dir)
+    val freshDir = java.nio.file.Files.createTempDirectory("ann_fresh_").toString + "/idx"
+    val freshCents = graft.operators.Similarity
+      .ivfTrainDistributed(full, "embedding", k = nLists + nLists / 4, iters = 5)
+    graft.operators.Similarity.ivfWriteIndex(full, "embedding", freshCents, freshDir)
+    val freshRecall = recall(freshDir)
+    println(s"""{"metric":"ann_drift","vecs":$nVecs,"drift_vecs":${nVecs / 4},"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"cpus":$cpus,"append_sec":${math.round(appendSec * 10) / 10.0},"retrain_sec":${math.round(retrainSec * 10) / 10.0},"skew_max_over_mean":${math.round(skew * 100) / 100.0},"trigger_fired_at_1.5":$triggered,"recall_stale":$staleRecall,"recall_retrained":$retrainedRecall,"recall_fresh":$freshRecall}""")
     spark.stop()
   }
 }

@@ -320,9 +320,9 @@ class PlanAuditSpec extends SparkSpec {
     // counts only the <= K source lists.
     val expected = Map(
       "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
-      "Dedup.scala" -> 2,     // touched + written component-store bucket ids (<= buckets)
+      "Dedup.scala" -> 8,     // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2 (all <= buckets)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
-      "Similarity.scala" -> 4 // <= k IVF list ids x3, k centroid rows
+      "Similarity.scala" -> 7 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows
     )
     val dir = java.nio.file.Paths.get("src/main/scala/graft/operators")
     val files = java.nio.file.Files.list(dir).iterator().asScala

@@ -127,6 +127,118 @@ class ScalePathSpec extends SparkSpec {
     assert(rowsFor100 == 1L, s"upsert must not duplicate: $rowsFor100 rows")
   }
 
+  test("IVF drift lifecycle: trigger fires on skew, split rewrites touched lists only, retrain restores fresh-build recall") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def axisVec(axis: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == axis) 1f else 0f)
+    def noisy(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    // base corpus: three tight clusters on axes e0, e1, e2 — balanced
+    val baseRows = for (c <- 0 until 3; m <- 0 until 40)
+      yield ((c * 40 + m).toLong, noisy(axisVec(c)))
+    val emb = baseRows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 3, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift_").toString
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    assert(!Similarity.ivfNeedsRetrain(spark, dir, skewFactor = 1.2),
+      "balanced index must not trigger")
+
+    // DRIFT: a new content mode on the e0/e1 bisector — every appended
+    // vector lands in list 0 or list 1 (noise decides which), skewing
+    // both and SCATTERING the new mode across two lists
+    val driftCenter = Array.tabulate(dim)(j =>
+      if (j <= 1) (1.0 / math.sqrt(2.0)).toFloat else 0f)
+    val driftRows = (0 until 160).map(i => ((200 + i).toLong, noisy(driftCenter)))
+    Similarity.ivfAppendIndex(driftRows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(Similarity.ivfNeedsRetrain(spark, dir, skewFactor = 1.2),
+      "drift-skewed index must trigger")
+
+    // recall DECAY is real, measured: the stale centroids make a probe
+    // at the drift mode scan one of the two lists its neighbors
+    // scattered across
+    val full = (baseRows ++ driftRows).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    def recallAt10(annIds: Set[Long]): Double = {
+      val brute = Similarity.bruteForceTopK(full, "vec_id", "embedding",
+        driftCenter, 10).select("vec_id").as[Long].collect().toSet
+      (annIds & brute).size.toDouble / brute.size
+    }
+    val stale = Similarity.ivfTopKIndexed(spark, dir, "vec_id", "embedding",
+      driftCenter, 10, nprobe = 1).select("vec_id").as[Long].collect().toSet
+    assert(recallAt10(stale) < 0.9,
+      s"fixture sanity: stale recall should be visibly degraded, got ${recallAt10(stale)}")
+
+    // SPLIT (incremental lever): both oversized lists split; the
+    // untouched list's directory is byte-identical; the vector multiset
+    // survives; each split family is locally consistent with its two
+    // sub-centroids; a full-width probe still finds everything
+    def listFiles(name: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$dir/vectors/$name")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+    }
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+    val quietList = Similarity.nearestLists(axisVec(2), loaded, 1).head
+    val quietBefore = listFiles(s"ivf_list=$quietList")
+    val splits = Similarity.ivfSplitOversizedLists(spark, dir,
+      "vec_id", "embedding", skewFactor = 1.2)
+    assert(splits.size == 2 && !splits.contains(quietList),
+      s"both skewed lists split: $splits")
+    assert(listFiles(s"ivf_list=$quietList") == quietBefore,
+      "untouched list must not rewrite")
+    val afterSplit = spark.read.parquet(s"$dir/vectors")
+    assert(afterSplit.count() == 280 &&
+      afterSplit.select("vec_id").distinct().count() == 280,
+      "split must preserve the vector multiset")
+    val centsAfter = Similarity.ivfReadCentroids(spark, dir)
+    assert(centsAfter.length == 5, "each split appends one centroid")
+    // local consistency: rows of (old list, its new id) sit with the
+    // nearer of the two sub-centroids
+    for ((old, newId) <- splits.zip(Seq(3, 4))) {
+      val fam = afterSplit.filter(col("ivf_list").isin(old, newId))
+        .select("ivf_list", "embedding")
+        .as[(Int, Seq[Float])].collect()
+      assert(fam.nonEmpty)
+      fam.foreach { case (l, v) =>
+        val dOld = v.toArray.zip(centsAfter(old)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+        val dNew = v.toArray.zip(centsAfter(newId)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+        assert((l == old) == (dOld <= dNew),
+          s"row in list $l but sub-distances are $dOld vs $dNew")
+      }
+    }
+    val fullProbe = Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", driftCenter, 10, nprobe = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(recallAt10(fullProbe) == 1.0, "full-width probe must be exact")
+
+    // RETRAIN (recall lever): post-retrain recall == fresh-build recall
+    // on the drifted corpus — the preservation law
+    Similarity.ivfRetrainIndex(spark, dir, "embedding", k = 4, iters = 10)
+    assert(Similarity.ivfReadCentroids(spark, dir).length == 4)
+    // (no balance re-check: the drift cluster IS 4x the base clusters,
+    // so the retrained index is as balanced as the data allows — the
+    // trigger measures size skew, which here reflects true imbalance)
+    val retrained = Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", driftCenter, 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_fresh_").toString
+    val freshCents = Similarity.ivfTrainDistributed(full, "embedding",
+      k = 4, iters = 10)
+    Similarity.ivfWriteIndex(full, "embedding", freshCents, freshDir)
+    val fresh = Similarity.ivfTopKIndexed(spark, freshDir, "vec_id",
+      "embedding", driftCenter, 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(recallAt10(retrained) == recallAt10(fresh),
+      s"retrain must restore fresh-build recall: ${recallAt10(retrained)} vs ${recallAt10(fresh)}")
+    assert(recallAt10(retrained) == 1.0,
+      s"on the separated fixture both must be exact: ${recallAt10(retrained)}")
+  }
+
   test("ivfReembedIndex: moved id lands exactly once in its new list; untouched lists byte-identical") {
     val rnd = new scala.util.Random(41)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
