@@ -303,6 +303,15 @@ object IO {
       f(batch, batchId)
       fs.mkdirs(dir)
       fs.create(marker, true).close()
+    } else {
+      // a SKIPPED batch must still be CONSUMED: for a stateful upstream
+      // (windowed aggregates) every state-store partition commits only
+      // when its task runs under the batch's execution, and Spark
+      // validates those commits per batch — skipping the scan entirely
+      // fails the replayed query. An eager localCheckpoint is the same
+      // full-partition consume the non-skip path performs; the blocks
+      // are dropped immediately.
+      graft.operators.Checkpoints.drop(batch.localCheckpoint(true))
     }
   }
 
@@ -324,26 +333,95 @@ object IO {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val versions = snapshotVersions(spark, baseDir)
-        val existing = versions.lastOption match {
-          case Some(v) => readSnapshotVersion(spark, baseDir, v, snapshotSchema)
-          case None => spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
-        }
-        val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
-        val next = versions.lastOption.getOrElse(0L) + 1
-        merged.write.mode("overwrite").parquet(f"$baseDir/v=$next%05d")
-        // GC strictly-older versions beyond the retention window
-        val base = new org.apache.hadoop.fs.Path(baseDir)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        snapshotVersions(spark, baseDir).dropRight(retain).foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(f"$baseDir/v=$v%05d"), true)
-        }
-        ()
+        versionedUpsertBatch(batch, baseDir, keyCol, snapshotSchema, retain)
       }
       .trigger(Trigger.AvailableNow())
   }
+
+  /** One versioned-upsert commit (the [[versionedUpsertSink]] batch
+    * body, shared with [[windowedMetricsStoreSink]]): merge the
+    * changelog batch into the latest complete `v=<n>` snapshot, write
+    * the result as the next immutable version, GC beyond `retain`. */
+  private def versionedUpsertBatch(batch: DataFrame, baseDir: String,
+                                   keyCol: String,
+                                   snapshotSchema: StructType,
+                                   retain: Int): Unit = {
+    val spark = batch.sparkSession
+    val versions = snapshotVersions(spark, baseDir)
+    val existing = versions.lastOption match {
+      case Some(v) => readSnapshotVersion(spark, baseDir, v, snapshotSchema)
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), snapshotSchema)
+    }
+    val merged = graft.streaming.Cdc.applyChangelog(existing, batch, keyCol)
+    val next = versions.lastOption.getOrElse(0L) + 1
+    merged.write.mode("overwrite").parquet(f"$baseDir/v=$next%05d")
+    // GC strictly-older versions beyond the retention window
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotVersions(spark, baseDir).dropRight(retain).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(f"$baseDir/v=$v%05d"), true)
+    }
+    ()
+  }
+
+  /** Snapshot schema of the [[windowedMetricsStoreSink]] store: one wide
+    * metrics row per finalized window, plus the changelog bookkeeping
+    * columns the versioned merge orders by. */
+  val WindowedMetricsSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("n_pos", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_neg", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("auc", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("avg_prec", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted per-window EVAL-METRICS store — the Doris-analog sink
+    * for the eval pack (VERDICT r10 #6): finalized
+    * [[graft.streaming.Jobs.windowedClassHistogram]] micro-batches fold
+    * into ONE wide metrics row per window (ROC-AUC + average precision —
+    * the literal q_auc / q_avg_precision folds, so batch/stream parity
+    * is inherited, not re-proven) and upsert into the versioned
+    * time-travel snapshot, keyed by `window_start`.
+    *
+    * EXACTLY-ONCE across replays: the fold+merge runs under
+    * [[idempotentForeachBatch]], so a redelivered micro-batch
+    * (checkpoint rollback, restart-from-scratch) writes NOTHING — no
+    * new version, no duplicate rows (StreamingSpec golden). Changelog
+    * ordering rides `ts_ms` = the window's own epoch millis, never wall
+    * clock — replay determinism requires the payload to be a pure
+    * function of the data. Windows finalize once in append mode, so
+    * rows are pure inserts in steady state; one-class windows carry no
+    * AUC and are dropped (the q_auc contract). Time-travel: any
+    * retained `v=<n>` reproduces the metric state at that commit
+    * ([[readSnapshotVersion]] + [[graft.streaming.Cdc.liveView]]). */
+  def windowedMetricsStoreSink(hist: DataFrame, baseDir: String,
+                               checkpointDir: String, retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          // pin BEFORE the empty check: the eager checkpoint consumes
+          // every partition, which is what commits the stateful
+          // operator's state stores (a short-circuiting isEmpty on the
+          // raw batch fails Spark's per-batch commit validation); it
+          // also feeds the two metric folds once
+          val pinned = batch.localCheckpoint(eager = true)
+          if (!pinned.isEmpty) {
+            val metrics = graft.streaming.Jobs.aucPerWindow(pinned)
+              .join(graft.streaming.Jobs.apPerWindow(pinned)
+                  .select(col("window_start"), col("avg_prec")),
+                Seq("window_start"))
+              .withColumn("op", lit("u"))
+              .withColumn("ts_ms",
+                (col("window_start").cast("double") * 1000).cast("long"))
+            versionedUpsertBatch(metrics, baseDir, "window_start",
+              WindowedMetricsSchema, retain)
+          }
+      })
+      .trigger(Trigger.AvailableNow())
 
   /** Complete snapshot versions under `baseDir`, ascending. */
   def snapshotVersions(spark: SparkSession, baseDir: String): Seq[Long] = {

@@ -142,6 +142,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed metrics store: versioned commits, time travel, replayed batches are a no-op") {
+    // the eval pack's Doris-analog: finalized class-histogram windows
+    // fold into one wide (AUC, AP) row per window and land in the
+    // versioned time-travel store, exactly-once under replay
+    val in = MemoryStream[(Timestamp, Double, Long)]
+    val hist = graft.streaming.Jobs.windowedClassHistogram(
+      in.toDF().toDF("ts", "score", "label"),
+      "ts", "score", "label", "10 minutes", "5 minutes")
+    val base = java.nio.file.Files.createTempDirectory("metstore_")
+      .toString + "/store"
+    def start(ck: String) = graft.sources.IO
+      .windowedMetricsStoreSink(hist, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live(v: Long): Map[String, (Long, Long, Double, Double)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, v, graft.sources.IO.WindowedMetricsSchema))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("metstore_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1 [10:00,10:10): the q_auc fixture — AUC = 0.25
+      in.addData((ts("2024-01-01 10:01:00"), 3.0, 1L),
+        (ts("2024-01-01 10:02:00"), 1.0, 1L),
+        (ts("2024-01-01 10:03:00"), 2.0, 1L),
+        (ts("2024-01-01 10:04:00"), 2.0, 0L),
+        (ts("2024-01-01 10:05:00"), 4.0, 0L))
+      q1.processAllAvailable()
+      // advance the watermark past 10:10 (finalizes w1) and seed a
+      // two-class w2 [10:20,10:30)
+      in.addData((ts("2024-01-01 10:21:00"), 5.0, 1L),
+        (ts("2024-01-01 10:22:00"), 1.0, 0L))
+      q1.processAllAvailable()
+      val vs1 = versions
+      assert(vs1.nonEmpty, "w1 finalization must commit a version")
+      // the store row IS the batch fold (parity by construction): AP
+      // reference from the literal avg-precision fold on the fixture
+      val h = Seq((3.0, 1L), (1.0, 1L), (2.0, 1L), (2.0, 0L), (4.0, 0L))
+        .toDF("score", "label")
+        .groupBy(lit("w").as("g"), col("score"))
+        .agg(sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("neg"))
+      val apRef = graft.operators.Analytics
+        .avgPrecisionFromHistogram(h, Seq("g")).collect().head.getDouble(2)
+      val afterW1 = live(vs1.last)
+      assert(afterW1.keySet == Set("2024-01-01 10:00:00.0"), s"$afterW1")
+      assert(afterW1("2024-01-01 10:00:00.0") == ((3L, 2L, 0.25, apRef)),
+        s"${afterW1("2024-01-01 10:00:00.0")} vs AP ref $apRef")
+      // advance past 10:30 → w2 (AUC 1.0: pos 5 > neg 1) finalizes
+      in.addData((ts("2024-01-01 10:41:00"), 1.0, 1L))
+      q1.processAllAvailable()
+      val vs2 = versions
+      assert(vs2.size > vs1.size, "w2 finalization must commit a new version")
+      val latest = live(vs2.last)
+      assert(latest.keySet == Set("2024-01-01 10:00:00.0",
+        "2024-01-01 10:20:00.0"), s"$latest")
+      assert(latest("2024-01-01 10:20:00.0")._3 == 1.0, s"$latest")
+      // TIME TRAVEL: the earlier version is immutable — it still shows
+      // the historical state with only w1
+      assert(live(vs1.last).keySet == Set("2024-01-01 10:00:00.0"),
+        "old version must reproduce the historical window set")
+    } finally q1.stop()
+    // REPLAY: a restart from a fresh checkpoint redelivers every batch
+    // id from 0 — the idempotent markers make the whole replay a no-op
+    // (no new versions, identical content)
+    val before = versions.map(v => v -> live(v)).toMap
+    val ck2 = java.nio.file.Files.createTempDirectory("metstore_ck2_").toString
+    val q2 = start(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(versions.map(v => v -> live(v)).toMap == before,
+      "replayed batches must not change the store")
+  }
+
   test("calibrationPerWindow: streaming reliability bins equal the batch fold") {
     // the calibration twin of the AUC parity law: same
     // windowedClassHistogram input, same calibrationFromHistogram fold
