@@ -673,79 +673,11 @@ object Analytics {
       require(p0 > 0.0 && p0 < 1.0, s"smoothing constants must be in (0,1)")
     val g = keyCols.map(col)
     val hw = udf { (cells: Seq[org.apache.spark.sql.Row]) =>
-      val m = period
-      // reindex onto the orderCol grid (cells arrive sorted by o)
-      val xs: Array[Double] =
-        if (cells.isEmpty) Array.empty[Double]
-        else {
-          val o0 = cells.head.getDouble(0)
-          val pos = new Array[Int](cells.length)
-          var i = 0
-          while (i < cells.length) {
-            val p = cells(i).getDouble(0) - o0
-            val r = math.rint(p)
-            if (math.abs(p - r) > 1e-6)
-              throw new IllegalArgumentException(
-                "holtWintersForecast: order values must sit on a " +
-                  s"unit-spaced integer grid, found offset $p from the " +
-                  "series start")
-            pos(i) = r.toInt
-            if (i > 0 && pos(i) == pos(i - 1))
-              throw new IllegalArgumentException(
-                "holtWintersForecast: duplicate order value at grid " +
-                  s"position ${pos(i)} — the (key, order) pair must be " +
-                  "unique (aggregate upstream)")
-            i += 1
-          }
-          val n = pos(cells.length - 1) + 1
-          if (n == cells.length) cells.map(_.getDouble(1)).toArray
-          else fillValue match {
-            case Some(fv) =>
-              val arr = Array.fill(n)(fv)
-              var j = 0
-              while (j < cells.length) {
-                arr(pos(j)) = cells(j).getDouble(1); j += 1
-              }
-              arr
-            case None =>
-              throw new IllegalArgumentException(
-                s"holtWintersForecast: non-contiguous series (${cells.length} " +
-                  s"observations spanning $n grid steps) and no fillValue " +
-                  "policy — pass fillValue (Some(0.0) for count series) or " +
-                  "densify upstream; silently skipping gaps would shift the " +
-                  "seasonal phase")
-          }
-        }
-      if (xs.length < 2 * m) Seq.empty[(Int, Double)]
+      val xs = hwGrid(cells, fillValue, None, 0)
+      if (xs.length < 2 * period) Seq.empty[(Int, Double)]
       else {
-        def mean(from: Int): Double = {
-          var s0 = 0.0; var i = from
-          while (i < from + m) { s0 += xs(i); i += 1 }
-          s0 / m
-        }
-        val trend0 = (mean(m) - mean(0)) / m
-        // trend-adjusted init: the naive level = first-season mean sits
-        // at the season MIDPOINT and breaks the exact-fit law on linear
-        // series; shifting by (m-1)/2 trend steps puts it at t = m-1,
-        // and detrending the seasonal estimates completes the exactness
-        var level = mean(0) + trend0 * (m - 1) / 2.0
-        var trend = trend0
-        val seas = Array.tabulate(m)(i =>
-          xs(i) - (level - (m - 1 - i) * trend0))
-        var t = m
-        while (t < xs.length) {
-          val sOld = seas(t % m)
-          val lOld = level
-          level = alpha * (xs(t) - sOld) + (1.0 - alpha) * (lOld + trend)
-          trend = beta * (level - lOld) + (1.0 - beta) * trend
-          seas(t % m) = gamma * (xs(t) - level) + (1.0 - gamma) * sOld
-          t += 1
-        }
-        (1 to horizon).map { h =>
-          val f = level + h * trend + seas((xs.length + h - 1) % m)
-          h -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble
-        }
+        val (level, trend, seas) = hwFitXs(xs, period, alpha, beta, gamma)
+        hwForecasts(level, trend, seas, period, xs.length, horizon)
       }
     }
     df.groupBy(g: _*)
@@ -754,6 +686,243 @@ object Analytics {
         col(valueCol).cast("double").as("v")))).as("cells"))
       .select(g :+ explode(hw(col("cells"))).as("seg"): _*)
       .select(g :+ col("seg._1").as("h") :+ col("seg._2").as("forecast"): _*)
+  }
+
+  // ---- Holt–Winters shared internals (the LITERAL fold the forecast
+  // operator and the persisted-state artifact both run — their parity
+  // is by construction, not by test luck) ------------------------------
+
+  /** Reindex sorted (o, v) cells onto the unit grid starting at
+    * `startPos` relative to `origin` (the series' own first order value
+    * when None). Gaps fill by policy or throw; duplicates, non-integral
+    * spacing and positions before `startPos` always throw. */
+  private[graft] def hwGrid(cells: Seq[org.apache.spark.sql.Row],
+                            fillValue: Option[Double],
+                            origin: Option[Double],
+                            startPos: Int): Array[Double] = {
+    if (cells.isEmpty) return Array.empty[Double]
+    val o0 = origin.getOrElse(cells.head.getDouble(0))
+    val pos = new Array[Int](cells.length)
+    var i = 0
+    while (i < cells.length) {
+      val p = cells(i).getDouble(0) - o0
+      val r = math.rint(p)
+      if (math.abs(p - r) > 1e-6)
+        throw new IllegalArgumentException(
+          "holt-winters: order values must sit on a unit-spaced integer " +
+            s"grid, found offset $p from the series origin")
+      pos(i) = r.toInt
+      if (pos(i) < startPos)
+        throw new IllegalArgumentException(
+          s"holt-winters: observation at grid position ${pos(i)} precedes " +
+            s"the already-fitted horizon $startPos — extensions must be " +
+            "strictly new observations")
+      if (i > 0 && pos(i) == pos(i - 1))
+        throw new IllegalArgumentException(
+          "holt-winters: duplicate order value at grid position " +
+            s"${pos(i)} — the (key, order) pair must be unique " +
+            "(aggregate upstream)")
+      i += 1
+    }
+    val len = pos(cells.length - 1) + 1 - startPos
+    if (len == cells.length && pos(0) == startPos)
+      cells.map(_.getDouble(1)).toArray
+    else fillValue match {
+      case Some(fv) =>
+        val arr = Array.fill(len)(fv)
+        var j = 0
+        while (j < cells.length) {
+          arr(pos(j) - startPos) = cells(j).getDouble(1); j += 1
+        }
+        arr
+      case None =>
+        throw new IllegalArgumentException(
+          s"holt-winters: non-contiguous series (${cells.length} " +
+            s"observations spanning $len grid steps from position " +
+            s"$startPos) and no fillValue policy — pass fillValue " +
+            "(Some(0.0) for count series) or densify upstream; silently " +
+            "skipping gaps would shift the seasonal phase")
+    }
+  }
+
+  /** Fold observations `xs(fromIdx..)` sitting at ABSOLUTE grid
+    * positions `startT..` through the triple recurrence; mutates `seas`
+    * in place, returns the updated (level, trend). */
+  private[graft] def hwFoldXs(level0: Double, trend0: Double,
+                              seas: Array[Double], m: Int, alpha: Double,
+                              beta: Double, gamma: Double,
+                              xs: Array[Double], fromIdx: Int,
+                              startT: Int): (Double, Double) = {
+    var level = level0
+    var trend = trend0
+    var i = fromIdx
+    while (i < xs.length) {
+      val t = startT + (i - fromIdx)
+      val sOld = seas(t % m)
+      val lOld = level
+      level = alpha * (xs(i) - sOld) + (1.0 - alpha) * (lOld + trend)
+      trend = beta * (level - lOld) + (1.0 - beta) * trend
+      seas(t % m) = gamma * (xs(i) - level) + (1.0 - gamma) * sOld
+      i += 1
+    }
+    (level, trend)
+  }
+
+  /** Trend-adjusted init over the first two seasons (the exact-fit-law
+    * form), then fold the rest; requires xs.length >= 2m. */
+  private[graft] def hwFitXs(xs: Array[Double], m: Int, alpha: Double,
+                             beta: Double, gamma: Double)
+      : (Double, Double, Array[Double]) = {
+    def mean(from: Int): Double = {
+      var s0 = 0.0; var i = from
+      while (i < from + m) { s0 += xs(i); i += 1 }
+      s0 / m
+    }
+    val trend0 = (mean(m) - mean(0)) / m
+    // trend-adjusted init: the naive level = first-season mean sits at
+    // the season MIDPOINT and breaks the exact-fit law on linear
+    // series; shifting by (m-1)/2 trend steps puts it at t = m-1, and
+    // detrending the seasonal estimates completes the exactness
+    val level0 = mean(0) + trend0 * (m - 1) / 2.0
+    val seas = Array.tabulate(m)(i => xs(i) - (level0 - (m - 1 - i) * trend0))
+    val (level, trend) = hwFoldXs(level0, trend0, seas, m, alpha, beta, gamma,
+      xs, m, m)
+    (level, trend, seas)
+  }
+
+  private[graft] def hwForecasts(level: Double, trend: Double,
+                                 seas: Array[Double], m: Int, n: Int,
+                                 horizon: Int): Seq[(Int, Double)] =
+    (1 to horizon).map { h =>
+      val f = level + h * trend + seas((n + h - 1) % m)
+      h -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  // ---- persisted Holt–Winters state artifact --------------------------
+
+  /** FIT the per-key Holt–Winters state — the persisted-artifact twin of
+    * [[holtWintersForecast]], following the BPE-merges precedent: the
+    * fit is data-proportional, so the fitted state (m + 4 numbers per
+    * key: grid origin, grid length, level, trend, seasonal vector)
+    * persists and daily ingest batches EXTEND it incrementally
+    * ([[hwExtendState]]) instead of refolding history. The recurrence
+    * is one deterministic left-to-right double fold, so extend ==
+    * refit BIT-EXACTLY (the LawsSpec law). Keys shorter than two full
+    * seasons are dropped, as in the forecast operator. Output schema:
+    * keyCols ++ (hw_o0, hw_n, hw_level, hw_trend, hw_seas). */
+  def hwFitState(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                 valueCol: String, period: Int,
+                 alpha: Double = 0.3, beta: Double = 0.1,
+                 gamma: Double = 0.2,
+                 fillValue: Option[Double] = None): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(keyCols.nonEmpty, "hwFitState needs key columns")
+    val g = keyCols.map(col)
+    val fit = udf { (cells: Seq[org.apache.spark.sql.Row]) =>
+      val xs = hwGrid(cells, fillValue, None, 0)
+      if (xs.length < 2 * period) None
+      else {
+        val o0 = cells.head.getDouble(0)
+        val (level, trend, seas) = hwFitXs(xs, period, alpha, beta, gamma)
+        Some((o0, xs.length, level, trend, seas.toSeq))
+      }
+    }
+    df.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("double").as("o"),
+        col(valueCol).cast("double").as("v")))).as("cells"))
+      .select(g :+ fit(col("cells")).as("st"): _*)
+      .where(col("st").isNotNull)
+      .select(g ++ Seq(col("st._1").as("hw_o0"), col("st._2").as("hw_n"),
+        col("st._3").as("hw_level"), col("st._4").as("hw_trend"),
+        col("st._5").as("hw_seas")): _*)
+  }
+
+  /** EXTEND persisted Holt–Winters state with a batch of NEW
+    * observations: each fitted key folds only its new grid cells from
+    * the stored (level, trend, seasonal, position) — work ∝ batch, and
+    * extend == refit on the full series bit-exactly (shared fold).
+    * Observations at already-fitted positions throw (strictly-new
+    * contract); gaps to/inside the batch follow `fillValue`. Fitted
+    * keys with no new data pass through unchanged; keys NEW to the
+    * state fit fresh from this batch when it carries two full seasons
+    * (dropped otherwise, like the fit). */
+  def hwExtendState(state: DataFrame, newObs: DataFrame, keyCols: Seq[String],
+                    orderCol: String, valueCol: String, period: Int,
+                    alpha: Double = 0.3, beta: Double = 0.1,
+                    gamma: Double = 0.2,
+                    fillValue: Option[Double] = None): DataFrame = {
+    val g = keyCols.map(col)
+    val ext = udf { (o0: Double, n: Int, level: Double, trend: Double,
+                     seas: Seq[Double], cells: Seq[org.apache.spark.sql.Row]) =>
+      val xs2 = hwGrid(cells, fillValue, Some(o0), n)
+      val sArr = seas.toArray
+      val (l2, t2) = hwFoldXs(level, trend, sArr, period, alpha, beta, gamma,
+        xs2, 0, n)
+      (o0, n + xs2.length, l2, t2, sArr.toSeq)
+    }
+    val cellsByKey = newObs.groupBy(g: _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).cast("double").as("o"),
+        col(valueCol).cast("double").as("v")))).as("__cells"))
+    val advanced = state.join(cellsByKey, keyCols)
+      .select(g :+ ext(col("hw_o0"), col("hw_n"), col("hw_level"),
+        col("hw_trend"), col("hw_seas"), col("__cells")).as("st"): _*)
+      .select(g ++ Seq(col("st._1").as("hw_o0"), col("st._2").as("hw_n"),
+        col("st._3").as("hw_level"), col("st._4").as("hw_trend"),
+        col("st._5").as("hw_seas")): _*)
+    val untouched = state.join(
+      cellsByKey.select(g: _*), keyCols, "left_anti")
+    val fresh = hwFitState(
+      newObs.join(state.select(g: _*), keyCols, "left_anti"),
+      keyCols, orderCol, valueCol, period, alpha, beta, gamma, fillValue)
+    advanced.unionByName(untouched).unionByName(fresh)
+  }
+
+  /** Forecast `horizon` steps ahead from persisted state — the same
+    * closed form [[holtWintersForecast]] emits, so state-based and
+    * direct forecasts agree bit-exactly on the same history. */
+  def hwForecastFromState(state: DataFrame, keyCols: Seq[String],
+                          horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val g = keyCols.map(col)
+    val fc = udf { (n: Int, level: Double, trend: Double, seas: Seq[Double]) =>
+      hwForecasts(level, trend, seas.toArray, seas.length, n, horizon)
+    }
+    state
+      .select(g :+ explode(fc(col("hw_n"), col("hw_level"), col("hw_trend"),
+        col("hw_seas"))).as("seg"): _*)
+      .select(g :+ col("seg._1").as("h") :+ col("seg._2").as("forecast"): _*)
+  }
+
+  /** Persist fitted state ([[hwFitState]]) as parquet — key-sized. */
+  def hwWriteState(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, period: Int, dir: String,
+                   alpha: Double = 0.3, beta: Double = 0.1,
+                   gamma: Double = 0.2,
+                   fillValue: Option[Double] = None): Unit =
+    hwFitState(df, keyCols, orderCol, valueCol, period, alpha, beta, gamma,
+      fillValue).write.mode("overwrite").parquet(dir)
+
+  def hwReadState(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Fold a new-observation batch into a persisted state dir in place
+    * (read → extend → overwrite; the state is key-sized, pinned before
+    * the rewrite). Single writer by contract, like every artifact. */
+  def hwExtendStateDir(newObs: DataFrame, keyCols: Seq[String],
+                       orderCol: String, valueCol: String, period: Int,
+                       dir: String,
+                       alpha: Double = 0.3, beta: Double = 0.1,
+                       gamma: Double = 0.2,
+                       fillValue: Option[Double] = None): Unit = {
+    val spark = newObs.sparkSession
+    val updated = hwExtendState(hwReadState(spark, dir), newObs, keyCols,
+      orderCol, valueCol, period, alpha, beta, gamma, fillValue)
+      .localCheckpoint(eager = true) // consume the read before overwriting it
+    try updated.write.mode("overwrite").parquet(dir)
+    finally Checkpoints.drop(updated)
   }
 
   /** Grouped LIFT / CUMULATIVE-GAINS curve from the class histogram —

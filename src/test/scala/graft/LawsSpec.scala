@@ -925,6 +925,62 @@ class LawsSpec extends SparkSpec {
     assert(chainMsgs(dupErr).exists(_.contains("duplicate order value")))
   }
 
+  test("Holt-Winters state artifact: round-trip, extend == refit bit-exactly, strictly-new contract") {
+    val m = 7
+    val seasonal = Array(5.0, -3.0, 2.0, 0.0, -4.0, 1.0, -1.0)
+    // non-exact-fit series (a deterministic wobble rides the trend +
+    // season) so the smoothing recurrence genuinely matters — an
+    // exact-fit series would make every path agree trivially
+    def x(t: Int): Double = 100.0 + 2.5 * t + seasonal(t % m) + ((t * 37) % 11) - 5.0
+    val full = (0 until 35).map(t => (1L, t.toLong, x(t))).toDF("k", "t", "v")
+    val prefix = full.filter(col("t") < 21)
+    val suffix = full.filter(col("t") >= 21)
+    val dir = java.nio.file.Files.createTempDirectory("hw_state_")
+      .toString + "/state"
+    def fcMap(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      df.select("h", "forecast").as[(Int, Double)].collect().toMap
+    // fit/write/read round-trip: state-based forecast == the direct
+    // operator on the same history, bit-exactly (shared fold)
+    graft.operators.Analytics.hwWriteState(prefix, Seq("k"), "t", "v", m, dir)
+    val fromState = fcMap(graft.operators.Analytics.hwForecastFromState(
+      graft.operators.Analytics.hwReadState(spark, dir), Seq("k"), 7))
+    val direct = fcMap(graft.operators.Analytics.holtWintersForecast(
+      prefix, Seq("k"), "t", "v", m, 7))
+    assert(fromState == direct, s"$fromState vs $direct")
+    // EXTEND == REFIT: folding the suffix into the stored state equals
+    // retraining on the full series, exactly (one deterministic
+    // left-to-right double recurrence — same ops, same order)
+    graft.operators.Analytics.hwExtendStateDir(suffix, Seq("k"), "t", "v",
+      m, dir)
+    val extended = fcMap(graft.operators.Analytics.hwForecastFromState(
+      graft.operators.Analytics.hwReadState(spark, dir), Seq("k"), 7))
+    val refit = fcMap(graft.operators.Analytics.holtWintersForecast(
+      full, Seq("k"), "t", "v", m, 7))
+    assert(extended == refit, s"extend $extended != refit $refit")
+    // fresh keys fit from the batch when it carries two seasons; short
+    // new keys drop (the fit contract)
+    val batch2 = ((35 until 36).map(t => (1L, t.toLong, x(t))) ++
+      (0 until 14).map(t => (2L, t.toLong, x(t))) ++
+      (0 until 3).map(t => (3L, t.toLong, x(t)))).toDF("k", "t", "v")
+    graft.operators.Analytics.hwExtendStateDir(batch2, Seq("k"), "t", "v",
+      m, dir)
+    val keys = graft.operators.Analytics.hwReadState(spark, dir)
+      .select("k").as[Long].collect().toSet
+    assert(keys == Set(1L, 2L), s"fresh-key enrollment: $keys")
+    // strictly-new contract: re-sending an already-fitted position throws
+    def chainMsgs(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).toSeq
+    val overlap = intercept[Exception] {
+      graft.operators.Analytics.hwExtendState(
+        graft.operators.Analytics.hwReadState(spark, dir),
+        Seq((1L, 10L, x(10))).toDF("k", "t", "v"),
+        Seq("k"), "t", "v", m).collect()
+    }
+    assert(chainMsgs(overlap).exists(_.contains("precedes the already-fitted")),
+      s"got: ${chainMsgs(overlap)}")
+  }
+
   test("isotonicFromHistogram matches the driver PAV on random histograms") {
     // LCG-random (group, score, pos, neg) histograms — the independent
     // reference is the BigInt PAV from the fixture test, re-run across
