@@ -3620,21 +3620,62 @@ object Queries {
     * weighted cyclic graphs; in-recursion aggregation needs DuckDB
     * ≥ 1.3 `USING KEY` — the documented reason q_graph_sssp stays
     * exempt). Only nations reachable from the source appear. */
-  val q_graph_sssp_hops: Q = (s, d) => {
-    // symmetrize + dedup BEFORE assigning unit weights: undirect SUMS
-    // parallel edges, so a bidirectional trade pair would cost 2 hops
-    val und1 = nationTradeEdges(s, d)
+  /** The trade graph as UNIT-weight undirected edges — symmetrized and
+    * deduplicated BEFORE assigning weight 1 (undirect SUMS parallel
+    * edges, so a bidirectional trade pair would otherwise cost 2 hops).
+    * Shared by the hop-count graph ids, whose point is putting the
+    * distance fixpoints under the driver's hard oracle. */
+  private def unitTradeEdges(s: SparkSession, d: String): DataFrame =
+    nationTradeEdges(s, d)
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
       .withColumn("w1", lit(1L))
-    val dist = operators.Graph.shortestPaths(und1, "src", "dst", "w1",
-      source = 0L)
+
+  val q_graph_sssp_hops: Q = (s, d) => {
+    val dist = operators.Graph.shortestPaths(unitTradeEdges(s, d),
+      "src", "dst", "w1", source = 0L)
     dist.join(
         broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
         col("node") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("dist").cast("long").as("hops"))
       .orderBy("hops", "nation")
+  }
+
+  /** q_graph_ecc_hops — HOP-COUNT eccentricity of every nation: max BFS
+    * depth over reachable nations, exact integers end to end, riding
+    * the SAME shared multi-source distance fixpoint as the weighted
+    * q_graph_eccentricity ([[operators.Graph.eccentricity]] over
+    * [[unitTradeEdges]]) — which puts that fixpoint under the driver's
+    * hard rows+schema+hash oracle (all-pairs depth-pruned BFS closure;
+    * the weighted twin stays exempt on the DuckDB 1.0 oracle engine). */
+  val q_graph_ecc_hops: Q = (s, d) => {
+    val e = operators.Graph.eccentricity(unitTradeEdges(s, d),
+      "src", "dst", "w1")
+    e.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_reached"),
+        col("ecc_cents").cast("long").as("ecc_hops"))
+      .orderBy("ecc_hops", "nation")
+  }
+
+  /** q_graph_closeness_hops — CLASSIC closeness surface in hop units:
+    * per nation, nations reached and the exact TOTAL hop distance to
+    * them ([[operators.Graph.closenessTotals]] — the un-divided
+    * numerator/denominator pair, so the whole fold is exact longs on
+    * both engines; the harmonic 1/d variant stays exempt because its
+    * reciprocal sum is reduce-order double math). Same shared
+    * multi-source fixpoint, same BFS-closure oracle. */
+  val q_graph_closeness_hops: Q = (s, d) => {
+    val c = operators.Graph.closenessTotals(unitTradeEdges(s, d),
+      "src", "dst", "w1")
+    c.join(
+        broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_reached"),
+        col("total_dist").cast("long").as("total_hops"))
+      .orderBy("total_hops", "nation")
   }
 
   /** q_graph_assortativity — degree assortativity of the nation trade
@@ -4510,6 +4551,8 @@ object Queries {
     "q_graph_components" -> q_graph_components,
     "q_graph_sssp" -> q_graph_sssp,
     "q_graph_sssp_hops" -> q_graph_sssp_hops,
+    "q_graph_ecc_hops" -> q_graph_ecc_hops,
+    "q_graph_closeness_hops" -> q_graph_closeness_hops,
     "q_graph_assortativity" -> q_graph_assortativity,
     "q_graph_kcore" -> q_graph_kcore,
     "q_graph_closeness" -> q_graph_closeness,

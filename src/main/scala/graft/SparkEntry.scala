@@ -1487,6 +1487,57 @@ object SparkEntry {
         |SELECT n.n_name AS nation, CAST(d.hops AS BIGINT) AS hops
         |FROM d JOIN nation n ON d.node = n.n_nationkey
         |ORDER BY hops, nation""".stripMargin,
+    // all-pairs hop-count eccentricity: the same depth-pruned BFS
+    // closure seeded from EVERY node — (src, node, depth) state is
+    // bounded by n²·(n+1), terminating; per-source max + reach count
+    "q_graph_ecc_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |sym AS (SELECT a AS n, b AS m FROM und UNION SELECT b, a FROM und),
+        |nodes AS (SELECT DISTINCT n FROM sym),
+        |walk AS (
+        |  SELECT n AS src, n AS node, 0 AS depth FROM nodes
+        |  UNION
+        |  SELECT w.src, s.m, w.depth + 1 FROM walk w JOIN sym s ON w.node = s.n
+        |  WHERE w.depth < 25),
+        |dst AS (SELECT src, node, min(depth) AS hops FROM walk GROUP BY src, node)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_reached,
+        |       CAST(max(dst.hops) AS BIGINT) AS ecc_hops
+        |FROM dst JOIN nation n ON dst.src = n.n_nationkey
+        |WHERE dst.node <> dst.src
+        |GROUP BY n.n_name
+        |ORDER BY ecc_hops, nation""".stripMargin,
+    // classic closeness surface: per-source reach count + exact total
+    // hop distance (the un-divided pair — all-integer on both engines)
+    "q_graph_closeness_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw),
+        |sym AS (SELECT a AS n, b AS m FROM und UNION SELECT b, a FROM und),
+        |nodes AS (SELECT DISTINCT n FROM sym),
+        |walk AS (
+        |  SELECT n AS src, n AS node, 0 AS depth FROM nodes
+        |  UNION
+        |  SELECT w.src, s.m, w.depth + 1 FROM walk w JOIN sym s ON w.node = s.n
+        |  WHERE w.depth < 25),
+        |dst AS (SELECT src, node, min(depth) AS hops FROM walk GROUP BY src, node)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_reached,
+        |       CAST(sum(dst.hops) AS BIGINT) AS total_hops
+        |FROM dst JOIN nation n ON dst.src = n.n_nationkey
+        |WHERE dst.node <> dst.src
+        |GROUP BY n.n_name
+        |ORDER BY total_hops, nation""".stripMargin,
     // symmetrized endpoint-degree pairs; all sums exact integers
     // (DuckDB BIGINT sums promote to HUGEINT ↔ Spark Decimal(38,0));
     // regular graphs (denominator 0) report 0.0 on both engines

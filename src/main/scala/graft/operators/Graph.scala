@@ -776,33 +776,67 @@ object Graph {
                    weightCol: String, sources: Option[Seq[Long]] = None,
                    landmarkK: Option[Int] = None,
                    maxIter: Int = 40,
-                   localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame = {
+                   localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame =
+    sourceDistanceTable(edges, srcCol, dstCol, weightCol, sources, landmarkK,
+      maxIter, localMaxEdges, "eccentricity")
+      .where(col("src") =!= col("n"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc_cents"))
+
+  /** CLASSIC (total-distance) closeness surface: per source node, how
+    * many nodes it reaches and the EXACT total shortest-path distance
+    * to them — the closeness numerator/denominator pair in integer
+    * weight units. Emitting the un-divided (n_reached, total_dist) pair
+    * keeps the fold exact end to end (one hash per engine, no
+    * reduce-order doubles) — callers divide however their closeness
+    * convention wants. Rides the same shared multi-source distance
+    * fixpoint as [[eccentricity]] / [[harmonicCloseness]]; with unit
+    * weights total_dist is the exact total HOP count, the form the
+    * q_graph_closeness_hops oracle checks. */
+  def closenessTotals(edges: DataFrame, srcCol: String, dstCol: String,
+                      weightCol: String, sources: Option[Seq[Long]] = None,
+                      landmarkK: Option[Int] = None,
+                      maxIter: Int = 40,
+                      localMaxEdges: Long = LocalFixpointMaxEdges): DataFrame =
+    sourceDistanceTable(edges, srcCol, dstCol, weightCol, sources, landmarkK,
+      maxIter, localMaxEdges, "closenessTotals")
+      .where(col("src") =!= col("n"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("total_dist"))
+
+  /** The shared (src, n, dist) multi-source shortest-distance relation
+    * behind [[eccentricity]] and [[closenessTotals]]: weight-guarded
+    * undirect, source seeding (explicit / landmark / all nodes), and
+    * the measured-size strategy pick between the one-task and
+    * distributed fixpoints. */
+  private def sourceDistanceTable(edges: DataFrame, srcCol: String,
+                                  dstCol: String, weightCol: String,
+                                  sources: Option[Seq[Long]],
+                                  landmarkK: Option[Int], maxIter: Int,
+                                  localMaxEdges: Long,
+                                  what: String): DataFrame = {
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
     require(sources.isEmpty || landmarkK.isEmpty,
       "pass explicit sources OR landmarkK, not both")
     require(landmarkK.forall(_ >= 1),
       s"landmarkK must be positive, got ${landmarkK.get}")
     val und = undirect(edges, srcCol, dstCol, weightCol,
-        minWeight = Some((0L, "eccentricity requires non-negative weights")))
+        minWeight = Some((0L, s"$what requires non-negative weights")))
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
         col("wc"))
     val nodes = graphNodes(und)
     val srcDf = sourceSeed(nodes, sources, landmarkK, edges.sparkSession)
-    val dist =
-      if (und.count() <= localMaxEdges) {
-        val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
-        multiSourceDistancesOneTask(und, srcList, maxIter, "eccentricity")
-      } else {
-        val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
-          .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
-          .localCheckpoint(true)
-        val d = multiSourceDistances(incSym, srcDf, maxIter, "eccentricity")
-        Checkpoints.drop(incSym)
-        d
-      }
-    dist.where(col("src") =!= col("n"))
-      .groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc_cents"))
+    if (und.count() <= localMaxEdges) {
+      val srcList = srcDf.collect().map(_.getLong(0)).toSeq.sorted // bounded: <= K sources
+      multiSourceDistancesOneTask(und, srcList, maxIter, what)
+    } else {
+      val incSym = und.select(col("a").as("n"), col("b").as("m"), col("wc"))
+        .union(und.select(col("b").as("n"), col("a").as("m"), col("wc")))
+        .localCheckpoint(true)
+      val d = multiSourceDistances(incSym, srcDf, maxIter, what)
+      Checkpoints.drop(incSym)
+      d
+    }
   }
 
   /** Betweenness centrality (unweighted, undirected) by distributed
