@@ -204,7 +204,12 @@ object Bench {
     // sbt prefixes every stdout line with [info], which defeated the
     // driver's JSON parse in round 1 (BENCH_r01 "parsed": null) — also
     // write the bare line to a file the driver can read directly
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // a filtered (SPARK_GRAFT_BENCH_ONLY) dev run must NOT stomp the
+    // full-id trailing record the next run's adjudication compares
+    // against — route partial runs to a sibling file instead
+    val defaultOut =
+      if (only.isDefined) "bench_out_partial.json" else "bench_out.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val w = new java.io.PrintWriter(new java.io.File(outPath))
     try w.println(json) finally w.close()
     spark.stop()

@@ -789,7 +789,12 @@ object Queries {
     // index lifecycle is what this id exercises (same convention as
     // q_similarity_ivf_indexed)
     val idxDir = scratchDir("graft_fp_idx", d)
-    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 2 === 0), "text", idxDir)
+    // bucket count sized to the index volume (the bucketedUpsertSink
+    // discipline: one bucket ≈ a task unit — a 100 TB corpus would pin
+    // thousands); the sidecar pins whatever is written, so appends and
+    // takedowns route consistently regardless of caller defaults
+    Dedup.writeFingerprintIndex(docs.filter(col("doc_id") % 2 === 0), "text",
+      idxDir, buckets = 16)
     Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", idxDir)
       .select("doc_id")

@@ -377,11 +377,16 @@ object Dedup {
     * stores. Reads are unaffected (the partition column is dropped by
     * the fp projections). */
   def writeFingerprintIndex(docs: DataFrame, textCol: String,
-                            indexDir: String, buckets: Int = 64): Unit =
+                            indexDir: String, buckets: Int = 64): Unit = {
     docs.select(Text.fingerprint(col(textCol)).as("fp"))
       .distinct()
       .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
+    // pin the layout: later appends route by the WRITTEN count, not
+    // whatever their caller happens to pass
+    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, buckets)
+  }
 
   /** Remove the fingerprints of `deletedDocs` from a persisted
     * fingerprint index — the TAKEDOWN verb of the lifecycle
@@ -411,7 +416,8 @@ object Dedup {
         .join(fps, Seq("fp"), "left_anti")
         .localCheckpoint(eager = true) // pin before overwriting the source path
       try {
-        remaining.write.mode("overwrite")
+        graft.sources.IO.alignToPartitions(remaining, "__bucket")
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__bucket").parquet(indexDir)
         val written = remaining.select("__bucket").distinct()
@@ -456,12 +462,14 @@ object Dedup {
   def appendFingerprintIndex(docs: DataFrame, textCol: String,
                              indexDir: String, buckets: Int = 64): Unit = {
     val spark = docs.sparkSession
+    val b = graft.sources.IO.readBucketCount(spark, indexDir).getOrElse(buckets)
     val idx = spark.read.parquet(indexDir).select("fp")
     val delta = docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
       .join(idx, Seq("fp"), "left_anti")
-      .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
+      .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(b.toLong)))
       .localCheckpoint(true) // finish reading indexDir BEFORE writing to it
-    delta.write.mode("append").partitionBy("__bucket").parquet(indexDir)
+    graft.sources.IO.alignToPartitions(delta, "__bucket")
+      .write.mode("append").partitionBy("__bucket").parquet(indexDir)
   }
 
   /** Persist a MinHash band index for INCREMENTAL near-dup dedup — the
@@ -487,12 +495,15 @@ object Dedup {
     sigs.select(col(idCol).as("id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
       .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$indexDir/bands")
     docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$indexDir/docs")
+    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, storeBuckets)
   }
 
   /** Remove ids from a persisted near-dup index — the TAKEDOWN verb:
@@ -523,7 +534,8 @@ object Dedup {
           .join(idOnly, Seq("id"), "left_anti")
           .localCheckpoint(eager = true) // pin before overwriting the source
         try {
-          remaining.write.mode("overwrite")
+          graft.sources.IO.alignToPartitions(remaining, "__bucket")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket").parquet(s"$indexDir/$sub")
           val written = remaining.select("__bucket").distinct()
@@ -616,18 +628,22 @@ object Dedup {
                          indexDir: String, shingleN: Int = 3,
                          numHashes: Int = 32, bands: Int = 8,
                          storeBuckets: Int = 64): Unit = {
+    val sb = graft.sources.IO.readBucketCount(survivors.sparkSession, indexDir)
+      .getOrElse(storeBuckets)
     val sigs = minhashSignatures(survivors, idCol, textCol, shingleN, numHashes, bands)
     val bandDelta = sigs.select(col(idCol).as("id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
-      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .withColumn("__bucket", idBucket(col("id"), sb))
       .localCheckpoint(true)
     val docDelta = survivors.select(col(idCol).as("id"),
         Text.tokens(col(textCol)).as("toks"))
-      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .withColumn("__bucket", idBucket(col("id"), sb))
       .localCheckpoint(true)
-    bandDelta.write.mode("append").partitionBy("__bucket")
+    graft.sources.IO.alignToPartitions(bandDelta, "__bucket")
+      .write.mode("append").partitionBy("__bucket")
       .parquet(s"$indexDir/bands")
-    docDelta.write.mode("append").partitionBy("__bucket")
+    graft.sources.IO.alignToPartitions(docDelta, "__bucket")
+      .write.mode("append").partitionBy("__bucket")
       .parquet(s"$indexDir/docs")
   }
 
@@ -969,7 +985,9 @@ object Dedup {
     labels.select(col("id").cast("long").as("id"),
         col("label").cast("long").as("label"),
         pmod(col("label").cast("long"), lit(buckets.toLong)).as("__bucket"))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    graft.sources.IO.writeBucketCount(labels.sparkSession, dir, buckets)
   }
 
   /** Load the full labeling from a bucketed store (drops the bucket
@@ -993,6 +1011,7 @@ object Dedup {
                                idA: String = "id_a", idB: String = "id_b",
                                buckets: Int = 64): Seq[Long] = {
     val spark = batch.sparkSession
+    val b = graft.sources.IO.readBucketCount(spark, dir).getOrElse(buckets)
     // dedup by id on the read: dynamic partition overwrite is only
     // per-partition atomic, so a crash between the new-label bucket
     // write and the old-label bucket rewrite can leave one id in two
@@ -1019,7 +1038,7 @@ object Dedup {
     // changed components + new nodes decide the touched buckets
     val changed = remap.where(col("id") =!= col("label"))
     val bkt = (c: org.apache.spark.sql.Column) =>
-      pmod(c, lit(buckets.toLong))
+      pmod(c, lit(b.toLong))
     val touched = changed.select(bkt(col("id")).as("b"))
       .union(changed.select(bkt(col("label")).as("b")))
       .union(remap.join(lab.select(col("id")), Seq("id"), "left_anti")
@@ -1042,7 +1061,8 @@ object Dedup {
     val pinned = inTouched.unionByName(newNodes)
       .select(col("id"), col("label"), bkt(col("label")).as("__bucket"))
       .localCheckpoint(eager = true)
-    pinned.write.mode("overwrite")
+    graft.sources.IO.alignToPartitions(pinned, "__bucket")
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(dir)
     // a bucket whose every row moved elsewhere is absent from the
@@ -1162,6 +1182,7 @@ object Dedup {
                                 idA: String = "id_a", idB: String = "id_b",
                                 buckets: Int = 64): Seq[Long] = {
     val spark = ids.sparkSession
+    val b = graft.sources.IO.readBucketCount(spark, dir).getOrElse(buckets)
     val del = ids.select(ids.columns.head).toDF("id")
       .select(col("id").cast("long").as("id")).distinct()
       .localCheckpoint(eager = true)
@@ -1189,7 +1210,7 @@ object Dedup {
               .join(relab, Seq("id"), "left")
               .select(col("id"), coalesce(col("label"), col("id")).as("label"))
             if (storeIsBucketed(spark, dir)) {
-              val bkt = (c: Column) => pmod(c, lit(buckets.toLong))
+              val bkt = (c: Column) => pmod(c, lit(b.toLong))
               val touched = affected.select(bkt(col("label")).as("b"))
                 .union(newRows.select(bkt(col("label")).as("b")))
                 .distinct()
@@ -1204,7 +1225,8 @@ object Dedup {
                 .select(col("id"), col("label"), bkt(col("label")).as("__bucket"))
                 .localCheckpoint(eager = true)
               try {
-                pinned.write.mode("overwrite")
+                graft.sources.IO.alignToPartitions(pinned, "__bucket")
+                  .write.mode("overwrite")
                   .option("partitionOverwriteMode", "dynamic")
                   .partitionBy("__bucket").parquet(dir)
                 val written = pinned.select("__bucket").distinct()

@@ -264,7 +264,9 @@ object Similarity {
                     centroids: Array[Array[Float]], indexDir: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
-    ivfAssign(emb, vecCol, centroids).write.mode("overwrite")
+    graft.sources.IO.alignToPartitions(
+        ivfAssign(emb, vecCol, centroids), "ivf_list")
+      .write.mode("overwrite")
       .partitionBy("ivf_list").parquet(s"$indexDir/vectors")
     centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
@@ -307,7 +309,8 @@ object Similarity {
       val merged = existing.unionByName(assigned)
         .localCheckpoint(eager = true)
       try
-        merged.write.mode("overwrite")
+        graft.sources.IO.alignToPartitions(merged, "ivf_list")
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ivf_list")
           .parquet(s"$indexDir/vectors")
@@ -345,7 +348,8 @@ object Similarity {
         val keptLists = remaining.select("ivf_list").distinct()
           .collect().map(_.getInt(0)).toSet // bounded: <= k list ids
         if (keptLists.nonEmpty)
-          remaining.write.mode("overwrite")
+          graft.sources.IO.alignToPartitions(remaining, "ivf_list")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ivf_list")
             .parquet(s"$indexDir/vectors")
@@ -494,7 +498,8 @@ object Similarity {
         when(pick(col(vecCol)) === 0, lit(list)).otherwise(lit(newId)))
       .localCheckpoint(eager = true) // one list's rows; pin before overwriting it
     try {
-      pinned.write.mode("overwrite")
+      graft.sources.IO.alignToPartitions(pinned, "ivf_list")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ivf_list").parquet(s"$indexDir/vectors")
       val written = pinned.select("ivf_list").distinct()

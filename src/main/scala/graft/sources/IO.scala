@@ -519,7 +519,8 @@ object IO {
           try {
             // dynamic mode replaces exactly the partitions present in the
             // output — the touched buckets — and leaves the rest in place
-            pinned.write.mode("overwrite")
+            alignToPartitions(pinned, "__bucket")
+              .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("__bucket")
               .parquet(snapshotDir)
@@ -581,6 +582,191 @@ object IO {
     fs.delete(bak, true)
     n
   }
+
+  // ---- partitioned-dir maintenance: census / compact / expire -------
+  //
+  // [[compactParquet]] rewrites a WHOLE directory — O(table), fine for
+  // snapshot-sized dirs. The hive-partitioned artifacts (fingerprint /
+  // near-dup indexes and the components store on `__bucket=`, the IVF
+  // index on `ivf_list=`, date-partitioned ingest on `<col>=`)
+  // accumulate files per partition through their APPEND verbs and need
+  // the fragmentation-proportional form: census file counts from
+  // metadata alone, rewrite ONLY partitions above threshold, leave the
+  // rest byte-identical. Same single-writer contract as every snapshot
+  // maintenance op in this pack.
+
+  /** Align write tasks to storage partitions: hash-repartition on the
+    * partition column so a `partitionBy(partCol)` write lays ONE file
+    * per partition directory instead of one per (task × partition) —
+    * without this, a 32-task write into 64 buckets can fan out to ~2k
+    * kilobyte files in a single commit, the small-file storm
+    * [[compactPartitionedDir]] exists to repair. The shuffle moves only
+    * the relation being written (batch-sized on every incremental
+    * path), far cheaper than the file-creation storm it prevents. */
+  def alignToPartitions(df: DataFrame, partCol: String): DataFrame =
+    df.repartition(col(partCol))
+
+  /** Record the bucket count a hash-bucketed artifact was written with —
+    * a dot-prefixed sidecar (invisible to readers, like the compaction
+    * scratch dirs). The count is part of the LAYOUT: every later append
+    * or delete must route rows with the same `pmod(hash, n)`, so the
+    * writer pins it here and the other verbs discover it instead of
+    * trusting their caller to repeat the right number. */
+  def writeBucketCount(spark: SparkSession, dir: String, n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, ".bucket_count")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The pinned bucket count of a bucketed artifact, if recorded. */
+  def readBucketCount(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, ".bucket_count")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val k = in.read(buf)
+        Some(new String(buf, 0, k, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** One partition's file-level stats — from directory metadata only,
+    * data never opened. */
+  case class PartitionCensus(partition: String, files: Int, bytes: Long)
+
+  /** File census of every `<partPrefix>=<value>` partition under `dir`:
+    * one `listStatus` per partition, no data reads — the fragmentation
+    * trigger feeding [[compactPartitionedDir]] (the census → trigger →
+    * rewrite discipline the IVF drift lifecycle uses). */
+  def partitionCensus(spark: SparkSession, dir: String,
+                      partPrefix: String): Seq[PartitionCensus] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix + "="))
+      .map { st =>
+        val data = fs.listStatus(st.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+        PartitionCensus(st.getPath.getName, data.length, data.map(_.getLen).sum)
+      }
+      .sortBy(_.partition)
+  }
+
+  /** Fragmentation-proportional compaction of a hive-partitioned
+    * parquet dir: partitions whose data-file count exceeds BOTH
+    * `maxFilesPerPartition` and their byte-derived target
+    * ⌈bytes / targetFileBytes⌉ are rewritten to the target count
+    * (narrow `coalesce` — no shuffle) and swapped in per-partition via
+    * the write-tmp → bak → rename dance; every other partition is never
+    * read, rewritten, or touched (byte-identity law). Idempotent by
+    * construction: a compacted partition sits AT its target count, so
+    * the trigger cannot re-fire — the second run returns empty and
+    * writes nothing.
+    *
+    * Crash safety (single-writer): each swap is per-partition atomic on
+    * rename-atomic filesystems; a crash between the two renames leaves
+    * an orphaned `.compact_bak_*` with the live dir missing, which the
+    * RECOVERY SWEEP at the next entry restores (stale tmp/bak from
+    * completed swaps are dropped). Scratch siblings are DOT-prefixed —
+    * specifically not underscore-prefixed: Spark's hidden-path filter
+    * exempts `_`-names containing `=` (HadoopFSUtils
+    * .shouldFilterOutPathName), so `_bak_day=A` would be readable as a
+    * partition, while `.`-names are filtered unconditionally — readers
+    * never see scratch state. Returns the compacted partition names. */
+  def compactPartitionedDir(spark: SparkSession, dir: String,
+                            partPrefix: String,
+                            maxFilesPerPartition: Int = 4,
+                            targetFileBytes: Long = 128L << 20): Seq[String] = {
+    require(maxFilesPerPartition >= 1, "maxFilesPerPartition must be >= 1")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    // recovery sweep: restore any bak whose live partition vanished in
+    // a crash window; clear scratch left behind by completed swaps
+    fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".compact_tmp_")) fs.delete(st.getPath, true)
+      else if (n.startsWith(".compact_bak_")) {
+        val live = new org.apache.hadoop.fs.Path(base, n.stripPrefix(".compact_bak_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"compactPartitionedDir: recovery rename $n failed")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compactPartitionedDir: $what failed")
+    partitionCensus(spark, dir, partPrefix).flatMap { c =>
+      val targetN =
+        math.max(1L, (c.bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (c.files <= maxFilesPerPartition || c.files <= targetN) None
+      else {
+        val live = new org.apache.hadoop.fs.Path(base, c.partition)
+        val tmp = new org.apache.hadoop.fs.Path(base, s".compact_tmp_${c.partition}")
+        val bak = new org.apache.hadoop.fs.Path(base, s".compact_bak_${c.partition}")
+        // the partition dir reads WITHOUT its partition column (the
+        // value lives in the dir name) — exactly the file schema the
+        // swapped-in rewrite must carry
+        spark.read.parquet(live.toString).coalesce(targetN)
+          .write.mode("overwrite").parquet(tmp.toString)
+        must(fs.rename(live, bak), s"rename $live -> bak")
+        must(fs.rename(tmp, live), s"rename tmp -> $live")
+        fs.delete(bak, true)
+        Some(c.partition)
+      }
+    }
+  }
+
+  /** Retention/TTL expiry of whole partitions — metadata-only: list the
+    * `<partPrefix>=<value>` dirs, drop every one whose VALUE the
+    * predicate condemns, never open a data file. The at-scale shape for
+    * time-partitioned retention: dropping a 10 TB day costs one
+    * recursive delete, not a scan. Idempotent (a dropped partition is
+    * gone from the next listing); expire == rebuild-without those
+    * partitions because parquet partitions are physically disjoint.
+    * Returns the dropped partition dir names. */
+  def expirePartitions(spark: SparkSession, dir: String, partPrefix: String,
+                       dropValue: String => Boolean): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partPrefix + "="))
+      .filter { st =>
+        val raw = st.getPath.getName.drop(partPrefix.length + 1)
+        // partitionBy URL-encodes reserved chars in partition values
+        dropValue(java.net.URLDecoder.decode(raw, "UTF-8"))
+      }
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      .sorted
+  }
+
+  /** Streaming append ingest partitioned by `partCol` — the producer of
+    * the date-partitioned raw-ingest layout the two maintenance verbs
+    * above service: micro-batches append `<partCol>=<v>/part-*.parquet`
+    * (touched partitions gain files, nothing rewrites), compaction
+    * defragments warm partitions, TTL expiry drops cold ones whole.
+    * EXACTLY-ONCE under replay via [[idempotentForeachBatch]]: a
+    * redelivered micro-batch appends nothing (append mode makes the
+    * marker essential — without it a replay would duplicate rows, the
+    * failure the upsert sinks' idempotent merges never see). */
+  def partitionedIngestSink(df: DataFrame, dir: String, checkpointDir: String,
+                            partCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$dir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").partitionBy(partCol).parquet(dir)
+      })
+      .trigger(Trigger.AvailableNow())
 
   // ---- round-trip helpers -------------------------------------------
 

@@ -1216,4 +1216,171 @@ class ScalePathSpec extends SparkSpec {
     assert(byStatus.getOrElse("changed", 0L) == expChanged, s"$byStatus")
     assert(byStatus.getOrElse("removed", 0L) == 0L, s"$byStatus")
   }
+
+  // ---- partitioned-dir maintenance laws (round 11): census / compact
+  // / expire — the fragmentation-proportional small-files story every
+  // append-mode artifact needs at 100 TB ------------------------------
+
+  /** (partition-dir name, sorted (file, size) list) for every
+    * `<prefix>=<v>` partition — the generic byte-identity witness. */
+  private def partFiles(dir: String, prefix: String)
+      : Map[String, Seq[(String, Long)]] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(_.getName.startsWith(prefix + "=")).map { p =>
+      p.getName -> p.listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+    }.toMap
+  }
+
+  test("compactPartitionedDir: only fragmented partitions rewrite, byte-identity elsewhere, second run writes nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_").toString + "/t"
+    // day A fragments across 3 appends (3+ files); day B stays at 1
+    for (i <- 1 to 3)
+      Seq(("A", i * 10L)).toDF("day", "v").coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(dir)
+    Seq(("B", 99L)).toDF("day", "v").coalesce(1)
+      .write.mode("append").partitionBy("day").parquet(dir)
+    val census0 = graft.sources.IO.partitionCensus(spark, dir, "day")
+    assert(census0.map(c => c.partition -> c.files).toMap ==
+      Map("day=A" -> 3, "day=B" -> 1), s"census: $census0")
+    val rowsBefore = spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet
+    val before = partFiles(dir, "day")
+
+    val compacted = graft.sources.IO.compactPartitionedDir(
+      spark, dir, "day", maxFilesPerPartition = 2)
+    assert(compacted == Seq("day=A"), s"compacted: $compacted")
+    // row-set identity; fragmented partition at its 1-file target;
+    // untouched partition byte-identical
+    assert(spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet == rowsBefore)
+    val after = partFiles(dir, "day")
+    assert(after("day=A").size == 1, s"day=A files: ${after("day=A")}")
+    assert(after("day=B") == before("day=B"), "untouched partition rewrote")
+    // idempotence: the compacted partition sits at target, trigger
+    // cannot re-fire — second run reports nothing and moves no bytes
+    assert(graft.sources.IO.compactPartitionedDir(
+      spark, dir, "day", maxFilesPerPartition = 2).isEmpty)
+    assert(partFiles(dir, "day") == after, "second run must not write")
+  }
+
+  test("compactPartitionedDir: recovery sweep restores a partition orphaned mid-swap") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_rec_").toString + "/t"
+    for (i <- 1 to 3)
+      Seq(("A", i.toLong)).toDF("day", "v").coalesce(1)
+        .write.mode("append").partitionBy("day").parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet
+    // simulate the crash window: live dir renamed to bak, tmp half-done
+    val base = new java.io.File(dir)
+    assert(new java.io.File(base, "day=A")
+      .renameTo(new java.io.File(base, ".compact_bak_day=A")))
+    new java.io.File(base, ".compact_tmp_day=A").mkdirs()
+    // scratch is invisible to readers (dot-prefixed — underscore names
+    // containing "=" are exempt from Spark's hidden filter)…
+    assert(spark.read.schema("day STRING, v LONG").parquet(dir).count() == 0)
+    // …and the next maintenance entry restores the live partition
+    graft.sources.IO.compactPartitionedDir(spark, dir, "day")
+    assert(spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet == rows)
+    assert(!new java.io.File(base, ".compact_bak_day=A").exists())
+    assert(!new java.io.File(base, ".compact_tmp_day=A").exists())
+  }
+
+  test("expirePartitions: metadata-only TTL == rebuild without the dropped days; untouched byte-identity; idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("expire_").toString
+    val dir = root + "/t"
+    val data = Seq(("2026-01-01", 1L), ("2026-01-02", 2L), ("2026-01-03", 3L))
+    data.toDF("day", "v").write.partitionBy("day").parquet(dir)
+    val before = partFiles(dir, "day")
+    val dropped = graft.sources.IO.expirePartitions(
+      spark, dir, "day", _ < "2026-01-03")
+    assert(dropped == Seq("day=2026-01-01", "day=2026-01-02"), s"$dropped")
+    // surviving partition byte-identical; relation == rebuild-without
+    assert(partFiles(dir, "day") ==
+      before.filter(_._1 == "day=2026-01-03"))
+    val rebuilt = root + "/rebuilt"
+    data.filter(_._1 >= "2026-01-03").toDF("day", "v")
+      .write.partitionBy("day").parquet(rebuilt)
+    assert(spark.read.parquet(dir)
+        .select("day", "v").as[(String, Long)].collect().toSet ==
+      spark.read.parquet(rebuilt)
+        .select("day", "v").as[(String, Long)].collect().toSet)
+    // replay: the days are gone from the listing — zero deletes
+    assert(graft.sources.IO.expirePartitions(
+      spark, dir, "day", _ < "2026-01-03").isEmpty)
+  }
+
+  test("partitionedIngestSink: exactly-once append under replay; compact + expire service the layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_").toString + "/raw"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt_").toString
+    val in = MemoryStream[(String, Long)]
+    def run(): Unit = {
+      val q = graft.sources.IO.partitionedIngestSink(
+        in.toDF().toDF("day", "v"), dir, ckpt, "day").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData(("2026-01-01", 1L), ("2026-01-02", 2L))
+    run()
+    in.addData(("2026-01-02", 3L), ("2026-01-03", 4L))
+    run()
+    assert(spark.read.parquet(dir).count() == 4)
+    // replay batch 1 against the same marker dir: append mode would
+    // duplicate rows — the idempotent marker must make it a no-op
+    val replayed = spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet
+    graft.sources.IO.idempotentForeachBatch(s"$dir/_markers") {
+      (b, _) => b.write.mode("append").partitionBy("day").parquet(dir)
+    }.apply(Seq(("2026-01-01", 1L), ("2026-01-02", 2L)).toDF("day", "v"), 0L)
+    assert(spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet == replayed
+      && spark.read.parquet(dir).count() == 4, "replayed batch must append nothing")
+    // the warm partition (2 append files) defragments; cold day expires
+    // whole — the ingest → compact → expire lifecycle end to end
+    val compacted = graft.sources.IO.compactPartitionedDir(
+      spark, dir, "day", maxFilesPerPartition = 1)
+    assert(compacted.contains("day=2026-01-02"), s"$compacted")
+    assert(graft.sources.IO.expirePartitions(
+      spark, dir, "day", _ <= "2026-01-01") == Seq("day=2026-01-01"))
+    assert(spark.read.parquet(dir)
+        .select("day", "v").as[(String, Long)].collect().toSet ==
+      Set(("2026-01-02", 2L), ("2026-01-02", 3L), ("2026-01-03", 4L)))
+  }
+
+  test("fingerprint-index appends fragment buckets; compaction is invisible to dedup behavior") {
+    val dir = java.nio.file.Files.createTempDirectory("fp_compact_").toString + "/idx"
+    Dedup.writeFingerprintIndex(
+      Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text"),
+      "text", dir)
+    // each append lays a delta file into the touched buckets
+    Dedup.appendFingerprintIndex(
+      Seq((3L, "epsilon zeta")).toDF("doc_id", "text"), "text", dir)
+    Dedup.appendFingerprintIndex(
+      Seq((4L, "eta theta")).toDF("doc_id", "text"), "text", dir)
+    val census = graft.sources.IO.partitionCensus(spark, dir, "__bucket")
+    val probe = Seq((11L, "alpha beta"), (12L, "epsilon zeta"),
+      (13L, "eta theta"), (14L, "iota kappa")).toDF("doc_id", "text")
+    val survBefore = Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survBefore == Set(14L), s"pre-compaction dedup: $survBefore")
+
+    val compacted = graft.sources.IO.compactPartitionedDir(
+      spark, dir, "__bucket", maxFilesPerPartition = 1)
+    assert(compacted.nonEmpty == census.exists(_.files > 1),
+      s"fragmented buckets must compact: $census -> $compacted")
+    // compaction is INVISIBLE to the artifact: same fingerprints, same
+    // dedup verdicts, and the next append still lands incrementally
+    assert(Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet == survBefore)
+    Dedup.appendFingerprintIndex(
+      Seq((5L, "iota kappa")).toDF("doc_id", "text"), "text", dir)
+    assert(Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
+      .select("doc_id").as[Long].collect().toSet == Set.empty,
+      "post-compaction append must advance the horizon")
+  }
 }
