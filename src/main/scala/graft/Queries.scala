@@ -928,8 +928,12 @@ object Queries {
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** q_lang_id — n-gram-heuristic language ID; oracle-exempt (heuristic is
-    * not ANSI-SQL-portable), correctness in scalatest. */
+  /** q_lang_id — n-gram-heuristic language ID ([[functions.Text.langId]]).
+    * Oracle-checked since round 11: the scoring is overlapping-trigram
+    * counting, and because no profile gram self-overlaps (g(0) ≠ g(2),
+    * no period-1 repeats) it equals DuckDB's replace-based
+    * non-overlapping count — the heuristic IS ANSI-expressible after
+    * all; the maxBy tie-break becomes a >= chain in profile order. */
   val q_lang_id: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),

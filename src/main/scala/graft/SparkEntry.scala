@@ -284,6 +284,34 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // mirrors Text.langId exactly: overlapping trigram counts over
+    // ' '||lower(text)||' ' — every profile gram has g[0] != g[2] and no
+    // period-1 repeats, so DuckDB's non-overlapping replace-count equals
+    // the UDF's overlapping count; the >= chain reproduces maxBy's
+    // first-max tie-break in (en, fr, es, de) profile order; CJK
+    // short-circuits on the U+4E00-9FFF block as in the UDF
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS tt FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, text,
+        |    ((length(tt) - length(replace(tt, ' th', ''))) + (length(tt) - length(replace(tt, 'the', ''))) + (length(tt) - length(replace(tt, 'he ', ''))) + (length(tt) - length(replace(tt, ' an', ''))) + (length(tt) - length(replace(tt, 'and', ''))) + (length(tt) - length(replace(tt, 'nd ', ''))) + (length(tt) - length(replace(tt, ' of', ''))) + (length(tt) - length(replace(tt, 'of ', ''))) + (length(tt) - length(replace(tt, 'ing', ''))) + (length(tt) - length(replace(tt, 'ng ', '')))) / 3 AS s_en,
+        |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' le', ''))) + (length(tt) - length(replace(tt, 'le ', ''))) + (length(tt) - length(replace(tt, 'es ', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'ion', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_fr,
+        |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'os ', ''))) + (length(tt) - length(replace(tt, ' el', ''))) + (length(tt) - length(replace(tt, 'el ', ''))) + (length(tt) - length(replace(tt, 'ión', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_es,
+        |    ((length(tt) - length(replace(tt, 'en ', ''))) + (length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'der', ''))) + (length(tt) - length(replace(tt, 'er ', ''))) + (length(tt) - length(replace(tt, 'ie ', ''))) + (length(tt) - length(replace(tt, ' di', ''))) + (length(tt) - length(replace(tt, 'die', ''))) + (length(tt) - length(replace(tt, 'sch', ''))) + (length(tt) - length(replace(tt, 'ein', ''))) + (length(tt) - length(replace(tt, 'ch ', '')))) / 3 AS s_de
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN text IS NULL OR text = '' THEN 'und'
+        |    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+        |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_es >= s_de THEN 'es'
+        |    ELSE 'de'
+        |  END AS lang_pred
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
     // mirrors Dedup.ngramJaccardTopPairs exactly: oracle-parity tokenize →
     // distinct token-3-grams → df cap (>1000 docs) → inverted-index pair
     // intersection → Jaccard; top-20 selected on the UNROUNDED score (the

@@ -52,10 +52,12 @@ class ExemptLaneSpec extends SparkSpec {
     // distance fixpoint) and q_isotonic_calibration (LawsSpec: PAV
     // monotonicity/ledger/idempotence + driver reference) and
     // q_holt_winters (LawsSpec: exact-fit law on linear+seasonal input
-    // + driver recurrence parity) — 31 total; widen this number
+    // + driver recurrence parity) — 31 total; round 11 then CONVERTED
+    // q_lang_id to oracle-checked (the trigram heuristic proved
+    // ANSI-expressible), shrinking the set to 30; widen this number
     // deliberately (with a new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 31,
+    assert(exemptIds.size <= 30,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }
