@@ -758,14 +758,62 @@ object IO {
     * marker essential — without it a replay would duplicate rows, the
     * failure the upsert sinks' idempotent merges never see). */
   def partitionedIngestSink(df: DataFrame, dir: String, checkpointDir: String,
-                            partCol: String)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+                            partCol: String,
+                            compactEvery: Option[Int] = None,
+                            maxFilesPerPartition: Int = 4)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery.forall(_ >= 1), "compactEvery must be >= 1")
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(idempotentForeachBatch(s"$dir/_markers") {
-        (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").partitionBy(partCol).parquet(dir)
+        (batch: DataFrame, batchId: Long) =>
+          graft.sources.IO.alignToPartitions(batch, partCol)
+            .write.mode("append").partitionBy(partCol).parquet(dir)
+          // in-sink maintenance policy: every k-th batch defragments
+          // whatever the appends accumulated — fragmentation-
+          // proportional (only partitions above threshold rewrite), and
+          // safe under the batch marker (a replayed batch skips the
+          // append AND the compact; compaction is idempotent anyway)
+          compactEvery.foreach { k =>
+            if (batchId % k == k - 1)
+              compactPartitionedDir(batch.sparkSession, dir, partCol,
+                maxFilesPerPartition)
+          }
       })
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Streaming TAKEDOWN: each micro-batch of opt-out docs leaves every
+    * attached persisted index — the GDPR/opt-out stream shape
+    * completing the round-11 delete lifecycle. The request stream
+    * carries (id, text): the fingerprint index is keyed by content
+    * hash, so the takedown needs the content (callers enrich from the
+    * corpus before its own tombstone lands — corpus deletion itself
+    * rides [[bucketedUpsertSink]] CDC `op="d"` rows, not this sink).
+    *
+    * EXACTLY-ONCE without markers: both delete verbs locate their
+    * touched partitions by (semi-)joining the request against the live
+    * index, so a replayed batch finds nothing and writes nothing — the
+    * idempotence is in the verbs (ScalePathSpec replay laws), not in
+    * bookkeeping. */
+  def takedownSink(requests: DataFrame, checkpointDir: String,
+                   idCol: String, textCol: String,
+                   fpIndexDir: Option[String] = None,
+                   nearDupIndexDir: Option[String] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one consume feeds both verbs (and commits the batch's plan)
+        val pinned = batch.localCheckpoint(eager = true)
+        try {
+          fpIndexDir.foreach(d => graft.operators.Dedup
+            .deleteFromFingerprintIndex(pinned, textCol, d))
+          nearDupIndexDir.foreach(d => graft.operators.Dedup
+            .deleteFromNearDupIndex(pinned.select(col(idCol)), idCol, d))
+        } finally graft.operators.Checkpoints.drop(pinned)
+        ()
+      }
       .trigger(Trigger.AvailableNow())
 
   // ---- round-trip helpers -------------------------------------------

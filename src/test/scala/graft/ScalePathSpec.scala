@@ -1352,6 +1352,71 @@ class ScalePathSpec extends SparkSpec {
       Set(("2026-01-02", 2L), ("2026-01-02", 3L), ("2026-01-03", 4L)))
   }
 
+  test("partitionedIngestSink compactEvery: the k-th batch defragments in-sink; data identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_cp_").toString + "/raw"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_cp_ckpt_").toString
+    val in = MemoryStream[(String, Long)]
+    def run(): Unit = {
+      val q = graft.sources.IO.partitionedIngestSink(
+        in.toDF().toDF("day", "v"), dir, ckpt, "day",
+        compactEvery = Some(2), maxFilesPerPartition = 1).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData(("2026-02-01", 1L), ("2026-02-02", 2L))
+    run() // batch 0: append only (policy fires on the k-th batch)
+    assert(partFiles(dir, "day").forall(_._2.size == 1))
+    in.addData(("2026-02-01", 3L))
+    run() // batch 1: append (day=01 now at 2 files) then in-sink compact
+    val files = partFiles(dir, "day")
+    assert(files("day=2026-02-01").size == 1,
+      s"in-sink compact must defragment: ${files("day=2026-02-01")}")
+    assert(spark.read.parquet(dir)
+      .select("day", "v").as[(String, Long)].collect().toSet ==
+      Set(("2026-02-01", 1L), ("2026-02-01", 3L), ("2026-02-02", 2L)))
+  }
+
+  test("takedownSink: streamed opt-outs leave both indexes; replay is a zero-write no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
+    val baseB = (100 to 140).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, baseA + " end1"), (2L, baseB + " end2"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("takedown_sink_").toString
+    val fpDir = root + "/fp"
+    val ndDir = root + "/nd"
+    Dedup.writeFingerprintIndex(corpus, "text", fpDir)
+    Dedup.writeNearDupIndex(corpus, "doc_id", "text", ndDir)
+
+    val in = MemoryStream[(Long, String)]
+    def run(ckpt: String): Unit = {
+      val q = graft.sources.IO.takedownSink(
+        in.toDF().toDF("doc_id", "text"), ckpt, "doc_id", "text",
+        fpIndexDir = Some(fpDir), nearDupIndexDir = Some(ndDir)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    in.addData((1L, baseA + " end1"))
+    run(root + "/ckpt1")
+    // both indexes now hold exactly doc 2 — the rebuild-without shape
+    assert(spark.read.parquet(fpDir).count() == 1)
+    assert(spark.read.parquet(s"$ndDir/docs").select("id").as[Long]
+      .collect().toSet == Set(2L))
+    assert(spark.read.parquet(s"$ndDir/bands").select("id").as[Long]
+      .collect().toSet == Set(2L))
+    // replay the SAME takedown through a fresh checkpoint: the verbs
+    // find nothing to remove, so every index byte stays put
+    val fpBefore = partFiles(fpDir, "__bucket")
+    val ndBefore = (partFiles(s"$ndDir/docs", "__bucket"),
+      partFiles(s"$ndDir/bands", "__bucket"))
+    run(root + "/ckpt2")
+    assert(partFiles(fpDir, "__bucket") == fpBefore, "replayed fp delete wrote")
+    assert((partFiles(s"$ndDir/docs", "__bucket"),
+      partFiles(s"$ndDir/bands", "__bucket")) == ndBefore,
+      "replayed near-dup delete wrote")
+  }
+
   test("fingerprint-index appends fragment buckets; compaction is invisible to dedup behavior") {
     val dir = java.nio.file.Files.createTempDirectory("fp_compact_").toString + "/idx"
     Dedup.writeFingerprintIndex(
