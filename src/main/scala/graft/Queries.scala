@@ -4099,12 +4099,14 @@ object Queries {
     * additive Holt–Winters, trend-adjusted init, period 7, 7-day
     * horizon). The data-proportional work is ONE (type, day) count
     * aggregate; the triple recurrence runs per key on the bounded
-    * calendar-length series in a single task. Oracle-exempt (the
-    * recurrence has no tractable SQL form); LawsSpec pins the
-    * exact-fit law (linear + seasonal input ⇒ zero residual, exact
-    * forecasts for ANY smoothing constants) and a driver-side
-    * recurrence reference on the registry output; the exempt lane runs
-    * it at the driver SF. */
+    * calendar-length series in a single task. Oracle-checked since
+    * round 11: the fold is one deterministic left-to-right double
+    * recurrence, so a DuckDB recursive CTE stepping the same IEEE
+    * operations in the same operand order reproduces it bit-exactly
+    * (verified to the last ulp at sf0.01 and sf0.1 before wiring).
+    * LawsSpec additionally pins the exact-fit law (linear + seasonal
+    * input ⇒ zero residual for ANY smoothing constants) and a
+    * driver-side recurrence reference. */
   val q_holt_winters: Q = (s, d) => {
     val daily = Tables.events(s, d)
       .select(col("event_type"),

@@ -1735,6 +1735,74 @@ object SparkEntry {
     // lift / cumulative gains from the same class histogram: flagged
     // fraction, gain (= recall) and lift = tp*N / ((tp+fp)*P), each one
     // rounded division of exact BIGINTs
+    // mirrors Analytics.hwFitXs/hwFoldXs/hwForecasts BIT-EXACTLY: the
+    // additive Holt-Winters triple recurrence is one deterministic
+    // left-to-right double fold, so a recursive CTE stepping the same
+    // IEEE operations in the same order reproduces it to the last ulp.
+    // Parity requirements baked in: init means sum left-associatively
+    // over pivoted x0..x13 (SQL sum() order is nondeterministic),
+    // complements are written (1 - 0.3) etc. so both engines compute
+    // the same runtime subtraction instead of a differently-rounded
+    // 0.7 literal, and every recurrence expression mirrors the Scala
+    // operand order. Seasonal state rides 7 explicit columns; the
+    // fold's lateral aliases (lvl, s_old) keep each step single-pass.
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_i,
+        |         CAST(count(*) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, min(day_i) AS o0,
+        |         (max(day_i) - min(day_i) + 1) AS n
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT s.event_type, gs.t, coalesce(d.x, 0.0) AS x
+        |  FROM (SELECT event_type, o0, unnest(generate_series(0, n - 1)) AS t
+        |        FROM span) gs
+        |  JOIN span s ON s.event_type = gs.event_type
+        |  LEFT JOIN daily d ON d.event_type = gs.event_type AND d.day_i = gs.o0 + gs.t),
+        |firsts AS (
+        |  SELECT event_type, max(CASE WHEN t = 0 THEN x END) AS x0, max(CASE WHEN t = 1 THEN x END) AS x1, max(CASE WHEN t = 2 THEN x END) AS x2, max(CASE WHEN t = 3 THEN x END) AS x3, max(CASE WHEN t = 4 THEN x END) AS x4, max(CASE WHEN t = 5 THEN x END) AS x5, max(CASE WHEN t = 6 THEN x END) AS x6, max(CASE WHEN t = 7 THEN x END) AS x7, max(CASE WHEN t = 8 THEN x END) AS x8, max(CASE WHEN t = 9 THEN x END) AS x9, max(CASE WHEN t = 10 THEN x END) AS x10, max(CASE WHEN t = 11 THEN x END) AS x11, max(CASE WHEN t = 12 THEN x END) AS x12, max(CASE WHEN t = 13 THEN x END) AS x13
+        |  FROM grid WHERE t < 14 GROUP BY 1),
+        |init AS (
+        |  SELECT event_type,
+        |    ((((((x0 + x1) + x2) + x3) + x4) + x5) + x6) / 7 AS mean0,
+        |    ((((((x7 + x8) + x9) + x10) + x11) + x12) + x13) / 7 AS mean1,
+        |    (mean1 - mean0) / 7 AS trend0,
+        |    mean0 + trend0 * 6 / 2.0 AS level0,
+        |    x0 - (level0 - 6 * trend0) AS s0,
+        |    x1 - (level0 - 5 * trend0) AS s1,
+        |    x2 - (level0 - 4 * trend0) AS s2,
+        |    x3 - (level0 - 3 * trend0) AS s3,
+        |    x4 - (level0 - 2 * trend0) AS s4,
+        |    x5 - (level0 - 1 * trend0) AS s5,
+        |    x6 - (level0 - 0 * trend0) AS s6
+        |  FROM firsts),
+        |fold AS (
+        |  SELECT i.event_type, 7 AS t, i.level0 AS level, i.trend0 AS trend,
+        |         s0, s1, s2, s3, s4, s5, s6
+        |  FROM init i JOIN span sp ON sp.event_type = i.event_type
+        |  WHERE sp.n >= 14
+        |  UNION ALL
+        |  SELECT event_type, t + 1, lvl,
+        |         0.1*(lvl - level) + (1 - 0.1)*trend,
+        |         CASE WHEN tm = 0 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s0 END AS s0, CASE WHEN tm = 1 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s1 END AS s1, CASE WHEN tm = 2 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s2 END AS s2, CASE WHEN tm = 3 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s3 END AS s3, CASE WHEN tm = 4 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s4 END AS s4, CASE WHEN tm = 5 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s5 END AS s5, CASE WHEN tm = 6 THEN 0.2*(x - lvl) + (1 - 0.2)*s_old ELSE s6 END AS s6
+        |  FROM (
+        |    SELECT f.*, g.x, f.t % 7 AS tm,
+        |           CASE f.t % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 ELSE f.s6 END AS s_old,
+        |           0.3*(g.x - (CASE f.t % 7 WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 ELSE f.s6 END)) + (1 - 0.3)*(f.level + f.trend) AS lvl
+        |    FROM fold f
+        |    JOIN grid g ON g.event_type = f.event_type AND g.t = f.t)),
+        |final AS (
+        |  SELECT f.event_type, f.level, f.trend, s0, s1, s2, s3, s4, s5, s6, sp.n
+        |  FROM fold f
+        |  JOIN span sp ON sp.event_type = f.event_type AND f.t = sp.n)
+        |SELECT f.event_type, h.h,
+        |       round(f.level + h.h * f.trend + CASE (n + h - 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END, 6) AS forecast
+        |FROM final f
+        |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
+        |ORDER BY event_type, h""".stripMargin,
     "q_lift_curve" ->
       """WITH base AS (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
