@@ -4183,10 +4183,13 @@ object Queries {
     * Where [[q_calibration]] DIAGNOSES miscalibration, this FITS the
     * correction: fitted(score) is the isotonic regression of the
     * empirical positive rate — the post-hoc calibration map a serving
-    * layer applies. Oracle-exempt (the pooling recursion has no
-    * tractable SQL form); LawsSpec pins monotonicity, the pooled-mass
-    * ledger, idempotence and an independent driver-side PAV reference,
-    * and the exempt lane runs it at the driver SF. */
+    * layer applies. Oracle-checked since round 11 via the PAV minimax
+    * closed form — fitted(i) = max over j≤i of min over k≥i of the
+    * weighted segment mean, exact (P, N) pairs carried through
+    * min_by/max_by so the 6-dp division is integer HALF_UP on both
+    * engines (bit-exact at sf0.01 and sf0.1 before wiring); LawsSpec
+    * additionally pins monotonicity, the pooled-mass ledger,
+    * idempotence and an independent driver-side PAV reference. */
   val q_isotonic_calibration: Q = (s, d) => {
     val base = Tables.lineitem(s, d)
       .where(col("l_linestatus") === "F" &&

@@ -1803,6 +1803,52 @@ object SparkEntry {
         |FROM final f
         |CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) h
         |ORDER BY event_type, h""".stripMargin,
+    // mirrors Analytics.isotonicFromHistogram via the PAV minimax
+    // closed form: fitted(i) = max over j<=i of min over k>=i of the
+    // weighted segment mean P(j..k)/N(j..k) — no recursion needed. The
+    // min_by/max_by ORDER BY is the double quotient (distinct rationals
+    // with denominators <= n_all differ by >= 1/(n1*n2), far above
+    // double ulp at this scale, so the double order IS the rational
+    // order; equal rationals yield the same fitted either way), while
+    // the carried VALUE is the exact (P, N) pair, so the final 6-dp
+    // HALF_UP division runs on exact integers: floor((2e6*P + N)/(2N))
+    // = round-half-up of 1e6*P/N, then one correctly-rounded /1e6 —
+    // the same double BigDecimal.doubleValue produces
+    "q_isotonic_calibration" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate) AS grp, l_quantity AS score,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_linestatus = 'F' AND l_returnflag IN ('R', 'A')),
+        |h AS (
+        |  SELECT grp, score, sum(y) AS pos, count(*) AS n
+        |  FROM base GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT grp, score, pos, n,
+        |         row_number() OVER (PARTITION BY grp ORDER BY score) AS i
+        |  FROM h),
+        |pre AS (
+        |  SELECT grp, i, score, n, pos,
+        |         sum(pos) OVER (PARTITION BY grp ORDER BY i) AS cp,
+        |         sum(n) OVER (PARTITION BY grp ORDER BY i) AS cn
+        |  FROM cells),
+        |segs AS (
+        |  SELECT j.grp, j.i AS j, k.i AS k,
+        |         k.cp - (j.cp - j.pos) AS sp,
+        |         k.cn - (j.cn - j.n) AS sn
+        |  FROM pre j JOIN pre k ON k.grp = j.grp AND k.i >= j.i),
+        |inner_min AS (
+        |  SELECT s.grp, p.i, s.j,
+        |         min_by([s.sp, s.sn], CAST(s.sp AS DOUBLE) / s.sn) AS pn
+        |  FROM segs s JOIN pre p ON p.grp = s.grp AND p.i >= s.j AND s.k >= p.i
+        |  GROUP BY s.grp, p.i, s.j),
+        |outer_max AS (
+        |  SELECT grp, i, max_by(pn, CAST(pn[1] AS DOUBLE) / pn[2]) AS pn
+        |  FROM inner_min GROUP BY grp, i)
+        |SELECT c.grp AS ship_year, CAST(c.score AS DOUBLE) AS score, c.n,
+        |       CAST((2000000 * pn[1] + pn[2]) // (2 * pn[2]) AS DOUBLE) / 1000000 AS fitted
+        |FROM outer_max o JOIN cells c ON c.grp = o.grp AND c.i = o.i
+        |ORDER BY ship_year, score""".stripMargin,
     "q_lift_curve" ->
       """WITH base AS (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
