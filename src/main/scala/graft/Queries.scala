@@ -3494,11 +3494,14 @@ object Queries {
   /** q_pagerank — weighted PageRank over the nation trade graph
     * ([[operators.Graph.pagerank]]: 15 power-iteration rounds, one
     * edge-keyed join + one dst-keyed aggregate per round, rank state
-    * node-sized, 12-dp pre-rounded contributions for fold-order-free
-    * determinism). Oracle-exempt: the iterative fixpoint has no
-    * tractable SQL form — the golden vs a driver-side reference and the
-    * multi-edge/mass laws live in GraphSpec; the exempt lane checks
-    * non-empty + repeat-determinism at the driver SF. */
+    * node-sized, pico-long pre-rounded contributions for
+    * fold-order-free determinism). Oracle-checked since round 11: the
+    * fixed 15-round loop UNROLLS as chained CTEs, and because the
+    * operator quantizes every cross-engine-sensitive fold (exact
+    * pico-long contribution sums, one 12-dp round per rank update)
+    * each unrolled step reproduces the iteration bit-exactly at every
+    * SF; GraphSpec keeps the driver-reference golden and the
+    * multi-edge/mass laws. */
   val q_pagerank: Q = (s, d) => {
     val ranks = operators.Graph.pagerank(nationTradeEdges(s, d), "src", "dst", "wc")
     ranks.join(

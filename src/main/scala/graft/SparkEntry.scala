@@ -1362,6 +1362,171 @@ object SparkEntry {
     // is exact BIGINT, and cents/100 is an exact 2-dp quantity so the
     // output round is boundary-free (a round(sum(double),2) cascade
     // diverged by 0.01 on half-way cells - observed at sf0.001)
+    // mirrors Graph.pagerank's 15 power iterations UNROLLED as chained
+    // CTEs (fixed iteration count makes recursion unnecessary). The
+    // operator was built fold-order-free on purpose — contributions
+    // pre-round to exact pico-longs before the dst-keyed sum, and the
+    // rank update is one 12-dp round — so each unrolled step here
+    // reproduces the iteration bit-exactly: same cent-long weights,
+    // same (rank * w / outw * 1e12) operand order, same (1.0 - 0.85)
+    // runtime complement, exact-long coalesce before the /1e12
+    "q_pagerank" ->
+      """WITH raw AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS (
+        |  SELECT src, dst, CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE) AS w
+        |  FROM raw GROUP BY 1, 2),
+        |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow ON ow.src = e0.src),
+        |nodes AS (
+        |  SELECT DISTINCT nd FROM
+        |    (SELECT src AS nd FROM e0 UNION ALL SELECT dst FROM e0)),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT nd AS node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+        |r1 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r0 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r2 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r1 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r3 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r2 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r4 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r3 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r5 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r4 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r6 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r5 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r7 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r6 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r8 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r7 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r9 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r8 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r10 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r9 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r11 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r10 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r12 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r11 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r13 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r12 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r14 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r13 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd),r15 AS (
+        |  SELECT nd.nd AS node,
+        |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
+        |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
+        |  FROM nodes nd
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
+        |    FROM e JOIN r14 r ON e.src = r.node GROUP BY 1) c
+        |  ON c.node = nd.nd)
+        |SELECT n.n_name AS nation, r.rank
+        |FROM r15 r JOIN nation n ON r.node = n.n_nationkey
+        |ORDER BY rank DESC, nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
