@@ -3566,9 +3566,11 @@ object Queries {
     * trade graph ([[operators.Graph.labelPropagation]]: 10 fixed
     * synchronous rounds, incident weights folded as exact cent-longs,
     * argmax ties to the smallest label — integer-deterministic end to
-    * end). Oracle-exempt: the iterative fixpoint has no tractable SQL
-    * form; the toy-graph golden vs a driver-side reference lives in
-    * GraphSpec and the exempt lane checks non-empty + determinism. */
+    * end). Oracle-checked since round 11: integer determinism makes
+    * the fixed 10-round loop replayable as chained MATERIALIZED CTEs,
+    * the (weight, −label) argmax encoded as one HUGEINT composite key;
+    * the toy-graph golden vs a driver-side reference stays in
+    * GraphSpec. */
   val q_graph_communities: Q = (s, d) => {
     val labels = operators.Graph.labelPropagation(
       nationTradeEdges(s, d), "src", "dst", "wc")

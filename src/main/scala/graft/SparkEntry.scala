@@ -1371,24 +1371,24 @@ object SparkEntry {
     // same (rank * w / outw * 1e12) operand order, same (1.0 - 0.85)
     // runtime complement, exact-long coalesce before the /1e12
     "q_pagerank" ->
-      """WITH raw AS (
+      """WITH raw AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |e0 AS (
+        |e0 AS MATERIALIZED (
         |  SELECT src, dst, CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE) AS w
         |  FROM raw GROUP BY 1, 2),
-        |ow AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
-        |e AS (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow ON ow.src = e0.src),
-        |nodes AS (
+        |ow AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e0 GROUP BY 1),
+        |e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.w, ow.outw FROM e0 JOIN ow ON ow.src = e0.src),
+        |nodes AS MATERIALIZED (
         |  SELECT DISTINCT nd FROM
         |    (SELECT src AS nd FROM e0 UNION ALL SELECT dst FROM e0)),
-        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-        |r0 AS (SELECT nd AS node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
-        |r1 AS (
+        |cnt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS MATERIALIZED (SELECT nd AS node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+        |r1 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1397,7 +1397,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r0 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r2 AS (
+        |  ON c.node = nd.nd),r2 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1406,7 +1406,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r1 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r3 AS (
+        |  ON c.node = nd.nd),r3 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1415,7 +1415,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r2 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r4 AS (
+        |  ON c.node = nd.nd),r4 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1424,7 +1424,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r3 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r5 AS (
+        |  ON c.node = nd.nd),r5 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1433,7 +1433,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r4 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r6 AS (
+        |  ON c.node = nd.nd),r6 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1442,7 +1442,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r5 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r7 AS (
+        |  ON c.node = nd.nd),r7 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1451,7 +1451,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r6 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r8 AS (
+        |  ON c.node = nd.nd),r8 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1460,7 +1460,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r7 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r9 AS (
+        |  ON c.node = nd.nd),r9 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1469,7 +1469,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r8 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r10 AS (
+        |  ON c.node = nd.nd),r10 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1478,7 +1478,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r9 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r11 AS (
+        |  ON c.node = nd.nd),r11 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1487,7 +1487,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r10 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r12 AS (
+        |  ON c.node = nd.nd),r12 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1496,7 +1496,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r11 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r13 AS (
+        |  ON c.node = nd.nd),r13 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1505,7 +1505,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r12 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r14 AS (
+        |  ON c.node = nd.nd),r14 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1514,7 +1514,7 @@ object SparkEntry {
         |    SELECT e.dst AS node,
         |           sum(CAST(round(r.rank * e.w / e.outw * 1e12) AS BIGINT)) AS i
         |    FROM e JOIN r13 r ON e.src = r.node GROUP BY 1) c
-        |  ON c.node = nd.nd),r15 AS (
+        |  ON c.node = nd.nd),r15 AS MATERIALIZED (
         |  SELECT nd.nd AS node,
         |         round((1.0 - 0.85) / (SELECT n FROM cnt) +
         |               0.85 * (CAST(coalesce(c.i, 0) AS DOUBLE) / 1e12), 12) AS rank
@@ -1527,6 +1527,105 @@ object SparkEntry {
         |SELECT n.n_name AS nation, r.rank
         |FROM r15 r JOIN nation n ON r.node = n.n_nationkey
         |ORDER BY rank DESC, nation""".stripMargin,
+    // mirrors Graph.labelPropagation's 10 synchronous rounds unrolled
+    // as chained MATERIALIZED CTEs (without the hint DuckDB re-inlines
+    // the chain exponentially). Integer-deterministic end to end: the
+    // per-(node, label) incident weights are exact cent-long sums and
+    // the argmax is the same (weight, -label) lexicographic pick,
+    // encoded as one HUGEINT composite key lw*2^32 - label
+    "q_graph_communities" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und
+        |  UNION ALL
+        |  SELECT b AS n, a AS m, wc FROM und),
+        |l0 AS MATERIALIZED (SELECT DISTINCT n, n AS label FROM inc),
+        |l1 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l0 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l2 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l1 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l3 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l2 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l4 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l3 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l5 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l4 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l6 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l5 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l7 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l6 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l8 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l7 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l9 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l8 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1),l10 AS MATERIALIZED (
+        |  SELECT t.n,
+        |         max_by(t.label, CAST(t.lw AS HUGEINT) * 4294967296 - t.label) AS label
+        |  FROM (
+        |    SELECT inc.n, lab.label, CAST(sum(inc.wc) AS BIGINT) AS lw
+        |    FROM inc JOIN l9 lab ON lab.n = inc.m
+        |    GROUP BY 1, 2) t
+        |  GROUP BY 1)
+        |SELECT nat.n_name AS nation, CAST(lab.label AS BIGINT) AS community
+        |FROM l10 lab JOIN nation nat ON lab.n = nat.n_nationkey
+        |ORDER BY nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
