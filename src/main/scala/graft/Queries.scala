@@ -3606,11 +3606,13 @@ object Queries {
     * over the trade graph ([[operators.Graph.shortestPaths]]:
     * distributed Bellman–Ford relaxation, one incidence join + one
     * keyed min per round, node-sized distance state, exact cent-long
-    * distances — reduce-order-free). Oracle-exempt: the iterative
-    * fixpoint has no tractable SQL form; the golden vs a driver-side
-    * Dijkstra lives in GraphSpec and the exempt lane checks non-empty +
-    * repeat-determinism. Distances display as 2-dp revenue (`cents/100`
-    * — exact). Only reachable nations appear. */
+    * distances — reduce-order-free). Oracle-checked since round 11:
+    * any simple shortest path on the 25-nation graph uses ≤ 24 edges,
+    * so 24 Bellman–Ford rounds unrolled as chained MATERIALIZED CTEs
+    * reach the fixed point without recursion — exact integer mins end
+    * to end, bit-parity by construction. The golden vs a driver-side
+    * Dijkstra stays in GraphSpec. Distances display as 2-dp revenue
+    * (`cents/100` — exact). Only reachable nations appear. */
   val q_graph_sssp: Q = (s, d) => {
     val dist = operators.Graph.shortestPaths(
       nationTradeEdges(s, d), "src", "dst", "wc", source = 0L)
@@ -3726,12 +3728,12 @@ object Queries {
     * over all sources, the disconnection-robust centrality. Runs the
     * EXACT all-sources form because the node set is nation-sized; at
     * 100 TB the same operator takes a landmark sample (closeness folds
-    * linearly over sources). Oracle-exempt: the multi-source fixpoint
-    * has no tractable SQL form (a recursive-CTE all-pairs enumeration
-    * is exponential on weighted graphs); GraphSpec pins a golden vs a
-    * driver-side all-pairs Dijkstra plus the one-task/distributed
-    * parity law. Distances are exact cent-longs; the 1/d fold is
-    * 1e-12-grain integer arithmetic — reduce-order-free. */
+    * linearly over sources). Oracle-checked since round 11: the
+    * operator pre-rounds each 100/d term to exact pico-longs before
+    * the sum (reduce-order-free by design), so the unrolled
+    * multi-source min-plus chain plus one exact-long sum reproduces it
+    * bit-exactly; GraphSpec keeps the golden vs a driver-side
+    * all-pairs Dijkstra plus the one-task/distributed parity law. */
   val q_graph_closeness: Q = (s, d) => {
     val c = operators.Graph.harmonicCloseness(
       nationTradeEdges(s, d), "src", "dst", "wc")
@@ -3766,10 +3768,12 @@ object Queries {
     * the WORST trade route from each nation — min = the graph center,
     * max = the diameter endpoints. Rides the same multi-source
     * distance fixpoint as closeness/weighted-betweenness (one loop,
-    * three folds). Oracle-exempt (iterative fixpoint); GraphSpec pins
-    * a driver all-pairs-Dijkstra golden, the landmark-subset contract
-    * and path parity; the exempt lane runs it at the driver SF.
-    * Distances display as exact 2-dp revenue (cents/100). */
+    * three folds). Oracle-checked since round 11 off the same
+    * unrolled 24-round multi-source min-plus chain as the q_graph_sssp
+    * oracle — exact cent-long mins, per-source max + reach count;
+    * GraphSpec keeps the driver all-pairs-Dijkstra golden, the
+    * landmark-subset contract and path parity. Distances display as
+    * exact 2-dp revenue (cents/100). */
   val q_graph_eccentricity: Q = (s, d) => {
     val e = operators.Graph.eccentricity(
       nationTradeEdges(s, d), "src", "dst", "wc")

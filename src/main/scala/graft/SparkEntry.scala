@@ -1626,6 +1626,604 @@ object SparkEntry {
         |SELECT nat.n_name AS nation, CAST(lab.label AS BIGINT) AS community
         |FROM l10 lab JOIN nation nat ON lab.n = nat.n_nationkey
         |ORDER BY nation""".stripMargin,
+    // weighted SSSP via Bellman-Ford UNROLLED 24 rounds as chained
+    // MATERIALIZED CTEs: any simple shortest path on the 25-nation
+    // graph uses <= |V|-1 = 24 edges, so the 24-round min-fold IS the
+    // fixed point — no recursion (and no DuckDB >= 1.3 USING KEY)
+    // needed. Distances are exact cent-long mins end to end; the only
+    // double is the final /100 display division, the degree-oracle
+    // precedent
+    "q_graph_sssp" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und
+        |  UNION ALL
+        |  SELECT b AS n, a AS m, wc FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |d0 AS MATERIALIZED (SELECT n AS src, n, CAST(0 AS BIGINT) AS dist FROM nodes),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d0
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d0 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d1
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d1 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d2
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d2 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d4 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d3
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d3 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d5 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d4
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d4 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d6 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d5
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d5 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d7 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d6
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d6 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d8 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d7
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d7 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d9 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d8
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d8 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d10 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d9
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d9 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d11 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d10
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d10 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d12 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d11
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d11 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d13 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d12
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d12 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d14 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d13
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d13 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d15 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d14
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d14 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d16 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d15
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d15 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d17 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d16
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d16 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d18 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d17
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d17 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d19 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d18
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d18 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d20 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d19
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d19 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d21 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d20
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d20 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d22 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d21
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d21 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d23 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d22
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d22 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d24 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d23
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d23 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |src0 AS (SELECT n, dist FROM d24 WHERE src = 0)
+        |SELECT nat.n_name AS nation, round(CAST(s.dist AS DOUBLE) / 100.0, 2) AS dist_w
+        |FROM src0 s JOIN nation nat ON s.n = nat.n_nationkey
+        |ORDER BY dist_w, nation""".stripMargin,
+    // weighted eccentricity off the SAME unrolled multi-source
+    // min-plus chain as the q_graph_sssp oracle (seeded from every
+    // node): per-source max + reach count over exact cent-longs
+    "q_graph_eccentricity" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und
+        |  UNION ALL
+        |  SELECT b AS n, a AS m, wc FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |d0 AS MATERIALIZED (SELECT n AS src, n, CAST(0 AS BIGINT) AS dist FROM nodes),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d0
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d0 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d1
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d1 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d2
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d2 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d4 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d3
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d3 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d5 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d4
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d4 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d6 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d5
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d5 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d7 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d6
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d6 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d8 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d7
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d7 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d9 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d8
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d8 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d10 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d9
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d9 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d11 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d10
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d10 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d12 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d11
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d11 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d13 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d12
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d12 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d14 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d13
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d13 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d15 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d14
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d14 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d16 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d15
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d15 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d17 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d16
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d16 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d18 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d17
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d17 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d19 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d18
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d18 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d20 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d19
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d19 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d21 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d20
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d20 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d22 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d21
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d21 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d23 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d22
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d22 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d24 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d23
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d23 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reached, max(dist) AS ecc
+        |        FROM d24 WHERE src <> n GROUP BY 1)
+        |SELECT nat.n_name AS nation, a.n_reached,
+        |       round(CAST(a.ecc AS DOUBLE) / 100.0, 2) AS ecc_w
+        |FROM agg a JOIN nation nat ON a.src = nat.n_nationkey
+        |ORDER BY ecc_w, nation""".stripMargin,
+    // harmonic closeness off the same unrolled multi-source chain:
+    // the operator pre-rounds each 100/d term to exact pico-longs
+    // before the sum (fold-order-free by design), so the oracle's
+    // sum() order cannot matter; one 6-dp round of the exact total
+    "q_graph_closeness" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und
+        |  UNION ALL
+        |  SELECT b AS n, a AS m, wc FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |d0 AS MATERIALIZED (SELECT n AS src, n, CAST(0 AS BIGINT) AS dist FROM nodes),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d0
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d0 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d2 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d1
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d1 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d3 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d2
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d2 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d4 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d3
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d3 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d5 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d4
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d4 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d6 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d5
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d5 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d7 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d6
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d6 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d8 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d7
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d7 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d9 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d8
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d8 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d10 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d9
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d9 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d11 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d10
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d10 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d12 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d11
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d11 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d13 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d12
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d12 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d14 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d13
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d13 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d15 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d14
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d14 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d16 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d15
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d15 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d17 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d16
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d16 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d18 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d17
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d17 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d19 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d18
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d18 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d20 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d19
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d19 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d21 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d20
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d20 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d22 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d21
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d21 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d23 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d22
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d22 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |d24 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d23
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d23 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT n, CAST(count(*) AS BIGINT) AS n_reached,
+        |                 CAST(sum(CAST(round(100.0 / CAST(dist AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS ts
+        |          FROM d24 WHERE src <> n AND dist > 0 GROUP BY 1)
+        |SELECT nat.n_name AS nation,
+        |       CAST(coalesce(t.n_reached, 0) AS BIGINT) AS n_reached,
+        |       round(CAST(coalesce(t.ts, 0) AS DOUBLE) * 1.0 / 1e12, 6) AS closeness
+        |FROM nodes nd
+        |LEFT JOIN terms t ON t.n = nd.n
+        |JOIN nation nat ON nd.n = nat.n_nationkey
+        |ORDER BY closeness DESC, nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
