@@ -3709,10 +3709,13 @@ object Queries {
     * incidence join + one node-partitioned window per round, node-sized
     * integer state, observe-metric convergence). Core number per nation
     * = the deepest k-core it survives — the standard "dense hub vs
-    * periphery" split a trade/social pack leads with. Oracle-exempt:
-    * the peeling fixpoint has no tractable SQL form; GraphSpec pins a
-    * driver-side peeling reference golden plus the one-task/distributed
-    * parity law, and the exempt lane checks non-empty + determinism. */
+    * periphery" split a trade/social pack leads with. Oracle-checked
+    * since round 11: the integer h-index rounds unroll as chained
+    * MATERIALIZED CTEs with a self-checking fixpoint guard (a poison
+    * row if one more round would still change an estimate — the
+    * converged-or-loud-failure contract of the operator's own maxIter
+    * throw); GraphSpec keeps the driver-side peeling reference golden
+    * plus the one-task/distributed parity law. */
   val q_graph_kcore: Q = (s, d) => {
     val core = operators.Graph.coreness(
       nationTradeEdges(s, d), "src", "dst", "wc")

@@ -2224,6 +2224,263 @@ object SparkEntry {
         |LEFT JOIN terms t ON t.n = nd.n
         |JOIN nation nat ON nd.n = nat.n_nationkey
         |ORDER BY closeness DESC, nation""".stripMargin,
+    // mirrors Graph.coreness's synchronous h-index fixpoint (estimate
+    // <- min(old, H(neighbor estimates)), integer end to end) unrolled
+    // 32 rounds, with a SELF-CHECKING guard: if round 32 still differs
+    // from round 31 the query emits a poison row and the driver compare
+    // fails loudly — the oracle analogue of the operator's own
+    // maxIter-truncation throw (converged-or-error, never silently
+    // over-estimated). The per-round H is the same (est DESC, m)
+    // row_number rank fold
+    "q_graph_kcore" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM und UNION ALL SELECT b AS n, a AS m FROM und),
+        |e0 AS MATERIALIZED (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS est FROM inc GROUP BY 1),
+        |e1 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e0 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e0 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e2 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e1 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e1 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e3 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e2 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e2 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e4 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e3 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e3 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e5 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e4 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e4 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e6 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e5 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e5 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e7 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e6 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e6 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e8 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e7 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e7 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e9 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e8 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e8 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e10 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e9 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e9 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e11 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e10 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e10 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e12 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e11 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e11 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e13 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e12 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e12 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e14 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e13 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e13 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e15 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e14 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e14 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e16 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e15 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e15 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e17 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e16 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e16 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e18 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e17 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e17 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e19 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e18 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e18 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e20 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e19 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e19 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e21 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e20 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e20 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e22 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e21 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e21 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e23 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e22 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e22 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e24 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e23 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e23 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e25 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e24 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e24 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e26 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e25 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e25 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e27 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e26 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e26 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e28 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e27 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e27 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e29 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e28 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e28 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e30 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e29 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e29 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e31 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e30 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e30 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n),e32 AS MATERIALIZED (
+        |  SELECT e.n, least(e.est, h.h) AS est
+        |  FROM e31 e JOIN (
+        |    SELECT t.n, max(least(t.em, t.rnk)) AS h FROM (
+        |      SELECT inc.n, p.est AS em,
+        |             row_number() OVER (PARTITION BY inc.n ORDER BY p.est DESC, inc.m) AS rnk
+        |      FROM inc JOIN e31 p ON p.n = inc.m) t
+        |    GROUP BY t.n) h ON h.n = e.n)
+        |SELECT nat.n_name AS nation, e.est AS coreness
+        |FROM e32 e JOIN nation nat ON e.n = nat.n_nationkey
+        |UNION ALL
+        |-- self-checking fixpoint guard: if one more round would still change
+        |-- an estimate, emit a poison row so the driver compare fails LOUDLY
+        |-- (the operator's own maxIter-truncation throw, in oracle form)
+        |SELECT 'UNCONVERGED_AFTER_32_ROUNDS' AS nation, CAST(-1 AS BIGINT)
+        |FROM e31 a JOIN e32 b ON a.n = b.n
+        |WHERE a.est <> b.est
+        |ORDER BY coreness DESC, nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c

@@ -63,11 +63,12 @@ class ExemptLaneSpec extends SparkSpec {
     // ids q_graph_sssp / q_graph_eccentricity / q_graph_closeness
     // (min-plus is exact cent-long arithmetic and any simple shortest
     // path on the 25-nation graph uses <= 24 edges, so 24 unrolled
-    // Bellman-Ford rounds ARE the fixed point) to oracle-checked,
-    // shrinking the set to 23; widen this number deliberately (with a
-    // new golden law), never by accident
+    // Bellman-Ford rounds ARE the fixed point) and q_graph_kcore
+    // (integer h-index rounds unrolled with a self-checking fixpoint
+    // guard) to oracle-checked, shrinking the set to 22; widen this
+    // number deliberately (with a new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 23,
+    assert(exemptIds.size <= 22,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }
