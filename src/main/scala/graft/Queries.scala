@@ -4316,10 +4316,13 @@ object Queries {
     * triangles of survivors — the standard cohesive-subgraph cut above
     * k-core (k-truss bounds EDGE embeddedness, not node degree).
     * Reports each surviving edge with its support, nation-named.
-    * Oracle-exempt: the peeling fixpoint re-aggregates per round (no
-    * tractable SQL form); the reference golden (driver-side peeling on
-    * pseudorandom graphs) and the one-task/distributed parity law live
-    * in GraphSpec; the exempt lane runs it at the driver SF. The mean
+    * Oracle-checked since round 11: the integer peel unrolls as
+    * chained MATERIALIZED CTEs behind a self-checking guard (the
+    * final support pass poisons the output if any surviving edge is
+    * still below k−2 — the operator's converged-or-throw contract in
+    * oracle form); the reference golden (driver-side peeling on
+    * pseudorandom graphs) and the one-task/distributed parity law
+    * stay in GraphSpec. The mean
     * threshold folds IN-PLAN: the 1-row aggregate broadcast-cross-joins
     * back onto the edges (the q_theil/q_abc discipline — the registry
     * never blocks the driver mid-plan for a scalar). */

@@ -2481,6 +2481,178 @@ object SparkEntry {
         |FROM e31 a JOIN e32 b ON a.n = b.n
         |WHERE a.est <> b.est
         |ORDER BY coreness DESC, nation""".stripMargin,
+    // mirrors Graph.ktruss's synchronous peel (support = common-
+    // neighbor count, drop edges below k-2 = 2, recompute) unrolled 16
+    // rounds with the kcore-style SELF-CHECKING guard: the final
+    // support pass poisons the output if any surviving edge is still
+    // below threshold — converged-or-loud-failure, mirroring the
+    // operator's maxIter throw. Integer supports, no ties to break
+    "q_graph_ktruss" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |ew AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |mean AS (SELECT CAST(CAST(sum(wc) AS BIGINT) AS DOUBLE) / count(*) AS m FROM ew),
+        |strong AS MATERIALIZED (
+        |  SELECT src, dst, wc FROM ew, mean WHERE CAST(wc AS DOUBLE) > mean.m),
+        |e0 AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM strong WHERE src <> dst GROUP BY 1, 2),
+        |sym1 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e0 UNION ALL SELECT b AS n, a AS m FROM e0),
+        |e1 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e0 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym1 s1 JOIN sym1 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym2 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e1 UNION ALL SELECT b AS n, a AS m FROM e1),
+        |e2 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e1 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym2 s1 JOIN sym2 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym3 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e2 UNION ALL SELECT b AS n, a AS m FROM e2),
+        |e3 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e2 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym3 s1 JOIN sym3 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym4 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e3 UNION ALL SELECT b AS n, a AS m FROM e3),
+        |e4 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e3 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym4 s1 JOIN sym4 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym5 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e4 UNION ALL SELECT b AS n, a AS m FROM e4),
+        |e5 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e4 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym5 s1 JOIN sym5 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym6 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e5 UNION ALL SELECT b AS n, a AS m FROM e5),
+        |e6 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e5 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym6 s1 JOIN sym6 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym7 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e6 UNION ALL SELECT b AS n, a AS m FROM e6),
+        |e7 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e6 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym7 s1 JOIN sym7 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym8 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e7 UNION ALL SELECT b AS n, a AS m FROM e7),
+        |e8 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e7 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym8 s1 JOIN sym8 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym9 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e8 UNION ALL SELECT b AS n, a AS m FROM e8),
+        |e9 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e8 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym9 s1 JOIN sym9 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym10 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e9 UNION ALL SELECT b AS n, a AS m FROM e9),
+        |e10 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e9 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym10 s1 JOIN sym10 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym11 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e10 UNION ALL SELECT b AS n, a AS m FROM e10),
+        |e11 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e10 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym11 s1 JOIN sym11 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym12 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e11 UNION ALL SELECT b AS n, a AS m FROM e11),
+        |e12 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e11 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym12 s1 JOIN sym12 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym13 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e12 UNION ALL SELECT b AS n, a AS m FROM e12),
+        |e13 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e12 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym13 s1 JOIN sym13 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym14 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e13 UNION ALL SELECT b AS n, a AS m FROM e13),
+        |e14 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e13 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym14 s1 JOIN sym14 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym15 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e14 UNION ALL SELECT b AS n, a AS m FROM e14),
+        |e15 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e14 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym15 s1 JOIN sym15 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),sym16 AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e15 UNION ALL SELECT b AS n, a AS m FROM e15),
+        |e16 AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e15 e
+        |  JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, count(*) AS sup
+        |    FROM sym16 s1 JOIN sym16 s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b AND s.sup >= 2),
+        |finalsym AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM e16 UNION ALL SELECT b AS n, a AS m FROM e16),
+        |finalsup AS MATERIALIZED (
+        |  SELECT e.a, e.b, coalesce(s.sup, 0) AS support
+        |  FROM e16 e
+        |  LEFT JOIN (
+        |    SELECT s1.n AS a, s2.n AS b, CAST(count(*) AS BIGINT) AS sup
+        |    FROM finalsym s1 JOIN finalsym s2 ON s2.m = s1.m AND s1.n < s2.n
+        |    GROUP BY 1, 2) s
+        |  ON s.a = e.a AND s.b = e.b)
+        |SELECT na.n_name AS nation_a, nb.n_name AS nation_b, f.support
+        |FROM finalsup f
+        |JOIN nation na ON f.a = na.n_nationkey
+        |JOIN nation nb ON f.b = nb.n_nationkey
+        |UNION ALL
+        |-- self-checking guard: a surviving edge whose support still falls
+        |-- below k-2 means the peel had not converged within the unrolled
+        |-- rounds — poison the output so the driver compare fails loudly
+        |SELECT 'UNCONVERGED_AFTER_16_ROUNDS', 'UNCONVERGED', CAST(-1 AS BIGINT)
+        |FROM finalsup WHERE support < 2
+        |ORDER BY nation_a, nation_b""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c

@@ -63,12 +63,13 @@ class ExemptLaneSpec extends SparkSpec {
     // ids q_graph_sssp / q_graph_eccentricity / q_graph_closeness
     // (min-plus is exact cent-long arithmetic and any simple shortest
     // path on the 25-nation graph uses <= 24 edges, so 24 unrolled
-    // Bellman-Ford rounds ARE the fixed point) and q_graph_kcore
-    // (integer h-index rounds unrolled with a self-checking fixpoint
-    // guard) to oracle-checked, shrinking the set to 22; widen this
-    // number deliberately (with a new golden law), never by accident
+    // Bellman-Ford rounds ARE the fixed point) and q_graph_kcore +
+    // q_graph_ktruss (integer fixpoint/peel rounds unrolled with
+    // self-checking guards) to oracle-checked, shrinking the set to
+    // 21; widen this number deliberately (with a new golden law),
+    // never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 22,
+    assert(exemptIds.size <= 21,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }
