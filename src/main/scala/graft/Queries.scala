@@ -3753,8 +3753,11 @@ object Queries {
     * descending level, exact long path counts, pico-quantized δ folds).
     * Unweighted (hop-count) betweenness over the undirected simple
     * graph; exact all-sources here (node-small), landmark sample at
-    * scale (Brandes–Pich). Oracle-exempt (two-phase fixpoint, no SQL
-    * form); GraphSpec pins structural goldens (path/star/diamond) and
+    * scale (Brandes–Pich). Oracle-checked since round 11: both phases
+    * unroll — the BFS σ wave within |V|−1 levels, the backward sweep
+    * as 24 levels of the operator's own pico-quantized δ fold (extra
+    * levels are empty no-ops, so no convergence guard is needed);
+    * GraphSpec keeps the structural goldens (path/star/diamond) and
     * the one-task/distributed parity law. */
   val q_graph_betweenness: Q = (s, d) => {
     val bt = operators.Graph.betweenness(
