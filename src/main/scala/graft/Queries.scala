@@ -3820,9 +3820,11 @@ object Queries {
     * δ sums extrapolated by n/K. This is the betweenness you actually
     * run on a billion-node graph — sweep state is K·n rows instead of
     * n² — registered so the estimator itself (not just the exact
-    * machinery) is exercised end-to-end at every SF. Oracle-exempt
-    * like its exact twin (two-phase fixpoint, no SQL form); GraphSpec
-    * pins the K = n degenerate-equality law, the accuracy band vs the
+    * machinery) is exercised end-to-end at every SF. Oracle-checked
+    * since round 11 like its exact twin: the unrolled Brandes chains
+    * seeded from the same md5-picked landmarks, the n/K extrapolation
+    * one double multiply in the operator's operand order; GraphSpec
+    * keeps the K = n degenerate-equality law, the accuracy band vs the
     * exact fixture values, the one-task/distributed parity, and the
     * forward-state ∝ K cost bound. */
   val q_graph_betweenness_landmark: Q = (s, d) => {
@@ -3842,8 +3844,11 @@ object Queries {
     * sums extrapolated by n/K (closeness folds linearly over sources,
     * so the uniform sample is unbiased). `n_reached` stays the RAW
     * reached-landmark count (≤ K — the visible cost witness that the
-    * sweep touched K sources, not n). Oracle-exempt like its exact
-    * twin; GraphSpec pins the K = n degenerate equality, the accuracy
+    * sweep touched K sources, not n). Oracle-checked since round 11
+    * like its exact twin: the unrolled weighted multi-source chain
+    * restricted to the md5-picked seeds (DuckDB md5 == Spark md5),
+    * n/K as one double multiply before the single 6-dp round;
+    * GraphSpec keeps the K = n degenerate equality, the accuracy
     * band, and n_reached ≤ K. */
   val q_graph_closeness_landmark: Q = (s, d) => {
     val c = operators.Graph.harmonicCloseness(

@@ -3215,6 +3215,754 @@ object SparkEntry {
         |LEFT JOIN fold f ON f.n = nd.n
         |JOIN nation nat ON nd.n = nat.n_nationkey
         |ORDER BY betweenness DESC, nation""".stripMargin,
+    // the Brandes-Pich landmark estimator under the hard oracle: the
+    // SAME md5-ordered deterministic source pick (DuckDB md5 == Spark
+    // md5 on the same strings), the same unrolled weighted multi-source
+    // chain restricted to the K=12 seeds, and the n/K extrapolation as
+    // one double multiply before the single 6-dp round
+    "q_graph_closeness_landmark" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und UNION ALL SELECT b AS n, a AS m, wc FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |seeds AS MATERIALIZED (
+        |  SELECT n AS s FROM nodes ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT 12),
+        |scale AS (
+        |  SELECT CAST((SELECT count(*) FROM nodes) AS DOUBLE) /
+        |         (SELECT count(*) FROM seeds) AS sc),
+        |d0 AS MATERIALIZED (SELECT s AS src, s AS n, CAST(0 AS BIGINT) AS dist FROM seeds),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d0
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d0 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d2 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d1
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d1 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d3 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d2
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d2 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d4 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d3
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d3 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d5 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d4
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d4 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d6 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d5
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d5 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d7 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d6
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d6 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d8 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d7
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d7 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d9 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d8
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d8 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d10 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d9
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d9 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d11 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d10
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d10 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d12 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d11
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d11 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d13 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d12
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d12 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d14 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d13
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d13 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d15 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d14
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d14 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d16 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d15
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d15 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d17 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d16
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d16 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d18 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d17
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d17 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d19 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d18
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d18 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d20 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d19
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d19 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d21 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d20
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d20 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d22 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d21
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d21 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d23 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d22
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d22 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d24 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d23
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d23 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |terms AS (SELECT n, CAST(count(*) AS BIGINT) AS n_reached,
+        |                 CAST(sum(CAST(round(100.0 / CAST(dist AS DOUBLE) * 1e12) AS BIGINT)) AS BIGINT) AS ts
+        |          FROM d24 WHERE src <> n AND dist > 0 GROUP BY 1)
+        |SELECT nat.n_name AS nation,
+        |       CAST(coalesce(t.n_reached, 0) AS BIGINT) AS n_reached,
+        |       round(CAST(coalesce(t.ts, 0) AS DOUBLE) * (SELECT sc FROM scale) / 1e12, 6) AS closeness_est
+        |FROM nodes nd
+        |LEFT JOIN terms t ON t.n = nd.n
+        |JOIN nation nat ON nd.n = nat.n_nationkey
+        |ORDER BY closeness_est DESC, nation""".stripMargin,
+    // landmark betweenness: the unrolled two-phase Brandes chains
+    // seeded from the md5-picked K=12 landmarks; same exact sigma and
+    // pico-quantized delta folds as the exact-mode oracle, with the
+    // n/K scale applied in the operator's own (dps * scale) / 2e12
+    // operand order
+    "q_graph_betweenness_landmark" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m FROM und UNION ALL SELECT b AS n, a AS m FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |seeds AS MATERIALIZED (
+        |  SELECT n AS s FROM nodes ORDER BY md5(CAST(n AS VARCHAR)), n LIMIT 12),
+        |scale AS (
+        |  SELECT CAST((SELECT count(*) FROM nodes) AS DOUBLE) /
+        |         (SELECT count(*) FROM seeds) AS sc),
+        |f0 AS MATERIALIZED (SELECT s AS src, s AS n, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM seeds),
+        |v0 AS MATERIALIZED (SELECT src, n, dist, sigma FROM f0),
+        |f1 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 1 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f0 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v0 v WHERE v.src = t.src AND v.n = t.n)),
+        |v1 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v0
+        |  UNION ALL SELECT src, n, dist, sigma FROM f1),f2 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 2 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f1 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v1 v WHERE v.src = t.src AND v.n = t.n)),
+        |v2 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v1
+        |  UNION ALL SELECT src, n, dist, sigma FROM f2),f3 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 3 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f2 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE v.src = t.src AND v.n = t.n)),
+        |v3 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v2
+        |  UNION ALL SELECT src, n, dist, sigma FROM f3),f4 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 4 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f3 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v3 v WHERE v.src = t.src AND v.n = t.n)),
+        |v4 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v3
+        |  UNION ALL SELECT src, n, dist, sigma FROM f4),f5 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 5 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f4 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v4 v WHERE v.src = t.src AND v.n = t.n)),
+        |v5 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v4
+        |  UNION ALL SELECT src, n, dist, sigma FROM f5),f6 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 6 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f5 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v5 v WHERE v.src = t.src AND v.n = t.n)),
+        |v6 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v5
+        |  UNION ALL SELECT src, n, dist, sigma FROM f6),f7 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 7 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f6 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v6 v WHERE v.src = t.src AND v.n = t.n)),
+        |v7 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v6
+        |  UNION ALL SELECT src, n, dist, sigma FROM f7),f8 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 8 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f7 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v7 v WHERE v.src = t.src AND v.n = t.n)),
+        |v8 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v7
+        |  UNION ALL SELECT src, n, dist, sigma FROM f8),f9 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 9 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f8 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v8 v WHERE v.src = t.src AND v.n = t.n)),
+        |v9 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v8
+        |  UNION ALL SELECT src, n, dist, sigma FROM f9),f10 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 10 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f9 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v9 v WHERE v.src = t.src AND v.n = t.n)),
+        |v10 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v9
+        |  UNION ALL SELECT src, n, dist, sigma FROM f10),f11 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 11 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f10 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v10 v WHERE v.src = t.src AND v.n = t.n)),
+        |v11 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v10
+        |  UNION ALL SELECT src, n, dist, sigma FROM f11),f12 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 12 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f11 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v11 v WHERE v.src = t.src AND v.n = t.n)),
+        |v12 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v11
+        |  UNION ALL SELECT src, n, dist, sigma FROM f12),f13 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 13 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f12 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v12 v WHERE v.src = t.src AND v.n = t.n)),
+        |v13 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v12
+        |  UNION ALL SELECT src, n, dist, sigma FROM f13),f14 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 14 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f13 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v13 v WHERE v.src = t.src AND v.n = t.n)),
+        |v14 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v13
+        |  UNION ALL SELECT src, n, dist, sigma FROM f14),f15 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 15 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f14 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v14 v WHERE v.src = t.src AND v.n = t.n)),
+        |v15 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v14
+        |  UNION ALL SELECT src, n, dist, sigma FROM f15),f16 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 16 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f15 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v15 v WHERE v.src = t.src AND v.n = t.n)),
+        |v16 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v15
+        |  UNION ALL SELECT src, n, dist, sigma FROM f16),f17 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 17 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f16 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v16 v WHERE v.src = t.src AND v.n = t.n)),
+        |v17 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v16
+        |  UNION ALL SELECT src, n, dist, sigma FROM f17),f18 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 18 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f17 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v17 v WHERE v.src = t.src AND v.n = t.n)),
+        |v18 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v17
+        |  UNION ALL SELECT src, n, dist, sigma FROM f18),f19 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 19 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f18 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v18 v WHERE v.src = t.src AND v.n = t.n)),
+        |v19 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v18
+        |  UNION ALL SELECT src, n, dist, sigma FROM f19),f20 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 20 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f19 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v19 v WHERE v.src = t.src AND v.n = t.n)),
+        |v20 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v19
+        |  UNION ALL SELECT src, n, dist, sigma FROM f20),f21 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 21 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f20 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v20 v WHERE v.src = t.src AND v.n = t.n)),
+        |v21 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v20
+        |  UNION ALL SELECT src, n, dist, sigma FROM f21),f22 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 22 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f21 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v21 v WHERE v.src = t.src AND v.n = t.n)),
+        |v22 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v21
+        |  UNION ALL SELECT src, n, dist, sigma FROM f22),f23 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 23 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f22 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v22 v WHERE v.src = t.src AND v.n = t.n)),
+        |v23 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v22
+        |  UNION ALL SELECT src, n, dist, sigma FROM f23),f24 AS MATERIALIZED (
+        |  SELECT t.src, t.n, 24 AS dist, t.sigma FROM (
+        |    SELECT d.src, inc.n, CAST(sum(d.sigma) AS BIGINT) AS sigma
+        |    FROM f23 d JOIN inc ON inc.m = d.n
+        |    GROUP BY 1, 2) t
+        |  WHERE NOT EXISTS (SELECT 1 FROM v23 v WHERE v.src = t.src AND v.n = t.n)),
+        |v24 AS MATERIALIZED (
+        |  SELECT src, n, dist, sigma FROM v23
+        |  UNION ALL SELECT src, n, dist, sigma FROM f24),
+        |dl24 AS MATERIALIZED (
+        |  SELECT src, n, CAST(0 AS BIGINT) AS dp FROM v24),dl23 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl24 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl24 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 24) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 23) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl22 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl23 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl23 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 23) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 22) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl21 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl22 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl22 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 22) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 21) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl20 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl21 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl21 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 21) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 20) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl19 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl20 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl20 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 20) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 19) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl18 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl19 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl19 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 19) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 18) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl17 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl18 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl18 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 18) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 17) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl16 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl17 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl17 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 17) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 16) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl15 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl16 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl16 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 16) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 15) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl14 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl15 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl15 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 15) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 14) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl13 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl14 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl14 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 14) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 13) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl12 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl13 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl13 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 13) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 12) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl11 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl12 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl12 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 12) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 11) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl10 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl11 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl11 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 11) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 10) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl9 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl10 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl10 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 10) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 9) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl8 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl9 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl9 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 9) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 8) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl7 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl8 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl8 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 8) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 7) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl6 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl7 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl7 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 7) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 6) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl5 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl6 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl6 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 6) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 5) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl4 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl5 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl5 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 5) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 4) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl3 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl4 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl4 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 4) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 3) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl2 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl3 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl3 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 3) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 2) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl1 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl2 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl2 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 2) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 1) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),dl0 AS MATERIALIZED (
+        |  SELECT d.src, d.n, d.dp + coalesce(c.cd, 0) AS dp
+        |  FROM dl1 d
+        |  LEFT JOIN (
+        |    SELECT w.src, inc.m AS n,
+        |           CAST(sum(CAST(round(CAST(pv.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE) *
+        |             (1e12 + CAST(w.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM (SELECT v.src, v.n, v.sigma, dd.dp
+        |          FROM v24 v JOIN dl1 dd ON dd.src = v.src AND dd.n = v.n
+        |          WHERE v.dist = 1) w
+        |    JOIN inc ON inc.n = w.n
+        |    JOIN (SELECT src, n, sigma FROM v24 WHERE dist = 0) pv
+        |      ON pv.src = w.src AND pv.n = inc.m
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),
+        |fold AS (
+        |  SELECT n, CAST(sum(dp) AS BIGINT) AS dps
+        |  FROM dl0 WHERE src <> n GROUP BY 1)
+        |SELECT nat.n_name AS nation,
+        |       round(CAST(coalesce(f.dps, 0) AS DOUBLE) * (SELECT sc FROM scale) / 2e12, 6) AS betweenness_est
+        |FROM nodes nd
+        |LEFT JOIN fold f ON f.n = nd.n
+        |JOIN nation nat ON nd.n = nat.n_nationkey
+        |ORDER BY betweenness_est DESC, nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c

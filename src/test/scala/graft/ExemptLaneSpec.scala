@@ -65,12 +65,16 @@ class ExemptLaneSpec extends SparkSpec {
     // path on the 25-nation graph uses <= 24 edges, so 24 unrolled
     // Bellman-Ford rounds ARE the fixed point) and q_graph_kcore +
     // q_graph_ktruss (integer fixpoint/peel rounds unrolled with
-    // self-checking guards) and q_graph_betweenness (both Brandes
-    // phases unrolled — exact sigma counts, pico-quantized delta
-    // folds) to oracle-checked, shrinking the set to 20; widen this
-    // number deliberately (with a new golden law), never by accident
+    // self-checking guards), q_graph_betweenness (both Brandes phases
+    // unrolled — exact sigma counts, pico-quantized delta folds) and
+    // the landmark pair q_graph_betweenness_landmark /
+    // q_graph_closeness_landmark (same chains seeded from the
+    // md5-picked K sources — DuckDB md5 == Spark md5 — with n/K as
+    // one mirrored double multiply) to oracle-checked, shrinking the
+    // set to 18; widen this number deliberately (with a new golden
+    // law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 20,
+    assert(exemptIds.size <= 18,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }
