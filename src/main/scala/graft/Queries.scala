@@ -3798,11 +3798,14 @@ object Queries {
     * pico-quantized folds). The hop-count twin treats every trade lane
     * as equal; this one routes centrality along cheap corridors — the
     * form that matters when weights ARE the semantics (latency, cost,
-    * trade volume). Oracle-exempt (three chained fixpoints, no SQL
-    * form); GraphSpec pins a weight-reroute structural golden, the
-    * uniform-weights == hop-count law, an independent driver-side
-    * Dijkstra–Brandes reference on random weighted graphs, and
-    * one-task/distributed parity. */
+    * trade volume). Oracle-checked since round 11: all three chained
+    * fixpoints are bounded by |V|−1 on the nation graph and unroll —
+    * min-plus distances, DAG-predecessor σ, DAG-successor δ with the
+    * operator's pico-quantized fold; GraphSpec keeps the
+    * weight-reroute structural golden, the uniform-weights ==
+    * hop-count law, an independent driver-side Dijkstra–Brandes
+    * reference on random weighted graphs, and one-task/distributed
+    * parity. */
   val q_graph_betweenness_weighted: Q = (s, d) => {
     val bt = operators.Graph.betweennessWeighted(
       nationTradeEdges(s, d), "src", "dst", "wc")

@@ -3963,6 +3963,723 @@ object SparkEntry {
         |LEFT JOIN fold f ON f.n = nd.n
         |JOIN nation nat ON nd.n = nat.n_nationkey
         |ORDER BY betweenness_est DESC, nation""".stripMargin,
+    // mirrors Graph.betweennessWeighted's three chained fixpoints, each
+    // bounded by |V|-1 on the 25-nation graph and so unrollable: (1)
+    // the exact cent-long multi-source min-plus distances, (2) the
+    // shortest-path DAG (dv + w == dw) with sigma recomputed from DAG
+    // predecessors (exact longs, stable within DAG depth <= 24), (3)
+    // the delta recomputation from DAG successors using the operator's
+    // pico-quantized fold. No guard needed: extra rounds past
+    // stability recompute the same values
+    "q_graph_betweenness_weighted" ->
+      """WITH raw AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |e0 AS MATERIALIZED (
+        |  SELECT src, dst, CAST(sum(rev_c) AS BIGINT) AS wc FROM raw GROUP BY 1, 2),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(wc) AS BIGINT) AS wc
+        |  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |inc AS MATERIALIZED (
+        |  SELECT a AS n, b AS m, wc FROM und UNION ALL SELECT b AS n, a AS m, wc FROM und),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM inc),
+        |d0 AS MATERIALIZED (SELECT n AS src, n, CAST(0 AS BIGINT) AS dist FROM nodes),
+        |d1 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d0
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d0 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d2 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d1
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d1 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d3 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d2
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d2 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d4 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d3
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d3 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d5 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d4
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d4 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d6 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d5
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d5 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d7 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d6
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d6 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d8 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d7
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d7 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d9 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d8
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d8 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d10 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d9
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d9 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d11 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d10
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d10 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d12 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d11
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d11 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d13 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d12
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d12 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d14 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d13
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d13 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d15 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d14
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d14 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d16 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d15
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d15 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d17 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d16
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d16 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d18 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d17
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d17 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d19 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d18
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d18 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d20 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d19
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d19 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d21 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d20
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d20 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d22 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d21
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d21 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d23 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d22
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d22 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),d24 AS MATERIALIZED (
+        |  SELECT src, n, min(dist) AS dist FROM (
+        |    SELECT src, n, dist FROM d23
+        |    UNION ALL
+        |    SELECT d.src, inc.n, d.dist + inc.wc AS dist
+        |    FROM d23 d JOIN inc ON inc.m = d.n) u
+        |  GROUP BY 1, 2),
+        |dag AS MATERIALIZED (
+        |  SELECT dv.src, inc.n AS v, inc.m AS w_node
+        |  FROM inc
+        |  JOIN d24 dv ON dv.n = inc.n
+        |  JOIN d24 dw ON dw.src = dv.src AND dw.n = inc.m
+        |  WHERE dv.dist + inc.wc = dw.dist),
+        |s0 AS MATERIALIZED (
+        |  SELECT src, n, CASE WHEN n = src THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sigma
+        |  FROM d24),
+        |s1 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s0 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s2 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s1 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s3 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s2 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s4 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s3 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s5 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s4 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s6 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s5 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s7 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s6 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s8 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s7 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s9 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s8 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s10 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s9 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s11 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s10 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s12 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s11 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s13 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s12 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s14 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s13 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s15 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s14 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s16 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s15 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s17 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s16 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s18 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s17 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s19 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s18 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s20 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s19 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s21 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s20 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s22 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s21 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s23 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s22 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s24 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s23 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),s25 AS MATERIALIZED (
+        |  SELECT d.src, d.n,
+        |         CASE WHEN d.n = d.src THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(coalesce(i.insum, 0) AS BIGINT) END AS sigma
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.w_node AS n, CAST(sum(sv.sigma) AS BIGINT) AS insum
+        |    FROM dag JOIN s24 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    GROUP BY 1, 2) i
+        |  ON i.src = d.src AND i.n = d.n),
+        |del0 AS MATERIALIZED (SELECT src, n, CAST(0 AS BIGINT) AS dp FROM d24),
+        |del1 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del0 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del2 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del1 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del3 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del2 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del4 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del3 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del5 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del4 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del6 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del5 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del7 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del6 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del8 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del7 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del9 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del8 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del10 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del9 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del11 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del10 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del12 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del11 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del13 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del12 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del14 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del13 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del15 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del14 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del16 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del15 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del17 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del16 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del18 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del17 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del19 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del18 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del20 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del19 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del21 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del20 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del22 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del21 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del23 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del22 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del24 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del23 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),del25 AS MATERIALIZED (
+        |  SELECT d.src, d.n, CAST(coalesce(c.cd, 0) AS BIGINT) AS dp
+        |  FROM d24 d
+        |  LEFT JOIN (
+        |    SELECT dag.src, dag.v AS n,
+        |           CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE) *
+        |             (1e12 + CAST(dw.dp AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cd
+        |    FROM dag
+        |    JOIN s25 sv ON sv.src = dag.src AND sv.n = dag.v
+        |    JOIN s25 sw ON sw.src = dag.src AND sw.n = dag.w_node
+        |    JOIN del24 dw ON dw.src = dag.src AND dw.n = dag.w_node
+        |    GROUP BY 1, 2) c
+        |  ON c.src = d.src AND c.n = d.n),
+        |fold AS (
+        |  SELECT n, CAST(sum(dp) AS BIGINT) AS dps
+        |  FROM del25 WHERE src <> n GROUP BY 1)
+        |SELECT nat.n_name AS nation,
+        |       round(CAST(coalesce(f.dps, 0) AS DOUBLE) * 1.0 / 2e12, 6) AS betweenness_w
+        |FROM nodes nd
+        |LEFT JOIN fold f ON f.n = nd.n
+        |JOIN nation nat ON nd.n = nat.n_nationkey
+        |ORDER BY betweenness_w DESC, nation""".stripMargin,
     "q_graph_degree" ->
       """WITH raw AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
         |                    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT) AS rev_c
