@@ -3403,14 +3403,15 @@ object Queries {
   }
 
   /** q_bpe_merges — LEARNED BPE merge rules over the corpus vocabulary
-    * ([[Text.bpeTrainMerges]]): word frequencies (cnt ≥ 10 cutoff, the
-    * q_vocab_build discipline — training state is vocabulary-sized,
-    * never corpus-sized), 12 merge rounds, one keyed pair-aggregate +
-    * bounded argmax per round. Oracle-exempt: the iterative argmax has
-    * no tractable SQL form (a recursive CTE can't re-aggregate per
-    * round); determinism + the classic-corpus golden live in
-    * FunctionsSpec, and the exempt lane checks non-empty +
-    * repeat-determinism at the driver SF. */
+    * ([[Text.bpeTrainMerges]]): the head-4096 vocabulary by (count,
+    * word) — training state is vocabulary-sized, never corpus-sized —
+    * 12 merge rounds, one keyed pair-aggregate + bounded argmax per
+    * round. Oracle-checked since round 11: the 12 rounds unroll as
+    * chained MATERIALIZED CTEs over chr(31)-delimited symbol strings —
+    * pair counts via list_zip (the zip(syms, tail) convention), the
+    * argmax the same (cnt DESC, a, b) binary order, merge application
+    * a left-to-right non-overlapping replace() ≡ mergePair; the
+    * classic-corpus golden stays in FunctionsSpec. */
   val q_bpe_merges: Q = (s, d) => {
     // train on the HEAD vocabulary (top 4096 words by count, ties to
     // the word — a bounded TakeOrdered): standard BPE practice, and it
@@ -4366,9 +4367,10 @@ object Queries {
     * [[Text.bpeReadMerges]] — the write/apply lifecycle every encode
     * job at scale runs: train once, read the k-row table, never
     * retrain per query; the extend law lives in ScalePathSpec).
-    * Oracle-exempt (the merge training is the q_bpe_merges iterative
-    * argmax); encode-law goldens live in FunctionsSpec and the exempt
-    * lane runs it at the driver SF. */
+    * Oracle-checked since round 11: the oracle re-derives the same 12
+    * merges (write == train) and applies them in rank order to every
+    * vocab word via the q_bpe_merges delimited-string replaces;
+    * encode-law goldens stay in FunctionsSpec. */
   val q_bpe_encode: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val vocab = docs.select(explode(Text.tokens(col("text"))).as("word"))

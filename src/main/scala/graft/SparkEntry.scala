@@ -5167,6 +5167,536 @@ object SparkEntry {
         |       CAST((2000000 * pn[1] + pn[2]) // (2 * pn[2]) AS DOUBLE) / 1000000 AS fitted
         |FROM outer_max o JOIN cells c ON c.grp = o.grp AND c.i = o.i
         |ORDER BY ship_year, score""".stripMargin,
+    // mirrors Text.bpeTrainMerges round for round: words become
+    // chr(31)-delimited symbol strings, adjacent-pair counts come from
+    // list_zip over the split symbols (overlapping, freq-weighted —
+    // the zip(syms, syms.tail) convention), the argmax is the same
+    // (cnt DESC, a, b) binary-collation order, and applying a merge is
+    // replace() on the delimited string — left-to-right non-overlapping,
+    // exactly mergePair. A round whose best pair falls below minCount=2
+    // leaves the state unchanged, so training stops and stays stopped
+    "q_bpe_merges" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |head AS MATERIALIZED (
+        |  SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 4096),
+        |st0 AS MATERIALIZED (
+        |  SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+        |         chr(31) || '</w>' || chr(31) AS s,
+        |         cnt AS freq
+        |  FROM head),
+        |pc1 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st0 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best1 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc1 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st1 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best1) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best1) || chr(31) || (SELECT b FROM best1) || chr(31),
+        |                chr(31) || (SELECT a FROM best1) || (SELECT b FROM best1) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st0 st),pc2 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st1 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best2 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc2 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st2 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best2) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best2) || chr(31) || (SELECT b FROM best2) || chr(31),
+        |                chr(31) || (SELECT a FROM best2) || (SELECT b FROM best2) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st1 st),pc3 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st2 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best3 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc3 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st3 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best3) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best3) || chr(31) || (SELECT b FROM best3) || chr(31),
+        |                chr(31) || (SELECT a FROM best3) || (SELECT b FROM best3) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st2 st),pc4 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st3 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best4 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc4 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st4 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best4) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best4) || chr(31) || (SELECT b FROM best4) || chr(31),
+        |                chr(31) || (SELECT a FROM best4) || (SELECT b FROM best4) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st3 st),pc5 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st4 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best5 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc5 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st5 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best5) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best5) || chr(31) || (SELECT b FROM best5) || chr(31),
+        |                chr(31) || (SELECT a FROM best5) || (SELECT b FROM best5) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st4 st),pc6 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st5 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best6 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc6 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st6 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best6) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best6) || chr(31) || (SELECT b FROM best6) || chr(31),
+        |                chr(31) || (SELECT a FROM best6) || (SELECT b FROM best6) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st5 st),pc7 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st6 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best7 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc7 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st7 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best7) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best7) || chr(31) || (SELECT b FROM best7) || chr(31),
+        |                chr(31) || (SELECT a FROM best7) || (SELECT b FROM best7) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st6 st),pc8 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st7 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best8 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc8 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st8 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best8) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best8) || chr(31) || (SELECT b FROM best8) || chr(31),
+        |                chr(31) || (SELECT a FROM best8) || (SELECT b FROM best8) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st7 st),pc9 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st8 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best9 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc9 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st9 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best9) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best9) || chr(31) || (SELECT b FROM best9) || chr(31),
+        |                chr(31) || (SELECT a FROM best9) || (SELECT b FROM best9) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st8 st),pc10 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st9 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best10 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc10 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st10 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best10) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best10) || chr(31) || (SELECT b FROM best10) || chr(31),
+        |                chr(31) || (SELECT a FROM best10) || (SELECT b FROM best10) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st9 st),pc11 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st10 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best11 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc11 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st11 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best11) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best11) || chr(31) || (SELECT b FROM best11) || chr(31),
+        |                chr(31) || (SELECT a FROM best11) || (SELECT b FROM best11) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st10 st),pc12 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st11 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best12 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc12 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st12 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best12) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best12) || chr(31) || (SELECT b FROM best12) || chr(31),
+        |                chr(31) || (SELECT a FROM best12) || (SELECT b FROM best12) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st11 st)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best1 UNION ALL SELECT CAST(2 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best2 UNION ALL SELECT CAST(3 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best3 UNION ALL SELECT CAST(4 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best4 UNION ALL SELECT CAST(5 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best5 UNION ALL SELECT CAST(6 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best6 UNION ALL SELECT CAST(7 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best7 UNION ALL SELECT CAST(8 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best8 UNION ALL SELECT CAST(9 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best9 UNION ALL SELECT CAST(10 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best10 UNION ALL SELECT CAST(11 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best11 UNION ALL SELECT CAST(12 AS BIGINT) AS merge_rank, a AS left_sym, b AS right_sym FROM best12)
+        |ORDER BY merge_rank""".stripMargin,
+    // the encode twin: re-derives the same 12 merges (the persisted
+    // artifact IS the training output — write == train), applies them
+    // in rank order to every vocab word via the same delimited-string
+    // replaces, and folds the per-doc subword counts with exact longs
+    // and ONE 6-dp rounded division
+    "q_bpe_encode" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+        |head AS MATERIALIZED (
+        |  SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 4096),
+        |st0 AS MATERIALIZED (
+        |  SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+        |         chr(31) || '</w>' || chr(31) AS s,
+        |         cnt AS freq
+        |  FROM head),
+        |pc1 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st0 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best1 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc1 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st1 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best1) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best1) || chr(31) || (SELECT b FROM best1) || chr(31),
+        |                chr(31) || (SELECT a FROM best1) || (SELECT b FROM best1) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st0 st),pc2 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st1 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best2 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc2 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st2 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best2) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best2) || chr(31) || (SELECT b FROM best2) || chr(31),
+        |                chr(31) || (SELECT a FROM best2) || (SELECT b FROM best2) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st1 st),pc3 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st2 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best3 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc3 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st3 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best3) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best3) || chr(31) || (SELECT b FROM best3) || chr(31),
+        |                chr(31) || (SELECT a FROM best3) || (SELECT b FROM best3) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st2 st),pc4 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st3 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best4 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc4 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st4 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best4) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best4) || chr(31) || (SELECT b FROM best4) || chr(31),
+        |                chr(31) || (SELECT a FROM best4) || (SELECT b FROM best4) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st3 st),pc5 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st4 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best5 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc5 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st5 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best5) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best5) || chr(31) || (SELECT b FROM best5) || chr(31),
+        |                chr(31) || (SELECT a FROM best5) || (SELECT b FROM best5) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st4 st),pc6 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st5 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best6 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc6 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st6 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best6) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best6) || chr(31) || (SELECT b FROM best6) || chr(31),
+        |                chr(31) || (SELECT a FROM best6) || (SELECT b FROM best6) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st5 st),pc7 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st6 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best7 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc7 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st7 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best7) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best7) || chr(31) || (SELECT b FROM best7) || chr(31),
+        |                chr(31) || (SELECT a FROM best7) || (SELECT b FROM best7) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st6 st),pc8 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st7 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best8 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc8 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st8 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best8) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best8) || chr(31) || (SELECT b FROM best8) || chr(31),
+        |                chr(31) || (SELECT a FROM best8) || (SELECT b FROM best8) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st7 st),pc9 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st8 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best9 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc9 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st9 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best9) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best9) || chr(31) || (SELECT b FROM best9) || chr(31),
+        |                chr(31) || (SELECT a FROM best9) || (SELECT b FROM best9) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st8 st),pc10 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st9 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best10 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc10 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st10 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best10) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best10) || chr(31) || (SELECT b FROM best10) || chr(31),
+        |                chr(31) || (SELECT a FROM best10) || (SELECT b FROM best10) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st9 st),pc11 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st10 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best11 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc11 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st11 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best11) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best11) || chr(31) || (SELECT b FROM best11) || chr(31),
+        |                chr(31) || (SELECT a FROM best11) || (SELECT b FROM best11) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st10 st),pc12 AS MATERIALIZED (
+        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+        |  FROM st11 st,
+        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+        |  WHERE p.pair[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |best12 AS MATERIALIZED (
+        |  SELECT a, b, cnt FROM pc12 WHERE cnt >= 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |st12 AS MATERIALIZED (
+        |  SELECT CASE WHEN (SELECT count(*) FROM best12) = 1
+        |              THEN replace(st.s,
+        |                chr(31) || (SELECT a FROM best12) || chr(31) || (SELECT b FROM best12) || chr(31),
+        |                chr(31) || (SELECT a FROM best12) || (SELECT b FROM best12) || chr(31))
+        |              ELSE st.s END AS s, st.freq
+        |  FROM st11 st),
+        |w0 AS MATERIALIZED (
+        |  SELECT word,
+        |         chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+        |         chr(31) || '</w>' || chr(31) AS s
+        |  FROM vocab),
+        |w1 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best1) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best1) || chr(31) || (SELECT b FROM best1) || chr(31),
+        |                chr(31) || (SELECT a FROM best1) || (SELECT b FROM best1) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w0 w),w2 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best2) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best2) || chr(31) || (SELECT b FROM best2) || chr(31),
+        |                chr(31) || (SELECT a FROM best2) || (SELECT b FROM best2) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w1 w),w3 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best3) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best3) || chr(31) || (SELECT b FROM best3) || chr(31),
+        |                chr(31) || (SELECT a FROM best3) || (SELECT b FROM best3) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w2 w),w4 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best4) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best4) || chr(31) || (SELECT b FROM best4) || chr(31),
+        |                chr(31) || (SELECT a FROM best4) || (SELECT b FROM best4) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w3 w),w5 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best5) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best5) || chr(31) || (SELECT b FROM best5) || chr(31),
+        |                chr(31) || (SELECT a FROM best5) || (SELECT b FROM best5) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w4 w),w6 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best6) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best6) || chr(31) || (SELECT b FROM best6) || chr(31),
+        |                chr(31) || (SELECT a FROM best6) || (SELECT b FROM best6) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w5 w),w7 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best7) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best7) || chr(31) || (SELECT b FROM best7) || chr(31),
+        |                chr(31) || (SELECT a FROM best7) || (SELECT b FROM best7) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w6 w),w8 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best8) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best8) || chr(31) || (SELECT b FROM best8) || chr(31),
+        |                chr(31) || (SELECT a FROM best8) || (SELECT b FROM best8) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w7 w),w9 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best9) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best9) || chr(31) || (SELECT b FROM best9) || chr(31),
+        |                chr(31) || (SELECT a FROM best9) || (SELECT b FROM best9) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w8 w),w10 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best10) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best10) || chr(31) || (SELECT b FROM best10) || chr(31),
+        |                chr(31) || (SELECT a FROM best10) || (SELECT b FROM best10) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w9 w),w11 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best11) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best11) || chr(31) || (SELECT b FROM best11) || chr(31),
+        |                chr(31) || (SELECT a FROM best11) || (SELECT b FROM best11) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w10 w),w12 AS MATERIALIZED (
+        |  SELECT w.word,
+        |         CASE WHEN (SELECT count(*) FROM best12) = 1
+        |              THEN replace(w.s,
+        |                chr(31) || (SELECT a FROM best12) || chr(31) || (SELECT b FROM best12) || chr(31),
+        |                chr(31) || (SELECT a FROM best12) || (SELECT b FROM best12) || chr(31))
+        |              ELSE w.s END AS s
+        |  FROM w11 w),
+        |wordlen AS MATERIALIZED (
+        |  SELECT word, CAST(len(string_split(s, chr(31))) - 2 AS BIGINT) AS n_sub
+        |  FROM w12),
+        |docwords AS MATERIALIZED (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |       CAST(sum(d.n) AS BIGINT) AS n_words,
+        |       CAST(sum(d.n * wl.n_sub) AS BIGINT) AS n_subwords,
+        |       round(CAST(sum(d.n * wl.n_sub) AS DOUBLE) / sum(d.n), 6) AS subwords_per_word
+        |FROM docwords d JOIN wordlen wl ON wl.word = d.word
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_lift_curve" ->
       """WITH base AS (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,

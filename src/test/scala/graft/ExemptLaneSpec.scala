@@ -72,12 +72,14 @@ class ExemptLaneSpec extends SparkSpec {
     // md5-picked K sources — DuckDB md5 == Spark md5 — with n/K as
     // one mirrored double multiply) plus q_graph_betweenness_weighted
     // (all three chained fixpoints bounded by |V|-1 and unrolled) to
-    // oracle-checked, shrinking the set to 17 — every remaining
-    // exempt id is genuinely engine-specific: probability sketches,
-    // Spark-hash LSH/ANN families, greedy BPE; widen this number
-    // deliberately (with a new golden law), never by accident
+    // oracle-checked, and finally the BPE pair q_bpe_merges /
+    // q_bpe_encode (12 training rounds unrolled over chr(31)-delimited
+    // symbol strings — replace() IS mergePair), shrinking the set to
+    // 15 — every remaining exempt id is genuinely engine-specific:
+    // probability sketches and Spark-hash LSH/ANN families; widen this
+    // number deliberately (with a new golden law), never by accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 17,
+    assert(exemptIds.size <= 15,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }
