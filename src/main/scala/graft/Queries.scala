@@ -3632,11 +3632,11 @@ object Queries {
     * BFS depth. Exists to put the multi-round relaxation FIXPOINT under
     * the driver's hard rows+schema+hash oracle: hop distances ARE
     * DuckDB-1.0-expressible (a depth-pruned recursive closure whose
-    * (node, depth) state is ≤ n·(n+1) rows, so it terminates), where
-    * the weighted min-plus fixpoint is not (path-sum state explodes on
-    * weighted cyclic graphs; in-recursion aggregation needs DuckDB
-    * ≥ 1.3 `USING KEY` — the documented reason q_graph_sssp stays
-    * exempt). Only nations reachable from the source appear. */
+    * (node, depth) state is ≤ n·(n+1) rows, so it terminates) via a
+    * simpler oracle than the weighted min-plus twin, which converted
+    * later in round 11 by bounded unrolling (an n-node fixpoint
+    * finishes within n−1 rounds — no in-recursion aggregation needed).
+    * Only nations reachable from the source appear. */
   /** The trade graph as UNIT-weight undirected edges — symmetrized and
     * deduplicated BEFORE assigning weight 1 (undirect SUMS parallel
     * edges, so a bidirectional trade pair would otherwise cost 2 hops).
@@ -3664,8 +3664,9 @@ object Queries {
     * the SAME shared multi-source distance fixpoint as the weighted
     * q_graph_eccentricity ([[operators.Graph.eccentricity]] over
     * [[unitTradeEdges]]) — which puts that fixpoint under the driver's
-    * hard rows+schema+hash oracle (all-pairs depth-pruned BFS closure;
-    * the weighted twin stays exempt on the DuckDB 1.0 oracle engine). */
+    * hard rows+schema+hash oracle via an all-pairs depth-pruned BFS
+    * closure (the weighted twin converted later in round 11 via
+    * bounded min-plus unrolling; both lanes are oracle-checked). */
   val q_graph_ecc_hops: Q = (s, d) => {
     val e = operators.Graph.eccentricity(unitTradeEdges(s, d),
       "src", "dst", "w1")
@@ -3681,7 +3682,7 @@ object Queries {
     * per nation, nations reached and the exact TOTAL hop distance to
     * them ([[operators.Graph.closenessTotals]] — the un-divided
     * numerator/denominator pair, so the whole fold is exact longs on
-    * both engines; the harmonic 1/d variant stays exempt because its
+    * both engines; no harmonic 1/d variant is registered because its
     * reciprocal sum is reduce-order double math). Same shared
     * multi-source fixpoint, same BFS-closure oracle. */
   val q_graph_closeness_hops: Q = (s, d) => {

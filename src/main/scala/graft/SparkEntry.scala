@@ -21,19 +21,19 @@ object SparkEntry {
     Queries.all.toMap
 
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
-    * oracle-exempt ops — approx sketches / hash-seeded LSH / heuristics:
-    * q_agg_approx_distinct, q_agg_approx_percentile, q_lang_id,
-    * q_similarity_lsh, q_similarity_ivf, q_similarity_ivf_indexed,
-    * q_dedup_minhash, q_dedup_simhash, q_dedup_embed,
-    * q_dedup_cluster_minhash, q_heavy_hitters_approx,
-    * q_decontaminate_bloom, q_group_similarity, q_agg_distinct_hll,
-    * q_topk_approx_sketch — and iterative fixpoints with no tractable
-    * SQL form: q_bpe_merges, q_knn_join_pq (PQ-quantized ANN),
-    * q_pagerank, q_graph_communities, q_graph_sssp, q_graph_kcore,
-    * q_graph_closeness, q_graph_betweenness, q_graph_ktruss (peeling
-    * fixpoint), q_bpe_encode (rides the q_bpe_merges training).
-    * Each is instead golden-tested in scalatest (SURVEY §5.2) and runs
-    * through the sf0.01 exempt lane (ExemptLaneSpec).
+    * oracle-exempt ops — probability sketches and Spark-hash LSH/ANN
+    * whose output is genuinely engine-specific (the ExemptLaneSpec
+    * census, 15 ids): q_agg_approx_distinct, q_agg_approx_percentile,
+    * q_agg_distinct_hll, q_heavy_hitters_approx, q_topk_approx_sketch,
+    * q_decontaminate_bloom, q_dedup_minhash, q_dedup_simhash,
+    * q_dedup_cluster_minhash, q_dedup_embed, q_similarity_lsh,
+    * q_similarity_ivf, q_similarity_ivf_indexed, q_knn_join_pq,
+    * q_group_similarity. Each is instead law-tested in scalatest
+    * (SURVEY §5.2) and runs through the sf0.01 exempt lane
+    * (ExemptLaneSpec). Every other id — including the iterative
+    * fixpoints (PageRank, LPA, Bellman–Ford, k-core, k-truss,
+    * Brandes betweenness, BPE, Holt–Winters, isotonic/PAV, lang-id) —
+    * has a bounded-unrolled / recursive-CTE DuckDB twin below.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->

@@ -422,6 +422,7 @@ object Similarity {
   def ivfRetrainIndex(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, vecCol: String, k: Int,
                       iters: Int = 8, seed: Long = 42L): Unit = {
+    ivfRecoverSwap(spark, indexDir)
     val vecs = spark.read.parquet(s"$indexDir/vectors").drop("ivf_list")
     val centroids = ivfTrainDistributed(vecs, vecCol, k, iters, seed)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -439,6 +440,40 @@ object Similarity {
     must(fs.rename(live, bak), s"rename $live -> $bak")
     must(fs.rename(next, live), s"rename $next -> $live")
     fs.delete(bak, true)
+  }
+
+  /** Crash-recovery sweep for [[ivfRetrainIndex]]'s two-rename swap
+    * (the compactPartitionedDir discipline). States it repairs:
+    *  - live ABSENT + `_next` present: the crash landed between
+    *    rename(live→bak) and rename(next→live). `_next` is complete by
+    *    construction (it is fully written before the first rename), so
+    *    finish the swap: next→live, drop `_bak`.
+    *  - live ABSENT + only `_bak` present: roll back — bak→live.
+    *  - live present: any leftover `_next` (written but never swapped)
+    *    and `_bak` are stale by definition — delete both; the live
+    *    index was serving reads throughout.
+    * Called on entry to [[ivfRetrainIndex]]; safe to call any time
+    * under the single-writer contract. */
+  def ivfRecoverSwap(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(conf)
+    val next = new org.apache.hadoop.fs.Path(indexDir + "_next")
+    val bak = new org.apache.hadoop.fs.Path(indexDir + "_bak")
+    if (!fs.exists(live)) {
+      if (fs.exists(next)) {
+        if (!fs.rename(next, live))
+          throw new java.io.IOException(s"ivfRecoverSwap: rename $next -> $live failed")
+        fs.delete(bak, true)
+      } else if (fs.exists(bak)) {
+        if (!fs.rename(bak, live))
+          throw new java.io.IOException(s"ivfRecoverSwap: rename $bak -> $live failed")
+      }
+    } else {
+      fs.delete(next, true)
+      fs.delete(bak, true)
+    }
   }
 
   /** 2-means refinement over a bounded in-memory sample (the
@@ -497,6 +532,19 @@ object Similarity {
       .withColumn("ivf_list",
         when(pick(col(vecCol)) === 0, lit(list)).otherwise(lit(newId)))
       .localCheckpoint(eager = true) // one list's rows; pin before overwriting it
+    // Centroids FIRST, vectors second: a crash between the two leaves a
+    // centroid (newId) with an empty list — harmless, probes find
+    // nothing there and the old list still holds every row — and the
+    // next split allocates a FRESH id past newId. The reverse order
+    // would orphan the moved rows in a list no centroid references
+    // (silent recall loss) AND let the next split reuse newId for a
+    // different sub-centroid.
+    val updated = centroids.updated(list, subs(0)) :+ subs(1)
+    import spark.implicits._
+    updated.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     try {
       graft.sources.IO.alignToPartitions(pinned, "ivf_list")
         .write.mode("overwrite")
@@ -512,12 +560,6 @@ object Similarity {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     } finally Checkpoints.drop(pinned)
-    val updated = centroids.updated(list, subs(0)) :+ subs(1)
-    import spark.implicits._
-    updated.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
   /** Split every list whose size exceeds skewFactor × mean — the

@@ -239,6 +239,64 @@ class ScalePathSpec extends SparkSpec {
       s"on the separated fixture both must be exact: ${recallAt10(retrained)}")
   }
 
+  test("ivfRecoverSwap repairs every crash window of the retrain two-rename swap") {
+    val rnd = new scala.util.Random(97)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 4; m <- 0 until 5)
+      yield ((c * 5 + m).toLong, centers(c).map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 4, iters = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_recover_").toString + "/idx"
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    def count(): Long = spark.read.parquet(s"$dir/vectors").count()
+    val n = count()
+
+    def mv(a: String, b: String): Unit = {
+      val pa = java.nio.file.Paths.get(a); val pb = java.nio.file.Paths.get(b)
+      java.nio.file.Files.move(pa, pb)
+    }
+    def cp(a: String, b: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Paths.get(a)
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val dst = java.nio.file.Paths.get(b).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    }
+
+    // window 1: crash between rename(live→bak) and rename(next→live):
+    // live absent, _next complete → sweep finishes the swap forward
+    cp(dir, dir + "_next")
+    mv(dir, dir + "_bak")
+    Similarity.ivfRecoverSwap(spark, dir)
+    assert(new java.io.File(dir).exists() && count() == n, "forward recovery must restore live")
+    assert(!new java.io.File(dir + "_next").exists() && !new java.io.File(dir + "_bak").exists(),
+      "forward recovery must clear both scratch dirs")
+
+    // window 2: live absent, only _bak (next already consumed or never
+    // written) → sweep rolls back
+    mv(dir, dir + "_bak")
+    Similarity.ivfRecoverSwap(spark, dir)
+    assert(new java.io.File(dir).exists() && count() == n, "rollback recovery must restore live")
+
+    // window 3: live present + stale _next/_bak (crash before the first
+    // rename) → sweep drops the stale dirs, live untouched
+    cp(dir, dir + "_next")
+    cp(dir, dir + "_bak")
+    Similarity.ivfRecoverSwap(spark, dir)
+    assert(count() == n, "live index must be untouched")
+    assert(!new java.io.File(dir + "_next").exists() && !new java.io.File(dir + "_bak").exists(),
+      "stale scratch dirs must be swept")
+
+    // and the entry-point integration: retrain after a simulated
+    // mid-swap crash still converges to a healthy index
+    cp(dir, dir + "_next")
+    mv(dir, dir + "_bak")
+    Similarity.ivfRetrainIndex(spark, dir, "embedding", k = 4, iters = 8)
+    assert(Similarity.ivfReadCentroids(spark, dir).length == 4 && count() == n)
+  }
+
   test("ivfReembedIndex: moved id lands exactly once in its new list; untouched lists byte-identical") {
     val rnd = new scala.util.Random(41)
     val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian().toFloat))
