@@ -987,8 +987,12 @@ object Queries {
   }
 
   /** q_dedup_minhash — MinHash+LSH near-dup surface: per-doc signature head
-    * + LSH candidate count; oracle-exempt (hash-dependent), scalatest-
-    * verified against exact Jaccard on crafted corpora. */
+    * + LSH candidate count. DuckDB-oracle-checked since the hash family
+    * moved to engine-portable md5 double hashing (round 12): the oracle
+    * replays shingling, the 32 per-seed mins (md5_number_upper +
+    * k·md5_number_lower mod 2^63), the band-bucket keys, and the
+    * candidate join stage for stage. Scalatest keeps the accuracy laws
+    * (est-vs-exact Jaccard, band-miss divergence). */
   val q_dedup_minhash: Q = (s, d) => {
     // single-pass plan: the signature table is materialized ONCE
     // (localCheckpoint — the expensive fused UDF never re-evaluates per
@@ -1007,8 +1011,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** q_dedup_simhash — per-doc simhash + hamming-≤3 neighbor count;
-    * oracle-exempt, scalatest-verified. */
+  /** q_dedup_simhash — per-doc simhash + hamming-≤3 neighbor count.
+    * DuckDB-oracle-checked (round 12): per-token md5-upper hashes, the
+    * 64 bit votes, the signed signature fold, the 4×16-bit block join
+    * and the xor/bit_count hamming confirm all replay exactly. */
   val q_dedup_simhash: Q = (s, d) =>
     Dedup.simhashWithNeighbors(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
@@ -1021,8 +1027,12 @@ object Queries {
     * exactly the signature of the slice's whole token set — built with
     * map-side partial aggregation shuffling 32 longs per group, never
     * the token sets, and compared in O(langs²·32) on the driver-sized
-    * grouped relation. Oracle-exempt (hash-seeded estimator): the merge
-    * law and estimator accuracy are pinned in scalatest. */
+    * grouped relation. DuckDB-oracle-checked (round 12): min commutes
+    * with union, so the oracle takes per-(lang, token) md5 double
+    * hashes and groups the mins directly; the estimate is the EXACT
+    * quotient n_match/32 (a /2^5 division is exact in binary — no
+    * rounding step to mismatch on). Merge law and estimator accuracy
+    * stay pinned in scalatest. */
   val q_group_similarity: Q = (s, d) => {
     val mh = Dedup.minhashBanded(1, 32, 8)
     val sigs = Tables.documents(s, d)
@@ -1033,8 +1043,7 @@ object Queries {
     val b = grouped.select(col("lang").as("lang_b"), col("gsig").as("sig_b"))
     a.join(b, col("lang_a") < col("lang_b"))
       .select(col("lang_a"), col("lang_b"),
-        round(Sketches.sigSimilarity(col("sig_a"), col("sig_b")), 4)
-          .as("est_jaccard"))
+        Sketches.sigSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .orderBy("lang_a", "lang_b")
   }
 
@@ -1069,9 +1078,12 @@ object Queries {
     * → exact Jaccard confirm on candidates only → connected components →
     * canonical keep. The exact-pair twin is [[q_dedup_cluster]]; this is
     * the form that survives 100 TB, where materializing every exact pair
-    * is not an option. Oracle-exempt (LSH candidate recall is
-    * hash-dependent); agreement with exact clustering — and the one
-    * documented LSH-miss divergence — is pinned in scalatest. */
+    * is not an option. DuckDB-oracle-checked (round 12): the oracle
+    * replays the full chain — md5 minhash signatures, band buckets,
+    * candidate pairs, exact-Jaccard confirm on candidates only, then
+    * the recursive-CTE connected components and canonical keep.
+    * Agreement with exact clustering — and the one documented LSH-miss
+    * divergence — stays pinned in scalatest. */
   val q_dedup_cluster_minhash: Q = (s, d) =>
     Dedup.clusterByMinhash(Tables.documents(s, d), "doc_id", "text",
       threshold = 0.5)

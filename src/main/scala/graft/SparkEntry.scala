@@ -21,19 +21,21 @@ object SparkEntry {
     Queries.all.toMap
 
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
-    * oracle-exempt ops — probability sketches and Spark-hash LSH/ANN
-    * whose output is genuinely engine-specific (the ExemptLaneSpec
-    * census, 15 ids): q_agg_approx_distinct, q_agg_approx_percentile,
-    * q_agg_distinct_hll, q_heavy_hitters_approx, q_topk_approx_sketch,
-    * q_decontaminate_bloom, q_dedup_minhash, q_dedup_simhash,
-    * q_dedup_cluster_minhash, q_dedup_embed, q_similarity_lsh,
-    * q_similarity_ivf, q_similarity_ivf_indexed, q_knn_join_pq,
-    * q_group_similarity. Each is instead law-tested in scalatest
-    * (SURVEY §5.2) and runs through the sf0.01 exempt lane
-    * (ExemptLaneSpec). Every other id — including the iterative
-    * fixpoints (PageRank, LPA, Bellman–Ford, k-core, k-truss,
-    * Brandes betweenness, BPE, Holt–Winters, isotonic/PAV, lang-id) —
-    * has a bounded-unrolled / recursive-CTE DuckDB twin below.
+    * oracle-exempt ops — probability sketches and float-arithmetic /
+    * embedding ANN whose output is genuinely engine-specific (the
+    * ExemptLaneSpec census, 11 ids): q_agg_approx_distinct,
+    * q_agg_approx_percentile, q_agg_distinct_hll,
+    * q_heavy_hitters_approx, q_topk_approx_sketch,
+    * q_decontaminate_bloom, q_dedup_embed, q_similarity_lsh,
+    * q_similarity_ivf, q_similarity_ivf_indexed, q_knn_join_pq.
+    * Each is instead law-tested in scalatest (SURVEY §5.2) and runs
+    * through the sf0.01 exempt lane (ExemptLaneSpec). Every other id —
+    * including the iterative fixpoints (PageRank, LPA, Bellman–Ford,
+    * k-core, k-truss, Brandes betweenness, BPE, Holt–Winters,
+    * isotonic/PAV, lang-id) and, since round 12, the md5-portable
+    * minhash/simhash dedup family (q_dedup_minhash, q_dedup_simhash,
+    * q_dedup_cluster_minhash, q_group_similarity) — has a
+    * bounded-unrolled / recursive-CTE DuckDB twin below.
     */
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -382,6 +384,150 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
         |ORDER BY d.doc_id""".stripMargin,
+    // The md5-portable MinHash chain (round 12): h_k(s) = (md5_upper +
+    // k·md5_lower) mod 2^63 replayed in exact HUGEINT arithmetic; band
+    // bucket = md5_upper("band:sig-slice") mod 2^63; every stage
+    // MATERIALIZED (DuckDB 1.0 re-inlines plain CTE chains).
+    "q_dedup_minhash" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s2 AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM toks
+        |), shash AS MATERIALIZED (
+        |  SELECT doc_id, md5_number_upper(sh)::HUGEINT AS a, md5_number_lower(sh)::HUGEINT AS b FROM s2
+        |), sigrows AS MATERIALIZED (
+        |  SELECT doc_id, k.k, CAST(min((a + k.k * b) % 9223372036854775808) AS BIGINT) AS v
+        |  FROM shash, (SELECT UNNEST(range(0, 32)) AS k) k GROUP BY doc_id, k.k
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, list(v ORDER BY k) AS sig FROM sigrows GROUP BY doc_id
+        |), bucketrows AS MATERIALIZED (
+        |  SELECT doc_id, band.b AS band,
+        |         CAST(md5_number_upper(
+        |           band.b || ':' || sig[band.b*4+1] || ',' || sig[band.b*4+2] || ',' ||
+        |           sig[band.b*4+3] || ',' || sig[band.b*4+4])::HUGEINT
+        |           % 9223372036854775808 AS BIGINT) AS bucket
+        |  FROM sig, (SELECT UNNEST(range(0, 8)) AS b) band
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucketrows a JOIN bucketrows b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), ncand AS (
+        |  SELECT doc_id, count(*) AS n_candidates FROM (
+        |    SELECT id_a AS doc_id FROM cand UNION ALL SELECT id_b FROM cand
+        |  ) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(s.sig[1], 9223372036854775807) AS sig0,
+        |       coalesce(n.n_candidates, 0) AS n_candidates
+        |FROM documents d
+        |LEFT JOIN sig s ON s.doc_id = d.doc_id
+        |LEFT JOIN ncand n ON n.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Same signature/band/candidate chain + exact-Jaccard confirm on the
+    // candidates only + the q_dedup_cluster recursive-CTE components;
+    // survivors = canonical (min-id) member per component + singletons.
+    "q_dedup_cluster_minhash" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s2 AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM toks
+        |), shash AS MATERIALIZED (
+        |  SELECT doc_id, md5_number_upper(sh)::HUGEINT AS a, md5_number_lower(sh)::HUGEINT AS b FROM s2
+        |), sigrows AS MATERIALIZED (
+        |  SELECT doc_id, k.k, CAST(min((a + k.k * b) % 9223372036854775808) AS BIGINT) AS v
+        |  FROM shash, (SELECT UNNEST(range(0, 32)) AS k) k GROUP BY doc_id, k.k
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, list(v ORDER BY k) AS sig FROM sigrows GROUP BY doc_id
+        |), bucketrows AS MATERIALIZED (
+        |  SELECT doc_id, band.b AS band,
+        |         CAST(md5_number_upper(
+        |           band.b || ':' || sig[band.b*4+1] || ',' || sig[band.b*4+2] || ',' ||
+        |           sig[band.b*4+3] || ',' || sig[band.b*4+4])::HUGEINT
+        |           % 9223372036854775808 AS BIGINT) AS bucket
+        |  FROM sig, (SELECT UNNEST(range(0, 8)) AS b) band
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucketrows a JOIN bucketrows b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cand c JOIN s2 a ON a.doc_id = c.id_a JOIN s2 b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b
+        |), pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+        |), edges AS MATERIALIZED (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), clusters AS (
+        |  SELECT id, least(id, min(m)) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |WHERE c.id IS NULL OR c.cluster_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // md5-upper per-token hash → 64 signed bit votes → the signed
+    // signature fold (bit 63 spelled as the BIGINT min constant; the
+    // sum MUST cast back to BIGINT — DuckDB sum() widens to HUGEINT and
+    // a HUGEINT xor sign-extends to 128 bits, inflating hamming by 64
+    // on opposite-sign pairs) → 4×16-bit block join → xor/bit_count
+    // confirm. Mirrors Dedup.simhashWithNeighbors stage for stage.
+    "q_dedup_simhash" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |), votes AS MATERIALIZED (
+        |  SELECT doc_id, j.j,
+        |         sum(CASE WHEN (md5_number_upper(tok) >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM toks, (SELECT UNNEST(range(0, 64)) AS j) j
+        |  GROUP BY doc_id, j.j
+        |), sh AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |         coalesce(CAST(sum(CASE WHEN v.v > 0 THEN
+        |           CASE WHEN v.j = 63 THEN -9223372036854775808 ELSE (1::BIGINT << v.j) END
+        |         ELSE 0 END) AS BIGINT), 0) AS simhash
+        |  FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+        |  GROUP BY d.doc_id
+        |), blocked AS MATERIALIZED (
+        |  SELECT doc_id, simhash, b.b AS block, (simhash >> (b.b*16)) & 65535 AS blockval
+        |  FROM sh, (SELECT UNNEST(range(0, 4)) AS b) b
+        |), neigh AS (
+        |  SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_near
+        |  FROM blocked a JOIN blocked b
+        |    ON a.block = b.block AND a.blockval = b.blockval AND a.doc_id <> b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT s.doc_id, s.simhash, coalesce(n.n_near, 0) AS n_near
+        |FROM sh s LEFT JOIN neigh n ON n.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    // min commutes with union: the group signature is the token-level
+    // min of the same md5 double-hash family; missing (lang, k) slots
+    // fill with the 2^63−1 sentinel; est_jaccard is the EXACT quotient
+    // n_match/32 (exact /2^5 in binary on both engines — no rounding).
+    "q_group_similarity" ->
+      """WITH ltoks AS MATERIALIZED (
+        |  SELECT DISTINCT lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        |  FROM documents
+        |), sigrows AS MATERIALIZED (
+        |  SELECT lang, k.k,
+        |         CAST(min((md5_number_upper(tok)::HUGEINT + k.k * md5_number_lower(tok)::HUGEINT)
+        |           % 9223372036854775808) AS BIGINT) AS v
+        |  FROM ltoks, (SELECT UNNEST(range(0, 32)) AS k) k
+        |  GROUP BY lang, k.k
+        |), filled AS MATERIALIZED (
+        |  SELECT l.lang, k.k, coalesce(s.v, 9223372036854775807) AS v
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN (SELECT UNNEST(range(0, 32)) AS k) k
+        |  LEFT JOIN sigrows s ON s.lang = l.lang AND s.k = k.k
+        |)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |       CAST(count(*) FILTER (a.v = b.v) AS DOUBLE) / 32.0 AS est_jaccard
+        |FROM filled a JOIN filled b ON a.k = b.k AND a.lang < b.lang
+        |GROUP BY a.lang, b.lang
+        |ORDER BY lang_a, lang_b""".stripMargin,
     "q_sample_per_key" ->
       "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t WHERE rn <= 5 ORDER BY lang, rn",
     // the identical Efraimidis–Spirakis ranking formula, termwise: u from

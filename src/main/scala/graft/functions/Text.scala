@@ -178,17 +178,20 @@ object Text {
   def rollingFingerprint(text: Column): Column =
     rollingFingerprint64(tokens(text))
 
-  /** SimHash(64) over tokens: per-token xxhash64; signature bit j is the
-    * sign of Σ_tokens (bit_j(h)*2-1). Near-identical docs land within a few
-    * hamming bits. Scala UDF (bit loops don't map to SQL primitives cleanly);
-    * used by the dedup operators, verified in scalatest.
+  /** SimHash(64) over tokens: per-token md5-derived 64-bit hash
+    * ([[md5Upper64]] — the engine-portable family); signature bit j is
+    * the sign of Σ_tokens (bit_j(h)*2-1). Near-identical docs land
+    * within a few hamming bits. Scala UDF (bit loops don't map to SQL
+    * primitives cleanly), but every arithmetic step is DuckDB-
+    * replayable (md5_number_upper + bit votes), which is what puts
+    * q_dedup_simhash under the driver's hard oracle (round 12).
     */
   val simhash64: UserDefinedFunction = udf { (toks: Seq[String]) =>
     if (toks == null || toks.isEmpty) 0L
     else {
       val counts = new Array[Int](64)
       toks.foreach { t =>
-        val h = xxHash64String(t)
+        val h = md5Upper64(t)
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -204,6 +207,34 @@ object Text {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-derived 64-bit pair of a UTF-8 string — the ENGINE-PORTABLE
+    * hash family (round 12): `_1` equals DuckDB `md5_number_upper(s)`
+    * (the little-endian uint64 of digest bytes [0,8)) and `_2` equals
+    * `md5_number_lower(s)` (LE of bytes [8,16)), bit for bit, so a
+    * DuckDB oracle can replay any hash-derived pipeline (MinHash
+    * signatures, SimHash votes, band buckets) exactly. Values are the
+    * raw two's-complement longs of those uint64s; mask with
+    * `& Long.MaxValue` when a mod-2^63 non-negative form is needed
+    * (`% 9223372036854775808` on the HUGEINT side). */
+  def md5Pair64(s: String): (Long, Long) = {
+    val md = md5Digest.get(); md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def le(off: Int): Long = {
+      var h = 0L; var i = 7
+      while (i >= 0) { h = (h << 8) | (d(off + i) & 0xFFL); i -= 1 }
+      h
+    }
+    (le(0), le(8))
+  }
+
+  /** The `_1` half of [[md5Pair64]] — DuckDB `md5_number_upper`. */
+  def md5Upper64(s: String): Long = md5Pair64(s)._1
 
   /** JVM-side xxHash64 matching Spark's `xxhash64` builtin (seed 42),
     * so driver-side constants and executor-side columns agree. */

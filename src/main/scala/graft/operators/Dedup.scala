@@ -34,13 +34,22 @@ object Dedup {
       .groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(s"keeper_$idCol"), count(lit(1)).as("n_copies"))
 
-  /** xxHash64 (Spark's XXH64, matching the `xxhash64` builtin's core) of a
-    * UTF-8 string under an explicit seed — the per-permutation hash family
-    * h_k(s) = XXH64(s, seed=k). */
-  private def hashSeeded(s: String, seed: Long): Long = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+  /** The per-permutation MinHash family — classic double hashing over
+    * the ENGINE-PORTABLE md5 pair ([[graft.functions.Text.md5Pair64]]):
+    * h_k(s) = (md5_upper(s) + k · md5_lower(s)) mod 2^63. On the JVM
+    * that is wrapped Long arithmetic masked to 63 bits (2^63 divides
+    * 2^64, so the mask IS the exact mod); in the DuckDB oracle it is
+    * exact HUGEINT arithmetic `% 9223372036854775808` over
+    * `md5_number_upper/lower` — bit-identical on both engines, which is
+    * what moved q_dedup_minhash / q_dedup_cluster_minhash /
+    * q_group_similarity onto the driver's hard rows+schema+hash oracle
+    * (round 12; one md5 per shingle replaces 32 seeded xxhashes, so the
+    * signature pass also got cheaper). Hash values live in [0, 2^63);
+    * the shingle-less sentinel stays `Long.MaxValue` = 2^63−1, the
+    * family's maximum, preserving min-semantics. */
+  private[graft] def hashSeeded(s: String, seed: Long): Long = {
+    val (a, b) = graft.functions.Text.md5Pair64(s)
+    (a + seed * b) & Long.MaxValue
   }
 
   /** Distinct token n-gram shingles, fused into one JVM pass per row.
@@ -60,9 +69,11 @@ object Dedup {
     * Empty shingle set → all-MaxValue signature and NO band buckets
     * (empty array): degenerate docs must never become near-dup
     * candidates of each other, and at scale a shared constant bucket
-    * would be a quadratic skew bomb. Bucket key folds the band's
-    * signature slice with hashLong chaining seeded by the band index,
-    * so distinct bands never collide. */
+    * would be a quadratic skew bomb. Bucket key is the md5-upper hash
+    * of "<band>:<slice values>" — the band index is part of the hashed
+    * string, so distinct bands never collide, and the whole chain
+    * (shingle → per-seed min → bucket) replays in the DuckDB oracle
+    * through md5_number_upper/lower (see [[hashSeeded]]). */
   def minhashBanded(shingleN: Int, numHashes: Int, bands: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -83,10 +94,15 @@ object Dedup {
           }
           val sh = sb.toString
           if (seen.add(sh)) {
+            // one md5 per shingle; h_k = (a + k·b) mod 2^63 by
+            // incremental wrapped adds (see hashSeeded's contract)
+            val (a, bb) = graft.functions.Text.md5Pair64(sh)
             var k = 0
+            var hAcc = a
             while (k < numHashes) {
-              val h = hashSeeded(sh, k.toLong)
+              val h = hAcc & Long.MaxValue
               if (h < sig(k)) sig(k) = h
+              hAcc += bb
               k += 1
             }
           }
@@ -96,14 +112,17 @@ object Dedup {
       val buckets =
         if (!hasShingles) Array.empty[Long]
         else Array.tabulate(bands) { b =>
-          var h = b.toLong
+          // bucket key = md5_upper("<band>:<v0>,<v1>,…") mod 2^63 —
+          // the band slice's identity hashed through the SAME portable
+          // family, so the DuckDB oracle rebuilds the exact bucket ids
+          val bsb = new StringBuilder
+          bsb.append(b).append(':')
           var r = 0
           while (r < rows) {
-            h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashLong(sig(b * rows + r), h)
-            r += 1
+            if (r > 0) bsb.append(',')
+            bsb.append(sig(b * rows + r)); r += 1
           }
-          h
+          graft.functions.Text.md5Upper64(bsb.toString) & Long.MaxValue
         }
       (sig.toSeq, buckets.toSeq)
     }
@@ -487,6 +506,25 @@ object Dedup {
   private def idBucket(c: Column, buckets: Int): Column =
     pmod(xxhash64(c), lit(buckets.toLong))
 
+  /** Layout version of the persisted near-dup band index. v2 = the
+    * engine-portable md5 hash family (round 12); v1 (unstamped) indexes
+    * carry xxhash64-derived band buckets that new-hash band triples
+    * would silently never join against — so every verb that touches an
+    * EXISTING index checks the stamp and fails loudly on mismatch
+    * (rebuild via [[writeNearDupIndex]] is the only safe migration). */
+  val NearDupLayoutVersion = 2
+
+  private def requireNearDupLayout(spark: org.apache.spark.sql.SparkSession,
+                                   indexDir: String): Unit = {
+    val v = graft.sources.IO.readLayoutVersion(spark, indexDir)
+    if (!v.contains(NearDupLayoutVersion))
+      throw new IllegalStateException(
+        s"near-dup index at $indexDir has layout version ${v.getOrElse("<unstamped>")}, " +
+          s"need $NearDupLayoutVersion (md5-portable hash family): its band buckets were " +
+          "built with a different hash — appends/deletes/lookups would silently miss. " +
+          "Rebuild the index with writeNearDupIndex.")
+  }
+
   def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
                         indexDir: String, shingleN: Int = 3,
                         numHashes: Int = 32, bands: Int = 8,
@@ -504,6 +542,8 @@ object Dedup {
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$indexDir/docs")
     graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, storeBuckets)
+    graft.sources.IO.writeLayoutVersion(docs.sparkSession, indexDir,
+      NearDupLayoutVersion)
   }
 
   /** Remove ids from a persisted near-dup index — the TAKEDOWN verb:
@@ -519,6 +559,7 @@ object Dedup {
   def deleteFromNearDupIndex(ids: DataFrame, idCol: String,
                              indexDir: String): Seq[Long] = {
     val spark = ids.sparkSession
+    requireNearDupLayout(spark, indexDir)
     val idOnly = ids.select(col(idCol).as("id")).distinct()
       .localCheckpoint(eager = true)
     try {
@@ -600,6 +641,7 @@ object Dedup {
       throw new IllegalStateException(
         s"near-dup index at $indexDir is corrupt: bands=$hasBands docs=$hasDocs " +
           "(cold start is BOTH missing; a seeded index has both)")
+    if (hasBands) requireNearDupLayout(spark, indexDir)
     val batchToks = intra.select(col(idCol).as("__bid"),
       Text.tokens(col(textCol)).as("__btoks"))
     // empty-index fallbacks borrow the batch side's schema (same shape)
@@ -628,6 +670,11 @@ object Dedup {
                          indexDir: String, shingleN: Int = 3,
                          numHashes: Int = 32, bands: Int = 8,
                          storeBuckets: Int = 64): Unit = {
+    val spark = survivors.sparkSession
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$indexDir/bands")
+    val coldStart = !bandsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bandsPath)
+    if (!coldStart) requireNearDupLayout(spark, indexDir)
     val sb = graft.sources.IO.readBucketCount(survivors.sparkSession, indexDir)
       .getOrElse(storeBuckets)
     val sigs = minhashSignatures(survivors, idCol, textCol, shingleN, numHashes, bands)
@@ -645,6 +692,13 @@ object Dedup {
     graft.sources.IO.alignToPartitions(docDelta, "__bucket")
       .write.mode("append").partitionBy("__bucket")
       .parquet(s"$indexDir/docs")
+    if (coldStart) {
+      // this append SEEDED the index — stamp the sidecars the same way
+      // writeNearDupIndex does, so later verbs can verify the layout
+      // and discover the pinned bucket count
+      graft.sources.IO.writeBucketCount(spark, indexDir, sb)
+      graft.sources.IO.writeLayoutVersion(spark, indexDir, NearDupLayoutVersion)
+    }
   }
 
   /** Incremental exact dedup of an ingest batch against the persisted

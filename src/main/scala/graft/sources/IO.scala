@@ -409,17 +409,24 @@ object IO {
           // raw batch fails Spark's per-batch commit validation); it
           // also feeds the two metric folds once
           val pinned = batch.localCheckpoint(eager = true)
-          if (!pinned.isEmpty) {
-            val metrics = graft.streaming.Jobs.aucPerWindow(pinned)
-              .join(graft.streaming.Jobs.apPerWindow(pinned)
-                  .select(col("window_start"), col("avg_prec")),
-                Seq("window_start"))
-              .withColumn("op", lit("u"))
-              .withColumn("ts_ms",
-                (col("window_start").cast("double") * 1000).cast("long"))
-            versionedUpsertBatch(metrics, baseDir, "window_start",
-              WindowedMetricsSchema, retain)
-          }
+          try {
+            if (!pinned.isEmpty) {
+              val metrics = graft.streaming.Jobs.aucPerWindow(pinned)
+                .join(graft.streaming.Jobs.apPerWindow(pinned)
+                    .select(col("window_start"), col("avg_prec")),
+                  Seq("window_start"))
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "window_start",
+                WindowedMetricsSchema, retain)
+            }
+            // unpersist does NOT free localCheckpoint blocks: drop the
+            // pinned RDD once the upsert has consumed it, or a
+            // long-running query accumulates one batch-sized block set
+            // per micro-batch for its whole lifetime (takedownSink
+            // discipline)
+          } finally graft.operators.Checkpoints.drop(pinned)
       })
       .trigger(Trigger.AvailableNow())
 
@@ -617,6 +624,35 @@ object IO {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Stamp a persisted artifact's layout version (`.layout_version`
+    * sidecar). A layout version changes when the ON-DISK semantics of
+    * stored values change — e.g. round 12's minhash hash-family move
+    * (xxhash64 → engine-portable md5), which re-keys every band bucket:
+    * appending new-hash rows to an old-hash index would silently never
+    * match, so the verbs check this stamp and fail loudly instead. */
+  def writeLayoutVersion(spark: SparkSession, dir: String, v: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, ".layout_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The stamped layout version of a persisted artifact, if recorded
+    * (pre-stamp artifacts return None — treat as an older layout). */
+  def readLayoutVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, ".layout_version")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val k = in.read(buf)
+        Some(new String(buf, 0, k, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
   }
 
   /** The pinned bucket count of a bucketed artifact, if recorded. */

@@ -75,11 +75,17 @@ class ExemptLaneSpec extends SparkSpec {
     // oracle-checked, and finally the BPE pair q_bpe_merges /
     // q_bpe_encode (12 training rounds unrolled over chr(31)-delimited
     // symbol strings — replace() IS mergePair), shrinking the set to
-    // 15 — every remaining exempt id is genuinely engine-specific:
-    // probability sketches and Spark-hash LSH/ANN families; widen this
-    // number deliberately (with a new golden law), never by accident
+    // 15; round 12 then moved the minhash hash family from xxhash64 to
+    // engine-portable md5 double hashing (Text.md5Pair64 ==
+    // md5_number_upper/lower, h_k = (a + k·b) mod 2^63) and CONVERTED
+    // q_dedup_minhash, q_dedup_cluster_minhash, q_dedup_simhash and
+    // q_group_similarity to the hard oracle, shrinking the set to 11 —
+    // every remaining exempt id is genuinely engine-specific:
+    // probability sketches and float-arithmetic embedding ANN; widen
+    // this number deliberately (with a new golden law), never by
+    // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 15,
+    assert(exemptIds.size <= 11,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

@@ -710,6 +710,37 @@ class FunctionsSpec extends SparkSpec {
       all.select("id").distinct().count() == 10)
   }
 
+  test("md5Pair64/hashSeeded: the engine-portable hash contract (DuckDB md5_number_upper/lower)") {
+    // independent little-endian BigInteger reference for the two uint64
+    // halves of the md5 digest — the definition DuckDB's
+    // md5_number_upper/lower implement, which the minhash/simhash
+    // oracles replay; drift here silently breaks four hard-oracle ids
+    for (s <- Seq("", "abc", "w1 w2 w3", "héllo äß", "0:1,2,3,4")) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      def le(off: Int): Long =
+        new java.math.BigInteger(1, d.slice(off, off + 8).reverse).longValue
+      assert(Text.md5Pair64(s) == ((le(0), le(8))),
+        s"md5Pair64 drifted for input '$s'")
+    }
+    // pinned vector, captured from DuckDB 1.0: md5_number_upper('abc'),
+    // md5_number_lower('abc')
+    assert(Text.md5Pair64("abc") ==
+      ((java.lang.Long.parseUnsignedLong("12704604231530709392"),
+        java.lang.Long.parseUnsignedLong("8250560606382298838"))))
+    // hashSeeded = (upper + k * lower) mod 2^63 — wrapped-Long masking
+    // must equal exact big-integer arithmetic for every seed
+    val (a, b) = Text.md5Pair64("abc")
+    val bigA = new java.math.BigInteger(java.lang.Long.toUnsignedString(a))
+    val bigB = new java.math.BigInteger(java.lang.Long.toUnsignedString(b))
+    val mod = java.math.BigInteger.valueOf(2).pow(63)
+    for (k <- 0 until 32) {
+      val want = bigA.add(bigB.multiply(java.math.BigInteger.valueOf(k)))
+        .mod(mod).longValueExact()
+      assert(Dedup.hashSeeded("abc", k) == want, s"hashSeeded drift at k=$k")
+    }
+  }
+
   test("MinHashUnion: grouped signature equals the signature of the unioned doc") {
     import graft.functions.Sketches
     // shingle n=1 => the signature sketches the token SET; min commutes

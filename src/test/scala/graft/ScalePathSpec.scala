@@ -1231,6 +1231,34 @@ class ScalePathSpec extends SparkSpec {
     assert(surv2 == Set(22L), s"first-append-seeded index must dedup: $surv2")
   }
 
+  test("near-dup index layout guard: an unstamped (old-hash) index fails loudly on every verb") {
+    // round 12 re-keyed every band bucket (xxhash64 → md5-portable);
+    // appending/probing new-hash triples against an old-hash index
+    // would silently never match — the .layout_version stamp turns that
+    // silent miss into a loud rebuild instruction
+    val dir = java.nio.file.Files.createTempDirectory("neardup_layout_").toString + "/idx"
+    val docs = Seq((1L, (1 to 40).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", dir)
+    // a freshly written index is stamped and fully operational
+    assert(graft.sources.IO.readLayoutVersion(spark, dir)
+      .contains(Dedup.NearDupLayoutVersion))
+    Dedup.nearDupAgainstIndex(docs.limit(0), "doc_id", "text", dir, 0.5).count()
+    // simulate a pre-v2 index: drop the stamp
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".layout_version"))
+    val more = Seq((2L, (50 to 90).map(i => s"n$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      Dedup.appendNearDupIndex(more, "doc_id", "text", dir)
+    }
+    intercept[IllegalStateException] {
+      Dedup.deleteFromNearDupIndex(docs.select("doc_id"), "doc_id", dir)
+    }
+    intercept[IllegalStateException] {
+      Dedup.nearDupAgainstIndex(more, "doc_id", "text", dir, 0.5)
+    }
+  }
+
   test("end-to-end feature-store build: EWMA + sequences + sessions joined, then diffed vs the previous run") {
     // the batch feature-pipeline composition: three per-user operator
     // outputs join into one feature table (per-key alignment must hold
