@@ -1057,4 +1057,22 @@ class LawsSpec extends SparkSpec {
       assert(byKey(k)._1.isEmpty && byKey(k)._2.isDefined,
         s"Q2-only spender $k must carry NULL Q1 spend")
   }
+
+  test("Bench.foldTrailingRecord: a steal window can never raise a baseline") {
+    val trailing = Map("a" -> 0.7, "b" -> 0.5, "c" -> 2.0)
+    val fresh = Map("a" -> 1.9, "b" -> 0.4, "d" -> 0.3)
+    // clean window (< StealWindowAdjudications): fresh values pass
+    // through untouched — accepted cost changes may move the record
+    assert(Bench.foldTrailingRecord(trailing, fresh, 0) == fresh)
+    assert(Bench.foldTrailingRecord(trailing, fresh,
+      Bench.StealWindowAdjudications - 1) == fresh)
+    // steal window: per-id min(trailing, fresh) — elevated readings
+    // ("a" 0.7 -> 1.9) cannot raise the baseline, genuine improvements
+    // ("b" 0.5 -> 0.4) still fold in, new ids ("d") enter fresh, and
+    // retired ids ("c") do not resurrect
+    val folded = Bench.foldTrailingRecord(trailing, fresh,
+      Bench.StealWindowAdjudications)
+    assert(folded == Map("a" -> 0.7, "b" -> 0.4, "d" -> 0.3),
+      s"steal-window fold drifted: $folded")
+  }
 }
