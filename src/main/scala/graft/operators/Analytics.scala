@@ -925,6 +925,27 @@ object Analytics {
     finally Checkpoints.drop(updated)
   }
 
+  /** TAKEDOWN verb for the persisted Holt–Winters state artifact — drop
+    * retired series (keys) from the store, completing the artifact's
+    * verb set (write / read / extend / delete; VERDICT r11 #5). Per-key
+    * state rows are independent, so delete == a rebuild that never saw
+    * those keys, row for row (the ScalePathSpec law), and deleting an
+    * absent key is a no-op with byte-identical surviving rows (replay
+    * law) — the same semi-join idempotence [[graft.sources.IO
+    * .takedownSink]] relies on. Cost: one key-sized anti-join + a
+    * key-sized rewrite (the state is key-sized by construction — never
+    * history-sized). Single writer by contract. */
+  def hwDeleteStateKeys(keys: DataFrame, keyCols: Seq[String],
+                        dir: String): Unit = {
+    require(keyCols.nonEmpty, "hwDeleteStateKeys needs key columns")
+    val spark = keys.sparkSession
+    val remaining = hwReadState(spark, dir)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      .localCheckpoint(eager = true) // consume the read before overwriting it
+    try remaining.write.mode("overwrite").parquet(dir)
+    finally Checkpoints.drop(remaining)
+  }
+
   /** Grouped LIFT / CUMULATIVE-GAINS curve from the class histogram —
     * the targeting view of the [[prCurveFromHistogram]] sweep: at each
     * threshold, the flagged fraction (tp+fp)/N, the gain (= recall:

@@ -430,6 +430,70 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** TAKEDOWN verb for the [[windowedMetricsStoreSink]] store — drop
+    * retired windows from the live view, completing the artifact's verb
+    * set (sink / time-travel read / GC / delete; VERDICT r11 #5). The
+    * delete is a changelog commit, not a rewrite: matching LIVE windows
+    * get `op="d"` tombstones carrying the window's own `ts_ms` (the
+    * store's changelog ordering is a pure function of the data —
+    * tombstones must be too), and [[graft.streaming.Cdc.applyChangelog]]
+    * ranks a delete above an update at the same instant, so a replayed
+    * upsert of a taken-down window can never resurrect it. REPLAY
+    * NO-OP without markers: requested windows are semi-joined against
+    * the live view first, so a repeated delete finds nothing live,
+    * commits NO new version, and the retained `v=<n>` chain is
+    * byte-identical (the takedownSink idempotence discipline).
+    * Returns the number of windows tombstoned. */
+  def deleteFromWindowedMetricsStore(spark: SparkSession, baseDir: String,
+                                     windows: DataFrame,
+                                     retain: Int = 3): Long = {
+    val versions = snapshotVersions(spark, baseDir)
+    if (versions.isEmpty) return 0L
+    val live = graft.streaming.Cdc.liveView(
+      readSnapshotVersion(spark, baseDir, versions.last,
+        WindowedMetricsSchema))
+    val doomed = live.select(col("window_start"))
+      .join(windows.select(col("window_start")).distinct(),
+        Seq("window_start"), "left_semi")
+      .localCheckpoint(eager = true) // window-count-sized, consumed twice
+    try {
+      val n = doomed.count()
+      if (n > 0) {
+        val tombstones = doomed
+          .withColumn("n_pos", lit(null).cast("long"))
+          .withColumn("n_neg", lit(null).cast("long"))
+          .withColumn("auc", lit(null).cast("double"))
+          .withColumn("avg_prec", lit(null).cast("double"))
+          .withColumn("op", lit("d"))
+          .withColumn("ts_ms",
+            (col("window_start").cast("double") * 1000).cast("long"))
+        versionedUpsertBatch(tombstones, baseDir, "window_start",
+          WindowedMetricsSchema, retain)
+      }
+      n
+    } finally graft.operators.Checkpoints.drop(doomed)
+  }
+
+  /** RETENTION verb for the [[windowedMetricsStoreSink]] store: tombstone
+    * every live window strictly older than `cutoff` — the TTL policy a
+    * metrics store needs once windows stop being queried (the
+    * [[expirePartitions]] analog for a versioned-snapshot artifact; the
+    * version chain itself is already GC'd by `retain`). Delegates to
+    * [[deleteFromWindowedMetricsStore]], so it inherits the replay
+    * no-op and no-resurrection laws. Returns the windows expired. */
+  def expireWindowedMetrics(spark: SparkSession, baseDir: String,
+                            cutoff: java.sql.Timestamp,
+                            retain: Int = 3): Long = {
+    val versions = snapshotVersions(spark, baseDir)
+    if (versions.isEmpty) return 0L
+    val old = graft.streaming.Cdc.liveView(
+        readSnapshotVersion(spark, baseDir, versions.last,
+          WindowedMetricsSchema))
+      .filter(col("window_start") < lit(cutoff))
+      .select(col("window_start"))
+    deleteFromWindowedMetricsStore(spark, baseDir, old, retain)
+  }
+
   /** Complete snapshot versions under `baseDir`, ascending. */
   def snapshotVersions(spark: SparkSession, baseDir: String): Seq[Long] = {
     val base = new org.apache.hadoop.fs.Path(baseDir)

@@ -979,6 +979,26 @@ class LawsSpec extends SparkSpec {
     }
     assert(chainMsgs(overlap).exists(_.contains("precedes the already-fitted")),
       s"got: ${chainMsgs(overlap)}")
+    // TAKEDOWN verb (delete == rebuild-without-keys): dropping key 1
+    // leaves a store row-identical to a fresh fit that never saw key 1
+    // (per-key state rows are independent)
+    def stateRows(d: String): Set[String] =
+      graft.operators.Analytics.hwReadState(spark, d)
+        .collect().map(_.toString).toSet
+    graft.operators.Analytics.hwDeleteStateKeys(
+      Seq(Tuple1(1L)).toDF("k"), Seq("k"), dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("hw_state_rebuild_")
+      .toString + "/state"
+    graft.operators.Analytics.hwWriteState(
+      (0 until 14).map(t => (2L, t.toLong, x(t))).toDF("k", "t", "v"),
+      Seq("k"), "t", "v", m, dir2)
+    assert(stateRows(dir) == stateRows(dir2),
+      "delete must equal the rebuild that never saw the key")
+    // replay no-op: deleting the already-absent key changes nothing
+    val beforeReplay = stateRows(dir)
+    graft.operators.Analytics.hwDeleteStateKeys(
+      Seq(Tuple1(1L)).toDF("k"), Seq("k"), dir)
+    assert(stateRows(dir) == beforeReplay, "replayed delete must be a no-op")
   }
 
   test("isotonicFromHistogram matches the driver PAV on random histograms") {

@@ -215,6 +215,42 @@ class StreamingSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(versions.map(v => v -> live(v)).toMap == before,
       "replayed batches must not change the store")
+
+    // TAKEDOWN verb: tombstone w1 — the live view loses exactly that
+    // window, the version chain grows by one commit, and time travel
+    // still reproduces the pre-delete state
+    val preDelete = versions
+    val n1 = graft.sources.IO.deleteFromWindowedMetricsStore(spark, base,
+      Seq(ts("2024-01-01 10:00:00")).toDF("window_start"))
+    assert(n1 == 1L, s"one live window should tombstone, got $n1")
+    assert(versions.size == preDelete.size + 1, "delete commits one version")
+    assert(live(versions.last).keySet == Set("2024-01-01 10:20:00.0"),
+      s"w1 must leave the live view: ${live(versions.last)}")
+    assert(live(preDelete.last).keySet == Set("2024-01-01 10:00:00.0",
+      "2024-01-01 10:20:00.0"), "pre-delete version must be immutable")
+    // REPLAY NO-OP without markers: repeating the delete finds nothing
+    // live -> zero windows, NO new version, identical chain
+    val chainAfter = versions.map(v => v -> live(v)).toMap
+    val n2 = graft.sources.IO.deleteFromWindowedMetricsStore(spark, base,
+      Seq(ts("2024-01-01 10:00:00")).toDF("window_start"))
+    assert(n2 == 0L && versions.map(v => v -> live(v)).toMap == chainAfter,
+      "replayed delete must be a no-op")
+    // NO RESURRECTION: a replayed upsert of the taken-down window (its
+    // ts_ms equals the tombstone's; d outranks u at the same instant)
+    // cannot bring it back — rerun the full source replay
+    val ck3 = java.nio.file.Files.createTempDirectory("metstore_ck3_").toString
+    val q3 = start(ck3)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(!live(versions.last).keySet.contains("2024-01-01 10:00:00.0"),
+      "a replayed upsert must not resurrect a taken-down window")
+    // RETENTION: expire everything before 10:30 — w2 goes; an immediate
+    // re-expire is a no-op
+    val n3 = graft.sources.IO.expireWindowedMetrics(spark, base,
+      ts("2024-01-01 10:30:00"))
+    assert(n3 == 1L, s"w2 should expire, got $n3")
+    assert(live(versions.last).isEmpty, "expired store must read empty")
+    assert(graft.sources.IO.expireWindowedMetrics(spark, base,
+      ts("2024-01-01 10:30:00")) == 0L, "re-expire must be a no-op")
   }
 
   test("calibrationPerWindow: streaming reliability bins equal the batch fold") {
