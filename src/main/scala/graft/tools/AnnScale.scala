@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * line: build seconds, mean query seconds, recall. Usage:
   * runMain graft.tools.AnnScale [nVecs] [dim] [nLists] [nprobe]
   *
+  * PQ mode (`runMain graft.tools.AnnScale pq [nVecs] …`) measures the
+  * FUSED IVF-PQ path (round 12): build the fused index, compare the
+  * on-disk probe surface (codes/ vs vectors/ bytes — the memory-bounded
+  * ADC claim), time fused queries (`ivfPqTopK`: pruned code scan →
+  * bounded re-rank) against plain `ivfTopKIndexed`, and report both
+  * recalls vs brute force.
+  *
   * DRIFT mode (`runMain graft.tools.AnnScale drift [nVecs] …`) measures
   * the append-drift story instead: build the base index, append a 25%
   * batch of vectors around NEW centers (bisectors of adjacent base
@@ -26,8 +33,10 @@ object AnnScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val driftMode = args.headOption.contains("drift")
-    val rest = if (driftMode) args.drop(1) else args
+    val pqMode = args.headOption.contains("pq")
+    val rest = if (driftMode || pqMode) args.drop(1) else args
     if (driftMode) { driftProbe(rest, cpus); return }
+    if (pqMode) { pqProbe(rest, cpus); return }
     val nVecs = if (rest.nonEmpty) rest(0).toInt else 1000000
     val dim = if (rest.length > 1) rest(1).toInt else 64
     val nLists = if (rest.length > 2) rest(2).toInt else 256
@@ -98,6 +107,97 @@ object AnnScale {
     }
     val recall = math.round(hit.toDouble / tot * 1000) / 1000.0
     println(s"""{"metric":"ann_scale","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"query_sec":${math.round(querySec * 1000) / 1000.0},"recall_at_$k":$recall}""")
+    spark.stop()
+  }
+
+  private def pqProbe(args: Array[String], cpus: String): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toInt else 1000000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nLists = if (args.length > 2) args(2).toInt else 256
+    val nprobe = if (args.length > 3) args(3).toInt else 8
+    val m = if (args.length > 4) args(4).toInt else 8
+    val kSub = if (args.length > 5) args(5).toInt else 256
+    val refine = if (args.length > 6) args(6).toInt else 8
+    val k = 10
+    val nQueries = 50
+    val recallSample = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def lcgVec(seed: Long, n: Int, scale: Float): Array[Float] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (math.floorMod(x, 2001L) - 1000L) / 1000f * scale
+      }
+    }
+    val centers = Array.tabulate(nLists)(c => lcgVec(c * 7919L + 17L, dim, 1f))
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val emb = spark.range(nVecs.toLong).select(col("id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val c = (id % bcCenters.value.length).toInt
+          val noise = lcgVec(id * 31L + 5L, bcCenters.value(c).length, 0.15f)
+          (id, bcCenters.value(c).zip(noise).map { case (a, b) => a + b })
+        }
+      }.toDF("vec_id", "embedding").localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("ann_pq_").toString + "/idx"
+    val tb0 = System.nanoTime()
+    val centroids = graft.operators.Similarity
+      .ivfTrainDistributed(emb, "embedding", k = nLists, iters = 5)
+    graft.operators.Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding",
+      centroids, dim, dir, m, kSub,
+      sampleSize = math.max(1024, 64 * kSub))
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+
+    // the probe-surface claim, in bytes: what an ADC scan reads (codes)
+    // vs what a raw-vector probe reads (vectors) for the same lists
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val codeBytes = dirBytes(s"$dir/codes")
+    val vecBytes = dirBytes(s"$dir/vectors")
+
+    val queries = Array.tabulate(nQueries) { q =>
+      val c = q % nLists
+      centers(c).zip(lcgVec(q * 131L + 7L, dim, 0.1f)).map { case (a, b) => a + b }
+    }
+    val tq0 = System.nanoTime()
+    val fusedResults = queries.map { qv =>
+      graft.operators.Similarity.ivfPqTopK(spark, dir, "vec_id", "embedding",
+        qv, k, nprobe, refine).select("vec_id").as[Long].collect().toSet
+    }
+    val fusedSec = (System.nanoTime() - tq0) / 1e9 / nQueries
+    val tp0 = System.nanoTime()
+    val plainResults = queries.map { qv =>
+      graft.operators.Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+        "embedding", qv, k, nprobe).select("vec_id").as[Long].collect().toSet
+    }
+    val plainSec = (System.nanoTime() - tp0) / 1e9 / nQueries
+
+    var fhit = 0; var phit = 0; var tot = 0
+    (0 until recallSample).foreach { qi =>
+      val qv = queries(qi)
+      val brute = emb.select(col("vec_id"),
+          graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+      fhit += (fusedResults(qi) & brute).size
+      phit += (plainResults(qi) & brute).size
+      tot += brute.size
+    }
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    println(s"""{"metric":"ann_pq","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"code_bytes":$codeBytes,"vector_bytes":$vecBytes,"probe_surface_cut":${r3(vecBytes.toDouble / codeBytes)},"fused_query_sec":${r3(fusedSec)},"plain_query_sec":${r3(plainSec)},"recall_fused_at_$k":${r3(fhit.toDouble / tot)},"recall_plain_at_$k":${r3(phit.toDouble / tot)}}""")
     spark.stop()
   }
 

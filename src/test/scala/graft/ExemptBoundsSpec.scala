@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Quantitative error-bound laws for the oracle-exempt ids at sf0.1
+  * (VERDICT r11 #7): the exempt lane (ExemptLaneSpec) pins non-emptiness
+  * and determinism at sf0.01; THIS suite gives the soft lane teeth by
+  * bounding each sketch/ANN id against its exact twin at the driver's
+  * BENCH scale factor — the largest data any per-round harness sees.
+  *
+  * Every bound is derived from the estimator's published guarantee
+  * (HLL/CMS/GK rsd·N forms) or measured on this corpus and pinned with
+  * ≥ 3× headroom (ANN recalls, Bloom over-drop) — a genuine estimator
+  * regression (wrong seed plumbing, broken band keys, saturated sketch)
+  * lands far outside every bound, while noise stays far inside.
+  */
+class ExemptBoundsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.1"
+
+  test("q_agg_approx_distinct: per-group relative error within 3x the declared rsd (sf0.1)") {
+    // approx_count_distinct(user_id, rsd = 0.02): HLL++ standard error
+    // 2% of the true cardinality; 3x rsd bounds ~99.7% of estimates and
+    // EVERY group must pass (5 event types — a miss is a regression,
+    // not a tail event)
+    val approx = Queries.q_agg_approx_distinct(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet, "group sets must agree")
+    exact.foreach { case (g, n) =>
+      val relErr = math.abs(approx(g) - n).toDouble / n
+      info(f"$g: exact $n approx ${approx(g)} relErr $relErr%.4f")
+      assert(relErr <= 0.06,
+        s"$g: approx ${approx(g)} vs exact $n — relative error $relErr " +
+          "exceeds 3x the declared 0.02 rsd")
+    }
+  }
+
+  test("q_agg_approx_percentile: every estimate between the exact p±0.01 percentiles (sf0.1)") {
+    // accuracy 1000 => rank error <= n/1000 = 0.1% of each ~200k-row
+    // group; the exact percentiles at p ± 1% bound it with 10x headroom
+    // (the sf0.001 twin of this law lives in ScalePathSpec)
+    val approx = Queries.q_agg_approx_percentile(spark, dir)
+      .as[(String, Double, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    val li = Tables.lineitem(spark, dir)
+    def exactP(p: Double): Map[String, Double] = li.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(p)).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (p49, p51) = (exactP(0.49), exactP(0.51))
+    val (p94, p96) = (exactP(0.94), exactP(0.96))
+    val (p98, p100) = (exactP(0.98), exactP(1.0))
+    approx.foreach { case (g, ap50, ap95, ap99) =>
+      info(f"$g: p50 $ap50 in [${p49(g)}, ${p51(g)}]; p95 $ap95 in [${p94(g)}, ${p96(g)}]; p99 $ap99 in [${p98(g)}, ${p100(g)}]")
+      assert(ap50 >= p49(g) && ap50 <= p51(g),
+        s"$g p50 $ap50 outside exact [${p49(g)}, ${p51(g)}]")
+      assert(ap95 >= p94(g) && ap95 <= p96(g),
+        s"$g p95 $ap95 outside exact [${p94(g)}, ${p96(g)}]")
+      assert(ap99 >= p98(g) && ap99 <= p100(g),
+        s"$g p99 $ap99 outside exact [${p98(g)}, ${p100(g)}]")
+    }
+  }
+
+  test("q_agg_distinct_hll: merged-sketch estimate within 5% of exact distinct (sf0.1)") {
+    // Datasketches HLL at the Spark default lgK=12: rsd ~1.04/sqrt(2^12)
+    // = 1.6%; 3x => 5%
+    val est = Queries.q_agg_distinct_hll(spark, dir)
+      .collect().head.getLong(0)
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    val relErr = math.abs(est - exact).toDouble / exact
+    info(f"exact $exact est $est relErr $relErr%.4f")
+    assert(relErr <= 0.05, s"HLL union estimate $est vs exact $exact: $relErr")
+  }
+
+  test("q_decontaminate_bloom: subset of exact decontamination; over-drop bounded (sf0.1)") {
+    // Bloom membership has NO false negatives: every truly-contaminated
+    // doc is dropped, so the bloom-kept set ⊆ the exact-kept set — an
+    // exact one-sided law. The other side (fpp-driven over-drop of
+    // clean docs) is bounded: P(doc over-dropped) <= shingles/doc x fpp
+    // (union bound, fpp = 0.001), asserted with 3x headroom against the
+    // corpus's measured mean shingle count.
+    val bloomKept = Queries.q_decontaminate_bloom(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Queries.q_decontaminate(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomKept.subsetOf(exactKept),
+      s"bloom kept ${(bloomKept -- exactKept).take(5)}... that exact dropped " +
+        "— a Bloom FALSE NEGATIVE, which the structure makes impossible")
+    val corpus = Tables.documents(spark, dir).filter(col("doc_id") >= 10)
+    val nCorpus = corpus.count()
+    val meanShingles = corpus
+      .select((greatest(size(split(col("text"), "\\s+")) - 4, lit(0)))
+        .cast("double").as("s"))
+      .agg(avg("s")).collect().head.getDouble(0)
+    val expectedOverdrop = nCorpus * meanShingles * 0.001
+    val overdrop = (exactKept -- bloomKept).size
+    info(f"exact kept ${exactKept.size}, bloom kept ${bloomKept.size}, " +
+      f"over-drop $overdrop, expected <= $expectedOverdrop%.1f (mean shingles $meanShingles%.1f)")
+    assert(overdrop <= math.max(10.0, 3 * expectedOverdrop),
+      s"over-drop $overdrop far exceeds the fpp union bound $expectedOverdrop")
+  }
+
+  test("q_dedup_embed: buckets conserve mass and concentrate similarity (sf0.1)") {
+    // lshBuckets is a histogram: (a) EXACT mass conservation — bucket
+    // sizes sum to the corpus; (b) quantitative bucketing value — the
+    // mean exact cosine WITHIN multi-member buckets beats the corpus's
+    // cross-pair mean by a wide margin (sign-LSH agreement on all 16
+    // planes is evidence of angular closeness; a broken signature would
+    // collapse the gap to ~0)
+    val buckets = Queries.q_dedup_embed(spark, dir)
+    val total = buckets.agg(sum("n_vecs")).collect().head.getLong(0)
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(total == nVecs, s"bucket mass $total != corpus $nVecs")
+
+    val emb = Tables.embeddings(spark, dir)
+    val planes = graft.functions.Vectors.hyperplanes(16, 64)
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.Vectors.lshSignature(col("embedding"), planes).as("sig"))
+    val within = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(graft.functions.Vectors
+        .cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(avg("c"), count(lit(1))).collect().head
+    // cross-pair baseline on a deterministic 1-in-10 id slice (~200
+    // vecs -> ~20k pairs) — same corpus, no bucket constraint
+    val sample = emb.filter(col("vec_id") % 10 === 0)
+    val cross = sample.as("a").join(sample.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(graft.functions.Vectors
+        .cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .agg(avg("c")).collect().head.getDouble(0)
+    val withinMean = within.getDouble(0)
+    info(f"within-bucket mean cosine $withinMean%.4f over ${within.getLong(1)} pairs; cross-pair mean $cross%.4f")
+    assert(within.getLong(1) > 0, "no multi-member buckets at sf0.1")
+    assert(withinMean >= cross + 0.2,
+      f"within-bucket mean $withinMean%.4f does not beat cross mean $cross%.4f by 0.2 " +
+        "— the signature is not concentrating similar vectors")
+  }
+
+  test("q_heavy_hitters_approx: superset of exact; CMS estimates one-sided and eps-bounded (sf0.1)") {
+    // countMinSketch(eps = 1e-4, conf = 0.99): overestimate only, and
+    // P(err > eps*N) < 0.01 per key. Laws: (a) every exact heavy hitter
+    // appears (overestimates can only ADD keys at the threshold);
+    // (b) est >= true for every key; (c) est - true <= 10x eps*N for
+    // every key (vanishing miss probability) and <= eps*N for >= 95%
+    val approx = Queries.q_heavy_hitters_approx(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, dir)
+    val n = ev.count()
+    val exactCnt = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactHH = exactCnt.filter { case (_, c) => c * 1000 >= n * 8 }.keySet
+    assert(exactHH.subsetOf(approx.keySet),
+      s"missing exact heavy hitters: ${exactHH -- approx.keySet}")
+    val epsN = 1e-4 * n
+    val errs = approx.toSeq.map { case (u, est) =>
+      val truth = exactCnt.getOrElse(u, 0L)
+      assert(est >= truth, s"user $u: CMS UNDER-estimated $est < $truth")
+      est - truth
+    }
+    info(f"keys ${approx.size}, epsN $epsN%.1f, max over-estimate ${errs.max}, " +
+      f"within-epsN share ${errs.count(_ <= epsN).toDouble / errs.size}%.3f")
+    assert(errs.max <= 10 * epsN,
+      s"over-estimate ${errs.max} exceeds 10x eps*N = ${10 * epsN}")
+    assert(errs.count(_ <= epsN).toDouble / errs.size >= 0.95,
+      "more than 5% of keys exceed the per-query eps*N guarantee")
+  }
+
+  test("q_knn_join_pq: ADC recall@3 vs the exact kNN join (sf0.1)") {
+    val pq = Queries.q_knn_join_pq(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Queries.q_knn_join(spark, dir)
+      .filter(col("query_id") < 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      (pq.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"per-probe recalls ${recalls.map(r => f"$r%.2f").mkString(",")}; mean $mean%.3f")
+    assert(mean >= 0.5,
+      f"mean PQ recall@3 $mean%.3f below 0.5 — ADC ranking degraded " +
+        "(measured 0.8+ on this corpus; 0.5 is the 3x-headroom floor)")
+  }
+
+  test("q_similarity_ivf + q_similarity_lsh: ANN recall@5 vs brute force; indexed == unindexed (sf0.1)") {
+    val brute = Queries.q_similarity_topk(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Queries.q_similarity_ivf(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfRecall = (ivf & brute).size.toDouble / brute.size
+    // the indexed variant must return the IDENTICAL relation — same
+    // seeded centroids, same probes, persisted layout is the only delta
+    val unindexed = Queries.q_similarity_ivf(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val indexed = Queries.q_similarity_ivf_indexed(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(indexed == unindexed,
+      "persisted-index IVF diverged from the in-memory IVF path")
+    val lsh = Queries.q_similarity_lsh(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val lshRecall = (lsh & brute).size.toDouble / brute.size
+    info(f"IVF recall@5 $ivfRecall%.2f; LSH recall@5 $lshRecall%.2f")
+    assert(ivfRecall >= 0.8,
+      f"IVF recall@5 $ivfRecall%.2f below 0.8 (nprobe=4 of 16 lists on " +
+        "clustered embeddings measures 1.0; 0.8 is the regression floor)")
+    assert(lshRecall >= 0.6,
+      f"LSH recall@5 $lshRecall%.2f below 0.6 — banded signature match degraded")
+  }
+
+  test("q_topk_approx_sketch: exact equality with the keyed-agg twin below capacity (sf0.1)") {
+    // capacity 16384 >> distinct users at sf0.1: the frequent-items
+    // sketch never evicts, so the merged estimate is EXACT — equality,
+    // not a band
+    val nUsers = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(nUsers <= Queries.TopKSketchCapacity / 4,
+      s"fixture outgrew the capacity margin: $nUsers users")
+    val sk = Queries.q_topk_approx_sketch(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("user_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    info(s"sketch $sk")
+    assert(sk == exact, s"sketch top-5 $sk != exact $exact")
+  }
+}

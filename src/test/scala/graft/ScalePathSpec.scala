@@ -759,6 +759,120 @@ class ScalePathSpec extends SparkSpec {
     assert(near1.contains(300L), s"batch-2 vec probeable: $near1")
   }
 
+  test("IVF-PQ fused index: codes mirror vectors, ADC probes never read vectors, fused == indexed top-k, verbs hold the invariant") {
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    def noisy(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val centers = Array.tabulate(8) { c =>
+      Array.tabulate(dim)(j => if (j == c) 1f else 0f)
+    }
+    val rows = for (c <- 0 until 8; m <- 0 until 6)
+      yield ((c * 6 + m).toLong, noisy(centers(c)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_").toString + "/idx"
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids, dim,
+      dir, m = 4, kSub = 8)
+
+    // the MIRROR INVARIANT: codes/ == residual-encode(vectors/) list
+    // for list, re-derived through the same public encode step
+    def mirrorState(): (Set[(Long, Int, String)], Set[(Long, Int, String)]) = {
+      val cbs = Similarity.pqReadCodebooks(spark, dir)
+      val cents = Similarity.ivfReadCentroids(spark, dir)
+      def hex(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Int, String)] =
+        rows.map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)).toSet
+      val stored = hex(spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      val expect = hex(Similarity.ivfPqEncodeResiduals(
+          spark.read.parquet(s"$dir/vectors"), "vec_id", "embedding",
+          cents, cbs)
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      (stored, expect)
+    }
+    val (s0, e0) = mirrorState()
+    assert(s0 == e0, "freshly built codes must mirror vectors")
+    assert(s0.map(_._1) == rows.map(_._1).toSet)
+
+    // ADC candidate stage reads the m-byte codes, NEVER the vectors:
+    // its physical scan is rooted at codes/ with pq_code in the schema
+    // and no embedding column anywhere in the plan
+    val candPlan = Similarity.ivfPqCandidates(spark, dir, "vec_id",
+      centers(0), refineK = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains("pq_code") && candPlan.contains("/codes"),
+      s"ADC stage must scan the codes layout:\n$candPlan")
+    assert(!candPlan.contains("embedding"),
+      s"ADC stage must never touch raw vectors:\n$candPlan")
+
+    // fused == plain-indexed top-k once refine covers the probed rows
+    // (exact re-rank over the full candidate set)
+    def asPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("vec_id", "rn").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    for (c <- Seq(0, 3, 7)) {
+      val fused = asPairs(Similarity.ivfPqTopK(spark, dir, "vec_id",
+        "embedding", centers(c), k = 6, nprobe = 2, refine = 4))
+      val plain = asPairs(Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+        "embedding", centers(c), 6, nprobe = 2))
+      assert(fused == plain, s"center $c: fused $fused != indexed $plain")
+    }
+
+    // APPEND: only the touched list's code partition changes; the
+    // invariant and the fused query both hold
+    def codeDirs(): Map[String, Set[String]] =
+      new java.io.File(s"$dir/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ivf_list="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val beforeAppend = codeDirs()
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+    val touchedList = Similarity.nearestLists(centers(0), loaded, 1).head
+    Similarity.ivfPqAppendIndex(
+      (100 to 102).map(i => (i.toLong, noisy(centers(0))))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val afterAppend = codeDirs()
+    val changed = (beforeAppend.keySet ++ afterAppend.keySet)
+      .filter(k => beforeAppend.get(k) != afterAppend.get(k))
+    assert(changed == Set(s"ivf_list=$touchedList"),
+      s"append must rewrite exactly the touched code partition: $changed")
+    val (s1, e1) = mirrorState()
+    assert(s1 == e1, "codes must mirror vectors after append")
+    val top0 = Similarity.ivfPqTopK(spark, dir, "vec_id", "embedding",
+      centers(0), k = 9, nprobe = 2, refine = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Set(100L, 101L, 102L).subsetOf(top0),
+      s"appended vectors must be fused-probeable: $top0")
+
+    // DELETE: drop one whole cluster — its list dir disappears from
+    // BOTH layouts; the invariant holds for the survivors
+    val list7 = Similarity.nearestLists(centers(7), loaded, 1).head
+    val doomed = spark.read.parquet(s"$dir/vectors")
+      .filter(col("ivf_list") === list7).select("vec_id")
+    Similarity.ivfPqDeleteIds(spark, dir, "vec_id", "embedding", doomed)
+    assert(!new java.io.File(s"$dir/vectors/ivf_list=$list7").exists,
+      "emptied vector list dir must be dropped")
+    assert(!new java.io.File(s"$dir/codes/ivf_list=$list7").exists,
+      "emptied code list dir must be dropped")
+    val (s2, e2) = mirrorState()
+    assert(s2 == e2 && s2.map(_._1).intersect(
+      (42 to 47).map(_.toLong).toSet).isEmpty,
+      "codes must mirror vectors after delete")
+
+    // RETRAIN: full rebuild beside + swap keeps parity and the mirror
+    Similarity.ivfPqRetrainIndex(spark, dir, "vec_id", "embedding",
+      k = 7, dim = dim, m = 4, kSub = 8)
+    val (s3, e3) = mirrorState()
+    assert(s3 == e3, "codes must mirror vectors after retrain")
+    val fused = asPairs(Similarity.ivfPqTopK(spark, dir, "vec_id",
+      "embedding", centers(3), k = 6, nprobe = 2, refine = 4))
+    val plain = asPairs(Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", centers(3), 6, nprobe = 2))
+    assert(fused == plain, s"post-retrain: fused $fused != indexed $plain")
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so

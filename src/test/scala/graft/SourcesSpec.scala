@@ -624,6 +624,144 @@ class SourcesSpec extends SparkSpec {
       .contains((rate, 2, 16, n.toLong)))
   }
 
+  // hand-rolled ISO-BMFF box (the fixtures are built, not checked in —
+  // same convention as the BMP/WAV goldens above)
+  private def mp4Box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+
+  test("multimodal: REAL MP4 metadata via pure-JDK box walk (duration, dims, frame count)") {
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    val ftyp = mp4Box("ftyp", "isom".getBytes, u32(512), "isomiso2".getBytes)
+    // mvhd v0: version/flags, creation, modification, timescale=600,
+    // duration=3000 (5 s), then rate/volume/reserved/matrix/next-track
+    val mvhd = mp4Box("mvhd", Array[Byte](0, 0, 0, 0), u32(0), u32(0),
+      u32(600), u32(3000), new Array[Byte](80))
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      // v0: 76 bytes of version/flags..matrix, then 16.16 width/height
+      mp4Box("tkhd", new Array[Byte](76), u32(w.toLong << 16), u32(h.toLong << 16))
+    def stts(entries: (Int, Int)*): Array[Byte] =
+      mp4Box("stts", Array[Byte](0, 0, 0, 0), u32(entries.length),
+        entries.toArray.flatMap { case (c, d) => u32(c) ++ u32(d) })
+    def trak(w: Int, h: Int, sttsBox: Array[Byte]): Array[Byte] =
+      mp4Box("trak", tkhd(w, h),
+        mp4Box("mdia", mp4Box("minf", mp4Box("stbl", sttsBox))))
+    // audio track FIRST (zero dims, its own 999-sample stts) — the
+    // video-track pick must skip it and count the VIDEO stts
+    val moov = mp4Box("moov", mvhd,
+      trak(0, 0, stts((999, 1))),
+      trak(640, 360, stts((100, 1), (20, 2))))
+    val mdat = mp4Box("mdat", Array[Byte](1, 2, 3))
+    val mp4 = ftyp ++ moov ++ mdat
+
+    assert(Multimodal.ContainerMeta.isMp4(mp4))
+    assert(!Multimodal.ContainerMeta.isMp4(Array[Byte](0, 1, 2, 3)))
+    val m = Multimodal.ContainerMeta.mp4Meta(mp4).get
+    assert(m.durationS == 5.0, s"duration ${m.durationS}")
+    assert(m.width == 640 && m.height == 360, s"dims ${m.width}x${m.height}")
+    assert(m.nFrames == 120, s"frames ${m.nFrames} (must be the video stts)")
+
+    // v1 layouts: 64-bit mvhd times, tkhd dims at offset 88
+    val mvhdV1 = mp4Box("mvhd", Array[Byte](1, 0, 0, 0),
+      new Array[Byte](16), u32(1000),
+      java.nio.ByteBuffer.allocate(8).putLong(2500L).array(),
+      new Array[Byte](80))
+    val tkhdV1 = mp4Box("tkhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](84),
+      u32(1920L << 16), u32(1080L << 16))
+    val moovV1 = mp4Box("moov", mvhdV1, mp4Box("trak", tkhdV1,
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stts((30, 1)))))))
+    val m1 = Multimodal.ContainerMeta.mp4Meta(ftyp ++ moovV1).get
+    assert(m1.durationS == 2.5 && m1.width == 1920 && m1.height == 1080 &&
+      m1.nFrames == 30, s"v1 layout: $m1")
+
+    // dirty-data guards: no moov / truncated moov -> None, not a throw
+    assert(Multimodal.ContainerMeta.mp4Meta(ftyp ++ mdat).isEmpty)
+    assert(Multimodal.ContainerMeta.mp4Meta(mp4.take(40)).isEmpty)
+
+    // decodeMeta integration: MP4 rows fill width/height/n_frames for
+    // real, ahead of the FakeCodec fallthrough
+    val rows = Seq(Row(1L, "video", mp4, null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val dec = Multimodal.decodeMeta(media)
+      .select("width", "height", "n_frames").collect().head
+    assert((dec.getInt(0), dec.getInt(1), dec.getInt(2)) == ((640, 360, 120)))
+  }
+
+  test("multimodal: REAL MP3 metadata via frame-header walk (ID3 skip, VBR-exact duration, honest refusals)") {
+    // MPEG1 Layer III headers, 44100 Hz: frame bytes = 144*kbps*1000/sr
+    val v1L3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)
+    def frame(kbps: Int, padding: Int = 0): Array[Byte] = {
+      val len = 144 * kbps * 1000 / 44100 + padding
+      val a = new Array[Byte](len)
+      a(0) = 0xFF.toByte; a(1) = 0xFB.toByte // sync + MPEG1 + L3 + no CRC
+      a(2) = ((v1L3Bitrates.indexOf(kbps) << 4) | (0 << 2) | (padding << 1)).toByte
+      a
+    }
+    def id3(tagBytes: Int): Array[Byte] = {
+      val a = new Array[Byte](10 + tagBytes)
+      a(0) = 'I'; a(1) = 'D'; a(2) = '3'; a(3) = 3
+      a(6) = ((tagBytes >> 21) & 0x7F).toByte
+      a(7) = ((tagBytes >> 14) & 0x7F).toByte
+      a(8) = ((tagBytes >> 7) & 0x7F).toByte
+      a(9) = (tagBytes & 0x7F).toByte
+      a
+    }
+    val cbr = id3(200) ++ Array.fill(10)(frame(128)).flatten
+    assert(Multimodal.ContainerMeta.isMp3(cbr))
+    val m = Multimodal.ContainerMeta.mp3Meta(cbr).get
+    assert(m.sampleRate == 44100 && m.nFrames == 10 && m.bitrateKbps == 128)
+    // exact walked duration: 10 frames x 1152 samples @ 44100
+    assert(m.durationS == BigDecimal(10.0 * 1152 / 44100)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$m")
+
+    // VBR: duration stays sample-exact (a byte-length/bitrate estimate
+    // would be wrong here — that's the point of walking)
+    val vbr = frame(128) ++ frame(64, padding = 1) ++ frame(320) ++ frame(64)
+    val mv = Multimodal.ContainerMeta.mp3Meta(vbr).get
+    assert(mv.nFrames == 4 && mv.bitrateKbps == (128 + 64 + 320 + 64) / 4)
+    assert(mv.durationS == BigDecimal(4.0 * 1152 / 44100)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // honest refusals: torn final frame, mid-stream garbage, ID3-only
+    assert(Multimodal.ContainerMeta.mp3Meta(cbr.dropRight(10)).isEmpty,
+      "torn tail must refuse, not guess")
+    val garbage = frame(128) ++ Array.fill[Byte](417)(0x55) ++ frame(128)
+    assert(Multimodal.ContainerMeta.mp3Meta(garbage).isEmpty,
+      "lost sync must refuse")
+    assert(Multimodal.ContainerMeta.mp3Meta(id3(64)).isEmpty,
+      "tag without frames must refuse")
+
+    // extractContainerMeta: one surface over all four real parsers
+    val png = {
+      val img = new java.awt.image.BufferedImage(3, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, "audio", cbr, null, null, null, null),
+      Row(2L, "image", png, null, null, null, null),
+      Row(3L, "image", Array[Byte](9, 9), null, null, null, null))
+    val media = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.mediaSchema)
+    val metaByIdRaw = Multimodal.extractContainerMeta(media).collect()
+    val metaById = metaByIdRaw.map(r => r.getLong(0) -> r).toMap
+    assert(metaById(1L).getString(1) == "mp3" &&
+      metaById(1L).getInt(5) == 44100 && metaById(1L).getInt(6) == 10)
+    assert(metaById(2L).getString(1) == "png" &&
+      metaById(2L).getInt(3) == 3 && metaById(2L).getInt(4) == 2)
+    assert(metaById(3L).getString(1) == "unknown" && metaById(3L).isNullAt(2),
+      "malformed payload keeps its row with null metrics")
+  }
+
   test("multimodal: decode stub fills typed metadata; malformed bytes -> nulls") {
     val rows = Seq(
       Row(1L, "image", Multimodal.FakeCodec.encode(640, 480, 1, Array[Byte](1, 2, 3)),
