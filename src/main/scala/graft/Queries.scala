@@ -986,6 +986,30 @@ object Queries {
     Similarity.ivfTopKIndexed(s, indexDir, "vec_id", "embedding", q, 5, nprobe = 4)
   }
 
+  /** q_similarity_ivfpq — the FUSED IVF-PQ lifecycle end to end
+    * (VERDICT r12 #3): train the coarse quantizer, build the fused index
+    * ([[graft.operators.Similarity.ivfPqWriteIndex]] — vectors/ + PQ
+    * codebooks trained on residuals + per-list codes/), then answer via
+    * the IVFADC query path ([[graft.operators.Similarity.ivfPqTopK]]):
+    * probe-pruned scan of m-BYTE codes with broadcast closed-form ADC
+    * tables, bounded-heap refine·k candidates, exact re-rank over a
+    * partition-pruned + id-pushdown vectors scan. At 100 TB this is the
+    * ANN shape that survives: scan bytes cut k/nprobe × 32, re-rank I/O
+    * bounded by refine·k rows. Oracle-exempt (float ANN by
+    * construction; seeded train/encode make it repeat-deterministic) —
+    * recall law in ExemptBoundsSpec, plan + mirror-invariant laws in
+    * ScalePathSpec, 1M-vector measurement in BASELINE.md. */
+  val q_similarity_ivfpq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 16)
+    val indexDir = scratchDir("graft_ivfpq_idx", d)
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids,
+      dim = 64, indexDir)
+    Similarity.ivfPqTopK(s, indexDir, "vec_id", "embedding", q, 5,
+      nprobe = 4, refine = 4)
+  }
+
   /** q_dedup_minhash — MinHash+LSH near-dup surface: per-doc signature head
     * + LSH candidate count. DuckDB-oracle-checked since the hash family
     * moved to engine-portable md5 double hashing (round 12): the oracle
@@ -1170,17 +1194,24 @@ object Queries {
       .orderBy("user_id", "sess_seq")
   }
 
-  /** q_heavy_hitters — exact heavy hitters: keys contributing ≥ 0.8% of
-    * all events. One keyed agg + a broadcast scalar total (integer-only
-    * threshold compare, so no FP boundary ambiguity); at scale the same
-    * shape holds — the per-key counts never leave their partitions until
-    * the final threshold filter has already shrunk them. */
+  /** q_heavy_hitters — exact heavy hitters: keys whose event count is
+    * ≥ 1.2× the mean per-key count (`cnt·n_users·5 ≥ total·6`, an
+    * integer-only compare — no FP boundary ambiguity). The RELATIVE cut
+    * is deliberate: a fixed share-of-total threshold (the round-8 0.8%
+    * form) silently empties as key cardinality grows with scale — at
+    * sf0.1 no key holds 0.8% of 100k events — while "beats the mean by
+    * 20%" selects a stable tail at every SF (sf0.001: 1, sf0.01: the
+    * same 13 keys the 0.8% cut chose, sf0.1: 104; measured 2026-08-14).
+    * One keyed agg + a 1-row broadcast (total, n_users) scalar; the
+    * per-key counts never leave their partitions until the threshold
+    * filter has already shrunk them. */
   val q_heavy_hitters: Q = (s, d) => {
     val ev = Tables.events(s, d)
     val counts = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-    val total = ev.agg(count(lit(1)).as("total"))
+    val total = ev.agg(count(lit(1)).as("total"),
+      countDistinct(col("user_id")).as("n_users"))
     counts.crossJoin(broadcast(total))
-      .filter(col("cnt") * 1000 >= col("total") * 8)
+      .filter(col("cnt") * col("n_users") * 5 >= col("total") * 6)
       .select(col("user_id"), col("cnt"),
         round(col("cnt").cast("double") / col("total"), 6).as("share"))
       .orderBy(desc("cnt"), col("user_id"))
@@ -1199,11 +1230,14 @@ object Queries {
     val cms = ev.stat.countMinSketch(col("user_id"), 0.0001, 0.99, 42)
     val bc = s.sparkContext.broadcast(cms)
     val est = udf { (u: Long) => bc.value.estimateCount(u) }
-    val total = ev.agg(count(lit(1)).as("total"))
+    val total = ev.agg(count(lit(1)).as("total"),
+      countDistinct(col("user_id")).as("n_users"))
+    // same scale-invariant ≥ 1.2×-mean cut as the exact twin; CMS only
+    // over-estimates, so the result is a superset of q_heavy_hitters
     ev.select("user_id").distinct()
       .withColumn("est_cnt", est(col("user_id")))
       .crossJoin(broadcast(total))
-      .filter(col("est_cnt") * 1000 >= col("total") * 8)
+      .filter(col("est_cnt") * col("n_users") * 5 >= col("total") * 6)
       .select("user_id", "est_cnt")
       .orderBy(desc("est_cnt"), col("user_id"))
   }
@@ -4484,6 +4518,7 @@ object Queries {
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_lsh" -> q_similarity_lsh,
     "q_similarity_ivf" -> q_similarity_ivf,
+    "q_similarity_ivfpq" -> q_similarity_ivfpq,
     "q_similarity_ivf_indexed" -> q_similarity_ivf_indexed,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,

@@ -23,11 +23,12 @@ object SparkEntry {
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops — probability sketches and float-arithmetic /
     * embedding ANN whose output is genuinely engine-specific (the
-    * ExemptLaneSpec census, 11 ids): q_agg_approx_distinct,
+    * ExemptLaneSpec census, 12 ids): q_agg_approx_distinct,
     * q_agg_approx_percentile, q_agg_distinct_hll,
     * q_heavy_hitters_approx, q_topk_approx_sketch,
     * q_decontaminate_bloom, q_dedup_embed, q_similarity_lsh,
-    * q_similarity_ivf, q_similarity_ivf_indexed, q_knn_join_pq.
+    * q_similarity_ivf, q_similarity_ivf_indexed, q_similarity_ivfpq,
+    * q_knn_join_pq.
     * Each is instead law-tested in scalatest (SURVEY §5.2) and runs
     * through the sf0.01 exempt lane (ExemptLaneSpec). Every other id —
     * including the iterative fixpoints (PageRank, LPA, Bellman–Ford,
@@ -574,8 +575,8 @@ object SparkEntry {
     "q_heavy_hitters" ->
       """SELECT user_id, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
         |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-        |     (SELECT count(*) AS total FROM events)
-        |WHERE cnt * 1000 >= total * 8
+        |     (SELECT count(*) AS total, count(DISTINCT user_id) AS n_users FROM events)
+        |WHERE cnt * n_users * 5 >= total * 6
         |ORDER BY cnt DESC, user_id""".stripMargin,
     "q_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd

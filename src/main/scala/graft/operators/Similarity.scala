@@ -252,6 +252,31 @@ object Similarity {
 
   // ---- persisted IVF index lifecycle --------------------------------
 
+  /** True when `indexDir` is a FUSED IVF-PQ index (a `codes/` mirror is
+    * present). The fused layout's vectors/ + centroids/ are
+    * byte-compatible with plain IVF for READS, but plain MUTATION verbs
+    * know nothing of `codes/` — running one would silently desync the
+    * mirror (appended ids invisible to ADC, split lists coded against
+    * the wrong residual base, retrain dropping codes entirely), so they
+    * detect this state and fail loudly ([[requireNotFused]]) — the
+    * same fail-loud discipline as the near-dup index's
+    * `.layout_version` stamp. */
+  def isFusedIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def requireNotFused(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, verb: String,
+                              fusedVerb: String): Unit =
+    if (isFusedIndex(spark, indexDir))
+      throw new IllegalStateException(
+        s"$verb: $indexDir is a FUSED IVF-PQ index (codes/ present); the " +
+          s"plain verb would desync the PQ code mirror from vectors/ — " +
+          s"use $fusedVerb instead (reads — ivfTopKIndexed, ivfProbeScan, " +
+          "ivfListSizes, ivfNeedsRetrain — remain layout-agnostic)")
+
   /** Materialize the IVF index under `indexDir`: the assignment table is
     * written `partitionBy("ivf_list")` — one parquet directory per
     * inverted list — with the centroid matrix alongside as a k-row
@@ -259,9 +284,23 @@ object Similarity {
     * level: `ivf_list ∈ probes` is a partition filter, so a query probing
     * `nprobe` of `k` lists lists/opens only those directories and never
     * touches the rest — the N → N·nprobe/k scan-cost drop that IVF
-    * exists for, enforced by the FileIndex rather than a row filter. */
+    * exists for, enforced by the FileIndex rather than a row filter.
+    * Refuses to overwrite a FUSED index (stale codes/ + codebooks/
+    * would survive the vectors overwrite) — rebuild those through
+    * [[ivfPqWriteIndex]], or delete the directory first. */
   def ivfWriteIndex(emb: DataFrame, vecCol: String,
                     centroids: Array[Array[Float]], indexDir: String): Unit = {
+    requireNotFused(emb.sparkSession, indexDir, "ivfWriteIndex",
+      "ivfPqWriteIndex")
+    ivfWriteVectors(emb, vecCol, centroids, indexDir)
+  }
+
+  /** [[ivfWriteIndex]] minus the fused guard — the shared write step
+    * [[ivfPqWriteIndex]] (legitimately rebuilding a fused dir in place
+    * before refreshing every code partition) also uses. */
+  private def ivfWriteVectors(emb: DataFrame, vecCol: String,
+                              centroids: Array[Array[Float]],
+                              indexDir: String): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.sources.IO.alignToPartitions(
@@ -288,9 +327,19 @@ object Similarity {
     * assigns to a different list than its old one leaves the stale copy
     * in the old list, because that list may be untouched. Appends of new
     * ids — the steady-state case — are exact; re-embedding migrations go
-    * through [[ivfReembedIndex]] (= [[ivfDeleteIds]] + this append). */
+    * through [[ivfReembedIndex]] (= [[ivfDeleteIds]] + this append).
+    * Fails loudly on a FUSED index — use [[ivfPqAppendIndex]], which
+    * runs this same append and then refreshes the touched code
+    * partitions. */
   def ivfAppendIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                      indexDir: String): Unit = {
+    requireNotFused(newVecs.sparkSession, indexDir, "ivfAppendIndex",
+      "ivfPqAppendIndex")
+    ivfAppendVectors(newVecs, idCol, vecCol, indexDir)
+  }
+
+  private def ivfAppendVectors(newVecs: DataFrame, idCol: String,
+                               vecCol: String, indexDir: String): Unit = {
     val spark = newVecs.sparkSession
     val centroids = ivfReadCentroids(spark, indexDir)
     val assigned = ivfAssign(newVecs, vecCol, centroids)
@@ -331,9 +380,18 @@ object Similarity {
     * lists only. A list whose rows are ALL deleted needs explicit
     * directory removal — dynamic overwrite only replaces partitions
     * present in the written data, so an emptied list would silently
-    * survive otherwise. Single writer by contract, like append. */
+    * survive otherwise. Single writer by contract, like append. Fails
+    * loudly on a FUSED index — use [[ivfPqDeleteIds]], which runs this
+    * same delete and then refreshes the touched code partitions. */
   def ivfDeleteIds(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    idCol: String, ids: DataFrame): Unit = {
+    requireNotFused(spark, indexDir, "ivfDeleteIds", "ivfPqDeleteIds")
+    ivfDeleteVectorIds(spark, indexDir, idCol, ids)
+  }
+
+  private def ivfDeleteVectorIds(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String, idCol: String,
+                                 ids: DataFrame): Unit = {
     val idOnly = ids.select(col(idCol)).distinct().localCheckpoint(eager = true)
     try {
       val vectors = spark.read.parquet(s"$indexDir/vectors")
@@ -370,12 +428,14 @@ object Similarity {
     * each id ends up exactly once, in the list its NEW vector assigns
     * to, and lists containing neither old nor new copies are untouched
     * byte-for-byte. Cost: one column-pruned id scan + two
-    * touched-lists-only rewrites. */
+    * touched-lists-only rewrites. Fails loudly on a FUSED index — use
+    * [[ivfPqReembedIndex]]. */
   def ivfReembedIndex(newVecs: DataFrame, idCol: String, vecCol: String,
                       indexDir: String): Unit = {
     val spark = newVecs.sparkSession
-    ivfDeleteIds(spark, indexDir, idCol, newVecs.select(col(idCol)))
-    ivfAppendIndex(newVecs, idCol, vecCol, indexDir)
+    requireNotFused(spark, indexDir, "ivfReembedIndex", "ivfPqReembedIndex")
+    ivfDeleteVectorIds(spark, indexDir, idCol, newVecs.select(col(idCol)))
+    ivfAppendVectors(newVecs, idCol, vecCol, indexDir)
   }
 
   // ---- drift detection + retrain lifecycle --------------------------
@@ -418,11 +478,18 @@ object Similarity {
     * paid once per drift epoch, amortized over the many batch-
     * proportional appends that caused it. ScalePathSpec pins the
     * recall-preservation law: post-retrain recall == fresh-build recall
-    * on the drifted corpus. Single writer by contract. */
+    * on the drifted corpus. Single writer by contract. Fails loudly on
+    * a FUSED index (the swap would drop codes/ + codebooks/ entirely) —
+    * use [[ivfPqRetrainIndex]]. */
   def ivfRetrainIndex(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, vecCol: String, k: Int,
                       iters: Int = 8, seed: Long = 42L): Unit = {
     ivfRecoverSwap(spark, indexDir)
+    // AFTER the recovery sweep: a fused index interrupted mid-swap has
+    // no live codes/ until the sweep restores it — guarding first would
+    // wave the plain retrain through on exactly the index it must not
+    // touch
+    requireNotFused(spark, indexDir, "ivfRetrainIndex", "ivfPqRetrainIndex")
     val vecs = spark.read.parquet(s"$indexDir/vectors").drop("ivf_list")
     val centroids = ivfTrainDistributed(vecs, vecCol, k, iters, seed)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -514,6 +581,7 @@ object Similarity {
                    idCol: String, vecCol: String, list: Int,
                    sampleSize: Int = 1024, iters: Int = 8,
                    seed: Long = 42L): Unit = {
+    ivfRecoverSplit(spark, indexDir, idCol, vecCol) // finish any torn split first
     val centroids = ivfReadCentroids(spark, indexDir)
     require(list >= 0 && list < centroids.length,
       s"list $list out of range [0, ${centroids.length})")
@@ -526,25 +594,54 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
     require(sample.length >= 2, s"list $list has < 2 vectors — nothing to split")
     val subs = lloyd(sample, 2, iters, seed)
-    val bc = spark.sparkContext.broadcast(subs)
-    val pick = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bc.value) }
-    val pinned = rows
-      .withColumn("ivf_list",
-        when(pick(col(vecCol)) === 0, lit(list)).otherwise(lit(newId)))
-      .localCheckpoint(eager = true) // one list's rows; pin before overwriting it
-    // Centroids FIRST, vectors second: a crash between the two leaves a
-    // centroid (newId) with an empty list — harmless, probes find
-    // nothing there and the old list still holds every row — and the
-    // next split allocates a FRESH id past newId. The reverse order
-    // would orphan the moved rows in a list no centroid references
-    // (silent recall loss) AND let the next split reuse newId for a
-    // different sub-centroid.
+    // Crash discipline (the ivfRecoverSwap analog for splits): record
+    // the split INTENT — (list, newId, both sub-centroids) — before the
+    // first mutation. Centroids then write FIRST, vectors second: the
+    // reverse order would orphan moved rows in a list no centroid
+    // references (silent recall loss) AND let the next split reuse
+    // newId for a different sub-centroid. A crash between the two
+    // writes used to leave a LASTING degraded state — newId's centroid
+    // with an empty list while its rows sat in the old list, and dead
+    // empty centroids accumulating on re-runs — but with the intent
+    // recorded, [[ivfRecoverSplit]] (run on entry here and callable any
+    // time) replays the vector rewrite deterministically from the
+    // recorded sub-centroids and completes the split instead.
+    writeSplitIntent(spark, indexDir, list, newId, subs)
     val updated = centroids.updated(list, subs(0)) :+ subs(1)
     import spark.implicits._
     updated.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    splitRewriteVectors(spark, indexDir, idCol, vecCol, list, newId, subs)
+    // fused index: the split moved rows between lists, so their code
+    // partitions re-derive (residuals now against the new sub-centroids;
+    // codebooks unchanged — they quantize the residual DISTRIBUTION)
+    if (isFusedIndex(spark, indexDir))
+      ivfPqRefreshLists(spark, indexDir, idCol, vecCol, Seq(list, newId))
+    deleteSplitIntent(spark, indexDir)
+  }
+
+  /** The vector-rewrite step of a split, shared verbatim with
+    * [[ivfRecoverSplit]] so recovery IS a replay: re-assign the rows of
+    * `list` (and, on recovery, any already in `newId`) to whichever of
+    * the two recorded sub-centroids is nearer, dynamic-overwrite those
+    * two partitions only, and drop the stale dir of a side the
+    * (degenerate) split left unwritten. Idempotent: pure function of
+    * the recorded sub-centroids and the rows. */
+  private def splitRewriteVectors(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String, idCol: String,
+                                  vecCol: String, list: Int, newId: Int,
+                                  subs: Array[Array[Float]]): Unit = {
+    val rows = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(list, newId))
+      .select(col(idCol), col(vecCol))
+    val bc = spark.sparkContext.broadcast(subs)
+    val pick = udf { (v: Seq[Float]) => nearestCentroid(v.toArray, bc.value) }
+    val pinned = rows
+      .withColumn("ivf_list",
+        when(pick(col(vecCol)) === 0, lit(list)).otherwise(lit(newId)))
+      .localCheckpoint(eager = true) // one list's rows; pin before overwriting it
     try {
       graft.sources.IO.alignToPartitions(pinned, "ivf_list")
         .write.mode("overwrite")
@@ -554,12 +651,87 @@ object Similarity {
         .collect().map(_.getInt(0)).toSet // bounded: <= 2 ids
       // degenerate split (every row nearer one sub-centroid): the other
       // partition was touched-but-unwritten — drop its stale files
-      if (!written(list)) {
-        val p = new org.apache.hadoop.fs.Path(
-          s"$indexDir/vectors/ivf_list=$list")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val fs = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(list, newId).filterNot(written).foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/vectors/ivf_list=$l"), true)
       }
     } finally Checkpoints.drop(pinned)
+  }
+
+  private def splitIntentPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, ".split_intent")
+
+  /** Record a split's parameters before its first mutation: line 1 is
+    * `list newId`, lines 2-3 the two sub-centroids (exact float
+    * round-trip via Float.toString/parseFloat). */
+  private def writeSplitIntent(spark: org.apache.spark.sql.SparkSession,
+                               indexDir: String, list: Int, newId: Int,
+                               subs: Array[Array[Float]]): Unit = {
+    val p = splitIntentPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = s"$list $newId\n" +
+      subs.map(_.mkString(",")).mkString("\n") + "\n"
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def deleteSplitIntent(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String): Unit = {
+    val p = splitIntentPath(indexDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  /** Crash-recovery sweep for [[ivfSplitList]] — the split analog of
+    * [[ivfRecoverSwap]]. Reads the `.split_intent` sidecar and repairs
+    * by REPLAY:
+    *  - intent absent: nothing torn — no-op.
+    *  - intent present but torn/unparseable, or the centroid table does
+    *    NOT yet contain `newId`: the crash landed before the first
+    *    mutation — nothing changed on disk, drop the intent.
+    *  - intent present and centroids contain `newId`: the vector
+    *    rewrite may be missing, partial-by-crash, or complete — all
+    *    three repair identically by re-running
+    *    [[splitRewriteVectors]] from the RECORDED sub-centroids (the
+    *    rewrite is a pure, idempotent function of them), then (fused
+    *    index) refreshing the two code partitions, then dropping the
+    *    intent.
+    * Run on entry to [[ivfSplitList]]; safe to call any time under the
+    * single-writer contract. Returns true when a torn split was
+    * found and repaired. */
+  def ivfRecoverSplit(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, idCol: String,
+                      vecCol: String): Boolean = {
+    val p = splitIntentPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val lines = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    val parsed = scala.util.Try {
+      val Array(l, n) = lines(0).split(" ").map(_.toInt)
+      val subs = Array(lines(1), lines(2))
+        .map(_.split(",").map(java.lang.Float.parseFloat))
+      (l, n, subs)
+    }.toOption
+    val repaired = parsed match {
+      case None =>
+        false // torn intent: the split never mutated anything — drop it
+      case Some((list, newId, subs)) =>
+        val centroids = ivfReadCentroids(spark, indexDir)
+        if (newId >= centroids.length) false // crash before centroid write
+        else {
+          splitRewriteVectors(spark, indexDir, idCol, vecCol, list, newId, subs)
+          if (isFusedIndex(spark, indexDir))
+            ivfPqRefreshLists(spark, indexDir, idCol, vecCol, Seq(list, newId))
+          true
+        }
+    }
+    deleteSplitIntent(spark, indexDir)
+    repaired
   }
 
   /** Split every list whose size exceeds skewFactor × mean — the
@@ -845,8 +1017,12 @@ object Similarity {
   // Layout under `indexDir/`:
   //   centroids/              k coarse rows     (shared with plain IVF)
   //   vectors/ivf_list=N/     raw vectors       (byte-compatible with
-  //                                              plain IVF — ALL existing
-  //                                              verbs keep working)
+  //                                              plain IVF for READS —
+  //                                              ivfTopKIndexed, probe
+  //                                              scans, censuses; plain
+  //                                              MUTATION verbs refuse a
+  //                                              fused index, see
+  //                                              [[isFusedIndex]])
   //   codebooks/              m×kSub PQ rows
   //   codes/ivf_list=N/       (id, pq_code)     the ADC probe surface
   //
@@ -973,7 +1149,7 @@ object Similarity {
                       sampleSize: Int = 1024, iters: Int = 10,
                       seed: Long = 42L): Unit = {
     val spark = emb.sparkSession
-    ivfWriteIndex(emb, vecCol, centroids, indexDir)
+    ivfWriteVectors(emb, vecCol, centroids, indexDir)
     val bcC = spark.sparkContext.broadcast(centroids)
     val residual = udf { (v: Seq[Float], list: Int) =>
       val cent = bcC.value(list)
@@ -998,7 +1174,7 @@ object Similarity {
     val touched = ivfAssign(newVecs, vecCol, centroids)
       .select("ivf_list").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
-    ivfAppendIndex(newVecs, idCol, vecCol, indexDir)
+    ivfAppendVectors(newVecs, idCol, vecCol, indexDir)
     ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched)
   }
 
@@ -1012,8 +1188,21 @@ object Similarity {
       .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
       .select("ivf_list").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
-    ivfDeleteIds(spark, indexDir, idCol, ids)
+    ivfDeleteVectorIds(spark, indexDir, idCol, ids)
     ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched)
+  }
+
+  /** Re-embed ids in a fused index — the [[ivfReembedIndex]] twin:
+    * fused delete + fused append, so each id lands exactly once in the
+    * list its NEW vector assigns to and every touched list's code
+    * partition re-derives. (A list touched by both halves refreshes
+    * twice — the refresh is idempotent and touched-lists-bounded, so
+    * correctness is free and the cost stays O(batch + touched lists).) */
+  def ivfPqReembedIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                        indexDir: String): Unit = {
+    val spark = newVecs.sparkSession
+    ivfPqDeleteIds(spark, indexDir, idCol, vecCol, newVecs.select(col(idCol)))
+    ivfPqAppendIndex(newVecs, idCol, vecCol, indexDir)
   }
 
   /** The memory-bounded ADC candidate stage of [[ivfPqTopK]], exposed

@@ -128,6 +128,52 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming FUSED (IVF-PQ) index ingest — the vector twin of
+    * [[nearDupDedupSink]] (VERDICT r12 #8): each micro-batch of
+    * embeddings appends through
+    * [[graft.operators.Similarity.ivfPqAppendIndex]] (touched-lists-only
+    * vector upsert + code refresh of exactly those lists — the
+    * codes/vectors mirror holds after every batch), then the in-sink
+    * drift policy runs the [[graft.operators.Similarity.ivfNeedsRetrain]]
+    * census (a k-row metadata read, free per batch) and, when it fires,
+    * applies the INCREMENTAL lever —
+    * [[graft.operators.Similarity.ivfSplitOversizedLists]], whose fused
+    * split re-derives the two touched code partitions per split. The
+    * FULL retrain (the recall lever, corpus-proportional
+    * [[graft.operators.Similarity.ivfPqRetrainIndex]]) stays an
+    * operator/offline decision by design — the sink surfaces the need
+    * (census true after a batch means scatter the splits can't fix may
+    * be accruing) but never blocks ingest on a corpus-sized rebuild;
+    * centroids + codebooks are re-read per batch, so an offline retrain
+    * is picked up at the next micro-batch.
+    *
+    * Exactly-once: the marker pattern ([[idempotentForeachBatch]]) —
+    * a replayed batch is consumed-but-skipped, so the retained index
+    * bytes (and any split decisions) are untouched on replay, a
+    * stronger guarantee than append-idempotence alone when the split
+    * policy is active (a replay-rerun split would otherwise allocate a
+    * fresh list id). Backfill shape: `AvailableNow`. The fused index
+    * must already exist ([[graft.operators.Similarity.ivfPqWriteIndex]]
+    * is the bootstrap); single writer by contract. */
+  def ivfPqIndexSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
+                     idCol: String, vecCol: String,
+                     splitSkewFactor: Double = 4.0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$indexDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          graft.operators.Similarity.ivfPqAppendIndex(
+            batch, idCol, vecCol, indexDir)
+          if (graft.operators.Similarity.ivfNeedsRetrain(
+              spark, indexDir, splitSkewFactor))
+            graft.operators.Similarity.ivfSplitOversizedLists(
+              spark, indexDir, idCol, vecCol, splitSkewFactor)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming corpus ingest with incremental NEAR-dup dedup: each
     * micro-batch dedups against the persisted MinHash band index
     * ([[graft.operators.Dedup.nearDupAgainstIndex]] — intra-batch
@@ -438,7 +484,17 @@ object IO {
     * store's changelog ordering is a pure function of the data —
     * tombstones must be too), and [[graft.streaming.Cdc.applyChangelog]]
     * ranks a delete above an update at the same instant, so a replayed
-    * upsert of a taken-down window can never resurrect it. REPLAY
+    * upsert of a taken-down window can never resurrect it. That
+    * suppression is deliberately PERMANENT, not just replay-scoped:
+    * every sink upsert of a window carries the same data-derived
+    * `ts_ms = window_start·1000`, so genuinely NEW late events for a
+    * taken-down window are also outranked by the tombstone — a takedown
+    * means "this window's metrics must not reappear", and late
+    * stragglers trickling it back would violate exactly that. A window
+    * becomes re-ingestable only after its tombstone ages past the
+    * retention horizon and [[graft.streaming.Cdc.compactTombstones]]
+    * drops it (the store's GC pass) — the deliberate, operator-driven
+    * path back, not an accidental one. REPLAY
     * NO-OP without markers: requested windows are semi-joined against
     * the live view first, so a repeated delete finds nothing live,
     * commits NO new version, and the retained `v=<n>` chain is
@@ -704,33 +760,51 @@ object IO {
   }
 
   /** The stamped layout version of a persisted artifact, if recorded
-    * (pre-stamp artifacts return None — treat as an older layout). */
+    * (pre-stamp artifacts return None — treat as an older layout). A
+    * TORN sidecar (exists but empty/unparseable — `fs.create` committed,
+    * payload lost) also reads as None: the verbs then raise their
+    * standard "stale layout — rebuild the index" error instead of an
+    * opaque StringIndexOutOfBoundsException, which is the right failure
+    * for a stamp whose whole job is to say "rebuild me" when unsure. */
   def readLayoutVersion(spark: SparkSession, dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir, ".layout_version")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val k = in.read(buf)
-        Some(new String(buf, 0, k, "UTF-8").trim.toInt)
-      } finally in.close()
-    }
+    else readIntSidecar(fs, p)
   }
 
-  /** The pinned bucket count of a bucketed artifact, if recorded. */
+  /** Read a small integer sidecar; an EMPTY or unparseable file — the
+    * torn-write state where `fs.create` succeeded but the payload write
+    * was lost — yields None instead of the
+    * StringIndexOutOfBoundsException `new String(buf, 0, -1)` used to
+    * throw, so callers decide the failure mode instead of dying on an
+    * opaque bounds error. */
+  private def readIntSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Option[Int] = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32)
+      val k = in.read(buf)
+      if (k <= 0) None
+      else scala.util.Try(new String(buf, 0, k, "UTF-8").trim.toInt).toOption
+    } finally in.close()
+  }
+
+  /** The pinned bucket count of a bucketed artifact, if recorded. A
+    * sidecar that EXISTS but is torn (empty/unparseable) fails loudly:
+    * unlike the layout stamp, there is no safe default — guessing a
+    * bucket count mis-routes every subsequent append. */
   def readBucketCount(spark: SparkSession, dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir, ".bucket_count")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val k = in.read(buf)
-        Some(new String(buf, 0, k, "UTF-8").trim.toInt)
-      } finally in.close()
+    else readIntSidecar(fs, p) match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"$p exists but is empty or unparseable (torn sidecar write): " +
+          "the artifact's bucket layout is unknowable — re-stamp it with " +
+          "writeBucketCount(<the count the artifact was built with>) or " +
+          "rebuild the artifact")
     }
   }
 

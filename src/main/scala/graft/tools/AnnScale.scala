@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * bounded re-rank) against plain `ivfTopKIndexed`, and report both
   * recalls vs brute force.
   *
+  * PQ-DRIFT mode (`runMain graft.tools.AnnScale pqdrift [nVecs] …`)
+  * is the fused twin of DRIFT: base fused index → `ivfPqAppendIndex`
+  * of the drifted 25% batch (codes refreshed for touched lists only) →
+  * fused-recall at the drift modes through the stale index →
+  * `ivfPqRetrainIndex` (fresh coarse centroids + codebooks + full
+  * re-encode behind the `_next`/swap discipline) → fused recall again —
+  * the measured evidence that the fused maintenance verbs keep the
+  * codes/vectors mirror AND that fused retrain recovers recall.
+  *
   * DRIFT mode (`runMain graft.tools.AnnScale drift [nVecs] …`) measures
   * the append-drift story instead: build the base index, append a 25%
   * batch of vectors around NEW centers (bisectors of adjacent base
@@ -33,9 +42,11 @@ object AnnScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val driftMode = args.headOption.contains("drift")
-    val pqMode = args.headOption.contains("pq")
-    val rest = if (driftMode || pqMode) args.drop(1) else args
+    val pqDriftMode = args.headOption.contains("pqdrift")
+    val pqMode = !pqDriftMode && args.headOption.contains("pq")
+    val rest = if (driftMode || pqMode || pqDriftMode) args.drop(1) else args
     if (driftMode) { driftProbe(rest, cpus); return }
+    if (pqDriftMode) { pqDriftProbe(rest, cpus); return }
     if (pqMode) { pqProbe(rest, cpus); return }
     val nVecs = if (rest.nonEmpty) rest(0).toInt else 1000000
     val dim = if (rest.length > 1) rest(1).toInt else 64
@@ -198,6 +209,88 @@ object AnnScale {
     }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     println(s"""{"metric":"ann_pq","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"code_bytes":$codeBytes,"vector_bytes":$vecBytes,"probe_surface_cut":${r3(vecBytes.toDouble / codeBytes)},"fused_query_sec":${r3(fusedSec)},"plain_query_sec":${r3(plainSec)},"recall_fused_at_$k":${r3(fhit.toDouble / tot)},"recall_plain_at_$k":${r3(phit.toDouble / tot)}}""")
+    spark.stop()
+  }
+
+  private def pqDriftProbe(args: Array[String], cpus: String): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toInt else 1000000
+    val dim = if (args.length > 1) args(1).toInt else 64
+    val nLists = if (args.length > 2) args(2).toInt else 256
+    val nprobe = if (args.length > 3) args(3).toInt else 8
+    val m = if (args.length > 4) args(4).toInt else 8
+    val kSub = if (args.length > 5) args(5).toInt else 256
+    val refine = if (args.length > 6) args(6).toInt else 8
+    val k = 10
+    val recallSample = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def lcgVec(seed: Long, n: Int, scale: Float): Array[Float] = {
+      var x = seed
+      Array.fill(n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (math.floorMod(x, 2001L) - 1000L) / 1000f * scale
+      }
+    }
+    val centers = Array.tabulate(nLists)(c => lcgVec(c * 7919L + 17L, dim, 1f))
+    val driftCenters = Array.tabulate(nLists)(c =>
+      centers(c).zip(centers((c + 1) % nLists)).map { case (a, b) => (a + b) / 2 })
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcD = spark.sparkContext.broadcast(driftCenters)
+    def table(n: Int, idOffset: Long, bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+      spark.range(n.toLong).select(col("id")).mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val c = (id % bc.value.length).toInt
+          val noise = lcgVec(id * 31L + 5L, bc.value(c).length, 0.15f)
+          (id + idOffset, bc.value(c).zip(noise).map { case (a, b) => a + b })
+        }
+      }.toDF("vec_id", "embedding")
+    val emb = table(nVecs, 0L, bcC).localCheckpoint(true)
+    val drift = table(nVecs / 4, nVecs.toLong, bcD).localCheckpoint(true)
+    val full = emb.unionByName(drift).localCheckpoint(true)
+
+    val dir = java.nio.file.Files.createTempDirectory("ann_pqdrift_").toString + "/idx"
+    val centroids = graft.operators.Similarity
+      .ivfTrainDistributed(emb, "embedding", k = nLists, iters = 5)
+    graft.operators.Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding",
+      centroids, dim, dir, m, kSub, sampleSize = math.max(1024, 64 * kSub))
+    val ta0 = System.nanoTime()
+    graft.operators.Similarity.ivfPqAppendIndex(drift, "vec_id", "embedding", dir)
+    val appendSec = (System.nanoTime() - ta0) / 1e9
+    val triggered = graft.operators.Similarity.ivfNeedsRetrain(spark, dir, 1.5)
+
+    val queries = Array.tabulate(recallSample) { q =>
+      driftCenters(q % nLists).zip(lcgVec(q * 131L + 7L, dim, 0.1f))
+        .map { case (a, b) => a + b }
+    }
+    def fusedRecall(): Double = {
+      var hit = 0; var tot = 0
+      queries.foreach { qv =>
+        val ann = graft.operators.Similarity.ivfPqTopK(spark, dir,
+          "vec_id", "embedding", qv, k, nprobe, refine)
+          .select("vec_id").as[Long].collect().toSet
+        val brute = full.select(col("vec_id"),
+            graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
+          .orderBy(desc("sim"), col("vec_id")).limit(k)
+          .select("vec_id").as[Long].collect().toSet
+        hit += (ann & brute).size; tot += brute.size
+      }
+      math.round(hit.toDouble / tot * 1000) / 1000.0
+    }
+    val staleRecall = fusedRecall()
+    val tr0 = System.nanoTime()
+    graft.operators.Similarity.ivfPqRetrainIndex(spark, dir, "vec_id",
+      "embedding", k = nLists + nLists / 4, dim = dim, m = m, kSub = kSub,
+      iters = 5)
+    val retrainSec = (System.nanoTime() - tr0) / 1e9
+    val retrainedRecall = fusedRecall()
+    println(s"""{"metric":"ann_pq_drift","vecs":$nVecs,"drift_vecs":${nVecs / 4},"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"append_sec":${math.round(appendSec * 10) / 10.0},"retrain_sec":${math.round(retrainSec * 10) / 10.0},"trigger_fired_at_1.5":$triggered,"recall_fused_stale":$staleRecall,"recall_fused_retrained":$retrainedRecall}""")
     spark.stop()
   }
 

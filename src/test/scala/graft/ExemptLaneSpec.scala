@@ -81,11 +81,15 @@ class ExemptLaneSpec extends SparkSpec {
     // q_dedup_minhash, q_dedup_cluster_minhash, q_dedup_simhash and
     // q_group_similarity to the hard oracle, shrinking the set to 11 —
     // every remaining exempt id is genuinely engine-specific:
-    // probability sketches and float-arithmetic embedding ANN; widen
+    // probability sketches and float-arithmetic embedding ANN; round 13
+    // then DELIBERATELY widened the set to 12 with q_similarity_ivfpq —
+    // the fused IVFADC + re-rank path registered end to end (VERDICT
+    // r12 #3), float ANN by construction, with its own recall law in
+    // ExemptBoundsSpec; widen
     // this number deliberately (with a new golden law), never by
     // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 11,
+    assert(exemptIds.size <= 12,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

@@ -873,6 +873,128 @@ class ScalePathSpec extends SparkSpec {
     assert(fused == plain, s"post-retrain: fused $fused != indexed $plain")
   }
 
+  test("fused-index guard: plain mutation verbs refuse a fused index; fused split keeps the mirror") {
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    def noisy(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val centers = Array.tabulate(4) { c =>
+      Array.tabulate(dim)(j => if (j == c) 1f else 0f)
+    }
+    val rows = for (c <- 0 until 4; m <- 0 until 6)
+      yield ((c * 6 + m).toLong, noisy(centers(c)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 4, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_guard_").toString + "/idx"
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids, dim,
+      dir, m = 4, kSub = 8)
+    assert(Similarity.isFusedIndex(spark, dir))
+
+    // every plain MUTATION verb fails loudly, naming the fused verb —
+    // silently desyncing codes/ (ADVICE r12) is no longer reachable
+    val batch = Seq((500L, noisy(centers(0)))).toDF("vec_id", "embedding")
+    def refuses(what: String)(f: => Unit): Unit = {
+      val e = intercept[IllegalStateException](f)
+      assert(e.getMessage.contains("FUSED") && e.getMessage.contains("ivfPq"),
+        s"$what must point at the fused verb: ${e.getMessage}")
+    }
+    refuses("append")(Similarity.ivfAppendIndex(batch, "vec_id", "embedding", dir))
+    refuses("delete")(Similarity.ivfDeleteIds(spark, dir, "vec_id",
+      batch.select("vec_id")))
+    refuses("reembed")(Similarity.ivfReembedIndex(batch, "vec_id", "embedding", dir))
+    refuses("retrain")(Similarity.ivfRetrainIndex(spark, dir, "embedding", k = 4))
+    refuses("write")(Similarity.ivfWriteIndex(emb, "embedding", centroids, dir))
+    // ...and the refusals really did leave the index untouched: reads
+    // (layout-agnostic by design) still serve, ids intact
+    assert(spark.read.parquet(s"$dir/vectors").count() == rows.size)
+
+    // the fused SPLIT path: ivfSplitList re-derives the two touched
+    // code partitions, so the mirror invariant survives the split
+    def mirrorHolds(): Unit = {
+      val cbs = Similarity.pqReadCodebooks(spark, dir)
+      val cents = Similarity.ivfReadCentroids(spark, dir)
+      def hex(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)).toSet
+      val stored = hex(spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      val expect = hex(Similarity.ivfPqEncodeResiduals(
+          spark.read.parquet(s"$dir/vectors"), "vec_id", "embedding",
+          cents, cbs)
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      assert(stored == expect, "codes must mirror vectors")
+    }
+    val loaded = Similarity.ivfReadCentroids(spark, dir)
+    val list0 = Similarity.nearestLists(centers(0), loaded, 1).head
+    Similarity.ivfSplitList(spark, dir, "vec_id", "embedding", list0,
+      sampleSize = 64, iters = 6)
+    assert(Similarity.ivfReadCentroids(spark, dir).length == loaded.length + 1,
+      "split appends one centroid")
+    mirrorHolds()
+    // the split index still answers fused queries over every id
+    val all = Similarity.ivfPqTopK(spark, dir, "vec_id", "embedding",
+      centers(0), k = 6, nprobe = 3, refine = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all.nonEmpty)
+  }
+
+  test("ivfRecoverSplit: a torn split (centroids written, vectors not) is repaired by replay") {
+    val dim = 4
+    val rnd = new scala.util.Random(17)
+    // one crowded axis-0 cluster with two separable sub-modes (+x skewed
+    // up vs down on axis 1), plus a quiet axis-2 cluster
+    def mode(b: Array[Float]) = b.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val subA = Array(1f, 0.3f, 0f, 0f)
+    val subB = Array(1f, -0.3f, 0f, 0f)
+    val rows = (0 until 20).map(i => (i.toLong, mode(if (i % 2 == 0) subA else subB))) ++
+      (20 until 26).map(i => (i.toLong, mode(Array(0f, 0f, 1f, 0f))))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val dir = java.nio.file.Files.createTempDirectory("ivfsplit_").toString + "/idx"
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+
+    // CRASH SIMULATION — exactly ivfSplitList's torn window: the intent
+    // sidecar AND the updated centroid table (sub-centroids at ids 0
+    // and 2) are committed, the vector rewrite never ran: list 0 still
+    // holds all 20 rows, centroid 2 references an absent dir
+    val intent = s"0 2\n${subA.mkString(",")}\n${subB.mkString(",")}\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".split_intent"),
+      intent.getBytes("UTF-8"))
+    val updated = Seq((0, subA.toSeq), (1, centroids(1).toSeq), (2, subB.toSeq))
+    updated.toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    assert(!new java.io.File(s"$dir/vectors/ivf_list=2").exists,
+      "crash state: the new list's dir must not exist yet")
+
+    // the sweep replays the rewrite from the RECORDED sub-centroids
+    assert(Similarity.ivfRecoverSplit(spark, dir, "vec_id", "embedding"),
+      "a torn split must be detected and repaired")
+    assert(!new java.io.File(s"$dir/.split_intent").exists,
+      "repair must consume the intent")
+    val after = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("ivf_list").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(after.size == 26, "repair must preserve the vector multiset")
+    // every crowded-cluster row now sits with its nearer sub-centroid
+    (0 until 20).foreach { i =>
+      val expected = if (i % 2 == 0) 0 else 2
+      assert(after(i.toLong) == expected,
+        s"row $i must land in list $expected, got ${after(i.toLong)}")
+    }
+    assert(after.filter(_._2 == 1).keySet == (20L until 26L).toSet,
+      "the quiet list must be untouched")
+    // idempotence: a second sweep with no intent is a no-op
+    assert(!Similarity.ivfRecoverSplit(spark, dir, "vec_id", "embedding"))
+    // and a fresh split on the repaired index allocates the NEXT id (3),
+    // not a duplicate — no dead-centroid accumulation
+    Similarity.ivfSplitList(spark, dir, "vec_id", "embedding", 0,
+      sampleSize = 64, iters = 4)
+    assert(Similarity.ivfReadCentroids(spark, dir).length == 4)
+  }
+
   test("approx_percentile within rank-error bound of the exact percentile twin") {
     // accuracy = 1000 → rank error <= group_size/1000; bounding by the
     // exact percentiles at p ± 0.01 is 10x looser than the guarantee, so

@@ -1129,6 +1129,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fused IVF-PQ ingest sink: batches advance the index + mirror, drift fires the split policy, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_sink_").toString
+    val idxDir = s"$base/idx"
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 0f, 1f, 0f)
+    val rnd = new scala.util.Random(23)
+    def near(c: Array[Float], axis1: Float = 0f): Seq[Float] =
+      c.zipWithIndex.map { case (x, j) =>
+        (if (j == 1) x + axis1 else x) + 0.01f * rnd.nextGaussian().toFloat
+      }.toSeq
+    // bootstrap: 4 vectors per center, explicit centroids, m=2 sub=2
+    val seed = (0 until 4).map(i => (i.toLong, near(e0))) ++
+      (4 until 8).map(i => (i.toLong, near(e1)))
+    graft.operators.Similarity.ivfPqWriteIndex(
+      seed.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Array(e0, e1), dim = 4, idxDir, m = 2, kSub = 4)
+
+    def mirrorHolds(when: String): Unit = {
+      val cbs = graft.operators.Similarity.pqReadCodebooks(spark, idxDir)
+      val cents = graft.operators.Similarity.ivfReadCentroids(spark, idxDir)
+      def hex(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).map("%02x".format(_)).mkString)).toSet
+      val stored = hex(spark.read.parquet(s"$idxDir/codes")
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      val expect = hex(graft.operators.Similarity.ivfPqEncodeResiduals(
+          spark.read.parquet(s"$idxDir/vectors"), "vec_id", "embedding",
+          cents, cbs)
+        .select(col("vec_id"), col("ivf_list").cast("int"), col("pq_code"))
+        .collect())
+      assert(stored == expect, s"codes must mirror vectors $when")
+    }
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    def start(ck: String) = graft.sources.IO.ivfPqIndexSink(
+        in.toDF().toDF("vec_id", "embedding"), idxDir, ck,
+        "vec_id", "embedding", splitSkewFactor = 1.5)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test (sink default: AvailableNow backfill)
+      .start()
+    val q = start(s"$base/ck")
+    try {
+      // batch 1: 3 vectors near e0 — appended, probeable, mirror holds,
+      // skew 7/5.5 = 1.27 below the 1.5 policy → NO split
+      in.addData((10 until 13).map(i => (i.toLong, near(e0))): _*)
+      q.processAllAvailable()
+      mirrorHolds("after batch 1")
+      assert(graft.operators.Similarity.ivfReadCentroids(spark, idxDir).length == 2,
+        "no split below the skew policy")
+      val top = graft.operators.Similarity.ivfPqTopK(spark, idxDir,
+        "vec_id", "embedding", e0, k = 7, nprobe = 1, refine = 4)
+        .select("vec_id").as[Long].collect().toSet
+      assert(Set(10L, 11L, 12L).subsetOf(top),
+        s"batch-1 vectors must be fused-probeable: $top")
+
+      // batch 2: 10 more into list 0 in TWO sub-modes (axis-1 ±0.3) —
+      // skew 17/10.5 = 1.62 fires the census; the in-sink incremental
+      // lever splits list 0 (fused split: codes re-derive for both
+      // touched partitions)
+      in.addData((20 until 30).map(i =>
+        (i.toLong, near(e0, if (i % 2 == 0) 0.3f else -0.3f))): _*)
+      q.processAllAvailable()
+      assert(graft.operators.Similarity.ivfReadCentroids(spark, idxDir).length == 3,
+        "drifted append must fire the census and split the oversized list")
+      mirrorHolds("after the in-sink split")
+      val all = graft.operators.Similarity.ivfPqTopK(spark, idxDir,
+        "vec_id", "embedding", e0, k = 17, nprobe = 3, refine = 8)
+        .select("vec_id").as[Long].collect().toSet
+      assert((Set(10L, 11L, 12L) ++ (20L until 30L)).subsetOf(all),
+        s"every ingested vector must survive the split probeable: $all")
+    } finally q.stop()
+
+    // REPLAY: a restart from a fresh checkpoint redelivers batch ids
+    // from 0 — the idempotent markers skip them, so the index bytes
+    // (vectors, codes, centroids — including the split decision) are
+    // untouched: no re-split, no fresh list ids
+    def state() = (
+      graft.operators.Similarity.ivfReadCentroids(spark, idxDir).length,
+      spark.read.parquet(s"$idxDir/vectors").select("vec_id", "ivf_list")
+        .collect().map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$idxDir/codes")
+        .select(col("vec_id"), col("pq_code")).collect()
+        .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1).toSeq)
+    val before = state()
+    val q2 = start(s"$base/ck2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == before, "replayed batches must not change the index")
+  }
+
   test("typed Dataset surface: events as case-class Dataset") {
     val ev = graft.sources.Tables.eventsTyped(spark, sfDir)
     val n = ev.filter(_.event_type == "purchase").map(_.value).reduce(_ + _)
