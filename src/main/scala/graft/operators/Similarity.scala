@@ -1029,8 +1029,13 @@ object Similarity {
   // Codes are RESIDUAL encodings (v − coarse centroid of its list, the
   // IVFADC design proper): within a list every vector shares the coarse
   // part, so raw-vector codes would collapse to near-identical words
-  // and ADC couldn't rank INSIDE a list at all — measured: recall@10
-  // 0.02 with raw codes vs 1.0 residual at 1M vectors (AnnScale pq).
+  // and ADC couldn't rank INSIDE a list at all (raw-code ADC measured
+  // ~0.02 recall@10 during development). The shipped residual design at
+  // 1M × 64f (AnnScale pq, 2026-08-15, BASELINE.md r13 row): recall@10
+  // 0.55 / 0.80 / 0.94 at refine 8 / 32 / 128 — `refine` is the
+  // recall-vs-re-rank-I/O lever, and on a corpus whose true neighbors
+  // sit inside ADC's quantization noise the lever is the design, not a
+  // workaround.
   // The codebooks therefore quantize the residual distribution, and the
   // ADC scorer folds the per-list coarse terms back in from the k-row
   // centroid table (driver-sized closed form, no extra scan).
