@@ -4444,6 +4444,324 @@ object Queries {
   }
 
   // -------------------------------------------------------------------
+  // round 13: corpus-audit + mixture-planning pack
+  // -------------------------------------------------------------------
+
+  /** q_contamination_frac — GRADED benchmark-contamination census, the
+    * diagnostic sibling of [[q_decontaminate]]'s drop-or-keep verdict:
+    * per corpus doc (id ≥ 10), how many of its distinct 5-gram shingles
+    * appear anywhere in the held-out set (docs 0–9, the same fixture
+    * carve), as exact integer HALF_UP parts-per-million. A pipeline
+    * wants this graded view before choosing a drop threshold — a doc
+    * quoting one benchmark sentence and a doc that IS a benchmark copy
+    * both fail the boolean test, but only one should survive a 5% cut.
+    * Probe shingles broadcast (benchmark-sized — the [[q_decontaminate]]
+    * boundedness argument); the corpus explode aggregates straight back
+    * to doc_id — one shuffle, no corpus-side join or re-scan. The ppm
+    * numerator stays ≤ 2·10⁶·|shingles| so the double floor-division is
+    * exact on both engines. */
+  val q_contamination_frac: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shingleSet(5)(Text.tokens(col("text")))).as("sh"))
+    val probe = sh.filter(col("doc_id") < 10).select("sh").distinct()
+      .withColumn("__hit", lit(1))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(probe), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("contam_ppm",
+        floor((col("n_hit") * 2000000L + col("n_shingles")) /
+          (col("n_shingles") * 2)).cast("long"))
+      .select("doc_id", "n_shingles", "n_hit", "contam_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** q_spearman — Spearman rank correlation (ties by average rank)
+    * between per-customer order count and lifetime spend — the rank twin
+    * of [[q_kendall_tau]] and the monotone-association check a feature
+    * pipeline runs before trusting a linear correlation. Ranks are
+    * computed scale-safe: per-VALUE counts (bounded by the distinct
+    * domain, never a per-row window), then
+    * [[operators.Analytics.globalRunningSum]] turns them into exclusive
+    * prefix counts without a single-partition window; the doubled
+    * average rank 2r̄ = 2·#{<v} + #{=v} + 1 stays integer. The final ρ
+    * is ONE double expression over exact integer sums (cent-long spend,
+    * Decimal(38,0) folds — the q_kendall_tau overflow discipline; the
+    * per-row products r̄²∈long hold to n ≈ 1.5·10⁹ rows, the sums
+    * beyond), so both engines round the identical value. */
+  val q_spearman: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .localCheckpoint(eager = true) // feeds two rank derivations + fold
+    def ranks2(vCol: String, out: String): DataFrame = {
+      val cnts = per.groupBy(col(vCol)).agg(count(lit(1)).as("cnt"))
+      operators.Analytics.globalRunningSum(
+          cnts, Seq(col(vCol)), "cnt", "cum_incl")
+        .select(col(vCol),
+          (col("cum_incl") * 2 - col("cnt") + 1).as(out))
+    }
+    val dec = "decimal(38,0)"
+    per
+      .join(ranks2("x", "rx2"), Seq("x"))
+      .join(ranks2("y", "ry2"), Seq("y"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rx2")).cast(dec).as("sx"),
+        sum(col("ry2")).cast(dec).as("sy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).as("sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).as("syy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("rho"))
+  }
+
+  /** q_cohen_kappa — inter-rater agreement (Cohen's κ) between two
+    * quality heuristics, per language: rater A flags length
+    * (n_chars ≥ 280), rater B flags short mean word length
+    * (10·nonspace_chars ≤ 45·tokens — integer-exact, no float
+    * threshold). A pipeline comparing two quality classifiers needs κ,
+    * not raw agreement: both raters pass most docs, so agreement is
+    * inflated by chance and κ corrects for it. One narrow pass builds
+    * the 2×2 confusion per lang; κ = 2(n₁₁n₀₀ − n₁₀n₀₁) /
+    * ((n₁₁+n₁₀)(n₁₀+n₀₀) + (n₁₁+n₀₁)(n₀₁+n₀₀)) is exact-integer until
+    * the single rounded division (null if the denominator degenerates —
+    * a one-cell language has no chance-agreement to correct). */
+  val q_cohen_kappa: Q = (s, d) => {
+    val t = Tables.documents(s, d).select(col("lang"),
+      when(col("n_chars") >= 280, 1L).otherwise(0L).as("a"),
+      when(length(regexp_replace(col("text"), " ", "")) * 10 <=
+        Text.tokenCount(col("text")) * 45, 1L).otherwise(0L).as("b"))
+    t.groupBy("lang")
+      .agg(sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .withColumn("kappa",
+        round((lit(2L) * (col("n11") * col("n00") - col("n10") * col("n01")))
+            .cast("double") /
+          nullif(((col("n11") + col("n10")) * (col("n10") + col("n00")) +
+            (col("n11") + col("n01")) * (col("n01") + col("n00")))
+            .cast("double"), lit(0.0)), 6))
+      .select("lang", "n11", "n10", "n01", "n00", "kappa")
+      .orderBy("lang")
+  }
+
+  /** q_mixture_epochs — α=0.5 temperature-sampled data-mixture plan:
+    * per source, its token count, its sqrt-scaled share of a
+    * 10×-total-tokens training budget, and the repeat factor (epochs)
+    * that share implies — the standard multilingual/multi-source
+    * rebalancing that upsamples small sources without letting any
+    * source dominate. The sqrt weight is quantized to an exact
+    * micro-long (IEEE sqrt is correctly rounded on both engines, so the
+    * quantized weight — and the integer total it sums to — is
+    * deterministic); share and epochs are then single double
+    * expressions over exact integers with identical operand order on
+    * both engines. One groupBy over sources plus a broadcast scalar —
+    * no second corpus pass. */
+  val q_mixture_epochs: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(Text.tokenCount(col("text"))).as("tokens"))
+      .withColumn("sw",
+        floor(sqrt(col("tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+      .localCheckpoint(eager = true) // feeds the scalar fold + final map
+    val tot = toks.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("sw")).as("total_sw"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        floor(col("sw").cast("double") * 1000000.0 /
+          col("total_sw").cast("double") + 0.5).cast("long"))
+      .withColumn("epochs_dp4",
+        floor(col("sw").cast("double") * (col("total_tokens") * 10L)
+            .cast("double") * 10000.0 /
+          (col("total_sw").cast("double") * col("tokens").cast("double")) +
+          0.5).cast("long"))
+      .select("source", "tokens", "share_ppm", "epochs_dp4")
+      .orderBy("source")
+  }
+
+  /** q_curriculum_bins — curriculum staging: docs ranked by length
+    * (n_chars, doc_id-tiebroken) into 4 exact quartile stages, each
+    * stage's doc count, token budget and length span — the
+    * shortest-first schedule a curriculum loader feeds from. The global
+    * ranking is scale-safe ([[operators.Analytics.globalRowNumber]]
+    * range-repartitions and numbers by partition offsets — the
+    * q_concentration discipline) and the stage is the exact ntile
+    * ARITHMETIC on (rank, n), reproducing SQL ntile bit-for-bit. */
+  val q_curriculum_bins: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      Text.tokenCount(col("text")).as("n_tokens"))
+    val ranked = operators.Analytics.globalRowNumber(
+      docs, Seq(col("n_chars"), col("doc_id")), "rank")
+    val n = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("stage",
+        operators.Analytics.ntileOfRank(col("rank"), col("n_total"), 4))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("stage")
+  }
+
+  // -------------------------------------------------------------------
+  // round 13: privacy-audit + containment pack
+  // -------------------------------------------------------------------
+
+  /** q_k_anonymity — k-anonymity census over the release-candidate
+    * quasi-identifier (c_nationkey, c_mktsegment, acctbal bucketed to
+    * 1000): for each equivalence-class SIZE, how many classes and rows
+    * sit at that size. The census — not a per-class dump — is what an
+    * anonymization review reads: rows in size-1 classes are uniquely
+    * re-identifiable, and the k at which the cumulative row mass
+    * crosses the policy line picks the generalization
+    * ([[q_generalize_ladder]] is the planning twin). Two narrow
+    * groupBys (classes, then sizes), no joins; the class relation is
+    * bounded by the quasi-id domain, far below corpus cardinality at
+    * any SF. The bucket edge is floor over ONE IEEE division of the
+    * raw double — bit-identical across engines. */
+  val q_k_anonymity: Q = (s, d) => {
+    val cls = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    cls.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .orderBy("class_size")
+  }
+
+  /** q_l_diversity — distinct-l diversity audit: k-anonymity alone
+    * leaves a homogeneity attack open (a size-50 class whose SENSITIVE
+    * value is constant discloses it for all 50), so per equivalence
+    * class (c_nationkey, c_mktsegment) count the distinct sensitive
+    * values (acctbal tier, width 2000 — an attribute OUTSIDE the
+    * quasi-id) alongside the class size, and flag classes below l=3.
+    * One exact groupBy with a distinct-count — Spark's partial
+    * aggregation dedups (key, sensitive) map-side, so the shuffle
+    * carries the bounded distinct domain, not the row count. */
+  val q_l_diversity: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(floor(col("c_acctbal") / 2000.0).cast("long")).as("l"),
+        (countDistinct(floor(col("c_acctbal") / 2000.0).cast("long")) >= 3)
+          .cast("long").as("diverse_ok"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** q_generalize_ladder — generalization planning for
+    * [[q_k_anonymity]]: replay the equivalence-class census at each
+    * rung of a bucket-width ladder (500 → 20000 on acctbal) and report,
+    * per width, the class count, the minimum class size, the rows in
+    * classes below k=5 (the at-risk mass) and whether the rung clears
+    * k≥5 — the table an anonymization pass reads to pick the COARSEST
+    * width that still meets policy. One corpus scan exploded ×5 rungs
+    * into a single groupBy (the rung is just another grouping key — no
+    * per-rung re-scan, no union of 5 jobs), then a 5-row fold. Class
+    * relation stays quasi-id-bounded at every rung. */
+  val q_generalize_ladder: Q = (s, d) => {
+    val widths = array(Seq(500.0, 1000.0, 2500.0, 5000.0, 20000.0)
+      .map(lit): _*)
+    val cls = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+        explode(widths).as("w"))
+      .groupBy(col("w"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / col("w")).as("bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    cls.groupBy(col("w").cast("long").as("width"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class"),
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        (min(col("class_size")) >= 5).cast("long").as("k5_ok"))
+      .orderBy("width")
+  }
+
+  /** q_boilerplate — positional 8-gram boilerplate mass, the
+    * exact-substring-dedup signal (Lee et al.-style pipelines drop or
+    * mask substrings that recur across documents): per doc, its window
+    * count, the windows whose 8-gram occurs in ≥4 DISTINCT docs, and
+    * that mass as exact HALF_UP ppm. Positional windows (not distinct
+    * shingles — [[graft.operators.Dedup.shingleList]]): a doc repeating
+    * a hot phrase 10× owes 10 positions. The exploded window relation
+    * is materialized ONCE and feeds both the df census (distinct
+    * doc×gram, then gram fold) and the hit count; the hot-gram relation
+    * is gram-universe-bounded and joins back by shuffle (no broadcast
+    * hint — it is NOT benchmark-sized like [[q_contamination_frac]]'s
+    * probe). The ppm floor-division is exact on both engines
+    * (numerator ≪ 2⁵³). */
+  val q_boilerplate: Q = (s, d) => {
+    val win = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Dedup.shingleList(8)(Text.tokens(col("text")))).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      .localCheckpoint(eager = true)
+    val hot = win.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 4).select("sh").withColumn("__hot", lit(1))
+    win.join(hot, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm",
+        floor((col("n_boiler") * 2000000L + col("n_windows")) /
+          (col("n_windows") * 2)).cast("long"))
+      .select("doc_id", "n_windows", "n_boiler", "boiler_ppm")
+      .orderBy("doc_id")
+  }
+
+  /** q_dup_inflation — the dedup-savings report a corpus owner reads
+    * before paying for training tokens: per source, raw token mass vs
+    * the mass surviving global exact dedup (keep-first by min doc_id
+    * over md5(text) — the [[q_dedup_doc]] canonical rule; kept mass is
+    * attributed to the CANONICAL copy's source), and the duplicated
+    * share as exact HALF_UP ppm. One fingerprint-keyed shuffle join
+    * (canonical relation is distinct-content-bounded), one source fold
+    * — no text ever shuffles (md5 + token count travel, not the
+    * document). */
+  val q_dup_inflation: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        Text.tokenCount(col("text")).as("toks"))
+    val canon = docs.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    docs.join(canon, Seq("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(col("toks")).as("tokens_raw"),
+        sum(when(col("doc_id") === col("keep_id"), col("toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("dup_ppm",
+        floor(((col("tokens_raw") - col("tokens_kept")) * 2000000L +
+          col("tokens_raw")) / (col("tokens_raw") * 2)).cast("long"))
+      .select("source", "n_docs", "n_kept", "tokens_raw", "tokens_kept",
+        "dup_ppm")
+      .orderBy("source")
+  }
+
+  /** q_containment — directed near-superset detection
+    * ([[graft.operators.Dedup.ngramContainmentPairs]]): every ordered
+    * doc pair where ≥80% of the contained doc's distinct token-3-grams
+    * appear in the container — the extract-of/quote relationship that
+    * symmetric Jaccard ([[q_dedup_ngram]]) scores low and misses.
+    * DuckDB-oracle-checked: the oracle mirrors shingling, the
+    * hot-shingle df cap, the one-intersection-two-directions
+    * derivation and the unrounded 0.8 threshold term for term. */
+  val q_containment: Q = (s, d) =>
+    Dedup.ngramContainmentPairs(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id_in"), col("id_of"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_in", "id_of")
+
+  // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
 
@@ -4665,5 +4983,16 @@ object Queries {
     "q_graph_modularity" -> q_graph_modularity,
     "q_graph_ktruss" -> q_graph_ktruss,
     "q_bpe_encode" -> q_bpe_encode,
+    "q_contamination_frac" -> q_contamination_frac,
+    "q_spearman" -> q_spearman,
+    "q_cohen_kappa" -> q_cohen_kappa,
+    "q_mixture_epochs" -> q_mixture_epochs,
+    "q_curriculum_bins" -> q_curriculum_bins,
+    "q_k_anonymity" -> q_k_anonymity,
+    "q_l_diversity" -> q_l_diversity,
+    "q_generalize_ladder" -> q_generalize_ladder,
+    "q_containment" -> q_containment,
+    "q_boilerplate" -> q_boilerplate,
+    "q_dup_inflation" -> q_dup_inflation,
   )
 }

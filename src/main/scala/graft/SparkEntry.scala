@@ -5977,5 +5977,177 @@ object SparkEntry {
         |                       CAST(4 * CAST(w AS HUGEINT) * CAST(w AS HUGEINT) AS DOUBLE), 6)
         |            ELSE 0.0 END AS modularity
         |FROM wtot CROSS JOIN intra CROSS JOIN agg""".stripMargin,
+    // round 13: corpus-audit + mixture-planning pack
+    "q_contamination_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)])) AS sh FROM t
+        |), c AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |         sum(CASE WHEN sh IN (SELECT sh FROM s WHERE doc_id < 10) THEN 1 ELSE 0 END) AS n_hit
+        |  FROM s WHERE doc_id >= 10 GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(n_hit AS BIGINT) AS n_hit,
+        |       CAST(floor((n_hit * 2000000 + n_shingles) / (n_shingles * 2.0)) AS BIGINT) AS contam_ppm
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_spearman" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS x,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT x, y,
+        |         2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+        |         2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry2
+        |  FROM per),
+        |sums AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(rx2) AS HUGEINT) AS sx, CAST(sum(ry2) AS HUGEINT) AS sy,
+        |         CAST(sum(rx2 * rx2) AS HUGEINT) AS sxx,
+        |         CAST(sum(ry2 * ry2) AS HUGEINT) AS syy,
+        |         CAST(sum(rx2 * ry2) AS HUGEINT) AS sxy
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS rho
+        |FROM sums""".stripMargin,
+    "q_cohen_kappa" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END AS a,
+        |         CASE WHEN length(replace(text, ' ', '')) * 10 <=
+        |                   len(list_filter(string_split(text, ' '), w -> w <> '')) * 45
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |         CAST(sum(a * b) AS BIGINT) AS n11,
+        |         CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |         CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |         CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM t GROUP BY lang)
+        |SELECT lang, n11, n10, n01, n00,
+        |       round(CAST(2 * (n11 * n00 - n10 * n01) AS DOUBLE) /
+        |             nullif(CAST((n11 + n10) * (n10 + n00) +
+        |                         (n11 + n01) * (n01 + n00) AS DOUBLE), 0.0),
+        |             6) AS kappa
+        |FROM c ORDER BY lang""".stripMargin,
+    "q_mixture_epochs" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |sw AS (
+        |  SELECT source, tokens,
+        |         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sw
+        |  FROM toks),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |         CAST(sum(sw) AS BIGINT) AS total_sw FROM sw)
+        |SELECT source, tokens,
+        |       CAST(floor(CAST(sw AS DOUBLE) * 1000000.0 /
+        |                  CAST(total_sw AS DOUBLE) + 0.5) AS BIGINT) AS share_ppm,
+        |       CAST(floor(CAST(sw AS DOUBLE) * CAST(total_tokens * 10 AS DOUBLE) * 10000.0 /
+        |                  (CAST(total_sw AS DOUBLE) * CAST(tokens AS DOUBLE)) + 0.5) AS BIGINT) AS epochs_dp4
+        |FROM sw CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_curriculum_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |         CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+        |  FROM documents)
+        |SELECT stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY stage ORDER BY stage""".stripMargin,
+    // round 13: privacy-audit + containment pack
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |         count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, count(*) AS n_classes,
+        |       CAST(sum(class_size) AS BIGINT) AS n_rows
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+    "q_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l,
+        |       CAST(count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 3
+        |            AS BIGINT) AS diverse_ok
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_generalize_ladder" ->
+      """WITH cls AS (
+        |  SELECT w, c_nationkey, c_mktsegment,
+        |         floor(c_acctbal / w) AS bucket, count(*) AS class_size
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest([500.0, 1000.0, 2500.0, 5000.0, 20000.0]) AS w)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(w AS BIGINT) AS width, count(*) AS n_classes,
+        |       CAST(min(class_size) AS BIGINT) AS min_class,
+        |       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |            AS BIGINT) AS rows_at_risk,
+        |       CAST(min(class_size) >= 5 AS BIGINT) AS k5_ok
+        |FROM cls GROUP BY w ORDER BY width""".stripMargin,
+    // mirrors Dedup.ngramContainmentPairs: oracle-parity tokenize →
+    // distinct token-3-grams → df cap (>1000 docs) → one intersection
+    // per unordered pair → BOTH directed containments; threshold on the
+    // unrounded score, 6-dp display rounding
+    "q_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), s2 AS (
+        |  SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), dir AS (
+        |  SELECT id_a AS id_in, id_b AS id_of,
+        |         CAST(n_common AS DOUBLE) / CAST(sa.set_size AS DOUBLE) AS c
+        |  FROM common JOIN sz sa ON id_a = sa.doc_id
+        |  UNION ALL
+        |  SELECT id_b, id_a,
+        |         CAST(n_common AS DOUBLE) / CAST(sb.set_size AS DOUBLE) AS c
+        |  FROM common JOIN sz sb ON id_b = sb.doc_id)
+        |SELECT id_in, id_of, round(c, 6) AS containment
+        |FROM dir WHERE c >= 0.8 ORDER BY id_in, id_of""".stripMargin,
+    // mirrors Queries.q_boilerplate: POSITIONAL (non-distinct) 8-gram
+    // windows, df = distinct docs per gram, hot at df >= 4, exact
+    // HALF_UP ppm via the floor((2a+b)/2b) identity
+    "q_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] for i in range(1, len(toks) - 6)]) AS sh FROM t
+        |), hot AS (
+        |  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df FROM w GROUP BY sh) WHERE df >= 4
+        |), c AS (
+        |  SELECT doc_id, count(*) AS n_windows,
+        |         sum(CASE WHEN sh IN (SELECT sh FROM hot) THEN 1 ELSE 0 END) AS n_boiler
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+        |       CAST(n_boiler AS BIGINT) AS n_boiler,
+        |       CAST(floor((n_boiler * 2000000 + n_windows) / (n_windows * 2.0)) AS BIGINT) AS boiler_ppm
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_dup_inflation" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS fp,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(toks) AS BIGINT) AS tokens_raw,
+        |       CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |       CAST(floor(((sum(toks) - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)) * 2000000
+        |                   + sum(toks)) / (sum(toks) * 2.0)) AS BIGINT) AS dup_ppm
+        |FROM d JOIN canon USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

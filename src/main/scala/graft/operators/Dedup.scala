@@ -63,6 +63,17 @@ object Dedup {
       else toks.sliding(n).map(_.mkString(" ")).toVector.distinct
     }
 
+  /** Positional (NON-distinct) n-gram windows — one entry per window
+    * position, duplicates kept: the unit of the boilerplate-mass census
+    * ([[graft.Queries.q_boilerplate]]), where a doc repeating a hot
+    * phrase 10× owes 10 window positions, not 1 distinct shingle.
+    * Same single-UDF-pass rationale as [[shingleSet]]. */
+  def shingleList(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toVector
+    }
+
   /** Fused MinHash + banding: one JVM pass tokens → distinct shingles →
     * `numHashes` min-hashes → `bands` band-bucket keys.
     * Returns struct(sig array<bigint>, buckets array<bigint>).
@@ -328,6 +339,56 @@ object Dedup {
         (col("common").cast("double") /
           (col("sa.set_size") + col("sb.set_size") - col("common")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** Directed n-gram CONTAINMENT pairs — near-superset detection, the
+    * asymmetric sibling of [[ngramJaccardPairs]]: containment(a ⊆ b) =
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)|, emitted for every
+    * ordered pair at or above `minContainment`. Jaccard misses the
+    * quote/extract relationship (a short doc fully contained in a long
+    * one scores low Jaccard but containment 1.0); dedup pipelines use
+    * containment to collapse extract-of relationships the symmetric
+    * score can't see. Same single-scan capped-inverted-index plan as
+    * the Jaccard op: each unordered candidate pair's intersection is
+    * computed ONCE, then both directed rows derive from it (a cheap
+    * post-join projection, not a second self-join), and only pairs
+    * sharing ≥1 surviving shingle are ever materialized — never
+    * all-pairs, so the 100 TB shape is the same as the proven Jaccard
+    * path. The division is a single IEEE op over exact integers,
+    * bit-identical across engines; thresholding happens on the
+    * UNROUNDED score. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, maxDocFreq: Long = 1000L,
+                            minContainment: Double = 0.8): DataFrame = {
+    val shRaw = docs.select(col(idCol).as("id"),
+      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+      .localCheckpoint(eager = true)
+    val sh = {
+      val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("sh")
+      shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))
+    val common = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val withSizes = common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("sa.set_size").as("size_a"), col("sb.set_size").as("size_b"))
+    val dirA = withSizes.select(col("id_a").as("id_in"),
+      col("id_b").as("id_of"),
+      (col("common").cast("double") / col("size_a").cast("double"))
+        .as("containment"))
+    val dirB = withSizes.select(col("id_b").as("id_in"),
+      col("id_a").as("id_of"),
+      (col("common").cast("double") / col("size_b").cast("double"))
+        .as("containment"))
+    dirA.unionAll(dirB).filter(col("containment") >= minContainment)
   }
 
   /** Benchmark decontamination — the pretraining hygiene pass: drop every

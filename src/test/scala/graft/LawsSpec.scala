@@ -1095,4 +1095,279 @@ class LawsSpec extends SparkSpec {
     assert(folded == Map("a" -> 0.7, "b" -> 0.4, "d" -> 0.3),
       s"steal-window fold drifted: $folded")
   }
+
+  test("q_spearman matches an independent driver-side average-rank rho") {
+    val got = Queries.q_spearman(spark, sfDir).as[(Long, Double)].collect()
+    assert(got.length == 1)
+    val (n, rho) = got.head
+    assert(rho >= -1.0 && rho <= 1.0)
+    // independent witness: average ranks + Pearson over BigInt sums,
+    // computed driver-side from the raw per-customer pairs
+    val per = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .as[(Long, Long, Long)].collect().map(r => (r._2, r._3))
+    assert(n == per.length.toLong)
+    def r2(vs: Array[Long]): Map[Long, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sortedVals = cnt.keys.toArray.sorted
+      var cum = 0L
+      sortedVals.map { v =>
+        val below = cum; cum += cnt(v)
+        v -> (2 * below + cnt(v) + 1)
+      }.toMap
+    }
+    val rx = r2(per.map(_._1)); val ry = r2(per.map(_._2))
+    val pts = per.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+    val bn = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val want = BigDecimal((bn * sxy - sx * sy).toDouble /
+        (math.sqrt((bn * sxx - sx * sx).toDouble) *
+          math.sqrt((bn * syy - sy * sy).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rho == want, s"registry $rho vs driver $want")
+  }
+
+  test("q_cohen_kappa matches an independent driver-side confusion fold") {
+    val got = Queries.q_cohen_kappa(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("text"))
+      .as[(String, Long, String)].collect()
+    for ((lang, n11, n10, n01, n00, kappa) <- got) {
+      val in = docs.filter(_._1 == lang)
+      def cells(p: (String, Long, String)): (Boolean, Boolean) = {
+        val toks = p._3.split(" ").count(_.nonEmpty).toLong
+        val nonspace = p._3.count(_ != ' ').toLong
+        (p._2 >= 280, nonspace * 10 <= toks * 45)
+      }
+      val cs = in.map(cells)
+      assert(n11 == cs.count(c => c._1 && c._2))
+      assert(n10 == cs.count(c => c._1 && !c._2))
+      assert(n01 == cs.count(c => !c._1 && c._2))
+      assert(n00 == cs.count(c => !c._1 && !c._2))
+      val denom = (n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00)
+      if (denom == 0L) assert(kappa.isEmpty)
+      else {
+        val want = BigDecimal(
+            2.0 * (n11 * n00 - n10 * n01).toDouble / denom.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(kappa.contains(want), s"$lang: ${kappa} vs $want")
+        assert(kappa.get >= -1.0 && kappa.get <= 1.0)
+      }
+    }
+  }
+
+  test("q_contamination_frac matches a driver-side shingle census and bounds") {
+    val got = Queries.q_contamination_frac(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val probe = docs.filter(_._1 < 10).flatMap(p => shingles(p._2)).toSet
+    val wantRows = docs.filter(_._1 >= 10).flatMap { case (id, t) =>
+      val sh = shingles(t)
+      if (sh.isEmpty) None
+      else {
+        val hit = sh.count(probe.contains).toLong
+        val ppm = (BigInt(hit) * 2000000 + sh.size) / (BigInt(sh.size) * 2)
+        Some((id, sh.size.toLong, hit, ppm.toLong))
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == wantRows.toSeq)
+    // every ppm is a genuine fraction: 0 ≤ ppm ≤ 1e6, and hit ≤ total
+    assert(got.forall(r => r._3 <= r._2 && r._4 >= 0 && r._4 <= 1000000L))
+  }
+
+  test("q_mixture_epochs: shares sum to ~1e6 and epochs invert the token ratio") {
+    val got = Queries.q_mixture_epochs(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // α=0.5 temperature: shares sum to one million within per-source
+    // rounding slack, every source has a positive share and epoch
+    val shareSum = got.map(_._3).sum
+    assert(math.abs(shareSum - 1000000L) <= got.length,
+      s"share_ppm sum $shareSum")
+    assert(got.forall(r => r._3 > 0 && r._4 > 0))
+    // driver witness for the epoch arithmetic (same operand order)
+    val totalTokens = got.map(_._2).sum
+    val sws = got.map(r => math.floor(
+      math.sqrt(r._2.toDouble) * 1000000.0 + 0.5).toLong)
+    val totalSw = sws.sum
+    for (((src, tokens, sharePpm, epochs), sw) <- got.zip(sws)) {
+      assert(sharePpm ==
+        math.floor(sw.toDouble * 1000000.0 / totalSw.toDouble + 0.5).toLong,
+        s"$src share")
+      val want = math.floor(sw.toDouble * (totalTokens * 10L).toDouble *
+        10000.0 / (totalSw.toDouble * tokens.toDouble) + 0.5).toLong
+      assert(epochs == want, s"$src epochs $epochs vs $want")
+      // sqrt-upsampling: a smaller source never gets a smaller epoch
+      // factor than a bigger one
+      for ((o, osw) <- got.zip(sws) if o._2 > tokens)
+        assert(o._4 <= epochs + 1,
+          s"$src ($tokens toks, $epochs) vs ${o._1} (${o._2} toks, ${o._4})")
+    }
+  }
+
+  test("q_curriculum_bins: exact quartile ledger over the corpus") {
+    val got = Queries.q_curriculum_bins(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+    // ntile ledger: stage sizes differ by at most one, larger first,
+    // and they sum to the corpus
+    assert(got.map(_._2).sum == docs.length.toLong)
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sorted.reverse.toSeq == sizes.toSeq)
+    // stages partition the length-sorted order: spans are
+    // non-decreasing across stage boundaries
+    for (Array(a, b) <- got.sliding(2))
+      assert(a._5 <= b._4 || a._5 <= b._5,
+        s"stage ${a._1} max ${a._5} vs stage ${b._1} min ${b._4}")
+    // token totals are the per-stage sums of the sorted assignment
+    val sorted = docs.sortBy(p => (p._2, p._1))
+    val n = sorted.length; val k = got.length
+    val big = n % k; val small = n / k
+    val bounds = (0 until k).map(i =>
+      if (i < big) small + 1 else small)
+    val stageOf = bounds.scanLeft(0)(_ + _).sliding(2).zipWithIndex.flatMap {
+      case (Seq(lo, hi), i) => sorted.slice(lo, hi).map(_._1 -> (i + 1L))
+    }.toMap
+    val wantCounts = stageOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got.forall(r => wantCounts(r._1) == r._2))
+  }
+
+  test("privacy pack: k-anonymity census + l-diversity fold over customer") {
+    val nCust = graft.sources.Tables.customer(spark, sfDir).count()
+    val kan = Queries.q_k_anonymity(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    // census identity: n_rows = class_size · n_classes per size, and the
+    // sizes partition the whole table
+    assert(kan.nonEmpty &&
+      kan.forall(r => r._1 >= 1 && r._2 >= 1 && r._3 == r._1 * r._2))
+    assert(kan.map(_._3).sum == nCust)
+    val ldiv = Queries.q_l_diversity(spark, sfDir)
+      .as[(Int, String, Long, Long, Long)].collect()
+    assert(ldiv.map(_._3).sum == nCust)
+    // 1 ≤ l ≤ class_size, and the flag is exactly l ≥ 3
+    assert(ldiv.forall(r => r._4 >= 1 && r._4 <= r._3))
+    assert(ldiv.forall(r => (r._5 == 1L) == (r._4 >= 3L)))
+  }
+
+  test("q_generalize_ladder: nested-coarsening monotonicity laws") {
+    val got = Queries.q_generalize_ladder(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(500L, 1000L, 2500L, 5000L, 20000L))
+    val nCust = graft.sources.Tables.customer(spark, sfDir).count()
+    for ((_, (_, nc, mn, risk, ok)) <- got) {
+      assert(nc >= 1 && mn >= 1 && risk >= 0 && risk <= nCust)
+      assert((ok == 1L) == (mn >= 5L))
+    }
+    // the divisibility chain 500 | 1000 | 5000 | 20000 (and 500 | 2500)
+    // nests the bucketings — a coarser rung can only MERGE classes, so
+    // class count and at-risk mass fall, the min class size grows
+    val chain = Seq(500L, 1000L, 5000L, 20000L).map(got)
+    for (Seq(f, c) <- chain.sliding(2)) {
+      assert(c._2 <= f._2, s"n_classes grew $f -> $c")
+      assert(c._3 >= f._3, s"min_class shrank $f -> $c")
+      assert(c._4 <= f._4, s"rows_at_risk grew $f -> $c")
+    }
+    assert(got(2500L)._2 <= got(500L)._2)
+  }
+
+  test("q_containment matches a driver-side brute-force recompute") {
+    val got = Queries.q_containment(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "fixture has exact dups; containment must fire")
+    // independent witness: recompute every pair from raw text with the
+    // same shingle/cap semantics, then brute-force completeness
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = all.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = all.map { case (id, s) => id -> s.filter(df(_) <= 1000) }
+    for ((a, b, c) <- got) {
+      val sa = kept(a); val sb = kept(b)
+      val want = BigDecimal((sa & sb).size.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(c == want, s"pair ($a,$b): got $c want $want")
+    }
+    val ids = kept.keys.toSeq.sorted
+    val brute = for {
+      a <- ids; b <- ids
+      if a != b && kept(a).nonEmpty &&
+        (kept(a) & kept(b)).size.toDouble / kept(a).size >= 0.8
+    } yield (a, b)
+    assert(got.map(p => (p._1, p._2)).toSet == brute.toSet)
+  }
+
+  test("q_boilerplate matches a driver-side positional-window recompute") {
+    val got = Queries.q_boilerplate(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def windows(t: String): Seq[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 8) Seq.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSeq
+    }
+    val win = docs.map { case (id, t) => id -> windows(t) }.toMap
+    val df = win.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val want = win.filter(_._2.nonEmpty).map { case (id, ws) =>
+      val boiler = ws.count(df(_) >= 4)
+      val ppm = (BigInt(boiler) * 2000000 + ws.length) / (ws.length * 2)
+      id -> ((ws.length.toLong, boiler.toLong, ppm.toLong))
+    }
+    assert(got.length == want.size)
+    for ((id, nw, nb, ppm) <- got)
+      assert(want(id) == ((nw, nb, ppm)), s"doc $id: got ($nw,$nb,$ppm)")
+    assert(got.exists(_._3 > 0), "fixture dups must yield boilerplate hits")
+  }
+
+  test("q_dup_inflation matches a driver-side canonical fold") {
+    val got = Queries.q_dup_inflation(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val keep = docs.groupBy(_._3).map { case (_, g) => g.map(_._1).min }.toSet
+    val bySrc = docs.groupBy(_._2)
+    assert(got.map(_._1).toSet == bySrc.keySet)
+    for ((src, nDocs, nKept, raw, kept, ppm) <- got) {
+      val g = bySrc(src)
+      def toks(t: String) = t.split(" ").count(_.nonEmpty).toLong
+      assert(nDocs == g.length.toLong)
+      assert(nKept == g.count(p => keep(p._1)).toLong)
+      assert(raw == g.map(p => toks(p._3)).sum)
+      assert(kept == g.filter(p => keep(p._1)).map(p => toks(p._3)).sum)
+      assert(ppm == ((BigInt(raw - kept) * 2000000 + raw) / (raw * 2)).toLong)
+    }
+    // exact global ledger, valid whether or not the fixture carries
+    // exact dups at this SF (sf0.001 has none — raw == kept there):
+    // dropped-doc count and dropped token mass both equal the
+    // non-canonical remainder, no more, no less
+    assert(got.map(_._2).sum - got.map(_._3).sum ==
+      (docs.length - keep.size).toLong)
+    val dropToks = docs.filter(p => !keep(p._1))
+      .map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+    assert(got.map(_._4).sum - got.map(_._5).sum == dropToks)
+  }
 }

@@ -115,7 +115,12 @@ class PlanAuditSpec extends SparkSpec {
         "q_vocab_coverage",
         // q_graph_triangles / q_graph_clustering / q_graph_modularity:
         // 1-row census crossJoins (scalar count aggregates)
-        "q_graph_triangles", "q_graph_clustering", "q_graph_modularity")
+        "q_graph_triangles", "q_graph_clustering", "q_graph_modularity",
+        // q_mixture_epochs: 1-row (total_tokens, total_sw) broadcast
+        "q_mixture_epochs",
+        // q_curriculum_bins: 1-row row-count broadcast (the
+        // q_percentile_rank / q_concentration ntile shape)
+        "q_curriculum_bins")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
