@@ -4762,6 +4762,196 @@ object Queries {
       .orderBy("id_in", "id_of")
 
   // -------------------------------------------------------------------
+  // round 13: corpus-statistics + importance-weighting pack
+  // -------------------------------------------------------------------
+
+  /** q_ttr — per-source lexical-diversity ledger: token mass, type count,
+    * hapax legomena (words occurring exactly once IN that source),
+    * type-token ratio and hapax share. The corpus-health panel a data
+    * curator reads next to [[q_zipf_fit]]: a source whose TTR collapses
+    * is template spam; one whose hapax share explodes is OCR noise.
+    * One explode → one (source, word) count → one source fold — the
+    * shuffled relation is vocabulary-bounded after the first partial
+    * aggregation, never token-mass-sized. Ratios are single IEEE
+    * divisions of exact longs. */
+  val q_ttr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", round(col("n_types").cast("double") /
+        col("n_tokens").cast("double"), 6))
+      .withColumn("hapax_frac", round(col("n_hapax").cast("double") /
+        col("n_types").cast("double"), 6))
+      .orderBy("source")
+
+  /** q_kl_sources — per-source KL divergence KL(p_source ‖ p_corpus)
+    * over the unigram distribution: the drift census a mixture planner
+    * reads next to [[q_mixture_epochs]] (a source far from the corpus
+    * mean needs its own evaluation slice; one at ≈0 is redundant mass).
+    * No smoothing needed: the corpus marginal dominates every source
+    * (c_word ≥ c_source-word > 0 on exactly the terms that appear).
+    * Scale shape: the (source, word) relation is vocabulary-bounded
+    * after partial aggregation; the corpus marginal folds FROM it (no
+    * second corpus scan); the 1-row total broadcasts. Determinism: each
+    * term is quantized to an exact 1e-12-grain long (the graph-fold
+    * discipline — |term| ≤ ln(Nc) so e12 fits comfortably), summed as
+    * Decimal(38,0) ↔ DuckDB HUGEINT (vocab-many terms overflow a
+    * BIGINT), ONE cast to double, 6-dp display round. */
+  val q_kl_sources: Q = (s, d) => {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(eager = true) // feeds marginal + totals + terms
+    val cw = st.groupBy("tok").agg(sum(col("cs")).as("cwd"))
+    val ns = st.groupBy("source").agg(sum(col("cs")).as("nsrc"),
+      count(lit(1)).as("n_types"))
+    val nc = st.agg(sum(col("cs")).as("ntot"))
+    st.join(cw, Seq("tok"))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("nsrc"), col("n_types"),
+        floor(((col("cs").cast("double") / col("nsrc").cast("double")) *
+          log((col("cs").cast("double") * col("ntot").cast("double")) /
+            (col("cwd").cast("double") * col("nsrc").cast("double")))) *
+          1000000000000.0 + 0.5).as("t12"))
+      .groupBy("source", "nsrc", "n_types")
+      .agg(round(sum(col("t12").cast("decimal(38,0)")).cast("double") /
+        1000000000000.0, 6).as("kl"))
+      .select(col("source"), col("nsrc").as("n_tokens"), col("n_types"),
+        col("kl"))
+      .orderBy("source")
+  }
+
+  /** q_dsir_weights — DSIR-style importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per corpus doc, Σ_w count_w(doc) · ln(p̂_target(w)/p̂_corpus(w))
+    * under add-one-smoothed unigram models — target = the held-out
+    * carve (docs 0–9, the [[q_contamination_frac]] convention), corpus
+    * = everything else. The log-weight a resampler exponentiates to
+    * upsample target-like documents. Scale shape: ONE token explode
+    * feeds both the vocab build and the per-doc scoring join
+    * (checkpointed); the vocab relation (with its quantized log-ratio)
+    * is vocabulary-bounded and joins by word — no broadcast hint, AQE
+    * decides. Determinism: the log-ratio is quantized ONCE PER WORD to
+    * an exact 1e-12-grain long, per-doc folds are exact
+    * count×grain products in Decimal(38,0) ↔ HUGEINT, one final cast. */
+  val q_dsir_weights: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .localCheckpoint(eager = true)
+    val vocab = toks.groupBy("tok")
+      .agg(sum(when(col("doc_id") < 10, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") >= 10, 1L).otherwise(0L)).as("cc"))
+      .localCheckpoint(eager = true) // feeds totals + the log-ratio map
+    val tot = vocab.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("ncp"),
+      count(lit(1)).as("v"))
+    val lr = vocab.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(log(((col("ct") + 1L).cast("double") *
+            (col("ncp") + col("v")).cast("double")) /
+          ((col("cc") + 1L).cast("double") *
+            (col("nt") + col("v")).cast("double"))) *
+          1000000000000.0 + 0.5).as("lr_e12"))
+    toks.filter(col("doc_id") >= 10)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .join(lr, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("decimal(38,0)") * col("lr_e12"))
+          .cast("double") / 1000000000000.0, 6).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
+  /** q_overlap_matrix — source-pair distinct-5-gram Jaccard matrix: the
+    * corpus-level overlap read a mixture planner does BEFORE doc-level
+    * dedup ([[q_dup_inflation]] tells you what exact dedup saves;
+    * this tells you which SOURCES are near-copies of each other and
+    * should be collapsed or downweighted at the catalog level).
+    * Shingles are hashed to the engine-portable 64-bit family
+    * ([[graft.operators.Dedup.portableHash64]]) so the shuffled key is
+    * 8 bytes, not a 5-word string; a hash collision dedups identically
+    * on both engines. The per-source shingle sets are distinct
+    * relations (vocabulary-bounded); the intersection self-join is
+    * hash-keyed (each key matches at most #sources rows — bounded
+    * expansion, never all-pairs); the final pair frame is
+    * #sources²-sized, built from the broadcast size dim so zero-overlap
+    * pairs still appear. */
+  val q_overlap_matrix: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("source"),
+        explode(Dedup.shingleSet(5)(Text.tokens(col("text")))).as("sh_str"))
+      .select(col("source"), Dedup.portableHash64(col("sh_str")).as("h"))
+      .distinct()
+      .localCheckpoint(eager = true) // feeds sizes + the pair join
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.as("x")
+      .join(broadcast(sizes.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.sz").as("size_a"), col("y.sz").as("size_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("size_a") + col("size_b") - col("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        col("n_union").cast("double"), 6))
+      .select("src_a", "src_b", "size_a", "size_b", "n_inter", "n_union",
+        "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** q_winnowing — winnowing fingerprint census (Schleimer, Wilkerson &
+    * Aiken 2003 — the MOSS local document fingerprint): per doc, slide a
+    * w=4 window over the positional 5-gram hash sequence, select each
+    * window's minimum hash (rightmost on ties), and report the selected
+    * set's size and checksum next to the gram/window counts. Winnowing
+    * guarantees any shared substring of ≥ 8 tokens yields a shared
+    * fingerprint while sampling only ~2/(w+1) of positions — the
+    * local-guarantee alternative to MinHash for plagiarism-style
+    * matching. Determinism across engines: the (min-hash, rightmost-pos)
+    * selection is ONE arithmetic min over the encoded key
+    * `h·2²¹ + (2²¹−1 − pos)` (h in [0,2^63) from the portable md5
+    * family — Decimal(38,0) ↔ HUGEINT; min-by-h then max-by-pos falls
+    * out of the encoding, no argmin tie logic). Scale shape: one
+    * positional explode, ONE doc-keyed shuffle serving both window
+    * functions (docs are bounded-length, so a per-doc sort is safe at
+    * any corpus size), distinct + fold. */
+  val q_winnowing: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(Dedup.shingleList(5)(Text.tokens(col("text")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Dedup.portableHash64(col("col")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("h").cast("decimal(38,0)") * lit(2097152L) +
+          (lit(2097151L) - col("pos"))).as("k"))
+    val byDoc = Window.partitionBy("doc_id")
+    val mins = keyed
+      .withColumn("npos", count(lit(1)).over(byDoc))
+      .withColumn("wmin",
+        min(col("k")).over(byDoc.orderBy("pos").rowsBetween(0, 3)))
+      .filter(col("pos") <= col("npos") - 4)
+    mins.select(col("doc_id"), col("npos"), col("wmin")).distinct()
+      .groupBy("doc_id")
+      .agg(max(col("npos")).as("n_grams"),
+        (max(col("npos")) - 3L).as("n_windows"),
+        count(lit(1)).as("n_fingerprints"),
+        sum(col("wmin")).as("fp_sum"))
+      .select(col("doc_id"), col("n_grams"), col("n_windows"),
+        col("n_fingerprints"),
+        expr("CAST(fp_sum % CAST('9223372036854775808' AS DECIMAL(38,0)) AS BIGINT)")
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
 
@@ -4994,5 +5184,10 @@ object Queries {
     "q_containment" -> q_containment,
     "q_boilerplate" -> q_boilerplate,
     "q_dup_inflation" -> q_dup_inflation,
+    "q_ttr" -> q_ttr,
+    "q_kl_sources" -> q_kl_sources,
+    "q_dsir_weights" -> q_dsir_weights,
+    "q_overlap_matrix" -> q_overlap_matrix,
+    "q_winnowing" -> q_winnowing,
   )
 }

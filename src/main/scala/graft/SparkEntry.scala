@@ -6149,5 +6149,117 @@ object SparkEntry {
         |                   + sum(toks)) / (sum(toks) * 2.0)) AS BIGINT) AS dup_ppm
         |FROM d JOIN canon USING (fp)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // round 13: corpus-statistics + importance-weighting pack
+    "q_ttr" ->
+      """WITH c AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |             CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // mirrors q_kl_sources term for term: vocabulary-bounded (source,
+    // word) counts, corpus marginal folded FROM them, each KL term
+    // quantized to a 1e-12-grain integer, HUGEINT sum, one double cast
+    "q_kl_sources" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT source, tok, count(*) AS cs FROM (
+        |    SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |cw AS (SELECT tok, sum(cs) AS cwd FROM st GROUP BY tok),
+        |ns AS (SELECT source, sum(cs) AS nsrc, count(*) AS n_types FROM st GROUP BY source),
+        |nc AS (SELECT sum(cs) AS ntot FROM st),
+        |terms AS (
+        |  SELECT source, nsrc, n_types,
+        |         CAST(floor(((CAST(cs AS DOUBLE) / CAST(nsrc AS DOUBLE)) *
+        |              ln((CAST(cs AS DOUBLE) * CAST(ntot AS DOUBLE)) /
+        |                 (CAST(cwd AS DOUBLE) * CAST(nsrc AS DOUBLE)))) *
+        |              1000000000000.0 + 0.5) AS HUGEINT) AS t12
+        |  FROM st JOIN cw USING (tok) JOIN ns USING (source) CROSS JOIN nc)
+        |SELECT source, CAST(nsrc AS BIGINT) AS n_tokens,
+        |       CAST(n_types AS BIGINT) AS n_types,
+        |       round(CAST(sum(t12) AS DOUBLE) / 1000000000000.0, 6) AS kl
+        |FROM terms GROUP BY source, nsrc, n_types ORDER BY source""".stripMargin,
+    // mirrors q_dsir_weights: add-one-smoothed unigram log-ratio vs the
+    // docs 0-9 target carve, quantized once per word, exact
+    // count-times-grain HUGEINT folds per doc
+    "q_dsir_weights" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT tok, sum(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN doc_id >= 10 THEN 1 ELSE 0 END) AS cc
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(ct) AS nt, sum(cc) AS ncp, count(*) AS v FROM vocab),
+        |lr AS (SELECT tok,
+        |              CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(ncp + v AS DOUBLE)) /
+        |                            (CAST(cc + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) *
+        |                   1000000000000.0 + 0.5) AS BIGINT) AS lr_e12
+        |       FROM vocab CROSS JOIN tot),
+        |dc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE doc_id >= 10
+        |       GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       round(CAST(sum(CAST(cnt AS HUGEINT) * lr_e12) AS DOUBLE) /
+        |             1000000000000.0, 6) AS dsir_logw
+        |FROM dc JOIN lr USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_overlap_matrix: per-source distinct 5-gram sets under
+    // the portable md5 hash, hash-keyed intersection join, full pair
+    // frame from the size dim so zero-overlap pairs appear
+    "q_overlap_matrix" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s0 AS (
+        |  SELECT source, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)])) AS sh FROM t
+        |), sh AS MATERIALIZED (
+        |  SELECT DISTINCT source,
+        |         (md5_number_upper(sh)::HUGEINT + md5_number_lower(sh)::HUGEINT) % 9223372036854775808 AS h
+        |  FROM s0
+        |), sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+        |it AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+        |SELECT x.source AS src_a, y.source AS src_b,
+        |       CAST(x.sz AS BIGINT) AS size_a, CAST(y.sz AS BIGINT) AS size_b,
+        |       CAST(coalesce(it.n_inter, 0) AS BIGINT) AS n_inter,
+        |       CAST(x.sz + y.sz - coalesce(it.n_inter, 0) AS BIGINT) AS n_union,
+        |       round(CAST(coalesce(it.n_inter, 0) AS DOUBLE) /
+        |             CAST(x.sz + y.sz - coalesce(it.n_inter, 0) AS DOUBLE), 6) AS jaccard
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN it ON it.src_a = x.source AND it.src_b = y.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    // mirrors q_winnowing: positional 5-gram portable hashes, the
+    // encoded (min-h, rightmost-pos) key h*2^21 + (2^21-1-pos), w=4
+    // frame min, distinct selected keys, HUGEINT checksum mod 2^63
+    "q_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS pos,
+        |         toks[r.i] || ' ' || toks[r.i+1] || ' ' || toks[r.i+2] || ' ' || toks[r.i+3] || ' ' || toks[r.i+4] AS sh
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS r(i)
+        |), k AS (
+        |  SELECT doc_id, pos,
+        |         ((md5_number_upper(sh)::HUGEINT + md5_number_lower(sh)::HUGEINT) % 9223372036854775808)
+        |           * 2097152 + (2097151 - pos) AS k
+        |  FROM g0
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY doc_id) AS npos,
+        |         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM k
+        |), sel AS (SELECT DISTINCT doc_id, npos, wmin FROM m WHERE pos <= npos - 4)
+        |SELECT doc_id, CAST(max(npos) AS BIGINT) AS n_grams,
+        |       CAST(max(npos) - 3 AS BIGINT) AS n_windows,
+        |       count(*) AS n_fingerprints,
+        |       CAST(sum(wmin) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp_checksum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

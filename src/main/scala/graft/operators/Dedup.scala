@@ -52,6 +52,17 @@ object Dedup {
     (a + seed * b) & Long.MaxValue
   }
 
+  /** Column-level engine-portable 64-bit string hash in [0, 2^63) —
+    * [[hashSeeded]] at seed 1, i.e. `(md5_upper + md5_lower) mod 2^63`,
+    * mirrored in DuckDB as
+    * `(md5_number_upper(s)::HUGEINT + md5_number_lower(s)::HUGEINT) %
+    * 9223372036854775808` (the same algebra the minhash oracle pins
+    * cross-engine). Used where an oracle-checked query needs a hash
+    * COLUMN (winnowing fingerprints, source-overlap shingle keys)
+    * rather than the fused signature pass. */
+  val portableHash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) => hashSeeded(s, 1L) }
+
   /** Distinct token n-gram shingles, fused into one JVM pass per row.
     * (The pure-SQL `transform(sequence…)` composition evaluates interpreted
     * per element — higher-order functions are not codegen'd — and gets

@@ -1370,4 +1370,144 @@ class LawsSpec extends SparkSpec {
       .map(_._3.split(" ").count(_.nonEmpty).toLong).sum
     assert(got.map(_._4).sum - got.map(_._5).sum == dropToks)
   }
+
+  private def docTokens(t: String): Array[String] =
+    t.split(" ").filter(_.nonEmpty)
+
+  test("q_ttr matches a driver-side per-source lexical fold") {
+    val got = Queries.q_ttr(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "text").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(got.map(_._1).toSeq == bySrc.keys.toSeq.sorted)
+    for ((src, nTok, nTyp, nHapax, ttr, hapax) <- got) {
+      val cnt = bySrc(src).flatMap(p => docTokens(p._2))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(nTok == cnt.values.sum)
+      assert(nTyp == cnt.size.toLong)
+      assert(nHapax == cnt.values.count(_ == 1L).toLong)
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ttr == r6(nTyp.toDouble / nTok))
+      assert(hapax == r6(nHapax.toDouble / nTyp))
+    }
+  }
+
+  test("q_kl_sources: non-negativity + driver-side quantized recompute") {
+    val got = Queries.q_kl_sources(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "text").as[(String, String)].collect()
+    val st = docs.flatMap(p => docTokens(p._2).map(p._1 -> _))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val ns = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ntot = st.values.sum
+    for ((src, nTok, nTyp, kl) <- got) {
+      assert(nTok == ns(src))
+      assert(nTyp == st.keys.count(_._1 == src).toLong)
+      // KL ≥ 0 up to the 1e-12 term grain
+      assert(kl >= -1e-6, s"$src KL $kl negative")
+      val t12 = st.collect { case ((s0, w), cs) if s0 == src =>
+        math.floor(((cs.toDouble / ns(src)) *
+          math.log((cs.toDouble * ntot) / (cw(w).toDouble * ns(src)))) *
+          1000000000000.0 + 0.5).toLong
+      }
+      val want = BigDecimal(
+          t12.map(BigInt(_)).sum.toDouble / 1000000000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(kl == want, s"$src: got $kl want $want")
+    }
+  }
+
+  test("q_dsir_weights matches a driver-side smoothed log-ratio fold") {
+    val got = Queries.q_dsir_weights(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._1 >= 10L),
+      "target docs 0-9 must never receive a weight")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val vocab = docs.flatMap { case (id, t) => docTokens(t).map(id -> _) }
+    val ct = vocab.collect { case (id, w) if id < 10 => w }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cc = vocab.collect { case (id, w) if id >= 10 => w }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val allW = (ct.keySet ++ cc.keySet)
+    val (nt, ncp, v) = (ct.values.sum, cc.values.sum, allW.size.toLong)
+    val lr = allW.map { w =>
+      w -> math.floor(math.log(
+        ((ct.getOrElse(w, 0L) + 1).toDouble * (ncp + v)) /
+          ((cc.getOrElse(w, 0L) + 1).toDouble * (nt + v))) *
+        1000000000000.0 + 0.5).toLong
+    }.toMap
+    val byDoc = docs.filter(_._1 >= 10).map { case (id, t) =>
+      val toks = docTokens(t)
+      val s = toks.groupBy(identity)
+        .map { case (w, g) => BigInt(g.length) * lr(w) }.sum
+      id -> ((toks.length.toLong, BigDecimal(s.toDouble / 1000000000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.filter(_._2._1 > 0).toMap
+    assert(got.length == byDoc.size)
+    for ((id, nTok, w) <- got)
+      assert(byDoc(id) == ((nTok, w)), s"doc $id: got ($nTok,$w)")
+  }
+
+  test("q_overlap_matrix: full pair frame + driver-side set recompute") {
+    val got = Queries.q_overlap_matrix(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "text").as[(String, String)].collect()
+    val sets = docs.groupBy(_._1).view.mapValues(g =>
+      g.flatMap { p =>
+        val toks = docTokens(p._2)
+        if (toks.length < 5) Seq.empty
+        else toks.sliding(5).map(_.mkString(" ")).toSeq.distinct
+      }.map(sh => Dedup.hashSeeded(sh, 1L)).toSet).toMap
+    val srcs = sets.keys.toSeq.sorted
+    // every unordered pair appears exactly once, zero-overlap included
+    assert(got.map(p => (p._1, p._2)).toSeq ==
+      (for (a <- srcs; b <- srcs if a < b) yield (a, b)))
+    for ((a, b, sa, sb, in, un, j) <- got) {
+      assert(sa == sets(a).size.toLong && sb == sets(b).size.toLong)
+      assert(in == (sets(a) & sets(b)).size.toLong)
+      assert(un == sa + sb - in)
+      assert(j == BigDecimal(in.toDouble / un)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(in <= math.min(sa, sb) && un >= math.max(sa, sb))
+    }
+  }
+
+  test("q_winnowing matches a driver-side MOSS reference + density law") {
+    val got = Queries.q_winnowing(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      val toks = docTokens(t)
+      if (toks.length < 8) None // < 5-gram count 4 ⇒ no full window
+      else {
+        val hs = toks.sliding(5).map(g => Dedup.hashSeeded(g.mkString(" "), 1L))
+          .toArray
+        val keys = hs.zipWithIndex.map { case (h, p) =>
+          BigInt(h) * 2097152 + (2097151 - p)
+        }
+        val sel = (0 to keys.length - 4).map(i =>
+          (i until i + 4).map(keys).min).distinct
+        val checksum = (sel.sum mod BigInt("9223372036854775808")).toLong
+        Some(id -> ((hs.length.toLong, (hs.length - 3).toLong,
+          sel.length.toLong, checksum)))
+      }
+    }.toMap
+    assert(got.length == want.size)
+    for ((id, ng, nw, nf, cs) <- got) {
+      assert(want(id) == ((ng, nw, nf, cs)), s"doc $id: got ($ng,$nw,$nf,$cs)")
+      // winnowing density: each selected fingerprint covers ≤ w=4
+      // windows, so selections can't be sparser than n_windows/4
+      assert(nf * 4 >= nw, s"doc $id too sparse: $nf of $nw")
+      assert(nf <= nw)
+    }
+  }
 }

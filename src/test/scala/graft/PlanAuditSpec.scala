@@ -120,7 +120,12 @@ class PlanAuditSpec extends SparkSpec {
         "q_mixture_epochs",
         // q_curriculum_bins: 1-row row-count broadcast (the
         // q_percentile_rank / q_concentration ntile shape)
-        "q_curriculum_bins")
+        "q_curriculum_bins",
+        // q_kl_sources / q_dsir_weights: 1-row corpus-total broadcast
+        "q_kl_sources", "q_dsir_weights",
+        // q_overlap_matrix: source-dim (#sources ≤ 20 rows) broadcast
+        // `<` pair frame — bounded by the source catalog, never data
+        "q_overlap_matrix")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
