@@ -4922,23 +4922,9 @@ object Queries {
     * positional explode, ONE doc-keyed shuffle serving both window
     * functions (docs are bounded-length, so a per-doc sort is safe at
     * any corpus size), distinct + fold. */
-  val q_winnowing: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(Dedup.shingleList(5)(Text.tokens(col("text")))))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        Dedup.portableHash64(col("col")).as("h"))
-      .select(col("doc_id"), col("pos"),
-        (col("h").cast("decimal(38,0)") * lit(2097152L) +
-          (lit(2097151L) - col("pos"))).as("k"))
-    val byDoc = Window.partitionBy("doc_id")
-    val mins = keyed
-      .withColumn("npos", count(lit(1)).over(byDoc))
-      .withColumn("wmin",
-        min(col("k")).over(byDoc.orderBy("pos").rowsBetween(0, 3)))
-      .filter(col("pos") <= col("npos") - 4)
-    mins.select(col("doc_id"), col("npos"), col("wmin")).distinct()
+  val q_winnowing: Q = (s, d) =>
+    Dedup.winnowSelection(Tables.documents(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("npos"), col("wmin")).distinct()
       .groupBy("doc_id")
       .agg(max(col("npos")).as("n_grams"),
         (max(col("npos")) - 3L).as("n_windows"),
@@ -4949,7 +4935,24 @@ object Queries {
         expr("CAST(fp_sum % CAST('9223372036854775808' AS DECIMAL(38,0)) AS BIGINT)")
           .as("fp_checksum"))
       .orderBy("doc_id")
-  }
+
+  /** q_winnow_pairs — the MOSS matching step on top of [[q_winnowing]]:
+    * doc pairs sharing ≥2 distinct SELECTED fingerprint hashes, with the
+    * shared count and the containment-style score vs the smaller
+    * selected set. Winnowing's local guarantee makes this the
+    * plagiarism-style detector: any shared run of ≥8 tokens yields a
+    * shared selected hash, so true overlapping pairs can't be missed,
+    * while only the winnowed ~2/(w+1) sample of grams is ever joined.
+    * Scale shape: the selected relation is the winnowed SAMPLE of the
+    * gram stream (4-8× smaller than [[q_dedup_ngram]]'s full shingle
+    * relation); ubiquitous fingerprints (df > 1000 docs — boilerplate)
+    * are dropped before the self-join, exactly the capped-inverted-index
+    * discipline, so per-key fan-out is bounded and it is never
+    * all-pairs. The hash decode from the encoded min-key is exact
+    * integer algebra ((k − k mod 2²¹)/2²¹ — Decimal(38,0) ↔ HUGEINT). */
+  val q_winnow_pairs: Q = (s, d) =>
+    Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
 
   // -------------------------------------------------------------------
   // registry
@@ -5189,5 +5192,6 @@ object Queries {
     "q_dsir_weights" -> q_dsir_weights,
     "q_overlap_matrix" -> q_overlap_matrix,
     "q_winnowing" -> q_winnowing,
+    "q_winnow_pairs" -> q_winnow_pairs,
   )
 }

@@ -6261,5 +6261,46 @@ object SparkEntry {
         |       count(*) AS n_fingerprints,
         |       CAST(sum(wmin) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp_checksum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_winnow_pairs: the q_winnowing selection, hash decoded
+    // from the encoded key by exact integer algebra, df-capped (>1000
+    // docs) before the self-join, shared-count >= 2, score vs the
+    // smaller selected set
+    "q_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS pos,
+        |         toks[r.i] || ' ' || toks[r.i+1] || ' ' || toks[r.i+2] || ' ' || toks[r.i+3] || ' ' || toks[r.i+4] AS sh
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS r(i)
+        |), k AS (
+        |  SELECT doc_id, pos,
+        |         ((md5_number_upper(sh)::HUGEINT + md5_number_lower(sh)::HUGEINT) % 9223372036854775808)
+        |           * 2097152 + (2097151 - pos) AS k
+        |  FROM g0
+        |), m AS (
+        |  SELECT doc_id, pos,
+        |         count(*) OVER (PARTITION BY doc_id) AS npos,
+        |         min(k) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM k
+        |), sel AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |         CAST((wmin - wmin % 2097152) / 2097152 AS BIGINT) AS fh
+        |  FROM m WHERE pos <= npos - 4
+        |), fps AS MATERIALIZED (
+        |  SELECT doc_id, fh FROM sel
+        |  WHERE fh NOT IN (SELECT fh FROM sel GROUP BY fh HAVING count(*) > 1000)
+        |), sz AS (SELECT doc_id, count(*) AS n_sel FROM fps GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, n_shared,
+        |       round(CAST(n_shared AS DOUBLE) /
+        |             CAST(least(sa.n_sel, sb.n_sel) AS DOUBLE), 6) AS score
+        |FROM pairs
+        |JOIN sz sa ON id_a = sa.doc_id
+        |JOIN sz sb ON id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

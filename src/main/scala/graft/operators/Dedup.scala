@@ -402,6 +402,224 @@ object Dedup {
     dirA.unionAll(dirB).filter(col("containment") >= minContainment)
   }
 
+  /** Winnowing selection (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+    * local fingerprint): one row per full w=4 window over each doc's
+    * positional 5-gram hash sequence, carrying the doc's gram count and
+    * the window's selected encoded key `h·2²¹ + (2²¹−1 − pos)` — min-h
+    * with rightmost-pos tie-break as ONE arithmetic min (Decimal(38,0),
+    * mirrored as HUGEINT in the DuckDB oracles). Shared by the census
+    * ([[graft.Queries.q_winnowing]]), the matcher ([[winnowPairs]]) and
+    * the scale probe. One positional explode + ONE doc-keyed shuffle
+    * serving both window functions; docs are bounded-length, so the
+    * per-doc sort is safe at any corpus size. */
+  def winnowSelection(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .select(col(idCol).as("id"),
+        posexplode(shingleList(5)(Text.tokens(col(textCol)))))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        portableHash64(col("col")).as("h"))
+      .select(col("id"), col("pos"),
+        (col("h").cast("decimal(38,0)") * lit(2097152L) +
+          (lit(2097151L) - col("pos"))).as("k"))
+    val byDoc = Window.partitionBy("id")
+    keyed
+      .withColumn("npos", count(lit(1)).over(byDoc))
+      .withColumn("wmin",
+        min(col("k")).over(byDoc.orderBy("pos").rowsBetween(0, 3)))
+      .filter(col("pos") <= col("npos") - 4)
+      .select(col("id"), col("npos"), col("wmin"))
+  }
+
+  /** The distinct selected fingerprint HASHES per doc — [[winnowSelection]]
+    * with the hash decoded from the encoded key by exact integer algebra
+    * ((k − k mod 2²¹)/2²¹, engine-portable). The matching unit: positions
+    * are local, hashes are what cross-doc comparison shares. */
+  def winnowFingerprints(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    winnowSelection(docs, idCol, textCol)
+      .select(col("id"),
+        ((col("wmin") - col("wmin") % lit(2097152L)) / lit(2097152L))
+          .cast("decimal(38,0)").cast("long").as("fh"))
+      .distinct()
+
+  /** The MOSS matching step: doc pairs sharing ≥ `minShared` distinct
+    * selected fingerprint hashes, with the shared count and the
+    * containment-style score vs the smaller selected set. Ubiquitous
+    * fingerprints (> `maxDocFreq` docs — boilerplate) drop before the
+    * self-join (the capped-inverted-index discipline), so per-key
+    * fan-out is bounded and the join is never all-pairs; only the
+    * winnowed ~2/(w+1) SAMPLE of grams is joined at all. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  maxDocFreq: Long = 1000L,
+                  minShared: Long = 2L): DataFrame = {
+    val sel = winnowFingerprints(docs, idCol, textCol)
+      .localCheckpoint(eager = true) // feeds df cap, sizes and the join
+    val fps = {
+      val hot = sel.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select("fh")
+      sel.join(broadcast(hot), Seq("fh"), "left_anti")
+    }
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_sel"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("sa.n_sel"), col("sb.n_sel")).cast("double"), 6)
+          .as("score"))
+  }
+
+  /** Layout version of the persisted winnowing fingerprint index (v1 =
+    * the engine-portable md5 hash family, k=5 grams, w=4 windows from
+    * birth). The stamp exists so a future hash/k/w change fails loudly
+    * on old indexes instead of silently never matching — the same
+    * contract as [[NearDupLayoutVersion]]. */
+  val WinnowLayoutVersion = 1
+
+  private def requireWinnowLayout(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String): Unit = {
+    val v = graft.sources.IO.readLayoutVersion(spark, indexDir)
+    if (!v.contains(WinnowLayoutVersion))
+      throw new IllegalStateException(
+        s"winnow index at $indexDir has layout version ${v.getOrElse("<unstamped>")}, " +
+          s"need $WinnowLayoutVersion: its fingerprints were selected under a " +
+          "different hash/k/w and would silently never match. Rebuild with " +
+          "writeWinnowIndex.")
+  }
+
+  /** Persisted winnowing fingerprint index — the MOSS matcher's serving
+    * artifact: the distinct selected (id, fh) relation
+    * ([[winnowFingerprints]]) as parquet PARTITIONED by the id-hash
+    * bucket `__bucket`, so takedown deletes rewrite only touched
+    * buckets (the [[writeNearDupIndex]] layout discipline). ~2/(w+1)
+    * of the corpus gram count in 16 bytes/row — the compact substring
+    * signature of the whole corpus. Single writer by contract. */
+  def writeWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+                       indexDir: String, storeBuckets: Int = 64): Unit = {
+    winnowFingerprints(docs, idCol, textCol)
+      .withColumn("__bucket", idBucket(col("id"), storeBuckets))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$indexDir/fps")
+    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, storeBuckets)
+    graft.sources.IO.writeLayoutVersion(docs.sparkSession, indexDir,
+      WinnowLayoutVersion)
+  }
+
+  /** Append newly admitted docs' selected fingerprints — batch-
+    * proportional (winnow the BATCH, append its rows); a missing index
+    * is the streaming cold start and this append seeds it, stamping the
+    * sidecars the way [[writeWinnowIndex]] does. */
+  def appendWinnowIndex(novel: DataFrame, idCol: String, textCol: String,
+                        indexDir: String, storeBuckets: Int = 64): Unit = {
+    val spark = novel.sparkSession
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val coldStart = !fpsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fpsPath)
+    if (!coldStart) requireWinnowLayout(spark, indexDir)
+    val sb = graft.sources.IO.readBucketCount(spark, indexDir)
+      .getOrElse(storeBuckets)
+    val delta = winnowFingerprints(novel, idCol, textCol)
+      .withColumn("__bucket", idBucket(col("id"), sb))
+      .localCheckpoint(true)
+    graft.sources.IO.alignToPartitions(delta, "__bucket")
+      .write.mode("append").partitionBy("__bucket")
+      .parquet(s"$indexDir/fps")
+    if (coldStart) {
+      graft.sources.IO.writeBucketCount(spark, indexDir, sb)
+      graft.sources.IO.writeLayoutVersion(spark, indexDir, WinnowLayoutVersion)
+    }
+  }
+
+  /** Remove ids from the winnow index — the TAKEDOWN verb: the ids'
+    * fingerprints leave, so future batches can no longer be flagged as
+    * overlapping removed content. Touched-bucket dynamic overwrite,
+    * replayed delete finds nothing and writes nothing, untouched bucket
+    * dirs stay byte-identical, delete == rebuild-without-those-ids.
+    * Returns the touched bucket ids. */
+  def deleteFromWinnowIndex(ids: DataFrame, idCol: String,
+                            indexDir: String): Seq[Long] = {
+    val spark = ids.sparkSession
+    requireWinnowLayout(spark, indexDir)
+    val idOnly = ids.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = true)
+    try {
+      val rel = spark.read.parquet(s"$indexDir/fps")
+        .select(col("id"), col("fh"),
+          col("__bucket").cast("long").as("__bucket"))
+      val touched = rel.join(idOnly, Seq("id"), "left_semi")
+        .select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= storeBuckets ids
+      if (touched.isEmpty) return touched
+      val remaining = rel.filter(col("__bucket").isin(touched: _*))
+        .join(idOnly, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true) // pin before overwriting the source
+      try {
+        graft.sources.IO.alignToPartitions(remaining, "__bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(s"$indexDir/fps")
+        val written = remaining.select("__bucket").distinct()
+          .collect().map(_.getLong(0)).toSet // bounded: <= storeBuckets ids
+        dropEmptiedPartitions(spark, s"$indexDir/fps", "__bucket",
+          touched, written)
+      } finally Checkpoints.drop(remaining)
+      touched
+    } finally Checkpoints.drop(idOnly)
+  }
+
+  /** Match an ingest batch against the persisted winnow index: batch
+    * docs sharing ≥ `minShared` selected fingerprint hashes with ANY
+    * indexed doc, with the per-(batch, indexed) shared count and the
+    * containment-style score vs the BATCH doc's selected size (how much
+    * of the new doc is covered by indexed content — the admission
+    * question). Ubiquitous hashes (> `maxDocFreq` indexed docs) drop
+    * before the join, computed from a narrow fps-only aggregate
+    * (vocabulary-bounded, two longs/row — never the corpus). Winnowing's
+    * local guarantee transfers: a batch doc sharing any ≥8-token run
+    * with an indexed doc shares a selected hash, so it cannot slip the
+    * gate un-flagged unless that hash was df-capped. A re-ingested doc
+    * whose old copy is still indexed matches it — correct for a gate
+    * (it IS a duplicate of indexed content); take it down first to
+    * re-admit. Cold start: missing index = no matches (the
+    * [[nearDupAgainstIndex]] contract). Returns
+    * (id, match_id, n_shared, score). */
+  def matchAgainstWinnowIndex(batch: DataFrame, idCol: String,
+                              textCol: String, indexDir: String,
+                              maxDocFreq: Long = 1000L,
+                              minShared: Long = 2L): DataFrame = {
+    val spark = batch.sparkSession
+    val bsel = winnowFingerprints(batch, idCol, textCol)
+      .localCheckpoint(eager = true) // feeds sizes + the match join
+    val sizes = bsel.groupBy("id").agg(count(lit(1)).as("n_sel"))
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
+    val coldStart = !fpsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fpsPath)
+    if (coldStart)
+      return bsel.filter(lit(false))
+        .select(col("id").as(idCol), col("id").as("match_id"),
+          lit(0L).as("n_shared"), lit(0.0).as("score"))
+    requireWinnowLayout(spark, indexDir)
+    val idx = spark.read.parquet(s"$indexDir/fps").select("id", "fh")
+    val hot = idx.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select("fh")
+    idx.join(broadcast(hot), Seq("fh"), "left_anti").as("i")
+      .join(bsel.as("b"), col("i.fh") === col("b.fh"))
+      .groupBy(col("b.id").as("__bid"), col("i.id").as("match_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes, col("__bid") === sizes("id"))
+      .select(col("__bid").as(idCol), col("match_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_sel").cast("double"), 6)
+          .as("score"))
+  }
+
   /** Benchmark decontamination — the pretraining hygiene pass: drop every
     * corpus document sharing ANY word n-gram with a probe/benchmark set
     * (eval-set leakage detection). The probe side is benchmark-sized —
@@ -414,15 +632,25 @@ object Dedup {
     * (public decontamination pipelines use 8–13-gram windows on BPE
     * tokens; 5 word-grams is the same order of specificity). */
   def decontaminate(docs: DataFrame, probe: DataFrame, idCol: String,
-                    textCol: String, n: Int = 5): DataFrame = {
+                    textCol: String, n: Int = 5): DataFrame =
+    docs.join(contaminatedIds(docs, probe, idCol, textCol, n),
+      Seq(idCol), "left_anti")
+
+  /** The contaminated-id relation behind [[decontaminate]] — exposed so
+    * callers needing BOTH verdicts (the streaming ingest gate routes
+    * survivors to the corpus and flagged docs to a quarantine audit)
+    * compute the probe join once. Same plan: probe shingles broadcast,
+    * one corpus-side narrow explode, semi-distinct on the tiny
+    * contaminated-id set. */
+  def contaminatedIds(docs: DataFrame, probe: DataFrame, idCol: String,
+                      textCol: String, n: Int = 5): DataFrame = {
     def sh(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
     val probeSh = sh(probe).select("sh").distinct()
-    val contaminated = sh(docs)
+    sh(docs)
       .join(broadcast(probeSh), Seq("sh"), "left_semi")
       .select(col("id").as(idCol)).distinct()
-    docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Zero-shuffle decontamination — the same hygiene pass as

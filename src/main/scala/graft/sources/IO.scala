@@ -202,6 +202,93 @@ object IO {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming corpus ingest with benchmark DECONTAMINATION at the
+    * gate — the streaming twin of the batch `q_decontaminate` pass:
+    * each micro-batch drops every document sharing ANY word `n`-gram
+    * with the probe/benchmark set (read fresh from `probeDir` per
+    * batch, so a grown benchmark suite tightens the gate without a
+    * restart), appends survivors to the clean corpus at `outDir` and
+    * flagged docs to `quarantineDir` — the audit trail a hygiene review
+    * reads (and the takedown path replays). The contaminated-id
+    * relation is computed ONCE per batch
+    * ([[graft.operators.Dedup.contaminatedIds]] — probe shingles
+    * broadcast, corpus side one narrow explode, never a corpus
+    * shuffle) and feeds both routes. Exactly-once: both appends happen
+    * under ONE committed-batch marker ([[idempotentForeachBatch]]), so
+    * a replayed batch is a no-op and a crash between the two appends
+    * replays both (parquet job commits are restartable; the quarantine
+    * append runs FIRST so a torn batch can only leave audit rows
+    * without corpus rows — the conservative direction, never an
+    * unaudited corpus doc). */
+  def decontaminateIngestSink(docs: DataFrame, probeDir: String,
+                              outDir: String, quarantineDir: String,
+                              checkpointDir: String, idCol: String,
+                              textCol: String, n: Int = 5)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val probe = spark.read.parquet(probeDir)
+          val b = batch.localCheckpoint(true) // one scan feeds both routes
+          val flagged = graft.operators.Dedup
+            .contaminatedIds(b, probe, idCol, textCol, n)
+            .localCheckpoint(true)
+          b.join(flagged, Seq(idCol), "left_semi")
+            .write.mode("append").parquet(quarantineDir)
+          b.join(flagged, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(outDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
+  /** Streaming corpus ingest with a WINNOWING substring gate — the
+    * local-guarantee sibling of [[nearDupDedupSink]] (MinHash gates on
+    * whole-document similarity and can miss with LSH probability; the
+    * winnow gate flags ANY batch doc sharing a ≥8-token run with
+    * admitted content, deterministically, modulo the df cap): per
+    * micro-batch, [[graft.operators.Dedup.matchAgainstWinnowIndex]]
+    * flags overlapping docs into `flaggedDir` (with their best-match id,
+    * shared count and coverage score — the audit a review reads),
+    * admits the rest to `outDir`, and advances the index
+    * ([[graft.operators.Dedup.appendWinnowIndex]]) so later batches gate
+    * against everything admitted. Exactly-once via the committed-batch
+    * marker over the whole batch action; a crash mid-batch replays all
+    * three effects (restartable parquet commits, single writer — the
+    * ingest-sink contract shared with the near-dup and IVF sinks). Cold
+    * start: a missing index admits the whole first batch and seeds. */
+  def winnowIngestSink(docs: DataFrame, indexDir: String, outDir: String,
+                       flaggedDir: String, checkpointDir: String,
+                       idCol: String, textCol: String,
+                       minShared: Long = 2L)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint(true) // one scan feeds both routes
+          val matches = graft.operators.Dedup
+            .matchAgainstWinnowIndex(b, idCol, textCol, indexDir,
+              minShared = minShared)
+            .localCheckpoint(true)
+          val best = matches
+            .groupBy(idCol)
+            .agg(max(struct(col("n_shared"), col("score"), col("match_id")))
+              .as("m"))
+            .select(col(idCol), col("m.match_id").as("match_id"),
+              col("m.n_shared").as("n_shared"), col("m.score").as("score"))
+          b.join(best, Seq(idCol), "inner")
+            .write.mode("append").parquet(flaggedDir)
+          val novel = b.join(matches.select(idCol), Seq(idCol), "left_anti")
+            .localCheckpoint(true) // feeds the corpus append AND the index
+          novel.write.mode("append").parquet(outDir)
+          graft.operators.Dedup.appendWinnowIndex(
+            novel, idCol, textCol, indexDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming INCREMENTAL connected components: each micro-batch of
     * edges folds into a persisted (id, label) component labeling via
     * [[graft.operators.Dedup.componentsMerge]] — contract the batch

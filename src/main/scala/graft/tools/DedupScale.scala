@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val winnowMode = args.headOption.contains("winnow")
+    val rest = if (winnowMode) args.drop(1) else args
+    if (winnowMode) { winnowProbe(rest, cpus); return }
     val nDocs = if (args.nonEmpty) args(0).toInt else 100000
     val dupRate = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder()
@@ -60,6 +63,60 @@ object DedupScale {
     val sec = (System.nanoTime() - t0) / 1e9
     val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
     println(s"""{"metric":"neardup_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"sec":${math.round(sec * 10) / 10.0},"candidate_pairs":$candidatePairs,"all_pairs":$allPairs,"survivors":$survivors}""")
+    spark.stop()
+  }
+
+  /** WINNOW mode (`runMain graft.tools.DedupScale winnow [nDocs]
+    * [dupRate]`): measures the winnowing sample-and-match claims behind
+    * `q_winnowing`/`q_winnow_pairs` at corpus sizes far above the
+    * fixtures — (a) the selection DENSITY (selected fingerprints /
+    * gram positions; winnowing's expected 2/(w+1) = 0.4 at w=4), i.e.
+    * how much smaller the joined relation is than the full shingle
+    * relation an n-gram matcher would shuffle, and (b) that matched
+    * pairs stay cluster-bounded (near-dup variants share their base
+    * doc's runs) rather than quadratic. Same deterministic synthetic
+    * corpus as the default mode so the two probes compare. */
+  private def winnowProbe(args: Array[String], cpus: String): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 100000
+    val dupRate = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.range(nDocs.toLong).select(col("id"))
+      .mapPartitions { it =>
+        it.map { row =>
+          val id = row.getLong(0)
+          val cluster = id / dupRate
+          val variant = id % dupRate
+          var x = cluster * 6364136223846793005L + 1442695040888963407L
+          def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+          val words = Array.tabulate(40)(_ => s"w${math.floorMod(nxt(), 5000L)}")
+          if (variant > 0L) {
+            val p1 = math.floorMod(variant * 7L, 40L).toInt
+            val p2 = math.floorMod(variant * 13L + 3L, 40L).toInt
+            words(p1) = s"m${variant}a"; words(p2) = s"m${variant}b"
+          }
+          (id, words.mkString(" "))
+        }
+      }.toDF("doc_id", "text").localCheckpoint(true)
+
+    val t0 = System.nanoTime()
+    val sel = graft.operators.Dedup
+      .winnowFingerprints(docs, "doc_id", "text").localCheckpoint(true)
+    val nSelected = sel.count()
+    val selSec = (System.nanoTime() - t0) / 1e9
+    val nGrams = nDocs.toLong * 36L // 40 tokens -> 36 5-gram positions
+    val t1 = System.nanoTime()
+    val pairs = graft.operators.Dedup
+      .winnowPairs(docs, "doc_id", "text").count()
+    val pairSec = (System.nanoTime() - t1) / 1e9
+    val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
+    println(s"""{"metric":"winnow_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"select_sec":${math.round(selSec * 10) / 10.0},"pair_sec":${math.round(pairSec * 10) / 10.0},"gram_positions":$nGrams,"selected":$nSelected,"density":${math.round(nSelected.toDouble / nGrams * 1000) / 1000.0},"pairs":$pairs,"all_pairs":$allPairs}""")
     spark.stop()
   }
 }

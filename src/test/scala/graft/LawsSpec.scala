@@ -1510,4 +1510,51 @@ class LawsSpec extends SparkSpec {
       assert(nf <= nw)
     }
   }
+
+  test("q_winnow_pairs matches a driver-side MOSS match + guarantee law") {
+    val got = Queries.q_winnow_pairs(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // driver reference: winnow each doc, decode selected HASHES, df-cap
+    def winnowHashes(t: String): Set[Long] = {
+      val toks = docTokens(t)
+      if (toks.length < 8) Set.empty
+      else {
+        val hs = toks.sliding(5).map(g => Dedup.hashSeeded(g.mkString(" "), 1L))
+          .toArray
+        val keys = hs.zipWithIndex.map { case (h, p) =>
+          BigInt(h) * 2097152 + (2097151 - p)
+        }
+        (0 to keys.length - 4).map(i => (i until i + 4).map(keys).min)
+          .distinct.map(k => ((k - k.mod(2097152)) / 2097152).toLong).toSet
+      }
+    }
+    val sel = docs.map { case (id, t) => id -> winnowHashes(t) }.toMap
+    val df = sel.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = sel.view.mapValues(_.filter(df(_) <= 1000)).toMap
+    val want = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a < b
+      shared = (sa & sb).size if shared >= 2
+    } yield (a, b) -> ((shared.toLong,
+      BigDecimal(shared.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    assert(got.length == want.size)
+    for ((a, b, n, sc) <- got) {
+      assert(want((a, b)) == ((n, sc)), s"pair ($a,$b): got ($n,$sc)")
+      assert(sc > 0.0 && sc <= 1.0)
+    }
+    // winnowing local guarantee, checked against ground truth: any doc
+    // pair sharing a ≥ 8-token contiguous run (5-gram window span w=4)
+    // shares a selected fingerprint hash, so it cannot score below the
+    // pair threshold unless the shared hash was df-capped or unique
+    val runs = docs.map { case (id, t) =>
+      id -> docTokens(t).sliding(8).map(_.mkString(" ")).toSet
+    }.toMap
+    for {
+      (a, ra) <- runs.toSeq; (b, rb) <- runs.toSeq
+      if a < b && (ra & rb).nonEmpty
+    } assert((sel(a) & sel(b)).nonEmpty,
+      s"docs $a/$b share an 8-token run but no raw fingerprint")
+  }
 }

@@ -1149,6 +1149,71 @@ class ScalePathSpec extends SparkSpec {
       Seq(1L).toDF("doc_id"), "doc_id", dir).isEmpty)
   }
 
+  test("winnow index lifecycle: write == append-in-batches; gate honors the local guarantee; takedown == rebuild; replay no-op") {
+    val runA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val runB = (100 to 120).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L, runA + " tail1"), (2L, runB + " tail2"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("winnow_idx_").toString
+    val dir = root + "/idx"
+    Dedup.writeWinnowIndex(corpus, "doc_id", "text", dir)
+    // local guarantee through the index: a batch doc embedding an
+    // 8-token run of doc 1 must match doc 1; a fresh doc matches nothing
+    val batch = Seq(
+      (10L, "x y " + (1 to 12).map(i => s"a$i").mkString(" ") + " z w q r"),
+      (11L, (1 to 30).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Dedup.matchAgainstWinnowIndex(batch, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(m.map(_._1).toSet == Set(10L) && m.forall(_._2 == 1L),
+      s"gate matches: ${m.toSeq}")
+    assert(m.forall(r => r._3 >= 2L && r._4 > 0.0 && r._4 <= 1.0))
+    // write == append-in-batches: seeding via two appends (cold start)
+    // yields the identical fps relation
+    val dir2 = root + "/appended"
+    Dedup.appendWinnowIndex(corpus.filter(col("doc_id") === 1L),
+      "doc_id", "text", dir2)
+    Dedup.appendWinnowIndex(corpus.filter(col("doc_id") === 2L),
+      "doc_id", "text", dir2)
+    def rel(d: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$d/fps").select("id", "fh")
+        .as[(Long, Long)].collect().toSet
+    assert(rel(dir2) == rel(dir), "append-seeded index must equal write")
+    // append advances the gate: admit doc 11, then a near-copy of 11 flags
+    Dedup.appendWinnowIndex(batch.filter(col("doc_id") === 11L),
+      "doc_id", "text", dir)
+    val m2 = Dedup.matchAgainstWinnowIndex(
+        Seq((20L, (1 to 30).map(i => s"c$i").mkString(" ") + " suffix"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(m2.map(r => (r._1, r._2)).toSet == Set((20L, 11L)),
+      s"gate must see the appended admission: ${m2.toSeq}")
+    // takedown: untouched buckets byte-identical, delete == rebuild
+    val before = bucketFiles(s"$dir/fps")
+    val touched = Dedup.deleteFromWinnowIndex(Seq(1L).toDF("doc_id"),
+      "doc_id", dir)
+    assert(touched.nonEmpty)
+    for ((b, files) <- before if !touched.contains(bucketIdOf(b)))
+      assert(bucketFiles(s"$dir/fps")(b) == files, s"untouched fps/$b rewrote")
+    val m3 = Dedup.matchAgainstWinnowIndex(batch, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 10 overlapped only removed content → gone; doc 11 now matches
+    // ITSELF (it was admitted above) — the documented re-ingest verdict
+    assert(m3.map(r => (r._1, r._2)).toSet == Set((11L, 11L)),
+      s"post-takedown matches: ${m3.toSeq}")
+    val rebuilt = root + "/rebuilt"
+    Dedup.writeWinnowIndex(
+      corpus.filter(col("doc_id") =!= 1L)
+        .unionAll(batch.filter(col("doc_id") === 11L)),
+      "doc_id", "text", rebuilt)
+    assert(rel(dir) == rel(rebuilt), "deleted index must equal the rebuild")
+    // replay: zero writes; cold start: missing index matches nothing
+    assert(Dedup.deleteFromWinnowIndex(Seq(1L).toDF("doc_id"),
+      "doc_id", dir).isEmpty)
+    assert(Dedup.matchAgainstWinnowIndex(batch, "doc_id", "text",
+      root + "/missing").count() == 0L)
+  }
+
   test("components store takedown: bridge removal splits the component; delete == rebuild on both layouts") {
     // path 1-2-3-4 (node 2 is a bridge), plus components {8,9}, {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L), (20L, 21L))

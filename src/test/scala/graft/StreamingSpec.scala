@@ -1502,6 +1502,98 @@ class StreamingSpec extends SparkSpec {
       assert(rows((2L, 1)) == ((300L, false)))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
   }
+
+  test("decontaminateIngestSink: gate drops probe-overlap, quarantine audits, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("decon_sink_").toString
+    val probeDir = s"$base/probe"; val outDir = s"$base/out"
+    val quarDir = s"$base/quarantine"
+    Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(probeDir)
+    val in = MemoryStream[(Long, String)]
+    def start(ck: String) = graft.sources.IO.decontaminateIngestSink(
+        in.toDF().toDF("doc_id", "text"), probeDir, outDir, quarDir, ck,
+        "doc_id", "text", n = 5)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test
+      .start()
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    val q = start(s"$base/ck1")
+    try {
+      // batch 1: doc 10 carries the probe 5-gram "alpha beta gamma
+      // delta epsilon" → quarantined; doc 11 is clean
+      in.addData((10L, "intro alpha beta gamma delta epsilon outro"),
+        (11L, "one two three four five six seven"))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(11L), s"batch-1 corpus: ${ids(outDir)}")
+      assert(ids(quarDir) == Set(10L), s"batch-1 quarantine: ${ids(quarDir)}")
+      // batch 2: suffix overlap "beta gamma delta epsilon zeta" flags 20
+      in.addData((20L, "x beta gamma delta epsilon zeta"),
+        (21L, "eight nine ten eleven twelve thirteen"))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(11L, 21L), s"corpus: ${ids(outDir)}")
+      assert(ids(quarDir) == Set(10L, 20L), s"quarantine: ${ids(quarDir)}")
+    } finally q.stop()
+    // replay: a FRESH checkpoint re-delivers every batch id from 0, but
+    // the committed-batch markers in outDir make each one a no-op —
+    // neither corpus nor quarantine may double-append
+    val q2 = start(s"$base/ck2")
+    try {
+      in.addData((10L, "intro alpha beta gamma delta epsilon outro"),
+        (11L, "one two three four five six seven"))
+      q2.processAllAvailable()
+      assert(ids(outDir) == Set(11L, 21L), s"replayed corpus: ${ids(outDir)}")
+      assert(ids(quarDir) == Set(10L, 20L),
+        s"replayed quarantine: ${ids(quarDir)}")
+    } finally q2.stop()
+  }
+
+  test("winnowIngestSink: substring gate advances with admissions, flags carry best match, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("winnow_sink_").toString
+    val idxDir = s"$base/idx"; val outDir = s"$base/out"
+    val flagDir = s"$base/flagged"
+    val runA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val runC = (1 to 30).map(i => s"c$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    def start(ck: String) = graft.sources.IO.winnowIngestSink(
+        in.toDF().toDF("doc_id", "text"), idxDir, outDir, flagDir, ck,
+        "doc_id", "text")
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test
+      .start()
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("doc_id").as[Long].collect().toSet
+    val q = start(s"$base/ck1")
+    try {
+      // batch 1: cold start — both docs admitted, index seeded
+      in.addData((1L, runA + " tail1"), (2L, runC))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(1L, 2L), s"batch-1 admissions: ${ids(outDir)}")
+      // batch 2: doc 10 embeds a 12-token run of doc 1 → flagged with
+      // best match 1; doc 11 is fresh → admitted
+      in.addData(
+        (10L, "x y " + (1 to 12).map(i => s"a$i").mkString(" ") + " z w q r"),
+        (11L, (1 to 30).map(i => s"d$i").mkString(" ")))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(1L, 2L, 11L), s"corpus: ${ids(outDir)}")
+      val flagged = spark.read.parquet(flagDir)
+        .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+      assert(flagged == Set((10L, 1L)), s"flag audit: $flagged")
+      // batch 3: a near-copy of batch-2's ADMISSION flags (gate advanced)
+      in.addData((20L, (1 to 30).map(i => s"d$i").mkString(" ") + " suffix"))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(1L, 2L, 11L), s"final corpus: ${ids(outDir)}")
+      assert(ids(flagDir) == Set(10L, 20L), s"final flags: ${ids(flagDir)}")
+    } finally q.stop()
+    // replay from a fresh checkpoint: markers make every batch a no-op
+    val q2 = start(s"$base/ck2")
+    try {
+      in.addData((1L, runA + " tail1"), (2L, runC))
+      q2.processAllAvailable()
+      assert(ids(outDir) == Set(1L, 2L, 11L), s"replayed corpus: ${ids(outDir)}")
+      assert(ids(flagDir) == Set(10L, 20L), s"replayed flags: ${ids(flagDir)}")
+    } finally q2.stop()
+  }
 }
 
 /** Test-only "next release" of the funnel processor: the SAME state
