@@ -782,6 +782,67 @@ object Similarity {
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
+  /** Batch SEMANTIC near-dup matches against a persisted IVF index —
+    * the embedding-cosine twin of
+    * [[graft.operators.Dedup.nearDupAgainstIndex]]: for every batch
+    * vector, the indexed vectors at cosine ≥ `threshold` within its
+    * `nprobe` probed lists. Plan: the centroid table (list-count-sized)
+    * reads once and closes over ONE narrow probe-assignment pass — each
+    * batch vector explodes to its nprobe list ids; the batch's distinct
+    * probed lists (≤ k, a bounded collect) PRUNE the index scan to the
+    * touched `ivf_list=` partitions; one list-keyed join scores
+    * candidates with the codegen cosine. Each indexed vector lives in
+    * exactly one list, so a (batch, indexed) pair scores at most once.
+    * ANN caveat: a true neighbor outside the probed lists is missed —
+    * `nprobe` is the recall lever, exactly the `ivfTopKIndexed`
+    * contract. Works against plain AND fused indexes (vectors/ is
+    * layout-identical; this is a read path). Returns
+    * (idCol, match_id, sim 6dp). */
+  def semanticMatchesAgainstIndex(batch: DataFrame, idCol: String,
+                                  vecCol: String, indexDir: String,
+                                  threshold: Double,
+                                  nprobe: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      nearestLists(v.toArray, centroids, nprobe)
+    }
+    val probed = batch
+      .select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
+      .withColumn("ivf_list", explode(probeUdf(col("__bvec"))))
+      .localCheckpoint(eager = true) // feeds the probe census + the join
+    val lists = probed.select("ivf_list").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
+    if (lists.isEmpty)
+      return probed.filter(lit(false))
+        .select(col("__bid").as(idCol), col("__bid").as("match_id"),
+          lit(0.0).as("sim"))
+    val idx = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(lists: _*))
+      .select(col("ivf_list"), col(idCol).as("match_id"),
+        col(vecCol).as("__ivec"))
+    probed.join(idx, Seq("ivf_list"))
+      .select(col("__bid"), col("match_id"),
+        Vectors.cosine(col("__bvec"), col("__ivec")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("__bid").as(idCol), col("match_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Semantic dedup of an ingest batch against the persisted IVF index:
+    * batch rows within `threshold` cosine of ANY indexed vector drop;
+    * survivors return (call [[ivfAppendIndex]] with them to advance the
+    * index — the [[graft.operators.Dedup.nearDupAgainstIndex]]
+    * admission pattern, vector edition). */
+  def semanticDedupAgainstIndex(batch: DataFrame, idCol: String,
+                                vecCol: String, indexDir: String,
+                                threshold: Double,
+                                nprobe: Int = 4): DataFrame =
+    batch.join(
+      semanticMatchesAgainstIndex(batch, idCol, vecCol, indexDir,
+        threshold, nprobe).select(idCol).distinct(),
+      Seq(idCol), "left_anti")
+
   // ---- int8 embedding storage quantization --------------------------
 
   /** Symmetric per-vector int8 quantization: scale = maxAbs/127, codes

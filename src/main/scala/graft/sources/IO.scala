@@ -243,6 +243,40 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming embedding ingest with SEMANTIC dedup at the gate — the
+    * vector twin of [[nearDupDedupSink]]: each micro-batch drops
+    * vectors within `threshold` cosine of anything already admitted
+    * ([[graft.operators.Similarity.semanticDedupAgainstIndex]] —
+    * probe-pruned, never a full index scan), appends survivors to the
+    * clean output AND the IVF index
+    * ([[graft.operators.Similarity.ivfAppendIndex]], touched-lists
+    * only), so later batches dedup against everything admitted. The
+    * index must be PRE-SEEDED with
+    * [[graft.operators.Similarity.ivfWriteIndex]] (IVF centroids need
+    * training data — there is no meaningful cold-start training on an
+    * arbitrary first micro-batch; seed on a representative sample).
+    * Plain (unfused) index only: the in-sink append is a plain mutation
+    * verb and refuses a fused index. Exactly-once via the
+    * committed-batch marker over both effects. */
+  def semanticDedupSink(vecs: DataFrame, indexDir: String, outDir: String,
+                        checkpointDir: String, idCol: String, vecCol: String,
+                        threshold: Double, nprobe: Int = 4)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val novel = graft.operators.Similarity
+            .semanticDedupAgainstIndex(batch, idCol, vecCol, indexDir,
+              threshold, nprobe)
+            .localCheckpoint(true) // one computation feeds both appends
+          novel.write.mode("append").parquet(outDir)
+          graft.operators.Similarity.ivfAppendIndex(
+            novel.select(col(idCol), col(vecCol)), idCol, vecCol, indexDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming corpus ingest with a WINNOWING substring gate — the
     * local-guarantee sibling of [[nearDupDedupSink]] (MinHash gates on
     * whole-document similarity and can miss with LSH probability; the

@@ -332,10 +332,11 @@ class PlanAuditSpec extends SparkSpec {
       "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
       "Dedup.scala" -> 10,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2 (all <= buckets)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
-      "Similarity.scala" -> 12 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
+      "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub
       // codebook rows, <= nlists retrain-written ids, <= k touched-list
       // ids on pq-append and pq-delete, refine*k ADC candidate ids
+      // + the semantic-gate probe census (r13, <= k list ids)
     )
     val dir = java.nio.file.Paths.get("src/main/scala/graft/operators")
     val files = java.nio.file.Files.list(dir).iterator().asScala

@@ -1214,6 +1214,57 @@ class ScalePathSpec extends SparkSpec {
       root + "/missing").count() == 0L)
   }
 
+  test("semantic gate vs persisted IVF index: flags cosine-near batch rows, no false flags, probe-pruned") {
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val e2 = Array(0f, 0f, 1f, 0f); val e3 = Array(0f, 0f, 0f, 1f)
+    val rnd = new scala.util.Random(7)
+    def near(c: Array[Float]): Seq[Float] =
+      c.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq
+    val base = (0 until 8).map(i =>
+      (i.toLong, near(if (i % 2 == 0) e0 else e1)))
+    val root = java.nio.file.Files.createTempDirectory("semgate_").toString
+    val dir = root + "/idx"
+    Similarity.ivfWriteIndex(base.toDF("vec_id", "embedding"),
+      "embedding", Array(e0, e1, e2, e3), dir)
+    // batch: a near-copy of the e0 cluster (flags), an orthogonal novel
+    // vector (survives), and a mid-similarity vector below threshold
+    val batch = Seq(
+      (100L, near(e0)),
+      (101L, near(e2)),
+      (102L, Seq(0.7f, 0.7f, 0.1f, 0.0f))) // ~0.70 cosine to both clusters
+      .toDF("vec_id", "embedding")
+    val matches = Similarity.semanticMatchesAgainstIndex(
+        batch, "vec_id", "embedding", dir, threshold = 0.95, nprobe = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(matches.nonEmpty && matches.forall(_._1 == 100L),
+      s"only the near-copy may flag: ${matches.toSeq}")
+    assert(matches.forall(_._3 >= 0.95))
+    // no false flags: every reported sim matches the driver-side cosine
+    val idx = base.toMap
+    val batchVecs = batch.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map(p => p._1.toDouble * p._2).sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    for ((b, m, s) <- matches)
+      assert(s == BigDecimal(cos(batchVecs(b), idx(m)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"sim mismatch for ($b,$m)")
+    // completeness on this clustered fixture (nprobe=2 covers the true
+    // cluster): flagged set == brute-force threshold set
+    val brute = (for {
+      (b, bv) <- batchVecs.toSeq; (i, iv) <- idx.toSeq
+      if cos(bv, iv) >= 0.95
+    } yield (b, i)).toSet
+    assert(matches.map(r => (r._1, r._2)).toSet == brute,
+      s"gate vs brute: ${matches.toSeq} vs $brute")
+    val surv = Similarity.semanticDedupAgainstIndex(
+        batch, "vec_id", "embedding", dir, threshold = 0.95, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(101L, 102L), s"survivors: $surv")
+  }
+
   test("components store takedown: bridge removal splits the component; delete == rebuild on both layouts") {
     // path 1-2-3-4 (node 2 is a bridge), plus components {8,9}, {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L), (20L, 21L))

@@ -1594,6 +1594,49 @@ class StreamingSpec extends SparkSpec {
       assert(ids(flagDir) == Set(10L, 20L), s"replayed flags: ${ids(flagDir)}")
     } finally q2.stop()
   }
+
+  test("semanticDedupSink: cosine gate advances with admissions, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("sem_sink_").toString
+    val idxDir = s"$base/idx"; val outDir = s"$base/out"
+    val e0 = Array(1f, 0f, 0f, 0f); val e1 = Array(0f, 1f, 0f, 0f)
+    val e2 = Array(0f, 0f, 1f, 0f); val e3 = Array(0f, 0f, 0f, 1f)
+    val rnd = new scala.util.Random(11)
+    def near(c: Array[Float]): Seq[Float] =
+      c.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq
+    // pre-seed: the IVF index needs trained centroids (sink contract)
+    val seed = (0 until 4).map(i => (i.toLong, near(e0)))
+    graft.operators.Similarity.ivfWriteIndex(
+      seed.toDF("vec_id", "embedding"), "embedding",
+      Array(e0, e1, e2, e3), idxDir)
+    val in = MemoryStream[(Long, Seq[Float])]
+    def start(ck: String) = graft.sources.IO.semanticDedupSink(
+        in.toDF().toDF("vec_id", "embedding"), idxDir, outDir, ck,
+        "vec_id", "embedding", threshold = 0.95, nprobe = 2)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test
+      .start()
+    def ids(dir: String): Set[Long] =
+      spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    val q = start(s"$base/ck1")
+    try {
+      // batch 1: near-copy of the seeded cluster drops; novel admits
+      in.addData((10L, near(e0)), (11L, near(e1)))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(11L), s"batch-1 admissions: ${ids(outDir)}")
+      // batch 2: near-copy of the batch-1 ADMISSION drops (index
+      // advanced); a third direction admits
+      in.addData((20L, near(e1)), (21L, near(e2)))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(11L, 21L), s"final clean set: ${ids(outDir)}")
+    } finally q.stop()
+    // replay from a fresh checkpoint: markers make each batch a no-op
+    val q2 = start(s"$base/ck2")
+    try {
+      in.addData((10L, near(e0)), (11L, near(e1)))
+      q2.processAllAvailable()
+      assert(ids(outDir) == Set(11L, 21L), s"replayed: ${ids(outDir)}")
+    } finally q2.stop()
+  }
 }
 
 /** Test-only "next release" of the funnel processor: the SAME state
