@@ -257,7 +257,10 @@ object IO {
     * arbitrary first micro-batch; seed on a representative sample).
     * Plain (unfused) index only: the in-sink append is a plain mutation
     * verb and refuses a fused index. Exactly-once via the
-    * committed-batch marker over both effects. */
+    * committed-batch marker over both effects. INTRA-BATCH caveat: the
+    * gate checks against ADMITTED (indexed) vectors only — two
+    * near-identical vectors arriving in the SAME micro-batch both
+    * admit; collapse within the batch upstream if that matters. */
   def semanticDedupSink(vecs: DataFrame, indexDir: String, outDir: String,
                         checkpointDir: String, idCol: String, vecCol: String,
                         threshold: Double, nprobe: Int = 4)
@@ -291,7 +294,13 @@ object IO {
     * marker over the whole batch action; a crash mid-batch replays all
     * three effects (restartable parquet commits, single writer — the
     * ingest-sink contract shared with the near-dup and IVF sinks). Cold
-    * start: a missing index admits the whole first batch and seeds. */
+    * start: a missing index admits the whole first batch and seeds.
+    * INTRA-BATCH caveat: the gate checks against ADMITTED (indexed)
+    * content only — two overlapping docs arriving in the SAME
+    * micro-batch both admit (the second batch onward flags against
+    * them); run [[nearDupDedupSink]]-style intra-batch collapse
+    * upstream, or size micro-batches small, if same-batch collisions
+    * matter. */
   def winnowIngestSink(docs: DataFrame, indexDir: String, outDir: String,
                        flaggedDir: String, checkpointDir: String,
                        idCol: String, textCol: String,
