@@ -4761,6 +4761,39 @@ object Queries {
         round(col("containment"), 6).as("containment"))
       .orderBy("id_in", "id_of")
 
+  /** q_containment_cluster — the actionable verdict on
+    * [[q_containment]]: collapse extract-of families via connected
+    * components over the containment pairs (a ≥0.8 containment in
+    * EITHER direction links the docs), keeping per cluster the LONGEST
+    * doc (max n_chars, min doc_id on ties) — the superset copy a dedup
+    * pass retains when a quote/excerpt family collapses (keep-longest,
+    * not keep-first: dropping the superset would lose content). Same
+    * single-scan capped-inverted-index pair plan, then the O(log d)
+    * component fixpoint over the pair-bounded edge list; the keep rule
+    * is two exact integer aggregates (max length, then min id among
+    * maxima) — no argmax tie logic to diverge between engines. */
+  val q_containment_cluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text")
+      .select(least(col("id_in"), col("id_of")).as("id_a"),
+        greatest(col("id_in"), col("id_of")).as("id_b"))
+      .distinct()
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(eager = true) // feeds the max-length fold + output
+    val mx = labeled.groupBy("cluster_id").agg(max(col("n_chars")).as("mc"))
+    val keep = labeled.join(mx, Seq("cluster_id"))
+      .filter(col("n_chars") === col("mc"))
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("keep_id"))
+    labeled.join(keep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // round 13: corpus-statistics + importance-weighting pack
   // -------------------------------------------------------------------
@@ -5193,5 +5226,6 @@ object Queries {
     "q_overlap_matrix" -> q_overlap_matrix,
     "q_winnowing" -> q_winnowing,
     "q_winnow_pairs" -> q_winnow_pairs,
+    "q_containment_cluster" -> q_containment_cluster,
   )
 }

@@ -6261,6 +6261,47 @@ object SparkEntry {
         |       count(*) AS n_fingerprints,
         |       CAST(sum(wmin) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp_checksum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_containment_cluster: the q_containment pair chain
+    // (unrounded 0.8 threshold, either direction links), recursive-CTE
+    // components, keep-longest (max n_chars, min doc_id among maxima)
+    "q_containment_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), s2 AS (
+        |  SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size AS DOUBLE) >= 0.8
+        |     OR CAST(n_common AS DOUBLE) / CAST(sb.set_size AS DOUBLE) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), clusters AS (
+        |  SELECT id, least(id, min(m)) AS cluster_id FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |), mx AS (
+        |  SELECT cluster_id, max(n_chars) AS mc FROM labeled GROUP BY cluster_id
+        |), keep AS (
+        |  SELECT l.cluster_id, min(l.doc_id) AS keep_id
+        |  FROM labeled l JOIN mx USING (cluster_id) WHERE l.n_chars = mx.mc
+        |  GROUP BY l.cluster_id)
+        |SELECT l.doc_id, l.cluster_id, k.keep_id,
+        |       CAST(l.doc_id = k.keep_id AS BIGINT) AS kept
+        |FROM labeled l JOIN keep k USING (cluster_id)
+        |ORDER BY l.doc_id""".stripMargin,
     // mirrors q_winnow_pairs: the q_winnowing selection, hash decoded
     // from the encoded key by exact integer algebra, df-capped (>1000
     // docs) before the self-join, shared-count >= 2, score vs the

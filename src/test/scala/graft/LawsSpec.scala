@@ -1511,6 +1511,52 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("q_containment_cluster matches a driver-side union-find + keep-longest") {
+    val got = Queries.q_containment_cluster(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars", "text").as[(Long, Long, String)].collect()
+    assert(got.length == docs.length, "every doc gets a verdict row")
+    // reuse the q_containment witness semantics: shingle → df cap →
+    // one intersection per unordered pair → either-direction 0.8 link
+    def shingles(t: String): Set[String] = {
+      val toks = docTokens(t)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, _, t) => id -> shingles(t) }.toMap
+    val df = all.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val kept = all.view.mapValues(_.filter(df(_) <= 1000)).toMap
+    val ids = docs.map(_._1).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for {
+      a <- ids; b <- ids if a < b
+      sa = kept(a); sb = kept(b)
+      in = (sa & sb).size
+      if (sa.nonEmpty && in.toDouble / sa.size >= 0.8) ||
+        (sb.nonEmpty && in.toDouble / sb.size >= 0.8)
+    } union(a, b)
+    val chars = docs.map(d => d._1 -> d._2).toMap
+    val byCluster = ids.groupBy(find)
+    val wantKeep = byCluster.map { case (c, ms) =>
+      val mc = ms.map(chars).max
+      c -> ms.filter(chars(_) == mc).min
+    }
+    for ((id, cl, keep, flag) <- got) {
+      assert(cl == find(id), s"doc $id cluster: got $cl want ${find(id)}")
+      assert(keep == wantKeep(cl), s"doc $id keep: got $keep")
+      assert((flag == 1L) == (id == keep))
+      // keep-longest law: the kept doc is never shorter than any member
+      assert(chars(keep) >= chars(id), s"kept $keep shorter than $id")
+    }
+  }
+
   test("q_winnow_pairs matches a driver-side MOSS match + guarantee law") {
     val got = Queries.q_winnow_pairs(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect()
