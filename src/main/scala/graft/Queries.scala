@@ -4696,7 +4696,10 @@ object Queries {
     * is gram-universe-bounded and joins back by shuffle (no broadcast
     * hint — it is NOT benchmark-sized like [[q_contamination_frac]]'s
     * probe). The ppm floor-division is exact on both engines
-    * (numerator ≪ 2⁵³). */
+    * (numerator ≪ 2⁵³). Grams are keyed by `xxhash64` against a
+    * raw-string oracle — the documented negligible-collision risk
+    * accepted for the whole xxhash64 shingle family (rationale at
+    * [[graft.operators.Dedup.ngramContainmentPairs]]). */
   val q_boilerplate: Q = (s, d) => {
     val win = Tables.documents(s, d)
       .select(col("doc_id"),

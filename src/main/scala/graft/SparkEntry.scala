@@ -6326,7 +6326,7 @@ object SparkEntry {
         |  FROM k
         |), sel AS MATERIALIZED (
         |  SELECT DISTINCT doc_id,
-        |         CAST((wmin - wmin % 2097152) / 2097152 AS BIGINT) AS fh
+        |         CAST((wmin - wmin % 2097152) // 2097152 AS BIGINT) AS fh
         |  FROM m WHERE pos <= npos - 4
         |), fps AS MATERIALIZED (
         |  SELECT doc_id, fh FROM sel

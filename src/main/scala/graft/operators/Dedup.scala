@@ -367,7 +367,19 @@ object Dedup {
     * all-pairs, so the 100 TB shape is the same as the proven Jaccard
     * path. The division is a single IEEE op over exact integers,
     * bit-identical across engines; thresholding happens on the
-    * UNROUNDED score. */
+    * UNROUNDED score.
+    *
+    * HASH-COLLISION CAVEAT (ADVICE r13, accepted): shingles are keyed
+    * by Spark-side `xxhash64` while the DuckDB oracle compares raw gram
+    * strings, so a 64-bit collision would merge two distinct grams here
+    * and diverge from the oracle. P(any collision) ≈ n²/2⁶⁵ — ~3·10⁻⁸
+    * at a billion DISTINCT surviving shingles — the same documented
+    * risk class as the pre-existing `q_dedup_ngram`/`q_boilerplate`
+    * xxhash64 keying; kept because an 8-byte join key (vs the raw gram
+    * string) is the scale design, and the portable-md5 alternative
+    * ([[portableHash64]], used where the HASH VALUE itself is
+    * compared: winnowing, overlap-matrix) costs md5 per gram for no
+    * behavioral difference short of a collision. */
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, maxDocFreq: Long = 1000L,
                             minContainment: Double = 0.8): DataFrame = {
@@ -411,7 +423,16 @@ object Dedup {
     * ([[graft.Queries.q_winnowing]]), the matcher ([[winnowPairs]]) and
     * the scale probe. One positional explode + ONE doc-keyed shuffle
     * serving both window functions; docs are bounded-length, so the
-    * per-doc sort is safe at any corpus size. */
+    * per-doc sort is safe at any corpus size.
+    *
+    * HARD PER-DOC CAP: the pos field of the encoded key is 21 bits, so
+    * a doc may carry at most 2²¹−1 = 2,097,151 gram positions (~2M
+    * tokens). Beyond that, `2²¹−1 − pos` goes negative and borrows from
+    * the hash field (decodes to h−1), silently corrupting the
+    * rightmost-pos tie-break — so the cap FAILS LOUDLY here
+    * (`assert_true` on npos, raised executor-side on the offending doc)
+    * instead of degrading the winnowing local guarantee (ADVICE r13).
+    * Callers with multi-million-token documents must chunk upstream. */
   def winnowSelection(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -426,6 +447,12 @@ object Dedup {
     val byDoc = Window.partitionBy("id")
     keyed
       .withColumn("npos", count(lit(1)).over(byDoc))
+      .filter(assert_true(col("npos") <= lit(2097151L),
+        concat(lit("winnowSelection: doc "), col("id"), lit(" has "),
+          col("npos"),
+          lit(" gram positions > 2^21-1; the 21-bit encoded-key pos " +
+            "field would corrupt the tie-break. Chunk the doc upstream.")))
+        .isNull)
       .withColumn("wmin",
         min(col("k")).over(byDoc.orderBy("pos").rowsBetween(0, 3)))
       .filter(col("pos") <= col("npos") - 4)
@@ -453,9 +480,21 @@ object Dedup {
     * winnowed ~2/(w+1) SAMPLE of grams is joined at all. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   maxDocFreq: Long = 1000L,
-                  minShared: Long = 2L): DataFrame = {
-    val sel = winnowFingerprints(docs, idCol, textCol)
-      .localCheckpoint(eager = true) // feeds df cap, sizes and the join
+                  minShared: Long = 2L): DataFrame =
+    winnowPairsFromFps(
+      winnowFingerprints(docs, idCol, textCol)
+        .localCheckpoint(eager = true), // feeds df cap, sizes and the join
+      maxDocFreq, minShared)
+
+  /** [[winnowPairs]] from a PRECOMPUTED distinct (id, fh) selection —
+    * the shared core that lets [[graft.sources.IO.winnowIngestSink]]
+    * winnow each micro-batch ONCE and feed both the intra-batch pair
+    * step and the index gate (one positional explode per batch, not
+    * three). `sel` must be materialized by the caller (it feeds the df
+    * cap, the sizes aggregate and both join sides). */
+  private[graft] def winnowPairsFromFps(sel: DataFrame,
+                                        maxDocFreq: Long = 1000L,
+                                        minShared: Long = 2L): DataFrame = {
     val fps = {
       val hot = sel.groupBy("fh").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("fh")
@@ -517,15 +556,24 @@ object Dedup {
     * is the streaming cold start and this append seeds it, stamping the
     * sidecars the way [[writeWinnowIndex]] does. */
   def appendWinnowIndex(novel: DataFrame, idCol: String, textCol: String,
-                        indexDir: String, storeBuckets: Int = 64): Unit = {
-    val spark = novel.sparkSession
+                        indexDir: String, storeBuckets: Int = 64): Unit =
+    appendWinnowFps(winnowFingerprints(novel, idCol, textCol), indexDir,
+      storeBuckets)
+
+  /** [[appendWinnowIndex]] from a PRECOMPUTED distinct (id, fh)
+    * selection — the shared core behind the single-winnow-pass ingest
+    * sink (the sink already holds the batch's fingerprints; re-deriving
+    * them from the novel docs would be a third winnow pass). */
+  private[graft] def appendWinnowFps(novelFps: DataFrame, indexDir: String,
+                                     storeBuckets: Int = 64): Unit = {
+    val spark = novelFps.sparkSession
     val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
     val coldStart = !fpsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(fpsPath)
     if (!coldStart) requireWinnowLayout(spark, indexDir)
     val sb = graft.sources.IO.readBucketCount(spark, indexDir)
       .getOrElse(storeBuckets)
-    val delta = winnowFingerprints(novel, idCol, textCol)
+    val delta = novelFps
       .withColumn("__bucket", idBucket(col("id"), sb))
       .localCheckpoint(true)
     graft.sources.IO.alignToPartitions(delta, "__bucket")
@@ -593,10 +641,25 @@ object Dedup {
   def matchAgainstWinnowIndex(batch: DataFrame, idCol: String,
                               textCol: String, indexDir: String,
                               maxDocFreq: Long = 1000L,
-                              minShared: Long = 2L): DataFrame = {
-    val spark = batch.sparkSession
-    val bsel = winnowFingerprints(batch, idCol, textCol)
-      .localCheckpoint(eager = true) // feeds sizes + the match join
+                              minShared: Long = 2L): DataFrame =
+    matchFpsAgainstWinnowIndex(
+      winnowFingerprints(batch, idCol, textCol)
+        .localCheckpoint(eager = true), // feeds sizes + the match join
+      idCol, indexDir, maxDocFreq, minShared)
+
+  /** [[matchAgainstWinnowIndex]] from a PRECOMPUTED distinct (id, fh)
+    * batch selection (caller-materialized) — the shared core behind the
+    * single-winnow-pass ingest sink. `n_shared` counts DISTINCT shared
+    * hashes, so duplicate index rows (an at-least-once replayed
+    * [[appendWinnowIndex]] after a torn sink batch) inflate nothing —
+    * with distinct rows on both sides it is plan-identical to the plain
+    * count. */
+  private[graft] def matchFpsAgainstWinnowIndex(bsel: DataFrame,
+                                                idCol: String,
+                                                indexDir: String,
+                                                maxDocFreq: Long = 1000L,
+                                                minShared: Long = 2L): DataFrame = {
+    val spark = bsel.sparkSession
     val sizes = bsel.groupBy("id").agg(count(lit(1)).as("n_sel"))
     val fpsPath = new org.apache.hadoop.fs.Path(s"$indexDir/fps")
     val coldStart = !fpsPath
@@ -607,12 +670,12 @@ object Dedup {
           lit(0L).as("n_shared"), lit(0.0).as("score"))
     requireWinnowLayout(spark, indexDir)
     val idx = spark.read.parquet(s"$indexDir/fps").select("id", "fh")
-    val hot = idx.groupBy("fh").agg(count(lit(1)).as("df"))
+    val hot = idx.groupBy("fh").agg(countDistinct(col("id")).as("df"))
       .filter(col("df") > maxDocFreq).select("fh")
     idx.join(broadcast(hot), Seq("fh"), "left_anti").as("i")
       .join(bsel.as("b"), col("i.fh") === col("b.fh"))
       .groupBy(col("b.id").as("__bid"), col("i.id").as("match_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("b.fh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(sizes, col("__bid") === sizes("id"))
       .select(col("__bid").as(idCol), col("match_id"), col("n_shared"),

@@ -843,6 +843,51 @@ object Similarity {
         threshold, nprobe).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
+  /** INTRA-batch semantic collapse — the within-micro-batch half of the
+    * semantic ingest gate (VERDICT r13 #1): batch vectors within
+    * `threshold` cosine of EACH OTHER collapse to one canonical
+    * survivor (min id per near-dup family —
+    * [[graft.operators.Dedup.keepCanonical]] over confirmed pairs), so
+    * two near-identical vectors arriving in the SAME batch no longer
+    * both admit. Candidates are pairs sharing ANY of their `nprobe`
+    * probed lists under the index's centroids (the same probe geometry
+    * as the index gate — strictly higher recall than
+    * assigned-list-only, because borderline vectors probe both sides of
+    * a centroid boundary); confirm is exact cosine on the
+    * candidate-bounded pair list. Work ∝ batch² only within shared
+    * probed lists — batch-sized, never corpus-sized. Same ANN caveat as
+    * the index gate: a true pair probing disjoint lists is missed.
+    * Requires the seeded index (centroids) — the
+    * [[graft.sources.IO.semanticDedupSink]] contract. */
+  def semanticCollapseBatch(batch: DataFrame, idCol: String, vecCol: String,
+                            indexDir: String, threshold: Double,
+                            nprobe: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val probeUdf = udf { (v: Seq[Float]) =>
+      nearestLists(v.toArray, centroids, nprobe)
+    }
+    val probed = batch
+      .select(col(idCol).as("__pid"),
+        explode(probeUdf(col(vecCol))).as("ivf_list"))
+      .localCheckpoint(eager = true) // both self-join sides, one probe pass
+    val cand = probed.as("a")
+      .join(probed.as("b"),
+        col("a.ivf_list") === col("b.ivf_list") &&
+          col("a.__pid") < col("b.__pid"))
+      .select(col("a.__pid").as("id_a"), col("b.__pid").as("id_b"))
+      .distinct()
+    val vecs = batch.select(col(idCol), col(vecCol))
+    val confirmed = cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va")),
+        Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb")),
+        Seq("id_b"))
+      .filter(Vectors.cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    graft.operators.Dedup.keepCanonical(batch, confirmed, idCol)
+  }
+
   // ---- int8 embedding storage quantization --------------------------
 
   /** Symmetric per-vector int8 quantization: scale = maxAbs/127, codes

@@ -257,10 +257,17 @@ object IO {
     * arbitrary first micro-batch; seed on a representative sample).
     * Plain (unfused) index only: the in-sink append is a plain mutation
     * verb and refuses a fused index. Exactly-once via the
-    * committed-batch marker over both effects. INTRA-BATCH caveat: the
-    * gate checks against ADMITTED (indexed) vectors only — two
-    * near-identical vectors arriving in the SAME micro-batch both
-    * admit; collapse within the batch upstream if that matters. */
+    * committed-batch marker over both effects. INTRA-batch near-dups
+    * collapse too ([[graft.operators.Similarity.semanticCollapseBatch]]
+    * — min-id canonical per within-batch family under the same probe
+    * geometry and threshold), so a bursty producer emitting the same
+    * embedding twice in one micro-batch admits exactly one copy — full
+    * parity with [[nearDupDedupSink]]'s intra-batch step (VERDICT r13
+    * #1). Torn-batch note: a crash AFTER the index append but before
+    * the marker leaves the batch's own vectors indexed; the replay then
+    * self-matches them against the index and admits nothing — no
+    * duplicate corpus rows, the conservative direction (the out-append
+    * rows from the torn run, if any landed, stay). */
   def semanticDedupSink(vecs: DataFrame, indexDir: String, outDir: String,
                         checkpointDir: String, idCol: String, vecCol: String,
                         threshold: Double, nprobe: Int = 4)
@@ -269,8 +276,12 @@ object IO {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
         (batch: DataFrame, _: Long) =>
+          val intra = graft.operators.Similarity
+            .semanticCollapseBatch(batch, idCol, vecCol, indexDir,
+              threshold, nprobe)
+            .localCheckpoint(true) // feeds the index-gate join twice
           val novel = graft.operators.Similarity
-            .semanticDedupAgainstIndex(batch, idCol, vecCol, indexDir,
+            .semanticDedupAgainstIndex(intra, idCol, vecCol, indexDir,
               threshold, nprobe)
             .localCheckpoint(true) // one computation feeds both appends
           novel.write.mode("append").parquet(outDir)
@@ -285,22 +296,39 @@ object IO {
     * whole-document similarity and can miss with LSH probability; the
     * winnow gate flags ANY batch doc sharing a ≥8-token run with
     * admitted content, deterministically, modulo the df cap): per
-    * micro-batch, [[graft.operators.Dedup.matchAgainstWinnowIndex]]
-    * flags overlapping docs into `flaggedDir` (with their best-match id,
-    * shared count and coverage score — the audit a review reads),
-    * admits the rest to `outDir`, and advances the index
-    * ([[graft.operators.Dedup.appendWinnowIndex]]) so later batches gate
-    * against everything admitted. Exactly-once via the committed-batch
-    * marker over the whole batch action; a crash mid-batch replays all
-    * three effects (restartable parquet commits, single writer — the
-    * ingest-sink contract shared with the near-dup and IVF sinks). Cold
-    * start: a missing index admits the whole first batch and seeds.
-    * INTRA-BATCH caveat: the gate checks against ADMITTED (indexed)
-    * content only — two overlapping docs arriving in the SAME
-    * micro-batch both admit (the second batch onward flags against
-    * them); run [[nearDupDedupSink]]-style intra-batch collapse
-    * upstream, or size micro-batches small, if same-batch collisions
-    * matter. */
+    * micro-batch, the batch is winnowed ONCE
+    * ([[graft.operators.Dedup.winnowFingerprints]]) and that single
+    * selection feeds BOTH gates — (1) INTRA-batch collapse:
+    * within-batch overlap pairs
+    * ([[graft.operators.Dedup.winnowPairsFromFps]]) cluster and keep
+    * the min-id canonical per family
+    * ([[graft.operators.Dedup.keepCanonical]]), so two overlapping docs
+    * in the SAME micro-batch admit exactly one (parity with
+    * [[nearDupDedupSink]] — VERDICT r13 #1), the dropped ones flagged
+    * with their best within-batch partner; (2) the INDEX gate:
+    * intra-survivors matching admitted content
+    * ([[graft.operators.Dedup.matchFpsAgainstWinnowIndex]]) flag with
+    * their best indexed match. Both flag routes append to `flaggedDir`
+    * (the full doc row + match_id, n_shared, score — the audit a review
+    * reads), survivors append to `outDir`, and the survivors'
+    * already-computed fingerprints advance the index
+    * ([[graft.operators.Dedup.appendWinnowFps]] — no second winnow
+    * pass) so later batches gate against everything admitted. Cold
+    * start: a missing index admits the intra-collapsed first batch and
+    * seeds.
+    *
+    * Replay semantics (narrowed from "exactly-once over all effects" —
+    * ADVICE r13): the committed-batch marker makes a COMPLETED batch an
+    * exact no-op on replay. A crash mid-batch replays it, and the
+    * gating DECISIONS are replay-stable even when the crash landed
+    * after the index append: index matches against the batch's OWN ids
+    * are excluded (through the index a batch doc could only meet itself
+    * or a same-batch sibling the intra gate already adjudicated), and
+    * the matcher counts DISTINCT shared hashes, so the duplicate index
+    * rows a replayed append leaves inflate nothing. What a torn batch
+    * CAN leave is duplicated audit/corpus rows from re-run appends —
+    * the [[decontaminateIngestSink]] torn-window semantics, never
+    * spurious self-flags. */
   def winnowIngestSink(docs: DataFrame, indexDir: String, outDir: String,
                        flaggedDir: String, checkpointDir: String,
                        idCol: String, textCol: String,
@@ -311,23 +339,53 @@ object IO {
       .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
         (batch: DataFrame, _: Long) =>
           val b = batch.localCheckpoint(true) // one scan feeds both routes
-          val matches = graft.operators.Dedup
-            .matchAgainstWinnowIndex(b, idCol, textCol, indexDir,
-              minShared = minShared)
+          // ONE winnow pass serves the intra gate, the index gate and
+          // the final index append
+          val fps = graft.operators.Dedup
+            .winnowFingerprints(b, idCol, textCol)
             .localCheckpoint(true)
-          val best = matches
+          def bestOf(m: DataFrame): DataFrame = m
             .groupBy(idCol)
             .agg(max(struct(col("n_shared"), col("score"), col("match_id")))
               .as("m"))
             .select(col(idCol), col("m.match_id").as("match_id"),
               col("m.n_shared").as("n_shared"), col("m.score").as("score"))
-          b.join(best, Seq(idCol), "inner")
+          // gate 1: intra-batch collapse, min-id canonical per family
+          val intraPairs = graft.operators.Dedup
+            .winnowPairsFromFps(fps, minShared = minShared)
+            .localCheckpoint(true) // feeds keepCanonical + the audit rows
+          val intra = graft.operators.Dedup
+            .keepCanonical(b, intraPairs, idCol)
+            .localCheckpoint(true) // feeds the index gate + both appends
+          val intraFlag = bestOf(intraPairs
+              .select(col("id_a").as(idCol), col("id_b").as("match_id"),
+                col("n_shared"), col("score"))
+              .unionAll(intraPairs
+                .select(col("id_b").as(idCol), col("id_a").as("match_id"),
+                  col("n_shared"), col("score"))))
+            .join(intra.select(idCol), Seq(idCol), "left_anti")
+          // gate 2: the index gate, on intra-survivors' fingerprints
+          // only; the batch's own ids are excluded from matches so a
+          // replayed torn batch (index append landed, marker didn't)
+          // reproduces the original decisions instead of self-flagging
+          val matches = graft.operators.Dedup
+            .matchFpsAgainstWinnowIndex(
+              fps.join(intra.select(col(idCol).as("id")), Seq("id"),
+                "left_semi"),
+              idCol, indexDir, minShared = minShared)
+            .join(b.select(col(idCol).as("match_id")), Seq("match_id"),
+              "left_anti")
+            .localCheckpoint(true) // feeds the audit rows + the anti-join
+          b.join(intraFlag.unionAll(bestOf(matches)), Seq(idCol), "inner")
             .write.mode("append").parquet(flaggedDir)
-          val novel = b.join(matches.select(idCol), Seq(idCol), "left_anti")
+          val novel = intra
+            .join(matches.select(idCol), Seq(idCol), "left_anti")
             .localCheckpoint(true) // feeds the corpus append AND the index
           novel.write.mode("append").parquet(outDir)
-          graft.operators.Dedup.appendWinnowIndex(
-            novel, idCol, textCol, indexDir)
+          graft.operators.Dedup.appendWinnowFps(
+            fps.join(novel.select(col(idCol).as("id")), Seq("id"),
+              "left_semi"),
+            indexDir)
           ()
       })
       .trigger(Trigger.AvailableNow())

@@ -1584,14 +1584,28 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(ids(outDir) == Set(1L, 2L, 11L), s"final corpus: ${ids(outDir)}")
       assert(ids(flagDir) == Set(10L, 20L), s"final flags: ${ids(flagDir)}")
+      // batch 4: TWO overlapping docs in the SAME micro-batch — the
+      // intra-batch gate keeps the min-id canonical (25) and flags the
+      // sibling (26) with its within-batch partner (VERDICT r13 #1)
+      val runE = (1 to 15).map(i => s"e$i").mkString(" ")
+      in.addData((25L, runE + " left one two"), (26L, runE + " right ten"))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(1L, 2L, 11L, 25L),
+        s"intra-collapsed corpus: ${ids(outDir)}")
+      val intraFlag = spark.read.parquet(flagDir)
+        .filter($"doc_id" === 26L)
+        .select("match_id").as[Long].collect().toSeq
+      assert(intraFlag == Seq(25L), s"intra flag audit: $intraFlag")
     } finally q.stop()
     // replay from a fresh checkpoint: markers make every batch a no-op
     val q2 = start(s"$base/ck2")
     try {
       in.addData((1L, runA + " tail1"), (2L, runC))
       q2.processAllAvailable()
-      assert(ids(outDir) == Set(1L, 2L, 11L), s"replayed corpus: ${ids(outDir)}")
-      assert(ids(flagDir) == Set(10L, 20L), s"replayed flags: ${ids(flagDir)}")
+      assert(ids(outDir) == Set(1L, 2L, 11L, 25L),
+        s"replayed corpus: ${ids(outDir)}")
+      assert(ids(flagDir) == Set(10L, 20L, 26L),
+        s"replayed flags: ${ids(flagDir)}")
     } finally q2.stop()
   }
 
@@ -1628,13 +1642,20 @@ class StreamingSpec extends SparkSpec {
       in.addData((20L, near(e1)), (21L, near(e2)))
       q.processAllAvailable()
       assert(ids(outDir) == Set(11L, 21L), s"final clean set: ${ids(outDir)}")
+      // batch 3: TWO near-identical vectors in the SAME micro-batch —
+      // the intra-batch gate admits exactly the min-id canonical
+      // (VERDICT r13 #1)
+      in.addData((30L, near(e3)), (31L, near(e3)))
+      q.processAllAvailable()
+      assert(ids(outDir) == Set(11L, 21L, 30L),
+        s"intra-collapsed clean set: ${ids(outDir)}")
     } finally q.stop()
     // replay from a fresh checkpoint: markers make each batch a no-op
     val q2 = start(s"$base/ck2")
     try {
       in.addData((10L, near(e0)), (11L, near(e1)))
       q2.processAllAvailable()
-      assert(ids(outDir) == Set(11L, 21L), s"replayed: ${ids(outDir)}")
+      assert(ids(outDir) == Set(11L, 21L, 30L), s"replayed: ${ids(outDir)}")
     } finally q2.stop()
   }
 }
