@@ -1538,7 +1538,18 @@ object Queries {
   }
 
   /** q_dedup_embed — sign-LSH bucket histogram over embeddings (near-dup
-    * candidate sets); oracle-exempt, scalatest-verified. */
+    * candidate sets); oracle-exempt, scalatest-verified.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r13 #8): the
+    * hyperplanes are `scala.util.Random(42).nextGaussian()` draws
+    * ([[graft.functions.Vectors.hyperplanes]]) — java.util.Random's
+    * 48-bit LCG through Box–Muller with per-instance pair caching, a
+    * JVM-library PRNG stream with no ANSI-SQL replay; DuckDB cannot
+    * reproduce the plane COORDINATES, let alone the sign bits (which
+    * would additionally require bit-identical float summation on
+    * near-orthogonal vectors). The signature registry is pinned by
+    * FunctionsSpec laws (bit = sign of the dot product, banded split
+    * consistency) instead. */
   val q_dedup_embed: Q = (s, d) =>
     Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding")
       .orderBy("sig")
@@ -1892,9 +1903,22 @@ object Queries {
     * `approx_top_k_estimate` reads out ranked (item, count) pairs —
     * the same pre-aggregated-rollup pattern as the HLL distinct
     * (`q_agg_distinct_hll`): top-k over any date range by merging
-    * kilobyte sketches, never re-scanning rows. Sketch estimates are
-    * approximate by construction → oracle-exempt; FunctionsSpec pins
-    * exactness against the exact twin at BOTH fixture SFs.
+    * kilobyte sketches, never re-scanning rows.
+    *
+    * ORACLE-CHECKED since round 14 (VERDICT r13 #8 — the bounded-domain
+    * conversion): while the per-day item count stays within
+    * `maxItemsTracked`, the frequent-items sketch is EXACT (no item is
+    * ever evicted, so every count is the true count — the Misra–Gries
+    * guarantee degenerates to exact counting below capacity), and the
+    * fixture domain (1,500 users at sf0.1) sits 10× under the 16,384
+    * capacity at every SF. The one non-replayable piece was the
+    * boundary tie: `approx_top_k_estimate(sk, 5)` cuts rank-5 ties in
+    * registry order. The query therefore reads out the WHOLE tracked
+    * registry (k = capacity — domain-bounded, exact) and applies its
+    * own deterministic (count desc, user_id) cut, so DuckDB replays the
+    * result as plain exact top-5. The capacity-exceeded regime stays
+    * approximate by construction — the sketch LAWS (exactness vs the
+    * exact twin, merge associativity) remain in FunctionsSpec.
     *
     * SIZING (load-bearing): Spark's `approx_top_k_estimate` returns an
     * EMPTY array — not a degraded estimate — once the underlying
@@ -1912,10 +1936,11 @@ object Queries {
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(expr(s"approx_top_k_accumulate(user_id, $TopKSketchCapacity)").as("sk"))
-      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $TopKSketchCapacity), 5)").as("top"))
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk, $TopKSketchCapacity), $TopKSketchCapacity)").as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.item").as("user_id"), col("e.count").as("est_cnt"))
       .orderBy(desc("est_cnt"), col("user_id"))
+      .limit(5)
 
   /** q_cogroup_timeline — the typed `cogroup` surface
     * (`KeyValueGroupedDataset.cogroup`, SURVEY §2.J): per-user merge of
@@ -4472,8 +4497,7 @@ object Queries {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .withColumn("contam_ppm",
-        floor((col("n_hit") * 2000000L + col("n_shingles")) /
-          (col("n_shingles") * 2)).cast("long"))
+        operators.Analytics.halfUpPpm(col("n_hit"), col("n_shingles")))
       .select("doc_id", "n_shingles", "n_hit", "contam_ppm")
       .orderBy("doc_id")
   }
@@ -4714,8 +4738,7 @@ object Queries {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ppm",
-        floor((col("n_boiler") * 2000000L + col("n_windows")) /
-          (col("n_windows") * 2)).cast("long"))
+        operators.Analytics.halfUpPpm(col("n_boiler"), col("n_windows")))
       .select("doc_id", "n_windows", "n_boiler", "boiler_ppm")
       .orderBy("doc_id")
   }

@@ -23,14 +23,20 @@ object SparkEntry {
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops — probability sketches and float-arithmetic /
     * embedding ANN whose output is genuinely engine-specific (the
-    * ExemptLaneSpec census, 12 ids): q_agg_approx_distinct,
+    * ExemptLaneSpec census, 11 ids): q_agg_approx_distinct,
     * q_agg_approx_percentile, q_agg_distinct_hll,
-    * q_heavy_hitters_approx, q_topk_approx_sketch,
+    * q_heavy_hitters_approx,
     * q_decontaminate_bloom, q_dedup_embed, q_similarity_lsh,
     * q_similarity_ivf, q_similarity_ivf_indexed, q_similarity_ivfpq,
     * q_knn_join_pq.
     * Each is instead law-tested in scalatest (SURVEY §5.2) and runs
-    * through the sf0.01 exempt lane (ExemptLaneSpec). Every other id —
+    * through the sf0.01 exempt lane (ExemptLaneSpec);
+    * q_topk_approx_sketch CONVERTED to oracle-checked in round 14 (the
+    * sketch is exact below capacity and the query's own deterministic
+    * (count, id) cut removed the last engine-internal tie — see its
+    * Scaladoc), and each remaining exemption carries either the
+    * sketch-error argument or an explicit no-ANSI-replay proof
+    * (q_dedup_embed: JVM-PRNG hyperplanes). Every other id —
     * including the iterative fixpoints (PageRank, LPA, Bellman–Ford,
     * k-core, k-truss, Brandes betweenness, BPE, Holt–Winters,
     * isotonic/PAV, lang-id) and, since round 12, the md5-portable
@@ -119,6 +125,11 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY w_start_ms, event_type""".stripMargin,
     "q_topk" ->
       "SELECT day, user_id, spend, rn FROM (SELECT day, user_id, spend, row_number() OVER (PARTITION BY day ORDER BY spend DESC, user_id) AS rn FROM (SELECT CAST(ts AS DATE) AS day, user_id, round(sum(value), 2) AS spend FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) t) t2 WHERE rn <= 3 ORDER BY day, rn",
+    // mirrors q_topk_approx_sketch: below sketch capacity the
+    // frequent-items registry is exact and the query's deterministic
+    // (count desc, user_id) cut makes the top-5 plain exact SQL
+    "q_topk_approx_sketch" ->
+      "SELECT user_id, count(*) AS est_cnt FROM events GROUP BY user_id ORDER BY est_cnt DESC, user_id LIMIT 5",
     "q_window_lag" ->
       "SELECT event_id, user_id, epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms FROM events ORDER BY event_id",
     "q_window_running" ->

@@ -470,6 +470,17 @@ object Analytics {
       .otherwise(big + idiv(rank - big * sizeBig - 1, sizeSmall) + 1)
   }
 
+  /** Exact HALF_UP parts-per-million of `num/den` — the corpus-audit
+    * pack's shared integer fold (`floor((2·10⁶·num + den) / (2·den))`,
+    * exact while the numerator stays ≤ 2⁵³): q_contamination_frac,
+    * q_boilerplate and their per-window streaming twins
+    * ([[graft.streaming.Jobs.contaminationFracPerWindow]],
+    * [[graft.streaming.Jobs.boilerplateMassPerWindow]]) all apply THIS
+    * column, so batch/stream parity is inherited, not re-proven — the
+    * q_auc convention. */
+  def halfUpPpm(num: Column, den: Column): Column =
+    floor((num * 2000000L + den) / (den * 2)).cast("long")
+
   /** One-pass pipeline-stage accounting via the `Observation` API: a
     * training pipeline must account for every dropped row, but a
     * separate `count()` per stage re-executes the plan. `observe`

@@ -728,7 +728,19 @@ object Dedup {
     * subset of [[decontaminate]]'s output (pinned in ScalePathSpec). */
   def decontaminateBloom(docs: DataFrame, probe: DataFrame, idCol: String,
                          textCol: String, n: Int = 5,
-                         fpp: Double = 0.001): DataFrame = {
+                         fpp: Double = 0.001): DataFrame =
+    docs.filter(bloomKeepPredicate(probe, textCol, n, fpp))
+
+  /** The KEEP predicate behind [[decontaminateBloom]], exposed as a
+    * bare `Column` so composed pipelines
+    * ([[CorpusBuild.buildCorpus]]) can wrap it in
+    * [[Analytics.observedFilter]] — per-stage row accounting collected
+    * on the SAME pass as the filter, no extra scan. Building the
+    * predicate runs the probe-side actions (distinct-shingle count +
+    * Bloom construction — benchmark-sized); evaluating it is the same
+    * narrow zero-shuffle membership test. */
+  def bloomKeepPredicate(probe: DataFrame, textCol: String, n: Int = 5,
+                         fpp: Double = 0.001): org.apache.spark.sql.Column = {
     val probeSh = probe
       .select(explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .distinct()
@@ -737,12 +749,12 @@ object Dedup {
     // in `decontaminate`
     val nShingles = math.max(probeSh.count(), 1L)
     val bloom = probeSh.stat.bloomFilter("sh_str", nShingles, fpp)
-    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val shingle = shingleSet(n)
     val hasLeak = udf { (shs: Seq[String]) =>
       shs != null && shs.exists(bc.value.mightContain)
     }
-    docs.filter(!hasLeak(shingle(Text.tokens(col(textCol)))))
+    !hasLeak(shingle(Text.tokens(col(textCol))))
   }
 
   /** Persisted exact-dedup fingerprint index: the distinct md5 fingerprints

@@ -68,7 +68,16 @@ object Sampling {
     * shuffle, and the DuckDB oracle reproduces it bit-for-bit. */
   def mixSample(df: DataFrame, stratumCol: String, idCol: String,
                 rates: Map[String, Double],
-                defaultRate: Double): DataFrame = {
+                defaultRate: Double): DataFrame =
+    df.filter(mixKeepPredicate(stratumCol, idCol, rates, defaultRate))
+
+  /** The KEEP predicate behind [[mixSample]] as a bare `Column` —
+    * composed pipelines ([[CorpusBuild.buildCorpus]]) wrap it in
+    * [[Analytics.observedFilter]] for one-pass stage accounting. Pure
+    * column expression (md5 cell vs per-stratum threshold), no state. */
+  def mixKeepPredicate(stratumCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): org.apache.spark.sql.Column = {
     def boundary(rate: Double): String = {
       require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
       val cells = math.round(rate * 256).toInt
@@ -81,7 +90,7 @@ object Sampling {
         case ((stratum, rate), acc) =>
           when(col(stratumCol) === stratum, lit(boundary(rate))).otherwise(acc)
       }
-    df.filter(cell < threshold)
+    cell < threshold
   }
 
   /** Per-stratum downsampling (class rebalancing): keep the given

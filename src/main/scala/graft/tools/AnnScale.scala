@@ -196,6 +196,22 @@ object AnnScale {
     }
     val plainSec = (System.nanoTime() - tp0) / 1e9 / nQueries
 
+    // the r14 storage-locality gate: local vectors → the auto path must
+    // take the warm (probe-once exact) route and cost ~plain, not fused
+    val probedBytes = graft.operators.Similarity
+      .probedVectorBytes(spark, dir, queries(0), nprobe)
+    val ta0 = System.nanoTime()
+    val autoResults = queries.map { qv =>
+      graft.operators.Similarity.ivfPqTopKAuto(spark, dir, "vec_id",
+        "embedding", qv, k, nprobe, refine)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val autoSec = (System.nanoTime() - ta0) / 1e9 / nQueries
+    val autoWarm = probedBytes <= (256L << 20)
+    val autoAgrees =
+      if (autoWarm) autoResults.sameElements(plainResults)
+      else autoResults.sameElements(fusedResults)
+
     var fhit = 0; var phit = 0; var tot = 0
     (0 until recallSample).foreach { qi =>
       val qv = queries(qi)
@@ -208,7 +224,7 @@ object AnnScale {
       tot += brute.size
     }
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
-    println(s"""{"metric":"ann_pq","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"code_bytes":$codeBytes,"vector_bytes":$vecBytes,"probe_surface_cut":${r3(vecBytes.toDouble / codeBytes)},"fused_query_sec":${r3(fusedSec)},"plain_query_sec":${r3(plainSec)},"recall_fused_at_$k":${r3(fhit.toDouble / tot)},"recall_plain_at_$k":${r3(phit.toDouble / tot)}}""")
+    println(s"""{"metric":"ann_pq","vecs":$nVecs,"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"build_sec":${math.round(buildSec * 10) / 10.0},"code_bytes":$codeBytes,"vector_bytes":$vecBytes,"probe_surface_cut":${r3(vecBytes.toDouble / codeBytes)},"fused_query_sec":${r3(fusedSec)},"plain_query_sec":${r3(plainSec)},"auto_query_sec":${r3(autoSec)},"auto_route":"${if (autoWarm) "warm" else "cold"}","probed_vector_bytes":$probedBytes,"auto_agrees_with_route":$autoAgrees,"recall_fused_at_$k":${r3(fhit.toDouble / tot)},"recall_plain_at_$k":${r3(phit.toDouble / tot)}}""")
     spark.stop()
   }
 
@@ -269,28 +285,38 @@ object AnnScale {
       driftCenters(q % nLists).zip(lcgVec(q * 131L + 7L, dim, 0.1f))
         .map { case (a, b) => a + b }
     }
-    def fusedRecall(): Double = {
+    // brute-force reference per query, computed ONCE and reused across
+    // the stale reading, the retrained reading and the whole ladder
+    val brute: Array[Set[Long]] = queries.map { qv =>
+      full.select(col("vec_id"),
+          graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(k)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    def fusedRecall(np: Int, rf: Int): Double = {
       var hit = 0; var tot = 0
-      queries.foreach { qv =>
+      queries.zipWithIndex.foreach { case (qv, qi) =>
         val ann = graft.operators.Similarity.ivfPqTopK(spark, dir,
-          "vec_id", "embedding", qv, k, nprobe, refine)
+          "vec_id", "embedding", qv, k, np, rf)
           .select("vec_id").as[Long].collect().toSet
-        val brute = full.select(col("vec_id"),
-            graft.functions.Vectors.cosineTo(col("embedding"), qv).as("sim"))
-          .orderBy(desc("sim"), col("vec_id")).limit(k)
-          .select("vec_id").as[Long].collect().toSet
-        hit += (ann & brute).size; tot += brute.size
+        hit += (ann & brute(qi)).size; tot += brute(qi).size
       }
       math.round(hit.toDouble / tot * 1000) / 1000.0
     }
-    val staleRecall = fusedRecall()
+    val staleRecall = fusedRecall(nprobe, refine)
     val tr0 = System.nanoTime()
     graft.operators.Similarity.ivfPqRetrainIndex(spark, dir, "vec_id",
       "embedding", k = nLists + nLists / 4, dim = dim, m = m, kSub = kSub,
       iters = 5)
     val retrainSec = (System.nanoTime() - tr0) / 1e9
-    val retrainedRecall = fusedRecall()
-    println(s"""{"metric":"ann_pq_drift","vecs":$nVecs,"drift_vecs":${nVecs / 4},"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"append_sec":${math.round(appendSec * 10) / 10.0},"retrain_sec":${math.round(retrainSec * 10) / 10.0},"trigger_fired_at_1.5":$triggered,"recall_fused_stale":$staleRecall,"recall_fused_retrained":$retrainedRecall}""")
+    val retrainedRecall = fusedRecall(nprobe, refine)
+    // the post-retrain LEVER LADDER (VERDICT r13 #4): recall at the
+    // widened list count as nprobe/refine scale — the measured curve
+    // behind the verb's documented defaults
+    val ladder = (for (np <- Seq(nprobe, nprobe * 2, nprobe * 4, nprobe * 8);
+                       rf <- Seq(refine, refine * 4))
+      yield s""""np${np}_rf$rf":${fusedRecall(np, rf)}""").mkString(",")
+    println(s"""{"metric":"ann_pq_drift","vecs":$nVecs,"drift_vecs":${nVecs / 4},"dim":$dim,"lists":$nLists,"nprobe":$nprobe,"m":$m,"k_sub":$kSub,"refine":$refine,"cpus":$cpus,"append_sec":${math.round(appendSec * 10) / 10.0},"retrain_sec":${math.round(retrainSec * 10) / 10.0},"trigger_fired_at_1.5":$triggered,"recall_fused_stale":$staleRecall,"recall_fused_retrained":$retrainedRecall,"retrained_ladder":{$ladder}}""")
     spark.stop()
   }
 

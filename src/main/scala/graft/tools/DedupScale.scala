@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val winnowMode = args.headOption.contains("winnow")
-    val rest = if (winnowMode) args.drop(1) else args
+    val winnowGateMode = args.headOption.contains("winnowgate")
+    val winnowMode = !winnowGateMode && args.headOption.contains("winnow")
+    val rest = if (winnowMode || winnowGateMode) args.drop(1) else args
+    if (winnowGateMode) { winnowGateProbe(rest, cpus); return }
     if (winnowMode) { winnowProbe(rest, cpus); return }
     val nDocs = if (args.nonEmpty) args(0).toInt else 100000
     val dupRate = if (args.length > 1) args(1).toInt else 4
@@ -63,6 +65,70 @@ object DedupScale {
     val sec = (System.nanoTime() - t0) / 1e9
     val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
     println(s"""{"metric":"neardup_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"sec":${math.round(sec * 10) / 10.0},"candidate_pairs":$candidatePairs,"all_pairs":$allPairs,"survivors":$survivors}""")
+    spark.stop()
+  }
+
+  /** WINNOWGATE mode (`runMain graft.tools.DedupScale winnowgate
+    * [nIndexDocs] [nBatchDocs]`): the INDEX-gated steady state the
+    * ingest sink lives in (VERDICT r13 #6) — build a persisted winnow
+    * index over `nIndexDocs`, then time `matchAgainstWinnowIndex` for a
+    * `nBatchDocs` batch (half duplicates of indexed content, half
+    * fresh) and again for a 2× batch. The claim under measurement:
+    * steady-state match cost is proportional to the BATCH (its
+    * fingerprints drive the join; the index side is touched only where
+    * hashes collide), not to the 100×-larger index — the same
+    * batch-proportional law the fingerprint and near-dup indexes carry.
+    * Same deterministic synthetic corpus family as the winnow mode. */
+  private def winnowGateProbe(args: Array[String], cpus: String): Unit = {
+    val nIndex = if (args.nonEmpty) args(0).toInt else 1000000
+    val nBatch = if (args.length > 1) args(1).toInt else 10000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // indexed corpus: unique 40-token docs (dupRate 1 — the gate, not
+    // intra-corpus dedup, is under test)
+    def lcgText(seed: Long, vocab: String): String = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      Array.tabulate(40)(_ => s"$vocab${math.floorMod(nxt(), 500000L)}")
+        .mkString(" ")
+    }
+    val idxDocs = spark.range(nIndex.toLong).select(col("id"))
+      .mapPartitions(_.map { r => (r.getLong(0), lcgText(r.getLong(0), "w")) })
+      .toDF("doc_id", "text").localCheckpoint(true)
+    // batch: even rows duplicate an indexed doc's text (must flag),
+    // odd rows draw from a disjoint vocabulary (must admit)
+    def batchOf(n: Int): org.apache.spark.sql.DataFrame =
+      spark.range(n.toLong).select(col("id"))
+        .mapPartitions(_.map { r =>
+          val j = r.getLong(0)
+          val text =
+            if (j % 2 == 0) lcgText(math.floorMod(j / 2, nIndex.toLong), "w")
+            else lcgText(j, "f")
+          (nIndex.toLong + j, text)
+        }).toDF("doc_id", "text").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("winnow_gate_")
+      .toString + "/idx"
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.writeWinnowIndex(idxDocs, "doc_id", "text", dir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    def timedMatch(b: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t = System.nanoTime()
+      val flagged = graft.operators.Dedup
+        .matchAgainstWinnowIndex(b, "doc_id", "text", dir)
+        .select("doc_id").distinct().count()
+      ((System.nanoTime() - t) / 1e9, flagged)
+    }
+    val b1 = batchOf(nBatch); val b2 = batchOf(nBatch * 2)
+    val (m1Sec, flagged1) = timedMatch(b1)
+    val (m2Sec, flagged2) = timedMatch(b2)
+    def r1(x: Double): Double = math.round(x * 10) / 10.0
+    println(s"""{"metric":"winnow_gate","index_docs":$nIndex,"batch_docs":$nBatch,"cpus":$cpus,"index_build_sec":${r1(buildSec)},"match_sec":${r1(m1Sec)},"match_2x_sec":${r1(m2Sec)},"flagged":$flagged1,"flagged_2x":$flagged2,"expected_flagged":${nBatch / 2},"match_cost_ratio_2x":${r1(m2Sec / m1Sec)}}""")
     spark.stop()
   }
 

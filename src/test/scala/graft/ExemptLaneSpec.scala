@@ -85,11 +85,16 @@ class ExemptLaneSpec extends SparkSpec {
     // then DELIBERATELY widened the set to 12 with q_similarity_ivfpq —
     // the fused IVFADC + re-rank path registered end to end (VERDICT
     // r12 #3), float ANN by construction, with its own recall law in
-    // ExemptBoundsSpec; widen
+    // ExemptBoundsSpec; round 14 CONVERTED q_topk_approx_sketch (exact
+    // below sketch capacity + the query's own deterministic (count, id)
+    // cut — see its Scaladoc) back to the hard oracle, shrinking the
+    // set to 11, and stamped the weakest remaining exemption
+    // (q_dedup_embed) with its no-ANSI-replay proof: JVM-PRNG
+    // hyperplane coordinates (VERDICT r13 #8). Widen
     // this number deliberately (with a new golden law), never by
     // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 12,
+    assert(exemptIds.size <= 11,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

@@ -873,6 +873,65 @@ class ScalePathSpec extends SparkSpec {
     assert(fused == plain, s"post-retrain: fused $fused != indexed $plain")
   }
 
+  test("ivfPqTopKAuto: measured warm gate — warm route scans the probed vectors ONCE (never codes), cold route is the fused path, both agree with their laws") {
+    val dim = 8
+    val rnd = new scala.util.Random(17)
+    def noisy(center: Array[Float]): Array[Float] =
+      center.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val centers = Array.tabulate(8) { c =>
+      Array.tabulate(dim)(j => if (j == c) 1f else 0f)
+    }
+    val rows = for (c <- 0 until 8; m <- 0 until 6)
+      yield ((c * 6 + m).toLong, noisy(centers(c)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_auto_")
+      .toString + "/idx"
+    Similarity.ivfPqWriteIndex(emb, "vec_id", "embedding", centroids, dim,
+      dir, m = 4, kSub = 8)
+    def asPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("vec_id", "rn").as[(Long, Long)].collect().sortBy(_._2).toSeq
+
+    // the gate's measured input == a filesystem walk of the probed dirs
+    val pb = Similarity.probedVectorBytes(spark, dir, centers(0), nprobe = 2)
+    val probes = Similarity.nearestLists(centers(0),
+      Similarity.ivfReadCentroids(spark, dir), 2)
+    def walk(f: java.io.File): Long =
+      if (f.getName.startsWith(".") || f.getName.startsWith("_")) 0L
+      else if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    val expected = probes
+      .map(l => walk(new java.io.File(s"$dir/vectors/ivf_list=$l"))).sum
+    assert(pb == expected && pb > 0, s"probed bytes $pb != dir walk $expected")
+
+    // WARM route (threshold at the measured bytes): == the plain exact
+    // probe, and its plan reads the probed partitions ONCE — exactly
+    // one parquet scan, rooted at vectors/, codes/ untouched
+    val warm = Similarity.ivfPqTopKAuto(spark, dir, "vec_id", "embedding",
+      centers(0), k = 6, nprobe = 2, refine = 4, warmProbeBytes = pb)
+    val warmPlan = warm.queryExecution.executedPlan.toString
+    assert(!warmPlan.contains("/codes"),
+      s"warm route must never scan codes:\n$warmPlan")
+    val nScans = math.max("FileScan".r.findAllIn(warmPlan).size,
+      "(?<!File)Scan parquet".r.findAllIn(warmPlan).size)
+    assert(nScans == 1 && warmPlan.contains("/vectors"),
+      s"warm route must scan vectors exactly once ($nScans):\n$warmPlan")
+    val plain = asPairs(Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", centers(0), 6, nprobe = 2))
+    assert(asPairs(warm) == plain, "warm route != plain exact probe")
+
+    // COLD route (threshold below the measured bytes): == the explicit
+    // fused IVFADC call; and with refine covering the probed rows the
+    // two routes agree exactly, so the gate changes cost, not results
+    val cold = asPairs(Similarity.ivfPqTopKAuto(spark, dir, "vec_id",
+      "embedding", centers(0), k = 6, nprobe = 2, refine = 4,
+      warmProbeBytes = 0L))
+    val fused = asPairs(Similarity.ivfPqTopK(spark, dir, "vec_id",
+      "embedding", centers(0), k = 6, nprobe = 2, refine = 4))
+    assert(cold == fused, s"cold route $cold != fused $fused")
+    assert(fused == plain, s"full-refine fused $fused != plain $plain")
+  }
+
   test("fused-index guard: plain mutation verbs refuse a fused index; fused split keeps the mirror") {
     val dim = 8
     val rnd = new scala.util.Random(13)
@@ -1885,5 +1944,83 @@ class ScalePathSpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(probe, "doc_id", "text", dir)
       .select("doc_id").as[Long].collect().toSet == Set.empty,
       "post-compaction append must advance the horizon")
+  }
+
+  test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
+    import graft.operators.{CorpusBuild, Sampling}
+    val base = java.nio.file.Files.createTempDirectory("corpus_build_")
+      .toString
+    val runT = (1 to 40).map(i => s"t$i").mkString(" ")
+    val runU = (100 to 135).map(i => s"u$i").mkString(" ")
+    val leak = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, runT + " endA", "web"),
+      (2L, runT + " endA", "books"), // exact dup of 1 → stage-1 drop
+      (3L, runT + " endB", "web"),   // near-dup of 1 → stage-2 drop
+      (10L, runU + " tail1", "books"),
+      (11L, runU + " tail2", "web"), // near-dup of 10 → stage-2 drop
+      // shares the leak 5-gram with the probe → stage-3 drop
+      (20L, leak + " " + (300 to 320).map(i => s"z$i").mkString(" "), "web"),
+      (30L, (400 to 440).map(i => s"q$i").mkString(" "), "web"),
+      (31L, (500 to 540).map(i => s"r$i").mkString(" "), "books"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    val probe = Seq((900L, leak + " probe suffix tokens padding"))
+      .toDF("doc_id", "text")
+    val rates = Map("web" -> 0.5)
+    val fpDir = s"$base/fp"; val bandDir = s"$base/band"
+    val shardDir = s"$base/shards"
+
+    val ledger = CorpusBuild.buildCorpus(docs, probe,
+      "doc_id", "text", "source", "n_chars",
+      fpDir, bandDir, shardDir,
+      nearDupThreshold = 0.5, mixRates = rates, defaultMixRate = 1.0,
+      numShards = 2)
+
+    // the equality law: the composed pipeline == the same stages run
+    // sequentially through the standalone operators
+    val sExact = docs.join(
+      docs.groupBy(graft.functions.Text.fingerprint(col("text")).as("f"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sNear = Dedup.clusterByMinhash(sExact, "doc_id", "text", 0.5)
+    val sClean = Dedup.decontaminateBloom(sNear, probe, "doc_id", "text")
+    val sMixed = Sampling.mixSample(sClean, "source", "doc_id", rates, 1.0)
+      .localCheckpoint(true)
+    val expected = sMixed.select("doc_id").as[Long].collect().toSet
+    val sharded = spark.read.parquet(shardDir)
+    assert(sharded.select("doc_id").as[Long].collect().toSet == expected,
+      "composed shards != sequential stages")
+
+    // the ledger accounts every drop to its stage
+    assert(ledger == CorpusBuild.CorpusLedger(
+      raw = 8, afterExactDedup = 7, afterNearDup = 5,
+      afterDecontaminate = 4, afterMix = expected.size.toLong),
+      s"ledger: $ledger (expected mix ${expected.size})")
+
+    // shard layout: range-disjoint on the sort column, internally usable
+    // as one global order
+    val ranges = sharded.groupBy("__shard")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("__shard")
+      .select("lo", "hi").as[(Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"shards must be range-disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
+
+    // the seeded artifacts ARE the ingest gates' serving state: a
+    // re-ingest of admitted content is dropped by both indexes
+    val reingest = Seq((500L, runT + " endA"), (501L, "fresh words " +
+      (600 to 640).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    val exactSurv = Dedup.dedupAgainstIndex(reingest, "doc_id", "text", fpDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactSurv == Set(501L), s"fp-index gate: $exactSurv")
+    val nearBatch = Seq((600L, runU + " tail9"), (601L, "fresh words " +
+      (700 to 740).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val nearSurv = Dedup.nearDupAgainstIndex(nearBatch, "doc_id", "text",
+      bandDir, 0.5).select("doc_id").as[Long].collect().toSet
+    assert(nearSurv == Set(601L), s"band-index gate: $nearSurv")
   }
 }
