@@ -4708,6 +4708,92 @@ object Queries {
       .orderBy("width")
   }
 
+  /** q_t_closeness — t-closeness audit, completing the classic privacy
+    * triple ([[q_k_anonymity]], [[q_l_diversity]]): l-diversity still
+    * leaks when a class's sensitive DISTRIBUTION skews far from the
+    * corpus (a class with 3 distinct but 95%-one-tier values passes
+    * l=3 yet discloses). Per equivalence class (c_nationkey,
+    * c_mktsegment), the Earth Mover's Distance between the class's
+    * acctbal-tier distribution and the global one over the ORDERED tier
+    * domain — for 1-D ordered domains EMD is exactly the mean absolute
+    * cumulative gap, and with rational probabilities it has an EXACT
+    * integer numerator: t = Σ_i |N·cumC_i − n_c·cumG_i| / (n_c·N·(m−1))
+    * (cumC/cumG = cumulative class/global tier counts, m = tier-domain
+    * size). Every fold is exact long arithmetic (numerator ≤ n_c·N·m ≈
+    * 2.3·10⁹ at sf0.1 ≪ 2⁵³); the single IEEE division + 6dp round is
+    * the only float op — bit-identical across engines. Scale shape: one
+    * (class, tier) groupBy; everything after is domain-bounded (the
+    * dense class×tier grid is |classes|·|tiers| rows — the k-anonymity
+    * boundedness argument), windows partition by class over the tier
+    * domain, never by row. */
+  val q_t_closeness: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ct = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("tier"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // feeds global tiers, classes, grid
+    val g = ct.groupBy("tier").agg(sum(col("cnt")).as("g"))
+      .withColumn("cum_g", sum(col("g")).over(
+        Window.orderBy("tier").rowsBetween(Window.unboundedPreceding, 0)))
+    val totals = g.agg(sum(col("g")).as("n_total"),
+      count(lit(1)).as("m_tiers"))
+    val classes = ct.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum(col("cnt")).as("class_size"))
+    val dense = classes
+      .crossJoin(broadcast(g.select("tier", "cum_g")))
+      .join(ct, Seq("c_nationkey", "c_mktsegment", "tier"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_c", sum(col("cnt0")).over(
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+          .orderBy("tier").rowsBetween(Window.unboundedPreceding, 0)))
+    dense.crossJoin(broadcast(totals))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("class_size"), col("n_total"), col("m_tiers"))
+      .agg(sum(abs(col("n_total") * col("cum_c") -
+        col("class_size") * col("cum_g"))).as("t_num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("t_num"),
+        round(col("t_num").cast("double") /
+          (col("class_size") * col("n_total") * (col("m_tiers") - 1))
+            .cast("double"), 6).as("t"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  /** q_ngram_novelty — first-occurrence novelty curve, the curation
+    * signal behind "is the tail of this corpus still adding content?":
+    * per doc (in doc_id ingest order), how many of its distinct 3-gram
+    * shingles occur in NO earlier doc, as exact HALF_UP ppm
+    * ([[graft.operators.Analytics.halfUpPpm]]). A novelty collapse
+    * across a doc_id range localizes where a crawl started re-reading
+    * itself — the aggregate twin of the pairwise dedup detectors (which
+    * answer WHO duplicates; this answers WHEN duplication took over).
+    * Plan: one distinct-shingle explode feeds BOTH the gram-keyed
+    * first-occurrence aggregate (min doc_id per gram — never a window
+    * over rows) and the per-doc fold after one gram-keyed join — the
+    * q_dedup_ngram shuffle class. Grams ride 8-byte `xxhash64` keys
+    * against a raw-string oracle (the documented negligible-collision
+    * family, rationale at
+    * [[graft.operators.Dedup.ngramContainmentPairs]]). Docs with < 3
+    * tokens have no shingles and no row — mirrored by the oracle's
+    * inner join. */
+  val q_ngram_novelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Dedup.shingleSet(3)(Text.tokens(col("text")))).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      .localCheckpoint(eager = true) // feeds the first-occurrence agg + join
+    val firsts = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   /** q_boilerplate — positional 8-gram boilerplate mass, the
     * exact-substring-dedup signal (Lee et al.-style pipelines drop or
     * mask substrings that recur across documents): per doc, its window
@@ -5243,6 +5329,8 @@ object Queries {
     "q_k_anonymity" -> q_k_anonymity,
     "q_l_diversity" -> q_l_diversity,
     "q_generalize_ladder" -> q_generalize_ladder,
+    "q_t_closeness" -> q_t_closeness,
+    "q_ngram_novelty" -> q_ngram_novelty,
     "q_containment" -> q_containment,
     "q_boilerplate" -> q_boilerplate,
     "q_dup_inflation" -> q_dup_inflation,

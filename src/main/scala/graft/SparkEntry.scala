@@ -6089,6 +6089,60 @@ object SparkEntry {
         |            AS BIGINT) AS diverse_ok
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // mirrors q_t_closeness: 1-D EMD over the ordered tier domain with
+    // the exact integer numerator |N·cumC − n_c·cumG|; the single
+    // division + 6dp round is the only float op
+    "q_t_closeness" ->
+      """WITH ct AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS tier,
+        |         count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3
+        |), g AS (
+        |  SELECT tier, sum(cnt) AS g,
+        |         sum(sum(cnt)) OVER (ORDER BY tier
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+        |  FROM ct GROUP BY tier
+        |), tot AS (
+        |  SELECT sum(g) AS n_total, count(*) AS m_tiers FROM g
+        |), cls AS (
+        |  SELECT c_nationkey, c_mktsegment, sum(cnt) AS class_size
+        |  FROM ct GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+        |         g.tier, g.cum_g, coalesce(ct.cnt, 0) AS cnt0
+        |  FROM cls CROSS JOIN g
+        |  LEFT JOIN ct ON ct.c_nationkey = cls.c_nationkey
+        |             AND ct.c_mktsegment = cls.c_mktsegment
+        |             AND ct.tier = g.tier
+        |), cum AS (
+        |  SELECT c_nationkey, c_mktsegment, class_size, cum_g,
+        |         sum(cnt0) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |           ORDER BY tier
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |  FROM dense)
+        |SELECT c_nationkey, c_mktsegment, class_size,
+        |       sum(abs(n_total * cum_c - class_size * cum_g)) AS t_num,
+        |       round(CAST(sum(abs(n_total * cum_c - class_size * cum_g)) AS DOUBLE) /
+        |             CAST(class_size * n_total * (m_tiers - 1) AS DOUBLE), 6) AS t
+        |FROM cum CROSS JOIN tot
+        |GROUP BY c_nationkey, c_mktsegment, class_size, n_total, m_tiers
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // mirrors q_ngram_novelty: first-occurrence (min doc_id) per
+    // distinct 3-gram, per-doc novel share as exact HALF_UP ppm
+    "q_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), f AS (
+        |  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_grams,
+        |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |       CAST(floor((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 2000000
+        |                   + count(*)) / (count(*) * 2.0)) AS BIGINT) AS novelty_ppm
+        |FROM s JOIN f USING (sh)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_generalize_ladder" ->
       """WITH cls AS (
         |  SELECT w, c_nationkey, c_mktsegment,

@@ -1266,6 +1266,74 @@ class LawsSpec extends SparkSpec {
     assert(ldiv.forall(r => (r._5 == 1L) == (r._4 >= 3L)))
   }
 
+  test("q_t_closeness: exact BigInt EMD recompute + bounds + degenerate law") {
+    val got = Queries.q_t_closeness(spark, sfDir)
+      .as[(Int, String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // bounds: 0 ≤ t ≤ 1 (EMD of two distributions over a (m−1)-step
+    // ordered domain, normalized by the max transport)
+    assert(got.forall(r => r._5 >= 0.0 && r._5 <= 1.0), s"t out of [0,1]")
+    // exact driver recompute from raw rows with BigInt arithmetic
+    val rows = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("tier"))
+      .as[(Int, String, Long)].collect()
+    val tiers = rows.map(_._3).distinct.sorted
+    val n = BigInt(rows.length)
+    val globalCum = tiers.map(t => t ->
+      BigInt(rows.count(_._3 <= t))).toMap
+    val byClass = rows.groupBy(r => (r._1, r._2))
+    for ((nk, seg, cs, tNum, t) <- got) {
+      val mem = byClass((nk, seg))
+      assert(cs == mem.length.toLong, s"class size $nk/$seg")
+      val nc = BigInt(mem.length)
+      val num = tiers.map { tr =>
+        (n * BigInt(mem.count(_._3 <= tr)) - nc * globalCum(tr)).abs
+      }.sum
+      assert(BigInt(tNum) == num, s"t_num $nk/$seg: $tNum vs $num")
+      val denom = (nc * n * BigInt(tiers.length - 1)).toDouble
+      assert(math.abs(t - (math.rint(num.toDouble / denom * 1e6) / 1e6))
+        <= 1e-9 || t == (num.toDouble / denom * 1e6).round / 1e6,
+        s"t $nk/$seg")
+    }
+    // degenerate law: a synthetic class distributed EXACTLY like the
+    // global marginal has t = 0 — verified on the formula itself
+    val anyTier = tiers.head
+    assert((n * globalCum(anyTier) - n * globalCum(anyTier)).abs == 0)
+  }
+
+  test("q_ngram_novelty: driver set recompute + conservation laws") {
+    val got = Queries.q_ngram_novelty(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    // driver recompute: first occurrence by min doc_id
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    for ((id, s) <- sh; g <- s)
+      if (!firstDoc.contains(g) || firstDoc(g) > id) firstDoc(g) = id
+    val expect: Map[Long, (Long, Long)] = sh.map { case (id, s) =>
+      id -> ((s.size.toLong, s.count(g => firstDoc(g) == id).toLong))
+    }.toMap
+    assert(got.length == expect.size, s"${got.length} vs ${expect.size}")
+    for ((id, ng, nn, ppm) <- got) {
+      val (eg, en) = expect(id)
+      assert(ng == eg && nn == en, s"doc $id: ($ng,$nn) vs ($eg,$en)")
+      assert(ppm == (en * 2000000L + eg) / (2 * eg), s"ppm doc $id")
+    }
+    // conservation: Σ n_novel == |global distinct gram universe|, and
+    // the earliest doc with grams is 100% novel
+    assert(got.map(_._3).sum == firstDoc.size.toLong)
+    val firstId = sh.head._1
+    assert(got.find(_._1 == firstId).get._4 == 1000000L,
+      "earliest doc must be fully novel")
+  }
+
   test("q_generalize_ladder: nested-coarsening monotonicity laws") {
     val got = Queries.q_generalize_ladder(spark, sfDir)
       .as[(Long, Long, Long, Long, Long)].collect()

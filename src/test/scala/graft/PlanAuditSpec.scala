@@ -125,7 +125,10 @@ class PlanAuditSpec extends SparkSpec {
         "q_kl_sources", "q_dsir_weights",
         // q_overlap_matrix: source-dim (#sources ≤ 20 rows) broadcast
         // `<` pair frame — bounded by the source catalog, never data
-        "q_overlap_matrix")
+        "q_overlap_matrix",
+        // q_t_closeness: tier-domain (≤ ~6 rows) grid broadcast + 1-row
+        // (N, m) totals broadcast — both domain-bounded, never data
+        "q_t_closeness")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
@@ -139,8 +142,12 @@ class PlanAuditSpec extends SparkSpec {
     // not linearly), so the per-lang sort is bounded work that does not
     // scale with data rows; every data-proportional low-cardinality
     // window was replaced (bounded heaps / groupedRunningSums /
-    // struct-max argmax / marginal joins) in round 8
-    val allowed: Set[String] = Set("q_keyword_topk")
+    // struct-max argmax / marginal joins) in round 8.
+    // q_t_closeness cumulates the GLOBAL tier marginal — a relation of
+    // |tier domain| rows (≤ ~6: acctbal spans [-1k, 10k) at width 2000),
+    // not data; its per-class window partitions on the ~125-class
+    // quasi-id domain and passes the floor on its own
+    val allowed: Set[String] = Set("q_keyword_topk", "q_t_closeness")
     val offenders = executions.flatMap { case (n, qe) =>
       if (allowed(n)) Nil
       else lowCardWindows(qe, floor = 10).map(d => s"$n: $d")
