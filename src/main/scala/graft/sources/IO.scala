@@ -712,6 +712,101 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Snapshot schema of the [[noveltyAuditSink]] store: one novelty
+    * row per finalized ingest window plus the changelog bookkeeping
+    * columns. */
+  val NoveltyAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("n_grams", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_novel", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("novelty_ppm", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted per-window NOVELTY monitor — the live twin of the batch
+    * `q_ngram_novelty` id, completing the corpus-audit monitoring trio
+    * (contamination, boilerplate, novelty): finalized
+    * [[graft.streaming.Jobs.windowedGramDocFreq]] micro-batches fold
+    * through [[graft.streaming.Jobs.noveltyPerWindow]] against a
+    * PERSISTED first-seen gram index (`__bucket=pmod(sh, buckets)`
+    * layout — the fingerprint-index partitioning; maintenance rides
+    * [[compactPartitionedDir]] like every bucketed artifact), upsert
+    * into the versioned time-travel snapshot keyed by `window_start`,
+    * then append the window's first-seen grams to the index (anti-join
+    * delta — append cost ∝ NEW grams, never gram history; the
+    * [[graft.operators.Dedup.appendFingerprintIndex]] discipline:
+    * delta materialized before the write so appended files never join
+    * their own input scan). A falling `novelty_ppm` curve is the
+    * "crawl started re-reading itself" alarm, live.
+    *
+    * Replay semantics (honest torn-window statement, the
+    * decontaminateIngestSink convention): a batch whose marker
+    * committed replays as a no-op. A TORN batch (some effects landed,
+    * marker didn't) replays with STABLE decisions — the fold attributes
+    * an indexed gram whose `first_window` falls inside the batch to
+    * that window, and the index append's anti-join delta is empty on
+    * the second pass — so the store's live content and the index
+    * converge to exactly the un-torn outcome; the only scar is a
+    * possible extra snapshot version with identical live rows. */
+  def noveltyAuditSink(hist: DataFrame, gramIndexDir: String,
+                       baseDir: String, checkpointDir: String,
+                       retain: Int = 3, buckets: Int = 64)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val idxPath = new org.apache.hadoop.fs.Path(gramIndexDir)
+              val fs = idxPath.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val known =
+                if (fs.exists(idxPath))
+                  spark.read.parquet(gramIndexDir)
+                    .select("sh", "first_window")
+                else spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  StructType(Seq(
+                    org.apache.spark.sql.types.StructField("sh",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("first_window",
+                      org.apache.spark.sql.types.TimestampType))))
+              val metrics = graft.streaming.Jobs
+                .noveltyPerWindow(pinned, known)
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "window_start",
+                NoveltyAuditSchema, retain)
+              val b = readBucketCount(spark, gramIndexDir)
+                .getOrElse(buckets)
+              // first-seen delta: grams this batch introduced, stamped
+              // with their attributed window; materialized so the
+              // append never scans its own output
+              val delta = pinned.groupBy("sh")
+                .agg(min(col("window_start")).as("first_window"))
+                .join(known.select("sh"), Seq("sh"), "left_anti")
+                .withColumn("__bucket", pmod(col("sh"), lit(b.toLong)))
+                .localCheckpoint(eager = true)
+              try {
+                if (!delta.isEmpty) {
+                  alignToPartitions(delta, "__bucket")
+                    .write.mode("append")
+                    .partitionBy("__bucket").parquet(gramIndexDir)
+                  if (readBucketCount(spark, gramIndexDir).isEmpty)
+                    writeBucketCount(spark, gramIndexDir, b)
+                }
+              } finally graft.operators.Checkpoints.drop(delta)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** TAKEDOWN verb for the [[windowedMetricsStoreSink]] store — drop
     * retired windows from the live view, completing the artifact's verb
     * set (sink / time-travel read / GC / delete; VERDICT r11 #5). The

@@ -337,4 +337,65 @@ object Jobs {
           col("n_windows")))
       .select("window_start", "n_windows", "n_boiler", "boiler_ppm")
   }
+
+  /** Per-window doc-distinct 3-gram relation — the streaming half of
+    * the NOVELTY monitor (the `q_ngram_novelty` twin): one finalized
+    * row per (window, gram-hash) carrying how many of the window's docs
+    * contain the gram ([[graft.operators.Dedup.shingleSet]] is per-doc
+    * DISTINCT, so the count counts docs). `n_docs` summed per window is
+    * exactly Σ per-doc distinct-gram counts — the batch id's `n_grams`
+    * denominator. State is (open windows × per-window distinct grams)-
+    * sized, bounded by window content like [[windowedGramDocCounts]];
+    * grams ride the batch id's xxhash64 8-byte keys (collision
+    * acceptance documented at
+    * [[graft.operators.Dedup.ngramContainmentPairs]]). Append mode;
+    * feed finalized micro-batches to [[noveltyPerWindow]]. */
+  def windowedGramDocFreq(docs: DataFrame, tsCol: String, textCol: String,
+                          windowDur: String,
+                          watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(graft.operators.Dedup.shingleSet(3)(
+          Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col(tsCol), xxhash64(col("sh_str")).as("sh"))
+      .groupBy(window(col(tsCol), windowDur), col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("sh"),
+        col("n_docs"))
+
+  /** Per-window NOVELTY over a FINALIZED [[windowedGramDocFreq]]
+    * micro-batch — the live twin of the batch `q_ngram_novelty` id with
+    * first-occurrence attribution at window grain: a gram is novel in
+    * the EARLIEST window that carries it across the batch ∪ the
+    * persisted gram index (`knownGrams`: (sh, first_window) — pass an
+    * empty relation for a cold start). Σ n_novel across all windows
+    * ever emitted == the distinct gram universe (the batch id's
+    * conservation law), and `novelty_ppm` is the SAME literal exact
+    * HALF_UP fold ([[graft.operators.Analytics.halfUpPpm]] — parity by
+    * construction, the q_auc convention) over the window sums. A
+    * falling novelty_ppm says the crawl started re-reading itself —
+    * the live form of the batch id's collapse localization.
+    *
+    * Replay stability: an indexed gram whose `first_window` falls
+    * INSIDE this batch (a torn replay of this batch's own index append)
+    * still attributes its novelty to that window — decisions are a pure
+    * function of min(first_window), so a replayed batch reproduces its
+    * original rows even after its append landed. */
+  def noveltyPerWindow(batch: DataFrame, knownGrams: DataFrame): DataFrame = {
+    val first = batch.groupBy("sh")
+      .agg(min(col("window_start")).as("w_batch"))
+      .join(knownGrams.select(col("sh"), col("first_window").as("w_idx")),
+        Seq("sh"), "left")
+      .select(col("sh"),
+        when(col("w_idx").isNotNull && col("w_idx") <= col("w_batch"),
+          col("w_idx")).otherwise(col("w_batch")).as("first_window"))
+    batch.join(first, Seq("sh"))
+      .groupBy("window_start")
+      .agg(sum(col("n_docs")).as("n_grams"),
+        sum(when(col("first_window") === col("window_start"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
+      .select("window_start", "n_grams", "n_novel", "novelty_ppm")
+  }
 }

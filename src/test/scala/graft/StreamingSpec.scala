@@ -1803,6 +1803,70 @@ class StreamingSpec extends SparkSpec {
     assert(live(versions.last) ==
       Map("2024-01-01 10:00:00.0" -> ((12L, 1L, 83333L))))
   }
+
+  test("noveltyAuditSink: earliest-window attribution, index advance, replay is a no-op") {
+    val in = MemoryStream[(Timestamp, String)]
+    val hist = graft.streaming.Jobs.windowedGramDocFreq(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("novelty_").toString
+    val base = s"$root/store"; val idxDir = s"$root/grams"
+    def start(ck: String) = graft.sources.IO
+      .noveltyAuditSink(hist, idxDir, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[String, (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last, graft.sources.IO.NoveltyAuditSchema))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("novelty_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1 and w2 finalize in ONE micro-batch (all data lands before the
+      // watermark advances): the shared grams "a b c"/"b c d" must
+      // attribute novelty to w1 only — the intra-batch min-window path
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "a b c d"),
+        (ts("2024-01-01 10:02:00"), "a b c e"),
+        (ts("2024-01-01 10:21:00"), "a b c d"),
+        (ts("2024-01-01 10:22:00"), "x y z w"),
+        (ts("2024-01-01 10:41:00"), "wm push")) // 2 tokens: zero grams
+      q1.processAllAvailable()
+      assert(live == Map(
+        "2024-01-01 10:00:00.0" -> ((4L, 3L, 750000L)),
+        "2024-01-01 10:20:00.0" -> ((4L, 2L, 500000L))), s"round 1: $live")
+      val idx1 = spark.read.parquet(idxDir)
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString)
+      assert(idx1.length == 5, s"gram universe after round 1: ${idx1.length}")
+      assert(idx1.count(_._2 == "2024-01-01 10:00:00.0") == 3 &&
+        idx1.count(_._2 == "2024-01-01 10:20:00.0") == 2,
+        s"first-seen stamps: ${idx1.toSeq}")
+      // round 2 gates against the PERSISTED index: "a b c d" is fully
+      // known, "p q r s" is fully novel
+      in.addData(
+        (ts("2024-01-01 11:01:00"), "a b c d"),
+        (ts("2024-01-01 11:02:00"), "p q r s"),
+        (ts("2024-01-01 11:41:00"), "wm push"))
+      q1.processAllAvailable()
+      assert(live.get("2024-01-01 11:00:00.0")
+        .contains((4L, 2L, 500000L)), s"round 2: $live")
+      assert(spark.read.parquet(idxDir).count() == 7L,
+        "round-2 append must add exactly the 2 novel grams")
+    } finally q1.stop()
+    // conservation across the store's whole history: Σ n_novel == the
+    // persisted gram universe (the batch id's law, live form)
+    assert(live.values.map(_._2).sum == 7L)
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // versions, no index growth
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("novelty_ck2_").toString
+    val q2 = start(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(versions == vBefore, "replay must commit no new versions")
+    assert(spark.read.parquet(idxDir).count() == 7L,
+      "replay must not grow the gram index")
+  }
 }
 
 /** Test-only "next release" of the funnel processor: the SAME state
