@@ -29,10 +29,13 @@ object CorpusBuild {
     * review reads: every dropped row accounted to the stage that
     * dropped it. `afterDecontaminate`/`afterMix` come from
     * [[Analytics.observedFilter]] counters collected ON the shard-write
-    * pass itself; the dedup-stage counts are read from the stages'
-    * materialized (reused) outputs, not extra plan executions. */
+    * pass itself (`afterWinnow` is that pass's rows_in — free); the
+    * dedup-stage counts are read from the stages' materialized (reused)
+    * outputs, not extra plan executions. With the winnow stage off,
+    * `afterWinnow == afterNearDup` (a no-op stage drops nothing). */
   final case class CorpusLedger(raw: Long, afterExactDedup: Long,
-                                afterNearDup: Long, afterDecontaminate: Long,
+                                afterNearDup: Long, afterWinnow: Long,
+                                afterDecontaminate: Long,
                                 afterMix: Long)
 
   /** Run the full build. Writes three artifacts: the exact-dedup
@@ -48,7 +51,11 @@ object CorpusBuild {
     * (Bloom gate — [[Dedup.bloomKeepPredicate]]; false positives
     * over-drop, the conservative direction). `mixRates` is the
     * per-stratum keep policy of [[Sampling.mixSample]] (deterministic
-    * md5-cell membership — stable across runs and engines). */
+    * md5-cell membership — stable across runs and engines).
+    * `winnowIndexDir` enables the optional substring-family stage and
+    * names its fourth artifact: the winnow fingerprint index seeded
+    * from the stage's survivors, serving
+    * [[graft.sources.IO.winnowIngestSink]] from the first micro-batch. */
   def buildCorpus(docs: DataFrame, probe: DataFrame,
                   idCol: String, textCol: String, stratumCol: String,
                   sortCol: String,
@@ -58,7 +65,9 @@ object CorpusBuild {
                   mixRates: Map[String, Double] = Map.empty,
                   defaultMixRate: Double = 1.0,
                   shingleN: Int = 5,
-                  numShards: Int = 16): CorpusLedger = {
+                  numShards: Int = 16,
+                  winnowIndexDir: Option[String] = None,
+                  winnowMinShared: Long = 2L): CorpusLedger = {
     // stage 1: exact content dedup — min-id keeper per md5 fingerprint
     // (the q_dedup_doc policy), then seed the fingerprint index from
     // the SURVIVORS (index == admitted content). The RAW corpus is
@@ -82,11 +91,34 @@ object CorpusBuild {
     val near = Dedup.clusterByMinhash(exact, idCol, textCol, nearDupThreshold)
       .localCheckpoint(eager = true) // feeds the index write + the final pass
     Dedup.writeNearDupIndex(near, idCol, textCol, bandIndexDir)
+    // optional stage 2½: winnow (substring-family) collapse — the MOSS
+    // local-guarantee pass catching the extract-of relationships
+    // Jaccard misses (a 20-token verbatim lift inside an otherwise
+    // fresh doc never clears a whole-doc similarity threshold). ONE
+    // winnow pass (one positional explode) serves the pair step AND the
+    // index seed — the winnowIngestSink discipline; the index reflects
+    // SURVIVORS only (admitted content, the ingest-gate contract), so
+    // the build hands the streaming gate exactly the state it needs.
+    val winnowed = winnowIndexDir match {
+      case Some(dir) =>
+        val fps = Dedup.winnowFingerprints(near, idCol, textCol)
+          .localCheckpoint(eager = true) // feeds pairs (df cap, sizes,
+                                         // both join sides) + index seed
+        val surv = Dedup.keepCanonical(near,
+            Dedup.winnowPairsFromFps(fps, minShared = winnowMinShared),
+            idCol)
+          .localCheckpoint(eager = true) // feeds the seed + the final pass
+        Dedup.writeWinnowFps(
+          fps.join(surv.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+          dir)
+        surv
+      case None => near
+    }
     // stages 3–5, ONE observed pass: Bloom decontamination and the
     // domain mix are bare predicates, so both ride the shard write's
     // scan with observedFilter counters — per-stage accounting at zero
     // extra executions
-    val (clean, deconObs) = Analytics.observedFilter(near,
+    val (clean, deconObs) = Analytics.observedFilter(winnowed,
       Dedup.bloomKeepPredicate(probe, textCol, shingleN),
       "corpus_decontaminate")
     val (mixed, mixObs) = Analytics.observedFilter(clean,
@@ -109,7 +141,8 @@ object CorpusBuild {
     CorpusLedger(
       raw = rawCount,
       afterExactDedup = exact.count(),
-      afterNearDup = asLong(d("rows_in")),
+      afterNearDup = near.count(),
+      afterWinnow = asLong(d("rows_in")),
       afterDecontaminate = asLong(d("rows_kept")),
       afterMix = asLong(m("rows_kept")))
   }

@@ -540,14 +540,24 @@ object Dedup {
     * of the corpus gram count in 16 bytes/row — the compact substring
     * signature of the whole corpus. Single writer by contract. */
   def writeWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
-                       indexDir: String, storeBuckets: Int = 64): Unit = {
-    winnowFingerprints(docs, idCol, textCol)
+                       indexDir: String, storeBuckets: Int = 64): Unit =
+    writeWinnowFps(winnowFingerprints(docs, idCol, textCol), indexDir,
+      storeBuckets)
+
+  /** [[writeWinnowIndex]] from a PRECOMPUTED distinct (id, fh)
+    * selection — the overwrite sibling of [[appendWinnowFps]], for
+    * callers that already hold the batch's fingerprints (the composed
+    * corpus build winnows its survivors once and seeds the index from
+    * the same pass). */
+  private[graft] def writeWinnowFps(fps: DataFrame, indexDir: String,
+                                    storeBuckets: Int = 64): Unit = {
+    fps
       .withColumn("__bucket", idBucket(col("id"), storeBuckets))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$indexDir/fps")
-    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, storeBuckets)
-    graft.sources.IO.writeLayoutVersion(docs.sparkSession, indexDir,
+    graft.sources.IO.writeBucketCount(fps.sparkSession, indexDir, storeBuckets)
+    graft.sources.IO.writeLayoutVersion(fps.sparkSession, indexDir,
       WinnowLayoutVersion)
   }
 

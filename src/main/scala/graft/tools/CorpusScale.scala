@@ -5,16 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only probe for the COMPOSED corpus-build lifecycle
   * ([[graft.operators.CorpusBuild.buildCorpus]]): runs the full
-  * raw → exact-dedup → near-dup → decontaminate → mix → sorted-shards
-  * pipeline over the `documents` fixture at `sfDir`, with the probe
-  * (benchmark) set = every 101st doc — a realistic eval-leak scenario:
-  * the benchmark docs live in the corpus and must leave it. Prints ONE
-  * JSON line with the wall-clock and the per-stage row ledger (the
-  * evidence for BASELINE.md's composed-cost row). Usage:
-  * runMain graft.tools.CorpusScale [sfDir] */
+  * raw → exact-dedup → near-dup → [winnow →] decontaminate → mix →
+  * sorted-shards pipeline over the `documents` fixture at `sfDir`,
+  * with the probe (benchmark) set = every 101st doc — a realistic
+  * eval-leak scenario: the benchmark docs live in the corpus and must
+  * leave it. Prints ONE JSON line with the wall-clock and the
+  * per-stage row ledger (the evidence for BASELINE.md's composed-cost
+  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow] */
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val withWinnow = args.length > 1 && args(1) == "winnow"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,9 +35,10 @@ object CorpusScale {
       docs, probe, "doc_id", "text", "source", "n_chars",
       s"$base/fp", s"$base/band", s"$base/shards",
       nearDupThreshold = 0.7, mixRates = rates, defaultMixRate = 1.0,
-      numShards = 8)
+      numShards = 8,
+      winnowIndexDir = if (withWinnow) Some(s"$base/winnow") else None)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
+    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
     spark.stop()
   }
 }

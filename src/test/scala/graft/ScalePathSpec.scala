@@ -1962,20 +1962,26 @@ class ScalePathSpec extends SparkSpec {
       // shares the leak 5-gram with the probe → stage-3 drop
       (20L, leak + " " + (300 to 320).map(i => s"z$i").mkString(" "), "web"),
       (30L, (400 to 440).map(i => s"q$i").mkString(" "), "web"),
-      (31L, (500 to 540).map(i => s"r$i").mkString(" "), "books"))
+      (31L, (500 to 540).map(i => s"r$i").mkString(" "), "books"),
+      // lifts a 20-token run verbatim from doc 30 inside otherwise
+      // fresh content: 5-gram Jaccard 16/62 ≈ 0.26 clears the 0.5
+      // near-dup bar, but the winnow local guarantee (any shared
+      // ≥8-token run shares a selected hash) catches it → stage-2½ drop
+      (32L, (400 to 419).map(i => s"q$i").mkString(" ") + " " +
+        (1 to 25).map(i => s"w$i").mkString(" "), "web"))
       .toDF("doc_id", "text", "source")
       .withColumn("n_chars", length(col("text")))
     val probe = Seq((900L, leak + " probe suffix tokens padding"))
       .toDF("doc_id", "text")
     val rates = Map("web" -> 0.5)
     val fpDir = s"$base/fp"; val bandDir = s"$base/band"
-    val shardDir = s"$base/shards"
+    val shardDir = s"$base/shards"; val winDir = s"$base/winnow"
 
     val ledger = CorpusBuild.buildCorpus(docs, probe,
       "doc_id", "text", "source", "n_chars",
       fpDir, bandDir, shardDir,
       nearDupThreshold = 0.5, mixRates = rates, defaultMixRate = 1.0,
-      numShards = 2)
+      numShards = 2, winnowIndexDir = Some(winDir))
 
     // the equality law: the composed pipeline == the same stages run
     // sequentially through the standalone operators
@@ -1984,7 +1990,9 @@ class ScalePathSpec extends SparkSpec {
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val sNear = Dedup.clusterByMinhash(sExact, "doc_id", "text", 0.5)
-    val sClean = Dedup.decontaminateBloom(sNear, probe, "doc_id", "text")
+    val sWinnow = Dedup.keepCanonical(sNear,
+      Dedup.winnowPairs(sNear, "doc_id", "text"), "doc_id")
+    val sClean = Dedup.decontaminateBloom(sWinnow, probe, "doc_id", "text")
     val sMixed = Sampling.mixSample(sClean, "source", "doc_id", rates, 1.0)
       .localCheckpoint(true)
     val expected = sMixed.select("doc_id").as[Long].collect().toSet
@@ -1994,7 +2002,7 @@ class ScalePathSpec extends SparkSpec {
 
     // the ledger accounts every drop to its stage
     assert(ledger == CorpusBuild.CorpusLedger(
-      raw = 8, afterExactDedup = 7, afterNearDup = 5,
+      raw = 9, afterExactDedup = 8, afterNearDup = 6, afterWinnow = 5,
       afterDecontaminate = 4, afterMix = expected.size.toLong),
       s"ledger: $ledger (expected mix ${expected.size})")
 
@@ -2022,5 +2030,17 @@ class ScalePathSpec extends SparkSpec {
     val nearSurv = Dedup.nearDupAgainstIndex(nearBatch, "doc_id", "text",
       bandDir, 0.5).select("doc_id").as[Long].collect().toSet
     assert(nearSurv == Set(601L), s"band-index gate: $nearSurv")
+    // ... and the seeded winnow index serves the substring gate: a new
+    // doc lifting a 21-token run from admitted doc 30 is flagged to it,
+    // fresh content is not
+    val winBatch = Seq(
+      (700L, (405 to 425).map(i => s"q$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"f$i").mkString(" ")),
+      (701L, (800 to 840).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val winMatches = Dedup.matchAgainstWinnowIndex(
+        winBatch, "doc_id", "text", winDir)
+      .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(winMatches == Set((700L, 30L)), s"winnow-index gate: $winMatches")
   }
 }
