@@ -4777,7 +4777,17 @@ object Queries {
     * [[graft.operators.Dedup.ngramContainmentPairs]]). Docs with < 3
     * tokens have no shingles and no row — mirrored by the oracle's
     * inner join. */
-  val q_ngram_novelty: Q = (s, d) => {
+  val q_ngram_novelty: Q = (s, d) =>
+    docNovelty(s, d)
+      .withColumn("novelty_ppm",
+        operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
+      .orderBy("doc_id")
+
+  /** The per-doc first-occurrence novelty relation shared by
+    * [[q_ngram_novelty]] and [[q_novelty_by_source]]: (doc_id, n_grams,
+    * n_novel) — distinct 3-gram count and how many are globally first
+    * seen in the doc (min doc_id over the corpus). */
+  private def docNovelty(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(Dedup.shingleSet(3)(Text.tokens(col("text")))).as("sh_str"))
@@ -4789,10 +4799,29 @@ object Queries {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
+  }
+
+  /** q_novelty_by_source — the WHO rollup of [[q_ngram_novelty]]'s
+    * WHEN: per ingest source, how much of its gram mass is globally
+    * first-seen (exact HALF_UP ppm over the source's per-doc sums).
+    * The curation decision this drives is per-SOURCE: a source whose
+    * novelty collapses is re-crawling content other sources already
+    * contributed — cut its mixture weight (the q_dsir_weights /
+    * q_mixture_epochs lever), not individual docs. Same shared
+    * first-occurrence relation ([[docNovelty]]); the rollup adds one
+    * docs-sized join for the source label and a source-domain-bounded
+    * aggregate. Docs with < 3 tokens carry no grams and don't count
+    * toward `n_docs` — mirrored by the oracle's inner join. */
+  val q_novelty_by_source: Q = (s, d) =>
+    docNovelty(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"))
       .withColumn("novelty_ppm",
         operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
-      .orderBy("doc_id")
-  }
+      .orderBy("source")
 
   /** q_boilerplate — positional 8-gram boilerplate mass, the
     * exact-substring-dedup signal (Lee et al.-style pipelines drop or
@@ -5331,6 +5360,7 @@ object Queries {
     "q_generalize_ladder" -> q_generalize_ladder,
     "q_t_closeness" -> q_t_closeness,
     "q_ngram_novelty" -> q_ngram_novelty,
+    "q_novelty_by_source" -> q_novelty_by_source,
     "q_containment" -> q_containment,
     "q_boilerplate" -> q_boilerplate,
     "q_dup_inflation" -> q_dup_inflation,

@@ -6143,6 +6143,25 @@ object SparkEntry {
         |                   + count(*)) / (count(*) * 2.0)) AS BIGINT) AS novelty_ppm
         |FROM s JOIN f USING (sh)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // mirrors q_novelty_by_source: the per-source rollup of the same
+    // first-occurrence relation, ppm over the source's gram sums
+    "q_novelty_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), f AS (
+        |  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh
+        |), p AS (
+        |  SELECT s.doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM s JOIN f USING (sh) GROUP BY s.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |       sum(p.n_grams) AS n_grams, sum(p.n_novel) AS n_novel,
+        |       CAST(floor((sum(p.n_novel) * 2000000 + sum(p.n_grams))
+        |                  / (sum(p.n_grams) * 2.0)) AS BIGINT) AS novelty_ppm
+        |FROM p JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_generalize_ladder" ->
       """WITH cls AS (
         |  SELECT w, c_nationkey, c_mktsegment,

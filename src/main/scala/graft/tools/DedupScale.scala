@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
 object DedupScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val noveltyGateMode = args.headOption.contains("noveltygate")
     val winnowGateMode = args.headOption.contains("winnowgate")
     val winnowMode = !winnowGateMode && args.headOption.contains("winnow")
-    val rest = if (winnowMode || winnowGateMode) args.drop(1) else args
+    val rest =
+      if (winnowMode || winnowGateMode || noveltyGateMode) args.drop(1)
+      else args
+    if (noveltyGateMode) { noveltyGateProbe(rest, cpus); return }
     if (winnowGateMode) { winnowGateProbe(rest, cpus); return }
     if (winnowMode) { winnowProbe(rest, cpus); return }
     val nDocs = if (args.nonEmpty) args(0).toInt else 100000
@@ -183,6 +187,94 @@ object DedupScale {
     val pairSec = (System.nanoTime() - t1) / 1e9
     val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
     println(s"""{"metric":"winnow_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"select_sec":${math.round(selSec * 10) / 10.0},"pair_sec":${math.round(pairSec * 10) / 10.0},"gram_positions":$nGrams,"selected":$nSelected,"density":${math.round(nSelected.toDouble / nGrams * 1000) / 1000.0},"pairs":$pairs,"all_pairs":$allPairs}""")
+    spark.stop()
+  }
+
+  /** NOVELTYGATE mode (`runMain graft.tools.DedupScale noveltygate
+    * [nIndexDocs] [nBatchDocs]`): the gram-index steady state the
+    * novelty monitor ([[graft.sources.IO.noveltyAuditSink]]) lives in —
+    * seed the bucketed first-seen gram index from `nIndexDocs`, then
+    * time ONE micro-batch's full effect set (the
+    * [[graft.streaming.Jobs.noveltyPerWindow]] fold against the index
+    * + the anti-join first-seen delta + the bucketed append) for an
+    * `nBatch`-doc batch (half duplicates of indexed content — zero
+    * novelty; half fresh vocabulary — full novelty) and again for a 2×
+    * batch. The claim under measurement: per-batch cost carries an
+    * index-SCAN floor (the known-gram join reads the gram relation —
+    * columnar, 8-byte keys) but no index-WRITE component — the append
+    * is delta-only, so steady-state cost stays far under the seed cost
+    * and grows with the batch, and the fold's ppm reads exactly the
+    * planted novel share. */
+  private def noveltyGateProbe(args: Array[String], cpus: String): Unit = {
+    val nIndex = if (args.nonEmpty) args(0).toInt else 1000000
+    val nBatch = if (args.length > 1) args(1).toInt else 10000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def lcgText(seed: Long, vocab: String): String = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      Array.tabulate(40)(_ => s"$vocab${math.floorMod(nxt(), 500000L)}")
+        .mkString(" ")
+    }
+    def gramRel(docs: org.apache.spark.sql.DataFrame, w0: String)
+        : org.apache.spark.sql.DataFrame =
+      docs.select(lit(java.sql.Timestamp.valueOf(w0)).as("window_start"),
+          explode(graft.operators.Dedup.shingleSet(3)(
+            graft.functions.Text.tokens(col("text")))).as("sh_str"))
+        .select(col("window_start"), xxhash64(col("sh_str")).as("sh"))
+        .groupBy("window_start", "sh").agg(count(lit(1)).as("n_docs"))
+    val idxDocs = spark.range(nIndex.toLong).select(col("id"))
+      .mapPartitions(_.map { r => (r.getLong(0), lcgText(r.getLong(0), "w")) })
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("novelty_gate_")
+      .toString + "/grams"
+    val t0 = System.nanoTime()
+    gramRel(idxDocs, "2024-01-01 00:00:00")
+      .select(col("sh"), col("window_start").as("first_window"))
+      .withColumn("__bucket", pmod(col("sh"), lit(64L)))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    def batchOf(n: Int): org.apache.spark.sql.DataFrame =
+      spark.range(n.toLong).select(col("id"))
+        .mapPartitions(_.map { r =>
+          val j = r.getLong(0)
+          val text =
+            if (j % 2 == 0) lcgText(math.floorMod(j / 2, nIndex.toLong), "w")
+            else lcgText(j, "f")
+          (nIndex.toLong + j, text)
+        }).toDF("doc_id", "text").localCheckpoint(true)
+    def timedBatch(b: org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = {
+      val rel = gramRel(b, "2024-01-01 01:00:00").localCheckpoint(true)
+      val known = spark.read.parquet(dir).select("sh", "first_window")
+      val t = System.nanoTime()
+      val row = graft.streaming.Jobs.noveltyPerWindow(rel, known)
+        .select("n_novel", "novelty_ppm").head()
+      val delta = rel.groupBy("sh")
+        .agg(min(col("window_start")).as("first_window"))
+        .join(known.select("sh"), Seq("sh"), "left_anti")
+        .withColumn("__bucket", pmod(col("sh"), lit(64L)))
+        .localCheckpoint(true)
+      graft.sources.IO.alignToPartitions(delta, "__bucket")
+        .write.mode("append").partitionBy("__bucket").parquet(dir)
+      ((System.nanoTime() - t) / 1e9, row.getLong(0), row.getLong(1))
+    }
+    // 2× batch drawn from a DISJOINT fresh vocabulary so the first
+    // batch's append doesn't erode its novel half
+    val b1 = batchOf(nBatch)
+    val (s1, novel1, ppm1) = timedBatch(b1)
+    val b2 = batchOf(nBatch * 2).withColumn("text",
+      regexp_replace(col("text"), "f", "g"))
+    val (s2, novel2, ppm2) = timedBatch(b2)
+    def r1(x: Double): Double = math.round(x * 10) / 10.0
+    println(s"""{"metric":"novelty_gate","index_docs":$nIndex,"batch_docs":$nBatch,"cpus":$cpus,"index_seed_sec":${r1(buildSec)},"batch_sec":${r1(s1)},"batch_2x_sec":${r1(s2)},"novel":$novel1,"novelty_ppm":$ppm1,"novel_2x":$novel2,"novelty_ppm_2x":$ppm2,"cost_ratio_2x":${r1(s2 / s1)}}""")
     spark.stop()
   }
 }

@@ -1334,6 +1334,33 @@ class LawsSpec extends SparkSpec {
       "earliest doc must be fully novel")
   }
 
+  test("q_novelty_by_source: rollup == per-doc relation folded by source") {
+    val got = Queries.q_novelty_by_source(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // the rollup must be exactly the per-doc id's output folded through
+    // the source label — same relation, one more join, no new facts
+    val perDoc = Queries.q_ngram_novelty(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir)
+        .select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("g"),
+        sum(col("n_novel")).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.length == perDoc.size)
+    for ((src, nd, ng, nn, ppm) <- got) {
+      assert(perDoc(src) == ((nd, ng, nn)), s"source $src rollup")
+      assert(ppm == (nn * 2000000L + ng) / (2 * ng), s"ppm $src")
+      assert(ppm >= 0L && ppm <= 1000000L, s"ppm range $src")
+    }
+    // conservation transfers: sources partition the docs, so Σ n_novel
+    // across sources == the distinct gram universe
+    val universe = Queries.q_ngram_novelty(spark, sfDir)
+      .agg(sum(col("n_novel"))).as[Long].head()
+    assert(got.map(_._4).sum == universe)
+  }
+
   test("q_generalize_ladder: nested-coarsening monotonicity laws") {
     val got = Queries.q_generalize_ladder(spark, sfDir)
       .as[(Long, Long, Long, Long, Long)].collect()
