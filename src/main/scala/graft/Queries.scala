@@ -4783,6 +4783,33 @@ object Queries {
         operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
       .orderBy("doc_id")
 
+  /** q_dup_cluster_histogram — the corpus DUPLICATION PROFILE: how many
+    * near-dup families exist at each size, singletons included. The
+    * diligence cut the other dedup ids don't give: [[q_dedup_cluster_minhash]]
+    * answers WHICH doc survives, [[q_dup_inflation]] answers per-SOURCE
+    * savings — this answers the shape ("is duplication a fat head of
+    * 50-copy templates or a long tail of pairs?"), which decides
+    * whether exact-substring or whole-doc dedup pays. Same
+    * md5-portable LSH-candidates → exact-Jaccard-confirm chain as the
+    * cluster id ([[graft.operators.Dedup.minhashConfirmedPairs]] — the
+    * pair relation exposed, the collapse skipped), O(log d) CC over the
+    * pair-bounded edge list, then two domain-bounded aggregates (labels,
+    * then sizes). Conservation: Σ n_docs == |corpus| and Σ n_clusters ==
+    * the cluster id's survivor count — both pinned in LawsSpec. */
+  val q_dup_cluster_histogram: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cc = Dedup.connectedComponents(
+        Dedup.minhashConfirmedPairs(docs, "doc_id", "text", threshold = 0.5),
+        "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.select("doc_id").join(cc, Seq("doc_id"), "left")
+      .select(coalesce(col("label"), col("doc_id")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** The per-doc first-occurrence novelty relation shared by
     * [[q_ngram_novelty]] and [[q_novelty_by_source]]: (doc_id, n_grams,
     * n_novel) — distinct 3-gram count and how many are globally first
@@ -5361,6 +5388,7 @@ object Queries {
     "q_t_closeness" -> q_t_closeness,
     "q_ngram_novelty" -> q_ngram_novelty,
     "q_novelty_by_source" -> q_novelty_by_source,
+    "q_dup_cluster_histogram" -> q_dup_cluster_histogram,
     "q_containment" -> q_containment,
     "q_boilerplate" -> q_boilerplate,
     "q_dup_inflation" -> q_dup_inflation,

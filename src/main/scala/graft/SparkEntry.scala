@@ -6162,6 +6162,58 @@ object SparkEntry {
         |                  / (sum(p.n_grams) * 2.0)) AS BIGINT) AS novelty_ppm
         |FROM p JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // mirrors q_dup_cluster_histogram: the q_dedup_cluster_minhash
+    // chain through the recursive-CTE components, then singletons fill
+    // (label = own doc_id) and the two-level size histogram
+    "q_dup_cluster_histogram" ->
+      """WITH RECURSIVE toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s2 AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM toks
+        |), shash AS MATERIALIZED (
+        |  SELECT doc_id, md5_number_upper(sh)::HUGEINT AS a, md5_number_lower(sh)::HUGEINT AS b FROM s2
+        |), sigrows AS MATERIALIZED (
+        |  SELECT doc_id, k.k, CAST(min((a + k.k * b) % 9223372036854775808) AS BIGINT) AS v
+        |  FROM shash, (SELECT UNNEST(range(0, 32)) AS k) k GROUP BY doc_id, k.k
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, list(v ORDER BY k) AS sig FROM sigrows GROUP BY doc_id
+        |), bucketrows AS MATERIALIZED (
+        |  SELECT doc_id, band.b AS band,
+        |         CAST(md5_number_upper(
+        |           band.b || ':' || sig[band.b*4+1] || ',' || sig[band.b*4+2] || ',' ||
+        |           sig[band.b*4+3] || ',' || sig[band.b*4+4])::HUGEINT
+        |           % 9223372036854775808 AS BIGINT) AS bucket
+        |  FROM sig, (SELECT UNNEST(range(0, 8)) AS b) band
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucketrows a JOIN bucketrows b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b, count(*) AS n_common
+        |  FROM cand c JOIN s2 a ON a.doc_id = c.id_a JOIN s2 b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b
+        |), pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+        |), edges AS MATERIALIZED (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), clusters AS (
+        |  SELECT id, least(id, min(m)) AS cluster_id FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS label
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |), csz AS (
+        |  SELECT label, count(*) AS cluster_size FROM labeled GROUP BY label
+        |)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       cluster_size * count(*) AS n_docs
+        |FROM csz GROUP BY cluster_size
+        |ORDER BY cluster_size""".stripMargin,
     "q_generalize_ladder" ->
       """WITH cls AS (
         |  SELECT w, c_nationkey, c_mktsegment,

@@ -238,19 +238,30 @@ object Dedup {
     * threshold; raise `bands` (lower rows-per-band) for higher recall. */
   def clusterByMinhash(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, shingleN: Int = 3,
-                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                       numHashes: Int = 32, bands: Int = 8): DataFrame =
+    keepCanonical(docs,
+      minhashConfirmedPairs(docs, idCol, textCol, threshold, shingleN,
+        numHashes, bands),
+      idCol)
+
+  /** The confirmed near-dup PAIR relation behind [[clusterByMinhash]]
+    * (LSH candidates → exact-Jaccard confirm, id_a < id_b) — exposed so
+    * profile reports ([[graft.Queries.q_dup_cluster_histogram]]) can
+    * read the link structure without re-deriving the collapse. */
+  def minhashConfirmedPairs(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, shingleN: Int = 3,
+                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
       .localCheckpoint(eager = true)
     val cand = minhashCandidateIds(sigs, idCol)
     val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
-    val confirmed = cand
+    cand
       .join(toks.select(col(idCol).as("id_a"), col("__toks").as("__toks_a")),
         Seq("id_a"))
       .join(toks.select(col(idCol).as("id_b"), col("__toks").as("__toks_b")),
         Seq("id_b"))
       .filter(pairJaccard(shingleN)(col("__toks_a"), col("__toks_b")) >= threshold)
       .select("id_a", "id_b")
-    keepCanonical(docs, confirmed, idCol)
   }
 
   /** SimHash dedup surface: per-doc 64-bit simhash plus the count of other

@@ -1334,6 +1334,24 @@ class LawsSpec extends SparkSpec {
       "earliest doc must be fully novel")
   }
 
+  test("q_dup_cluster_histogram: conservation + survivor-count consistency") {
+    val got = Queries.q_dup_cluster_histogram(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every row's n_docs is its own product, sizes are distinct+sorted
+    assert(got.forall { case (sz, nc, nd) => nd == sz * nc && sz >= 1L })
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // conservation: the histogram partitions the corpus
+    val corpus = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(got.map(_._3).sum == corpus, s"sum n_docs != $corpus")
+    // one canonical per family: Σ n_clusters == the cluster id's
+    // survivor count (the collapse and the profile read the same links)
+    val survivors = Queries.q_dedup_cluster_minhash(spark, sfDir).count()
+    assert(got.map(_._2).sum == survivors, s"sum n_clusters != $survivors")
+    // the fixture genuinely has multi-doc families
+    assert(got.exists(_._1 >= 2L), "fixture must carry near-dup families")
+  }
+
   test("q_novelty_by_source: rollup == per-doc relation folded by source") {
     val got = Queries.q_novelty_by_source(spark, sfDir)
       .as[(String, Long, Long, Long, Long)].collect()
