@@ -338,6 +338,41 @@ object Jobs {
       .select("window_start", "n_windows", "n_boiler", "boiler_ppm")
   }
 
+  /** Per-window (token, count) relation — the streaming half of the
+    * lexical-diversity monitor (the `q_ttr` twin, window-keyed instead
+    * of source-keyed): per watermarked tumbling window, one finalized
+    * row per (window, token) with its occurrence count. State is (open
+    * windows × per-window vocabulary)-sized — window-content-bounded
+    * like [[windowedGramDocCounts]], and vocabulary-bounded WITHIN the
+    * window (Heaps' law, the q_ttr scale argument). Append mode; feed
+    * finalized micro-batches to [[ttrPerWindow]]. */
+  def windowedTokenCounts(docs: DataFrame, tsCol: String, textCol: String,
+                          windowDur: String,
+                          watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(window(col(tsCol), windowDur), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("tok"), col("c"))
+
+  /** Per-window TYPE-TOKEN RATIO and hapax share over a FINALIZED
+    * [[windowedTokenCounts]] micro-batch — the live twin of the batch
+    * `q_ttr` id, stage-for-stage (the same three exact-long aggregates
+    * off the (window, token, count) relation, the same single IEEE
+    * divisions, 6 dp): tokens, types, hapax legomena, ttr, hapax_frac
+    * per window. The live reading of the q_ttr panel: a window whose
+    * TTR collapses means the ingest just hit template spam; a hapax
+    * spike means OCR noise — caught as the window closes, not at the
+    * next corpus audit. */
+  def ttrPerWindow(batch: DataFrame): DataFrame =
+    batch.groupBy("window_start")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr", round(col("n_types").cast("double") /
+        col("n_tokens").cast("double"), 6))
+      .withColumn("hapax_frac", round(col("n_hapax").cast("double") /
+        col("n_types").cast("double"), 6))
+
   /** Per-window doc-distinct 3-gram relation — the streaming half of
     * the NOVELTY monitor (the `q_ngram_novelty` twin): one finalized
     * row per (window, gram-hash) carrying how many of the window's docs

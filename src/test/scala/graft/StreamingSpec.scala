@@ -1804,6 +1804,55 @@ class StreamingSpec extends SparkSpec {
       Map("2024-01-01 10:00:00.0" -> ((12L, 1L, 83333L))))
   }
 
+  test("windowedTokenCounts + ttrPerWindow: streaming TTR equals the batch fold") {
+    val in = MemoryStream[(Timestamp, String)]
+    val rel = graft.streaming.Jobs.windowedTokenCounts(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = rel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // w1: diverse text — 8 tokens, 7 types (one repeat), 6 hapax
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "a b c d"),
+        (ts("2024-01-01 10:02:00"), "a e f g"))
+      q.processAllAvailable()
+      // w2: template spam — 8 tokens, 2 types, 0 hapax (TTR collapse)
+      in.addData(
+        (ts("2024-01-01 10:21:00"), "x y x y"),
+        (ts("2024-01-01 10:22:00"), "x y x y"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:41:00"), "wm push"))
+      q.processAllAvailable()
+      val out = graft.streaming.Jobs.ttrPerWindow(spark.table(name))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getDouble(5)))).toMap
+      assert(out.get("2024-01-01 10:00:00.0")
+        .contains((8L, 7L, 6L, 0.875, 0.857143)), s"w1: $out")
+      assert(out.get("2024-01-01 10:20:00.0")
+        .contains((8L, 2L, 0L, 0.25, 0.0)), s"w2: $out")
+      // parity with the batch q_ttr fold on the same rows (source
+      // column standing in for the window key)
+      val batch = Seq(("w1", "a b c d"), ("w1", "a e f g"))
+        .toDF("source", "text")
+        .select(col("source"), explode(graft.functions.Text.tokens(
+          col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr", round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6))
+        .withColumn("hapax_frac", round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6))
+        .head()
+      assert((batch.getLong(1), batch.getLong(2), batch.getLong(3),
+        batch.getDouble(4), batch.getDouble(5)) ==
+        ((8L, 7L, 6L, 0.875, 0.857143)), "batch-fold parity reference")
+    } finally q.stop()
+  }
+
   test("noveltyAuditSink: earliest-window attribution, index advance, replay is a no-op") {
     val in = MemoryStream[(Timestamp, String)]
     val hist = graft.streaming.Jobs.windowedGramDocFreq(
