@@ -1118,6 +1118,67 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** Batch seeder for the first-seen GRAM INDEX
+    * ([[graft.sources.IO.noveltyAuditSink]]'s serving artifact — same
+    * layout: distinct (sh, first_window) bucketed by `pmod(sh,
+    * buckets)` with the bucket-count sidecar, so a sink started on a
+    * seeded index appends straight onto it): the cold-start path a
+    * pipeline runs ONCE over its existing corpus before pointing the
+    * live novelty monitor — or [[noveltyAgainstGramIndex]] — at it.
+    * All grams stamp the caller's `asOf` (they were first seen no
+    * later than the seed corpus). */
+  def writeGramIndex(docs: DataFrame, textCol: String, indexDir: String,
+                     asOf: java.sql.Timestamp,
+                     buckets: Int = 64): Unit = {
+    docs
+      .select(explode(shingleSet(3)(Text.tokens(col(textCol))))
+        .as("sh_str"))
+      .select(xxhash64(col("sh_str")).as("sh")).distinct()
+      .withColumn("first_window", lit(asOf))
+      .withColumn("__bucket", pmod(col("sh"), lit(buckets.toLong)))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
+    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, buckets)
+  }
+
+  /** Per-doc MARGINAL NOVELTY of a batch against a persisted gram
+    * index — the data-ACQUISITION diligence primitive: before paying
+    * for (or crawling) a candidate corpus, measure how much of each
+    * doc's gram mass the existing corpus doesn't already have.
+    * Returns (id, n_grams, n_novel, novelty_ppm) — the
+    * `q_ngram_novelty` row shape with "earlier doc" replaced by "the
+    * index". Deliberately INDEPENDENT per doc: two batch docs sharing
+    * a new gram both read it as novel (each doc's marginal value vs
+    * the CORPUS is the question; intra-batch attribution is the batch
+    * id's job, and the ingest sink's collapse handles admission).
+    * Missing index = everything novel (the cold-start contract of
+    * [[nearDupAgainstIndex]]). Scale shape: one explode, one
+    * gram-keyed left join against the 8-byte-key columnar index, one
+    * per-doc fold — the `q_dedup_ngram` shuffle class, never all-pairs. */
+  def noveltyAgainstGramIndex(batch: DataFrame, idCol: String,
+                              textCol: String,
+                              gramIndexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(gramIndexDir)
+    val exists =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val sh = batch
+      .select(col(idCol),
+        explode(shingleSet(3)(Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col(idCol), xxhash64(col("sh_str")).as("sh"))
+    val joined =
+      if (exists)
+        sh.join(spark.read.parquet(gramIndexDir)
+            .select(col("sh")).distinct().withColumn("__known", lit(1)),
+          Seq("sh"), "left")
+      else sh.withColumn("__known", lit(null).cast("int"))
+    joined.groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
+  }
+
   /** Connected components over an undirected pair list: every vertex gets
     * the MINIMUM id reachable through edges as its component label — the
     * canonical representative of its near-dup cluster.

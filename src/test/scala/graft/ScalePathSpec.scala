@@ -1208,6 +1208,49 @@ class ScalePathSpec extends SparkSpec {
       Seq(1L).toDF("doc_id"), "doc_id", dir).isEmpty)
   }
 
+  test("gram index: batch seed serves the marginal-novelty probe; cold start all-novel; sink layout interop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gram_idx_")
+      .toString + "/grams"
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    // cold start: no index -> every doc fully novel
+    val cold = Dedup.noveltyAgainstGramIndex(corpus, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(cold.nonEmpty && cold.forall(_._4 == 1000000L),
+      s"cold start: ${cold.toSeq}")
+    Dedup.writeGramIndex(corpus, "text", dir,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    // re-probing the seed corpus reads zero marginal novelty
+    val self = Dedup.noveltyAgainstGramIndex(corpus, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(self.forall(r => r._3 == 0L && r._4 == 0L), s"self: ${self.toSeq}")
+    // a candidate batch: doc 10 duplicates indexed content (0), doc 11
+    // is fresh (1e6), doc 12 is half-lifted ("c d e" gram from doc 1 +
+    // fresh tail -> 1 known of 3)
+    val cand = Seq((10L, "a b c d e"), (11L, "p q r s t"),
+      (12L, "c d e z1 z2")).toDF("doc_id", "text")
+    val got = Dedup.noveltyAgainstGramIndex(cand, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((3L, 0L, 0L)), s"dup doc: $got")
+    assert(got(11L) == ((3L, 3L, 1000000L)), s"fresh doc: $got")
+    assert(got(12L) == ((3L, 2L, 666667L)), s"half-lift doc: $got")
+    // marginal independence is deliberate: two docs sharing a NEW gram
+    // both read it as novel (each doc's value vs the CORPUS)
+    val pair = Seq((20L, "n1 n2 n3"), (21L, "n1 n2 n3"))
+      .toDF("doc_id", "text")
+    assert(Dedup.noveltyAgainstGramIndex(pair, "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .forall(_._4 == 1000000L))
+    // sink-layout interop: the seeded index carries exactly the sink's
+    // schema and bucket sidecar, so noveltyAuditSink appends onto it
+    val idx = spark.read.parquet(dir)
+    assert(idx.columns.sorted.toSeq == Seq("__bucket", "first_window", "sh"))
+    assert(graft.sources.IO.readBucketCount(spark, dir).contains(64))
+    assert(idx.count() == 6L) // 2 docs x 3 distinct grams
+  }
+
   test("winnow index lifecycle: write == append-in-batches; gate honors the local guarantee; takedown == rebuild; replay no-op") {
     val runA = (1 to 20).map(i => s"a$i").mkString(" ")
     val runB = (100 to 120).map(i => s"b$i").mkString(" ")
