@@ -1208,6 +1208,60 @@ class ScalePathSpec extends SparkSpec {
       Seq(1L).toDF("doc_id"), "doc_id", dir).isEmpty)
   }
 
+  test("RAG-ingest composition: chunk → embed → IVF index → serve, exhaustive probe == brute force") {
+    import spark.implicits._
+    // the retrieval-corpus build a RAG user runs, composed from the
+    // registered pieces: the q_chunk_docs operator shape over the real
+    // fixture docs, one embed column, one ivfWriteIndex, then serving
+    // via the indexed probe. The embedding is a deterministic token-
+    // hash fold — quality is irrelevant to the law; what is pinned is
+    // that the SAME function feeds the index and the reference, and the
+    // pipeline preserves every chunk and serves exact results.
+    val chunks = graft.Queries.q_chunk_docs(spark, sfDir)
+      .withColumn("vec_id", col("doc_id") * 1000L + col("chunk_idx"))
+      .localCheckpoint(true)
+    val embed = udf { (text: String) =>
+      val v = new Array[Float](16)
+      text.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val h = t.hashCode
+        v(math.floorMod(h, 16)) += (if (((h >> 4) & 1) == 0) 1f else -1f)
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (n == 0f) Array.fill(16)(0.25f) else v.map(_ / n)
+    }
+    val emb = chunks
+      .select(col("vec_id"), embed(col("chunk_text")).as("embedding"))
+      .localCheckpoint(true)
+    val nChunks = emb.count()
+    val dir = java.nio.file.Files.createTempDirectory("rag_")
+      .toString + "/ivf"
+    val centroids = Similarity.ivfTrain(emb, "embedding", k = 8, iters = 10)
+    Similarity.ivfWriteIndex(emb, "embedding", centroids, dir)
+    // the served artifact carries every chunk exactly once
+    assert(spark.read.parquet(s"$dir/vectors").count() == nChunks)
+    // query: a text-unique chunk, embedded by the SAME function
+    val uniqueId = chunks.groupBy("chunk_text")
+      .agg(count(lit(1)).as("c"), min(col("vec_id")).as("vec_id"))
+      .filter(col("c") === 1L).orderBy("vec_id")
+      .select("vec_id").as[Long].head()
+    val qVec = emb.filter(col("vec_id") === uniqueId)
+      .select("embedding").as[Array[Float]].head()
+    // exhaustive probe (nprobe = all lists) == brute force over the
+    // same embedded chunks — the serve path loses nothing
+    val served = Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", qVec, 20, nprobe = 8)
+      .select("vec_id", "rn").as[(Long, Long)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      qVec, 20).select("vec_id", "rn").as[(Long, Long)].collect().toSeq
+    assert(served == brute, s"served != brute:\n$served\n$brute")
+    // self-retrieval survives probe pruning: the query chunk's own
+    // list is its nearest centroid, so nprobe=2 still finds it first
+    val prunedTop = Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", qVec, 1, nprobe = 2)
+      .select("vec_id").as[Long].head()
+    assert(prunedTop == uniqueId, s"pruned self-retrieval: $prunedTop")
+  }
+
   test("gram index: batch seed serves the marginal-novelty probe; cold start all-novel; sink layout interop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("gram_idx_")
