@@ -739,6 +739,18 @@ object IO {
     * their own input scan). A falling `novelty_ppm` curve is the
     * "crawl started re-reading itself" alarm, live.
     *
+    * TAKEDOWN POSITION (deliberate, not a missing verb): the gram
+    * index carries only 8-byte one-way hashes of 3-token windows with
+    * NO doc attribution — a statistical census like the metrics
+    * store's aggregate rows, not retrievable content — and a first-
+    * seen census has no per-doc delete semantics without reference
+    * counts (a gram first seen in a taken-down doc may legitimately
+    * remain via other admitted docs). Document-level opt-out rides the
+    * doc-attributed artifacts (fingerprint / near-dup / winnow index
+    * delete verbs + `takedownSink`); rebuilding this index from the
+    * post-takedown corpus ([[graft.operators.Dedup.writeGramIndex]])
+    * is the census-level remedy when one is wanted.
+    *
     * Replay semantics (honest torn-window statement, the
     * decontaminateIngestSink convention): a batch whose marker
     * committed replays as a no-op. A TORN batch (some effects landed,
