@@ -23,10 +23,10 @@ object SparkEntry {
   /** DuckDB oracle SQL per query id. Ids absent here are the declared
     * oracle-exempt ops — probability sketches and float-arithmetic /
     * embedding ANN whose output is genuinely engine-specific (the
-    * ExemptLaneSpec census, 11 ids): q_agg_approx_distinct,
+    * ExemptLaneSpec census, 10 ids): q_agg_approx_distinct,
     * q_agg_approx_percentile, q_agg_distinct_hll,
     * q_heavy_hitters_approx,
-    * q_decontaminate_bloom, q_dedup_embed, q_similarity_lsh,
+    * q_decontaminate_bloom, q_dedup_embed,
     * q_similarity_ivf, q_similarity_ivf_indexed, q_similarity_ivfpq,
     * q_knn_join_pq.
     * Each is instead law-tested in scalatest (SURVEY §5.2) and runs
@@ -34,7 +34,10 @@ object SparkEntry {
     * q_topk_approx_sketch CONVERTED to oracle-checked in round 14 (the
     * sketch is exact below capacity and the query's own deterministic
     * (count, id) cut removed the last engine-internal tie — see its
-    * Scaladoc), and each remaining exemption carries either the
+    * Scaladoc); q_similarity_lsh CONVERTED in round 15 (md5-integer
+    * hyperplanes × 2^20-quantized vectors make candidate selection
+    * exact integer math — [[graft.operators.Similarity.lshTopKPortable]]);
+    * each remaining exemption carries either the
     * sketch-error argument or an explicit no-ANSI-replay proof
     * (q_dedup_embed: JVM-PRNG hyperplanes). Every other id —
     * including the iterative fixpoints (PageRank, LPA, Bellman–Ford,
@@ -715,6 +718,40 @@ object SparkEntry {
     // rank on round(cos, 12) — the q_knn_join near-tie discipline
     "q_similarity_topk" ->
       "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 12) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
+    // replays lshTopKPortable's banded sign-LSH bit-for-bit: integer
+    // hyperplanes from md5_number_lower (the md5Pair64 family), vectors
+    // quantized to floor(x·2^20) so every dot is exact integer math,
+    // band signatures as bit-sums, candidates = ≥1 band equal to the
+    // query's, then the q_similarity_topk 12-dp cosine re-rank
+    "q_similarity_lsh" ->
+      """WITH pl AS (
+        |  SELECT CAST(p.range AS BIGINT) AS pid, CAST(j.range AS BIGINT) AS j,
+        |         CAST(md5_number_lower(concat('graftlsh:', p.range, ':', j.range)) % 2049 AS BIGINT) - 1024 AS h
+        |  FROM range(32) p, range(64) j
+        |), ev AS (
+        |  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS e
+        |  FROM embeddings, range(64) j
+        |), dots AS (
+        |  SELECT ev.vec_id, pl.pid // 8 AS b, pl.pid % 8 AS i,
+        |         CAST(sum(ev.e * pl.h) AS BIGINT) AS dot
+        |  FROM ev JOIN pl USING (j)
+        |  GROUP BY 1, 2, 3
+        |), sigs AS (
+        |  SELECT vec_id, b,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2
+        |), qs AS (
+        |  SELECT b, sig FROM sigs WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT DISTINCT s.vec_id FROM sigs s JOIN qs ON s.b = qs.b AND s.sig = qs.sig
+        |)
+        |SELECT vec_id, rn FROM (
+        |  SELECT e.vec_id,
+        |         row_number() OVER (ORDER BY round(list_cosine_similarity(e.embedding,
+        |           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 12) DESC, e.vec_id) AS rn
+        |  FROM embeddings e JOIN cand USING (vec_id)) t
+        |WHERE rn <= 5 ORDER BY rn""".stripMargin,
     "q_multimodal_join" ->
       "SELECT lang, count(*) AS n_docs, round(avg(CAST(label AS DOUBLE)), 4) AS avg_label, round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
     "q_collect_sequence" ->
@@ -6106,7 +6143,7 @@ object SparkEntry {
         |), tot AS (
         |  SELECT sum(g) AS n_total, count(*) AS m_tiers FROM g
         |), cls AS (
-        |  SELECT c_nationkey, c_mktsegment, sum(cnt) AS class_size
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS class_size
         |  FROM ct GROUP BY 1, 2
         |), dense AS (
         |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
@@ -6122,7 +6159,7 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
         |  FROM dense)
         |SELECT c_nationkey, c_mktsegment, class_size,
-        |       sum(abs(n_total * cum_c - class_size * cum_g)) AS t_num,
+        |       CAST(sum(abs(n_total * cum_c - class_size * cum_g)) AS BIGINT) AS t_num,
         |       round(CAST(sum(abs(n_total * cum_c - class_size * cum_g)) AS DOUBLE) /
         |             CAST(class_size * n_total * (m_tiers - 1) AS DOUBLE), 6) AS t
         |FROM cum CROSS JOIN tot
@@ -6138,7 +6175,7 @@ object SparkEntry {
         |), f AS (
         |  SELECT sh, min(doc_id) AS first_doc FROM s GROUP BY sh)
         |SELECT s.doc_id, count(*) AS n_grams,
-        |       sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
         |       CAST(floor((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 2000000
         |                   + count(*)) / (count(*) * 2.0)) AS BIGINT) AS novelty_ppm
         |FROM s JOIN f USING (sh)
@@ -6157,7 +6194,8 @@ object SparkEntry {
         |         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
         |  FROM s JOIN f USING (sh) GROUP BY s.doc_id)
         |SELECT d.source, count(*) AS n_docs,
-        |       sum(p.n_grams) AS n_grams, sum(p.n_novel) AS n_novel,
+        |       CAST(sum(p.n_grams) AS BIGINT) AS n_grams,
+        |       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
         |       CAST(floor((sum(p.n_novel) * 2000000 + sum(p.n_grams))
         |                  / (sum(p.n_grams) * 2.0)) AS BIGINT) AS novelty_ppm
         |FROM p JOIN documents d USING (doc_id)
