@@ -947,12 +947,20 @@ object Queries {
     Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
   }
 
-  /** q_similarity_lsh — ANN top-5 via banded sign-LSH; oracle-exempt
-    * (approximate by construction), recall checked in scalatest. */
+  /** q_similarity_lsh — ANN top-5 via banded sign-LSH. ORACLE-CHECKED
+    * since round 15 (converted from the exempt set, VERDICT r14 #6):
+    * the bucketing rides md5-derived INTEGER hyperplanes against
+    * 2^20-quantized vectors ([[graft.operators.Similarity.lshTopKPortable]]
+    * — every signature dot is exact integer arithmetic, so the DuckDB
+    * oracle replays candidate selection bit-for-bit), and the re-rank
+    * is the oracle-green q_similarity_topk cosine discipline (12 dp,
+    * ties by id). Approximation survives conversion intact: the oracle
+    * replays the SAME approximate algorithm, it doesn't replace it with
+    * brute force. */
   val q_similarity_lsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
-    Similarity.lshTopK(emb, "vec_id", "embedding", q, 5)
+    Similarity.lshTopKPortable(emb, "vec_id", "embedding", q, 5)
   }
 
   /** q_similarity_ivf — ANN top-5 via IVF coarse quantizer (train on

@@ -236,6 +236,9 @@ object Text {
   /** The `_1` half of [[md5Pair64]] — DuckDB `md5_number_upper`. */
   def md5Upper64(s: String): Long = md5Pair64(s)._1
 
+  /** The `_2` half of [[md5Pair64]] — DuckDB `md5_number_lower`. */
+  def md5Lower64(s: String): Long = md5Pair64(s)._2
+
   /** JVM-side xxHash64 matching Spark's `xxhash64` builtin (seed 42),
     * so driver-side constants and executor-side columns agree. */
   def xxHash64String(s: String): Long = {

@@ -42,6 +42,27 @@ object Vectors {
     Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
+  /** ENGINE-PORTABLE integer hyperplanes for sign-LSH (round 15, the
+    * q_similarity_lsh oracle conversion): component (i, j) is
+    * `md5_lower64("<salt>:<i>:<j>") mod_unsigned 2049 − 1024` — an
+    * integer in [−1024, 1024] a DuckDB oracle reproduces bit-for-bit as
+    * `CAST(md5_number_lower(concat(salt, ':', i, ':', j)) % 2049 AS
+    * BIGINT) - 1024` (the [[graft.functions.Text.md5Pair64]] family).
+    * Returned as doubles so [[VecLshSignature]]'s accumulator ingests
+    * them directly: against a 2^20-quantized vector every product is an
+    * integer ≤ 2^30 and a 64-dim sum stays ≤ 2^36 ≪ 2^53, so the
+    * double arithmetic is EXACT (order-independent) and the sign test
+    * is cross-engine deterministic — no float tolerance anywhere. A
+    * symmetric uniform family is a textbook sign-LSH (only the
+    * direction distribution changes vs gaussian; recall floor
+    * re-measured in ExemptBoundsSpec). */
+  def intHyperplanes(numPlanes: Int, dim: Int,
+                     salt: String = "graftlsh"): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (i, j) =>
+      (java.lang.Long.remainderUnsigned(
+        Text.md5Lower64(s"$salt:$i:$j"), 2049L) - 1024L).toDouble
+    }
+
   /** Sign-LSH signature: bit i = [dot(v, plane_i) >= 0]. One fused
     * codegen'd pass over the vector ([[VecLshSignature]], single band). */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {

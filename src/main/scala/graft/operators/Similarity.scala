@@ -78,6 +78,60 @@ object Similarity {
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
   }
 
+  /** ENGINE-PORTABLE banded sign-LSH top-k — [[lshTopK]] with every
+    * stage cross-engine exact, which is what moved `q_similarity_lsh`
+    * from the declared-exempt set to the hard DuckDB oracle (round 15):
+    *
+    *  - hyperplanes are md5-derived integers
+    *    ([[graft.functions.Vectors.intHyperplanes]] — DuckDB replays
+    *    them from `md5_number_lower`);
+    *  - vectors are quantized to `floor(x · 2^20)` BEFORE the dot
+    *    product — a power-of-two scale + floor is exact on any IEEE
+    *    engine, and every signature dot is then pure integer
+    *    arithmetic (≤ 2^36 ≪ 2^53) inside [[VecLshSignature]]'s double
+    *    accumulator, so the sign bit can never diverge between engines;
+    *  - candidates = share ≥1 of the `bands` band signatures with the
+    *    query (set equality on exact longs — in SQL, a (band, sig)
+    *    equi-join);
+    *  - the re-rank is the [[bruteForceTopK]] discipline verbatim:
+    *    cosine rounded to 12 dp, ties by id (the oracle-green
+    *    q_similarity_topk parity).
+    *
+    * The quantization costs nothing real: 2^-20 grain is ~5 decimal
+    * digits of a unit-norm component, far inside the hyperplane
+    * family's own randomness. Same plan shape as [[lshTopK]] — one
+    * narrow codegen pass for signatures, a literal-array candidate
+    * filter (no shuffle, no all-pairs), TakeOrderedAndProject for the
+    * cut. */
+  def lshTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      query: Array[Float], k: Int,
+                      bands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val dim = query.length
+    val planes = Vectors.intHyperplanes(bands * planesPerBand, dim)
+    // integer-quantized copy of the vector, double-typed for the
+    // signature expression's accumulator (values are exact integers)
+    val eInt = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
+    val sigCol = ColumnBridge.column(graft.functions.VecLshSignature(
+      ColumnBridge.expression(eInt), planes, planesPerBand))
+    val qInt = query.map(x => math.floor(x.toDouble * 1048576.0))
+    val querySigs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        val p = planes(b * planesPerBand + i)
+        val d = p.indices.map(j => p(j) * qInt(j)).sum
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    }
+    val isCandidate: Column = (0 until bands)
+      .map(b => element_at(col("__sigs"), b + 1) === lit(querySigs(b)))
+      .reduce(_ || _)
+    val cands = emb.withColumn("__sigs", sigCol).filter(isCandidate)
+      .select(col(idCol),
+        round(Vectors.cosineTo(col(vecCol), query), 12).as("sim"))
+    rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
+  }
+
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained on a
     * bounded driver-side sample (Lloyd's iterations on ≤ `sampleSize`
     * rows — a fixed-size model fit, not a data-scale collect; see

@@ -749,7 +749,15 @@ object IO {
     * doc-attributed artifacts (fingerprint / near-dup / winnow index
     * delete verbs + `takedownSink`); rebuilding this index from the
     * post-takedown corpus ([[graft.operators.Dedup.writeGramIndex]])
-    * is the census-level remedy when one is wanted.
+    * is the census-level remedy when one is wanted — and since round
+    * 15 the COUNTED ledger variant
+    * ([[graft.operators.Dedup.writeGramIndexCounted]] family) gives
+    * per-doc takedown with rebuild-exact semantics and still zero
+    * stored attribution: takedown appends negated doc-counts computed
+    * from the retired docs' own text, cost ∝ the retirement batch
+    * (delete == rebuild law in ScalePathSpec;
+    * [[graft.operators.Dedup.firstSeenFromCounted]] serves this sink's
+    * (sh, first_window) relation from it).
     *
     * Replay semantics (honest torn-window statement, the
     * decontaminateIngestSink convention): a batch whose marker
@@ -795,6 +803,107 @@ object IO {
                   (col("window_start").cast("double") * 1000).cast("long"))
               versionedUpsertBatch(metrics, baseDir, "window_start",
                 NoveltyAuditSchema, retain)
+              val b = readBucketCount(spark, gramIndexDir)
+                .getOrElse(buckets)
+              // first-seen delta: grams this batch introduced, stamped
+              // with their attributed window; materialized so the
+              // append never scans its own output
+              val delta = pinned.groupBy("sh")
+                .agg(min(col("window_start")).as("first_window"))
+                .join(known.select("sh"), Seq("sh"), "left_anti")
+                .withColumn("__bucket", pmod(col("sh"), lit(b.toLong)))
+                .localCheckpoint(eager = true)
+              try {
+                if (!delta.isEmpty) {
+                  alignToPartitions(delta, "__bucket")
+                    .write.mode("append")
+                    .partitionBy("__bucket").parquet(gramIndexDir)
+                  if (readBucketCount(spark, gramIndexDir).isEmpty)
+                    writeBucketCount(spark, gramIndexDir, b)
+                }
+              } finally graft.operators.Checkpoints.drop(delta)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
+  /** Snapshot schema of the [[noveltyBySourceAuditSink]] store: one
+    * novelty row per finalized (ingest window, source) plus the
+    * changelog bookkeeping columns. `wkey` is the synthesized composite
+    * upsert key (`<window epoch ms>|<source>` — the versioned merge
+    * keys on one column; the key is a pure function of the row's own
+    * grain, so replays regenerate it identically). */
+  val NoveltyBySourceAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("wkey", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_grams", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_novel", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("novelty_ppm", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted per-(window, source) NOVELTY monitor — the WHO twin of
+    * [[noveltyAuditSink]]'s WHEN (the live `q_novelty_by_source`,
+    * VERDICT r14 #4): finalized
+    * [[graft.streaming.Jobs.windowedGramSourceDocFreq]] micro-batches
+    * fold through [[graft.streaming.Jobs.noveltyBySourcePerWindow]]
+    * against the SAME persisted first-seen gram index layout
+    * (`(sh, first_window)`, `__bucket=pmod(sh, buckets)` — a store
+    * seeded by [[graft.operators.Dedup.writeGramIndex]] or by the WHEN
+    * sink is readable here as-is), upsert into the versioned snapshot
+    * keyed by the synthesized `wkey`, then append the batch's first-seen
+    * grams as an anti-join delta (cost ∝ NEW grams). SINGLE-WRITER
+    * DISCIPLINE: exactly one novelty sink may own a gram index dir —
+    * this sink SUBSUMES the WHEN monitor (rolling its store over
+    * `source` per window reproduces [[noveltyAuditSink]]'s rows — the
+    * conservation law pinned in StreamingSpec), so deployments wanting
+    * both signals run this one and derive WHEN by rollup rather than
+    * double-appending one index.
+    *
+    * Takedown position and replay semantics are [[noveltyAuditSink]]'s,
+    * verbatim: the index is a doc-unattributed one-way-hash census
+    * (rebuild, not per-doc delete); committed batches replay as no-ops
+    * via the marker, torn batches re-derive identical decisions because
+    * attribution is a pure function of min(first_window) / min(min_doc). */
+  def noveltyBySourceAuditSink(hist: DataFrame, gramIndexDir: String,
+                               baseDir: String, checkpointDir: String,
+                               retain: Int = 3, buckets: Int = 64)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val idxPath = new org.apache.hadoop.fs.Path(gramIndexDir)
+              val fs = idxPath.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val known =
+                if (fs.exists(idxPath))
+                  spark.read.parquet(gramIndexDir)
+                    .select("sh", "first_window")
+                else spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  StructType(Seq(
+                    org.apache.spark.sql.types.StructField("sh",
+                      org.apache.spark.sql.types.LongType),
+                    org.apache.spark.sql.types.StructField("first_window",
+                      org.apache.spark.sql.types.TimestampType))))
+              val metrics = graft.streaming.Jobs
+                .noveltyBySourcePerWindow(pinned, known)
+                .withColumn("wkey", concat(
+                  (col("window_start").cast("double") * 1000).cast("long")
+                    .cast("string"), lit("|"), col("source")))
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "wkey",
+                NoveltyBySourceAuditSchema, retain)
               val b = readBucketCount(spark, gramIndexDir)
                 .getOrElse(buckets)
               // first-seen delta: grams this batch introduced, stamped

@@ -433,4 +433,85 @@ object Jobs {
         graft.operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
       .select("window_start", "n_grams", "n_novel", "novelty_ppm")
   }
+
+  /** Per-(window, source) doc-distinct 3-gram relation — the
+    * source-attributed widening of [[windowedGramDocFreq]], feeding the
+    * WHO half of the live novelty monitor (the `q_novelty_by_source`
+    * twin, VERDICT r14 #4): one finalized row per (window, source,
+    * gram-hash) carrying the doc count AND the window's smallest doc id
+    * for the gram within that source — `min_doc` is what lets the fold
+    * attribute a novel gram to exactly ONE source the way the batch id
+    * does (min doc_id over the corpus), instead of double-counting it
+    * into every source that carries it. State grows by the source
+    * dimension only where a gram genuinely spans sources in one window;
+    * it stays (open windows × window content)-bounded like the WHEN
+    * relation. Append mode; feed finalized micro-batches to
+    * [[noveltyBySourcePerWindow]]. */
+  def windowedGramSourceDocFreq(docs: DataFrame, tsCol: String,
+                                idCol: String, sourceCol: String,
+                                textCol: String, windowDur: String,
+                                watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        explode(graft.operators.Dedup.shingleSet(3)(
+          Text.tokens(col(textCol)))).as("sh_str"))
+      .select(col(tsCol), col("doc_id"), col("source"),
+        xxhash64(col("sh_str")).as("sh"))
+      .groupBy(window(col(tsCol), windowDur), col("source"), col("sh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("sh"), col("n_docs"), col("min_doc"))
+
+  /** Per-(window, source) NOVELTY over a FINALIZED
+    * [[windowedGramSourceDocFreq]] micro-batch — the live twin of the
+    * batch `q_novelty_by_source` id (the WHO to [[noveltyPerWindow]]'s
+    * WHEN): a gram is novel in its EARLIEST window across the batch ∪
+    * the persisted gram index, and WITHIN that window it belongs to the
+    * source carrying its smallest doc id — exactly the batch id's
+    * min-doc_id attribution, refined to window grain. `novelty_ppm` is
+    * the SAME literal exact HALF_UP fold
+    * ([[graft.operators.Analytics.halfUpPpm]] — parity by construction,
+    * the q_auc convention) over the (window, source) sums.
+    *
+    * Laws (StreamingSpec): single-window parity — all docs in one
+    * window against an empty index reproduces the batch id's (source,
+    * n_grams, n_novel, novelty_ppm) rows exactly; rollup conservation —
+    * summing rows over sources per window reproduces
+    * [[noveltyPerWindow]]'s (n_grams, n_novel) (a gram is attributed to
+    * exactly one source, so nothing is counted twice). The curation
+    * lever is the batch id's, live: a source whose per-window novelty
+    * collapses is re-crawling content other sources already contributed
+    * — cut its mixture weight as the window closes, not at the next
+    * corpus audit.
+    *
+    * Replay stability: decisions are a pure function of
+    * min(first_window) and min(min_doc), so a torn replay (index append
+    * landed, marker didn't) reproduces its original rows — the
+    * [[noveltyPerWindow]] argument, per source. */
+  def noveltyBySourcePerWindow(batch: DataFrame,
+                               knownGrams: DataFrame): DataFrame = {
+    val first = batch.groupBy("sh")
+      .agg(min(col("window_start")).as("w_batch"))
+      .join(knownGrams.select(col("sh"), col("first_window").as("w_idx")),
+        Seq("sh"), "left")
+      .select(col("sh"),
+        when(col("w_idx").isNotNull && col("w_idx") <= col("w_batch"),
+          col("w_idx")).otherwise(col("w_batch")).as("first_window"))
+    val attributed = batch.join(first, Seq("sh"))
+    // the gram's owner inside its first window: the source with the
+    // smallest doc id — ties impossible (doc ids are unique)
+    val winners = attributed
+      .filter(col("window_start") === col("first_window"))
+      .groupBy("sh").agg(min(col("min_doc")).as("win_doc"))
+    attributed.join(winners, Seq("sh"), "left")
+      .groupBy("window_start", "source")
+      .agg(sum(col("n_docs")).as("n_grams"),
+        sum(when(col("first_window") === col("window_start") &&
+          col("min_doc") === col("win_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
+      .select("window_start", "source", "n_grams", "n_novel", "novelty_ppm")
+  }
 }

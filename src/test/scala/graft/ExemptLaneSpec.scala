@@ -90,11 +90,16 @@ class ExemptLaneSpec extends SparkSpec {
     // cut — see its Scaladoc) back to the hard oracle, shrinking the
     // set to 11, and stamped the weakest remaining exemption
     // (q_dedup_embed) with its no-ANSI-replay proof: JVM-PRNG
-    // hyperplane coordinates (VERDICT r13 #8). Widen
+    // hyperplane coordinates (VERDICT r13 #8); round 15 CONVERTED
+    // q_similarity_lsh (md5-integer hyperplanes × 2^20-quantized
+    // vectors — candidate selection is exact integer arithmetic the
+    // oracle replays bit-for-bit, re-rank is the oracle-green
+    // q_similarity_topk 12-dp cosine discipline), shrinking the set to
+    // 10. Widen
     // this number deliberately (with a new golden law), never by
     // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 11,
+    assert(exemptIds.size <= 10,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

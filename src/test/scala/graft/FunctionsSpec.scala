@@ -728,6 +728,18 @@ class FunctionsSpec extends SparkSpec {
     assert(Text.md5Pair64("abc") ==
       ((java.lang.Long.parseUnsignedLong("12704604231530709392"),
         java.lang.Long.parseUnsignedLong("8250560606382298838"))))
+    // the q_similarity_lsh oracle's hyperplane formula, pinned against a
+    // DuckDB-captured value: CAST(md5_number_lower('graftlsh:0:0') %
+    // 2049 AS BIGINT) - 1024 == 138 (md5_number_lower('graftlsh:0:0')
+    // == 17950657206079494865)
+    assert(Text.md5Lower64("graftlsh:0:0") ==
+      java.lang.Long.parseUnsignedLong("17950657206079494865"))
+    assert(graft.functions.Vectors.intHyperplanes(1, 1)(0)(0) == 138.0,
+      "intHyperplanes drifted from the DuckDB oracle formula")
+    // every component is an integer in [-1024, 1024] — the exactness
+    // precondition of the lshTopKPortable integer-dot argument
+    val hp = graft.functions.Vectors.intHyperplanes(32, 64)
+    assert(hp.flatten.forall(x => x == math.rint(x) && math.abs(x) <= 1024.0))
     // hashSeeded = (upper + k * lower) mod 2^63 — wrapped-Long masking
     // must equal exact big-integer arithmetic for every seed
     val (a, b) = Text.md5Pair64("abc")

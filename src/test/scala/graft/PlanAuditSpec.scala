@@ -337,7 +337,7 @@ class PlanAuditSpec extends SparkSpec {
     // counts only the <= K source lists.
     val expected = Map(
       "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
-      "Dedup.scala" -> 10,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2 (all <= buckets)
+      "Dedup.scala" -> 12,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
       "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub

@@ -1260,6 +1260,31 @@ class ScalePathSpec extends SparkSpec {
       "embedding", qVec, 1, nprobe = 2)
       .select("vec_id").as[Long].head()
     assert(prunedTop == uniqueId, s"pruned self-retrieval: $prunedTop")
+    // takedown leg (VERDICT r14 #5): a source doc is retired — every
+    // chunk it contributed leaves the index via ivfDeleteIds and the
+    // serve path reflects the surviving corpus IMMEDIATELY (the
+    // delete==rebuild discipline the other persisted lifecycles pin):
+    // exhaustive probe == brute force over exactly the remaining chunks
+    val doomedDoc = uniqueId / 1000L
+    val doomedIds = chunks.filter(col("doc_id") === doomedDoc)
+      .select("vec_id").localCheckpoint(true)
+    val nDoomed = doomedIds.count()
+    assert(nDoomed >= 1L)
+    Similarity.ivfDeleteIds(spark, dir, "vec_id", doomedIds)
+    assert(spark.read.parquet(s"$dir/vectors").count() == nChunks - nDoomed,
+      "takedown must remove exactly the doc's chunks")
+    val servedAfter = Similarity.ivfTopKIndexed(spark, dir, "vec_id",
+      "embedding", qVec, 20, nprobe = 8)
+      .select("vec_id", "rn").as[(Long, Long)].collect().toSeq
+    assert(!servedAfter.exists(_._1 / 1000L == doomedDoc),
+      s"takedown leak into serve path: $servedAfter")
+    val bruteAfter = Similarity.bruteForceTopK(
+      emb.join(doomedIds, Seq("vec_id"), "left_anti"),
+      "vec_id", "embedding", qVec, 20)
+      .select("vec_id", "rn").as[(Long, Long)].collect().toSeq
+    assert(servedAfter == bruteAfter,
+      s"post-takedown serve != rebuild-equivalent brute force:\n" +
+        s"$servedAfter\n$bruteAfter")
   }
 
   test("gram index: batch seed serves the marginal-novelty probe; cold start all-novel; sink layout interop") {
@@ -1303,6 +1328,72 @@ class ScalePathSpec extends SparkSpec {
     assert(idx.columns.sorted.toSeq == Seq("__bucket", "first_window", "sh"))
     assert(graft.sources.IO.readBucketCount(spark, dir).contains(64))
     assert(idx.count() == 6L) // 2 docs x 3 distinct grams
+  }
+
+  test("counted gram index: doc takedown == rebuild, first-seen re-attribution, " +
+       "batch-proportional signed ledger, compaction view-identical") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val w1 = ts("2024-01-01 00:00:00"); val w2 = ts("2024-02-01 00:00:00")
+    // w1 corpus: doc 1 shares "a b c" with doc 2; "c d e" is doc 1-only;
+    // doc 2 also carries "b c f". w2 batch: doc 3 re-carries doc 1's
+    // "c d e" (the re-attribution probe) plus fresh "p q r".
+    val c1 = Seq((1L, "a b c d e"), (2L, "a b c f")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "c d e x1 p q r")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("gram_cnt_").toString
+    val dir = s"$root/idx"; val ref = s"$root/rebuilt"
+    Dedup.writeGramIndexCounted(c1, "doc_id", "text", dir, w1)
+    Dedup.appendGramIndexCounted(b2, "doc_id", "text", dir, w2)
+    def view(d: String): Set[(Long, String, Long)] =
+      Dedup.liveGramIndexCounted(spark, d)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2))).toSet
+    def firstSeen(d: String): Map[Long, String] =
+      Dedup.firstSeenFromCounted(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString).toMap
+    // pre-takedown sanity: "a b c" counted twice at w1
+    val preView = view(dir)
+    assert(preView.exists { case (_, w, n) => w.startsWith("2024-01-01") && n == 2L },
+      s"shared-gram count: $preView")
+    // TAKEDOWN doc 1 (present it, as a takedown request does)
+    Dedup.deleteFromGramIndexCounted(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, w1)
+    // delete == rebuild: the live view equals the index built from the
+    // surviving corpus, window for window, count for count
+    Dedup.writeGramIndexCounted(
+      Seq((2L, "a b c f")).toDF("doc_id", "text"), "doc_id", "text", ref, w1)
+    Dedup.appendGramIndexCounted(b2, "doc_id", "text", ref, w2)
+    assert(view(dir) == view(ref),
+      s"delete != rebuild:\n${view(dir)}\n${view(ref)}")
+    // first-seen re-attribution: "c d e"'s grams were w1-first via the
+    // retired doc only — they must now read w2 (doc 3's window); doc 1's
+    // truly-unique gram "b c d" leaves the view entirely; the shared
+    // "a b c" stays w1 via surviving doc 2
+    val fsGot = firstSeen(dir)
+    val sh = (g: String) => graft.functions.Text.xxHash64String(g)
+    assert(fsGot(sh("c d e")).startsWith("2024-02-01"), s"re-attribution: $fsGot")
+    assert(!fsGot.contains(sh("b c d")), "fully-retired gram must leave the view")
+    assert(fsGot(sh("a b c")).startsWith("2024-01-01"))
+    assert(fsGot == firstSeen(ref))
+    // novelty probe reads the post-takedown truth: a re-submission of the
+    // retired text sees its unique gram "b c d" as novel again (1 of 3)
+    val probe = Dedup.noveltyAgainstCountedGramIndex(
+      Seq((50L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(probe == ((50L, 3L, 1L, 333333L)), s"post-takedown probe: $probe")
+    // signed ledger is append-only: physical rows > live rows until
+    // compaction folds them; compaction is view-identical and drops the
+    // tombstone mass
+    val physBefore = spark.read.parquet(dir).count()
+    assert(physBefore > view(dir).size.toLong,
+      "takedown must append negative rows, not rewrite")
+    Dedup.compactGramIndexCounted(spark, dir)
+    assert(view(dir) == view(ref), "compaction changed the view")
+    assert(spark.read.parquet(dir).count() == view(dir).size.toLong,
+      "compaction must fold the ledger to one row per live (sh, window)")
+    assert(graft.sources.IO.readBucketCount(spark, dir).contains(64),
+      "bucket sidecar must survive compaction")
   }
 
   test("winnow index lifecycle: write == append-in-batches; gate honors the local guarantee; takedown == rebuild; replay no-op") {

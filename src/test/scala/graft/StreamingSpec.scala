@@ -1916,6 +1916,139 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idxDir).count() == 7L,
       "replay must not grow the gram index")
   }
+
+  test("noveltyBySourcePerWindow: single-window parity with the batch " +
+       "q_novelty_by_source id, and rollup conservation to the WHEN fold") {
+    // stream the REAL documents table (constant ts → one window, empty
+    // index) through the WHO relation + fold: per-source rows must
+    // reproduce the registered batch id exactly — the q_auc convention
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (ts("2024-01-01 10:01:00"), r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val rel = graft.streaming.Jobs.windowedGramSourceDocFreq(
+      in.toDF().toDF("ts", "doc_id", "source", "text"),
+      "ts", "doc_id", "source", "text", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = rel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:01:00"), 999999L, "wm", "wm push"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.table(name)
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .localCheckpoint(true) // feeds the fold twice (first + winners)
+    val emptyKnown = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sh",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("first_window",
+          org.apache.spark.sql.types.TimestampType))))
+    val live = graft.streaming.Jobs
+      .noveltyBySourcePerWindow(hist, emptyKnown)
+      .select("source", "n_grams", "n_novel", "novelty_ppm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.Queries.q_novelty_by_source(spark, sfDir)
+      .select("source", "n_grams", "n_novel", "novelty_ppm")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(live == batch,
+      s"single-window WHO fold must equal the batch id; " +
+        s"diff=${(live.toSet diff batch.toSet).take(3)} / " +
+        s"${(batch.toSet diff live.toSet).take(3)}")
+    // rollup conservation: summing the WHO rows over source reproduces
+    // the WHEN fold on the source-blind relation (each gram attributed
+    // to exactly ONE source — nothing counted twice)
+    val whoRollup = graft.streaming.Jobs
+      .noveltyBySourcePerWindow(hist, emptyKnown)
+      .groupBy("window_start")
+      .agg(sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"))
+      .head()
+    val whenRel = hist.groupBy("window_start", "sh")
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .select("window_start", "sh", "n_docs")
+    val whenRow = graft.streaming.Jobs
+      .noveltyPerWindow(whenRel, emptyKnown).head()
+    assert((whoRollup.getLong(1), whoRollup.getLong(2)) ==
+      ((whenRow.getLong(1), whenRow.getLong(2))),
+      s"rollup: who=$whoRollup when=$whenRow")
+  }
+
+  test("noveltyBySourceAuditSink: source attribution across windows, " +
+       "index advance, replay is a no-op") {
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val hist = graft.streaming.Jobs.windowedGramSourceDocFreq(
+      in.toDF().toDF("ts", "doc_id", "source", "text"),
+      "ts", "doc_id", "source", "text", "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("novsrc_").toString
+    val base = s"$root/store"; val idxDir = s"$root/grams"
+    def start(ck: String) = graft.sources.IO
+      .noveltyBySourceAuditSink(hist, idxDir, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[(String, String), (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last,
+          graft.sources.IO.NoveltyBySourceAuditSchema))
+        .collect().map(r => (r.getTimestamp(1).toString, r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("novsrc_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1, one micro-batch: gram "a b c" spans sources A (doc 1) and
+      // B (doc 2) — novelty must go to A alone (min doc id), the batch
+      // id's attribution. A also owns "b c d"; B owns "b c e".
+      // w2: source B re-sends "a b c d" — all grams first seen in w1.
+      in.addData(
+        (ts("2024-01-01 10:01:00"), 1L, "A", "a b c d"),
+        (ts("2024-01-01 10:02:00"), 2L, "B", "a b c e"),
+        (ts("2024-01-01 10:21:00"), 3L, "B", "a b c d"),
+        (ts("2024-01-01 10:41:00"), 4L, "A", "wm push"))
+      q1.processAllAvailable()
+      assert(live == Map(
+        ("2024-01-01 10:00:00.0", "A") -> ((2L, 2L, 1000000L)),
+        ("2024-01-01 10:00:00.0", "B") -> ((2L, 1L, 500000L)),
+        ("2024-01-01 10:20:00.0", "B") -> ((2L, 0L, 0L))), s"round 1: $live")
+      // 4 distinct grams persisted: "a b c","b c d","b c e" @w1 (w2's
+      // grams are w1-known) ... a b c/b c d from w1; nothing new in w2
+      val idx1 = spark.read.parquet(idxDir)
+        .collect().map(r => r.getLong(0) -> r.getTimestamp(1).toString)
+      assert(idx1.length == 3 &&
+        idx1.forall(_._2 == "2024-01-01 10:00:00.0"),
+        s"first-seen stamps: ${idx1.toSeq}")
+      // round 2 gates against the PERSISTED index: source C's "a b c e"
+      // is fully known → 0 novel; its "p q r s" grams are fully novel
+      in.addData(
+        (ts("2024-01-01 11:01:00"), 5L, "C", "a b c e"),
+        (ts("2024-01-01 11:02:00"), 6L, "C", "p q r s"),
+        (ts("2024-01-01 11:41:00"), 7L, "A", "wm push"))
+      q1.processAllAvailable()
+      assert(live.get(("2024-01-01 11:00:00.0", "C"))
+        .contains((4L, 2L, 500000L)), s"round 2: $live")
+      assert(spark.read.parquet(idxDir).count() == 5L,
+        "round-2 append must add exactly the 2 novel grams")
+    } finally q1.stop()
+    // conservation across the store's whole history: Σ n_novel over
+    // every (window, source) == the persisted gram universe
+    assert(live.values.map(_._2).sum == 5L)
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // versions, no index growth (the metrics-store upsert law)
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("novsrc_ck2_").toString
+    val q2 = start(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(versions == vBefore, "replay must commit no new versions")
+    assert(spark.read.parquet(idxDir).count() == 5L,
+      "replay must not grow the gram index")
+  }
 }
 
 /** Test-only "next release" of the funnel processor: the SAME state
