@@ -820,6 +820,49 @@ object Queries {
       .select(col("doc_id"), Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** q_tokenizer_fertility — per-language tokenizer-fit audit under the
+    * LEARNED subword vocab: fertility (BPE subwords per word) and
+    * compression (characters per subword), the numbers a tokenizer
+    * review reads before committing a vocab to a multilingual corpus —
+    * a language whose fertility runs high is over-fragmented by the
+    * shared merges (more sequence positions per content unit → higher
+    * training cost), the classic multilingual-vocab fairness metric.
+    * Same train-then-apply chain as [[q_bpe_encode]] (word-frequency
+    * head → 12 greedy merges persisted → dictionary-encoded apply: the
+    * encoder runs per VOCAB WORD, never per token occurrence), rolled
+    * up per lang instead of per doc — corpus-level ratios (Σsub/Σwords
+    * over token MASS, not means of per-doc ratios). Sums are exact
+    * longs; each ratio is ONE IEEE division + 6dp round. The oracle
+    * replays the full trainer (the shared `bpeChainSql` 12-round CTE
+    * chain) and this id's lang rollup. */
+  val q_tokenizer_fertility: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val head = vocab.orderBy(desc("cnt"), col("word")).limit(4096)
+    val idxDir = scratchDir("graft_bpe_fert", d)
+    Text.bpeWriteMerges(head, "word", "cnt", k = 12, idxDir)
+    val merges = Text.bpeReadMerges(s, idxDir)
+    val enc = Text.bpeEncode(merges)
+    val wordLen = vocab.select(col("word"))
+      .withColumn("n_sub", size(enc(col("word"))).cast("long"))
+    val langWords = docs
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    langWords.join(wordLen, Seq("word"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_sub")).as("n_subwords"),
+        sum(col("n") * length(col("word")).cast("long")).as("n_chars"),
+        round(sum(col("n") * col("n_sub")).cast("double") /
+          sum(col("n")).cast("double"), 6).as("fertility"),
+        round(sum(col("n") * length(col("word")).cast("long")).cast("double") /
+          sum(col("n") * col("n_sub")).cast("double"), 6)
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
+
   /** q_text_normalize — pretraining text normalization: lowercase, strip
     * non-alphanumerics, collapse whitespace, count surviving tokens — a
     * pure narrow map (codegen'd regexp_replace chain, no UDF, no
@@ -4768,6 +4811,42 @@ object Queries {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
+  /** q_dp_count — differentially-private count RELEASE, extending the
+    * audit triple ([[q_k_anonymity]], [[q_l_diversity]],
+    * [[q_t_closeness]]) with the mechanism that publishes: per-segment
+    * row counts + Laplace(b=2) noise (sensitivity 1 / ε=0.5 — one row
+    * changes any count by 1). The noise is DERANDOMIZED through the
+    * engine-portable md5 family (the [[q_sample_per_key]] discipline —
+    * no RNG state, mergeable, replayable): u ∈ (0,1) from 52 md5 bits
+    * of the group key + inverse-CDF Laplace, so the DuckDB oracle
+    * reproduces the draw bit-for-bit ('0x'||hex-substring cast ↔ Spark
+    * `conv`). The u-derivation, +0.5 offset, −0.5 shift, 2·|x| and the
+    * final add are all EXACT IEEE ops (52-bit integers, power-of-two
+    * scales); ln is the one libm call — the q_entropy cross-engine
+    * class, rounded at 6dp. Deterministic noise is the standard
+    * test-harness form of the mechanism (seeded Laplace); the privacy
+    * property itself needs a fresh draw per release, which is a seed
+    * choice, not a plan change. Scale shape: one map-side-combined
+    * count, noise is per-GROUP arithmetic on the domain-bounded
+    * result. */
+  val q_dp_count: Q = (s, d) => {
+    val cnt = Tables.customer(s, d)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_rows"))
+    val bits = conv(substring(
+      md5(concat(lit("graftdp:"), col("c_mktsegment"))), 1, 13), 16, 10)
+      .cast("long")
+    val x = (bits.cast("double") + lit(0.5)) / lit(4503599627370496.0) -
+      lit(0.5)
+    val sgn = when(col("__x") > 0, lit(1.0)).when(col("__x") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    cnt.withColumn("__x", x)
+      .select(col("c_mktsegment"),
+        round(col("n_rows").cast("double") +
+          lit(-2.0) * sgn * log(lit(1.0) - lit(2.0) * abs(col("__x"))), 6)
+          .as("noisy_rows"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q_ngram_novelty — first-occurrence novelty curve, the curation
     * signal behind "is the tail of this corpus still adding content?":
     * per doc (in doc_id ingest order), how many of its distinct 3-gram
@@ -4892,6 +4971,56 @@ object Queries {
       .select("doc_id", "n_windows", "n_boiler", "boiler_ppm")
       .orderBy("doc_id")
   }
+
+  /** q_dup_spans — maximal exact duplicated token spans per doc
+    * ([[graft.operators.Dedup.duplicatedSpans]], windowLen=8): WHERE in
+    * each document the corpus repeats itself, 1-based inclusive token
+    * ranges. The sub-document twin of whole-doc dedup (Lee et al. 2022's
+    * exact-substring pipeline re-expressed as window-hash + per-doc
+    * island merge): [[q_boilerplate]] scores hot-window MASS, this
+    * extracts the spans [[q_span_removal]] excises. Linear plan — one
+    * positional explode, one occurrence census over 8-byte keys, one
+    * semi-join, per-DOC windows; no pair join, so no hot-gram cap is
+    * needed. */
+  val q_dup_spans: Q = (s, d) =>
+    Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "span_start")
+
+  /** q_dup_span_frac — the per-source duplicated-TOKEN budget: what
+    * fraction of each source's token mass sits inside exact duplicated
+    * spans (exact HALF_UP ppm). [[q_dup_inflation]] prices whole-doc
+    * dedup per source; this prices the SUB-document duplication
+    * whole-doc dedup can't reach — the number that decides whether the
+    * span-removal pass ([[q_span_removal]]) pays for a source. Per-doc
+    * span sums join back docs-sized; source fold is domain-bounded. */
+  val q_dup_span_frac: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val perDoc = Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .groupBy("id").agg(sum("span_tokens").as("dup_toks"))
+    docs.select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).as("toks"))
+      .join(perDoc, col("doc_id") === col("id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"))
+      .withColumn("dup_ppm",
+        operators.Analytics.halfUpPpm(col("dup_tokens"), col("total_tokens")))
+      .orderBy("source")
+  }
+
+  /** q_span_removal — the removal step of exact-substring dedup
+    * ([[graft.operators.Dedup.removeDuplicatedSpans]]): every document
+    * with its duplicated-span tokens excised, plus the removal ledger
+    * (n_tokens, n_removed). This is the operation that changes the
+    * training corpus — [[q_dup_spans]] is its diagnostic twin. Docs
+    * without spans pass through verbatim; a fully-duplicated doc comes
+    * out empty (the caller's length filter then drops it). */
+  val q_span_removal: Q = (s, d) =>
+    Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
 
   /** q_dup_inflation — the dedup-savings report a corpus owner reads
     * before paying for training tokens: per source, raw token mass vs
@@ -5227,6 +5356,7 @@ object Queries {
     "q_dedup_incremental" -> q_dedup_incremental,
     "q_token_count" -> q_token_count,
     "q_token_count_bpe" -> q_token_count_bpe,
+    "q_tokenizer_fertility" -> q_tokenizer_fertility,
     "q_text_normalize" -> q_text_normalize,
     "q_repetition_ratio" -> q_repetition_ratio,
     "q_entropy" -> q_entropy,
@@ -5394,11 +5524,15 @@ object Queries {
     "q_l_diversity" -> q_l_diversity,
     "q_generalize_ladder" -> q_generalize_ladder,
     "q_t_closeness" -> q_t_closeness,
+    "q_dp_count" -> q_dp_count,
     "q_ngram_novelty" -> q_ngram_novelty,
     "q_novelty_by_source" -> q_novelty_by_source,
     "q_dup_cluster_histogram" -> q_dup_cluster_histogram,
     "q_containment" -> q_containment,
     "q_boilerplate" -> q_boilerplate,
+    "q_dup_spans" -> q_dup_spans,
+    "q_dup_span_frac" -> q_dup_span_frac,
+    "q_span_removal" -> q_span_removal,
     "q_dup_inflation" -> q_dup_inflation,
     "q_ttr" -> q_ttr,
     "q_kl_sources" -> q_kl_sources,

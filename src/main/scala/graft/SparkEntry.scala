@@ -47,6 +47,68 @@ object SparkEntry {
     * q_dedup_cluster_minhash, q_group_similarity) — has a
     * bounded-unrolled / recursive-CTE DuckDB twin below.
     */
+  /** DuckDB 12-round BPE trainer + vocab-apply CTE chain, shared by
+    * the q_bpe_encode and q_tokenizer_fertility oracles (the trainer is
+    * the SQL replay of [[graft.functions.Text.bpeTrainMerges]]: greedy
+    * highest-count pair per round, (cnt desc, a, b) tie order, rounds
+    * with no pair of count >= 2 are no-ops). Ends with the `wordlen`
+    * relation (vocab word -> learned subword count); each oracle
+    * appends its own rollup tail. Generated, not hand-unrolled, so the
+    * two oracles stay in lockstep by construction. */
+  private def bpeChainSql: String = {
+    val trainer = (1 to 12).map { k =>
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
+         |  FROM st${k - 1} st,
+         |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
+         |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
+         |  WHERE p.pair[2] IS NOT NULL
+         |  GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT a, b, cnt FROM pc$k WHERE cnt >= 2
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |st$k AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT count(*) FROM best$k) = 1
+         |              THEN replace(st.s,
+         |                chr(31) || (SELECT a FROM best$k) || chr(31) || (SELECT b FROM best$k) || chr(31),
+         |                chr(31) || (SELECT a FROM best$k) || (SELECT b FROM best$k) || chr(31))
+         |              ELSE st.s END AS s, st.freq
+         |  FROM st${k - 1} st)""".stripMargin
+    }.mkString(",\n")
+    val apply = (1 to 12).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT w.word,
+         |         CASE WHEN (SELECT count(*) FROM best$k) = 1
+         |              THEN replace(w.s,
+         |                chr(31) || (SELECT a FROM best$k) || chr(31) || (SELECT b FROM best$k) || chr(31),
+         |                chr(31) || (SELECT a FROM best$k) || (SELECT b FROM best$k) || chr(31))
+         |              ELSE w.s END AS s
+         |  FROM w${k - 1} w)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+       |  FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+       |head AS MATERIALIZED (
+       |  SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 4096),
+       |st0 AS MATERIALIZED (
+       |  SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+       |         chr(31) || '</w>' || chr(31) AS s,
+       |         cnt AS freq
+       |  FROM head),
+       |$trainer,
+       |w0 AS MATERIALIZED (
+       |  SELECT word,
+       |         chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
+       |         chr(31) || '</w>' || chr(31) AS s
+       |  FROM vocab),
+       |$apply,
+       |wordlen AS MATERIALIZED (
+       |  SELECT word, CAST(len(string_split(s, chr(31))) - 2 AS BIGINT) AS n_sub
+       |  FROM w12)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n_rows FROM lineitem",
@@ -5584,305 +5646,8 @@ object SparkEntry {
     // in rank order to every vocab word via the same delimited-string
     // replaces, and folds the per-doc subword counts with exact longs
     // and ONE 6-dp rounded division
-    "q_bpe_encode" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
-        |  FROM documents),
-        |vocab AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
-        |head AS MATERIALIZED (
-        |  SELECT word, cnt FROM vocab ORDER BY cnt DESC, word LIMIT 4096),
-        |st0 AS MATERIALIZED (
-        |  SELECT chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
-        |         chr(31) || '</w>' || chr(31) AS s,
-        |         cnt AS freq
-        |  FROM head),
-        |pc1 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st0 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best1 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc1 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st1 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best1) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best1) || chr(31) || (SELECT b FROM best1) || chr(31),
-        |                chr(31) || (SELECT a FROM best1) || (SELECT b FROM best1) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st0 st),pc2 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st1 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best2 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc2 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st2 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best2) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best2) || chr(31) || (SELECT b FROM best2) || chr(31),
-        |                chr(31) || (SELECT a FROM best2) || (SELECT b FROM best2) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st1 st),pc3 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st2 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best3 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc3 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st3 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best3) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best3) || chr(31) || (SELECT b FROM best3) || chr(31),
-        |                chr(31) || (SELECT a FROM best3) || (SELECT b FROM best3) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st2 st),pc4 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st3 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best4 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc4 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st4 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best4) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best4) || chr(31) || (SELECT b FROM best4) || chr(31),
-        |                chr(31) || (SELECT a FROM best4) || (SELECT b FROM best4) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st3 st),pc5 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st4 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best5 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc5 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st5 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best5) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best5) || chr(31) || (SELECT b FROM best5) || chr(31),
-        |                chr(31) || (SELECT a FROM best5) || (SELECT b FROM best5) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st4 st),pc6 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st5 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best6 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc6 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st6 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best6) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best6) || chr(31) || (SELECT b FROM best6) || chr(31),
-        |                chr(31) || (SELECT a FROM best6) || (SELECT b FROM best6) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st5 st),pc7 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st6 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best7 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc7 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st7 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best7) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best7) || chr(31) || (SELECT b FROM best7) || chr(31),
-        |                chr(31) || (SELECT a FROM best7) || (SELECT b FROM best7) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st6 st),pc8 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st7 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best8 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc8 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st8 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best8) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best8) || chr(31) || (SELECT b FROM best8) || chr(31),
-        |                chr(31) || (SELECT a FROM best8) || (SELECT b FROM best8) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st7 st),pc9 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st8 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best9 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc9 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st9 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best9) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best9) || chr(31) || (SELECT b FROM best9) || chr(31),
-        |                chr(31) || (SELECT a FROM best9) || (SELECT b FROM best9) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st8 st),pc10 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st9 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best10 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc10 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st10 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best10) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best10) || chr(31) || (SELECT b FROM best10) || chr(31),
-        |                chr(31) || (SELECT a FROM best10) || (SELECT b FROM best10) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st9 st),pc11 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st10 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best11 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc11 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st11 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best11) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best11) || chr(31) || (SELECT b FROM best11) || chr(31),
-        |                chr(31) || (SELECT a FROM best11) || (SELECT b FROM best11) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st10 st),pc12 AS MATERIALIZED (
-        |  SELECT p.pair[1] AS a, p.pair[2] AS b, CAST(sum(st.freq) AS BIGINT) AS cnt
-        |  FROM st11 st,
-        |       unnest(list_zip(string_split(st.s, chr(31))[2:-2],
-        |                       string_split(st.s, chr(31))[3:-2])) AS p(pair)
-        |  WHERE p.pair[2] IS NOT NULL
-        |  GROUP BY 1, 2),
-        |best12 AS MATERIALIZED (
-        |  SELECT a, b, cnt FROM pc12 WHERE cnt >= 2
-        |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |st12 AS MATERIALIZED (
-        |  SELECT CASE WHEN (SELECT count(*) FROM best12) = 1
-        |              THEN replace(st.s,
-        |                chr(31) || (SELECT a FROM best12) || chr(31) || (SELECT b FROM best12) || chr(31),
-        |                chr(31) || (SELECT a FROM best12) || (SELECT b FROM best12) || chr(31))
-        |              ELSE st.s END AS s, st.freq
-        |  FROM st11 st),
-        |w0 AS MATERIALIZED (
-        |  SELECT word,
-        |         chr(31) || array_to_string(string_split(word, ''), chr(31)) ||
-        |         chr(31) || '</w>' || chr(31) AS s
-        |  FROM vocab),
-        |w1 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best1) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best1) || chr(31) || (SELECT b FROM best1) || chr(31),
-        |                chr(31) || (SELECT a FROM best1) || (SELECT b FROM best1) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w0 w),w2 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best2) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best2) || chr(31) || (SELECT b FROM best2) || chr(31),
-        |                chr(31) || (SELECT a FROM best2) || (SELECT b FROM best2) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w1 w),w3 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best3) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best3) || chr(31) || (SELECT b FROM best3) || chr(31),
-        |                chr(31) || (SELECT a FROM best3) || (SELECT b FROM best3) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w2 w),w4 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best4) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best4) || chr(31) || (SELECT b FROM best4) || chr(31),
-        |                chr(31) || (SELECT a FROM best4) || (SELECT b FROM best4) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w3 w),w5 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best5) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best5) || chr(31) || (SELECT b FROM best5) || chr(31),
-        |                chr(31) || (SELECT a FROM best5) || (SELECT b FROM best5) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w4 w),w6 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best6) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best6) || chr(31) || (SELECT b FROM best6) || chr(31),
-        |                chr(31) || (SELECT a FROM best6) || (SELECT b FROM best6) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w5 w),w7 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best7) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best7) || chr(31) || (SELECT b FROM best7) || chr(31),
-        |                chr(31) || (SELECT a FROM best7) || (SELECT b FROM best7) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w6 w),w8 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best8) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best8) || chr(31) || (SELECT b FROM best8) || chr(31),
-        |                chr(31) || (SELECT a FROM best8) || (SELECT b FROM best8) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w7 w),w9 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best9) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best9) || chr(31) || (SELECT b FROM best9) || chr(31),
-        |                chr(31) || (SELECT a FROM best9) || (SELECT b FROM best9) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w8 w),w10 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best10) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best10) || chr(31) || (SELECT b FROM best10) || chr(31),
-        |                chr(31) || (SELECT a FROM best10) || (SELECT b FROM best10) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w9 w),w11 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best11) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best11) || chr(31) || (SELECT b FROM best11) || chr(31),
-        |                chr(31) || (SELECT a FROM best11) || (SELECT b FROM best11) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w10 w),w12 AS MATERIALIZED (
-        |  SELECT w.word,
-        |         CASE WHEN (SELECT count(*) FROM best12) = 1
-        |              THEN replace(w.s,
-        |                chr(31) || (SELECT a FROM best12) || chr(31) || (SELECT b FROM best12) || chr(31),
-        |                chr(31) || (SELECT a FROM best12) || (SELECT b FROM best12) || chr(31))
-        |              ELSE w.s END AS s
-        |  FROM w11 w),
-        |wordlen AS MATERIALIZED (
-        |  SELECT word, CAST(len(string_split(s, chr(31))) - 2 AS BIGINT) AS n_sub
-        |  FROM w12),
+    "q_bpe_encode" -> (bpeChainSql +
+      """,
         |docwords AS MATERIALIZED (
         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
         |SELECT d.doc_id,
@@ -5891,7 +5656,22 @@ object SparkEntry {
         |       round(CAST(sum(d.n * wl.n_sub) AS DOUBLE) / sum(d.n), 6) AS subwords_per_word
         |FROM docwords d JOIN wordlen wl ON wl.word = d.word
         |GROUP BY d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
+    // mirrors q_tokenizer_fertility: the SAME learned 12-merge vocab
+    // (shared bpeChainSql trainer), rolled up per lang over word mass
+    "q_tokenizer_fertility" -> (bpeChainSql +
+      """,
+        |langwords AS MATERIALIZED (
+        |  SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2)
+        |SELECT d.lang,
+        |       CAST(sum(d.n) AS BIGINT) AS n_words,
+        |       CAST(sum(d.n * wl.n_sub) AS BIGINT) AS n_subwords,
+        |       CAST(sum(d.n * length(d.word)) AS BIGINT) AS n_chars,
+        |       round(CAST(sum(d.n * wl.n_sub) AS DOUBLE) / sum(d.n), 6) AS fertility,
+        |       round(CAST(sum(d.n * length(d.word)) AS DOUBLE) / sum(d.n * wl.n_sub), 6) AS chars_per_subword
+        |FROM langwords d JOIN wordlen wl ON wl.word = d.word
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin),
     "q_lift_curve" ->
       """WITH base AS (
         |  SELECT CAST(year(l_shipdate) AS BIGINT) AS grp,
@@ -6165,6 +5945,21 @@ object SparkEntry {
         |FROM cum CROSS JOIN tot
         |GROUP BY c_nationkey, c_mktsegment, class_size, n_total, m_tiers
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // mirrors q_dp_count: md5-derandomized Laplace(b=2) release — u from
+    // 52 md5 bits ('0x'||hex cast <-> Spark conv), inverse-CDF noise;
+    // everything but ln is exact IEEE arithmetic
+    "q_dp_count" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, count(*) AS n_rows FROM customer GROUP BY c_mktsegment
+        |), n AS (
+        |  SELECT c_mktsegment, n_rows,
+        |         ((('0x' || substring(md5('graftdp:' || c_mktsegment), 1, 13))::BIGINT + 0.5)
+        |          / 4503599627370496.0) - 0.5 AS x
+        |  FROM c)
+        |SELECT c_mktsegment,
+        |       round(n_rows + (-2.0) * (CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END)
+        |             * ln(1 - 2 * abs(x)), 6) AS noisy_rows
+        |FROM n ORDER BY c_mktsegment""".stripMargin,
     // mirrors q_ngram_novelty: first-occurrence (min doc_id) per
     // distinct 3-gram, per-doc novel share as exact HALF_UP ppm
     "q_ngram_novelty" ->
@@ -6309,6 +6104,103 @@ object SparkEntry {
         |       CAST(n_boiler AS BIGINT) AS n_boiler,
         |       CAST(floor((n_boiler * 2000000 + n_windows) / (n_windows * 2.0)) AS BIGINT) AS boiler_ppm
         |FROM c ORDER BY doc_id""".stripMargin,
+    // mirrors q_dup_spans: positional 8-token windows, corpus-wide
+    // occurrence census (>= 2 ANY position, within-doc repeats count),
+    // per-doc gaps-and-islands merge (break when the position step
+    // exceeds the window length), maximal spans
+    "q_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |), dup AS (
+        |  SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM dw
+        |), grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end FROM grp GROUP BY doc_id, g
+        |)
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |       CAST(span_end AS BIGINT) AS span_end,
+        |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    // mirrors q_dup_span_frac: the q_dup_spans span relation rolled up
+    // per source over each doc's total token mass, exact HALF_UP ppm
+    "q_dup_span_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |), dup AS (
+        |  SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM dw
+        |), grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end FROM grp GROUP BY doc_id, g
+        |), per_doc AS (
+        |  SELECT t.doc_id, len(t.toks) AS n_toks,
+        |         coalesce(sum(s.span_end - s.span_start + 1), 0) AS dup_toks
+        |  FROM t LEFT JOIN spans s USING (doc_id) GROUP BY t.doc_id, len(t.toks)
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(sum(p.n_toks) AS BIGINT) AS total_tokens,
+        |       CAST(sum(p.dup_toks) AS BIGINT) AS dup_tokens,
+        |       CAST(floor((sum(p.dup_toks) * 2000000 + sum(p.n_toks))
+        |                  / (sum(p.n_toks) * 2.0)) AS BIGINT) AS dup_ppm
+        |FROM per_doc p JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // mirrors q_span_removal: tokens whose 1-based position falls in no
+    // q_dup_spans span, re-joined in position order; span-free docs pass
+    // through verbatim, fully-covered docs come out empty
+    "q_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+        |), dup AS (
+        |  SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS brk
+        |  FROM dw
+        |), grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end FROM grp GROUP BY doc_id, g
+        |), tokpos AS (
+        |  SELECT doc_id, i, toks[i] AS tok FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                    WHERE s.doc_id = tp.doc_id AND tp.i BETWEEN s.span_start AND s.span_end)
+        |), cleaned AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN cleaned c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_dup_inflation" ->
       """WITH d AS (
         |  SELECT doc_id, source, md5(text) AS fp,

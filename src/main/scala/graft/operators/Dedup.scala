@@ -1997,4 +1997,88 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "dist")
   }
+
+  // ── exact duplicated-SPAN detection (round 15) ────────────────────────
+  //
+  // The sub-document twin of whole-doc dedup (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"): find the
+  // maximal token RANGES whose text occurs more than once in the corpus,
+  // then excise exactly those ranges. [[graft.Queries.q_boilerplate]]
+  // measures hot-window MASS per doc; this family extracts the spans
+  // themselves (WHERE in the doc) and performs the removal — the
+  // operation the paper's suffix-array pipeline runs natively, here as
+  // the distributed window-hash equivalent: a window of `windowLen`
+  // tokens is duplicated iff its text occurs at ≥2 positions corpus-wide,
+  // and overlapping/adjacent duplicated windows merge into one maximal
+  // span (positions p, p' belong to one span iff p' − p ≤ windowLen).
+
+  /** Maximal duplicated token spans per document: (id, span_start,
+    * span_end, span_tokens), token positions 1-based inclusive. A span
+    * is a maximal run of `windowLen`-token windows each of whose text
+    * occurs ≥2 times in the corpus (any doc, any position — including
+    * within-doc repeats, which ARE duplicated text).
+    *
+    * Plan (linear at any scale — no pair join anywhere): one positional
+    * window explode ([[shingleList]], materialized once for census +
+    * join-back), one map-side-combined occurrence count over 8-byte
+    * `xxhash64` keys, one semi-join marking duplicated positions, then
+    * per-doc gaps-and-islands (windows partitioned BY DOC — no global
+    * sort). A corpus-hot window marks positions via the semi-join
+    * without ever materializing pairs, so no `maxDocFreq` cap is needed
+    * (contrast [[ngramJaccardPairs]], where hot shingles explode the
+    * pair space). xxhash64-vs-raw-string oracle keying is the documented
+    * negligible-collision family ([[ngramContainmentPairs]]). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      windowLen: Int = 8): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val win = docs.select(col(idCol).as("id"),
+        posexplode(shingleList(windowLen)(Text.tokens(col(textCol))))
+          .as(Seq("pos0", "sh_str")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        xxhash64(col("sh_str")).as("sh"))
+      .localCheckpoint(eager = true) // feeds the occurrence census + join-back
+    val dup = win.groupBy("sh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("sh")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    win.join(dup, Seq("sh"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowLen, 0L)
+          .otherwise(1L))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy("id", "g")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(windowLen.toLong - 1L)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .select("id", "span_start", "span_end", "span_tokens")
+  }
+
+  /** The removal step: every document with its duplicated-span tokens
+    * excised — (id, clean_text, n_tokens, n_removed). Documents without
+    * duplicated spans pass through verbatim; a document fully covered
+    * by spans comes out empty (the caller's length filter drops it).
+    * Span extraction is [[duplicatedSpans]]; the excision joins the
+    * doc-bounded span lists back (one docs-sized shuffle join) and
+    * filters tokens by position with a higher-order `filter` — per-doc
+    * output-sized work, interpreted but never corpus-quadratic. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            windowLen: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, windowLen)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = Text.tokens(col(textCol))
+    // exists() over a null span list is null; coalesce(…, false) keeps
+    // every token of span-free docs instead of null-dropping them all
+    docs.select(col(idCol).as("id"), toks.as("__toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        filter(col("__toks"), (_, i) =>
+          !coalesce(exists(col("__spans"), sp =>
+            (i + 1) >= sp.getField("span_start") &&
+              (i + 1) <= sp.getField("span_end")), lit(false))).as("__kept"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .select(col("id"), array_join(col("__kept"), " ").as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - size(col("__kept")).cast("long")).as("n_removed"))
+  }
 }

@@ -1716,4 +1716,104 @@ class LawsSpec extends SparkSpec {
     } assert((sel(a) & sel(b)).nonEmpty,
       s"docs $a/$b share an 8-token run but no raw fingerprint")
   }
+
+  test("duplicatedSpans: golden spans on crafted docs; removal conservation and pass-through") {
+    // doc 1 and doc 2 share a 10-token run; doc 3 repeats an 8-token
+    // phrase internally (within-doc duplication counts); doc 4 is unique
+    val common = (1 to 10).map(i => s"c$i").mkString(" ")
+    val phrase = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $common u3 u4"),
+      (2L, s"$common v1 v2 v3"),
+      (3L, s"$phrase x $phrase"),
+      (4L, (1 to 12).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text")
+      .orderBy("id", "span_start")
+      .collect() // bounded: crafted 4-doc fixture
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: run occupies token positions 3..12 -> windows start 3..5,
+    // one maximal span [3,12]; doc 2: [1,10]; doc 3: the repeat sits 9
+    // positions apart (> windowLen=8), so TWO spans [1,8] and [10,17]
+    assert(spans.toSeq == Seq(
+      (1L, 3L, 12L, 10L), (2L, 1L, 10L, 10L),
+      (3L, 1L, 8L, 8L), (3L, 10L, 17L, 8L)))
+
+    val removed = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .orderBy("id")
+      .collect() // bounded: crafted 4-doc fixture
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(removed.toSeq == Seq(
+      (1L, "u1 u2 u3 u4", 14L, 10L),
+      (2L, "v1 v2 v3", 13L, 10L),
+      (3L, "x", 17L, 16L),
+      (4L, (1 to 12).map(i => s"w$i").mkString(" "), 12L, 0L)))
+    // conservation: excised token mass == total span mass (spans are
+    // disjoint by construction of the island merge)
+    assert(spans.map(_._4).sum == removed.map(_._4).sum)
+  }
+
+  test("q_dup_spans / q_span_removal / q_dup_span_frac: cross-id conservation on the real corpus") {
+    val spanMass = Queries.q_dup_spans(spark, sfDir)
+      .agg(sum("span_tokens")).as[Long].head()
+    val removedMass = Queries.q_span_removal(spark, sfDir)
+      .agg(sum("n_removed")).as[Long].head()
+    val frac = Queries.q_dup_span_frac(spark, sfDir)
+      .agg(sum("dup_tokens"), sum("total_tokens")).as[(Long, Long)].head()
+    assert(spanMass == removedMass,
+      s"span mass $spanMass != excised mass $removedMass")
+    assert(frac._1 == spanMass,
+      s"per-source dup mass ${frac._1} != span mass $spanMass")
+    val totalToks = Queries.q_token_count(spark, sfDir)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(frac._2 == totalToks,
+      s"per-source total mass ${frac._2} != corpus token mass $totalToks")
+  }
+
+  test("q_dp_count: md5-derandomized Laplace draw matches a driver-side replay; counts stay private") {
+    import graft.sources.Tables
+    val got = Queries.q_dp_count(spark, sfDir).collect() // 5 segments
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val truth = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == truth.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((seg, n) <- truth) {
+      val hex = md.digest(s"graftdp:$seg".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val bits = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val x = (bits.toDouble + 0.5) / 4503599627370496.0 - 0.5
+      val sgn = if (x > 0) 1.0 else if (x < 0) -1.0 else 0.0
+      val expect = BigDecimal(n.toDouble - 2.0 * sgn *
+          math.log(1.0 - 2.0 * math.abs(x)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(seg) - expect) < 1e-9,
+        s"$seg: got ${got(seg)}, driver replay $expect")
+      // the release must actually perturb (a zero draw has probability 0)
+      assert(got(seg) != n.toDouble, s"$seg: noise degenerated to zero")
+    }
+    // determinism: the derandomized mechanism is replayable
+    val again = Queries.q_dp_count(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
+  test("q_tokenizer_fertility: per-lang rollup of the q_bpe_encode relation (shared learned vocab)") {
+    import graft.sources.Tables
+    val fert = Queries.q_tokenizer_fertility(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perDoc = Queries.q_bpe_encode(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_subwords").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fert == perDoc,
+      s"lang rollup diverges from the per-doc relation: $fert vs $perDoc")
+    // merges only ever SHORTEN symbol strings: 1 <= fertility <= max word length
+    for (r <- Queries.q_tokenizer_fertility(spark, sfDir).collect()) {
+      val fertility = r.getDouble(4)
+      assert(fertility >= 1.0 && fertility < 64.0, s"fertility $fertility")
+    }
+  }
 }
