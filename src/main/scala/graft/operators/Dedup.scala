@@ -1141,6 +1141,27 @@ object Dedup {
     graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, buckets)
   }
 
+  /** Batch seeder for the first-seen FINGERPRINT INDEX
+    * ([[graft.sources.IO.dupRateAuditSink]]'s serving artifact — same
+    * layout: distinct (fp, first_window) bucketed by
+    * `pmod(xxhash64(fp), buckets)` with the bucket-count sidecar, so a
+    * sink started on a seeded index appends straight onto it): the
+    * cold-start path a pipeline runs ONCE over its existing corpus
+    * before pointing the live duplication-rate monitor at it — after
+    * which every already-ingested content arriving again reads as a
+    * duplicate instead of a fresh canonical. All fingerprints stamp the
+    * caller's `asOf` (the [[writeGramIndex]] contract). */
+  def writeFpFirstSeenIndex(docs: DataFrame, textCol: String,
+                            indexDir: String, asOf: java.sql.Timestamp,
+                            buckets: Int = 64): Unit = {
+    docs.select(md5(col(textCol)).as("fp")).distinct()
+      .withColumn("first_window", lit(asOf))
+      .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
+    graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, buckets)
+  }
+
   /** Per-doc MARGINAL NOVELTY of a batch against a persisted gram
     * index — the data-ACQUISITION diligence primitive: before paying
     * for (or crawling) a candidate corpus, measure how much of each

@@ -928,6 +928,99 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Snapshot schema of the [[dupRateAuditSink]] store: one exact-dup
+    * rate row per finalized ingest window plus changelog bookkeeping. */
+  val DupRateAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_dup", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dup_ppm", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live DUPLICATION-RATE monitor — the fifth corpus-audit
+    * monitor (contamination, boilerplate, novelty, TTR, exact-dup rate):
+    * finalized [[graft.streaming.Jobs.windowedFpCounts]] micro-batches
+    * fold through [[graft.streaming.Jobs.dupRatePerWindow]] against a
+    * persisted FIRST-SEEN fingerprint index ((fp, first_window),
+    * `__bucket = pmod(xxhash64(fp), buckets)` — the exact-dedup
+    * fingerprint-index bucketing with the gram index's first-seen
+    * stamp), upsert into the versioned metrics store, then append the
+    * batch's first-seen fingerprints as an anti-join delta (cost ∝ NEW
+    * contents, never fp history). The monitor complements the exact-
+    * dedup ingest GATE: the gate decides admission on a pipeline that
+    * already committed to dedup; this measures duplication arriving on
+    * a raw stream — the number that justifies turning the gate on.
+    *
+    * Takedown position: like the gram index, the fp index here is a
+    * one-way-hash census with no doc attribution (fp → first_window) —
+    * doc-level opt-out rides the doc-attributed artifacts; rebuild (or
+    * the counted-ledger pattern) is the census-level remedy.
+    *
+    * Replay semantics are [[noveltyAuditSink]]'s verbatim: committed
+    * batches replay as marker no-ops; torn batches re-derive identical
+    * decisions because attribution is a pure function of
+    * min(first_window), and the delta anti-join lands empty. */
+  def dupRateAuditSink(hist: DataFrame, fpIndexDir: String,
+                       baseDir: String, checkpointDir: String,
+                       retain: Int = 3, buckets: Int = 64)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val idxPath = new org.apache.hadoop.fs.Path(fpIndexDir)
+              val fs = idxPath.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val known =
+                if (fs.exists(idxPath))
+                  spark.read.parquet(fpIndexDir)
+                    .select("fp", "first_window")
+                else spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  StructType(Seq(
+                    org.apache.spark.sql.types.StructField("fp",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("first_window",
+                      org.apache.spark.sql.types.TimestampType))))
+              val metrics = graft.streaming.Jobs
+                .dupRatePerWindow(pinned, known)
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "window_start",
+                DupRateAuditSchema, retain)
+              val b = readBucketCount(spark, fpIndexDir)
+                .getOrElse(buckets)
+              // first-seen delta: contents this batch introduced, stamped
+              // with their attributed window; materialized so the append
+              // never scans its own output
+              val delta = pinned.groupBy("fp")
+                .agg(min(col("window_start")).as("first_window"))
+                .join(known.select("fp"), Seq("fp"), "left_anti")
+                .withColumn("__bucket",
+                  pmod(xxhash64(col("fp")), lit(b.toLong)))
+                .localCheckpoint(eager = true)
+              try {
+                if (!delta.isEmpty) {
+                  alignToPartitions(delta, "__bucket")
+                    .write.mode("append")
+                    .partitionBy("__bucket").parquet(fpIndexDir)
+                  if (readBucketCount(spark, fpIndexDir).isEmpty)
+                    writeBucketCount(spark, fpIndexDir, b)
+                }
+              } finally graft.operators.Checkpoints.drop(delta)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** TAKEDOWN verb for the [[windowedMetricsStoreSink]] store — drop
     * retired windows from the live view, completing the artifact's verb
     * set (sink / time-travel read / GC / delete; VERDICT r11 #5). The

@@ -514,4 +514,61 @@ object Jobs {
         graft.operators.Analytics.halfUpPpm(col("n_novel"), col("n_grams")))
       .select("window_start", "source", "n_grams", "n_novel", "novelty_ppm")
   }
+
+  /** Per-window exact-content fingerprint counts — the raw relation of
+    * the live DUPLICATION-RATE monitor (the fifth corpus-audit monitor
+    * beside contamination, boilerplate, novelty and TTR): one finalized
+    * row per (ingest window, md5 fingerprint) with its copy count. The
+    * monitor watches a RAW stream — the exact-dedup ingest GATE decides
+    * admission; this measures how much duplication is arriving, the
+    * number that decides whether to turn the gate on. State is (open
+    * windows × distinct window contents)-bounded. Append mode; feed
+    * finalized micro-batches to [[dupRatePerWindow]]. */
+  def windowedFpCounts(docs: DataFrame, tsCol: String, textCol: String,
+                       windowDur: String,
+                       watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), md5(col(textCol)).as("fp"))
+      .groupBy(window(col(tsCol), windowDur), col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("fp"),
+        col("n_docs"))
+
+  /** Per-window exact-DUPLICATION rate over a FINALIZED
+    * [[windowedFpCounts]] micro-batch — the live twin of the
+    * [[graft.operators.Dedup.exactByContent]] copy census (and of
+    * `q_dup_inflation`'s keep-first rule, window-attributed): a
+    * fingerprint's CANONICAL copy lives in the EARLIEST window carrying
+    * it across the batch ∪ the persisted first-seen fp index
+    * (`knownFps`: (fp, first_window) — empty relation for a cold
+    * start); in that window one copy is canonical and the remaining
+    * `n_docs − 1` are duplicates, in every later window all copies
+    * are. `dup_ppm` is the literal exact HALF_UP fold
+    * ([[graft.operators.Analytics.halfUpPpm]] — the q_auc parity
+    * convention). A rising dup_ppm curve is the "crawl looped back onto
+    * itself" alarm at EXACT-copy granularity — cheaper and earlier than
+    * the near-dup gate, which is why pipelines monitor it even with
+    * gating off.
+    *
+    * Replay stability: attribution is a pure function of
+    * min(first_window), the [[noveltyPerWindow]] argument verbatim —
+    * an indexed fp whose first_window falls inside a torn replayed
+    * batch still attributes its canonical copy to that window. */
+  def dupRatePerWindow(batch: DataFrame, knownFps: DataFrame): DataFrame = {
+    val first = batch.groupBy("fp")
+      .agg(min(col("window_start")).as("w_batch"))
+      .join(knownFps.select(col("fp"), col("first_window").as("w_idx")),
+        Seq("fp"), "left")
+      .select(col("fp"),
+        when(col("w_idx").isNotNull && col("w_idx") <= col("w_batch"),
+          col("w_idx")).otherwise(col("w_batch")).as("first_window"))
+    batch.join(first, Seq("fp"))
+      .groupBy("window_start")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(when(col("first_window") === col("window_start"),
+          col("n_docs") - 1L).otherwise(col("n_docs"))).as("n_dup"))
+      .withColumn("dup_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_dup"), col("n_docs")))
+      .select("window_start", "n_docs", "n_dup", "dup_ppm")
+  }
 }

@@ -20,12 +20,15 @@ object DedupScale {
     val noveltyGateMode = args.headOption.contains("noveltygate")
     val winnowGateMode = args.headOption.contains("winnowgate")
     val winnowMode = !winnowGateMode && args.headOption.contains("winnow")
+    val spansMode = args.headOption.contains("spans")
     val rest =
-      if (winnowMode || winnowGateMode || noveltyGateMode) args.drop(1)
+      if (winnowMode || winnowGateMode || noveltyGateMode || spansMode)
+        args.drop(1)
       else args
     if (noveltyGateMode) { noveltyGateProbe(rest, cpus); return }
     if (winnowGateMode) { winnowGateProbe(rest, cpus); return }
     if (winnowMode) { winnowProbe(rest, cpus); return }
+    if (spansMode) { spansProbe(rest, cpus); return }
     val nDocs = if (args.nonEmpty) args(0).toInt else 100000
     val dupRate = if (args.length > 1) args(1).toInt else 4
     val spark = SparkSession.builder()
@@ -187,6 +190,82 @@ object DedupScale {
     val pairSec = (System.nanoTime() - t1) / 1e9
     val allPairs = nDocs.toLong * (nDocs - 1L) / 2L
     println(s"""{"metric":"winnow_scale","docs":$nDocs,"dup_rate":$dupRate,"cpus":$cpus,"select_sec":${math.round(selSec * 10) / 10.0},"pair_sec":${math.round(pairSec * 10) / 10.0},"gram_positions":$nGrams,"selected":$nSelected,"density":${math.round(nSelected.toDouble / nGrams * 1000) / 1000.0},"pairs":$pairs,"all_pairs":$allPairs}""")
+    spark.stop()
+  }
+
+  /** SPANS mode (`runMain graft.tools.DedupScale spans [nDocs]`):
+    * measures the exact duplicated-span family
+    * ([[graft.operators.Dedup.duplicatedSpans]] /
+    * [[graft.operators.Dedup.removeDuplicatedSpans]]) at corpus sizes
+    * far above the fixtures. Two claims under measurement: (a) cost is
+    * LINEAR in the corpus (span extraction at nDocs and 2×nDocs —
+    * positional explode + occurrence census + semi-join + per-doc
+    * islands; no pair join anywhere), and (b) a corpus-HOT duplicated
+    * run (planted in every 10th doc — occurrence count nDocs/10) costs
+    * the same as pairwise runs, because the census marks positions by
+    * semi-join instead of materializing the quadratic pair space an
+    * inverted-index matcher would hit. Corpus: unique 40-token docs;
+    * every 10th doc carries the one global hot run at positions 11–20,
+    * docs ≡ 5,6 (mod 10) share a per-cluster run at positions 21–30 —
+    * so expected span geometry and masses are exact. */
+  private def spansProbe(args: Array[String], cpus: String): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toInt else 1000000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def corpus(n: Int, vocab: String): org.apache.spark.sql.DataFrame =
+      spark.range(n.toLong).select(col("id"))
+        .mapPartitions(_.map { r =>
+          val id = r.getLong(0)
+          var x = id * 6364136223846793005L + 1442695040888963407L
+          def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+          val words = Array.tabulate(40)(_ =>
+            s"$vocab${math.floorMod(nxt(), 500000L)}")
+          if (id % 10L == 0L) // the global hot run, positions 11..20
+            for (i <- 10 until 20) words(i) = s"h${vocab}${i - 10}"
+          else if (id % 10L == 5L || id % 10L == 6L) { // pairwise run
+            val cl = id / 10L
+            for (i <- 20 until 30) words(i) = s"p${vocab}${cl}x${i - 20}"
+          }
+          (id, words.mkString(" "))
+        }).toDF("doc_id", "text").localCheckpoint(true)
+    def timedSpans(docs: org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = {
+      val t = System.nanoTime()
+      val spans = graft.operators.Dedup
+        .duplicatedSpans(docs, "doc_id", "text").localCheckpoint(true)
+      val (docsWithSpans, mass) = {
+        val r = spans.agg(countDistinct(col("id")),
+          sum(col("span_tokens"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      ((System.nanoTime() - t) / 1e9, docsWithSpans, mass)
+    }
+    // FULL-SIZE untimed warm-up (JIT + codegen + shuffle buffers) so the
+    // 1× and 2× timings compare like-for-like — a small warm-up measured
+    // the 2× corpus FASTER than 1× because C2 compilation of the
+    // explode/sort paths was still completing inside the first timed run
+    timedSpans(corpus(nDocs, "u"))
+    val c1 = corpus(nDocs, "w")
+    val (s1, spanDocs, mass1) = timedSpans(c1)
+    val t2 = System.nanoTime()
+    val removedMass = graft.operators.Dedup
+      .removeDuplicatedSpans(c1, "doc_id", "text")
+      .agg(sum(col("n_removed"))).head().getLong(0)
+    val removeSec = (System.nanoTime() - t2) / 1e9
+    val c2 = corpus(nDocs * 2, "g")
+    val (s2, spanDocs2x, _) = timedSpans(c2)
+    def r1(x: Double): Double = math.round(x * 10) / 10.0
+    // planted geometry: n/10 hot-run docs + 2·(n/10) pair-run docs, 10
+    // duplicated tokens each (modulo LCG vocab collisions, which the
+    // expected/actual pair in the output makes visible)
+    val expectDocs = nDocs / 10 * 3
+    println(s"""{"metric":"dup_spans_scale","docs":$nDocs,"cpus":$cpus,"spans_sec":${r1(s1)},"spans_2x_sec":${r1(s2)},"cost_ratio_2x":${r1(s2 / s1)},"remove_sec":${r1(removeSec)},"span_docs":$spanDocs,"span_docs_2x":$spanDocs2x,"expected_span_docs":$expectDocs,"span_mass":$mass1,"removed_mass":$removedMass}""")
     spark.stop()
   }
 

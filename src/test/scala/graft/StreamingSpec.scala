@@ -2049,6 +2049,150 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idxDir).count() == 5L,
       "replay must not grow the gram index")
   }
+
+  test("windowedFpCounts + dupRatePerWindow: single-window parity with the batch copy census") {
+    // stream the REAL documents table (constant ts → one window, empty
+    // index): the window's dup count must equal the batch exact-dedup
+    // copy census Σ(n_copies − 1) — the q_auc parity convention
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("text").collect()
+      .map(r => (ts("2024-01-01 10:01:00"), r.getString(0))).toSeq
+    val in = MemoryStream[(Timestamp, String)]
+    val rel = graft.streaming.Jobs.windowedFpCounts(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = rel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:01:00"), "wm push"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.table(name)
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .localCheckpoint(true)
+    val emptyKnown = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("first_window",
+          org.apache.spark.sql.types.TimestampType))))
+    val row = graft.streaming.Jobs.dupRatePerWindow(hist, emptyKnown).head()
+    val census = graft.operators.Dedup
+      .exactByContent(graft.sources.Tables.documents(spark, sfDir),
+        "doc_id", "text")
+      .agg(sum(col("n_copies")).as("n"),
+        sum(col("n_copies") - 1L).as("d")).head()
+    assert(row.getLong(1) == census.getLong(0),
+      s"window doc count ${row.getLong(1)} != corpus ${census.getLong(0)}")
+    assert(row.getLong(2) == census.getLong(1),
+      s"window dup count ${row.getLong(2)} != copy census ${census.getLong(1)}")
+    val expectPpm = spark.range(1)
+      .select(graft.operators.Analytics.halfUpPpm(
+        lit(census.getLong(1)), lit(census.getLong(0))).as("p"))
+      .head().getLong(0)
+    assert(row.getLong(3) == expectPpm)
+  }
+
+  test("dupRateAuditSink: earliest-window attribution, fp-index advance, replay is a no-op") {
+    val in = MemoryStream[(Timestamp, String)]
+    val hist = graft.streaming.Jobs.windowedFpCounts(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("duprate_").toString
+    val base = s"$root/store"; val idxDir = s"$root/fps"
+    def start(ck: String) = graft.sources.IO
+      .dupRateAuditSink(hist, idxDir, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[String, (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last, graft.sources.IO.DupRateAuditSchema))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("duprate_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1 and w2 finalize in ONE micro-batch: "alpha" in both windows
+      // must attribute its canonical copy to w1 (intra-batch min-window),
+      // making BOTH w2 copies duplicates
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "alpha"),
+        (ts("2024-01-01 10:02:00"), "alpha"),
+        (ts("2024-01-01 10:03:00"), "beta"),
+        (ts("2024-01-01 10:21:00"), "alpha"),
+        (ts("2024-01-01 10:22:00"), "gamma"),
+        (ts("2024-01-01 10:41:00"), "wm push"))
+      q1.processAllAvailable()
+      // w1: 3 docs, 1 dup (alpha×2); w2: 2 docs, 1 dup (alpha known)
+      assert(live == Map(
+        "2024-01-01 10:00:00.0" -> ((3L, 1L, 333333L)),
+        "2024-01-01 10:20:00.0" -> ((2L, 1L, 500000L))), s"round 1: $live")
+      val idx1 = spark.read.parquet(idxDir)
+        .collect().map(r => r.getString(0) -> r.getTimestamp(1).toString)
+      assert(idx1.length == 3, s"fp universe after round 1: ${idx1.length}")
+      // round 2 finalizes the 10:40 "wm push" window too (1 doc, 0 dup,
+      // its fp indexes) and gates 11:00 against the PERSISTED index:
+      // "beta" is known (all copies dup), "delta" is fresh (one canonical)
+      in.addData(
+        (ts("2024-01-01 11:01:00"), "beta"),
+        (ts("2024-01-01 11:02:00"), "delta"),
+        (ts("2024-01-01 11:41:00"), "wm push"))
+      q1.processAllAvailable()
+      assert(live.get("2024-01-01 11:00:00.0")
+        .contains((2L, 1L, 500000L)), s"round 2: $live")
+      assert(spark.read.parquet(idxDir).count() == 5L,
+        "round-2 append must add exactly the 1 novel fp")
+    } finally q1.stop()
+    // conservation: corpus docs − Σ n_dup == the persisted fp universe
+    // (every fingerprint has exactly one canonical copy, ever)
+    assert(live.values.map(v => v._1 - v._2).sum == 5L)
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // versions, no index growth
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("duprate_ck2_").toString
+    val q2 = start(ck2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(versions == vBefore, "replay must commit no new versions")
+    assert(spark.read.parquet(idxDir).count() == 5L,
+      "replay must not grow the fp index")
+  }
+
+  test("writeFpFirstSeenIndex: a sink started on a seeded index reads re-ingested content as duplicate") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("duprate_seed_").toString
+    val base = s"$root/store"; val idxDir = s"$root/fps"
+    graft.operators.Dedup.writeFpFirstSeenIndex(
+      Seq("alpha", "beta").toDF("text"), "text", idxDir,
+      ts("2024-01-01 09:00:00"), buckets = 8)
+    assert(spark.read.parquet(idxDir).count() == 2L)
+    val in = MemoryStream[(Timestamp, String)]
+    val hist = graft.streaming.Jobs.windowedFpCounts(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes", "5 minutes")
+    val ck = java.nio.file.Files.createTempDirectory("duprate_seed_ck_").toString
+    val q = graft.sources.IO.dupRateAuditSink(hist, idxDir, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "alpha"), // seeded -> duplicate
+        (ts("2024-01-01 10:02:00"), "fresh"), // novel -> canonical
+        (ts("2024-01-01 10:41:00"), "wm push"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = graft.sources.IO.snapshotVersions(spark, base)
+    val live = graft.streaming.Cdc.liveView(graft.sources.IO
+        .readSnapshotVersion(spark, base, v.last,
+          graft.sources.IO.DupRateAuditSchema))
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(live == Map("2024-01-01 10:00:00.0" -> ((2L, 1L))), s"$live")
+    // the append honored the seeded bucket sidecar and added only "fresh"
+    assert(spark.read.parquet(idxDir).count() == 3L)
+    assert(graft.sources.IO.readBucketCount(spark, idxDir).contains(8))
+  }
 }
 
 /** Test-only "next release" of the funnel processor: the SAME state
