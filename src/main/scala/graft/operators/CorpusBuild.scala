@@ -32,11 +32,18 @@ object CorpusBuild {
     * pass itself (`afterWinnow` is that pass's rows_in — free); the
     * dedup-stage counts are read from the stages' materialized (reused)
     * outputs, not extra plan executions. With the winnow stage off,
-    * `afterWinnow == afterNearDup` (a no-op stage drops nothing). */
+    * `afterWinnow == afterNearDup` (a no-op stage drops nothing); with
+    * the span stage off, `afterSpanRemoval == afterWinnow` and
+    * `spanTokensRemoved == 0`. `afterSpanRemoval` counts docs surviving
+    * the empty-after-excision drop; `spanTokensRemoved` bills EVERY
+    * excised token, including those of the subsequently-dropped empty
+    * docs. */
   final case class CorpusLedger(raw: Long, afterExactDedup: Long,
                                 afterNearDup: Long, afterWinnow: Long,
                                 afterDecontaminate: Long,
-                                afterMix: Long)
+                                afterMix: Long,
+                                afterSpanRemoval: Long = -1L,
+                                spanTokensRemoved: Long = 0L)
 
   /** Run the full build. Writes three artifacts: the exact-dedup
     * fingerprint index (`fpIndexDir` — [[Dedup.writeFingerprintIndex]]
@@ -55,7 +62,11 @@ object CorpusBuild {
     * `winnowIndexDir` enables the optional substring-family stage and
     * names its fourth artifact: the winnow fingerprint index seeded
     * from the stage's survivors, serving
-    * [[graft.sources.IO.winnowIngestSink]] from the first micro-batch. */
+    * [[graft.sources.IO.winnowIngestSink]] from the first micro-batch.
+    * `spanRemovalWindowLen` enables the optional exact duplicated-SPAN
+    * stage ([[Dedup.removeDuplicatedSpans]] at that window length) —
+    * the sub-document treatment that EXCISES shared runs instead of
+    * dropping whole docs; emptied docs are dropped. */
   def buildCorpus(docs: DataFrame, probe: DataFrame,
                   idCol: String, textCol: String, stratumCol: String,
                   sortCol: String,
@@ -67,7 +78,8 @@ object CorpusBuild {
                   shingleN: Int = 5,
                   numShards: Int = 16,
                   winnowIndexDir: Option[String] = None,
-                  winnowMinShared: Long = 2L): CorpusLedger = {
+                  winnowMinShared: Long = 2L,
+                  spanRemovalWindowLen: Option[Int] = None): CorpusLedger = {
     // stage 1: exact content dedup — min-id keeper per md5 fingerprint
     // (the q_dedup_doc policy), then seed the fingerprint index from
     // the SURVIVORS (index == admitted content). The RAW corpus is
@@ -114,11 +126,36 @@ object CorpusBuild {
         surv
       case None => near
     }
+    // optional stage 2¾: exact duplicated-SPAN removal (Lee et al.
+    // 2022's sub-document treatment — the alternative to winnow's
+    // doc-level collapse: keep both docs, excise the shared run from
+    // every occurrence; [[Dedup.removeDuplicatedSpans]] over the
+    // doc-dedup survivors, so spans are measured against ADMITTED
+    // content). Docs emptied by the excision (their whole text was
+    // duplicated) are dropped. Runs BEFORE decontamination
+    // deliberately: the probe gate must judge the text that SHIPS.
+    // `spanTokensRemoved` counts every excised token, including those
+    // of subsequently-dropped empty docs (the full excision bill).
+    val (spanned, spanToks) = spanRemovalWindowLen match {
+      case Some(l) =>
+        val rewritten = winnowed.drop(textCol)
+          .join(Dedup.removeDuplicatedSpans(winnowed, idCol, textCol, l)
+            .withColumnRenamed("id", idCol), Seq(idCol))
+          .localCheckpoint(eager = true) // feeds the ledger agg + the kept
+                                         // filter (and the shard write's
+                                         // range sampler downstream)
+        val toks = rewritten.agg(sum(col("n_removed")).as("t"))
+          .head().getLong(0)
+        (rewritten.filter(col("clean_text") =!= "")
+          .withColumnRenamed("clean_text", textCol)
+          .drop("n_tokens", "n_removed"), toks)
+      case None => (winnowed, 0L)
+    }
     // stages 3–5, ONE observed pass: Bloom decontamination and the
     // domain mix are bare predicates, so both ride the shard write's
     // scan with observedFilter counters — per-stage accounting at zero
     // extra executions
-    val (clean, deconObs) = Analytics.observedFilter(winnowed,
+    val (clean, deconObs) = Analytics.observedFilter(spanned,
       Dedup.bloomKeepPredicate(probe, textCol, shingleN),
       "corpus_decontaminate")
     val (mixed, mixObs) = Analytics.observedFilter(clean,
@@ -138,12 +175,22 @@ object CorpusBuild {
       case l: Long => l
       case n: Number => n.longValue()
     }
+    val nearCount = near.count()
+    // with the span stage OFF the observed pass's rows_in IS the winnow
+    // survivor count (free); with it ON, rows_in is post-span, so the
+    // winnow count comes from its own (checkpointed) relation
+    val winnowCount =
+      if (spanRemovalWindowLen.isEmpty) asLong(d("rows_in"))
+      else if (winnowIndexDir.isEmpty) nearCount
+      else winnowed.count()
     CorpusLedger(
       raw = rawCount,
       afterExactDedup = exact.count(),
-      afterNearDup = near.count(),
-      afterWinnow = asLong(d("rows_in")),
+      afterNearDup = nearCount,
+      afterWinnow = winnowCount,
       afterDecontaminate = asLong(d("rows_kept")),
-      afterMix = asLong(m("rows_kept")))
+      afterMix = asLong(m("rows_kept")),
+      afterSpanRemoval = asLong(d("rows_in")),
+      spanTokensRemoved = spanToks)
   }
 }

@@ -11,11 +11,18 @@ import org.apache.spark.sql.functions._
   * eval-leak scenario: the benchmark docs live in the corpus and must
   * leave it. Prints ONE JSON line with the wall-clock and the
   * per-stage row ledger (the evidence for BASELINE.md's composed-cost
-  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow] */
+  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow|spans]
+  * [nearDupThreshold] — the threshold arg exists for the spans probe:
+  * at the default 0.7 the doc-level stages absorb ALL of the fixture's
+  * exact 8-token duplication (family-shaped near-dups), so the span
+  * stage's work only becomes visible when whole-doc dedup is looser. */
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val withWinnow = args.length > 1 && args(1) == "winnow"
+    val withWinnow = args.length > 1 && args.contains("winnow")
+    val withSpans = args.length > 1 && args.contains("spans")
+    val threshold = args.find(a => a.nonEmpty && (a(0).isDigit || a(0) == '.'))
+      .map(_.toDouble).getOrElse(0.7)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,11 +41,12 @@ object CorpusScale {
     val ledger = graft.operators.CorpusBuild.buildCorpus(
       docs, probe, "doc_id", "text", "source", "n_chars",
       s"$base/fp", s"$base/band", s"$base/shards",
-      nearDupThreshold = 0.7, mixRates = rates, defaultMixRate = 1.0,
+      nearDupThreshold = threshold, mixRates = rates, defaultMixRate = 1.0,
       numShards = 8,
-      winnowIndexDir = if (withWinnow) Some(s"$base/winnow") else None)
+      winnowIndexDir = if (withWinnow) Some(s"$base/winnow") else None,
+      spanRemovalWindowLen = if (withSpans) Some(8) else None)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
+    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
     spark.stop()
   }
 }

@@ -2188,10 +2188,12 @@ class ScalePathSpec extends SparkSpec {
     assert(sharded.select("doc_id").as[Long].collect().toSet == expected,
       "composed shards != sequential stages")
 
-    // the ledger accounts every drop to its stage
+    // the ledger accounts every drop to its stage (span stage off:
+    // afterSpanRemoval == afterWinnow, zero tokens billed)
     assert(ledger == CorpusBuild.CorpusLedger(
       raw = 9, afterExactDedup = 8, afterNearDup = 6, afterWinnow = 5,
-      afterDecontaminate = 4, afterMix = expected.size.toLong),
+      afterDecontaminate = 4, afterMix = expected.size.toLong,
+      afterSpanRemoval = 5, spanTokensRemoved = 0),
       s"ledger: $ledger (expected mix ${expected.size})")
 
     // shard layout: range-disjoint on the sort column, internally usable
@@ -2230,5 +2232,54 @@ class ScalePathSpec extends SparkSpec {
         winBatch, "doc_id", "text", winDir)
       .select("doc_id", "match_id").as[(Long, Long)].collect().toSet
     assert(winMatches == Set((700L, 30L)), s"winnow-index gate: $winMatches")
+  }
+
+  test("corpus-build span-removal stage: excision == standalone operator, emptied docs dropped, ledger bills every token") {
+    import graft.operators.CorpusBuild
+    val base = java.nio.file.Files.createTempDirectory("corpus_span_")
+      .toString
+    // docs 1/2 share a 10-token run (Jaccard far below the near-dup
+    // bar — whole-doc dedup can't see it); doc 4 is ENTIRELY a 12-token
+    // run that doc 5 also carries (doc 4 must come out empty and drop);
+    // doc 6 is untouched control
+    val aRun = (1 to 10).map(i => s"a$i").mkString(" ")
+    val cRun = (1 to 12).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, aRun + " " + (1 to 30).map(i => s"b$i").mkString(" "), "web"),
+      (2L, aRun + " " + (1 to 30).map(i => s"c$i").mkString(" "), "books"),
+      (4L, cRun, "web"),
+      (5L, cRun + " " + (1 to 30).map(i => s"e$i").mkString(" "), "web"),
+      (6L, (1 to 40).map(i => s"f$i").mkString(" "), "books"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    // probe sized to 26 shingles: a 2-shingle probe builds a ~29-bit
+    // Bloom whose saturated FP rate dropped an innocent doc
+    val probe = Seq((900L, (1 to 30).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ledger = CorpusBuild.buildCorpus(docs, probe,
+      "doc_id", "text", "source", "n_chars",
+      s"$base/fp", s"$base/band", s"$base/shards",
+      nearDupThreshold = 0.5, numShards = 2,
+      spanRemovalWindowLen = Some(8))
+    // spanTokensRemoved bills every excised token: 10+10 (docs 1/2's
+    // shared run) + 12+12 (the run in docs 4/5 — doc 4's copy billed
+    // even though the emptied doc then drops)
+    assert(ledger == CorpusBuild.CorpusLedger(
+      raw = 5, afterExactDedup = 5, afterNearDup = 5, afterWinnow = 5,
+      afterDecontaminate = 4, afterMix = 4,
+      afterSpanRemoval = 4, spanTokensRemoved = 44), s"ledger: $ledger")
+    // shipped text == the standalone operator's excision (composition,
+    // not re-implementation), emptied doc 4 absent
+    val shipped = spark.read.parquet(s"$base/shards")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val standalone = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+      .filter(col("clean_text") =!= "")
+      .select(col("id"), col("clean_text")).as[(Long, String)]
+      .collect().toMap
+    assert(shipped == standalone,
+      s"shipped=$shipped standalone=$standalone")
+    assert(shipped.keySet == Set(1L, 2L, 5L, 6L))
+    assert(shipped(1L) == (1 to 30).map(i => s"b$i").mkString(" "))
+    assert(shipped(6L) == (1 to 40).map(i => s"f$i").mkString(" "))
   }
 }
