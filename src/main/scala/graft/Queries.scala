@@ -4847,6 +4847,41 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  /** q_dp_sum — the OTHER core DP release primitive next to
+    * [[q_dp_count]]: a noisy SUM with bounded per-row contribution.
+    * Unbounded sums have unbounded sensitivity, so each row's acctbal
+    * is first CLIPPED to [0, 5000] — and the clip runs in exact integer
+    * CENTS (`floor(bal·100)` then least/greatest: one IEEE multiply +
+    * deterministic integer ops), so the per-segment sum is exact long
+    * arithmetic with NO float-accumulation order dependence (the
+    * q_agg_stats robustness argument, solved structurally instead of
+    * argued). Sensitivity = the 500,000-cent clip bound; ε=0.5 →
+    * Laplace(b=10⁶ cents), derandomized through the same md5 inverse-
+    * CDF family as the count ('graftdpsum:' salt — independent draws).
+    * The add + /100 + 4dp round are the only float ops after the one
+    * ln. Scale shape: one map-side-combined groupBy; noise is
+    * per-GROUP arithmetic on the domain-bounded result. */
+  val q_dp_sum: Q = (s, d) => {
+    val cents = least(greatest(
+      floor(col("c_acctbal") * 100.0).cast("long"), lit(0L)), lit(500000L))
+    val agg = Tables.customer(s, d)
+      .groupBy("c_mktsegment").agg(sum(cents).as("cents"))
+    val bits = conv(substring(
+      md5(concat(lit("graftdpsum:"), col("c_mktsegment"))), 1, 13), 16, 10)
+      .cast("long")
+    val x = (bits.cast("double") + lit(0.5)) / lit(4503599627370496.0) -
+      lit(0.5)
+    val sgn = when(col("__x") > 0, lit(1.0)).when(col("__x") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    agg.withColumn("__x", x)
+      .select(col("c_mktsegment"),
+        round((col("cents").cast("double") +
+          lit(-1000000.0) * sgn *
+            log(lit(1.0) - lit(2.0) * abs(col("__x")))) / lit(100.0), 4)
+          .as("noisy_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   /** q_ngram_novelty — first-occurrence novelty curve, the curation
     * signal behind "is the tail of this corpus still adding content?":
     * per doc (in doc_id ingest order), how many of its distinct 3-gram
@@ -5525,6 +5560,7 @@ object Queries {
     "q_generalize_ladder" -> q_generalize_ladder,
     "q_t_closeness" -> q_t_closeness,
     "q_dp_count" -> q_dp_count,
+    "q_dp_sum" -> q_dp_sum,
     "q_ngram_novelty" -> q_ngram_novelty,
     "q_novelty_by_source" -> q_novelty_by_source,
     "q_dup_cluster_histogram" -> q_dup_cluster_histogram,

@@ -5960,6 +5960,23 @@ object SparkEntry {
         |       round(n_rows + (-2.0) * (CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END)
         |             * ln(1 - 2 * abs(x)), 6) AS noisy_rows
         |FROM n ORDER BY c_mktsegment""".stripMargin,
+    // mirrors q_dp_sum: integer-cent clip (exact long sum — no float
+    // accumulation order), Laplace(b=1e6 cents) via the md5 family
+    "q_dp_sum" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |         sum(least(greatest(CAST(floor(c_acctbal * 100.0) AS BIGINT), 0), 500000)) AS cents
+        |  FROM customer GROUP BY c_mktsegment
+        |), n AS (
+        |  SELECT c_mktsegment, cents,
+        |         ((('0x' || substring(md5('graftdpsum:' || c_mktsegment), 1, 13))::BIGINT + 0.5)
+        |          / 4503599627370496.0) - 0.5 AS x
+        |  FROM c)
+        |SELECT c_mktsegment,
+        |       round((CAST(cents AS DOUBLE) + (-1000000.0) *
+        |              (CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END)
+        |              * ln(1 - 2 * abs(x))) / 100.0, 4) AS noisy_sum
+        |FROM n ORDER BY c_mktsegment""".stripMargin,
     // mirrors q_ngram_novelty: first-occurrence (min doc_id) per
     // distinct 3-gram, per-doc novel share as exact HALF_UP ppm
     "q_ngram_novelty" ->

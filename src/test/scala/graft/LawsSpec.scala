@@ -1799,6 +1799,36 @@ class LawsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("q_dp_sum: clipped-cents sum and md5-derandomized draw match a driver-side replay") {
+    import graft.sources.Tables
+    val got = Queries.q_dp_sum(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = Tables.customer(spark, sfDir)
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val centsBySeg = rows.groupBy(_._1).view.mapValues(_.map { case (_, b) =>
+      math.min(math.max(math.floor(b * 100.0).toLong, 0L), 500000L)
+    }.sum).toMap
+    assert(got.keySet == centsBySeg.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((seg, cents) <- centsBySeg) {
+      val hex = md.digest(s"graftdpsum:$seg".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val bits = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val x = (bits.toDouble + 0.5) / 4503599627370496.0 - 0.5
+      val sgn = if (x > 0) 1.0 else if (x < 0) -1.0 else 0.0
+      val expect = BigDecimal((cents.toDouble - 1000000.0 * sgn *
+          math.log(1.0 - 2.0 * math.abs(x))) / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(seg) - expect) < 1e-7,
+        s"$seg: got ${got(seg)}, driver replay $expect")
+      // the release must actually perturb, and the two DP ids' salts
+      // must yield INDEPENDENT draws (different u per mechanism)
+      assert(got(seg) != cents.toDouble / 100.0,
+        s"$seg: noise degenerated to zero")
+    }
+  }
+
   test("q_tokenizer_fertility: per-lang rollup of the q_bpe_encode relation (shared learned vocab)") {
     import graft.sources.Tables
     val fert = Queries.q_tokenizer_fertility(spark, sfDir).collect()
