@@ -12,6 +12,7 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("state")) { stateScale(args.drop(1)); return }
     if (args.headOption.contains("monitor")) { monitorScale(args.drop(1)); return }
+    if (args.headOption.contains("duprate")) { dupRateScale(args.drop(1)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rate = if (args.nonEmpty) args(0).toInt else 500000
     val seconds = if (args.length > 1) args(1).toInt else 15
@@ -119,6 +120,55 @@ object StreamBench {
     if (sys.env.contains("SPARK_GRAFT_DUMP_METRICS"))
       System.err.println("custom metrics: " + custom.keySet())
     println(f"""{"metric":"state_keys_per_sec","value":${stateRows / wall}%.0f,"processor":"$which","state_rows":$stateRows,"wall_sec":$wall%.1f,"memory_used_bytes":${so.memoryUsedBytes},"rocksdb_sst_bytes":${cm("rocksdbSstFileSize")},"rocksdb_pinned_mem_bytes":${cm("rocksdbPinnedBlocksMemoryUsage")},"snapshot_upload_bytes":${cm("rocksdbBytesCopied")},"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Dup-rate-monitor throughput mode (`runMain graft.tools.StreamBench
+    * duprate [docsPerSec] [seconds]`): docs/second through the FULL
+    * duplication-rate-monitor path — rate source → synthesized 40-token
+    * docs in families of 4 EXACT duplicates (~75%% arriving dup rate, a
+    * dup-heavy crawl) → [[graft.streaming.Jobs.windowedFpCounts]] →
+    * [[graft.sources.IO.dupRateAuditSink]] doing real per-batch work:
+    * fp-index read + earliest-window fold + versioned store upsert +
+    * first-seen delta append. The exact-copy sibling of the novelty
+    * monitor's throughput row — expected to run FASTER per doc (one md5
+    * per doc instead of ~38 gram hashes, and the index carries distinct
+    * CONTENTS, not the gram universe). One JSON line. */
+  private def dupRateScale(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = if (args.nonEmpty) args(0).toInt else 20000
+    val seconds = if (args.length > 1) args(1).toInt else 30
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("duprate_bench_")
+      .toString
+    val toks = (0 until 40).map(i =>
+      concat(lit("t"), ((col("value") / 4) * 40 + i) % 200000))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", cpus).load()
+      .withColumn("text", concat_ws(" ", toks: _*))
+    val hist = graft.streaming.Jobs.windowedFpCounts(
+      docs, "timestamp", "text", "5 seconds", "2 seconds")
+    val q = graft.sources.IO.dupRateAuditSink(hist,
+        s"$base/fps", s"$base/store", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress
+    q.stop()
+    val processed = progress.map(_.numInputRows).sum
+    val wall = (System.nanoTime() - t0) / 1e9
+    val idxRows =
+      try spark.read.parquet(s"$base/fps").count() catch { case _: Exception => 0L }
+    val versions = graft.sources.IO.snapshotVersions(spark, s"$base/store")
+    println(f"""{"metric":"duprate_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"index_fps":$idxRows,"store_versions":${versions.size},"cpus":$cpus}""")
     spark.stop()
   }
 
