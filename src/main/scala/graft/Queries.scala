@@ -1402,6 +1402,26 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_decontaminate_spans — SURGICAL decontamination
+    * ([[graft.operators.Dedup.removeContaminatedSpans]], 5-gram windows
+    * — the [[q_decontaminate]] family's gram size): instead of the
+    * boolean whole-doc drop, excise exactly the maximal token spans
+    * whose 5-gram windows occur anywhere in the held-out set (docs 0–9,
+    * the fixture carve), keeping the doc's fresh content. A verbatim
+    * benchmark copy comes out empty (the drop outcome, recovered); a
+    * doc quoting one benchmark sentence loses the sentence where
+    * [[q_decontaminate]] loses the doc and [[q_contamination_frac]]
+    * only grades it. Probe windows broadcast (benchmark-sized); the
+    * corpus side is the linear positional explode + per-doc island
+    * merge of the duplicated-span family. */
+  val q_decontaminate_spans: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.removeContaminatedSpans(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** q_decontaminate_bloom — the zero-shuffle decontamination variant:
     * probe shingles → broadcast Bloom filter → one narrow membership
     * predicate over the corpus (no explode, no join, no corpus shuffle
@@ -5425,6 +5445,7 @@ object Queries {
     "q_resample_ffill" -> q_resample_ffill,
     "q_scd2" -> q_scd2,
     "q_decontaminate" -> q_decontaminate,
+    "q_decontaminate_spans" -> q_decontaminate_spans,
     "q_decontaminate_bloom" -> q_decontaminate_bloom,
     "q_retention" -> q_retention,
     "q_funnel" -> q_funnel,

@@ -707,6 +707,45 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // mirrors q_decontaminate_spans: probe (docs < 10) positional
+    // 5-gram window set, corpus positions matching it, island merge
+    // (break when the step exceeds the window length), positional
+    // excision — the q_dup_spans machinery keyed by probe membership
+    "q_decontaminate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), p AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i) WHERE doc_id < 10
+        |), w AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i) WHERE doc_id >= 10
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos FROM w JOIN p USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+        |              THEN 0 ELSE 1 END AS brk FROM dw
+        |), grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end FROM grp GROUP BY doc_id, g
+        |), tokpos AS (
+        |  SELECT doc_id, i, toks[i] AS tok FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE doc_id >= 10
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |                    WHERE s.doc_id = tp.doc_id AND tp.i BETWEEN s.span_start AND s.span_end)
+        |), cleaned AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+        |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.toks) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN cleaned c USING (doc_id)
+        |WHERE t.doc_id >= 10 ORDER BY t.doc_id""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)

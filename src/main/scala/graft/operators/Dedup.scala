@@ -2033,6 +2033,34 @@ object Dedup {
   // and overlapping/adjacent duplicated windows merge into one maximal
   // span (positions p, p' belong to one span iff p' − p ≤ windowLen).
 
+  /** The positional window relation: (id, pos, sh) — 1-based window
+    * start positions with their 8-byte window-text hashes. */
+  private def positionalWindows(docs: DataFrame, idCol: String,
+                                textCol: String, windowLen: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(shingleList(windowLen)(Text.tokens(col(textCol))))
+          .as(Seq("pos0", "sh_str")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
+        xxhash64(col("sh_str")).as("sh"))
+
+  /** Gaps-and-islands merge of flagged window positions into maximal
+    * spans: consecutive flagged positions p, p' belong to one span iff
+    * p' − p ≤ windowLen (overlap or adjacency of the windows they
+    * start). Per-DOC window functions — no global sort. */
+  private def maximalSpans(flagged: DataFrame, windowLen: Int): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowLen, 0L)
+          .otherwise(1L))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy("id", "g")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(windowLen.toLong - 1L)).as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .select("id", "span_start", "span_end", "span_tokens")
+  }
+
   /** Maximal duplicated token spans per document: (id, span_start,
     * span_end, span_tokens), token positions 1-based inclusive. A span
     * is a maximal run of `windowLen`-token windows each of whose text
@@ -2052,25 +2080,33 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       windowLen: Int = 8): DataFrame = {
     require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
-    val win = docs.select(col(idCol).as("id"),
-        posexplode(shingleList(windowLen)(Text.tokens(col(textCol))))
-          .as(Seq("pos0", "sh_str")))
-      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"),
-        xxhash64(col("sh_str")).as("sh"))
+    val win = positionalWindows(docs, idCol, textCol, windowLen)
       .localCheckpoint(eager = true) // feeds the occurrence census + join-back
     val dup = win.groupBy("sh").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("sh")
-    val byDoc = Window.partitionBy("id").orderBy("pos")
-    win.join(dup, Seq("sh"), "left_semi")
-      .withColumn("brk",
-        when(col("pos") - lag("pos", 1).over(byDoc) <= windowLen, 0L)
-          .otherwise(1L))
-      .withColumn("g", sum("brk").over(byDoc))
-      .groupBy("id", "g")
-      .agg(min("pos").as("span_start"),
-        (max("pos") + lit(windowLen.toLong - 1L)).as("span_end"))
-      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
-      .select("id", "span_start", "span_end", "span_tokens")
+    maximalSpans(win.join(dup, Seq("sh"), "left_semi"), windowLen)
+  }
+
+  /** Maximal CONTAMINATED token spans per corpus document: the
+    * positions whose `windowLen`-token window text occurs ANYWHERE in
+    * the probe (benchmark/eval) set, island-merged exactly like
+    * [[duplicatedSpans]]. The surgical sibling of [[decontaminateBloom]]
+    * / `q_decontaminate`'s whole-doc drop: a doc QUOTING one benchmark
+    * sentence loses the sentence, not its fresh content. Probe windows
+    * are distinct membership keys (benchmark-sized — the
+    * q_decontaminate boundedness argument) and broadcast into one
+    * semi-join; the corpus side is the same linear positional explode. */
+  def contaminatedSpans(docs: DataFrame, probe: DataFrame,
+                        idCol: String, textCol: String,
+                        windowLen: Int = 5): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    val probeSh = probe
+      .select(explode(shingleSet(windowLen)(Text.tokens(col(textCol))))
+        .as("sh_str"))
+      .select(xxhash64(col("sh_str")).as("sh")).distinct()
+    val win = positionalWindows(docs, idCol, textCol, windowLen)
+    maximalSpans(win.join(broadcast(probeSh), Seq("sh"), "left_semi"),
+      windowLen)
   }
 
   /** The removal step: every document with its duplicated-span tokens
@@ -2082,8 +2118,29 @@ object Dedup {
     * filters tokens by position with a higher-order `filter` — per-doc
     * output-sized work, interpreted but never corpus-quadratic. */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                            windowLen: Int = 8): DataFrame = {
-    val spans = duplicatedSpans(docs, idCol, textCol, windowLen)
+                            windowLen: Int = 8): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      duplicatedSpans(docs, idCol, textCol, windowLen))
+
+  /** The surgical decontamination step: every corpus document with its
+    * probe-CONTAMINATED spans ([[contaminatedSpans]]) excised —
+    * (id, clean_text, n_tokens, n_removed). Verbatim benchmark copies
+    * come out empty (the caller's length filter drops them — the
+    * whole-doc-drop outcome recovered); a doc that merely quotes loses
+    * only the quote. */
+  def removeContaminatedSpans(docs: DataFrame, probe: DataFrame,
+                              idCol: String, textCol: String,
+                              windowLen: Int = 5): DataFrame =
+    exciseSpans(docs, idCol, textCol,
+      contaminatedSpans(docs, probe, idCol, textCol, windowLen))
+
+  /** Shared excision: drop every token whose 1-based position falls in
+    * a span. One docs-sized shuffle join of the doc-bounded span lists,
+    * then a higher-order positional `filter` — per-doc output-sized
+    * work, interpreted but never corpus-quadratic. */
+  private def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

@@ -243,6 +243,51 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming corpus ingest with SURGICAL decontamination at the gate
+    * — the excision twin of [[decontaminateIngestSink]] (live
+    * `q_decontaminate_spans`): instead of dropping every doc sharing a
+    * probe n-gram, each micro-batch EXCISES exactly the probe-matching
+    * maximal token spans
+    * ([[graft.operators.Dedup.removeContaminatedSpans]] — probe read
+    * fresh per batch, so a grown benchmark tightens the gate without
+    * restart), admits the cleaned text (untouched docs verbatim), and
+    * drops only docs the excision EMPTIES (verbatim benchmark copies —
+    * the whole-doc-drop outcome recovered exactly where it is right).
+    * Every excision writes an audit row (id, n_tokens, n_removed,
+    * emptied) to `auditDir` — the hygiene trail a review reads, the
+    * surgical sibling of the drop sink's quarantine. Exactly-once: both
+    * appends under ONE committed-batch marker; the audit append runs
+    * FIRST, so a torn batch can only leave audit rows without corpus
+    * rows — never an unaudited excision. */
+  def decontaminateSpanSink(docs: DataFrame, probeDir: String,
+                            outDir: String, auditDir: String,
+                            checkpointDir: String, idCol: String,
+                            textCol: String, n: Int = 5)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val probe = spark.read.parquet(probeDir)
+          val b = batch.localCheckpoint(true) // feeds excision + re-join
+          val cleaned = graft.operators.Dedup
+            .removeContaminatedSpans(b, probe, idCol, textCol, n)
+            .withColumnRenamed("id", idCol)
+            .localCheckpoint(true) // one excision feeds audit + admit
+          cleaned.filter(col("n_removed") > 0)
+            .select(col(idCol), col("n_tokens"), col("n_removed"),
+              (col("clean_text") === "").as("emptied"))
+            .write.mode("append").parquet(auditDir)
+          b.drop(textCol)
+            .join(cleaned.filter(col("clean_text") =!= "")
+              .select(col(idCol), col("clean_text").as(textCol)),
+              Seq(idCol))
+            .write.mode("append").parquet(outDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming embedding ingest with SEMANTIC dedup at the gate — the
     * vector twin of [[nearDupDedupSink]]: each micro-batch drops
     * vectors within `threshold` cosine of anything already admitted

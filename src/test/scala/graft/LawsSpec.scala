@@ -1799,6 +1799,47 @@ class LawsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("contaminatedSpans: quote excised, verbatim copy emptied, fresh doc untouched; flagged set == q_decontaminate's dropped set") {
+    import graft.sources.Tables
+    // crafted golden: the probe "benchmark" is one 12-token doc; doc 1
+    // quotes 6 of its tokens mid-text (loses exactly the quote +
+    // window-extent), doc 2 IS the benchmark verbatim (comes out
+    // empty), doc 3 is fresh (verbatim pass-through)
+    val bench = (1 to 12).map(i => s"k$i").mkString(" ")
+    val quote = (4 to 9).map(i => s"k$i").mkString(" ")
+    val probe = Seq((0L, bench)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"x$i").mkString(" ") + " " + quote + " " +
+        (11 to 20).map(i => s"x$i").mkString(" ")),
+      (2L, bench),
+      (3L, (1 to 20).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(corpus, probe, "doc_id", "text")
+      .orderBy("id")
+      .collect() // bounded: crafted 3-doc fixture
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // doc 1: the quote occupies positions 11..16; its 5-token windows
+    // (starts 11, 12) are probe windows, span [11, 16] — exactly the
+    // quoted run
+    assert(out.toSeq == Seq(
+      (1L, (1 to 10).map(i => s"x$i").mkString(" ") + " " +
+        (11 to 20).map(i => s"x$i").mkString(" "), 6L),
+      (2L, "", 12L),
+      (3L, (1 to 20).map(i => s"y$i").mkString(" "), 0L)))
+
+    // cross-id law on the real corpus: a doc loses tokens here iff the
+    // whole-doc gate drops it — both ids key on the same probe 5-grams
+    val flagged = Queries.q_decontaminate_spans(spark, sfDir)
+      .filter(col("n_removed") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val all = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 10).select("doc_id").as[Long].collect().toSet
+    val kept = Queries.q_decontaminate(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == (all diff kept),
+      s"surgical flags ${flagged.size} != whole-doc drops ${(all diff kept).size}")
+  }
+
   test("q_dp_sum: clipped-cents sum and md5-derandomized draw match a driver-side replay") {
     import graft.sources.Tables
     val got = Queries.q_dp_sum(spark, sfDir).collect()

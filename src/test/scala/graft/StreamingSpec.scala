@@ -1548,6 +1548,55 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("decontaminateSpanSink: quote excised and admitted, verbatim copy emptied and dropped, audit trail, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("decon_span_").toString
+    val probeDir = s"$base/probe"; val outDir = s"$base/out"
+    val auditDir = s"$base/audit"
+    val bench = (1 to 12).map(i => s"k$i").mkString(" ")
+    Seq((0L, bench)).toDF("doc_id", "text").write.parquet(probeDir)
+    val in = MemoryStream[(Long, String)]
+    def start(ck: String) = graft.sources.IO.decontaminateSpanSink(
+        in.toDF().toDF("doc_id", "text"), probeDir, outDir, auditDir, ck,
+        "doc_id", "text", n = 5)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test
+      .start()
+    def corpus: Map[Long, String] = spark.read.parquet(outDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def audit: Map[Long, (Long, Long, Boolean)] = spark.read.parquet(auditDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val fresh1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val fresh2 = (11 to 20).map(i => s"x$i").mkString(" ")
+    val quote = (4 to 9).map(i => s"k$i").mkString(" ")
+    val q = start(s"$base/ck1")
+    try {
+      // doc 10 quotes 6 benchmark tokens mid-text → admitted with the
+      // quote excised; doc 11 IS the benchmark → emptied, dropped;
+      // doc 12 is fresh → verbatim
+      in.addData(
+        (10L, s"$fresh1 $quote $fresh2"),
+        (11L, bench),
+        (12L, "fresh one two three four five"))
+      q.processAllAvailable()
+      assert(corpus == Map(
+        10L -> s"$fresh1 $fresh2",
+        12L -> "fresh one two three four five"), s"corpus: $corpus")
+      assert(audit == Map(
+        10L -> ((26L, 6L, false)),
+        11L -> ((12L, 12L, true))), s"audit: $audit")
+    } finally q.stop()
+    // replay from a fresh checkpoint: committed-batch markers → no
+    // double-append on either dir
+    val q2 = start(s"$base/ck2")
+    try {
+      in.addData((10L, s"$fresh1 $quote $fresh2"), (11L, bench))
+      q2.processAllAvailable()
+      assert(corpus.keySet == Set(10L, 12L), s"replayed corpus: $corpus")
+      assert(audit.keySet == Set(10L, 11L), s"replayed audit: $audit")
+    } finally q2.stop()
+  }
+
   test("winnowIngestSink: substring gate advances with admissions, flags carry best match, replay is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("winnow_sink_").toString
