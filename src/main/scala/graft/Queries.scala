@@ -955,6 +955,45 @@ object Queries {
           .as("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** q_sequence_pack — the GPT-style training-sequence packing census:
+    * the corpus is (conceptually) concatenated in doc_id order and cut
+    * into fixed 512-token training sequences; the census reports, per
+    * sequence, how many documents overlap it, how many START in it, and
+    * its token fill (512 everywhere but the tail). This is the
+    * data-prep question packing answers at 100 TB — how many sequences
+    * a corpus yields, and how badly document boundaries fragment them —
+    * and it needs exactly ONE global prefix sum, which
+    * [[graft.operators.Analytics.globalRunningSum]] computes scale-safe
+    * (range repartition + per-partition offsets — never a
+    * single-partition window over the corpus). Each doc then explodes
+    * to only its own span of sequences (tokens/512 rows — output-sized,
+    * bounded by corpus tokens), and the grand-total scalar rides in as
+    * a 1-row broadcast. All arithmetic is exact integers. The
+    * partition-LOCAL first-fit packer ([[graft.operators.Sampling.
+    * packSequences]], ⊘) remains the writer-side twin; this id is the
+    * ORACLE-CHECKED census of the canonical concat-and-chunk layout. */
+  val q_sequence_pack: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_toks"))
+    val cum = operators.Analytics.globalRunningSum(
+      toks, Seq(col("doc_id")), "n_toks", "cum")
+    val total = cum.agg(max("cum").as("total"))
+    cum.filter(col("n_toks") > 0)
+      .select(col("doc_id"),
+        expr("(cum - n_toks) div 512").as("first_c"),
+        expr("(cum - 1) div 512").as("last_c"))
+      .select(col("doc_id"), col("first_c"),
+        explode(sequence(col("first_c"), col("last_c"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_c") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_starts"))
+      .crossJoin(broadcast(total))
+      .select(col("seq_id"), col("n_docs"), col("n_starts"),
+        least(lit(512L), col("total") - col("seq_id") * 512L).as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** q_quality_score — length/stopword quality heuristics. */
   val q_quality_score: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1268,26 +1307,35 @@ object Queries {
       .orderBy(desc("cnt"), col("user_id"))
   }
 
-  /** q_heavy_hitters_approx — heavy hitters from a count-min sketch: the
-    * counting pass is ONE distributed sketch aggregation (partition-local
-    * sketches merged driver-side, O(1/eps·ln(1/δ)) memory — never
-    * data-scale), then candidate keys are scored by a broadcast
-    * estimate lookup. CMS only ever OVER-estimates, so the result is a
-    * superset of the exact [[q_heavy_hitters]] (pinned in ScalePathSpec)
-    * — the at-scale pattern when per-key exact counts don't fit.
-    * Oracle-exempt (sketch-seeded). */
+  /** q_heavy_hitters_approx — heavy hitters from a count-min sketch. The
+    * sketch is the md5-portable RELATIONAL form
+    * ([[graft.functions.Sketches.cmsCells]]): each event contributes one
+    * increment to [[graft.functions.Sketches.CmsDepth]] (row, cell)
+    * counters, built as ONE map-side-combinable groupBy — O(depth·width)
+    * = 32768 cells total, never data-scale — and candidate keys score by
+    * a BROADCAST join to that counter grid, min over the depth rows. CMS
+    * only ever OVER-estimates (collisions add), so the result is a
+    * superset of the exact [[q_heavy_hitters]] (pinned in ScalePathSpec
+    * / ExemptBoundsSpec) — the at-scale pattern when per-key exact
+    * counts don't fit. Hard-oracle since round 15 (converted from the
+    * exempt set): the double-hash cell family is exact integer
+    * arithmetic a DuckDB oracle replays bit-for-bit, the r12 minhash
+    * move. Same scale-invariant ≥ 1.2×-mean cut as the exact twin. */
   val q_heavy_hitters_approx: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    val cms = ev.stat.countMinSketch(col("user_id"), 0.0001, 0.99, 42)
-    val bc = s.sparkContext.broadcast(cms)
-    val est = udf { (u: Long) => bc.value.estimateCount(u) }
+    val incs = ev.select(
+      posexplode(Sketches.cmsCells(col("user_id").cast("string")))
+        .as(Seq("i", "cell")))
+    val counters = incs.groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    val keyCells = ev.select("user_id").distinct()
+      .select(col("user_id"),
+        posexplode(Sketches.cmsCells(col("user_id").cast("string")))
+          .as(Seq("i", "cell")))
+    val est = keyCells.join(broadcast(counters), Seq("i", "cell"))
+      .groupBy("user_id").agg(min("cnt").as("est_cnt"))
     val total = ev.agg(count(lit(1)).as("total"),
       countDistinct(col("user_id")).as("n_users"))
-    // same scale-invariant ≥ 1.2×-mean cut as the exact twin; CMS only
-    // over-estimates, so the result is a superset of q_heavy_hitters
-    ev.select("user_id").distinct()
-      .withColumn("est_cnt", est(col("user_id")))
-      .crossJoin(broadcast(total))
+    est.crossJoin(broadcast(total))
       .filter(col("est_cnt") * col("n_users") * 5 >= col("total") * 6)
       .select("user_id", "est_cnt")
       .orderBy(desc("est_cnt"), col("user_id"))
@@ -1423,11 +1471,15 @@ object Queries {
   }
 
   /** q_decontaminate_bloom — the zero-shuffle decontamination variant:
-    * probe shingles → broadcast Bloom filter → one narrow membership
-    * predicate over the corpus (no explode, no join, no corpus shuffle
-    * at all). False positives over-drop only (conservative for leak
-    * hygiene); subset-of-exact is pinned in ScalePathSpec.
-    * Oracle-exempt (Bloom hash-dependent). */
+    * probe shingles → broadcast md5-positional Bloom bit set → one
+    * narrow membership predicate over the corpus (no explode, no join,
+    * no corpus shuffle at all). False positives over-drop only
+    * (conservative for leak hygiene); subset-of-exact is pinned in
+    * ScalePathSpec / ExemptBoundsSpec. Hard-oracle since round 15
+    * (converted from the exempt set): the double-hash bit positions
+    * ([[graft.operators.Dedup.bloomKeepPredicate]]) are exact integer
+    * arithmetic the DuckDB oracle replays bit-for-bit — false positives
+    * included. */
   val q_decontaminate_bloom: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     Dedup.decontaminateBloom(docs.filter(col("doc_id") >= 10),
@@ -1754,6 +1806,54 @@ object Queries {
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_est"))
 
+  /** q_distinct_hll_portable — the md5-portable HyperLogLog twin of the
+    * exempt pair [[q_agg_approx_distinct]]/[[q_agg_distinct_hll]], on
+    * the HARD oracle (round 15): bucket = h mod 256 and rho =
+    * leading-zero rank of h div 256 come from the engine-portable
+    * [[graft.operators.Dedup.portableHash64]] (md5 double-hash mod
+    * 2^63), the per-bucket max folds through the SAME per-day
+    * partial → merged rollup shape as the Datasketches id — elementwise
+    * MAX commutes with union, so per-day partial sketches merged by a
+    * second max ARE the whole corpus's sketch, and the ORACLE computing
+    * the direct single-pass max proves that merge law on real data via
+    * the driver's hash compare — and the estimator fold is exact
+    * integer arithmetic (Σ 2^(56−rho) in Decimal(38,0) ==
+    * HUGEINT) up to one mirrored double division + the standard
+    * small-range linear-counting branch (`ln` — the q_dp_count
+    * precedent — fires below 2.5·m; the raw branch fires at sf0.1, so
+    * the SF ladder exercises both). m = 256 buckets → rsd ≈ 6.5%;
+    * FunctionsSpec pins the accuracy band vs exact distinct. */
+  val q_distinct_hll_portable: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val h63 = Dedup.portableHash64(concat(lit("hll:"), col("user_id").cast("string")))
+    ev.select(col("event_type"), to_date(col("ts")).as("day"), h63.as("h63"))
+      .select(col("event_type"), col("day"),
+        pmod(col("h63"), lit(256L)).as("bucket"),
+        shiftright(col("h63"), 8).as("v"))
+      // rho = 1 + leading zeros of the 55-bit field = 56 - bitlength(v);
+      // bin() has no leading zeros, so length(bin(v)) IS the bitlength
+      .withColumn("rho",
+        when(col("v") === 0L, lit(56))
+          .otherwise(lit(56) - length(bin(col("v")))))
+      .groupBy("event_type", "day", "bucket").agg(max("rho").as("rho_day"))
+      .groupBy("event_type", "bucket").agg(max("rho_day").as("rho"))
+      .groupBy("event_type").agg(
+        sum(expr("cast(shiftleft(1L, 56 - rho) as decimal(38,0))"))
+          .as("zsum"),
+        count(lit(1)).as("present"))
+      .withColumn("zeros", lit(256L) - col("present"))
+      .withColumn("zprime",
+        col("zsum") + col("zeros") * lit(72057594037927936L).cast("decimal(38,0)"))
+      .withColumn("eraw",
+        lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) *
+          lit(72057594037927936.0) / col("zprime").cast("double"))
+      .select(col("event_type"),
+        round(when(col("eraw") <= 640.0 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+          .otherwise(col("eraw")), 6).as("n_users_est"))
+      .orderBy("event_type")
+  }
+
   /** q_knn_join — batch k-nearest-neighbor join: every probe vector
     * (here vec_id < 20) gets its top-3 cosine neighbors from the full
     * corpus. The probe side broadcasts; the corpus is scanned ONCE with
@@ -2074,6 +2174,78 @@ object Queries {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(log(col("c").cast("double") / col("n_total")))
           / count(lit(1)), 6).as("mean_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** q_mix_drift — corpus-mix drift audit: per SOURCE, the KL
+    * divergence of that source's language distribution from the
+    * corpus-wide mix — the "who is flooding what" alarm a multi-source
+    * ingest pipeline needs before a skewed source silently rebalances
+    * the training mixture. Every input is an exact grouped count; the
+    * per-(source, lang) KL term p·ln(p/q) is the ONLY float step and is
+    * immediately pico-quantized (floor(term·1e12) — the q_ndcg
+    * discipline), so the per-source fold is exact integer addition in
+    * any order. Dimension relations (langs, sources, 1-row total)
+    * broadcast; the only data-scale pass is the (source, lang) count. */
+  val q_mix_drift: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bySrcLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    bySrcLang
+      .join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .withColumn("term_pico",
+        floor((col("n_sl").cast("double") / col("n_s")) *
+          log((col("n_sl").cast("double") / col("n_s")) /
+            (col("n_l").cast("double") / col("n_total"))) * lit(1e12))
+          .cast("long"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), sum("term_pico").as("kl_pico"))
+      .orderBy("source")
+  }
+
+  /** q_dsir_hashed — DSIR importance weights over HASHED features —
+    * the at-scale twin of the word-level [[q_dsir_weights]] (Xie et
+    * al. 2023 use hashed n-gram features for exactly this reason: the
+    * raw vocabulary is unbounded at 100 TB, while the hashed LM
+    * relation is FIXED at B rows, broadcast-able forever):
+    * hashed-unigram feature counts train a
+    * target LM (here lang='en' — the in-domain slice) and a raw LM over
+    * the whole corpus; each doc's weight is its token-wise
+    * log-likelihood ratio Σ ln(p_tgt(b)/p_raw(b)) under add-one
+    * smoothing over B = 4096 hashed buckets. The bucket hash is the
+    * engine-portable md5 family, the two LM relations are
+    * BUCKET-bounded (≤ 4096 rows → broadcast), and the per-bucket
+    * log-ratio is pico-quantized ONCE — so the per-doc fold is
+    * Σ n_occurrences·pico(b): exact integer multiply-add in any order,
+    * replayed bit-for-bit by the oracle. At 100 TB: two data-scale
+    * passes (bucket counts, doc scoring), each a narrow explode +
+    * keyed count, no data-scale join — the selection weights the
+    * importance-resampling stage then samples on are this relation. */
+  val q_dsir_hashed: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .withColumn("b",
+        pmod(Dedup.portableHash64(concat(lit("dsir:"), col("w"))), lit(4096L)))
+      .localCheckpoint(true)
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("n_r"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("n_t"))
+    val lm = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(raw.agg(sum("n_r").as("tot_r"))))
+      .crossJoin(broadcast(tgt.agg(sum("n_t").as("tot_t"))))
+      .select(col("b"),
+        floor((log((col("n_t") + 1).cast("double") / (col("tot_t") + 4096)) -
+          log((col("n_r") + 1).cast("double") / (col("tot_r") + 4096))) *
+          lit(1e12)).cast("long").as("ratio_pico"))
+    tok.join(broadcast(lm), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("ratio_pico").as("weight_pico"))
       .orderBy("doc_id")
   }
 
@@ -5417,6 +5589,7 @@ object Queries {
     "q_entropy" -> q_entropy,
     "q_pii_redact" -> q_pii_redact,
     "q_chunk_docs" -> q_chunk_docs,
+    "q_sequence_pack" -> q_sequence_pack,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,
@@ -5461,6 +5634,7 @@ object Queries {
     "q_window_rolling" -> q_window_rolling,
     "q_distinct_bitmap" -> q_distinct_bitmap,
     "q_agg_distinct_hll" -> q_agg_distinct_hll,
+    "q_distinct_hll_portable" -> q_distinct_hll_portable,
     "q_knn_join" -> q_knn_join,
     "q_markov_transitions" -> q_markov_transitions,
     "q_dedup_paragraph" -> q_dedup_paragraph,
@@ -5475,6 +5649,8 @@ object Queries {
     "q_topk_approx_sketch" -> q_topk_approx_sketch,
     "q_cogroup_timeline" -> q_cogroup_timeline,
     "q_lm_score" -> q_lm_score,
+    "q_mix_drift" -> q_mix_drift,
+    "q_dsir_hashed" -> q_dsir_hashed,
     "q_bigram_lm" -> q_bigram_lm,
     "q_winsorize" -> q_winsorize,
     "q_kfold" -> q_kfold,

@@ -359,6 +359,33 @@ object SparkEntry {
         |       CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mirrors q_sequence_pack: doc_id-ordered token prefix sum → each
+    // doc's [first, last] 512-token training-sequence span → per-sequence
+    // overlap/start census + tail fill; exact integer arithmetic
+    "q_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_toks,
+        |         sum(n_toks) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |), span AS (
+        |  SELECT doc_id, CAST((cum - n_toks) // 512 AS BIGINT) AS first_c,
+        |         CAST((cum - 1) // 512 AS BIGINT) AS last_c
+        |  FROM c WHERE n_toks > 0
+        |), ch AS (
+        |  SELECT doc_id, first_c, unnest(range(first_c, last_c + 1)) AS seq_id FROM span
+        |), tot AS (
+        |  SELECT max(cum) AS total FROM c
+        |)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN first_c = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |       CAST(least(512, total - seq_id * 512) AS BIGINT) AS n_tokens
+        |FROM ch, tot GROUP BY seq_id, total ORDER BY seq_id""".stripMargin,
     "q_quality_score" ->
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->
@@ -654,6 +681,31 @@ object SparkEntry {
         |     (SELECT count(*) AS total, count(DISTINCT user_id) AS n_users FROM events)
         |WHERE cnt * n_users * 5 >= total * 6
         |ORDER BY cnt DESC, user_id""".stripMargin,
+    // mirrors q_heavy_hitters_approx (Sketches.cmsCells): per-event
+    // depth×width counter increments via the Kirsch–Mitzenmacher cells
+    // (md5_upper + i·md5_lower) % 2^63 % 8192 — the minhash-family
+    // algebra — estimate = min over the 4 counter rows, same
+    // scale-invariant >= 1.2x-mean cut as the exact twin
+    "q_heavy_hitters_approx" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT user_id, md5_number_upper('cms:' || user_id)::HUGEINT AS a,
+        |         md5_number_lower('cms:' || user_id)::HUGEINT AS b
+        |  FROM events
+        |), cel AS MATERIALIZED (
+        |  SELECT user_id, i.i,
+        |         CAST(((a + i.i * b) % 9223372036854775808) % 8192 AS BIGINT) AS cell
+        |  FROM h, (SELECT unnest(range(0, 4)) AS i) i
+        |), counters AS (
+        |  SELECT i, cell, count(*) AS cnt FROM cel GROUP BY i, cell
+        |), keys AS (
+        |  SELECT DISTINCT user_id, i, cell FROM cel
+        |), est AS (
+        |  SELECT user_id, CAST(min(cnt) AS BIGINT) AS est_cnt
+        |  FROM keys JOIN counters USING (i, cell) GROUP BY user_id)
+        |SELECT user_id, est_cnt
+        |FROM est, (SELECT count(*) AS total, count(DISTINCT user_id) AS n_users FROM events)
+        |WHERE est_cnt * n_users * 5 >= total * 6
+        |ORDER BY est_cnt DESC, user_id""".stripMargin,
     "q_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
         |           FROM events GROUP BY event_type)
@@ -703,6 +755,40 @@ object SparkEntry {
         |), bad AS (
         |  SELECT DISTINCT doc_id FROM s
         |  WHERE doc_id >= 10 AND sh IN (SELECT sh FROM s WHERE doc_id < 10)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+    // mirrors q_decontaminate_bloom (Dedup.bloomKeepPredicate): the
+    // probe's distinct 5-gram shingles set k=7 double-hash bit positions
+    // (md5_upper + i·md5_lower) % 2^63 % m, m = 32·n_probe_shingles; a
+    // corpus doc is dropped iff ANY of its shingles finds all 7 positions
+    // set — the deterministic Bloom, false positives replayed exactly
+    "q_decontaminate_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] for i in range(1, len(toks) - 3)])) AS sh FROM t
+        |), probe AS MATERIALIZED (
+        |  SELECT DISTINCT sh FROM s WHERE doc_id < 10
+        |), mm AS (
+        |  SELECT 32 * greatest(count(*), 1) AS m FROM probe
+        |), bits AS MATERIALIZED (
+        |  SELECT DISTINCT ((md5_number_upper(sh)::HUGEINT + i.i * md5_number_lower(sh)::HUGEINT)
+        |                   % 9223372036854775808) % (SELECT m FROM mm) AS pos
+        |  FROM probe, (SELECT unnest(range(0, 7)) AS i) i
+        |), corp AS (
+        |  SELECT doc_id, sh,
+        |         md5_number_upper(sh)::HUGEINT AS a, md5_number_lower(sh)::HUGEINT AS b
+        |  FROM s WHERE doc_id >= 10
+        |), hits AS (
+        |  SELECT doc_id, sh, count(*) AS n_set
+        |  FROM corp, (SELECT unnest(range(0, 7)) AS i) i
+        |  WHERE ((a + i.i * b) % 9223372036854775808) % (SELECT m FROM mm)
+        |        IN (SELECT pos FROM bits)
+        |  GROUP BY doc_id, sh
+        |), bad AS (
+        |  SELECT DISTINCT doc_id FROM hits WHERE n_set = 7
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM bad)
@@ -893,6 +979,39 @@ object SparkEntry {
     // oracle is plain COUNT(DISTINCT): the bitmap path must be exact
     "q_distinct_bitmap" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type",
+    // mirrors q_distinct_hll_portable: md5-portable HLL (m=256) — the
+    // oracle folds the DIRECT per-bucket max where Spark merges per-day
+    // partials, so the hash match IS the sketch merge law; Σ 2^(56−rho)
+    // exact in HUGEINT, one mirrored double division, ln only in the
+    // linear-counting branch (the q_dp_count precedent)
+    "q_distinct_hll_portable" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         ((md5_number_upper('hll:' || user_id)::HUGEINT
+        |           + md5_number_lower('hll:' || user_id)::HUGEINT)
+        |          % 9223372036854775808) AS h63
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, CAST(h63 % 256 AS BIGINT) AS bucket,
+        |         max(CASE WHEN h63 // 256 = 0 THEN 56
+        |                  ELSE 56 - length(bin(CAST(h63 // 256 AS BIGINT))) END) AS rho
+        |  FROM h GROUP BY event_type, bucket
+        |), z AS (
+        |  SELECT event_type,
+        |         sum(CAST(1 AS HUGEINT) << (56 - rho))
+        |           + (256 - count(*)) * (CAST(1 AS HUGEINT) << 56) AS zprime,
+        |         256 - count(*) AS zeros
+        |  FROM r GROUP BY event_type
+        |), e AS (
+        |  SELECT event_type, zeros,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 72057594037927936.0
+        |           / CAST(zprime AS DOUBLE) AS eraw
+        |  FROM z
+        |)
+        |SELECT event_type,
+        |       round(CASE WHEN eraw <= 640.0 AND zeros > 0
+        |                  THEN 256.0 * ln(256.0 / zeros) ELSE eraw END, 6) AS n_users_est
+        |FROM e ORDER BY event_type""".stripMargin,
     "q_markov_transitions" ->
       """WITH t AS (SELECT event_type AS from_state,
         |            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
@@ -1154,6 +1273,49 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |       round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 6) AS mean_logp
         |FROM toks JOIN vocab USING (tok) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_mix_drift: per-(source, lang) KL term p·ln(p/q)
+    // pico-quantized per TERM (floor(term·1e12)), so the per-source
+    // fold is exact integer addition in any order
+    "q_mix_drift" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |t AS (
+        |  SELECT sl.source, n_s,
+        |         CAST(floor((CAST(n_sl AS DOUBLE) / n_s) *
+        |              ln((CAST(n_sl AS DOUBLE) / n_s) /
+        |                 (CAST(n_l AS DOUBLE) / n_total)) * 1e12) AS BIGINT) AS term_pico
+        |  FROM sl JOIN s USING (source) JOIN l USING (lang) CROSS JOIN n)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |       CAST(sum(term_pico) AS BIGINT) AS kl_pico
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // mirrors q_dsir_hashed: md5-hashed unigram buckets (mod 4096),
+    // add-one-smoothed target/raw LMs, per-BUCKET log-ratio
+    // pico-quantized once, per-doc fold = exact integer multiply-add
+    "q_dsir_hashed" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         ((md5_number_upper('dsir:' || w)::HUGEINT
+        |           + md5_number_lower('dsir:' || w)::HUGEINT)
+        |          % 9223372036854775808) % 4096 AS b
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, count(*) AS n_r FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY b),
+        |tots AS (SELECT (SELECT sum(n_r) FROM raw) AS tot_r,
+        |                (SELECT sum(n_t) FROM tgt) AS tot_t),
+        |lm AS (
+        |  SELECT raw.b,
+        |         CAST(floor((ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + 4096)) -
+        |                     ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + 4096))) * 1e12) AS BIGINT)
+        |           AS ratio_pico
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(ratio_pico) AS BIGINT) AS weight_pico
+        |FROM toks JOIN lm USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // relational twin of the typed-cogroup merge: UNION ALL the two
     // shapes, then aggregate in the IDENTICAL (ms, tag, id) order

@@ -69,4 +69,32 @@ object Sketches {
       zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, m) => acc + m
     ).cast("double") / size(a).cast("double")
+
+  /** Engine-portable count-min sketch geometry: depth×width counter
+    * grid. Width 8192 gives a one-sided error bound of eps = e/8192 ≈
+    * 3.3e-4 of the stream length per counter row; depth 4 puts the
+    * miss probability at e^-4 ≈ 1.8%. The whole sketch is
+    * `CmsDepth · CmsWidth` = 32768 (row, cell) counter cells — a
+    * broadcast-sized RELATION at any stream length, which is the point:
+    * built as one map-side-combinable groupBy instead of a driver-merged
+    * opaque sketch object, so the counting pass scales exactly like any
+    * keyed count and the counters join back broadcast. */
+  val CmsDepth = 4
+  val CmsWidth = 8192L
+
+  /** The [[CmsDepth]] cell indices of a key — the Kirsch–Mitzenmacher
+    * double-hash family `(a + i·b) mod 2^63 mod width` over the key's
+    * md5 halves ([[graft.functions.Text.md5Pair64]]): the same algebra
+    * as the MinHash family ([[graft.operators.Dedup.hashSeeded]]), so a
+    * DuckDB oracle replays every cell bit-for-bit via
+    * `(md5_number_upper ± i·md5_number_lower) % 9223372036854775808 %
+    * width` — what moved q_heavy_hitters_approx onto the hard oracle
+    * (round 15). Wrapped Long arithmetic masked to 63 bits IS the exact
+    * mod (2^63 divides 2^64), and 8192 divides 2^63, so the double mod
+    * collapses identically on both engines. */
+  val cmsCells: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (key: String) =>
+      val (a, b) = Text.md5Pair64("cms:" + key)
+      Array.tabulate(CmsDepth)(i => ((a + i * b) & Long.MaxValue) % CmsWidth)
+    }
 }

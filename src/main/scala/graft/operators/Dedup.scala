@@ -737,43 +737,81 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /** Bloom geometry shared by the Spark predicate and the DuckDB oracle:
+    * k hash functions, `BloomBitsPerKey` bits per probe shingle — with
+    * k = 7 and 32 bits/key the false-positive probability per corpus
+    * shingle is (1 − e^(−7/32))^7 ≈ 8.6e-6, well inside the
+    * conservative over-drop budget the old fpp=1e-3 filter carried.
+    * Both are small integers so the filter SIZE m = 32·n is pure
+    * integer arithmetic an oracle recomputes exactly — no float sizing
+    * formula to diverge on. */
+  val BloomK = 7
+  val BloomBitsPerKey = 32L
+
   /** Zero-shuffle decontamination — the same hygiene pass as
     * [[decontaminate]] with the corpus-side inverted index replaced by a
     * broadcast Bloom filter: probe shingles (benchmark-sized, bounded)
-    * build a Bloom filter driver-side, and the corpus is filtered by ONE
+    * build the bit set driver-side, and the corpus is filtered by ONE
     * narrow per-doc membership test — no explode, no join, no shuffle of
     * anything at any scale; the whole corpus pass is a predicate on the
     * scan. Bloom false positives can only OVER-drop (a clean doc flagged
-    * contaminated with probability ≤ `fpp` per shingle) — the
-    * conservative direction for eval-leak hygiene; the result is a
-    * subset of [[decontaminate]]'s output (pinned in ScalePathSpec). */
+    * contaminated only when all [[BloomK]] of one of its shingles'
+    * positions collide) — the conservative direction for eval-leak
+    * hygiene; the result is a subset of [[decontaminate]]'s output
+    * (pinned in ScalePathSpec / ExemptBoundsSpec). Hard-oracle since
+    * round 15 (converted from the exempt set): the bit positions are the
+    * Kirsch–Mitzenmacher double-hash family `(md5_upper + i·md5_lower)
+    * mod 2^63 mod m` — exact integer arithmetic a DuckDB oracle replays
+    * bit-for-bit, INCLUDING the false positives (the r12 minhash move:
+    * a deterministic sketch is just another relation). */
   def decontaminateBloom(docs: DataFrame, probe: DataFrame, idCol: String,
-                         textCol: String, n: Int = 5,
-                         fpp: Double = 0.001): DataFrame =
-    docs.filter(bloomKeepPredicate(probe, textCol, n, fpp))
+                         textCol: String, n: Int = 5): DataFrame =
+    docs.filter(bloomKeepPredicate(probe, textCol, n))
 
   /** The KEEP predicate behind [[decontaminateBloom]], exposed as a
     * bare `Column` so composed pipelines
     * ([[CorpusBuild.buildCorpus]]) can wrap it in
     * [[Analytics.observedFilter]] — per-stage row accounting collected
     * on the SAME pass as the filter, no extra scan. Building the
-    * predicate runs the probe-side actions (distinct-shingle count +
-    * Bloom construction — benchmark-sized); evaluating it is the same
-    * narrow zero-shuffle membership test. */
-  def bloomKeepPredicate(probe: DataFrame, textCol: String, n: Int = 5,
-                         fpp: Double = 0.001): org.apache.spark.sql.Column = {
+    * predicate runs the probe-side action (bounded collect of the
+    * DISTINCT probe shingles — benchmark-sized, the same boundedness
+    * argument as `decontaminate`'s broadcast side); evaluating it is the
+    * same narrow zero-shuffle membership test. The bit set is a packed
+    * Array[Long] of m = [[BloomBitsPerKey]]·n bits = 4·n BYTES — a 100M-
+    * shingle benchmark suite broadcasts as 400 MB of bits, the same
+    * order as the Bloom object it replaced. */
+  def bloomKeepPredicate(probe: DataFrame, textCol: String,
+                         n: Int = 5): org.apache.spark.sql.Column = {
     val probeSh = probe
       .select(explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .distinct()
-    // expectedNumItems is the probe's own distinct-shingle count — a
-    // benchmark-sized scalar, same boundedness argument as the broadcast
-    // in `decontaminate`
-    val nShingles = math.max(probeSh.count(), 1L)
-    val bloom = probeSh.stat.bloomFilter("sh_str", nShingles, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
+    // bounded: benchmark-suite distinct shingles (probe side, never the corpus)
+    val shingles = probeSh.collect().map(_.getString(0))
+    val m = BloomBitsPerKey * math.max(shingles.length, 1).toLong
+    val words = new Array[Long](((m + 63) / 64).toInt)
+    shingles.foreach { s =>
+      val (a, b) = Text.md5Pair64(s)
+      var i = 0
+      while (i < BloomK) {
+        val pos = ((a + i * b) & Long.MaxValue) % m
+        words((pos >>> 6).toInt) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    val bc = probe.sparkSession.sparkContext.broadcast(words)
     val shingle = shingleSet(n)
     val hasLeak = udf { (shs: Seq[String]) =>
-      shs != null && shs.exists(bc.value.mightContain)
+      shs != null && shs.exists { s =>
+        val (a, b) = Text.md5Pair64(s)
+        var i = 0
+        var all = true
+        while (all && i < BloomK) {
+          val pos = ((a + i * b) & Long.MaxValue) % m
+          all = (bc.value((pos >>> 6).toInt) & (1L << (pos & 63))) != 0
+          i += 1
+        }
+        all
+      }
     }
     !hasLeak(shingle(Text.tokens(col(textCol))))
   }

@@ -95,11 +95,20 @@ class ExemptLaneSpec extends SparkSpec {
     // vectors — candidate selection is exact integer arithmetic the
     // oracle replays bit-for-bit, re-rank is the oracle-green
     // q_similarity_topk 12-dp cosine discipline), shrinking the set to
-    // 10. Widen
+    // 10, and then CONVERTED the two remaining non-float sketches:
+    // q_heavy_hitters_approx (the count-min sketch re-expressed as its
+    // md5-portable RELATIONAL form — Sketches.cmsCells double-hash
+    // cells, depth×width counter groupBy, broadcast min-join: exact
+    // integer arithmetic end to end) and q_decontaminate_bloom (the
+    // Bloom filter as md5-positional bits, k=7 Kirsch–Mitzenmacher
+    // positions over m = 32·n_probe_shingles — the oracle replays the
+    // bit set INCLUDING false positives), shrinking the set to 8:
+    // every remaining exemption is float-arithmetic by construction
+    // (HLL/GK probability estimates, embedding ANN). Widen
     // this number deliberately (with a new golden law), never by
     // accident
     assert(exemptIds.nonEmpty, "no exempt ids derived — contract drift")
-    assert(exemptIds.size <= 10,
+    assert(exemptIds.size <= 8,
       s"exempt set grew to ${exemptIds.size} — each new exempt id needs " +
         s"its own law spec, not just this lane: $exemptIds")
   }

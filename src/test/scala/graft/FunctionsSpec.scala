@@ -894,6 +894,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("q_distinct_hll_portable: accuracy band vs exact; both estimator branches exercised") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // m = 256 → rsd = 1.04/√256 = 6.5%; 3x band = 19.5% — generous
+    // enough that only a broken register fold (wrong rho, saturated
+    // bucket arithmetic) lands outside, while the estimator's own noise
+    // stays far inside. The merge law (per-day partial maxes merged ==
+    // direct max) needs no spec: the ORACLE computes the direct form,
+    // so the driver's hash compare proves it at every SF. The SF ladder
+    // must exercise BOTH branches: sf0.01 (150 users/type) is below the
+    // 2.5m = 640 linear-counting threshold, sf0.1 (1500) is above —
+    // measured 2026-08-16: 142.01 vs 150 (5.3%), 1601.09 vs 1500 (6.7%).
+    val bands = for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) yield {
+      val est = Queries.q_distinct_hll_portable(spark, dir)
+        .as[(String, Double)].collect().toMap
+      val exact = graft.sources.Tables.events(spark, dir)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(est.keySet == exact.keySet, s"group sets must agree ($dir)")
+      exact.foreach { case (g, n) =>
+        val relErr = math.abs(est(g) - n) / n
+        assert(relErr <= 0.195,
+          s"$g ($dir): portable-HLL estimate ${est(g)} vs exact $n — relErr $relErr")
+      }
+      est.values.max
+    }
+    // branch coverage: sf0.01 estimates sit in linear-counting range
+    // (< 640), sf0.1 in the raw-HLL range (> 640)
+    assert(bands.head < 640.0 && bands.last > 640.0,
+      s"SF ladder no longer exercises both estimator branches: $bands")
+  }
+
   test("q_distinct_bitmap: bitmap two-level path equals the exact distinct") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val viaBitmap = Queries.q_distinct_bitmap(spark, sfDir)

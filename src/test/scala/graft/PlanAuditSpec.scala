@@ -77,6 +77,12 @@ class PlanAuditSpec extends SparkSpec {
         "q_rfm",
         // q_basket_affinity: 1-row order-count broadcast
         "q_basket_affinity",
+        // q_sequence_pack: 1-row grand-total-tokens broadcast
+        "q_sequence_pack",
+        // q_mix_drift: 1-row corpus-total broadcast
+        "q_mix_drift",
+        // q_dsir_hashed: 1-row LM-total broadcasts (tot_r, tot_t)
+        "q_dsir_hashed",
         // q_rolling_active: date-dimension broadcast (≤ days-elapsed
         // rows) into the bounded trailing-window fan-out join
         "q_rolling_active",
@@ -346,7 +352,7 @@ class PlanAuditSpec extends SparkSpec {
     // counts only the <= K source lists.
     val expected = Map(
       "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
-      "Dedup.scala" -> 12,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets)
+      "Dedup.scala" -> 13,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets), bloom probe shingles (benchmark-sized, r15)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
       "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub

@@ -434,13 +434,14 @@ class ScalePathSpec extends SparkSpec {
     // Bloom FPs may only over-drop: the clean set is a subset of exact's
     assert(bloom.subsetOf(exact), s"bloom must never keep a leaked doc: $bloom")
     assert(!bloom.contains(12L))
-    // at fpp=0.001 on this tiny corpus the outputs coincide (pinned —
-    // a change here means the hash family or fpp math moved)
+    // at the k=7 / 32-bits-per-key geometry on this tiny corpus the
+    // outputs coincide (pinned — a change here means the md5 double-hash
+    // family or the sizing arithmetic moved)
     assert(bloom == exact)
   }
 
   test("q_heavy_hitters_approx: superset of exact heavy hitters, estimates >= truth") {
-    // two fixtures — the CMS width (eps=1e-4) must keep the superset law
+    // two fixtures — the CMS width (8192, eps=e/8192) must keep the superset law
     // and over-estimation bound as key cardinality grows past the toy SF
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val exact = Queries.q_heavy_hitters(spark, dir)
