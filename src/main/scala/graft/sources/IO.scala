@@ -1120,6 +1120,67 @@ object IO {
     } finally graft.operators.Checkpoints.drop(doomed)
   }
 
+  /** Snapshot schema of the [[mixDriftAuditSink]] store: one language-
+    * mix drift row per finalized (window, source) plus changelog
+    * bookkeeping. */
+  val MixDriftAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("wkey", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kl_pico", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live MIX-DRIFT monitor — the SIXTH corpus-audit monitor
+    * (contamination, boilerplate, novelty, TTR, exact-dup rate,
+    * language-mix drift): finalized
+    * [[graft.streaming.Jobs.windowedLangCounts]] micro-batches fold
+    * through [[graft.streaming.Jobs.mixDriftPerWindow]] against the
+    * BASELINE language marginal persisted at `baselineDir` ((lang, n_l,
+    * n_total) — the trained corpus's mix), upserting one (window,
+    * source) KL row into the versioned metrics store via the
+    * synthesized `wkey` (the noveltyBySourceAuditSink key convention).
+    * The baseline is RE-READ per micro-batch (the decontaminateSpanSink
+    * probe convention): retraining the reference mix tightens the
+    * monitor without a restart. No index of its own — the monitor is
+    * stateless beyond the metrics store, the cheapest of the six
+    * (dimension-sized state, no text read).
+    *
+    * Replay semantics: committed batches replay as marker no-ops; a
+    * torn batch (no index append exists to tear) re-derives identical
+    * rows because the fold is a pure function of (batch, baseline). */
+  def mixDriftAuditSink(hist: DataFrame, baselineDir: String,
+                        baseDir: String, checkpointDir: String,
+                        retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val baseline = spark.read.parquet(baselineDir)
+                .select("lang", "n_l", "n_total")
+              val metrics = graft.streaming.Jobs
+                .mixDriftPerWindow(pinned, baseline)
+                .withColumn("wkey", concat(
+                  (col("window_start").cast("double") * 1000).cast("long")
+                    .cast("string"), lit("|"), col("source")))
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "wkey",
+                MixDriftAuditSchema, retain)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** RETENTION verb for the [[windowedMetricsStoreSink]] store: tombstone
     * every live window strictly older than `cutoff` — the TTL policy a
     * metrics store needs once windows stop being queried (the

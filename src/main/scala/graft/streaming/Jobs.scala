@@ -571,4 +571,59 @@ object Jobs {
         graft.operators.Analytics.halfUpPpm(col("n_dup"), col("n_docs")))
       .select("window_start", "n_docs", "n_dup", "dup_ppm")
   }
+
+  /** Per-(window, source, lang) doc counts — the raw relation of the
+    * live MIX-DRIFT monitor (the SIXTH corpus-audit monitor beside
+    * contamination, boilerplate, novelty, TTR and exact-dup rate): one
+    * finalized row per (window, source, lang) with its doc count. State
+    * is (open windows × sources × langs)-bounded — DIMENSION-sized, the
+    * smallest state of any monitor; no text is even read. Append mode;
+    * feed finalized micro-batches to [[mixDriftPerWindow]]. */
+  def windowedLangCounts(docs: DataFrame, tsCol: String, sourceCol: String,
+                         langCol: String, windowDur: String,
+                         watermarkDelay: String): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(sourceCol).as("source"), col(langCol).as("lang"))
+      .groupBy(window(col(tsCol), windowDur), col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sl"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("lang"), col("n_sl"))
+
+  /** Per-(window, source) language-mix DRIFT over a FINALIZED
+    * [[windowedLangCounts]] micro-batch — the live twin of the batch
+    * `q_mix_drift` id: KL(p_window,source ‖ baseline) where `baseline`
+    * is the REFERENCE language marginal the monitor guards — (lang,
+    * n_l, n_total) longs, e.g. the trained corpus's mix (this is the
+    * drift-monitor semantic: a FIXED reference, where the batch id
+    * compares against the same corpus's own marginal — pass the
+    * window's own marginal to recover the batch id exactly, the parity
+    * law). The per-(window, source, lang) KL term is the batch id's
+    * LITERAL float expression, pico-quantized per term, so the
+    * per-(window, source) fold is exact integer addition — parity by
+    * construction, the q_auc convention. A source whose per-window KL
+    * jumps is flooding one language (a broken lang-ID upstream, a
+    * crawler stuck in one wiki) — caught as the window closes, and the
+    * mixture planner cuts its weight before the skew trains in.
+    *
+    * Langs OUTSIDE the baseline support are excluded from the fold
+    * (q = 0 makes KL undefined); an unseen language arriving is its own
+    * alarm — surface it by diffing the relation's lang set against the
+    * baseline's, not by folding an infinity. */
+  def mixDriftPerWindow(batch: DataFrame, baseline: DataFrame): DataFrame = {
+    // dimension-sized micro-batch relation, read twice (the n_s fold and
+    // the term fold) — pinned like boilerplateMassPerWindow's
+    val p = batch.localCheckpoint(true)
+    val ns = p.groupBy("window_start", "source")
+      .agg(sum(col("n_sl")).as("n_s"))
+    p.join(ns, Seq("window_start", "source"))
+      .join(broadcast(baseline), Seq("lang"))
+      .withColumn("term_pico",
+        floor((col("n_sl").cast("double") / col("n_s")) *
+          log((col("n_sl").cast("double") / col("n_s")) /
+            (col("n_l").cast("double") / col("n_total"))) * lit(1e12))
+          .cast("long"))
+      .groupBy("window_start", "source")
+      .agg(max(col("n_s")).as("n_docs"), sum(col("term_pico")).as("kl_pico"))
+      .select("window_start", "source", "n_docs", "kl_pico")
+  }
 }

@@ -1853,6 +1853,64 @@ class StreamingSpec extends SparkSpec {
       Map("2024-01-01 10:00:00.0" -> ((12L, 1L, 83333L))))
   }
 
+  test("windowedLangCounts + mixDriftPerWindow: parity with q_mix_drift; live flood alarm") {
+    // PARITY LAW (the noveltyBySourcePerWindow convention): the fold
+    // over the REAL documents table — one window, baseline = the
+    // table's own language marginal — must reproduce the registered
+    // batch id's (source, n_docs, kl_pico) rows exactly: the KL term is
+    // the literal same float expression, pico-quantized per term.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val w0 = ts("2024-01-01 10:00:00")
+    val rel = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_sl"))
+      .select(lit(w0).as("window_start"), col("source"), col("lang"),
+        col("n_sl"))
+    val baseline = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_total")))
+    val live = graft.streaming.Jobs.mixDriftPerWindow(rel, baseline)
+      .select("source", "n_docs", "kl_pico")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = Queries.q_mix_drift(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(live == batch,
+      s"streaming mix-drift fold diverged from q_mix_drift: ${live -- batch}")
+
+    // LIVE GOLDEN: a balanced window reads near-zero drift, a one-lang
+    // flood window reads large positive drift — per source, finalized
+    // once on watermark advance
+    val in = MemoryStream[(Timestamp, String, String)]
+    val winRel = graft.streaming.Jobs.windowedLangCounts(
+      in.toDF().toDF("ts", "source", "lang"),
+      "ts", "source", "lang", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = winRel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // w1: srcA mirrors the 50/50 baseline; w2: srcA floods 'en'
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "srcA", "en"),
+        (ts("2024-01-01 10:02:00"), "srcA", "de"),
+        (ts("2024-01-01 10:21:00"), "srcA", "en"),
+        (ts("2024-01-01 10:22:00"), "srcA", "en"),
+        (ts("2024-01-01 10:23:00"), "srcA", "en"),
+        (ts("2024-01-01 10:24:00"), "srcA", "en"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:41:00"), "push", "en"))
+      q.processAllAvailable()
+      val base2 = Seq(("en", 5L, 10L), ("de", 5L, 10L))
+        .toDF("lang", "n_l", "n_total")
+      val out = graft.streaming.Jobs
+        .mixDriftPerWindow(spark.table(name), base2)
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      // w1: p == q exactly → every term ln(1) = 0 → kl_pico = 0
+      assert(out("2024-01-01 10:00:00.0") == ((2L, 0L)), s"balanced: $out")
+      // w2: all-en flood → KL = 1.0·ln(1.0/0.5) = ln 2 → 693147180559
+      assert(out("2024-01-01 10:20:00.0") == ((4L, 693147180559L)),
+        s"flood: $out")
+    } finally q.stop()
+  }
+
   test("windowedTokenCounts + ttrPerWindow: streaming TTR equals the batch fold") {
     val in = MemoryStream[(Timestamp, String)]
     val rel = graft.streaming.Jobs.windowedTokenCounts(
@@ -2028,6 +2086,58 @@ class StreamingSpec extends SparkSpec {
     assert((whoRollup.getLong(1), whoRollup.getLong(2)) ==
       ((whenRow.getLong(1), whenRow.getLong(2))),
       s"rollup: who=$whoRollup when=$whenRow")
+  }
+
+  test("mixDriftAuditSink: per-(window, source) KL vs the persisted baseline; replay is a no-op") {
+    val in = MemoryStream[(Timestamp, String, String)]
+    val hist = graft.streaming.Jobs.windowedLangCounts(
+      in.toDF().toDF("ts", "source", "lang"),
+      "ts", "source", "lang", "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("mixdrift_").toString
+    val base = s"$root/store"; val blDir = s"$root/baseline"
+    // the guarded reference mix: 50/50 en/de
+    Seq(("en", 5L, 10L), ("de", 5L, 10L)).toDF("lang", "n_l", "n_total")
+      .write.parquet(blDir)
+    def start(ck: String) = graft.sources.IO
+      .mixDriftAuditSink(hist, blDir, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[(String, String), (Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last, graft.sources.IO.MixDriftAuditSchema))
+        .collect().map(r => (r.getTimestamp(1).toString, r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("mixdrift_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1: srcA mirrors the baseline exactly (KL = 0); w2: srcA floods
+      // 'en' (KL = ln 2 → 693147180559 pico — the mixDriftPerWindow golden)
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "srcA", "en"),
+        (ts("2024-01-01 10:02:00"), "srcA", "de"),
+        (ts("2024-01-01 10:21:00"), "srcA", "en"),
+        (ts("2024-01-01 10:22:00"), "srcA", "en"),
+        (ts("2024-01-01 10:23:00"), "srcA", "en"),
+        (ts("2024-01-01 10:24:00"), "srcA", "en"),
+        (ts("2024-01-01 10:41:00"), "srcA", "en"))
+      q1.processAllAvailable()
+      assert(live == Map(
+        ("2024-01-01 10:00:00.0", "srcA") -> ((2L, 0L)),
+        ("2024-01-01 10:20:00.0", "srcA") -> ((4L, 693147180559L))),
+        s"round 1: $live")
+    } finally q1.stop()
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // store versions (the metrics-store upsert law)
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("mixdrift_ck2_").toString
+    val q2 = start(ck2)
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), "srcA", "en"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(versions == vBefore,
+      s"replayed batches must be marker no-ops: $vBefore -> $versions")
   }
 
   test("noveltyBySourceAuditSink: source attribution across windows, " +
