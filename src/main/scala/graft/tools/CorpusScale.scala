@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   * stage's work only becomes visible when whole-doc dedup is looser. */
 object CorpusScale {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("pack")) { packProbe(args.drop(1)); return }
+    if (args.headOption.contains("dsir")) { dsirProbe(args.drop(1)); return }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val withWinnow = args.length > 1 && args.contains("winnow")
     val withSpans = args.length > 1 && args.contains("spans")
@@ -47,6 +49,114 @@ object CorpusScale {
       spanRemovalWindowLen = if (withSpans) Some(8) else None)
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
+    spark.stop()
+  }
+
+  private def synthSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** Deterministic synthetic corpus for the pack/dsir probes: doc i has
+    * 20 + (i mod 120) LCG-picked words from a 5k vocabulary (mean ≈ 79.5
+    * tokens/doc — the documents fixture's scale), lang cycling over 5
+    * values so the dsir target slice is ~20% of tokens. */
+  private def synthDocs(spark: SparkSession, nDocs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).mapPartitions { it =>
+      val langs = Array("en", "de", "fr", "es", "zh")
+      it.map { id =>
+        var x = id * 6364136223846793005L + 1442695040888963407L
+        def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+        val n = 20 + (id % 120L).toInt
+        val sb = new StringBuilder
+        var i = 0
+        while (i < n) {
+          if (i > 0) sb.append(' ')
+          sb.append('w').append(math.floorMod(nxt(), 5000L))
+          i += 1
+        }
+        (id, langs((id % 5L).toInt), sb.toString)
+      }
+    }.toDF("doc_id", "lang", "text")
+  }
+
+  /** Measures the q_sequence_pack plan at synthetic scale: ONE
+    * scale-safe global prefix sum (`Analytics.globalRunningSum` — range
+    * repartition + per-partition offsets, never a single-partition
+    * window) over nDocs token counts, then the per-sequence census.
+    * Usage: runMain graft.tools.CorpusScale pack [nDocs] */
+  private def packProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = synthSession()
+    val docs = synthDocs(spark, nDocs).localCheckpoint(true) // exclude gen cost
+    val t0 = System.nanoTime()
+    val toks = docs.select(col("doc_id"),
+      graft.functions.Text.tokenCount(col("text")).as("n_toks"))
+    val cum = graft.operators.Analytics.globalRunningSum(
+      toks, Seq(col("doc_id")), "n_toks", "cum")
+    val total = cum.agg(max("cum").as("total"))
+    val census = cum.filter(col("n_toks") > 0)
+      .select(col("doc_id"),
+        expr("(cum - n_toks) div 512").as("first_c"),
+        expr("(cum - 1) div 512").as("last_c"))
+      .select(col("first_c"),
+        explode(sequence(col("first_c"), col("last_c"))).as("seq_id"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_c") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_starts"))
+      .crossJoin(broadcast(total))
+    val agg = census.agg(count(lit(1)).as("n_seqs"),
+      sum("n_docs").as("overlap_rows"), max("total").as("n_tokens"))
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"sequence_pack","n_docs":$nDocs,"n_tokens":${agg.getLong(2)},"n_seqs":${agg.getLong(0)},"overlap_rows":${agg.getLong(1)},"pack_sec":${math.round(sec * 10) / 10.0}}""")
+    spark.stop()
+  }
+
+  /** Measures the q_dsir_hashed plan at synthetic scale: two data
+    * passes (hashed-bucket LM counts; per-doc integer fold against the
+    * broadcast 4096-row LM), target = lang 'en' (~20% of tokens).
+    * Usage: runMain graft.tools.CorpusScale dsir [nDocs] */
+  private def dsirProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = synthSession()
+    val docs = synthDocs(spark, nDocs).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .withColumn("b", pmod(
+        graft.operators.Dedup.portableHash64(concat(lit("dsir:"), col("w"))),
+        lit(4096L)))
+      .localCheckpoint(true)
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("n_r"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("n_t"))
+    val lm = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(raw.agg(sum("n_r").as("tot_r"))))
+      .crossJoin(broadcast(tgt.agg(sum("n_t").as("tot_t"))))
+      .select(col("b"),
+        floor((log((col("n_t") + 1).cast("double") / (col("tot_t") + 4096)) -
+          log((col("n_r") + 1).cast("double") / (col("tot_r") + 4096))) *
+          lit(1e12)).cast("long").as("ratio_pico"))
+    val w = tok.join(broadcast(lm), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("ratio_pico").as("weight_pico"))
+    val agg = w.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_toks"))
+      .collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"dsir_hashed","n_docs":${agg.getLong(0)},"n_tokens":${agg.getLong(1)},"dsir_sec":${math.round(sec * 10) / 10.0}}""")
     spark.stop()
   }
 }
