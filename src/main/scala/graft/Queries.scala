@@ -1882,6 +1882,65 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** q_hard_negatives — hard-negative mining for contrastive/retrieval
+    * training (the DPR/Contriever data-prep pass): for each probe
+    * vector, the top-3 most-similar corpus vectors with a DIFFERENT
+    * label — similar-but-wrong examples, the gradient signal random
+    * negatives can't provide. The SAME broadcast-probe × ONE-corpus-scan
+    * shape as [[q_knn_join]] (codegen'd cosine, bounded-heap
+    * [[graft.functions.TopKAggregator]] — O(k) state per probe, the
+    * corpus never shuffles); the label exclusion is ONE narrow predicate
+    * on the scan, so mining cost is identical to plain KNN at any scale
+    * — this is the per-epoch mining pass a contrastive trainer runs
+    * over a 100 TB corpus. */
+  val q_hard_negatives: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
+      .groupBy("query_id")
+      .agg(topk(col("cos"), col("vec_id")).as("ids"))
+      .select(col("query_id"),
+        posexplode(col("ids")).as(Seq("pos", "negative_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rn"),
+        col("negative_id"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** q_triplet_margin — the embedding-quality census behind
+    * [[q_hard_negatives]]: per probe, the best SAME-label cosine
+    * (excluding self), the best DIFFERENT-label cosine, and their
+    * margin — the triplet-loss geometry of the dataset before training
+    * starts (a probe whose margin is negative is harder than any miner
+    * can fix; a corpus of huge margins needs no hard negatives at all).
+    * One corpus scan, two conditional maxes — the q_knn_join broadcast
+    * shape with the heap replaced by plain aggregates; maxes fold over
+    * 12-dp ROUNDED cosines, so max and subtraction are exact on both
+    * engines. */
+  val q_triplet_margin: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("q_label"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
+      .groupBy("query_id")
+      .agg(max(when(col("label") === col("q_label"), col("cos")))
+          .as("best_pos"),
+        max(when(col("label") =!= col("q_label"), col("cos")))
+          .as("best_neg"))
+      .select(col("query_id"), col("best_pos"), col("best_neg"),
+        round(col("best_pos") - col("best_neg"), 12).as("margin"))
+      .orderBy("query_id")
+  }
+
   /** q_knn_join_pq — the 100 TB twin of [[q_knn_join]]: the same batch
     * probes × corpus top-3, but scored over PQ CODES (8 bytes/vector,
     * a 32× scan-size cut) via [[operators.Similarity.pqTopKBatch]] —
@@ -2246,6 +2305,28 @@ object Queries {
     tok.join(broadcast(lm), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("ratio_pico").as("weight_pico"))
+      .orderBy("doc_id")
+  }
+
+  /** q_dsir_select — the SELECTION step DSIR's weights exist for: rank
+    * the corpus by importance weight (descending, doc_id-tiebroken) and
+    * keep the best documents until a token BUDGET (half the corpus's
+    * tokens) is spent — the "train on the target-like half" cut. The
+    * ranking-ordered token prefix sum is the q_sequence_pack machinery
+    * ([[graft.operators.Analytics.globalRunningSum]] — range
+    * repartition over the weight order + per-partition offsets, never a
+    * single-partition window), so selection is two data passes on top
+    * of the weight relation at any corpus size. Output = the kept docs
+    * with their weight and the running spend — the loader's manifest. */
+  val q_dsir_select: Q = (s, d) => {
+    val w = q_dsir_hashed(s, d) // (doc_id, n_tokens, weight_pico)
+    val cum = operators.Analytics.globalRunningSum(
+      w, Seq(col("weight_pico").desc, col("doc_id")), "n_tokens", "cum")
+    val budget = w.agg(expr("sum(n_tokens) div 2").as("budget"))
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("weight_pico"),
+        col("cum").as("cum_tokens"))
       .orderBy("doc_id")
   }
 
@@ -5636,6 +5717,8 @@ object Queries {
     "q_agg_distinct_hll" -> q_agg_distinct_hll,
     "q_distinct_hll_portable" -> q_distinct_hll_portable,
     "q_knn_join" -> q_knn_join,
+    "q_hard_negatives" -> q_hard_negatives,
+    "q_triplet_margin" -> q_triplet_margin,
     "q_markov_transitions" -> q_markov_transitions,
     "q_dedup_paragraph" -> q_dedup_paragraph,
     "q_ewma" -> q_ewma,
@@ -5651,6 +5734,7 @@ object Queries {
     "q_lm_score" -> q_lm_score,
     "q_mix_drift" -> q_mix_drift,
     "q_dsir_hashed" -> q_dsir_hashed,
+    "q_dsir_select" -> q_dsir_select,
     "q_bigram_lm" -> q_bigram_lm,
     "q_winsorize" -> q_winsorize,
     "q_kfold" -> q_kfold,

@@ -904,7 +904,7 @@ object SparkEntry {
     },
     // rank on round(cos, 12) — the q_knn_join near-tie discipline
     "q_similarity_topk" ->
-      "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY round(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 12) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
+      "SELECT vec_id, rn FROM (SELECT vec_id, row_number() OVER (ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 12) DESC, vec_id) AS rn FROM embeddings) t WHERE rn <= 5 ORDER BY rn",
     // replays lshTopKPortable's banded sign-LSH bit-for-bit: integer
     // hyperplanes from md5_number_lower (the md5Pair64 family), vectors
     // quantized to floor(x·2^20) so every dot is exact integer math,
@@ -935,8 +935,8 @@ object SparkEntry {
         |)
         |SELECT vec_id, rn FROM (
         |  SELECT e.vec_id,
-        |         row_number() OVER (ORDER BY round(list_cosine_similarity(e.embedding,
-        |           (SELECT embedding FROM embeddings WHERE vec_id = 0)), 12) DESC, e.vec_id) AS rn
+        |         row_number() OVER (ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e JOIN cand USING (vec_id)) t
         |WHERE rn <= 5 ORDER BY rn""".stripMargin,
     "q_multimodal_join" ->
@@ -1317,6 +1317,40 @@ object SparkEntry {
         |       CAST(sum(ratio_pico) AS BIGINT) AS weight_pico
         |FROM toks JOIN lm USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_dsir_select: the q_dsir_hashed weight relation ranked
+    // desc (doc_id tiebreak), token prefix sum, kept while the running
+    // spend fits the half-corpus budget — all exact integers
+    "q_dsir_select" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         ((md5_number_upper('dsir:' || w)::HUGEINT
+        |           + md5_number_lower('dsir:' || w)::HUGEINT)
+        |          % 9223372036854775808) % 4096 AS b
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, count(*) AS n_r FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY b),
+        |tots AS (SELECT (SELECT sum(n_r) FROM raw) AS tot_r,
+        |                (SELECT sum(n_t) FROM tgt) AS tot_t),
+        |lm AS (
+        |  SELECT raw.b,
+        |         CAST(floor((ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + 4096)) -
+        |                     ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + 4096))) * 1e12) AS BIGINT)
+        |           AS ratio_pico
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(ratio_pico) AS BIGINT) AS weight_pico
+        |  FROM toks JOIN lm USING (b) GROUP BY doc_id),
+        |c AS (
+        |  SELECT doc_id, weight_pico,
+        |         sum(n_tokens) OVER (ORDER BY weight_pico DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w),
+        |b AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM w)
+        |SELECT doc_id, weight_pico, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     // relational twin of the typed-cogroup merge: UNION ALL the two
     // shapes, then aggregate in the IDENTICAL (ms, tag, id) order
     "q_cogroup_timeline" ->
@@ -1380,13 +1414,42 @@ object SparkEntry {
         |WHERE abs(a.value - a.med) > 3.0 * 1.4826 * d.mad
         |ORDER BY a.event_id""".stripMargin,
     "q_knn_join" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20)
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20)
         |SELECT query_id, rn, vec_id AS neighbor_id FROM (
         |  SELECT q.query_id, e.vec_id,
         |         row_number() OVER (PARTITION BY q.query_id
-        |           ORDER BY round(list_cosine_similarity(e.embedding, q.q_emb), 12) DESC, e.vec_id) AS rn
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q) t
         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    // mirrors q_hard_negatives: q_knn_join with the label-exclusion
+    // predicate — top-3 most-similar DIFFERENT-label vectors per probe
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT query_id, rn, vec_id AS negative_id FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.q_label) t
+        |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin,
+    // mirrors q_triplet_margin: conditional maxes over 12-dp rounded
+    // cosines — max and subtraction exact on both engines. The inputs
+    // are cast to DOUBLE[] so DuckDB folds in double precision (this id
+    // OUTPUTS the cosine — the knn family only ever ranks on it, where
+    // the float-typed result column never surfaces)
+    "q_triplet_margin" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (
+        |  SELECT q.query_id, e.label, q.q_label,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id,
+        |       max(CASE WHEN label = q_label THEN cos END) AS best_pos,
+        |       max(CASE WHEN label <> q_label THEN cos END) AS best_neg,
+        |       round(max(CASE WHEN label = q_label THEN cos END)
+        |             - max(CASE WHEN label <> q_label THEN cos END), 12) AS margin
+        |FROM c GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q_streak" ->
       """WITH days AS (SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx FROM events),
         |num AS (SELECT user_id, day_idx, row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS rn FROM days),

@@ -70,6 +70,10 @@ class PlanAuditSpec extends SparkSpec {
         // q_knn_join_pq: the same bounded probe-set broadcast as
         // q_knn_join (8 probe vectors + their ADC tables)
         "q_knn_join_pq",
+        // q_hard_negatives / q_triplet_margin: the q_knn_join probe
+        // broadcast with label/self-exclusion inequalities riding the
+        // BNLJ condition
+        "q_hard_negatives", "q_triplet_margin",
         // 1-row broadcast grand totals (the windowless replacement for
         // `sum(...) OVER ()`)
         "q_chisq", "q_concentration", "q_lm_score", "q_class_weights",
@@ -81,8 +85,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_sequence_pack",
         // q_mix_drift: 1-row corpus-total broadcast
         "q_mix_drift",
-        // q_dsir_hashed: 1-row LM-total broadcasts (tot_r, tot_t)
-        "q_dsir_hashed",
+        // q_dsir_hashed / q_dsir_select: 1-row LM-total and
+        // token-budget broadcasts
+        "q_dsir_hashed", "q_dsir_select",
         // q_rolling_active: date-dimension broadcast (≤ days-elapsed
         // rows) into the bounded trailing-window fan-out join
         "q_rolling_active",
