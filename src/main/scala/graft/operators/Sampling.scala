@@ -248,4 +248,52 @@ object Sampling {
       }
       .toDF("shard", "seq_id", idCol, tokensCol)
   }
+
+  /** Train the hashed-unigram DSIR log-ratio language model (Xie et al.
+    * 2023) over `docs`: add-one-smoothed target (`isTarget` rows) vs raw
+    * LMs over `buckets` md5-hashed unigram buckets, each bucket's
+    * log-ratio pico-quantized ONCE — the model behind `q_dsir_hashed`,
+    * exposed as an operator so the LIVE quality gate
+    * ([[graft.sources.IO.dsirGateSink]]) and the batch ids share one
+    * trainer. Returns (b, ratio_pico), ≤ `buckets` rows — FIXED-size at
+    * any corpus (the reason the hashed variant exists: broadcast-able
+    * forever). Scoring against it is exact integer multiply-add, so a
+    * gate decision replays bit-for-bit across engines and restarts. */
+  def dsirLm(docs: DataFrame, textCol: String, isTarget: Column,
+             buckets: Int = 4096): DataFrame = {
+    val tok = docs
+      .select(isTarget.as("__tgt"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(
+        Dedup.portableHash64(concat(lit("dsir:"), col("w"))),
+        lit(buckets.toLong)))
+      .localCheckpoint(eager = true) // feeds both LM counts
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("n_r"))
+    val tgt = tok.filter(col("__tgt"))
+      .groupBy("b").agg(count(lit(1)).as("n_t"))
+    raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(raw.agg(sum(col("n_r")).as("tot_r"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("n_t")).as("tot_t"))))
+      .select(col("b"),
+        floor((log((col("n_t") + 1).cast("double") / (col("tot_t") + buckets)) -
+          log((col("n_r") + 1).cast("double") / (col("tot_r") + buckets))) *
+          lit(1e12)).cast("long").as("ratio_pico"))
+  }
+
+  /** Score docs against a [[dsirLm]] relation: per doc, token count and
+    * the exact-integer importance weight Σ ratio_pico(bucket(w)) — the
+    * q_dsir_hashed fold as a reusable verb. The LM broadcasts (≤
+    * buckets rows); the pass is one narrow explode + one keyed sum. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                lm: DataFrame, buckets: Int = 4096): DataFrame =
+    docs
+      .select(col(idCol), explode(graft.functions.Text.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(
+        Dedup.portableHash64(concat(lit("dsir:"), col("w"))),
+        lit(buckets.toLong)))
+      .join(broadcast(lm), Seq("b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_pico")).as("weight_pico"))
 }

@@ -288,6 +288,56 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming QUALITY gate — the live form of the DSIR selection pair
+    * (`q_dsir_hashed` weights, `q_dsir_select` cut): each micro-batch
+    * is scored against the hashed-unigram log-ratio LM persisted at
+    * `lmDir` ([[graft.operators.Sampling.dsirLm]] writes it — ≤ 4096
+    * rows, broadcast), and docs whose MEAN per-token log-ratio clears
+    * `thresholdPicoPerToken` are admitted to `outDir`; every doc gets
+    * an audit row (id, n_tokens, weight_pico, admitted) appended FIRST
+    * (never an unaudited decision — the decontaminateSpanSink
+    * discipline). The comparison is exact integer arithmetic
+    * (weight_pico ≥ threshold·n_tokens — no division), so a replayed
+    * batch reproduces its decisions bit-for-bit; the LM is RE-READ per
+    * micro-batch, so retraining the reference (new target corpus)
+    * tightens the gate without a restart. The SEVENTH ingest gate
+    * (exact-dup, near-dup, winnow, semantic, decontaminate ×2 — and now
+    * quality): the batch ids decide what a good corpus is, the gate
+    * applies it as data arrives. Exactly-once via the committed-batch
+    * marker over both appends. */
+  def dsirGateSink(docs: DataFrame, lmDir: String, outDir: String,
+                   auditDir: String, checkpointDir: String,
+                   idCol: String, textCol: String,
+                   thresholdPicoPerToken: Long, buckets: Int = 4096)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val lm = spark.read.parquet(lmDir).select("b", "ratio_pico")
+          val b = batch.localCheckpoint(true) // feeds scoring + admit join
+          val scored = graft.operators.Sampling
+            .dsirScore(b, idCol, textCol, lm, buckets)
+            .withColumn("admitted",
+              col("weight_pico") >= lit(thresholdPicoPerToken) * col("n_tokens"))
+            .localCheckpoint(true) // one scoring pass feeds audit + admit
+          // token-less docs never reach the explode — audit them as
+          // rejected (0 tokens, 0 weight) so every input has a decision
+          val unscored = b.select(col(idCol))
+            .join(scored.select(idCol), Seq(idCol), "left_anti")
+            .select(col(idCol), lit(0L).as("n_tokens"),
+              lit(0L).as("weight_pico"), lit(false).as("admitted"))
+          scored.select(col(idCol), col("n_tokens"), col("weight_pico"),
+              col("admitted"))
+            .union(unscored)
+            .write.mode("append").parquet(auditDir)
+          b.join(scored.filter(col("admitted")).select(idCol), Seq(idCol))
+            .write.mode("append").parquet(outDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming embedding ingest with SEMANTIC dedup at the gate — the
     * vector twin of [[nearDupDedupSink]]: each micro-batch drops
     * vectors within `threshold` cosine of anything already admitted

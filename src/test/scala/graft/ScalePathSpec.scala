@@ -2135,6 +2135,32 @@ class ScalePathSpec extends SparkSpec {
       "post-compaction append must advance the horizon")
   }
 
+  test("dsirLm + dsirScore: operator pair reproduces the q_dsir_hashed relation; persisted LM round-trips") {
+    import graft.operators.Sampling
+    // parity law (the CorpusBuild composed==standalone convention): the
+    // extracted trainer/scorer pair must reproduce the registered batch
+    // id row-for-row — the live gate (IO.dsirGateSink) scores with
+    // exactly what the oracle-checked id computes
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val lm = Sampling.dsirLm(docs, "text", col("lang") === "en")
+    val viaOps = Sampling.dsirScore(docs, "doc_id", "text", lm)
+      .select("doc_id", "n_tokens", "weight_pico")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaId = Queries.q_dsir_hashed(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaOps == viaId,
+      s"operator pair diverged from q_dsir_hashed: ${(viaOps -- viaId).take(3)}")
+    // the persisted LM round-trips: write → read → score is identical
+    // (the gate re-reads lmDir per micro-batch)
+    val lmDir = java.nio.file.Files.createTempDirectory("dsir_lm_").toString
+    lm.write.mode("overwrite").parquet(s"$lmDir/lm")
+    val viaDisk = Sampling.dsirScore(docs, "doc_id", "text",
+        spark.read.parquet(s"$lmDir/lm"))
+      .select("doc_id", "n_tokens", "weight_pico")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaDisk == viaId, "persisted-LM scoring must be identical")
+  }
+
   test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
     import graft.operators.{CorpusBuild, Sampling}
     val base = java.nio.file.Files.createTempDirectory("corpus_build_")

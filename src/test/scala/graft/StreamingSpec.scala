@@ -1548,6 +1548,57 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("dsirGateSink: quality gate admits target-like docs, audits every decision, replay is a no-op") {
+    // LM trained batch-side (Sampling.dsirLm — what the sink re-reads
+    // per micro-batch): target rows are 'good'-vocabulary docs, raw adds
+    // 'junk' vocabulary, so per-token log-ratios are positive on 'good'
+    // tokens and negative on 'junk' ones
+    val corpus = Seq(
+      (true, "good solid prose with signal"),
+      (true, "solid signal good prose here"),
+      (false, "junk spam junk spam junk"),
+      (false, "spam junk spam noise noise")).toDF("t", "text")
+    val root = java.nio.file.Files.createTempDirectory("dsirgate_").toString
+    val lmDir = s"$root/lm"; val outDir = s"$root/clean"
+    val auditDir = s"$root/audit"
+    graft.operators.Sampling.dsirLm(corpus, "text", col("t"))
+      .write.parquet(lmDir)
+    val in = MemoryStream[(Long, String)]
+    def start(ck: String) = graft.sources.IO.dsirGateSink(
+      in.toDF().toDF("doc_id", "text"), lmDir, outDir, auditDir, ck,
+      "doc_id", "text", thresholdPicoPerToken = 0L).start()
+    val ck1 = java.nio.file.Files.createTempDirectory("dsirgate_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      in.addData((1L, "good signal prose"), (2L, "junk spam noise"),
+        (3L, ""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val admitted = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L), s"gate admitted $admitted")
+    val audit = spark.read.parquet(auditDir)
+      .select("doc_id", "n_tokens", "admitted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // every input has a decision — including the token-less doc 3
+    assert(audit.map(_._1) == Set(1L, 2L, 3L), s"audit set: $audit")
+    assert(audit.contains((3L, 0L, false)), s"empty doc audited: $audit")
+    assert(audit.collect { case (id, _, a) if a => id } == Set(1L))
+    // replay from a fresh checkpoint: the committed-batch marker makes
+    // the whole decision a no-op — no new corpus rows, no new audit rows
+    val (nOut, nAudit) = (spark.read.parquet(outDir).count(),
+      spark.read.parquet(auditDir).count())
+    val ck2 = java.nio.file.Files.createTempDirectory("dsirgate_ck2_").toString
+    val q2 = start(ck2)
+    try {
+      in.addData((1L, "good signal prose"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(outDir).count() == nOut &&
+      spark.read.parquet(auditDir).count() == nAudit,
+      "replayed batch must be a marker no-op on both dirs")
+  }
+
   test("decontaminateSpanSink: quote excised and admitted, verbatim copy emptied and dropped, audit trail, replay is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("decon_span_").toString
