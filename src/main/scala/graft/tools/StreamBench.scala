@@ -13,6 +13,7 @@ object StreamBench {
     if (args.headOption.contains("state")) { stateScale(args.drop(1)); return }
     if (args.headOption.contains("monitor")) { monitorScale(args.drop(1)); return }
     if (args.headOption.contains("duprate")) { dupRateScale(args.drop(1)); return }
+    if (args.headOption.contains("dsirgate")) { dsirGateScale(args.drop(1)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rate = if (args.nonEmpty) args(0).toInt else 500000
     val seconds = if (args.length > 1) args(1).toInt else 15
@@ -169,6 +170,65 @@ object StreamBench {
       try spark.read.parquet(s"$base/fps").count() catch { case _: Exception => 0L }
     val versions = graft.sources.IO.snapshotVersions(spark, s"$base/store")
     println(f"""{"metric":"duprate_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"index_fps":$idxRows,"store_versions":${versions.size},"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Quality-gate throughput mode (`runMain graft.tools.StreamBench
+    * dsirgate [docsPerSec] [seconds]`): docs/second through the FULL
+    * live DSIR gate — rate source → synthesized 40-token docs (half
+    * from the target vocabulary, half junk) →
+    * [[graft.sources.IO.dsirGateSink]] doing real per-batch work: LM
+    * re-read + broadcast score fold + audit append + admit append. The
+    * per-doc cost model sits between the dup-rate monitor (1 md5/doc)
+    * and the novelty monitor (~38 gram hashes/doc): 40 token hashes +
+    * one broadcast join per doc. One JSON line. */
+  private def dsirGateScale(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = if (args.nonEmpty) args(0).toInt else 20000
+    val seconds = if (args.length > 1) args(1).toInt else 30
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("dsirgate_bench_")
+      .toString
+    // train the LM batch-side: target = 'g' vocabulary, raw adds 'j'
+    val corpus = (0 until 2000).map { i =>
+      if (i % 2 == 0) (true, (0 until 40).map(k => s"g${(i * 40 + k) % 5000}").mkString(" "))
+      else (false, (0 until 40).map(k => s"j${(i * 40 + k) % 5000}").mkString(" "))
+    }.toDF("t", "text")
+    graft.operators.Sampling.dsirLm(corpus, "text", col("t"))
+      .write.parquet(s"$base/lm")
+    // streamed docs alternate target-like and junk-like vocabularies
+    val toks = (0 until 40).map(i => concat(
+      when(col("value") % 2 === 0, lit("g")).otherwise(lit("j")),
+      (col("value") * 40 + i) % 5000))
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", cpus).load()
+      .withColumn("doc_id", col("value"))
+      .withColumn("text", concat_ws(" ", toks: _*))
+      .select("doc_id", "text")
+    val q = graft.sources.IO.dsirGateSink(docs, s"$base/lm",
+        s"$base/clean", s"$base/audit", s"$base/ck", "doc_id", "text",
+        thresholdPicoPerToken = 0L)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress
+    q.stop()
+    val processed = progress.map(_.numInputRows).sum
+    val wall = (System.nanoTime() - t0) / 1e9
+    val admitted =
+      try spark.read.parquet(s"$base/clean").count() catch { case _: Exception => 0L }
+    val audited =
+      try spark.read.parquet(s"$base/audit").count() catch { case _: Exception => 0L }
+    println(f"""{"metric":"dsirgate_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"admitted":$admitted,"audited":$audited,"cpus":$cpus}""")
     spark.stop()
   }
 
