@@ -43,7 +43,8 @@ object CorpusBuild {
                                 afterDecontaminate: Long,
                                 afterMix: Long,
                                 afterSpanRemoval: Long = -1L,
-                                spanTokensRemoved: Long = 0L)
+                                spanTokensRemoved: Long = 0L,
+                                afterQuality: Long = -1L)
 
   /** Run the full build. Writes three artifacts: the exact-dedup
     * fingerprint index (`fpIndexDir` — [[Dedup.writeFingerprintIndex]]
@@ -66,7 +67,16 @@ object CorpusBuild {
     * `spanRemovalWindowLen` enables the optional exact duplicated-SPAN
     * stage ([[Dedup.removeDuplicatedSpans]] at that window length) —
     * the sub-document treatment that EXCISES shared runs instead of
-    * dropping whole docs; emptied docs are dropped. */
+    * dropping whole docs; emptied docs are dropped. `qualityLm` enables
+    * the optional DSIR quality-selection stage ([[Sampling.dsirScore]]
+    * against the given ≤4096-row log-ratio LM — train it with
+    * [[Sampling.dsirLm]], typically on an external reference corpus):
+    * docs whose exact-integer weight clears
+    * `qualityThresholdPico`·n_tokens survive; token-less docs are
+    * rejected (no content to judge — the
+    * [[graft.sources.IO.dsirGateSink]] decision, verbatim). Runs after
+    * the dedup family and BEFORE decontamination, so the probe gate
+    * still judges exactly the text that ships. */
   def buildCorpus(docs: DataFrame, probe: DataFrame,
                   idCol: String, textCol: String, stratumCol: String,
                   sortCol: String,
@@ -79,7 +89,9 @@ object CorpusBuild {
                   numShards: Int = 16,
                   winnowIndexDir: Option[String] = None,
                   winnowMinShared: Long = 2L,
-                  spanRemovalWindowLen: Option[Int] = None): CorpusLedger = {
+                  spanRemovalWindowLen: Option[Int] = None,
+                  qualityLm: Option[DataFrame] = None,
+                  qualityThresholdPico: Long = 0L): CorpusLedger = {
     // stage 1: exact content dedup — min-id keeper per md5 fingerprint
     // (the q_dedup_doc policy), then seed the fingerprint index from
     // the SURVIVORS (index == admitted content). The RAW corpus is
@@ -151,11 +163,27 @@ object CorpusBuild {
           .drop("n_tokens", "n_removed"), toks)
       case None => (winnowed, 0L)
     }
+    // optional stage 2⅞: DSIR quality selection — the composed form of
+    // the live quality gate (the SAME Sampling.dsirScore fold and the
+    // SAME exact-integer threshold comparison as IO.dsirGateSink, so a
+    // doc admitted here is the doc the gate would admit). The score
+    // pass is one narrow explode + broadcast LM join over the dedup
+    // survivors; the keep is a semi-join on the kept ids.
+    val qualified = qualityLm match {
+      case Some(lm) =>
+        val kept = Sampling.dsirScore(spanned, idCol, textCol, lm)
+          .filter(col("weight_pico") >=
+            lit(qualityThresholdPico) * col("n_tokens"))
+          .select(idCol)
+        spanned.join(kept, Seq(idCol), "left_semi")
+          .localCheckpoint(eager = true) // feeds the observed pass below
+      case None => spanned
+    }
     // stages 3–5, ONE observed pass: Bloom decontamination and the
     // domain mix are bare predicates, so both ride the shard write's
     // scan with observedFilter counters — per-stage accounting at zero
     // extra executions
-    val (clean, deconObs) = Analytics.observedFilter(spanned,
+    val (clean, deconObs) = Analytics.observedFilter(qualified,
       Dedup.bloomKeepPredicate(probe, textCol, shingleN),
       "corpus_decontaminate")
     val (mixed, mixObs) = Analytics.observedFilter(clean,
@@ -180,9 +208,16 @@ object CorpusBuild {
     // survivor count (free); with it ON, rows_in is post-span, so the
     // winnow count comes from its own (checkpointed) relation
     val winnowCount =
-      if (spanRemovalWindowLen.isEmpty) asLong(d("rows_in"))
+      if (spanRemovalWindowLen.isEmpty && qualityLm.isEmpty)
+        asLong(d("rows_in"))
       else if (winnowIndexDir.isEmpty) nearCount
       else winnowed.count()
+    // with the quality stage OFF the observed pass's rows_in is the
+    // post-span count (free, as before); with it ON, rows_in is
+    // post-quality, so the span count comes from its own checkpointed
+    // relation
+    val spanCount =
+      if (qualityLm.isEmpty) asLong(d("rows_in")) else spanned.count()
     CorpusLedger(
       raw = rawCount,
       afterExactDedup = exact.count(),
@@ -190,7 +225,8 @@ object CorpusBuild {
       afterWinnow = winnowCount,
       afterDecontaminate = asLong(d("rows_kept")),
       afterMix = asLong(m("rows_kept")),
-      afterSpanRemoval = asLong(d("rows_in")),
-      spanTokensRemoved = spanToks)
+      afterSpanRemoval = spanCount,
+      spanTokensRemoved = spanToks,
+      afterQuality = if (qualityLm.isEmpty) -1L else asLong(d("rows_in")))
   }
 }

@@ -2161,6 +2161,52 @@ class ScalePathSpec extends SparkSpec {
     assert(viaDisk == viaId, "persisted-LM scoring must be identical")
   }
 
+  test("corpus-build quality stage: composed == sequential standalone operators, ledger bills the stage") {
+    import graft.operators.{CorpusBuild, Dedup, Sampling}
+    // corpus: 1-2 exact dups, 3 target-like (en-vocab), 4-5 junk-like,
+    // 6 token-less (quality must reject it — the dsirGateSink decision)
+    val docs = Seq(
+      (1L, "sA", "good solid prose with signal here"),
+      (2L, "sA", "good solid prose with signal here"),
+      (3L, "sB", "signal prose good and more signal"),
+      (4L, "sB", "junk spam junk noise junk spam"),
+      (5L, "sC", "spam noise spam junk noise spam"),
+      (6L, "sC", "")).toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val probe = Seq((100L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val lm = Sampling.dsirLm(
+      Seq((true, "good solid prose signal here and more"),
+        (false, "junk spam noise junk spam noise"))
+        .toDF("t", "text"), "text", col("t"))
+      .localCheckpoint(true)
+    val base = java.nio.file.Files
+      .createTempDirectory("corpus_quality_").toString
+    val ledger = CorpusBuild.buildCorpus(
+      docs, probe, "doc_id", "text", "source", "n_chars",
+      s"$base/fp", s"$base/band", s"$base/shards",
+      qualityLm = Some(lm), qualityThresholdPico = 0L)
+    // sequential: exact dedup (doc 2 drops) -> near-dup (no families at
+    // 0.7 on this fixture) -> quality (keep weight >= 0: docs 1, 3;
+    // 4-5 junk negative, 6 token-less rejected) -> decon (no probe
+    // grams) -> mix (default 1.0 keeps all)
+    val sExact = docs.join(
+      docs.groupBy(graft.functions.Text.fingerprint(col("text")).as("f"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sNear = Dedup.clusterByMinhash(sExact, "doc_id", "text", 0.7)
+    val sKept = Sampling.dsirScore(sNear, "doc_id", "text", lm)
+      .filter(col("weight_pico") >= lit(0L) * col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(sKept == Set(1L, 3L), s"standalone quality kept $sKept")
+    val sharded = spark.read.parquet(s"$base/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sharded == sKept, s"composed shards $sharded != standalone $sKept")
+    assert(ledger == CorpusBuild.CorpusLedger(
+      raw = 6, afterExactDedup = 5, afterNearDup = 5, afterWinnow = 5,
+      afterDecontaminate = 2, afterMix = 2, afterSpanRemoval = 5,
+      spanTokensRemoved = 0, afterQuality = 2), s"ledger: $ledger")
+  }
+
   test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
     import graft.operators.{CorpusBuild, Sampling}
     val base = java.nio.file.Files.createTempDirectory("corpus_build_")
