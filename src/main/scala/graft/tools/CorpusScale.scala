@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * eval-leak scenario: the benchmark docs live in the corpus and must
   * leave it. Prints ONE JSON line with the wall-clock and the
   * per-stage row ledger (the evidence for BASELINE.md's composed-cost
-  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow|spans]
+  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow|spans|quality]
   * [nearDupThreshold] — the threshold arg exists for the spans probe:
   * at the default 0.7 the doc-level stages absorb ALL of the fixture's
   * exact 8-token duplication (family-shaped near-dups), so the span
@@ -23,6 +23,7 @@ object CorpusScale {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val withWinnow = args.length > 1 && args.contains("winnow")
     val withSpans = args.length > 1 && args.contains("spans")
+    val withQuality = args.length > 1 && args.contains("quality")
     val threshold = args.find(a => a.nonEmpty && (a(0).isDigit || a(0) == '.'))
       .map(_.toDouble).getOrElse(0.7)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -36,6 +37,18 @@ object CorpusScale {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val probe = docs.filter(col("doc_id") % 101 === 0)
+    // quality mode: LM trained on the fixture's own en slice (the
+    // q_dsir_hashed target). The fixture's languages share one
+    // synthetic vocabulary, so every per-token weight sits slightly
+    // negative (smoothing drift at tot_t ~= 0.2 tot_r); the probe cuts
+    // at the measured sf0.1 median (-20.82e9 pico/token) to
+    // demonstrate a meaningful keep-the-target-like-half selection
+    val qualityLm =
+      if (withQuality)
+        Some(graft.operators.Sampling.dsirLm(docs, "text",
+          col("lang") === "en").localCheckpoint(true))
+      else None
+    val qualityThreshold = -20820000000L
     val base = java.nio.file.Files.createTempDirectory("corpus_scale_")
       .toString
     val rates = Map("src0" -> 0.25, "src1" -> 0.5) // downweight two domains
@@ -46,9 +59,10 @@ object CorpusScale {
       nearDupThreshold = threshold, mixRates = rates, defaultMixRate = 1.0,
       numShards = 8,
       winnowIndexDir = if (withWinnow) Some(s"$base/winnow") else None,
-      spanRemovalWindowLen = if (withSpans) Some(8) else None)
+      spanRemovalWindowLen = if (withSpans) Some(8) else None,
+      qualityLm = qualityLm, qualityThresholdPico = qualityThreshold)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
+    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_quality":${ledger.afterQuality},"after_mix":${ledger.afterMix}}""")
     spark.stop()
   }
 
