@@ -1231,6 +1231,58 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Snapshot schema of the [[qualityAuditSink]] store: one DSIR-weight
+    * quality row per finalized (window, source) plus changelog
+    * bookkeeping. */
+  val QualityAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("wkey", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("weight_pico", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("mean_pico_per_token", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live QUALITY monitor — the SEVENTH corpus-audit monitor:
+    * finalized [[graft.streaming.Jobs.windowedQualitySums]]
+    * micro-batches fold through
+    * [[graft.streaming.Jobs.qualityPerWindow]] and upsert one (window,
+    * source) DSIR-weight row into the versioned metrics store via the
+    * synthesized `wkey` (the mixDriftAuditSink shape — stateless beyond
+    * the store; the LM refresh rides the stream-static join inside the
+    * windowed relation itself, so this sink has nothing to re-read).
+    * The monitor-and-gate pairing: a source whose mean per-token weight
+    * drifts toward the [[dsirGateSink]] threshold is about to lose
+    * admission rate — the store's window history is the early-warning
+    * curve. Replay: committed batches are marker no-ops; the fold is a
+    * pure function of the batch. */
+  def qualityAuditSink(hist: DataFrame, baseDir: String,
+                       checkpointDir: String, retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val metrics = graft.streaming.Jobs.qualityPerWindow(pinned)
+                .withColumn("wkey", concat(
+                  (col("window_start").cast("double") * 1000).cast("long")
+                    .cast("string"), lit("|"), col("source")))
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "wkey",
+                QualityAuditSchema, retain)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** RETENTION verb for the [[windowedMetricsStoreSink]] store: tombstone
     * every live window strictly older than `cutoff` — the TTL policy a
     * metrics store needs once windows stop being queried (the

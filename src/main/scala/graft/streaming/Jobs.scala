@@ -626,4 +626,50 @@ object Jobs {
       .agg(max(col("n_s")).as("n_docs"), sum(col("term_pico")).as("kl_pico"))
       .select("window_start", "source", "n_docs", "kl_pico")
   }
+
+  /** Per-(window, source) DSIR-weight sums — the raw relation of the
+    * live QUALITY monitor (the SEVENTH corpus-audit monitor beside
+    * contamination, boilerplate, novelty, TTR, exact-dup rate and
+    * mix drift): tokens are bucketed and joined to the `lm` relation
+    * (pass the [[graft.sources.Tables]]-read parquet of a persisted
+    * [[graft.operators.Sampling.dsirLm]] — a STATIC side, re-planned
+    * per micro-batch, so retraining the LM updates the monitor without
+    * restart — the stream-static join convention) and the per-token
+    * pico log-ratios fold into one (window, source) row of exact-long
+    * sums. State is (open windows × sources)-bounded — dimension-sized
+    * like the mix-drift monitor. Every fold is exact integer addition,
+    * so streaming sums equal the batch fold by associativity (the
+    * StreamingSpec parity law: Σ over the q_dsir_hashed per-doc
+    * relation grouped by source == these token-level sums). Append
+    * mode; feed finalized micro-batches to [[qualityPerWindow]]. */
+  def windowedQualitySums(docs: DataFrame, tsCol: String,
+                          sourceCol: String, textCol: String,
+                          lm: DataFrame, windowDur: String,
+                          watermarkDelay: String,
+                          buckets: Int = 4096): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(sourceCol).as("source"),
+        explode(Text.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(
+        graft.operators.Dedup.portableHash64(concat(lit("dsir:"), col("w"))),
+        lit(buckets.toLong)))
+      .join(broadcast(lm.select("b", "ratio_pico")), Seq("b"))
+      .groupBy(window(col(tsCol), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ratio_pico")).as("weight_pico"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_tokens"), col("weight_pico"))
+
+  /** Per-(window, source) QUALITY reading over a FINALIZED
+    * [[windowedQualitySums]] micro-batch — the live twin of the batch
+    * `q_dsir_hashed` audit rolled to source grain: token count, exact
+    * weight sum, and the mean per-token log-ratio in picos
+    * (integer-divided — exact, no float). A source whose mean collapses
+    * below the gate threshold is shipping content the gate
+    * ([[graft.sources.IO.dsirGateSink]]) is about to start rejecting —
+    * the monitor reads the drift BEFORE the admission rate moves. */
+  def qualityPerWindow(batch: DataFrame): DataFrame =
+    batch.select(col("window_start"), col("source"), col("n_tokens"),
+      col("weight_pico"),
+      expr("weight_pico div n_tokens").as("mean_pico_per_token"))
 }

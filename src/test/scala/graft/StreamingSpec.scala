@@ -1548,6 +1548,72 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("windowedQualitySums + qualityPerWindow + qualityAuditSink: parity with the batch fold; mean law; replay no-op") {
+    // PARITY LAW: streaming (window, source) weight sums over the REAL
+    // documents table in one window == the q_dsir_hashed per-doc
+    // relation joined to source and summed — exact longs, so equality
+    // is associativity, not tolerance
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val lm = graft.operators.Sampling.dsirLm(docs, "text",
+      col("lang") === "en").localCheckpoint(true)
+    val batchFold = Queries.q_dsir_hashed(spark, sfDir)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"), sum("weight_pico").as("w"))
+      .as[(String, Long, Long)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("quality_").toString
+    val lmDir = s"$root/lm"; val base = s"$root/store"
+    lm.write.parquet(lmDir)
+    val in = MemoryStream[(Timestamp, String, String)]
+    val hist = graft.streaming.Jobs.windowedQualitySums(
+      in.toDF().toDF("ts", "source", "text"), "ts", "source", "text",
+      spark.read.parquet(lmDir), "10 minutes", "5 minutes")
+    val ck = java.nio.file.Files.createTempDirectory("quality_ck_").toString
+    def start() = graft.sources.IO.qualityAuditSink(hist, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val rows = docs.select("source", "text").as[(String, String)]
+      .collect().toSeq
+    val q1 = start()
+    try {
+      in.addData(rows.map(r => (ts("2024-01-01 10:01:00"), r._1, r._2)))
+      in.addData((ts("2024-01-01 10:41:00"), "wmpush", "x"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    val live = graft.streaming.Cdc.liveView(
+        graft.sources.IO.readSnapshotVersion(spark, base, versions.last,
+          graft.sources.IO.QualityAuditSchema))
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .select("source", "n_tokens", "weight_pico")
+      .as[(String, Long, Long)].collect().toSet
+    assert(live == batchFold,
+      s"streaming quality sums diverged from the batch fold: ${(live -- batchFold).take(3)}")
+    // mean is the exact integer division of the sums
+    val means = graft.streaming.Cdc.liveView(
+        graft.sources.IO.readSnapshotVersion(spark, base, versions.last,
+          graft.sources.IO.QualityAuditSchema))
+      .filter(col("window_start") === ts("2024-01-01 10:00:00"))
+      .select("n_tokens", "weight_pico", "mean_pico_per_token")
+      .as[(Long, Long, Long)].collect()
+    means.foreach { case (n, w, m) =>
+      // Spark SQL `div` truncates toward zero (weights are negative here)
+      assert(m == w / n, s"mean law: $n $w $m")
+    }
+    // replay from a fresh checkpoint: marker no-op, no new versions
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("quality_ck2_").toString
+    val q2 = graft.sources.IO.qualityAuditSink(hist, base, ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData((ts("2024-01-01 10:02:00"), "late", "y z"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(versions == vBefore,
+      s"replayed batches must be marker no-ops: $vBefore -> $versions")
+  }
+
   test("dsirGateSink: quality gate admits target-like docs, audits every decision, replay is a no-op") {
     // LM trained batch-side (Sampling.dsirLm — what the sink re-reads
     // per micro-batch): target rows are 'good'-vocabulary docs, raw adds
