@@ -2330,6 +2330,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_quality_by_source — the per-SOURCE quality panel: the
+    * [[q_dsir_hashed]] importance weights rolled to source grain (docs,
+    * tokens, exact weight sum, mean pico/token by Spark `div` —
+    * truncating integer division, no float). This is the REGISTERED
+    * batch twin of the live quality monitor
+    * ([[graft.streaming.Jobs.qualityPerWindow]] — same sums, window
+    * grain): the curation read is "which source's content drifted away
+    * from the target distribution", the mixture-weight lever beside
+    * [[q_mix_drift]]'s language-axis alarm. */
+  val q_quality_by_source: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    q_dsir_hashed(s, d)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("weight_pico").as("weight_pico"))
+      .withColumn("mean_pico_per_token",
+        expr("weight_pico div n_tokens"))
+      .orderBy("source")
+  }
+
   /** q_dsir_select — the SELECTION step DSIR's weights exist for: rank
     * the corpus by importance weight (descending, doc_id-tiebroken) and
     * keep the best documents until a token BUDGET (half the corpus's
@@ -5758,6 +5779,7 @@ object Queries {
     "q_mix_drift" -> q_mix_drift,
     "q_dsir_hashed" -> q_dsir_hashed,
     "q_dsir_select" -> q_dsir_select,
+    "q_quality_by_source" -> q_quality_by_source,
     "q_bigram_lm" -> q_bigram_lm,
     "q_winsorize" -> q_winsorize,
     "q_kfold" -> q_kfold,

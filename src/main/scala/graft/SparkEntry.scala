@@ -1334,6 +1334,43 @@ object SparkEntry {
         |       CAST(sum(ratio_pico) AS BIGINT) AS weight_pico
         |FROM toks JOIN lm USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mirrors q_quality_by_source: the q_dsir_hashed chain rolled to
+    // source grain; Spark `div` TRUNCATES toward zero where DuckDB //
+    // floors, so the mean is spelled as sign-split floor-division —
+    // exact integer algebra, no float
+    "q_quality_by_source" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |         ((md5_number_upper('dsir:' || w)::HUGEINT
+        |           + md5_number_lower('dsir:' || w)::HUGEINT)
+        |          % 9223372036854775808) % 4096 AS b
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        |        FROM documents)),
+        |raw AS (SELECT b, count(*) AS n_r FROM toks GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS n_t FROM toks WHERE lang = 'en' GROUP BY b),
+        |tots AS (SELECT (SELECT sum(n_r) FROM raw) AS tot_r,
+        |                (SELECT sum(n_t) FROM tgt) AS tot_t),
+        |lm AS (
+        |  SELECT raw.b,
+        |         CAST(floor((ln(CAST(coalesce(n_t, 0) + 1 AS DOUBLE) / (tot_t + 4096)) -
+        |                     ln(CAST(n_r + 1 AS DOUBLE) / (tot_r + 4096))) * 1e12) AS BIGINT)
+        |           AS ratio_pico
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(ratio_pico) AS BIGINT) AS weight_pico
+        |  FROM toks JOIN lm USING (b) GROUP BY doc_id),
+        |s AS (
+        |  SELECT d.source, count(*) AS n_docs,
+        |         CAST(sum(w.n_tokens) AS BIGINT) AS n_tokens,
+        |         CAST(sum(w.weight_pico) AS BIGINT) AS weight_pico
+        |  FROM w JOIN documents d USING (doc_id) GROUP BY d.source)
+        |SELECT source, n_docs, n_tokens, weight_pico,
+        |       CAST(CASE WHEN weight_pico >= 0 THEN weight_pico // n_tokens
+        |                 ELSE -((-weight_pico) // n_tokens) END AS BIGINT)
+        |         AS mean_pico_per_token
+        |FROM s ORDER BY source""".stripMargin,
     // mirrors q_dsir_select: the q_dsir_hashed weight relation ranked
     // desc (doc_id tiebreak), token prefix sum, kept while the running
     // spend fits the half-corpus budget — all exact integers

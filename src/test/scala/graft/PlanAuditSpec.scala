@@ -85,9 +85,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_sequence_pack",
         // q_mix_drift: 1-row corpus-total broadcast
         "q_mix_drift",
-        // q_dsir_hashed / q_dsir_select: 1-row LM-total and
-        // token-budget broadcasts
-        "q_dsir_hashed", "q_dsir_select",
+        // q_dsir_hashed / q_dsir_select / q_quality_by_source: 1-row
+        // LM-total and token-budget broadcasts
+        "q_dsir_hashed", "q_dsir_select", "q_quality_by_source",
         // q_rolling_active: date-dimension broadcast (≤ days-elapsed
         // rows) into the bounded trailing-window fan-out join
         "q_rolling_active",
