@@ -1249,6 +1249,36 @@ object Queries {
       .orderBy("lang", "rn")
   }
 
+  /** q_diversity_sample — SemDeDup/D4-style diversity-cap sampling:
+    * the corpus is bucketed by SEMANTIC neighborhood (the engine-
+    * portable integer-LSH band signature — md5 hyperplanes × 2^20-
+    * quantized vectors, the exact q_similarity_lsh machinery) and each
+    * bucket keeps at most 3 representatives, picked by deterministic
+    * md5 order — the per-cluster budget that keeps a training mixture
+    * DIVERSE instead of letting one dense semantic region dominate
+    * (what semantic DEDUP can't do: it removes near-copies, this caps
+    * entire regions). One narrow codegen signature pass + one
+    * bounded-heap bottom-k groupBy (O(k) state per bucket — never a
+    * window over a bucket's rows); every step exact integers/strings,
+    * hard-oracle. */
+  val q_diversity_sample: Q = (s, d) => {
+    val bk = udaf(new graft.functions.BottomKStringAggregator(3))
+    val planes = Vectors.intHyperplanes(8, 64) // one 8-plane band
+    val eInt = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
+    Tables.embeddings(s, d)
+      .select(Vectors.lshSignature(eInt, planes).as("bucket"),
+        md5(concat(lit("divsamp:"), col("vec_id").cast("string"))).as("h"),
+        col("vec_id"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_bucket"), bk(col("h"), col("vec_id")).as("ids"))
+      .select(col("bucket"), col("n_bucket"),
+        posexplode(col("ids")).as(Seq("pos", "vec_id")))
+      .select(col("bucket"), col("n_bucket"),
+        (col("pos") + 1).cast("long").as("rn"), col("vec_id"))
+      .orderBy("bucket", "rn")
+  }
+
   /** q_sample_mix — domain-mix sampling (the data-mixing step of a
     * pretraining pipeline): per-language keep rates (en 100%, zh 50%,
     * others 25%) decided by the md5-cell of the doc id
@@ -5732,6 +5762,7 @@ object Queries {
     "q_dedup_cluster" -> q_dedup_cluster,
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
     "q_sample_per_key" -> q_sample_per_key,
+    "q_diversity_sample" -> q_diversity_sample,
     "q_sample_mix" -> q_sample_mix,
     "q_sample_weighted" -> q_sample_weighted,
     "q_split_train" -> q_split_train,

@@ -956,6 +956,35 @@ object SparkEntry {
         |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e JOIN cand USING (vec_id)) t
         |WHERE rn <= 5 ORDER BY rn""".stripMargin,
+    // mirrors q_diversity_sample: band-0 of the q_similarity_lsh
+    // portable signature chain (md5 hyperplanes × 2^20-quantized
+    // vectors, exact integer dots) buckets the corpus; per bucket,
+    // bottom-3 by md5('divsamp:'||vec_id) string order, vec_id tiebreak
+    "q_diversity_sample" ->
+      """WITH pl AS (
+        |  SELECT CAST(p.range AS BIGINT) AS pid, CAST(j.range AS BIGINT) AS j,
+        |         CAST(md5_number_lower(concat('graftlsh:', p.range, ':', j.range)) % 2049 AS BIGINT) - 1024 AS h
+        |  FROM range(8) p, range(64) j
+        |), ev AS (
+        |  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS e
+        |  FROM embeddings, range(64) j
+        |), dots AS (
+        |  SELECT ev.vec_id, pl.pid AS i, CAST(sum(ev.e * pl.h) AS BIGINT) AS dot
+        |  FROM ev JOIN pl USING (j) GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), ranked AS (
+        |  SELECT bucket, count(*) OVER (PARTITION BY bucket) AS n_bucket,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY md5('divsamp:' || vec_id), vec_id) AS rn,
+        |         vec_id
+        |  FROM sigs)
+        |SELECT bucket, CAST(n_bucket AS BIGINT) AS n_bucket,
+        |       CAST(rn AS BIGINT) AS rn, vec_id
+        |FROM ranked WHERE rn <= 3 ORDER BY bucket, rn""".stripMargin,
     "q_multimodal_join" ->
       "SELECT lang, count(*) AS n_docs, round(avg(CAST(label AS DOUBLE)), 4) AS avg_label, round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY lang ORDER BY lang",
     "q_collect_sequence" ->
