@@ -1279,6 +1279,34 @@ object Queries {
       .orderBy("bucket", "rn")
   }
 
+  /** q_bucket_entropy — the corpus's semantic-diversity census: Shannon
+    * entropy of the [[q_diversity_sample]] bucket occupancy (portable
+    * integer-LSH band buckets), plus the occupancy extremes — ONE row
+    * answering "how concentrated is the corpus in embedding space"
+    * (falling entropy across snapshots = the crawl is pooling in one
+    * region; the reading that decides whether the diversity cap needs
+    * to bind). Per-bucket entropy terms are pico-quantized (the
+    * q_mix_drift discipline), so the fold is exact integer addition
+    * over a ≤256-row grouped relation. */
+  val q_bucket_entropy: Q = (s, d) => {
+    val planes = Vectors.intHyperplanes(8, 64)
+    val eInt = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
+    Tables.embeddings(s, d)
+      .select(Vectors.lshSignature(eInt, planes).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .crossJoin(broadcast(Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n"))))
+      .withColumn("term_pico",
+        floor((col("n_b").cast("double") / col("n")) * lit(-1.0) *
+          log(col("n_b").cast("double") / col("n")) * lit(1e12))
+          .cast("long"))
+      .groupBy()
+      .agg(max("n").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        sum("term_pico").as("entropy_pico"),
+        max("n_b").as("max_bucket"), min("n_b").as("min_bucket"))
+  }
+
   /** q_sample_mix — domain-mix sampling (the data-mixing step of a
     * pretraining pipeline): per-language keep rates (en 100%, zh 50%,
     * others 25%) decided by the md5-cell of the doc id
@@ -5763,6 +5791,7 @@ object Queries {
     "q_dedup_cluster_minhash" -> q_dedup_cluster_minhash,
     "q_sample_per_key" -> q_sample_per_key,
     "q_diversity_sample" -> q_diversity_sample,
+    "q_bucket_entropy" -> q_bucket_entropy,
     "q_sample_mix" -> q_sample_mix,
     "q_sample_weighted" -> q_sample_weighted,
     "q_split_train" -> q_split_train,

@@ -956,6 +956,38 @@ object SparkEntry {
         |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 12) DESC, e.vec_id) AS rn
         |  FROM embeddings e JOIN cand USING (vec_id)) t
         |WHERE rn <= 5 ORDER BY rn""".stripMargin,
+    // mirrors q_bucket_entropy: the q_diversity_sample bucket chain,
+    // per-bucket -p·ln(p) pico-quantized, exact integer fold
+    "q_bucket_entropy" ->
+      """WITH pl AS (
+        |  SELECT CAST(p.range AS BIGINT) AS pid, CAST(j.range AS BIGINT) AS j,
+        |         CAST(md5_number_lower(concat('graftlsh:', p.range, ':', j.range)) % 2049 AS BIGINT) - 1024 AS h
+        |  FROM range(8) p, range(64) j
+        |), ev AS (
+        |  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS e
+        |  FROM embeddings, range(64) j
+        |), dots AS (
+        |  SELECT ev.vec_id, pl.pid AS i, CAST(sum(ev.e * pl.h) AS BIGINT) AS dot
+        |  FROM ev JOIN pl USING (j) GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), occ AS (
+        |  SELECT bucket, count(*) AS n_b FROM sigs GROUP BY bucket
+        |), n AS (SELECT count(*) AS n FROM sigs),
+        |t AS (
+        |  SELECT n_b,
+        |         CAST(floor((CAST(n_b AS DOUBLE) / n) * (-1.0) *
+        |                    ln(CAST(n_b AS DOUBLE) / n) * 1e12) AS BIGINT) AS term_pico,
+        |         n
+        |  FROM occ CROSS JOIN n)
+        |SELECT CAST(max(n) AS BIGINT) AS n_vecs, count(*) AS n_buckets,
+        |       CAST(sum(term_pico) AS BIGINT) AS entropy_pico,
+        |       CAST(max(n_b) AS BIGINT) AS max_bucket,
+        |       CAST(min(n_b) AS BIGINT) AS min_bucket
+        |FROM t""".stripMargin,
     // mirrors q_diversity_sample: band-0 of the q_similarity_lsh
     // portable signature chain (md5 hyperplanes × 2^20-quantized
     // vectors, exact integer dots) buckets the corpus; per bucket,

@@ -83,8 +83,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_basket_affinity",
         // q_sequence_pack: 1-row grand-total-tokens broadcast
         "q_sequence_pack",
-        // q_mix_drift: 1-row corpus-total broadcast
-        "q_mix_drift",
+        // q_mix_drift / q_bucket_entropy: 1-row corpus-total broadcasts
+        "q_mix_drift", "q_bucket_entropy",
         // q_dsir_hashed / q_dsir_select / q_quality_by_source: 1-row
         // LM-total and token-budget broadcasts
         "q_dsir_hashed", "q_dsir_select", "q_quality_by_source",
