@@ -2363,7 +2363,16 @@ object Queries {
     * replayed bit-for-bit by the oracle. At 100 TB: two data-scale
     * passes (bucket counts, doc scoring), each a narrow explode +
     * keyed count, no data-scale join — the selection weights the
-    * importance-resampling stage then samples on are this relation. */
+    * importance-resampling stage then samples on are this relation.
+    * Storage cost note (ADVICE r15): the `tok` localCheckpoint below
+    * materializes the EXPLODED token relation (3 longs + the token
+    * string per token — larger than the corpus text) to executor
+    * storage so the two LM counts and the scoring fold share one
+    * explode; at 100 TB that is a corpus-scale spill, traded
+    * deliberately against recomputing the narrow explode three times
+    * (and `q_quality_by_source`/`q_dsir_select` re-running the chain).
+    * A cluster run short on local disk should drop the checkpoint and
+    * pay the triple explode — correctness is identical either way. */
   val q_dsir_hashed: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tok = docs

@@ -773,31 +773,46 @@ object Dedup {
     * ([[CorpusBuild.buildCorpus]]) can wrap it in
     * [[Analytics.observedFilter]] — per-stage row accounting collected
     * on the SAME pass as the filter, no extra scan. Building the
-    * predicate runs the probe-side action (bounded collect of the
-    * DISTINCT probe shingles — benchmark-sized, the same boundedness
-    * argument as `decontaminate`'s broadcast side); evaluating it is the
-    * same narrow zero-shuffle membership test. The bit set is a packed
-    * Array[Long] of m = [[BloomBitsPerKey]]·n bits = 4·n BYTES — a 100M-
-    * shingle benchmark suite broadcasts as 400 MB of bits, the same
-    * order as the Bloom object it replaced. */
+    * predicate runs two probe-side actions: a distinct-shingle COUNT
+    * (sizes the filter) and a distributed bit fold — every shingle's
+    * [[BloomK]] positions are hashed EXECUTOR-side into per-partition
+    * packed bit arrays that treeReduce OR-merges, so the only thing
+    * that ever reaches the driver is the final Array[Long] of
+    * m = [[BloomBitsPerKey]]·n bits = 4·n BYTES (a 100M-shingle
+    * benchmark suite is 400 MB of bits on the driver and on the wire —
+    * the raw shingle STRINGS never leave the executors; ADVICE r15).
+    * Evaluating the predicate is the same narrow zero-shuffle
+    * membership test. */
   def bloomKeepPredicate(probe: DataFrame, textCol: String,
                          n: Int = 5): org.apache.spark.sql.Column = {
     val probeSh = probe
       .select(explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .distinct()
-    // bounded: benchmark-suite distinct shingles (probe side, never the corpus)
-    val shingles = probeSh.collect().map(_.getString(0))
-    val m = BloomBitsPerKey * math.max(shingles.length, 1).toLong
-    val words = new Array[Long](((m + 63) / 64).toInt)
-    shingles.foreach { s =>
-      val (a, b) = Text.md5Pair64(s)
-      var i = 0
-      while (i < BloomK) {
-        val pos = ((a + i * b) & Long.MaxValue) % m
-        words((pos >>> 6).toInt) |= 1L << (pos & 63)
-        i += 1
-      }
-    }
+      .localCheckpoint(eager = true) // two actions (count + bit fold)
+    val (m, words) =
+      try {
+        val nSh = probeSh.count() // benchmark-suite distinct shingles
+        val mBits = BloomBitsPerKey * math.max(nSh, 1L)
+        val nWords = ((mBits + 63) / 64).toInt
+        val bits =
+          if (nSh == 0L) new Array[Long](nWords)
+          else probeSh.rdd.mapPartitions { it =>
+            val w = new Array[Long](nWords)
+            it.foreach { r =>
+              val (a, b) = Text.md5Pair64(r.getString(0))
+              var i = 0
+              while (i < BloomK) {
+                val pos = ((a + i * b) & Long.MaxValue) % mBits
+                w((pos >>> 6).toInt) |= 1L << (pos & 63)
+                i += 1
+              }
+            }
+            Iterator.single(w)
+          }.treeReduce({ (x, y) =>
+            var i = 0; while (i < nWords) { x(i) |= y(i); i += 1 }; x
+          }, depth = 2)
+        (mBits, bits)
+      } finally Checkpoints.drop(probeSh)
     val bc = probe.sparkSession.sparkContext.broadcast(words)
     val shingle = shingleSet(n)
     val hasLeak = udf { (shs: Seq[String]) =>

@@ -255,7 +255,13 @@ object Sampling {
     * log-ratio pico-quantized ONCE — the model behind `q_dsir_hashed`,
     * exposed as an operator so the LIVE quality gate
     * ([[graft.sources.IO.dsirGateSink]]) and the batch ids share one
-    * trainer. Returns (b, ratio_pico), ≤ `buckets` rows — FIXED-size at
+    * trainer. Returns (b, ratio_pico) for ALL `buckets` bucket ids —
+    * buckets unseen in the training corpus (n_r = n_t = 0) carry the
+    * add-one-smoothed ratio ln(1/(tot_t+B)) − ln(1/(tot_r+B)), NOT an
+    * absent row, so [[dsirScore]]'s LM join never silently drops a
+    * token whose bucket the reference corpus missed (ADVICE r15: an
+    * inner join against a sparse LM treated unseen-bucket docs as
+    * token-less, which is not the smoothing semantic). FIXED-size at
     * any corpus (the reason the hashed variant exists: broadcast-able
     * forever). Scoring against it is exact integer multiply-add, so a
     * gate decision replays bit-for-bit across engines and restarts. */
@@ -271,10 +277,13 @@ object Sampling {
     val raw = tok.groupBy("b").agg(count(lit(1)).as("n_r"))
     val tgt = tok.filter(col("__tgt"))
       .groupBy("b").agg(count(lit(1)).as("n_t"))
-    raw.join(tgt, Seq("b"), "left")
-      .na.fill(0L, Seq("n_t"))
-      .crossJoin(broadcast(raw.agg(sum(col("n_r")).as("tot_r"))))
-      .crossJoin(broadcast(tgt.agg(sum(col("n_t")).as("tot_t"))))
+    docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(raw, Seq("b"), "left").na.fill(0L, Seq("n_r"))
+      .join(tgt, Seq("b"), "left").na.fill(0L, Seq("n_t"))
+      .crossJoin(broadcast(
+        raw.agg(coalesce(sum(col("n_r")), lit(0L)).as("tot_r"))))
+      .crossJoin(broadcast(
+        tgt.agg(coalesce(sum(col("n_t")), lit(0L)).as("tot_t"))))
       .select(col("b"),
         floor((log((col("n_t") + 1).cast("double") / (col("tot_t") + buckets)) -
           log((col("n_r") + 1).cast("double") / (col("tot_r") + buckets))) *
@@ -283,8 +292,13 @@ object Sampling {
 
   /** Score docs against a [[dsirLm]] relation: per doc, token count and
     * the exact-integer importance weight Σ ratio_pico(bucket(w)) — the
-    * q_dsir_hashed fold as a reusable verb. The LM broadcasts (≤
-    * buckets rows); the pass is one narrow explode + one keyed sum. */
+    * q_dsir_hashed fold as a reusable verb. The LM broadcasts (exactly
+    * `buckets` rows from [[dsirLm]] — total over the bucket space, so
+    * the inner join loses no token); a hand-built LM relation must
+    * likewise cover every bucket id in [0, buckets), or tokens hashing
+    * to its missing buckets silently drop from n_tokens and the weight
+    * fold (ADVICE r15). The pass is one narrow explode + one keyed
+    * sum. */
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
                 lm: DataFrame, buckets: Int = 4096): DataFrame =
     docs

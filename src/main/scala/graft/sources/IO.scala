@@ -303,8 +303,15 @@ object IO {
     * tightens the gate without a restart. The SEVENTH ingest gate
     * (exact-dup, near-dup, winnow, semantic, decontaminate ×2 — and now
     * quality): the batch ids decide what a good corpus is, the gate
-    * applies it as data arrives. Exactly-once via the committed-batch
-    * marker over both appends. */
+    * applies it as data arrives. Replay semantics (ADVICE r15 wording
+    * fix): the committed-batch marker makes a COMMITTED batch's replay
+    * a no-op, and the audit append runs first so a torn batch can only
+    * leave audit rows without corpus rows — but a crash BETWEEN an
+    * append's job commit and the marker write replays the whole batch,
+    * duplicating already-appended rows (at-least-once for torn
+    * batches, the mixDriftAuditSink caveat). Decisions replay
+    * bit-for-bit, so readers needing exactly-once dedup on (id) at
+    * read time — duplicates are identical rows. */
   def dsirGateSink(docs: DataFrame, lmDir: String, outDir: String,
                    auditDir: String, checkpointDir: String,
                    idCol: String, textCol: String,
@@ -1172,13 +1179,16 @@ object IO {
 
   /** Snapshot schema of the [[mixDriftAuditSink]] store: one language-
     * mix drift row per finalized (window, source) plus changelog
-    * bookkeeping. */
+    * bookkeeping. `kl_pico` is null (and `n_unseen` > 0 carries the doc
+    * count) when the window's languages fall wholly outside the
+    * baseline support — the unseen-language-flood alarm row. */
   val MixDriftAuditSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("wkey", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("kl_pico", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_unseen", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
 
@@ -1195,7 +1205,11 @@ object IO {
     * probe convention): retraining the reference mix tightens the
     * monitor without a restart. No index of its own — the monitor is
     * stateless beyond the metrics store, the cheapest of the six
-    * (dimension-sized state, no text read).
+    * (dimension-sized state, no text read). An unseen-language flood
+    * (every doc of a (window, source) outside the baseline support)
+    * lands as a kl_pico-null row with `n_unseen` carrying the doc
+    * count — the store records the strongest drift instead of dropping
+    * it (ADVICE r15).
     *
     * Replay semantics: committed batches replay as marker no-ops; a
     * torn batch (no index append exists to tear) re-derives identical

@@ -605,10 +605,15 @@ object Jobs {
     * crawler stuck in one wiki) — caught as the window closes, and the
     * mixture planner cuts its weight before the skew trains in.
     *
-    * Langs OUTSIDE the baseline support are excluded from the fold
-    * (q = 0 makes KL undefined); an unseen language arriving is its own
-    * alarm — surface it by diffing the relation's lang set against the
-    * baseline's, not by folding an infinity. */
+    * Langs OUTSIDE the baseline support are excluded from the KL fold
+    * (q = 0 makes KL undefined) but NOT from the row: `n_unseen` counts
+    * the window's docs in baseline-unseen languages, and a (window,
+    * source) whose docs are ALL unseen still emits its row with
+    * `kl_pico` null — the strongest possible drift (a wholly unseen
+    * language flood) must land in the metrics store as its own alarm,
+    * not vanish from the relation (ADVICE r15; the old inner join
+    * dropped exactly those rows). `n_docs` is always the FULL window
+    * fold, covered or not. */
   def mixDriftPerWindow(batch: DataFrame, baseline: DataFrame): DataFrame = {
     // dimension-sized micro-batch relation, read twice (the n_s fold and
     // the term fold) — pinned like boilerplateMassPerWindow's
@@ -616,15 +621,21 @@ object Jobs {
     val ns = p.groupBy("window_start", "source")
       .agg(sum(col("n_sl")).as("n_s"))
     p.join(ns, Seq("window_start", "source"))
-      .join(broadcast(baseline), Seq("lang"))
+      .join(broadcast(baseline), Seq("lang"), "left")
       .withColumn("term_pico",
-        floor((col("n_sl").cast("double") / col("n_s")) *
-          log((col("n_sl").cast("double") / col("n_s")) /
-            (col("n_l").cast("double") / col("n_total"))) * lit(1e12))
-          .cast("long"))
+        when(col("n_l").isNotNull,
+          floor((col("n_sl").cast("double") / col("n_s")) *
+            log((col("n_sl").cast("double") / col("n_s")) /
+              (col("n_l").cast("double") / col("n_total"))) * lit(1e12))
+            .cast("long")))
       .groupBy("window_start", "source")
-      .agg(max(col("n_s")).as("n_docs"), sum(col("term_pico")).as("kl_pico"))
-      .select("window_start", "source", "n_docs", "kl_pico")
+      .agg(max(col("n_s")).as("n_docs"),
+        // sum skips the unseen-lang nulls: covered terms fold exactly as
+        // before; a group with NO covered term reads null — the sentinel
+        sum(col("term_pico")).as("kl_pico"),
+        sum(when(col("n_l").isNull, col("n_sl")).otherwise(lit(0L)))
+          .as("n_unseen"))
+      .select("window_start", "source", "n_docs", "kl_pico", "n_unseen")
   }
 
   /** Per-(window, source) DSIR-weight sums — the raw relation of the

@@ -2161,6 +2161,33 @@ class ScalePathSpec extends SparkSpec {
     assert(viaDisk == viaId, "persisted-LM scoring must be identical")
   }
 
+  test("dsirLm: total over the bucket space — unseen-bucket tokens score smoothed, never drop") {
+    import graft.operators.Sampling
+    // ADVICE r15: an externally trained LM scoring a corpus with tokens
+    // in buckets the reference never saw must apply the add-one
+    // smoothing ratio, not silently drop the tokens from the fold.
+    val B = 4096
+    val ref = Seq((1L, "alpha beta alpha"), (2L, "beta gamma beta"))
+      .toDF("doc_id", "text")
+    val lm = Sampling.dsirLm(ref, "text", col("doc_id") === 1L, B)
+    // total over the bucket space — every id in [0, B) exactly once
+    assert(lm.count() == B.toLong, "LM must emit every bucket id")
+    assert(lm.select("b").distinct().count() == B.toLong)
+    // a probe doc of tokens the reference corpus never saw: all of its
+    // buckets are (n_r=0, n_t=0) rows — with overwhelming probability
+    // none of 3 fresh tokens collides with the 3 reference buckets; the
+    // expected weight is n_tokens · the smoothed constant
+    // ln((tot_r+B)/(tot_t+B)) pico-floored per token
+    val probe = Seq((9L, "zzqx wwvk qqpl")).toDF("doc_id", "text")
+    val scored = Sampling.dsirScore(probe, "doc_id", "text", lm, B)
+      .select("n_tokens", "weight_pico").as[(Long, Long)].collect()
+    val totR = 6L; val totT = 3L // reference token counts by construction
+    val perTok = math.floor(
+      (math.log(1.0 / (totT + B)) - math.log(1.0 / (totR + B))) * 1e12).toLong
+    assert(scored.toSeq == Seq((3L, 3L * perTok)),
+      s"unseen-bucket scoring must be the smoothed ratio: ${scored.toSeq}, expected ${(3L, 3L * perTok)}")
+  }
+
   test("corpus-build quality stage: composed == sequential standalone operators, ledger bills the stage") {
     import graft.operators.{CorpusBuild, Dedup, Sampling}
     // corpus: 1-2 exact dups, 3 target-like (en-vocab), 4-5 junk-like,

@@ -2028,6 +2028,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixDriftPerWindow: unseen-language flood emits the alarm row (null KL, n_unseen)") {
+    // ADVICE r15: a (window, source) whose documents are ALL in
+    // languages outside the baseline support must still land a row —
+    // the strongest possible drift can't vanish from the store.
+    val w0 = ts("2024-01-01 10:00:00")
+    val rel = Seq(
+      (w0, "srcA", "xx", 3L),            // wholly unseen language
+      (w0, "srcB", "en", 2L),            // covered…
+      (w0, "srcB", "yy", 2L),            // …plus an unseen half
+      (w0, "srcC", "en", 1L),            // fully covered control
+      (w0, "srcC", "de", 1L))
+      .toDF("window_start", "source", "lang", "n_sl")
+    val baseline = Seq(("en", 5L, 10L), ("de", 5L, 10L))
+      .toDF("lang", "n_l", "n_total")
+    val out = graft.streaming.Jobs.mixDriftPerWindow(rel, baseline)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4)))).toMap
+    // srcA: all-unseen → alarm row, null KL sentinel, full n_docs fold
+    assert(out("srcA") == ((3L, None, 3L)), s"srcA: $out")
+    // srcB: covered terms fold exactly as before (p=0.5 vs q=0.5 → 0),
+    // the unseen half is billed in n_unseen, n_docs is the FULL fold
+    assert(out("srcB") == ((4L, Some(0L), 2L)), s"srcB: $out")
+    // srcC: fully covered — the legacy shape, n_unseen = 0
+    assert(out("srcC")._1 == 2L && out("srcC")._3 == 0L, s"srcC: $out")
+  }
+
   test("windowedTokenCounts + ttrPerWindow: streaming TTR equals the batch fold") {
     val in = MemoryStream[(Timestamp, String)]
     val rel = graft.streaming.Jobs.windowedTokenCounts(
