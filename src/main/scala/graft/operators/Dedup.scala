@@ -1215,6 +1215,53 @@ object Dedup {
     graft.sources.IO.writeBucketCount(docs.sparkSession, indexDir, buckets)
   }
 
+  /** TAKEDOWN verb for the first-seen FINGERPRINT INDEX — completes the
+    * [[graft.sources.IO.dupRateAuditSink]] artifact's verb set
+    * (seed / per-batch append / delete; VERDICT r15 #3, the last
+    * persisted artifact without the delete==rebuild law). Removes the
+    * content fingerprints of `deletedDocs` from the census: the index
+    * is a one-way fp → first_window map with no doc attribution, so a
+    * content-level takedown means its fingerprint leaves the census
+    * entirely — a re-arrival of the same content afterwards reads as a
+    * FRESH canonical (stamped with its new window), exactly the rebuild
+    * semantics (replaying the ingest without the deleted contents
+    * yields this index, since each fp row is independent of every
+    * other). Touched buckets come from a semi-join against the index,
+    * so replaying a delete (or deleting unknown contents) finds nothing
+    * and writes nothing; untouched bucket directories stay
+    * byte-identical (the [[deleteFromFingerprintIndex]] discipline —
+    * dynamic partition overwrite of only the touched buckets, emptied
+    * buckets dropped). Returns the touched bucket ids (the cost
+    * witness). Single writer by contract, like the sink's append. */
+  def deleteFromFpFirstSeenIndex(deletedDocs: DataFrame, textCol: String,
+                                 indexDir: String): Seq[Long] = {
+    val spark = deletedDocs.sparkSession
+    val fps = deletedDocs.select(md5(col(textCol)).as("fp"))
+      .distinct().localCheckpoint(eager = true)
+    try {
+      val idx = spark.read.parquet(indexDir)
+        .select(col("fp"), col("first_window"),
+          col("__bucket").cast("long").as("__bucket"))
+      val touched = idx.join(fps, Seq("fp"), "left_semi")
+        .select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= buckets ids
+      if (touched.isEmpty) return touched // replay / unknown: zero writes
+      val remaining = idx.filter(col("__bucket").isin(touched: _*))
+        .join(fps, Seq("fp"), "left_anti")
+        .localCheckpoint(eager = true) // pin before overwriting the source
+      try {
+        graft.sources.IO.alignToPartitions(remaining, "__bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(indexDir)
+        val written = remaining.select("__bucket").distinct()
+          .collect().map(_.getLong(0)).toSet // bounded: <= buckets ids
+        dropEmptiedPartitions(spark, indexDir, "__bucket", touched, written)
+      } finally Checkpoints.drop(remaining)
+      touched
+    } finally Checkpoints.drop(fps)
+  }
+
   /** Per-doc MARGINAL NOVELTY of a batch against a persisted gram
     * index — the data-ACQUISITION diligence primitive: before paying
     * for (or crawling) a candidate corpus, measure how much of each

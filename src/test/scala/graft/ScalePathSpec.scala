@@ -1169,6 +1169,51 @@ class ScalePathSpec extends SparkSpec {
       "replayed delete must be a zero-write no-op")
   }
 
+  test("fp-first-seen index takedown: delete == rebuild; untouched buckets byte-identical; replay no-op") {
+    // VERDICT r15 #3: the dup-rate monitor's serving artifact joins the
+    // delete==rebuild discipline — the last persisted artifact without it.
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("fpfs_del_").toString
+    val dir = base + "/idx"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"),
+      (3L, "epsilon zeta"), (4L, "eta theta")).toDF("doc_id", "text")
+    Dedup.writeFpFirstSeenIndex(corpus, "text", dir, t0)
+    val before = bucketFiles(dir)
+    val touched = Dedup.deleteFromFpFirstSeenIndex(
+      corpus.filter(col("doc_id") === 2L), "text", dir)
+    assert(touched.nonEmpty, "delete of an indexed content must touch its bucket")
+    // untouched bucket dirs are byte-identical
+    val after = bucketFiles(dir)
+    for ((b, files) <- before if !touched.contains(bucketIdOf(b)))
+      assert(after(b) == files, s"untouched bucket $b rewrote")
+    // delete == rebuild without the content; first_window stamps survive
+    val rebuilt = base + "/rebuilt"
+    Dedup.writeFpFirstSeenIndex(
+      corpus.filter(col("doc_id") =!= 2L), "text", rebuilt, t0)
+    assert(
+      spark.read.parquet(dir).select("fp", "first_window")
+        .as[(String, java.sql.Timestamp)].collect().toSet ==
+        spark.read.parquet(rebuilt).select("fp", "first_window")
+          .as[(String, java.sql.Timestamp)].collect().toSet,
+      "deleted index must equal the rebuild without the content")
+    // behavior: the taken-down content re-arriving reads as FRESH (its
+    // window becomes the new first-seen), surviving content still dups
+    val w1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    val batch = Seq("gamma delta", "alpha beta").toDF("text")
+      .select(lit(w1).as("window_start"), md5(col("text")).as("fp"),
+        lit(1L).as("n_docs"))
+    val known = spark.read.parquet(dir).select("fp", "first_window")
+    val rates = graft.streaming.Jobs.dupRatePerWindow(batch, known)
+      .select("n_docs", "n_dup").as[(Long, Long)].collect()
+    assert(rates.toSeq == Seq((2L, 1L)),
+      s"post-takedown: only the surviving content may read duplicate: ${rates.toSeq}")
+    // replay: the fingerprint is gone, so zero buckets touched
+    assert(Dedup.deleteFromFpFirstSeenIndex(
+      corpus.filter(col("doc_id") === 2L), "text", dir).isEmpty,
+      "replayed delete must be a zero-write no-op")
+  }
+
   test("near-dup index takedown: delete == rebuild; untouched buckets byte-identical; replay no-op") {
     val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
     val baseB = (100 to 140).map(i => s"b$i").mkString(" ")
