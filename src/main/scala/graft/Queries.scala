@@ -1260,24 +1260,14 @@ object Queries {
     * entire regions). One narrow codegen signature pass + one
     * bounded-heap bottom-k groupBy (O(k) state per bucket — never a
     * window over a bucket's rows); every step exact integers/strings,
-    * hard-oracle. */
-  val q_diversity_sample: Q = (s, d) => {
-    val bk = udaf(new graft.functions.BottomKStringAggregator(3))
-    val planes = Vectors.intHyperplanes(8, 64) // one 8-plane band
-    val eInt = transform(col("embedding"),
-      x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
-    Tables.embeddings(s, d)
-      .select(Vectors.lshSignature(eInt, planes).as("bucket"),
-        md5(concat(lit("divsamp:"), col("vec_id").cast("string"))).as("h"),
-        col("vec_id"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_bucket"), bk(col("h"), col("vec_id")).as("ids"))
-      .select(col("bucket"), col("n_bucket"),
-        posexplode(col("ids")).as(Seq("pos", "vec_id")))
-      .select(col("bucket"), col("n_bucket"),
-        (col("pos") + 1).cast("long").as("rn"), col("vec_id"))
+    * hard-oracle. Since round 16 the machinery lives in
+    * [[graft.operators.Sampling.diversityCapRanked]] so the composed
+    * corpus build and the live gate ride the SAME selection this
+    * oracle checks. */
+  val q_diversity_sample: Q = (s, d) =>
+    operators.Sampling.diversityCapRanked(
+        Tables.embeddings(s, d), "vec_id", "embedding", cap = 3)
       .orderBy("bucket", "rn")
-  }
 
   /** q_bucket_entropy — the corpus's semantic-diversity census: Shannon
     * entropy of the [[q_diversity_sample]] bucket occupancy (portable
@@ -1289,11 +1279,9 @@ object Queries {
     * q_mix_drift discipline), so the fold is exact integer addition
     * over a ≤256-row grouped relation. */
   val q_bucket_entropy: Q = (s, d) => {
-    val planes = Vectors.intHyperplanes(8, 64)
-    val eInt = transform(col("embedding"),
-      x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
     Tables.embeddings(s, d)
-      .select(Vectors.lshSignature(eInt, planes).as("bucket"))
+      .select(operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_b"))
       .crossJoin(broadcast(Tables.embeddings(s, d)
         .agg(count(lit(1)).as("n"))))

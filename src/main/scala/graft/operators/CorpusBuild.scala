@@ -37,14 +37,18 @@ object CorpusBuild {
     * `spanTokensRemoved == 0`. `afterSpanRemoval` counts docs surviving
     * the empty-after-excision drop; `spanTokensRemoved` bills EVERY
     * excised token, including those of the subsequently-dropped empty
-    * docs. */
+    * docs. `afterQuality`/`afterDiversity` are -1 when their stages are
+    * off; with both on, `afterQuality` counts DSIR survivors and
+    * `afterDiversity` the rows surviving the semantic bucket cap (the
+    * observed pass's rows_in). */
   final case class CorpusLedger(raw: Long, afterExactDedup: Long,
                                 afterNearDup: Long, afterWinnow: Long,
                                 afterDecontaminate: Long,
                                 afterMix: Long,
                                 afterSpanRemoval: Long = -1L,
                                 spanTokensRemoved: Long = 0L,
-                                afterQuality: Long = -1L)
+                                afterQuality: Long = -1L,
+                                afterDiversity: Long = -1L)
 
   /** Run the full build. Writes three artifacts: the exact-dedup
     * fingerprint index (`fpIndexDir` — [[Dedup.writeFingerprintIndex]]
@@ -76,7 +80,15 @@ object CorpusBuild {
     * rejected (no content to judge — the
     * [[graft.sources.IO.dsirGateSink]] decision, verbatim). Runs after
     * the dedup family and BEFORE decontamination, so the probe gate
-    * still judges exactly the text that ships. */
+    * still judges exactly the text that ships. `diversityEmb` enables
+    * the optional DIVERSITY-CAP stage ([[Sampling.diversityCapSample]]
+    * — the q_diversity_sample selection, verbatim): pass the (idCol,
+    * embedding) relation and each semantic LSH bucket keeps at most
+    * `diversityCap` surviving docs in deterministic md5 order;
+    * unembedded docs pass through. Runs after quality and BEFORE
+    * decontamination for the same reason quality does — the budget
+    * competition should be among quality survivors, and the probe gate
+    * judges what ships. */
   def buildCorpus(docs: DataFrame, probe: DataFrame,
                   idCol: String, textCol: String, stratumCol: String,
                   sortCol: String,
@@ -91,7 +103,9 @@ object CorpusBuild {
                   winnowMinShared: Long = 2L,
                   spanRemovalWindowLen: Option[Int] = None,
                   qualityLm: Option[DataFrame] = None,
-                  qualityThresholdPico: Long = 0L): CorpusLedger = {
+                  qualityThresholdPico: Long = 0L,
+                  diversityEmb: Option[DataFrame] = None,
+                  diversityCap: Int = 3): CorpusLedger = {
     // stage 1: exact content dedup — min-id keeper per md5 fingerprint
     // (the q_dedup_doc policy), then seed the fingerprint index from
     // the SURVIVORS (index == admitted content). The RAW corpus is
@@ -179,11 +193,25 @@ object CorpusBuild {
           .localCheckpoint(eager = true) // feeds the observed pass below
       case None => spanned
     }
+    // optional stage 2⁹⁄₁₀: the DIVERSITY cap — the composed form of
+    // q_diversity_sample (the SAME Sampling.diversityCapRanked
+    // selection): each semantic LSH bucket keeps at most `diversityCap`
+    // of the surviving docs in deterministic md5 order; docs without an
+    // embedding row pass through. The kept-id relation is
+    // bucket-bounded (≤ cap·256 rows — broadcast at any corpus size).
+    // (no checkpoint: the stage feeds only the single observed pass
+    // below, which `pinned` already executes exactly once)
+    val diverse = diversityEmb match {
+      case Some(emb) =>
+        Sampling.diversityCapSample(qualified, idCol, emb, "embedding",
+          diversityCap)
+      case None => qualified
+    }
     // stages 3–5, ONE observed pass: Bloom decontamination and the
     // domain mix are bare predicates, so both ride the shard write's
     // scan with observedFilter counters — per-stage accounting at zero
     // extra executions
-    val (clean, deconObs) = Analytics.observedFilter(qualified,
+    val (clean, deconObs) = Analytics.observedFilter(diverse,
       Dedup.bloomKeepPredicate(probe, textCol, shingleN),
       "corpus_decontaminate")
     val (mixed, mixObs) = Analytics.observedFilter(clean,
@@ -204,20 +232,23 @@ object CorpusBuild {
       case n: Number => n.longValue()
     }
     val nearCount = near.count()
-    // with the span stage OFF the observed pass's rows_in IS the winnow
-    // survivor count (free); with it ON, rows_in is post-span, so the
-    // winnow count comes from its own (checkpointed) relation
+    // ledger cascade: the observed pass's rows_in is the row count at
+    // the LAST enabled pre-observed stage (free — collected on the one
+    // shard-write execution); every earlier optional stage whose count
+    // rows_in no longer witnesses reads its own (checkpointed) relation
+    val laterOn = Seq(spanRemovalWindowLen.nonEmpty, qualityLm.nonEmpty,
+      diversityEmb.nonEmpty)
     val winnowCount =
-      if (spanRemovalWindowLen.isEmpty && qualityLm.isEmpty)
-        asLong(d("rows_in"))
+      if (!laterOn.exists(identity)) asLong(d("rows_in"))
       else if (winnowIndexDir.isEmpty) nearCount
       else winnowed.count()
-    // with the quality stage OFF the observed pass's rows_in is the
-    // post-span count (free, as before); with it ON, rows_in is
-    // post-quality, so the span count comes from its own checkpointed
-    // relation
     val spanCount =
-      if (qualityLm.isEmpty) asLong(d("rows_in")) else spanned.count()
+      if (!laterOn.drop(1).exists(identity)) asLong(d("rows_in"))
+      else spanned.count()
+    val qualityCount =
+      if (qualityLm.isEmpty) -1L
+      else if (diversityEmb.isEmpty) asLong(d("rows_in"))
+      else qualified.count()
     CorpusLedger(
       raw = rawCount,
       afterExactDedup = exact.count(),
@@ -227,6 +258,7 @@ object CorpusBuild {
       afterMix = asLong(m("rows_kept")),
       afterSpanRemoval = spanCount,
       spanTokensRemoved = spanToks,
-      afterQuality = if (qualityLm.isEmpty) -1L else asLong(d("rows_in")))
+      afterQuality = qualityCount,
+      afterDiversity = if (diversityEmb.isEmpty) -1L else asLong(d("rows_in")))
   }
 }

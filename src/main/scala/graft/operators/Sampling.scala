@@ -249,6 +249,84 @@ object Sampling {
       .toDF("shard", "seq_id", idCol, tokensCol)
   }
 
+  /** The engine-portable SEMANTIC bucket of an embedding — the
+    * q_diversity_sample / q_bucket_entropy bucketing as a reusable
+    * column: one integer-LSH band signature over md5-derived INTEGER
+    * hyperplanes × 2^20-quantized components
+    * ([[graft.functions.Vectors.intHyperplanes]] — every product and
+    * sum exact integer arithmetic inside doubles ≪ 2^53), so a vector's
+    * bucket id replays bit-for-bit across engines, restarts, and the
+    * DuckDB oracle. 2^planes buckets (default 256); one fused codegen
+    * pass per vector, no shuffle. */
+  def diversityBucket(embCol: Column, planes: Int = 8,
+                      dim: Int = 64): Column =
+    graft.functions.Vectors.lshSignature(
+      transform(embCol, x =>
+        floor(x.cast("double") * lit(1048576.0)).cast("double")),
+      graft.functions.Vectors.intHyperplanes(planes, dim))
+
+  /** SemDeDup/D4-style diversity-cap RANKING — the machinery behind the
+    * registered `q_diversity_sample` id, exposed as an operator so the
+    * composed corpus build ([[CorpusBuild.buildCorpus]]) and the live
+    * gate ride the exact same selection: vectors bucket by
+    * [[diversityBucket]] (semantic neighborhood) and each bucket keeps
+    * at most `cap` representatives in deterministic md5 order — the
+    * per-cluster budget that keeps a training mixture DIVERSE instead
+    * of letting one dense semantic region dominate (what semantic DEDUP
+    * can't do: it removes near-copies; this caps entire regions).
+    * Returns (bucket, n_bucket, rn, idCol), rn 1-based per bucket. One
+    * narrow codegen signature pass + one bounded-heap bottom-k groupBy
+    * ([[graft.functions.BottomKStringAggregator]] — O(cap) state per
+    * bucket on every partition, map-side combined; never a window over
+    * a bucket's rows). Every step exact integers/strings — hard-oracle
+    * replayable. */
+  def diversityCapRanked(vecs: DataFrame, idCol: String, embCol: String,
+                         cap: Int, salt: String = "divsamp:",
+                         planes: Int = 8, dim: Int = 64): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val bk = udaf(new graft.functions.BottomKStringAggregator(cap))
+    vecs
+      .select(diversityBucket(col(embCol), planes, dim).as("bucket"),
+        md5(concat(lit(salt), col(idCol).cast("string"))).as("h"),
+        col(idCol))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_bucket"), bk(col("h"), col(idCol)).as("ids"))
+      .select(col("bucket"), col("n_bucket"),
+        posexplode(col("ids")).as(Seq("pos", idCol)))
+      .select(col("bucket"), col("n_bucket"),
+        (col("pos") + 1).cast("long").as("rn"), col(idCol))
+  }
+
+  /** Diversity-cap SELECTION over a document relation — the composed-
+    * build verb ([[CorpusBuild.buildCorpus]]'s optional diversity
+    * stage): keep each doc whose embedding ranks within its semantic
+    * bucket's `cap` budget under [[diversityCapRanked]]'s deterministic
+    * md5 order; docs WITHOUT an embedding row pass through untouched
+    * (the cap is a budget on regions the embedding space can see — an
+    * unembedded doc has no region to bill; gate it with the embedding
+    * backfill, not here). `emb` carries (idCol, embCol); only
+    * embeddings of docs still alive in `df` compete for budget (the
+    * cap judges the corpus being built, not retired history). Scale
+    * shape: the kept-id relation is bucket-bounded (≤ cap·2^planes
+    * rows — broadcast at any corpus size), so the keep is one
+    * data-scale id join + one broadcast semi-flag, never a second
+    * corpus scan. */
+  def diversityCapSample(df: DataFrame, idCol: String, emb: DataFrame,
+                         embCol: String, cap: Int,
+                         salt: String = "divsamp:",
+                         planes: Int = 8, dim: Int = 64): DataFrame = {
+    val alive = emb.select(col(idCol), col(embCol))
+      .join(df.select(idCol), Seq(idCol), "left_semi")
+    val kept = diversityCapRanked(alive, idCol, embCol, cap, salt,
+        planes, dim)
+      .select(col(idCol)).distinct().withColumn("__kept", lit(1))
+    df.join(emb.select(col(idCol), lit(1).as("__emb")).distinct(),
+        Seq(idCol), "left")
+      .join(broadcast(kept), Seq(idCol), "left")
+      .filter(col("__emb").isNull || col("__kept").isNotNull)
+      .drop("__emb", "__kept")
+  }
+
   /** Train the hashed-unigram DSIR log-ratio language model (Xie et al.
     * 2023) over `docs`: add-one-smoothed target (`isTarget` rows) vs raw
     * LMs over `buckets` md5-hashed unigram buckets, each bucket's

@@ -2279,6 +2279,56 @@ class ScalePathSpec extends SparkSpec {
       spanTokensRemoved = 0, afterQuality = 2), s"ledger: $ledger")
   }
 
+  test("corpus-build diversity stage: composed == sequential standalone operators, ledger bills the stage") {
+    import graft.operators.{CorpusBuild, Sampling}
+    // VERDICT r15 #1: docs 1-4 share one embedding (a single dense
+    // semantic region), doc 5 is the opposite region, doc 6 has no
+    // embedding row (must pass through untouched). cap=2 → the dense
+    // bucket keeps exactly 2, deterministic md5 order.
+    val e1 = Seq.fill(64)(0.5)
+    val e2 = e1.map(-_)
+    val docs = Seq(
+      (1L, "sA", "alpha words one two three"),
+      (2L, "sA", "beta other tokens four five"),
+      (3L, "sB", "gamma fresh text six seven"),
+      (4L, "sB", "delta unique prose eight nine"),
+      (5L, "sC", "epsilon outlier content ten eleven"),
+      (6L, "sC", "zeta unembedded doc twelve thirteen"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val emb = Seq((1L, e1), (2L, e1), (3L, e1), (4L, e1), (5L, e2))
+      .toDF("doc_id", "embedding")
+    val probe = Seq((100L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("corpus_diversity_").toString
+    val ledger = CorpusBuild.buildCorpus(
+      docs, probe, "doc_id", "text", "source", "n_chars",
+      s"$base/fp", s"$base/band", s"$base/shards",
+      diversityEmb = Some(emb), diversityCap = 2)
+    // standalone: exact/near dedup drop nothing on this fixture, so the
+    // composed result must equal the bare standalone selection
+    val sKept = Sampling
+      .diversityCapSample(docs, "doc_id", emb, "embedding", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sKept.size == 4 && Set(5L, 6L).subsetOf(sKept),
+      s"standalone: 2 of the dense region + outlier + unembedded: $sKept")
+    val sharded = spark.read.parquet(s"$base/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sharded == sKept, s"composed shards $sharded != standalone $sKept")
+    // the dense region's 2 survivors are the q_diversity_sample pick:
+    // bottom-2 by md5("divsamp:" + id) within the bucket
+    val ranked = Sampling
+      .diversityCapRanked(emb, "doc_id", "embedding", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sKept == ranked + 6L,
+      s"composed selection must be the ranked operator's: $ranked vs $sKept")
+    assert(ledger == CorpusBuild.CorpusLedger(
+      raw = 6, afterExactDedup = 6, afterNearDup = 6, afterWinnow = 6,
+      afterDecontaminate = 4, afterMix = 4, afterSpanRemoval = 6,
+      spanTokensRemoved = 0, afterQuality = -1L, afterDiversity = 4),
+      s"ledger: $ledger")
+  }
+
   test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
     import graft.operators.{CorpusBuild, Sampling}
     val base = java.nio.file.Files.createTempDirectory("corpus_build_")
