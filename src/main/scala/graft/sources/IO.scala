@@ -345,6 +345,80 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming DIVERSITY gate — the EIGHTH ingest gate (exact-dup,
+    * near-dup, winnow, semantic, decontaminate ×2, quality — and now
+    * diversity; VERDICT r15 #2): the live form of the
+    * `q_diversity_sample` cap. A vector is admitted while its semantic
+    * LSH bucket ([[graft.operators.Sampling.diversityBucket]] — the
+    * exact oracle-checked bucketing) is under `cap` against the
+    * persisted BUCKET-OCCUPANCY index at `indexDir`: (bucket, n) rows
+    * appended per batch, live occupancy = Σn per bucket — a
+    * bucket-bounded relation (≤ 2^planes groups) that broadcasts at any
+    * corpus size, the cheapest gate state of the eight. Intra-batch
+    * collapse rides [[graft.operators.Sampling.diversityCapRanked]]
+    * (bounded-heap bottom-`cap` per bucket in deterministic md5 order —
+    * O(cap) state per bucket, never a window): a batch rank can never
+    * exceed `cap` and the remaining budget never exceeds `cap`, so
+    * trimming the bottom-`cap` to `rn + occupancy ≤ cap` is the exact
+    * greedy admission. Cold start: missing index = zero occupancy (the
+    * nearDupAgainstIndex contract); seed it by appending the composed
+    * build's per-bucket counts if the corpus pre-exists.
+    *
+    * Replay semantics: committed batches are marker no-ops. Torn
+    * batches: the corpus append runs FIRST, so a crash before the index
+    * append replays identical decisions (occupancy unchanged) and can
+    * only duplicate identical corpus rows (at-least-once); a crash
+    * AFTER the index append self-bills the batch's own admissions on
+    * replay — the re-ranked rows land beyond the advanced budget and
+    * admit nothing extra, the conservative direction (the
+    * semanticDedupSink torn-batch shape). */
+  def diversityGateSink(vecs: DataFrame, indexDir: String, outDir: String,
+                        checkpointDir: String, idCol: String,
+                        vecCol: String, cap: Int, buckets: Int = 64)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val b = batch.localCheckpoint(true) // feeds ranking + admit join
+          val ranked = graft.operators.Sampling
+            .diversityCapRanked(b, idCol, vecCol, cap)
+            .select(col("bucket"), col("rn"), col(idCol))
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = idxPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val occ =
+            if (fs.exists(idxPath))
+              spark.read.parquet(indexDir)
+                .groupBy("bucket").agg(sum(col("n")).as("n_occ"))
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              StructType(Seq(
+                org.apache.spark.sql.types.StructField("bucket",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("n_occ",
+                  org.apache.spark.sql.types.LongType))))
+          val admitted = ranked
+            .join(broadcast(occ), Seq("bucket"), "left")
+            .na.fill(0L, Seq("n_occ"))
+            .filter(col("rn") + col("n_occ") <= cap.toLong)
+            .localCheckpoint(true) // feeds the corpus append + the delta
+          b.join(admitted.select(idCol), Seq(idCol), "left_semi")
+            .write.mode("append").parquet(outDir)
+          val bkts = readBucketCount(spark, indexDir).getOrElse(buckets)
+          val delta = admitted.groupBy("bucket")
+            .agg(count(lit(1)).as("n"))
+            .withColumn("__bucket",
+              pmod(xxhash64(col("bucket")), lit(bkts.toLong)))
+          alignToPartitions(delta, "__bucket")
+            .write.mode("append").partitionBy("__bucket").parquet(indexDir)
+          if (readBucketCount(spark, indexDir).isEmpty)
+            writeBucketCount(spark, indexDir, bkts)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming embedding ingest with SEMANTIC dedup at the gate — the
     * vector twin of [[nearDupDedupSink]]: each micro-batch drops
     * vectors within `threshold` cosine of anything already admitted
@@ -1292,6 +1366,57 @@ object IO {
                   (col("window_start").cast("double") * 1000).cast("long"))
               versionedUpsertBatch(metrics, baseDir, "wkey",
                 QualityAuditSchema, retain)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
+  /** Snapshot schema of the [[diversityAuditSink]] store: one semantic-
+    * diversity census row per finalized window plus changelog
+    * bookkeeping. */
+  val DiversityAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("n_vecs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("entropy_pico", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live DIVERSITY monitor — the EIGHTH corpus-audit monitor
+    * (contamination, boilerplate, novelty, TTR, exact-dup rate, mix
+    * drift, quality, semantic diversity; VERDICT r15 #2): finalized
+    * [[graft.streaming.Jobs.windowedBucketCounts]] micro-batches fold
+    * through [[graft.streaming.Jobs.bucketEntropyPerWindow]] — the
+    * `q_bucket_entropy` pico-quantized census, window grain — and
+    * upsert one row per window into the versioned metrics store (the
+    * dupRateAuditSink key convention: window_start). The monitor-and-
+    * gate pairing: a falling entropy curve (or a spiking max_bucket)
+    * says the crawl is pooling in one semantic region — the reading
+    * that justifies turning [[diversityGateSink]]'s cap on, read from
+    * the store's window history BEFORE the mixture skews. Stateless
+    * beyond the store; replay: committed batches are marker no-ops, and
+    * the fold is a pure function of the batch. */
+  def diversityAuditSink(hist: DataFrame, baseDir: String,
+                         checkpointDir: String, retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val metrics = graft.streaming.Jobs
+                .bucketEntropyPerWindow(pinned)
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "window_start",
+                DiversityAuditSchema, retain)
             }
           } finally graft.operators.Checkpoints.drop(pinned)
       })

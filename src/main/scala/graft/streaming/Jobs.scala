@@ -683,4 +683,54 @@ object Jobs {
     batch.select(col("window_start"), col("source"), col("n_tokens"),
       col("weight_pico"),
       expr("weight_pico div n_tokens").as("mean_pico_per_token"))
+
+  /** Per-(window, semantic-bucket) vector counts — the raw relation of
+    * the live DIVERSITY monitor (the EIGHTH corpus-audit monitor
+    * beside contamination, boilerplate, novelty, TTR, exact-dup rate,
+    * mix drift and quality; VERDICT r15 #2): each embedding lands in
+    * its [[graft.operators.Sampling.diversityBucket]] integer-LSH
+    * bucket — the exact `q_bucket_entropy` bucketing — and the window
+    * holds one count per occupied bucket. State is (open windows ×
+    * ≤ 2^planes buckets)-bounded — dimension-sized, no vector is
+    * retained. Append mode; feed finalized micro-batches to
+    * [[bucketEntropyPerWindow]]. */
+  def windowedBucketCounts(vecs: DataFrame, tsCol: String, vecCol: String,
+                           windowDur: String,
+                           watermarkDelay: String): DataFrame =
+    vecs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.operators.Sampling.diversityBucket(col(vecCol)).as("bucket"))
+      .groupBy(window(col(tsCol), windowDur), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("n_b"))
+
+  /** Per-window semantic-DIVERSITY reading over a FINALIZED
+    * [[windowedBucketCounts]] micro-batch — the live twin of the batch
+    * `q_bucket_entropy` census: Shannon entropy of the window's bucket
+    * occupancy plus the occupancy extremes. The per-bucket entropy term
+    * is the batch id's LITERAL float expression, pico-quantized per
+    * term, so the per-window fold is exact integer addition — parity by
+    * construction (the mixDriftPerWindow convention). A window whose
+    * entropy falls (or whose max_bucket spikes) is pooling in one
+    * semantic region — the reading that decides whether the
+    * [[graft.sources.IO.diversityGateSink]] cap needs to bind, caught
+    * as the window closes. */
+  def bucketEntropyPerWindow(batch: DataFrame): DataFrame = {
+    // bucket-bounded micro-batch relation, read twice (the total fold
+    // and the term fold) — pinned like mixDriftPerWindow's
+    val p = batch.localCheckpoint(true)
+    val n = p.groupBy("window_start").agg(sum(col("n_b")).as("n"))
+    p.join(n, Seq("window_start"))
+      .withColumn("term_pico",
+        floor((col("n_b").cast("double") / col("n")) * lit(-1.0) *
+          log(col("n_b").cast("double") / col("n")) * lit(1e12))
+          .cast("long"))
+      .groupBy("window_start")
+      .agg(max("n").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        sum("term_pico").as("entropy_pico"),
+        max("n_b").as("max_bucket"), min("n_b").as("min_bucket"))
+      .select("window_start", "n_vecs", "n_buckets", "entropy_pico",
+        "max_bucket", "min_bucket")
+  }
 }

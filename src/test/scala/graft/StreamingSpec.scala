@@ -2284,6 +2284,151 @@ class StreamingSpec extends SparkSpec {
       s"replayed batches must be marker no-ops: $vBefore -> $versions")
   }
 
+  test("diversityGateSink: bucket cap admits the q_diversity_sample pick, budget advances, replay is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("div_gate_").toString
+    val idxDir = s"$base/occ"; val outDir = s"$base/out"
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val in = MemoryStream[(Long, Seq[Double])]
+    def start(ck: String) = graft.sources.IO.diversityGateSink(
+        in.toDF().toDF("vec_id", "embedding"), idxDir, outDir, ck,
+        "vec_id", "embedding", cap = 2)
+      .trigger(Trigger.ProcessingTime(0)) // multi-batch in-test
+      .start()
+    def ids: Set[Long] =
+      spark.read.parquet(outDir).select("vec_id").as[Long].collect().toSet
+    // batch-fold PARITY: the gate's first batch over an empty index
+    // must admit exactly the q_diversity_sample machinery's pick —
+    // bottom-2 by md5 in the dense bucket, plus the outlier
+    val b1 = Seq((10L, e1), (11L, e1), (12L, e1), (13L, e2))
+    val expected1 = graft.operators.Sampling.diversityCapRanked(
+        b1.toDF("vec_id", "embedding"), "vec_id", "embedding", 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(expected1.size == 3 && expected1.contains(13L),
+      s"fixture: 2 of the dense region + the outlier: $expected1")
+    val q = start(s"$base/ck1")
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(ids == expected1, s"batch-1 admissions: $ids vs $expected1")
+      // batch 2: the dense bucket is AT cap (occupancy 2) → both its
+      // rows reject; the outlier bucket has budget 1 left → admits
+      in.addData((20L, e1), (21L, e1), (22L, e2))
+      q.processAllAvailable()
+      assert(ids == expected1 + 22L, s"batch-2 (index advanced): $ids")
+      // batch 3: every bucket full — nothing admits
+      in.addData((30L, e1), (31L, e2))
+      q.processAllAvailable()
+      assert(ids == expected1 + 22L, s"batch-3 (all at cap): $ids")
+    } finally q.stop()
+    // replay from a fresh checkpoint: markers make each batch a no-op
+    val q2 = start(s"$base/ck2")
+    try {
+      in.addData((40L, e1))
+      q2.processAllAvailable()
+      assert(ids == expected1 + 22L, s"replayed: $ids")
+    } finally q2.stop()
+  }
+
+  test("windowedBucketCounts + bucketEntropyPerWindow: parity with q_bucket_entropy; concentration alarm") {
+    // PARITY LAW (the mixDriftPerWindow convention): the fold over the
+    // REAL embeddings table — one window — must reproduce the
+    // registered batch id's single census row exactly: the entropy term
+    // is the literal same float expression, pico-quantized per term.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val w0 = ts("2024-01-01 10:00:00")
+    val rel = emb
+      .select(graft.operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .select(lit(w0).as("window_start"), col("bucket"), col("n_b"))
+    val live = graft.streaming.Jobs.bucketEntropyPerWindow(rel)
+      .select("n_vecs", "n_buckets", "entropy_pico", "max_bucket",
+        "min_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val batch = Queries.q_bucket_entropy(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(live == batch,
+      s"streaming entropy fold diverged from q_bucket_entropy: $live vs $batch")
+
+    // LIVE GOLDEN: a one-region window reads entropy 0, an evenly split
+    // window reads 2·floor(½·ln2·1e12) — finalized on watermark advance
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val in = MemoryStream[(Timestamp, Seq[Double])]
+    val winRel = graft.streaming.Jobs.windowedBucketCounts(
+      in.toDF().toDF("ts", "embedding"), "ts", "embedding",
+      "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = winRel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:01:00"), e1), (ts("2024-01-01 10:02:00"), e1),
+        (ts("2024-01-01 10:03:00"), e1), (ts("2024-01-01 10:04:00"), e1),
+        (ts("2024-01-01 10:21:00"), e1), (ts("2024-01-01 10:22:00"), e1),
+        (ts("2024-01-01 10:23:00"), e2), (ts("2024-01-01 10:24:00"), e2))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:41:00"), e1))
+      q.processAllAvailable()
+      val out = graft.streaming.Jobs
+        .bucketEntropyPerWindow(spark.table(name))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out("2024-01-01 10:00:00.0") == ((4L, 1L, 0L)),
+        s"concentrated window must read zero entropy: $out")
+      val half = math.floor(0.5 * math.log(2.0) * 1e12).toLong
+      assert(out("2024-01-01 10:20:00.0") == ((4L, 2L, 2L * half)),
+        s"even split must read 2·floor(½ln2·1e12): $out")
+    } finally q.stop()
+  }
+
+  test("diversityAuditSink: per-window entropy census lands versioned, replay is a no-op") {
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val in = MemoryStream[(Timestamp, Seq[Double])]
+    val hist = graft.streaming.Jobs.windowedBucketCounts(
+      in.toDF().toDF("ts", "embedding"), "ts", "embedding",
+      "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("divaudit_").toString
+    val base = s"$root/store"
+    def start(ck: String) = graft.sources.IO
+      .diversityAuditSink(hist, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[String, (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last, graft.sources.IO.DiversityAuditSchema))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("divaudit_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1: pooled in one region (entropy 0); w2: even 2-bucket split
+      in.addData(
+        (ts("2024-01-01 10:01:00"), e1), (ts("2024-01-01 10:02:00"), e1),
+        (ts("2024-01-01 10:03:00"), e1),
+        (ts("2024-01-01 10:21:00"), e1), (ts("2024-01-01 10:22:00"), e2),
+        (ts("2024-01-01 10:41:00"), e1))
+      q1.processAllAvailable()
+      val half = math.floor(0.5 * math.log(2.0) * 1e12).toLong
+      assert(live == Map(
+        "2024-01-01 10:00:00.0" -> ((3L, 1L, 0L)),
+        "2024-01-01 10:20:00.0" -> ((2L, 2L, 2L * half))),
+        s"round 1: $live")
+    } finally q1.stop()
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // store versions (the metrics-store upsert law)
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("divaudit_ck2_").toString
+    val q2 = start(ck2)
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), e1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(versions == vBefore,
+      s"replayed batches must be marker no-ops: $vBefore -> $versions")
+  }
+
   test("noveltyBySourceAuditSink: source attribution across windows, " +
        "index advance, replay is a no-op") {
     val in = MemoryStream[(Timestamp, Long, String, String)]
