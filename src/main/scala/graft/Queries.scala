@@ -330,7 +330,20 @@ object Queries {
       .orderBy("event_type")
 
   /** q_agg_approx_distinct — HLL++ sketch; oracle-exempt (bounded-error
-    * check lives in scalatest). The 100 TB replacement for exact distinct. */
+    * check lives in scalatest). The 100 TB replacement for exact distinct.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): the output
+    * IS the sketch estimate, and Spark's `approx_count_distinct` is the
+    * HLL++ of Heule et al. — xxhash64-hashed registers, the sparse→dense
+    * representation switch, and the empirically fitted bias-correction
+    * TABLES baked into Spark's `HyperLogLogPlusPlusHelper` — none of
+    * which ANSI SQL expresses and no other engine reproduces
+    * (DuckDB's `approx_count_distinct` is a different HLL with different
+    * hashing and correction: same cardinality class, different integers).
+    * A value-exact oracle would have to re-implement Spark's private
+    * estimator constant-for-constant in SQL. The estimate is instead
+    * law-pinned in ExemptBoundsSpec against the exact
+    * [[q_agg_distinct]] twin at the declared 2% rsd. */
   val q_agg_approx_distinct: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
@@ -414,7 +427,19 @@ object Queries {
     * [[q_agg_percentile]] twin: one map-side-combinable sketch per
     * group, O(accuracy) state, no per-group sort. Oracle-exempt
     * (sketch-dependent values); the error bound against the exact
-    * percentile twin is pinned in scalatest. */
+    * percentile twin is pinned in scalatest.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): the output
+    * is the sketch's answer, and Spark's `approx_percentile` is the
+    * Greenwald–Khanna summary in Spark's private
+    * `QuantileSummaries` — its compress-threshold schedule, buffer
+    * insertion order, and rank-interpolation rule decide WHICH sample
+    * each quantile query returns. A different engine's quantile sketch
+    * (DuckDB ships t-digest) keeps different samples: both are within
+    * the 1/accuracy rank guarantee, but the returned VALUES differ, so
+    * no cross-engine value-exact replay exists short of re-implementing
+    * Spark's summary merge in SQL. The rank-error law against the exact
+    * [[q_agg_percentile]] twin is pinned in ExemptBoundsSpec. */
   val q_agg_approx_percentile: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -1069,7 +1094,22 @@ object Queries {
 
   /** q_similarity_ivf — ANN top-5 via IVF coarse quantizer (train on
     * bounded sample, probe nearest lists, exact re-rank); oracle-exempt
-    * (approximate by construction), recall checked in scalatest. */
+    * (approximate by construction), recall checked in scalatest.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): the result
+    * set is decided by the k-means coarse quantizer
+    * ([[graft.operators.Similarity.ivfTrain]] — seeded Lloyd iterations
+    * whose centroid coordinates are IEEE-754 float SUMS in Spark's
+    * partition-wise reduction order). Seeding makes the run
+    * repeat-deterministic on one engine, but the coordinates have no
+    * closed form an oracle could recompute: a DuckDB replay would need
+    * bit-identical float summation across a different engine's
+    * aggregation tree, and a one-ulp centroid difference flips
+    * list assignment and therefore WHICH vectors are probed at all.
+    * Contrast [[q_similarity_lsh]], whose integer hyperplanes make the
+    * candidate step exact — that id carries the hard oracle for the
+    * bucketed-ANN shape; this one is law-pinned (recall floor vs
+    * brute force) in ExemptBoundsSpec. */
   val q_similarity_ivf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
@@ -1085,7 +1125,15 @@ object Queries {
     * instead of N. Oracle-exempt (approximate by construction);
     * indexed == brute-force on the clustered fixture is pinned in
     * scalatest, and the ≤-nprobe partition-pruning proof lives in
-    * FunctionsSpec. */
+    * FunctionsSpec.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): inherits
+    * [[q_similarity_ivf]]'s proof — the persisted `ivf_list` partition
+    * keys ARE the float k-means assignments, so the index layout itself
+    * (which rows land in which probed partition) depends on float
+    * centroid coordinates no ANSI replay can reproduce; the lifecycle
+    * laws (indexed == in-memory probe, ≤-nprobe pruning) are the
+    * engine-side checks that stand in. */
   val q_similarity_ivf_indexed: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
@@ -1110,7 +1158,18 @@ object Queries {
     * bounded by refine·k rows. Oracle-exempt (float ANN by
     * construction; seeded train/encode make it repeat-deterministic) —
     * recall law in ExemptBoundsSpec, plan + mirror-invariant laws in
-    * ScalePathSpec, 1M-vector measurement in BASELINE.md. */
+    * ScalePathSpec, 1M-vector measurement in BASELINE.md.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): THREE
+    * stacked float-k-means artifacts — the coarse quantizer (the
+    * [[q_similarity_ivf]] proof), the per-subspace PQ CODEBOOKS trained
+    * on float residuals, and the ADC lookup tables (float dot products
+    * against those codebooks) — every one an IEEE-754 fixed point of a
+    * seeded iterative optimizer, none with a closed form ANSI SQL could
+    * recompute; a one-ulp codebook difference changes code assignments,
+    * ADC distances, and hence the refine candidate set. Law checks
+    * (recall floor, fused==plain route equivalence, mirror invariance)
+    * stand in, in ExemptBoundsSpec/ScalePathSpec. */
   val q_similarity_ivfpq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val q = Similarity.queryVector(emb, "vec_id", "embedding", 0L)
@@ -1867,7 +1926,18 @@ object Queries {
     * kilobyte sketches instead of re-scanning rows. Estimate is
     * approximate → oracle-exempt; FunctionsSpec pins the merge law
     * (union-of-parts == sketch-of-whole, exactly) and the accuracy band
-    * vs exact distinct. */
+    * vs exact distinct.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): the value
+    * is an Apache DataSketches HllSketch estimate — XxHash64-seeded
+    * register hashing, the LIST→SET→HLL promotion ladder, HIP
+    * (historical-inverse-probability) estimation over the union — all
+    * library internals with no ANSI-SQL form. DuckDB has no DataSketches
+    * HLL at all, and any reimplementation would be a different sketch
+    * with different integers (the exact point of the md5-portable
+    * [[q_distinct_hll_portable]] twin, which carries the HARD oracle
+    * for this rollup shape). The library sketch stays registered for
+    * its mergeability contract, law-pinned in FunctionsSpec. */
   val q_agg_distinct_hll: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
@@ -2016,7 +2086,16 @@ object Queries {
     * top-k, one codes scan. Oracle-exempt (PQ is approximate by
     * construction; seeded train/encode make it repeat-deterministic —
     * the exempt-lane laws); recall vs exact is law-tested in
-    * ScalePathSpec. */
+    * ScalePathSpec.
+    *
+    * WHY NO ORACLE EXISTS (exemption proof, VERDICT r15 #6): every
+    * score is an ADC sum of float codebook dot products, and the
+    * codebooks are seeded float k-means over residual subspaces — the
+    * [[q_similarity_ivfpq]] argument verbatim (no closed form, no
+    * cross-engine bit-identical float summation, one-ulp flips change
+    * code assignments and the returned neighbor set). The exact-scoring
+    * twin [[q_knn_join]] carries the hard oracle for this join shape;
+    * this id's recall-vs-exact law lives in ScalePathSpec. */
   val q_knn_join_pq: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val cbs = Similarity.pqTrain(emb, "embedding", dim = 64, m = 8, k = 16)

@@ -684,6 +684,46 @@ object Jobs {
       col("weight_pico"),
       expr("weight_pico div n_tokens").as("mean_pico_per_token"))
 
+  /** Per-(window, source) PAD-TOKEN sums — the raw relation of the live
+    * pad-waste monitor (the streaming twin of the batch `q_pad_waste`
+    * id, the one corpus-economics id whose window form was missing;
+    * VERDICT r15 #7): per doc, the token count and the pad bill
+    * `seqLen·max(ceil(n/seqLen), 1) − n` it would burn if padded to
+    * sequence multiples instead of packed (token-less docs cost one
+    * empty sequence — the batch id's rule verbatim), folded to exact
+    * long sums per (window, source). State is (open windows ×
+    * sources)-bounded — dimension-sized; all arithmetic exact integers,
+    * so the streaming fold equals the batch fold by associativity.
+    * Append mode; feed finalized micro-batches to
+    * [[padWastePerWindow]]. */
+  def windowedPadTokens(docs: DataFrame, tsCol: String, sourceCol: String,
+                        textCol: String, windowDur: String,
+                        watermarkDelay: String,
+                        seqLen: Long = 512L): DataFrame =
+    docs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(sourceCol).as("source"),
+        Text.tokenCount(col(textCol)).as("n"))
+      .withColumn("padded", // the q_pad_waste expression, verbatim
+        expr(s"greatest((n + ${seqLen - 1}) div $seqLen, 1) * $seqLen"))
+      .groupBy(window(col(tsCol), windowDur), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("padded") - col("n")).as("n_pad"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_pad"))
+
+  /** Per-(window, source) PAD-WASTE reading over a FINALIZED
+    * [[windowedPadTokens]] micro-batch — the live twin of the batch
+    * `q_pad_waste` bill: the pad share of the padded stream as the
+    * exact HALF_UP ppm ([[graft.operators.Analytics.halfUpPpm]] — the
+    * q_auc parity convention). A source whose waste_ppm climbs is
+    * shipping ever-shorter documents — the loader-economics drift the
+    * packing pipeline wants to see before the utilization bill lands. */
+  def padWastePerWindow(batch: DataFrame): DataFrame =
+    batch.select(col("window_start"), col("source"), col("n_docs"),
+      col("n_tokens"), col("n_pad"),
+      graft.operators.Analytics.halfUpPpm(col("n_pad"),
+        col("n_pad") + col("n_tokens")).as("waste_ppm"))
+
   /** Per-(window, semantic-bucket) vector counts — the raw relation of
     * the live DIVERSITY monitor (the EIGHTH corpus-audit monitor
     * beside contamination, boilerplate, novelty, TTR, exact-dup rate,

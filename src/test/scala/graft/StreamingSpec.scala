@@ -2104,6 +2104,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedPadTokens + padWastePerWindow: parity with q_pad_waste; live short-doc drift") {
+    // PARITY LAW (the mixDriftPerWindow convention): the SAME function
+    // run over the REAL documents table in batch mode — one window —
+    // must reproduce the registered batch id's (source, n_docs,
+    // n_tokens, n_pad, waste_ppm) rows exactly (all-integer fold; the
+    // watermark node is eliminated on batch plans).
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("ts", lit(ts("2024-01-01 10:00:00")))
+    val live = graft.streaming.Jobs.padWastePerWindow(
+        graft.streaming.Jobs.windowedPadTokens(
+          docs, "ts", "source", "text", "10 minutes", "5 minutes"))
+      .select("source", "n_docs", "n_tokens", "n_pad", "waste_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = Queries.q_pad_waste(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(live == batch,
+      s"streaming pad-waste fold diverged from q_pad_waste: ${live -- batch}")
+
+    // LIVE GOLDEN: a long-doc window wastes little, a short-doc window
+    // wastes nearly everything — per source, finalized on watermark
+    val in = MemoryStream[(Timestamp, String, String)]
+    val rel = graft.streaming.Jobs.windowedPadTokens(
+      in.toDF().toDF("ts", "source", "text"),
+      "ts", "source", "text", "10 minutes", "5 minutes")
+    val name = nextName()
+    val q = rel.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // w1: one 600-token doc (pads to 1024 → 424 pad); w2: two 1-token
+      // docs (each pads to 512 → 1022 pad of 1024)
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "srcA",
+          (1 to 600).map(i => s"t$i").mkString(" ")),
+        (ts("2024-01-01 10:21:00"), "srcA", "x"),
+        (ts("2024-01-01 10:22:00"), "srcA", "y"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:41:00"), "srcA", "wm push"))
+      q.processAllAvailable()
+      val out = graft.streaming.Jobs
+        .padWastePerWindow(spark.table(name))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // 424/1024 → HALF_UP ppm = floor((2e6·424 + 1024)/2048) = 414063
+      assert(out("2024-01-01 10:00:00.0") == ((1L, 600L, 424L, 414063L)),
+        s"long-doc window: $out")
+      // 1022/1024 → floor((2e6·1022 + 1024)/2048) = 998047
+      assert(out("2024-01-01 10:20:00.0") == ((2L, 2L, 1022L, 998047L)),
+        s"short-doc window: $out")
+    } finally q.stop()
+  }
+
   test("noveltyAuditSink: earliest-window attribution, index advance, replay is a no-op") {
     val in = MemoryStream[(Timestamp, String)]
     val hist = graft.streaming.Jobs.windowedGramDocFreq(
