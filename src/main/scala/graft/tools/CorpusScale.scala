@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * eval-leak scenario: the benchmark docs live in the corpus and must
   * leave it. Prints ONE JSON line with the wall-clock and the
   * per-stage row ledger (the evidence for BASELINE.md's composed-cost
-  * row). Usage: runMain graft.tools.CorpusScale [sfDir] [winnow|spans|quality]
-  * [nearDupThreshold] — the threshold arg exists for the spans probe:
+  * row). Usage: runMain graft.tools.CorpusScale [sfDir]
+  * [winnow|spans|quality|diversity-stage] [nearDupThreshold] —
+  * `diversity-stage` turns on the semantic bucket cap (cap 8 over the
+  * fixture's embeddings, vec_id ↔ doc_id) and the threshold arg
+  * exists for the spans probe:
   * at the default 0.7 the doc-level stages absorb ALL of the fixture's
   * exact 8-token duplication (family-shaped near-dups), so the span
   * stage's work only becomes visible when whole-doc dedup is looser. */
@@ -20,10 +23,14 @@ object CorpusScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pack")) { packProbe(args.drop(1)); return }
     if (args.headOption.contains("dsir")) { dsirProbe(args.drop(1)); return }
+    if (args.headOption.contains("diversity")) {
+      diversityProbe(args.drop(1)); return
+    }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val withWinnow = args.length > 1 && args.contains("winnow")
     val withSpans = args.length > 1 && args.contains("spans")
     val withQuality = args.length > 1 && args.contains("quality")
+    val withDiversity = args.length > 1 && args.contains("diversity-stage")
     val threshold = args.find(a => a.nonEmpty && (a(0).isDigit || a(0) == '.'))
       .map(_.toDouble).getOrElse(0.7)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -60,9 +67,15 @@ object CorpusScale {
       numShards = 8,
       winnowIndexDir = if (withWinnow) Some(s"$base/winnow") else None,
       spanRemovalWindowLen = if (withSpans) Some(8) else None,
-      qualityLm = qualityLm, qualityThresholdPico = qualityThreshold)
+      qualityLm = qualityLm, qualityThresholdPico = qualityThreshold,
+      diversityEmb =
+        if (withDiversity)
+          Some(graft.sources.Tables.embeddings(spark, sfDir)
+            .select(col("vec_id").as("doc_id"), col("embedding")))
+        else None,
+      diversityCap = 8)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_quality":${ledger.afterQuality},"after_mix":${ledger.afterMix}}""")
+    println(s"""{"metric":"corpus_build","sf_dir":"$sfDir","cpus":$cpus,"winnow":$withWinnow,"spans":$withSpans,"quality":$withQuality,"diversity":$withDiversity,"near_dup_threshold":$threshold,"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_decontaminate":${ledger.afterDecontaminate},"after_quality":${ledger.afterQuality},"after_diversity":${ledger.afterDiversity},"after_mix":${ledger.afterMix}}""")
     spark.stop()
   }
 
@@ -134,6 +147,59 @@ object CorpusScale {
       .collect().head
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"sequence_pack","n_docs":$nDocs,"n_tokens":${agg.getLong(2)},"n_seqs":${agg.getLong(0)},"overlap_rows":${agg.getLong(1)},"pack_sec":${math.round(sec * 10) / 10.0}}""")
+    spark.stop()
+  }
+
+  /** Measures the diversity-cap family at synthetic scale (VERDICT r15
+    * #5 — the one r15 family without a BASELINE.md scale row): nVecs
+    * 64-dim vectors drawn around 40 LCG cluster centers with ±0.05
+    * jitter (a skewed semantic landscape — most of a cluster shares an
+    * LSH bucket, so the cap has real work), then (a) the
+    * `q_bucket_entropy` census pass and (b) the
+    * `Sampling.diversityCapRanked` selection pass (the composed-build /
+    * live-gate machinery). Reports the bucket histogram extremes, the
+    * cap selectivity, and both wall-times — the numbers behind the
+    * "O(cap) state per bucket" claim.
+    * Usage: runMain graft.tools.CorpusScale diversity [nVecs] [cap] */
+  private def diversityProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val cap = if (args.length > 1) args(1).toInt else 8
+    val spark = synthSession()
+    import spark.implicits._
+    val vecs = spark.range(nVecs).mapPartitions { it =>
+      it.map { id =>
+        var x = id * 6364136223846793005L + 1442695040888963407L
+        def nxt(): Long = {
+          x = x * 6364136223846793005L + 1442695040888963407L; x
+        }
+        val cluster = (id % 40L) * 2654435761L // decorrelate center seeds
+        var c = cluster
+        def cnxt(): Long = {
+          c = c * 6364136223846793005L + 1442695040888963407L; c
+        }
+        val emb = Array.tabulate(64) { _ =>
+          val center = (math.floorMod(cnxt(), 2000L) - 1000L) / 1000.0
+          val jitter = (math.floorMod(nxt(), 2000L) - 1000L) / 20000.0
+          center + jitter
+        }.toSeq
+        (id, emb)
+      }
+    }.toDF("vec_id", "embedding").localCheckpoint(true) // exclude gen cost
+    val t0 = System.nanoTime()
+    val census = vecs
+      .select(graft.operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .agg(count(lit(1)).as("n_buckets"), max("n_b").as("max_bucket"),
+        min("n_b").as("min_bucket"))
+      .collect().head
+    val censusSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val kept = graft.operators.Sampling
+      .diversityCapRanked(vecs, "vec_id", "embedding", cap)
+      .count()
+    val rankSec = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"diversity_cap","n_vecs":$nVecs,"cap":$cap,"n_buckets":${census.getLong(0)},"max_bucket":${census.getLong(1)},"min_bucket":${census.getLong(2)},"kept":$kept,"census_sec":${math.round(censusSec * 10) / 10.0},"rank_sec":${math.round(rankSec * 10) / 10.0}}""")
     spark.stop()
   }
 
