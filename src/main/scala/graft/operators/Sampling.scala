@@ -327,6 +327,74 @@ object Sampling {
       .drop("__emb", "__kept")
   }
 
+  /** Batch seeder for the diversity gate's BUCKET-MEMBERSHIP index
+    * ([[graft.sources.IO.diversityGateSink]]'s serving artifact — same
+    * layout: (bucket, id) rows partitioned by
+    * `__bucket = pmod(xxhash64(bucket), buckets)` with the bucket-count
+    * sidecar, so a gate started on a seeded index appends straight onto
+    * it): the cold-start path a pipeline runs ONCE over its existing
+    * corpus before pointing the live gate at it — after which every
+    * bucket's budget is billed for what the corpus already holds. The
+    * id attribution (vs a cheaper count census) is deliberate: it buys
+    * the row-targeted, replay-idempotent takedown verb below, the
+    * fp-first-seen lesson applied at build time. Ids must be integral
+    * (the diversityCapRanked contract). */
+  def writeBucketMembershipIndex(vecs: DataFrame, idCol: String,
+                                 embCol: String, indexDir: String,
+                                 buckets: Int = 64): Unit = {
+    vecs.select(diversityBucket(col(embCol)).as("bucket"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("__bucket",
+        pmod(xxhash64(col("bucket")), lit(buckets.toLong)))
+      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
+    graft.sources.IO.writeBucketCount(vecs.sparkSession, indexDir, buckets)
+  }
+
+  /** TAKEDOWN verb for the bucket-membership index — opt-out content
+    * must FREE its semantic bucket's budget, not just leave the corpus:
+    * after the delete, the gate's occupancy fold no longer bills the
+    * removed ids, so fresh arrivals in that region are admitted again
+    * (delete == rebuild-without-the-ids, the gate-facing consequence).
+    * The [[graft.operators.Dedup.deleteFromFingerprintIndex]]
+    * discipline verbatim: touched buckets from a semi-join witness,
+    * dynamic partition overwrite of only those buckets, emptied bucket
+    * directories dropped, replay (or unknown ids) a zero-write no-op.
+    * Returns the touched storage-bucket ids (the cost witness). Single
+    * writer by contract, like the gate's append. */
+  def deleteFromBucketMembershipIndex(ids: DataFrame, idCol: String,
+                                      indexDir: String): Seq[Long] = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("id"))
+      .distinct().localCheckpoint(eager = true)
+    try {
+      val idx = spark.read.parquet(indexDir)
+        .select(col("bucket"), col("id"),
+          col("__bucket").cast("long").as("__bucket"))
+      val touched = idx.join(del, Seq("id"), "left_semi")
+        .select("__bucket").distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted // bounded: <= buckets ids
+      if (touched.isEmpty) return touched // replay / unknown: zero writes
+      val remaining = idx.filter(col("__bucket").isin(touched: _*))
+        .join(del, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true) // pin before overwriting the source
+      try {
+        graft.sources.IO.alignToPartitions(remaining, "__bucket")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(indexDir)
+        val written = remaining.select("__bucket").distinct()
+          .collect().map(_.getLong(0)).toSet // bounded: <= buckets ids
+        val base = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(written).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(base, s"__bucket=$b"), true)
+        }
+      } finally Checkpoints.drop(remaining)
+      touched
+    } finally Checkpoints.drop(del)
+  }
+
   /** Train the hashed-unigram DSIR log-ratio language model (Xie et al.
     * 2023) over `docs`: add-one-smoothed target (`isTarget` rows) vs raw
     * LMs over `buckets` md5-hashed unigram buckets, each bucket's

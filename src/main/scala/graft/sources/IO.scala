@@ -351,9 +351,13 @@ object IO {
     * `q_diversity_sample` cap. A vector is admitted while its semantic
     * LSH bucket ([[graft.operators.Sampling.diversityBucket]] — the
     * exact oracle-checked bucketing) is under `cap` against the
-    * persisted BUCKET-OCCUPANCY index at `indexDir`: (bucket, n) rows
-    * appended per batch, live occupancy = Σn per bucket — a
-    * bucket-bounded relation (≤ 2^planes groups) that broadcasts at any
+    * persisted BUCKET-MEMBERSHIP index at `indexDir`: (bucket, id) rows
+    * appended per batch — id-attributed deliberately (NOT a count
+    * census) so the takedown verb
+    * ([[graft.operators.Sampling.deleteFromBucketMembershipIndex]])
+    * is row-targeted and replay-idempotent, and a taken-down vector
+    * FREES its bucket budget. Live occupancy = the grouped count — a
+    * bucket-bounded fold (≤ 2^planes groups) that broadcasts at any
     * corpus size, the cheapest gate state of the eight. Intra-batch
     * collapse rides [[graft.operators.Sampling.diversityCapRanked]]
     * (bounded-heap bottom-`cap` per bucket in deterministic md5 order —
@@ -361,8 +365,8 @@ object IO {
     * exceed `cap` and the remaining budget never exceeds `cap`, so
     * trimming the bottom-`cap` to `rn + occupancy ≤ cap` is the exact
     * greedy admission. Cold start: missing index = zero occupancy (the
-    * nearDupAgainstIndex contract); seed it by appending the composed
-    * build's per-bucket counts if the corpus pre-exists.
+    * nearDupAgainstIndex contract); seed it from an existing corpus
+    * with [[graft.operators.Sampling.writeBucketMembershipIndex]].
     *
     * Replay semantics: committed batches are marker no-ops. Torn
     * batches: the corpus append runs FIRST, so a crash before the index
@@ -391,7 +395,7 @@ object IO {
           val occ =
             if (fs.exists(idxPath))
               spark.read.parquet(indexDir)
-                .groupBy("bucket").agg(sum(col("n")).as("n_occ"))
+                .groupBy("bucket").agg(count(lit(1)).as("n_occ"))
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               StructType(Seq(
@@ -407,8 +411,8 @@ object IO {
           b.join(admitted.select(idCol), Seq(idCol), "left_semi")
             .write.mode("append").parquet(outDir)
           val bkts = readBucketCount(spark, indexDir).getOrElse(buckets)
-          val delta = admitted.groupBy("bucket")
-            .agg(count(lit(1)).as("n"))
+          val delta = admitted
+            .select(col("bucket"), col(idCol).cast("long").as("id"))
             .withColumn("__bucket",
               pmod(xxhash64(col("bucket")), lit(bkts.toLong)))
           alignToPartitions(delta, "__bucket")

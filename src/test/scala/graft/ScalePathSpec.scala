@@ -1214,6 +1214,45 @@ class ScalePathSpec extends SparkSpec {
       "replayed delete must be a zero-write no-op")
   }
 
+  test("bucket-membership index: seed == gate layout; takedown frees budget; delete == rebuild; untouched buckets byte-identical; replay no-op") {
+    import graft.operators.Sampling
+    val base = java.nio.file.Files.createTempDirectory("divmem_").toString
+    val dir = s"$base/idx"
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val corpus = Seq((1L, e1), (2L, e1), (3L, e2)).toDF("vec_id", "embedding")
+    Sampling.writeBucketMembershipIndex(corpus, "vec_id", "embedding", dir)
+    // the occupancy fold the gate runs: region A holds 2, region B 1
+    val occ0 = spark.read.parquet(dir).groupBy("bucket")
+      .count().select("count").as[Long].collect().sorted.toSeq
+    assert(occ0 == Seq(1L, 2L), s"seeded occupancy: $occ0")
+    val before = bucketFiles(dir)
+    // takedown vec 1 → region A's budget frees by one
+    val touched = Sampling.deleteFromBucketMembershipIndex(
+      Seq(1L).toDF("vec_id"), "vec_id", dir)
+    assert(touched.nonEmpty, "delete of an indexed id must touch its bucket")
+    val after = bucketFiles(dir)
+    for ((b, files) <- before if !touched.contains(bucketIdOf(b)))
+      assert(after(b) == files, s"untouched bucket $b rewrote")
+    // delete == rebuild without the id
+    val rebuilt = s"$base/rebuilt"
+    Sampling.writeBucketMembershipIndex(
+      corpus.filter(col("vec_id") =!= 1L), "vec_id", "embedding", rebuilt)
+    assert(
+      spark.read.parquet(dir).select("bucket", "id")
+        .as[(Long, Long)].collect().toSet ==
+        spark.read.parquet(rebuilt).select("bucket", "id")
+          .as[(Long, Long)].collect().toSet,
+      "deleted index must equal the rebuild without the id")
+    // the gate-facing consequence: occupancy no longer bills the id
+    val occ1 = spark.read.parquet(dir).groupBy("bucket")
+      .count().select("count").as[Long].collect().sorted.toSeq
+    assert(occ1 == Seq(1L, 1L), s"post-takedown occupancy: $occ1")
+    // replay: the id is gone, so zero buckets touched
+    assert(Sampling.deleteFromBucketMembershipIndex(
+      Seq(1L).toDF("vec_id"), "vec_id", dir).isEmpty,
+      "replayed delete must be a zero-write no-op")
+  }
+
   test("near-dup index takedown: delete == rebuild; untouched buckets byte-identical; replay no-op") {
     val baseA = (1 to 40).map(i => s"a$i").mkString(" ")
     val baseB = (100 to 140).map(i => s"b$i").mkString(" ")

@@ -2381,6 +2381,45 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("diversityGateSink: seeded membership index bills the existing corpus; takedown frees budget") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("div_seed_").toString
+    val idxDir = s"$base/occ"; val outDir = s"$base/out"
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    // cold-start seed: the existing corpus already fills region A's cap
+    graft.operators.Sampling.writeBucketMembershipIndex(
+      Seq((100L, e1), (101L, e1)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxDir)
+    val in = MemoryStream[(Long, Seq[Double])]
+    def start() = graft.sources.IO.diversityGateSink(
+        in.toDF().toDF("vec_id", "embedding"), idxDir, outDir,
+        s"$base/ck", "vec_id", "embedding", cap = 2)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def ids: Set[Long] =
+      spark.read.parquet(outDir).select("vec_id").as[Long].collect().toSet
+    val q = start()
+    try {
+      // region A is pre-billed at cap → rejected; region B is fresh
+      in.addData((10L, e1), (11L, e2))
+      q.processAllAvailable()
+      assert(ids == Set(11L), s"seeded gate admissions: $ids")
+    } finally q.stop()
+    // takedown one region-A corpus vector → its budget frees
+    val touched = graft.operators.Sampling.deleteFromBucketMembershipIndex(
+      Seq(100L).toDF("vec_id"), "vec_id", idxDir)
+    assert(touched.nonEmpty, "takedown must touch the seeded bucket")
+    val q2 = start() // same checkpoint: the stream resumes
+    try {
+      in.addData((20L, e1), (21L, e1))
+      q2.processAllAvailable()
+      // exactly ONE slot freed → the md5-first of {20, 21} admits
+      val admitted = ids -- Set(11L)
+      assert(admitted.size == 1 && Set(20L, 21L).exists(admitted.contains),
+        s"freed budget must admit exactly one region-A arrival: $ids")
+    } finally q2.stop()
+  }
+
   test("windowedBucketCounts + bucketEntropyPerWindow: parity with q_bucket_entropy; concentration alarm") {
     // PARITY LAW (the mixDriftPerWindow convention): the fold over the
     // REAL embeddings table — one window — must reproduce the
