@@ -1041,6 +1041,150 @@ object Queries {
           col("n_pad") + col("n_tokens")))
       .orderBy("source")
 
+  /** q_gopher_rules — the MassiveText/Gopher-style repetition-and-shape
+    * quality panel (Rae et al. 2021 §A1.1, token-level: the fixture has
+    * no newlines or symbols, so the line/symbol rules are vacuous here
+    * and the token rules carry the filter): per doc — token count, mean
+    * token length in exact centi-chars (`(Σlen·100) div n` — no float),
+    * the most-frequent token's mass and the duplicated-token mass as
+    * exact HALF_UP ppm (the repetition signals: template spam collapses
+    * into one token; OCR stutter duplicates many), the stopword count,
+    * and the composed `admit` verdict (length band 10..5000, mean-len
+    * band 2.00..10.00 chars, top-token mass ≤ 20%, ≥ 1 stopword — the
+    * Gopher thresholds adapted to token grain). One explode + two keyed
+    * aggs, all exact integer/string arithmetic — hard-oracle. */
+  val q_gopher_rules: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(length(col("w")).cast("long") * col("c")).as("nc"),
+        max(col("c")).as("top_cnt"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_mass"),
+        sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("mean_len_centi", expr("(nc * 100) div n_tokens"))
+      .withColumn("top_token_ppm",
+        operators.Analytics.halfUpPpm(col("top_cnt"), col("n_tokens")))
+      .withColumn("dup_token_ppm",
+        operators.Analytics.halfUpPpm(col("dup_mass"), col("n_tokens")))
+      .withColumn("admit",
+        col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          col("mean_len_centi") >= 200 && col("mean_len_centi") <= 1000 &&
+          col("top_token_ppm") <= 200000 && col("n_stop") >= 1)
+      .select("doc_id", "n_tokens", "mean_len_centi", "top_token_ppm",
+        "dup_token_ppm", "n_stop", "admit")
+      .orderBy("doc_id")
+
+  /** q_oov_rate — out-of-vocabulary rate against the corpus's own
+    * top-20 token vocabulary (count-desc, token-asc tie-break — fully
+    * deterministic): per doc, the token count, OOV token count and the
+    * exact HALF_UP ppm rate. The tokenizer-economics diligence read: a
+    * doc whose mass is mostly tail tokens fragments into long BPE
+    * sequences (the [[q_tokenizer_fertility]] cost, predicted without
+    * training a tokenizer). Scale shape: the vocab is a BOUNDED top-k
+    * over the token-count relation (map-side partial top-20 per
+    * partition, driver merge — never a global sort) and broadcasts;
+    * the scoring pass is one narrow explode + broadcast join. */
+  val q_oov_rate: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .localCheckpoint(eager = true) // feeds the vocab + the scoring fold
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(20)
+      .select(col("w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        operators.Analytics.halfUpPpm(col("n_oov"), col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  /** q_repetition_bigram — the duplicated-n-gram repetition signal at
+    * bigram grain (the Gopher "fraction in most common 2-gram" rule,
+    * token form): per doc, the adjacent-bigram count, the most-frequent
+    * bigram's occurrence count, and its share of all bigrams as exact
+    * HALF_UP ppm — high means looped boilerplate ("click here click
+    * here …") that unigram repetition under-reads. Bigrams come from
+    * ONE zip_with pass per doc (the q_pmi_bigrams shape — no
+    * self-join); docs under 2 tokens have no bigram and no row (both
+    * engines agree by construction). */
+  val q_repetition_bigram: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_cnt"))
+      .withColumn("top_bigram_ppm",
+        operators.Analytics.halfUpPpm(col("top_cnt"), col("n_bigrams")))
+      .orderBy("doc_id")
+
+  /** q_vocab_growth — the Heaps'-law census: reading the corpus in
+    * doc_id order, how many NEW token types each document contributes
+    * and the cumulative vocabulary size after it. The diligence read
+    * behind "is more of this crawl still adding vocabulary, or has type
+    * growth flattened" — the token-grain aggregate twin of
+    * [[q_ngram_novelty]]'s per-doc gram novelty. First occurrences come
+    * from one min-doc_id-per-token agg (never a token-order window);
+    * the cumulative folds through the scale-safe
+    * [[graft.operators.Analytics.globalRunningSum]] (range repartition
+    * + per-partition offsets — never a single-partition window over the
+    * corpus). All exact integers. */
+  val q_vocab_growth: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val firstSeen = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new_types"))
+    val perDoc = docs.select("doc_id")
+      .join(firstSeen, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+    operators.Analytics.globalRunningSum(
+        perDoc, Seq(col("doc_id")), "n_new_types", "cum_types")
+      .orderBy("doc_id")
+  }
+
+  /** q_embedding_norm — the ANN-hygiene norm census: per vector, its L2
+    * norm (12 dp — the knn-family cosine rounding discipline) and
+    * whether it sits within 1% of unit length. Un-normalized embeddings
+    * silently break the cosine≈dot shortcut and skew IVF list
+    * assignment — this is the one-pass read a pipeline runs before
+    * pointing the ANN builders at a new embedding source. The square
+    * fold is an EXPLICIT sequential lambda fold in both engines
+    * (Spark `aggregate`, DuckDB `list_reduce` — same adds in the same
+    * order, so the doubles match bit-for-bit before the one rounding
+    * step). One narrow codegen pass, no shuffle. */
+  val q_embedding_norm: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"),
+          lit(0.0), (acc, x) =>
+            acc + x.cast("double") * x.cast("double"))), 12)
+          .as("l2_norm"))
+      .withColumn("near_unit", abs(col("l2_norm") - lit(1.0)) <= lit(0.01))
+      .orderBy("vec_id")
+
+  /** q_lang_confusion — the language-ID quality audit: the (labeled
+    * lang × predicted lang) confusion matrix over [[q_lang_id]]'s
+    * oracle-green heuristic — the read that decides whether the lang-ID
+    * stage is good enough to drive [[q_sample_mix]]'s per-language keep
+    * rates (a confusion hot-spot means a mixture skew). Rides the
+    * registered id verbatim (one narrow scoring pass), then one
+    * dimension-sized grouped count. */
+  val q_lang_confusion: Q = (s, d) =>
+    q_lang_id(s, d)
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
   /** q_quality_score — length/stopword quality heuristics. */
   val q_quality_score: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1353,6 +1497,24 @@ object Queries {
         sum("term_pico").as("entropy_pico"),
         max("n_b").as("max_bucket"), min("n_b").as("min_bucket"))
   }
+
+  /** q_diversity_drop — the diversity cap's per-bucket BILL: every
+    * semantic LSH bucket's occupancy, what the cap-3 budget keeps
+    * (`least(n, 3)` — the [[q_diversity_sample]] budget) and what it
+    * drops. The selectivity read a curator checks BEFORE turning the
+    * cap on: [[q_diversity_sample]] decides WHO survives, this reports
+    * HOW MUCH each semantic region loses (and [[q_bucket_entropy]]
+    * whether the cap needs to bind at all). One codegen bucket pass +
+    * one grouped count; the arithmetic is exact integers over the
+    * ≤256-row bucket relation — hard-oracle. */
+  val q_diversity_drop: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+      .withColumn("n_kept", least(col("n_bucket"), lit(3L)))
+      .withColumn("n_dropped", col("n_bucket") - col("n_kept"))
+      .orderBy("bucket")
 
   /** q_sample_mix — domain-mix sampling (the data-mixing step of a
     * pretraining pipeline): per-language keep rates (en 100%, zh 50%,
@@ -5850,6 +6012,13 @@ object Queries {
     "q_sequence_pack" -> q_sequence_pack,
     "q_pad_waste" -> q_pad_waste,
     "q_quality_score" -> q_quality_score,
+    "q_gopher_rules" -> q_gopher_rules,
+    "q_oov_rate" -> q_oov_rate,
+    "q_repetition_bigram" -> q_repetition_bigram,
+    "q_diversity_drop" -> q_diversity_drop,
+    "q_vocab_growth" -> q_vocab_growth,
+    "q_embedding_norm" -> q_embedding_norm,
+    "q_lang_confusion" -> q_lang_confusion,
     "q_fingerprint" -> q_fingerprint,
     "q_lang_id" -> q_lang_id,
     "q_similarity_topk" -> q_similarity_topk,

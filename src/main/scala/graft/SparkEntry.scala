@@ -109,6 +109,34 @@ object SparkEntry {
        |  FROM w12)""".stripMargin
   }
 
+  /** The q_lang_id scoring chain WITHOUT its final ORDER BY — shared by
+    * q_lang_id (ordered per-doc output) and q_lang_confusion (the
+    * grouped confusion matrix): one source of truth for the trigram
+    * profile arithmetic, the bpeChainSql convention. Mirrors
+    * [[graft.functions.Text.langId]] exactly (see the q_lang_id
+    * Scaladoc for the overlapping==replace-count proof). */
+  private val langIdCoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS tt FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, text,
+      |    ((length(tt) - length(replace(tt, ' th', ''))) + (length(tt) - length(replace(tt, 'the', ''))) + (length(tt) - length(replace(tt, 'he ', ''))) + (length(tt) - length(replace(tt, ' an', ''))) + (length(tt) - length(replace(tt, 'and', ''))) + (length(tt) - length(replace(tt, 'nd ', ''))) + (length(tt) - length(replace(tt, ' of', ''))) + (length(tt) - length(replace(tt, 'of ', ''))) + (length(tt) - length(replace(tt, 'ing', ''))) + (length(tt) - length(replace(tt, 'ng ', '')))) / 3 AS s_en,
+      |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' le', ''))) + (length(tt) - length(replace(tt, 'le ', ''))) + (length(tt) - length(replace(tt, 'es ', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'ion', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_fr,
+      |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'os ', ''))) + (length(tt) - length(replace(tt, ' el', ''))) + (length(tt) - length(replace(tt, 'el ', ''))) + (length(tt) - length(replace(tt, 'ión', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_es,
+      |    ((length(tt) - length(replace(tt, 'en ', ''))) + (length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'der', ''))) + (length(tt) - length(replace(tt, 'er ', ''))) + (length(tt) - length(replace(tt, 'ie ', ''))) + (length(tt) - length(replace(tt, ' di', ''))) + (length(tt) - length(replace(tt, 'die', ''))) + (length(tt) - length(replace(tt, 'sch', ''))) + (length(tt) - length(replace(tt, 'ein', ''))) + (length(tt) - length(replace(tt, 'ch ', '')))) / 3 AS s_de
+      |  FROM t)
+      |SELECT doc_id, lang,
+      |  CASE
+      |    WHEN text IS NULL OR text = '' THEN 'und'
+      |    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+      |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+      |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+      |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |    WHEN s_es >= s_de THEN 'es'
+      |    ELSE 'de'
+      |  END AS lang_pred
+      |FROM s""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n_rows FROM lineitem",
@@ -407,34 +435,88 @@ object SparkEntry {
       "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, ncs / nt AS avg_token_len, round(ns / nt, 6) AS stop_ratio, round(least(1.0, nt / 100.0) * (1.0 - ns / nt), 6) AS quality FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE) AS nt, CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE) AS ns, CAST(length(replace(text, ' ', '')) AS DOUBLE) AS ncs FROM documents) t ORDER BY doc_id",
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    // mirrors q_gopher_rules: per-(doc, token) counts, the exact-integer
+    // mean-length/top-mass/dup-mass panel, the composed admit verdict
+    "q_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT doc_id, w, count(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2),
+        |p AS (SELECT doc_id,
+        |        CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(sum(length(w) * c) AS BIGINT) AS nc,
+        |        CAST(max(c) AS BIGINT) AS top_cnt,
+        |        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_mass,
+        |        CAST(sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS BIGINT) AS n_stop
+        |      FROM t GROUP BY 1),
+        |r AS (SELECT doc_id, n_tokens,
+        |        CAST((nc * 100) // n_tokens AS BIGINT) AS mean_len_centi,
+        |        CAST(floor((top_cnt * 2000000 + n_tokens) / (n_tokens * 2.0)) AS BIGINT) AS top_token_ppm,
+        |        CAST(floor((dup_mass * 2000000 + n_tokens) / (n_tokens * 2.0)) AS BIGINT) AS dup_token_ppm,
+        |        n_stop
+        |      FROM p)
+        |SELECT doc_id, n_tokens, mean_len_centi, top_token_ppm, dup_token_ppm, n_stop,
+        |       (n_tokens >= 10 AND n_tokens <= 5000
+        |        AND mean_len_centi >= 200 AND mean_len_centi <= 1000
+        |        AND top_token_ppm <= 200000 AND n_stop >= 1) AS admit
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // mirrors q_vocab_growth: min-doc_id first occurrence per token,
+    // left join to all docs, window running sum over doc_id order
+    "q_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |f AS (SELECT w, min(doc_id) AS doc_id FROM t GROUP BY 1),
+        |n AS (SELECT doc_id, count(*) AS n_new_types FROM f GROUP BY 1),
+        |p AS (SELECT d.doc_id, CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types
+        |      FROM documents d LEFT JOIN n USING (doc_id))
+        |SELECT doc_id, n_new_types,
+        |       CAST(sum(n_new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // mirrors q_embedding_norm: EXPLICIT sequential square fold
+    // (list_reduce == Spark aggregate — same adds, same order), one
+    // 12-dp rounding, flag computed FROM the rounded value
+    "q_embedding_norm" ->
+      """WITH r AS (
+        |  SELECT vec_id,
+        |         round(sqrt(list_reduce(
+        |           list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |           (acc, x) -> acc + x)), 12) AS l2_norm
+        |  FROM embeddings)
+        |SELECT vec_id, l2_norm, abs(l2_norm - 1.0) <= 0.01 AS near_unit
+        |FROM r ORDER BY vec_id""".stripMargin,
+    // mirrors q_oov_rate: corpus top-20 vocab (count desc, token asc),
+    // per-doc OOV fold via left join, exact HALF_UP ppm
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS cw FROM t GROUP BY 1) x
+        |      ORDER BY cw DESC, w LIMIT 20),
+        |s AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(floor((sum(oov) * 2000000 + count(*)) / (count(*) * 2.0)) AS BIGINT) AS oov_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors q_repetition_bigram: the q_pmi_bigrams adjacent-pair
+    // construction, per-doc top-bigram mass as exact HALF_UP ppm
+    "q_repetition_bigram" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t FROM documents),
+        |bi AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        |       FROM toks WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_cnt,
+        |       CAST(floor((max(c) * 2000000 + sum(c)) / (sum(c) * 2.0)) AS BIGINT) AS top_bigram_ppm
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mirrors Text.langId exactly: overlapping trigram counts over
     // ' '||lower(text)||' ' — every profile gram has g[0] != g[2] and no
     // period-1 repeats, so DuckDB's non-overlapping replace-count equals
     // the UDF's overlapping count; the >= chain reproduces maxBy's
     // first-max tie-break in (en, fr, es, de) profile order; CJK
     // short-circuits on the U+4E00-9FFF block as in the UDF
-    "q_lang_id" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS tt FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang, text,
-        |    ((length(tt) - length(replace(tt, ' th', ''))) + (length(tt) - length(replace(tt, 'the', ''))) + (length(tt) - length(replace(tt, 'he ', ''))) + (length(tt) - length(replace(tt, ' an', ''))) + (length(tt) - length(replace(tt, 'and', ''))) + (length(tt) - length(replace(tt, 'nd ', ''))) + (length(tt) - length(replace(tt, ' of', ''))) + (length(tt) - length(replace(tt, 'of ', ''))) + (length(tt) - length(replace(tt, 'ing', ''))) + (length(tt) - length(replace(tt, 'ng ', '')))) / 3 AS s_en,
-        |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' le', ''))) + (length(tt) - length(replace(tt, 'le ', ''))) + (length(tt) - length(replace(tt, 'es ', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'ion', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_fr,
-        |    ((length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'de ', ''))) + (length(tt) - length(replace(tt, ' la', ''))) + (length(tt) - length(replace(tt, 'la ', ''))) + (length(tt) - length(replace(tt, 'os ', ''))) + (length(tt) - length(replace(tt, ' el', ''))) + (length(tt) - length(replace(tt, 'el ', ''))) + (length(tt) - length(replace(tt, 'ión', ''))) + (length(tt) - length(replace(tt, 'ent', ''))) + (length(tt) - length(replace(tt, 'que', '')))) / 3 AS s_es,
-        |    ((length(tt) - length(replace(tt, 'en ', ''))) + (length(tt) - length(replace(tt, ' de', ''))) + (length(tt) - length(replace(tt, 'der', ''))) + (length(tt) - length(replace(tt, 'er ', ''))) + (length(tt) - length(replace(tt, 'ie ', ''))) + (length(tt) - length(replace(tt, ' di', ''))) + (length(tt) - length(replace(tt, 'die', ''))) + (length(tt) - length(replace(tt, 'sch', ''))) + (length(tt) - length(replace(tt, 'ein', ''))) + (length(tt) - length(replace(tt, 'ch ', '')))) / 3 AS s_de
-        |  FROM t)
-        |SELECT doc_id, lang,
-        |  CASE
-        |    WHEN text IS NULL OR text = '' THEN 'und'
-        |    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
-        |    WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
-        |    WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-        |    WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-        |    WHEN s_es >= s_de THEN 'es'
-        |    ELSE 'de'
-        |  END AS lang_pred
-        |FROM s
-        |ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> (langIdCoreSql + "\nORDER BY doc_id"),
+    // mirrors q_lang_confusion: the q_lang_id chain (shared
+    // langIdCoreSql — the bpeChainSql single-source convention) grouped
+    // to the (lang, lang_pred) confusion matrix
+    "q_lang_confusion" ->
+      s"""SELECT lang, lang_pred, count(*) AS n FROM ($langIdCoreSql) x
+         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     // mirrors Dedup.ngramJaccardTopPairs exactly: oracle-parity tokenize →
     // distinct token-3-grams → df cap (>1000 docs) → inverted-index pair
     // intersection → Jaccard; top-20 selected on the UNROUNDED score (the
@@ -988,6 +1070,31 @@ object SparkEntry {
         |       CAST(max(n_b) AS BIGINT) AS max_bucket,
         |       CAST(min(n_b) AS BIGINT) AS min_bucket
         |FROM t""".stripMargin,
+    // mirrors q_diversity_drop: the q_bucket_entropy bucket chain, then
+    // the cap-3 per-bucket keep/drop bill in exact integers
+    "q_diversity_drop" ->
+      """WITH pl AS (
+        |  SELECT CAST(p.range AS BIGINT) AS pid, CAST(j.range AS BIGINT) AS j,
+        |         CAST(md5_number_lower(concat('graftlsh:', p.range, ':', j.range)) % 2049 AS BIGINT) - 1024 AS h
+        |  FROM range(8) p, range(64) j
+        |), ev AS (
+        |  SELECT vec_id, CAST(j.range AS BIGINT) AS j,
+        |         CAST(floor(CAST(embedding[CAST(j.range AS INT) + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS e
+        |  FROM embeddings, range(64) j
+        |), dots AS (
+        |  SELECT ev.vec_id, pl.pid AS i, CAST(sum(ev.e * pl.h) AS BIGINT) AS dot
+        |  FROM ev JOIN pl USING (j) GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), occ AS (
+        |  SELECT bucket, count(*) AS n_bucket FROM sigs GROUP BY bucket
+        |)
+        |SELECT bucket, n_bucket,
+        |       CAST(least(n_bucket, 3) AS BIGINT) AS n_kept,
+        |       CAST(n_bucket - least(n_bucket, 3) AS BIGINT) AS n_dropped
+        |FROM occ ORDER BY bucket""".stripMargin,
     // mirrors q_diversity_sample: band-0 of the q_similarity_lsh
     // portable signature chain (md5 hyperplanes × 2^20-quantized
     // vectors, exact integer dots) buckets the corpus; per bucket,

@@ -88,7 +88,12 @@ object CorpusBuild {
     * unembedded docs pass through. Runs after quality and BEFORE
     * decontamination for the same reason quality does — the budget
     * competition should be among quality survivors, and the probe gate
-    * judges what ships. */
+    * judges what ships. `diversityIndexDir` additionally seeds the live
+    * gate's bucket-membership index from the stage's surviving embedded
+    * docs ([[Sampling.writeBucketMembershipIndex]] — index == admitted
+    * content, the fp/band/winnow contract), so
+    * [[graft.sources.IO.diversityGateSink]] starts with every bucket
+    * billed for what the build admitted. */
   def buildCorpus(docs: DataFrame, probe: DataFrame,
                   idCol: String, textCol: String, stratumCol: String,
                   sortCol: String,
@@ -105,7 +110,8 @@ object CorpusBuild {
                   qualityLm: Option[DataFrame] = None,
                   qualityThresholdPico: Long = 0L,
                   diversityEmb: Option[DataFrame] = None,
-                  diversityCap: Int = 3): CorpusLedger = {
+                  diversityCap: Int = 3,
+                  diversityIndexDir: Option[String] = None): CorpusLedger = {
     // stage 1: exact content dedup — min-id keeper per md5 fingerprint
     // (the q_dedup_doc policy), then seed the fingerprint index from
     // the SURVIVORS (index == admitted content). The RAW corpus is
@@ -200,11 +206,23 @@ object CorpusBuild {
     // embedding row pass through. The kept-id relation is
     // bucket-bounded (≤ cap·256 rows — broadcast at any corpus size).
     // (no checkpoint: the stage feeds only the single observed pass
-    // below, which `pinned` already executes exactly once)
+    // below, which `pinned` already executes exactly once — EXCEPT when
+    // the gate-index seed is requested, which adds its own pass over
+    // the stage's embedded survivors)
     val diverse = diversityEmb match {
       case Some(emb) =>
-        Sampling.diversityCapSample(qualified, idCol, emb, "embedding",
-          diversityCap)
+        val surv = Sampling.diversityCapSample(qualified, idCol, emb,
+          "embedding", diversityCap)
+        diversityIndexDir.foreach { dir =>
+          // seed the live gate's BUCKET-MEMBERSHIP index from the
+          // stage's surviving EMBEDDED docs (index == admitted content,
+          // the fp/band/winnow ingest-gate contract): a gate started on
+          // this index bills every bucket for what the build admitted
+          Sampling.writeBucketMembershipIndex(
+            emb.join(surv.select(idCol), Seq(idCol), "left_semi"),
+            idCol, "embedding", dir)
+        }
+        surv
       case None => qualified
     }
     // stages 3–5, ONE observed pass: Bloom decontamination and the

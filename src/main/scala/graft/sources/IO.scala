@@ -408,17 +408,23 @@ object IO {
             .na.fill(0L, Seq("n_occ"))
             .filter(col("rn") + col("n_occ") <= cap.toLong)
             .localCheckpoint(true) // feeds the corpus append + the delta
-          b.join(admitted.select(idCol), Seq(idCol), "left_semi")
-            .write.mode("append").parquet(outDir)
-          val bkts = readBucketCount(spark, indexDir).getOrElse(buckets)
-          val delta = admitted
-            .select(col("bucket"), col(idCol).cast("long").as("id"))
-            .withColumn("__bucket",
-              pmod(xxhash64(col("bucket")), lit(bkts.toLong)))
-          alignToPartitions(delta, "__bucket")
-            .write.mode("append").partitionBy("__bucket").parquet(indexDir)
-          if (readBucketCount(spark, indexDir).isEmpty)
-            writeBucketCount(spark, indexDir, bkts)
+          // zero-admission batches (empty micro-batch, or every bucket
+          // at cap) must not write: an EMPTY partitioned append creates
+          // a schema-less dir (only _SUCCESS) that poisons the next
+          // batch's occupancy read with UNABLE_TO_INFER_SCHEMA
+          if (!admitted.isEmpty) {
+            b.join(admitted.select(idCol), Seq(idCol), "left_semi")
+              .write.mode("append").parquet(outDir)
+            val bkts = readBucketCount(spark, indexDir).getOrElse(buckets)
+            val delta = admitted
+              .select(col("bucket"), col(idCol).cast("long").as("id"))
+              .withColumn("__bucket",
+                pmod(xxhash64(col("bucket")), lit(bkts.toLong)))
+            alignToPartitions(delta, "__bucket")
+              .write.mode("append").partitionBy("__bucket").parquet(indexDir)
+            if (readBucketCount(spark, indexDir).isEmpty)
+              writeBucketCount(spark, indexDir, bkts)
+          }
           ()
       })
       .trigger(Trigger.AvailableNow())

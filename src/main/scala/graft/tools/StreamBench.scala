@@ -14,6 +14,7 @@ object StreamBench {
     if (args.headOption.contains("monitor")) { monitorScale(args.drop(1)); return }
     if (args.headOption.contains("duprate")) { dupRateScale(args.drop(1)); return }
     if (args.headOption.contains("dsirgate")) { dsirGateScale(args.drop(1)); return }
+    if (args.headOption.contains("divgate")) { divGateScale(args.drop(1)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rate = if (args.nonEmpty) args(0).toInt else 500000
     val seconds = if (args.length > 1) args(1).toInt else 15
@@ -229,6 +230,59 @@ object StreamBench {
     val audited =
       try spark.read.parquet(s"$base/audit").count() catch { case _: Exception => 0L }
     println(f"""{"metric":"dsirgate_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"admitted":$admitted,"audited":$audited,"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Diversity-gate throughput mode (`runMain graft.tools.StreamBench
+    * divgate [vecsPerSec] [seconds] [cap]`): vectors/second through the
+    * FULL live diversity gate — rate source → synthesized 64-dim
+    * embeddings clustered into 512 jittered regions (a realistic
+    * pooled-crawl landscape: buckets fill and the cap starts binding
+    * mid-run) → [[graft.sources.IO.diversityGateSink]] doing REAL work
+    * per batch: codegen signature pass, bounded-heap per-bucket rank,
+    * membership-index occupancy read, corpus + index appends. The
+    * number an operator needs before putting the gate on a production
+    * embedding ingest. One JSON line. */
+  private def divGateScale(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = if (args.nonEmpty) args(0).toInt else 20000
+    val seconds = if (args.length > 1) args(1).toInt else 30
+    val cap = if (args.length > 2) args(2).toInt else 100
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("divgate_bench_")
+      .toString
+    // 512 cluster centers from the row id, ±1% jitter — vectors pool
+    // into ~hundreds of LSH buckets so occupancy pressure is real
+    val comps = (0 until 64).map { j =>
+      (pmod(xxhash64(col("value") % 512L, lit(j)), lit(2000L))
+        .cast("double") - 1000.0) / 1000.0 +
+        ((col("value") % 97L).cast("double") - 48.0) / 4800.0
+    }
+    val vecs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", cpus).load()
+      .withColumn("vec_id", col("value"))
+      .withColumn("embedding", array(comps: _*))
+      .select("vec_id", "embedding")
+    val q = graft.sources.IO.diversityGateSink(vecs, s"$base/idx",
+        s"$base/out", s"$base/ck", "vec_id", "embedding", cap)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress
+    q.stop()
+    val processed = progress.map(_.numInputRows).sum
+    val wall = (System.nanoTime() - t0) / 1e9
+    val admitted =
+      try spark.read.parquet(s"$base/out").count() catch { case _: Exception => 0L }
+    println(f"""{"metric":"divgate_vecs_per_sec","value":${processed / wall}%.0f,"vecs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"cap":$cap,"admitted":$admitted,"cpus":$cpus}""")
     spark.stop()
   }
 

@@ -357,8 +357,9 @@ class PlanAuditSpec extends SparkSpec {
     // counts only the <= K source lists.
     val expected = Map(
       "Analytics.scala" -> 6, // 3x per-partition offset rows (<= nPart), 3x bounded histogram/frontier cells
-      "Dedup.scala" -> 13,    // merge touched+written bucket ids x2, fingerprint-delete x2, near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets), bloom probe shingles (benchmark-sized, r15)
+      "Dedup.scala" -> 14,    // merge touched+written bucket ids x2, fingerprint-delete x2, fp-first-seen-delete x2 (r16), near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets); the bloom probe-shingle collect is GONE (r16 ADVICE fix: executor-side bit fold)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
+      "Sampling.scala" -> 2,  // bucket-membership-delete touched+written ids (<= buckets, r16)
       "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub
       // codebook rows, <= nlists retrain-written ids, <= k touched-list

@@ -2343,7 +2343,8 @@ class ScalePathSpec extends SparkSpec {
     val ledger = CorpusBuild.buildCorpus(
       docs, probe, "doc_id", "text", "source", "n_chars",
       s"$base/fp", s"$base/band", s"$base/shards",
-      diversityEmb = Some(emb), diversityCap = 2)
+      diversityEmb = Some(emb), diversityCap = 2,
+      diversityIndexDir = Some(s"$base/divIdx"))
     // standalone: exact/near dedup drop nothing on this fixture, so the
     // composed result must equal the bare standalone selection
     val sKept = Sampling
@@ -2366,6 +2367,17 @@ class ScalePathSpec extends SparkSpec {
       afterDecontaminate = 4, afterMix = 4, afterSpanRemoval = 6,
       spanTokensRemoved = 0, afterQuality = -1L, afterDiversity = 4),
       s"ledger: $ledger")
+    // the seeded gate index reflects ADMITTED content (the fp/band/
+    // winnow contract): membership == the stage's surviving EMBEDDED
+    // docs, and a gate started on it sees the dense bucket AT cap
+    val seeded = spark.read.parquet(s"$base/divIdx")
+      .select("id").as[Long].collect().toSet
+    assert(seeded == sKept - 6L,
+      s"seeded membership must be the embedded survivors: $seeded")
+    val occ = spark.read.parquet(s"$base/divIdx").groupBy("bucket")
+      .count().select("count").as[Long].collect().sorted.toSeq
+    assert(occ == Seq(1L, 2L),
+      s"dense bucket must be billed at cap, outlier at 1: $occ")
   }
 
   test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
