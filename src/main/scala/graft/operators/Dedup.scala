@@ -597,6 +597,9 @@ object Dedup {
     val delta = novelFps
       .withColumn("__bucket", idBucket(col("id"), sb))
       .localCheckpoint(true)
+    // cold-start empty-append guard (the appendNearDupIndex note): an
+    // empty batch must not manufacture a schema-less fps/ dir
+    if (delta.isEmpty) return
     graft.sources.IO.alignToPartitions(delta, "__bucket")
       .write.mode("append").partitionBy("__bucket")
       .parquet(s"$indexDir/fps")
@@ -1135,6 +1138,14 @@ object Dedup {
         Text.tokens(col(textCol)).as("toks"))
       .withColumn("__bucket", idBucket(col("id"), sb))
       .localCheckpoint(true)
+    // an EMPTY partitioned append writes no data files: on a warm index
+    // that is a harmless no-op, but on a COLD start it would create
+    // bands/docs dirs holding only _SUCCESS — the next batch's exists()
+    // check then reads a schema-less dir and dies (the diversityGateSink
+    // r16 lesson). Empty batch ⇒ no writes, no sidecars: the index
+    // simply does not exist yet, which is the documented cold-start
+    // contract of every consumer.
+    if (docDelta.isEmpty) return
     graft.sources.IO.alignToPartitions(bandDelta, "__bucket")
       .write.mode("append").partitionBy("__bucket")
       .parquet(s"$indexDir/bands")

@@ -1214,6 +1214,30 @@ class ScalePathSpec extends SparkSpec {
       "replayed delete must be a zero-write no-op")
   }
 
+  test("cold-start empty append is a no-op, never a schema-less dir (near-dup + winnow index)") {
+    // the r16 diversityGateSink lesson, applied to the other seeding
+    // appends: a zero-row partitioned append to a NONEXISTENT dir
+    // writes only _SUCCESS, after which exists() says yes and the next
+    // read dies with UNABLE_TO_INFER_SCHEMA — an empty batch must
+    // leave "no index yet" (the consumers' documented cold start)
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("cold_empty_")
+      .toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.appendNearDupIndex(empty, "doc_id", "text", s"$base/band")
+    assert(!new java.io.File(s"$base/band/bands").exists,
+      "empty cold near-dup append must not create the bands dir")
+    // the consumer still sees the cold-start contract: everything novel
+    val out = Dedup.nearDupAgainstIndex(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/band", 0.5)
+    assert(out.count() == 1L, "cold-start batch must admit")
+    Dedup.appendWinnowFps(
+      Dedup.winnowFingerprints(empty, "doc_id", "text"), s"$base/winnow")
+    assert(!new java.io.File(s"$base/winnow/fps").exists,
+      "empty cold winnow append must not create the fps dir")
+  }
+
   test("bucket-membership index: seed == gate layout; takedown frees budget; delete == rebuild; untouched buckets byte-identical; replay no-op") {
     import graft.operators.Sampling
     val base = java.nio.file.Files.createTempDirectory("divmem_").toString
