@@ -1086,7 +1086,11 @@ object Queries {
     * training a tokenizer). Scale shape: the vocab is a BOUNDED top-k
     * over the token-count relation (map-side partial top-20 per
     * partition, driver merge — never a global sort) and broadcasts;
-    * the scoring pass is one narrow explode + broadcast join. */
+    * the scoring pass is one narrow explode + broadcast join. Storage
+    * note (the q_dsir_hashed convention): the token localCheckpoint
+    * materializes the exploded relation to executor storage so the
+    * vocab count and the scoring fold share one explode; at 100 TB
+    * drop it and pay the double explode. */
   val q_oov_rate: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
