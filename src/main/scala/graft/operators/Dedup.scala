@@ -1359,10 +1359,14 @@ object Dedup {
     val spark = docs.sparkSession
     val b = graft.sources.IO.readBucketCount(spark, indexDir)
       .getOrElse(64)
-    gramDocCounts(docs, idCol, textCol)
+    val delta = gramDocCounts(docs, idCol, textCol)
       .withColumn("window_start", lit(asOf))
       .withColumn("__bucket", pmod(col("sh"), lit(b.toLong)))
-      .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
+      .localCheckpoint(eager = true)
+    // cold-start empty-append guard (the appendNearDupIndex note): a
+    // gram-less batch must not manufacture a schema-less index dir
+    if (delta.isEmpty) return
+    graft.sources.IO.alignToPartitions(delta, "__bucket")
       .write.mode("append").partitionBy("__bucket").parquet(indexDir)
   }
 

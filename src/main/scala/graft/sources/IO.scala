@@ -1432,6 +1432,59 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Snapshot schema of the [[diversityBySourceAuditSink]] store: one
+    * semantic-diversity census row per finalized (window, source) plus
+    * changelog bookkeeping. */
+  val DiversityBySourceAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("wkey", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_vecs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("entropy_pico", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live by-source DIVERSITY monitor — the WHO twin of
+    * [[diversityAuditSink]] (the noveltyBySourceAuditSink convention):
+    * finalized [[graft.streaming.Jobs.windowedBucketCountsBySource]]
+    * micro-batches fold through
+    * [[graft.streaming.Jobs.bucketEntropyBySourcePerWindow]] and upsert
+    * one (window, source) entropy row via the synthesized `wkey`. The
+    * per-window store says the corpus is pooling; this store says WHICH
+    * source's crawler is stuck in one semantic region — the
+    * mixture-weight lever. Stateless beyond the store; replay:
+    * committed batches are marker no-ops, the fold is a pure function
+    * of the batch. */
+  def diversityBySourceAuditSink(hist: DataFrame, baseDir: String,
+                                 checkpointDir: String, retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val metrics = graft.streaming.Jobs
+                .bucketEntropyBySourcePerWindow(pinned)
+                .withColumn("wkey", concat(
+                  (col("window_start").cast("double") * 1000).cast("long")
+                    .cast("string"), lit("|"), col("source")))
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "wkey",
+                DiversityBySourceAuditSchema, retain)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+
   /** RETENTION verb for the [[windowedMetricsStoreSink]] store: tombstone
     * every live window strictly older than `cutoff` — the TTL policy a
     * metrics store needs once windows stop being queried (the

@@ -745,6 +745,51 @@ object Jobs {
       .select(col("window.start").as("window_start"), col("bucket"),
         col("n_b"))
 
+  /** Per-(window, source, semantic-bucket) vector counts — the WHO twin
+    * of [[windowedBucketCounts]] (the noveltyBySource convention: the
+    * per-window census says the corpus is pooling, this says WHICH
+    * source is doing the pooling). State is (open windows × sources ×
+    * ≤ 2^planes buckets)-bounded — still dimension-sized. Append mode;
+    * feed finalized micro-batches to [[bucketEntropyBySourcePerWindow]]. */
+  def windowedBucketCountsBySource(vecs: DataFrame, tsCol: String,
+                                   sourceCol: String, vecCol: String,
+                                   windowDur: String,
+                                   watermarkDelay: String): DataFrame =
+    vecs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(sourceCol).as("source"),
+        graft.operators.Sampling.diversityBucket(col(vecCol)).as("bucket"))
+      .groupBy(window(col(tsCol), windowDur), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("bucket"), col("n_b"))
+
+  /** Per-(window, source) semantic-diversity reading over a FINALIZED
+    * [[windowedBucketCountsBySource]] micro-batch — the by-source twin
+    * of [[bucketEntropyPerWindow]] (same pico-quantized
+    * q_bucket_entropy term, folded within each source's own bucket
+    * distribution): a source whose entropy collapses is a crawler stuck
+    * in one semantic region — the mixture-weight lever, read per
+    * window. Restricting the batch to ONE source reproduces the
+    * per-window fold exactly (the rollup-parity law pinned in
+    * StreamingSpec). */
+  def bucketEntropyBySourcePerWindow(batch: DataFrame): DataFrame = {
+    // (source × bucket)-bounded micro-batch relation, read twice —
+    // pinned like bucketEntropyPerWindow's
+    val p = batch.localCheckpoint(true)
+    val n = p.groupBy("window_start", "source").agg(sum(col("n_b")).as("n"))
+    p.join(n, Seq("window_start", "source"))
+      .withColumn("term_pico",
+        floor((col("n_b").cast("double") / col("n")) * lit(-1.0) *
+          log(col("n_b").cast("double") / col("n")) * lit(1e12))
+          .cast("long"))
+      .groupBy("window_start", "source")
+      .agg(max("n").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        sum("term_pico").as("entropy_pico"),
+        max("n_b").as("max_bucket"), min("n_b").as("min_bucket"))
+      .select("window_start", "source", "n_vecs", "n_buckets",
+        "entropy_pico", "max_bucket", "min_bucket")
+  }
+
   /** Per-window semantic-DIVERSITY reading over a FINALIZED
     * [[windowedBucketCounts]] micro-batch — the live twin of the batch
     * `q_bucket_entropy` census: Shannon entropy of the window's bucket

@@ -2472,6 +2472,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketEntropyBySourcePerWindow: rollup parity + by-source audit store, replay no-op") {
+    // ROLLUP-PARITY LAW (the noveltyBySourcePerWindow convention): a
+    // batch restricted to ONE source must reproduce the per-window fold
+    // exactly — same pico term, same integer addition
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val w0 = ts("2024-01-01 10:00:00")
+    val rel = emb
+      .select(graft.operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .select(lit(w0).as("window_start"), lit("srcA").as("source"),
+        col("bucket"), col("n_b"))
+    val bySrc = graft.streaming.Jobs.bucketEntropyBySourcePerWindow(rel)
+      .select("n_vecs", "n_buckets", "entropy_pico", "max_bucket",
+        "min_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val perWindow = graft.streaming.Jobs.bucketEntropyPerWindow(
+        rel.drop("source"))
+      .select("n_vecs", "n_buckets", "entropy_pico", "max_bucket",
+        "min_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(bySrc == perWindow,
+      s"single-source by-source fold must equal the window fold: $bySrc vs $perWindow")
+
+    // live sink golden: srcA pools in one region (entropy 0), srcB
+    // splits evenly — each lands its own versioned (window, source) row
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val in = MemoryStream[(Timestamp, String, Seq[Double])]
+    val hist = graft.streaming.Jobs.windowedBucketCountsBySource(
+      in.toDF().toDF("ts", "source", "embedding"), "ts", "source",
+      "embedding", "10 minutes", "5 minutes")
+    val root = java.nio.file.Files.createTempDirectory("divsrc_").toString
+    val base = s"$root/store"
+    def start(ck: String) = graft.sources.IO
+      .diversityBySourceAuditSink(hist, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[(String, String), (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last,
+          graft.sources.IO.DiversityBySourceAuditSchema))
+        .collect().map(r => (r.getTimestamp(1).toString, r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ck1 = java.nio.file.Files.createTempDirectory("divsrc_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      in.addData(
+        (ts("2024-01-01 10:01:00"), "srcA", e1),
+        (ts("2024-01-01 10:02:00"), "srcA", e1),
+        (ts("2024-01-01 10:03:00"), "srcB", e1),
+        (ts("2024-01-01 10:04:00"), "srcB", e2),
+        (ts("2024-01-01 10:41:00"), "srcA", e1))
+      q1.processAllAvailable()
+      val half = math.floor(0.5 * math.log(2.0) * 1e12).toLong
+      assert(live == Map(
+        ("2024-01-01 10:00:00.0", "srcA") -> ((2L, 1L, 0L)),
+        ("2024-01-01 10:00:00.0", "srcB") -> ((2L, 2L, 2L * half))),
+        s"round 1: $live")
+    } finally q1.stop()
+    // replay from a fresh checkpoint: marker no-ops
+    val vBefore = versions
+    val ck2 = java.nio.file.Files.createTempDirectory("divsrc_ck2_").toString
+    val q2 = start(ck2)
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), "srcA", e1))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(versions == vBefore,
+      s"replayed batches must be marker no-ops: $vBefore -> $versions")
+  }
+
   test("diversityAuditSink: per-window entropy census lands versioned, replay is a no-op") {
     val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
     val in = MemoryStream[(Timestamp, Seq[Double])]
