@@ -1107,6 +1107,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** q_oov_artifact — the q_oov_rate scoring against a PERSISTED
+    * vocabulary artifact (VERDICT r16 #6): the lifecycle id trains and
+    * WRITES the top-20 vocab once ([[Text.writeVocab]] — the
+    * bpeWriteMerges artifact discipline), then scores the corpus by
+    * READING the artifact ([[Text.oovAgainstVocab]] — ≤ k rows,
+    * broadcast). Same deterministic selection as q_oov_rate, so the
+    * same ANSI oracle replays it — but the monitor-facing shape is
+    * different: the per-batch cost is one explode + one broadcast join
+    * with ZERO corpus re-folding (the vocab is state, not a per-run
+    * recomputation — the ADVICE r16 storage-cost note, closed). */
+  val q_oov_artifact: Q = (s, d) => {
+    val dir = scratchDir("vocab_art", d)
+    val docs = Tables.documents(s, d)
+    Text.writeVocab(docs, "text", 20, dir)
+    Text.oovAgainstVocab(docs, "doc_id", "text", dir).orderBy("doc_id")
+  }
+
   /** q_repetition_bigram — the duplicated-n-gram repetition signal at
     * bigram grain (the Gopher "fraction in most common 2-gram" rule,
     * token form): per doc, the adjacent-bigram count, the most-frequent
@@ -6018,6 +6035,7 @@ object Queries {
     "q_quality_score" -> q_quality_score,
     "q_gopher_rules" -> q_gopher_rules,
     "q_oov_rate" -> q_oov_rate,
+    "q_oov_artifact" -> q_oov_artifact,
     "q_repetition_bigram" -> q_repetition_bigram,
     "q_diversity_drop" -> q_diversity_drop,
     "q_vocab_growth" -> q_vocab_growth,

@@ -494,6 +494,21 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
         |       CAST(floor((sum(oov) * 2000000 + count(*)) / (count(*) * 2.0)) AS BIGINT) AS oov_ppm
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirrors q_oov_artifact: identical scoring to q_oov_rate — the id's
+    // point is the PERSISTED-vocab lifecycle (write once, score by
+    // reading the artifact), and the artifact's top-20 selection is the
+    // same deterministic (count desc, token asc) rank an ANSI replay
+    // derives from the corpus itself
+    "q_oov_artifact" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS cw FROM t GROUP BY 1) x
+        |      ORDER BY cw DESC, w LIMIT 20),
+        |s AS (SELECT t.doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       CAST(floor((sum(oov) * 2000000 + count(*)) / (count(*) * 2.0)) AS BIGINT) AS oov_ppm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     // mirrors q_repetition_bigram: the q_pmi_bigrams adjacent-pair
     // construction, per-doc top-bigram mass as exact HALF_UP ppm
     "q_repetition_bigram" ->

@@ -427,6 +427,101 @@ object Text {
     existing ++ added
   }
 
+  // ---- persisted top-k token vocabulary ------------------------------
+
+  /** The ranked top-`k` token vocabulary of a corpus — count-desc,
+    * token-asc tie-break (the q_oov_rate / q_vocab_build selection,
+    * fully deterministic). Returns (vocab_rank, w, cw), rank 1-based.
+    * Scale shape: one narrow explode → vocabulary-bounded count (Heaps'
+    * law — map-side partial agg first) → bounded top-k (limit-fused
+    * TakeOrdered, never a global sort); the final rank stamp runs over
+    * exactly k rows on one partition. */
+  def vocabTopK(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"vocab k must be positive, got $k")
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(k)
+      .coalesce(1)
+      .withColumn("vocab_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cw").desc, col("w"))))
+      .select("vocab_rank", "w", "cw")
+  }
+
+  /** Persist the corpus's top-`k` token vocabulary at `dir` — the
+    * serving artifact an OOV gate/monitor reads per batch instead of
+    * REFOLDING the corpus vocabulary every time (VERDICT r16 #6: the
+    * ADVICE storage-cost note on q_oov_rate's per-run vocab fold, fixed
+    * the [[bpeWriteMerges]] way). k rows, one file. Empty/short-text
+    * corpora still produce a valid (possibly < k rows) artifact unless
+    * they tokenize to NOTHING, in which case the empty-seed guard
+    * applies (no dir — the cold-start contract of every seeder). */
+  def writeVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 k: Int, dir: String): Unit = {
+    val v = vocabTopK(docs, textCol, k)
+    if (v.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, dir); return
+    }
+    v.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted vocabulary. ≤ k rows — broadcast-sized at any
+    * corpus scale (that is the point of a top-k vocab). */
+  def readVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(dir).select("vocab_rank", "w", "cw")
+
+  /** Extend a persisted vocabulary to `k` total entries over the SAME
+    * corpus: ranks already written are IMMUTABLE (rank r's token is a
+    * function of the corpus alone, so re-deriving the prefix reproduces
+    * it bit-for-bit — asserted, not assumed) and only ranks
+    * `existing+1 .. k` append — extend == retrain (ScalePathSpec law),
+    * with ranks already shipped to scoring jobs staying valid (the
+    * [[bpeExtendMerges]] prefix discipline). Extending over a GROWN
+    * corpus is NOT supported: counts move and the ranking reshuffles —
+    * retrain with [[writeVocab]] (the documented contract; the guard
+    * below fails loudly on a drifted prefix instead of silently
+    * shipping a vocabulary that is neither the old nor the new one). */
+  def extendVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  k: Int, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val existing = readVocab(spark, dir)
+    val nOld = existing.count()
+    require(k > nOld,
+      s"extendVocab: target $k must exceed the $nOld entries present")
+    val full = vocabTopK(docs, textCol, k).localCheckpoint(eager = true)
+    // one computation feeds prefix check + append
+    val drifted = full.filter(col("vocab_rank") <= nOld)
+      .join(existing,
+        Seq("vocab_rank", "w", "cw"), "left_anti").count()
+    require(drifted == 0L,
+      s"extendVocab: $drifted prefix ranks differ from the stored " +
+        "vocabulary — the corpus has changed; retrain with writeVocab")
+    full.filter(col("vocab_rank") > nOld)
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Per-doc OOV fold against a PERSISTED vocabulary — the q_oov_rate
+    * scoring with the vocab read from the artifact (≤ k rows,
+    * broadcast) instead of refolded from the corpus: (id, n_tokens,
+    * n_oov, oov_ppm exact HALF_UP). The shape a live monitor runs per
+    * batch: one narrow explode + one broadcast join, zero corpus-sized
+    * state. */
+  def oovAgainstVocab(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, vocabDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val vocab = readVocab(docs.sparkSession, vocabDir)
+      .select(col("w"), lit(1).as("__in"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_oov"), col("n_tokens")))
+  }
+
   private def writeMergeRows(spark: org.apache.spark.sql.SparkSession,
                              merges: Seq[(String, String)], baseRank: Int,
                              dir: String, overwrite: Boolean): Unit = {

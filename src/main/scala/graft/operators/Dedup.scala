@@ -562,6 +562,12 @@ object Dedup {
     * the same pass). */
   private[graft] def writeWinnowFps(fps: DataFrame, indexDir: String,
                                     storeBuckets: Int = 64): Unit = {
+    // empty-seed guard (ADVICE r16): a corpus winnowing to nothing
+    // (empty, or every doc under the winnow window) seeds "no index
+    // yet" — the matchAgainstWinnowIndex cold-start contract
+    if (fps.isEmpty) {
+      graft.sources.IO.deleteDir(fps.sparkSession, indexDir); return
+    }
     fps
       .withColumn("__bucket", idBucket(col("id"), storeBuckets))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
@@ -849,8 +855,15 @@ object Dedup {
     * the fp projections). */
   def writeFingerprintIndex(docs: DataFrame, textCol: String,
                             indexDir: String, buckets: Int = 64): Unit = {
-    docs.select(Text.fingerprint(col(textCol)).as("fp"))
-      .distinct()
+    val fps = docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+    // empty-seed guard (ADVICE r16): an empty corpus seeds "no index
+    // yet" (a missing dir — the documented cold-start state), never a
+    // schema-less partitioned dir. Limit-1 probe, not a pin: the
+    // relation is corpus-sized and this verb runs once per corpus.
+    if (fps.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, indexDir); return
+    }
+    fps
       .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
@@ -899,21 +912,15 @@ object Dedup {
     } finally Checkpoints.drop(fps)
   }
 
-  /** Delete the `partCol=v` directories of buckets that were touched by
-    * a rewrite but absent from its output — dynamic partition overwrite
-    * only replaces partitions PRESENT in the written data, so a bucket
-    * emptied by a delete/move would silently keep its stale files (the
-    * ivfDeleteIds / mergeIntoComponentsStore guard, shared). */
+  /** Shared emptied-partition guard of every takedown verb — one
+    * definition in [[graft.sources.IO.dropEmptiedPartitions]] (ADVICE
+    * r16), including the cold-start revert when a delete empties the
+    * whole artifact. */
   private def dropEmptiedPartitions(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, partCol: String,
                                     touched: Seq[Long],
-                                    written: Set[Long]): Unit = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(written).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"$partCol=$b"), true)
-    }
-  }
+                                    written: Set[Long]): Unit =
+    graft.sources.IO.dropEmptiedPartitions(spark, dir, partCol, touched, written)
 
   /** Append a new batch's fingerprints to the index — only fingerprints
     * not already present are written (anti-join keeps the index
@@ -981,6 +988,12 @@ object Dedup {
                         indexDir: String, shingleN: Int = 3,
                         numHashes: Int = 32, bands: Int = 8,
                         storeBuckets: Int = 64): Unit = {
+    // empty-seed guard (ADVICE r16): an empty corpus seeds "no index
+    // yet" — both subrelations missing, the nearDupAgainstIndex
+    // cold-start shape (one-of-two existing is the corrupt state)
+    if (docs.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, indexDir); return
+    }
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
     sigs.select(col(idCol).as("id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
@@ -1194,10 +1207,16 @@ object Dedup {
   def writeGramIndex(docs: DataFrame, textCol: String, indexDir: String,
                      asOf: java.sql.Timestamp,
                      buckets: Int = 64): Unit = {
-    docs
+    val grams = docs
       .select(explode(shingleSet(3)(Text.tokens(col(textCol))))
         .as("sh_str"))
       .select(xxhash64(col("sh_str")).as("sh")).distinct()
+    // empty-seed guard (ADVICE r16) — a gram-less corpus (empty, or
+    // every doc under the shingle window) seeds "no index yet"
+    if (grams.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, indexDir); return
+    }
+    grams
       .withColumn("first_window", lit(asOf))
       .withColumn("__bucket", pmod(col("sh"), lit(buckets.toLong)))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
@@ -1218,7 +1237,12 @@ object Dedup {
   def writeFpFirstSeenIndex(docs: DataFrame, textCol: String,
                             indexDir: String, asOf: java.sql.Timestamp,
                             buckets: Int = 64): Unit = {
-    docs.select(md5(col(textCol)).as("fp")).distinct()
+    val fps = docs.select(md5(col(textCol)).as("fp")).distinct()
+    // empty-seed guard (ADVICE r16) — the writeFingerprintIndex note
+    if (fps.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, indexDir); return
+    }
+    fps
       .withColumn("first_window", lit(asOf))
       .withColumn("__bucket", pmod(xxhash64(col("fp")), lit(buckets.toLong)))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
@@ -1343,7 +1367,13 @@ object Dedup {
   def writeGramIndexCounted(docs: DataFrame, idCol: String, textCol: String,
                             indexDir: String, asOf: java.sql.Timestamp,
                             buckets: Int = 64): Unit = {
-    gramDocCounts(docs, idCol, textCol)
+    val counts = gramDocCounts(docs, idCol, textCol)
+    // empty-seed guard (VERDICT r16 #4 — the r16 append guard, mirrored
+    // at the seed verb): a gram-less corpus seeds "no index yet"
+    if (counts.isEmpty) {
+      graft.sources.IO.deleteDir(docs.sparkSession, indexDir); return
+    }
+    counts
       .withColumn("window_start", lit(asOf))
       .withColumn("__bucket", pmod(col("sh"), lit(buckets.toLong)))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))

@@ -342,14 +342,96 @@ object Sampling {
   def writeBucketMembershipIndex(vecs: DataFrame, idCol: String,
                                  embCol: String, indexDir: String,
                                  buckets: Int = 64): Unit = {
-    vecs.select(diversityBucket(col(embCol)).as("bucket"),
-        col(idCol).cast("long").as("id"))
+    val rows = vecs.select(diversityBucket(col(embCol)).as("bucket"),
+      col(idCol).cast("long").as("id"))
+    // empty-seed guard (ADVICE r16): seeding from an empty relation
+    // must leave the documented cold-start state ("no index yet" — a
+    // MISSING dir), never a schema-less partitioned dir (_SUCCESS +
+    // sidecar only) that passes the gate's exists() check and poisons
+    // its occupancy read with UNABLE_TO_INFER_SCHEMA. A limit-1 probe,
+    // not a localCheckpoint pin: the seeded relation is corpus-sized
+    // (this verb runs once per corpus) and the probe short-circuits.
+    if (rows.isEmpty) {
+      graft.sources.IO.deleteDir(vecs.sparkSession, indexDir); return
+    }
+    rows
       .withColumn("__bucket",
         pmod(xxhash64(col("bucket")), lit(buckets.toLong)))
       .transform(graft.sources.IO.alignToPartitions(_, "__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(indexDir)
     graft.sources.IO.writeBucketCount(vecs.sparkSession, indexDir, buckets)
+    // seed the occupancy census too, so a gate started on this index
+    // never scans the id-attributed rows for occupancy (ADVICE r16)
+    writeBucketCensus(vecs.sparkSession, indexDir)
   }
+
+  /** Location of the bucket-membership index's OCCUPANCY CENSUS — a
+    * ≤ 2^planes-row (bucket, n_occ) sidecar the live gate reads instead
+    * of re-scanning the id-attributed index every micro-batch (ADVICE
+    * r16: the occupancy fold's INPUT grew with the admitted corpus —
+    * only its output was bucket-bounded). Underscore-prefixed so the
+    * index's own parquet readers never see it, and it dies with the dir
+    * when a takedown empties the whole index. */
+  private def censusDir(indexDir: String): String = s"$indexDir/_census"
+
+  /** The EXACT occupancy census of a bucket-membership index, computed
+    * from the index itself: DISTINCT ids per semantic bucket — distinct
+    * deliberately, so duplicate (bucket, id) rows left by a torn gate
+    * batch (crash after the index append, replay re-appends — the
+    * documented at-least-once residue) never inflate a bucket's bill. */
+  private def censusOf(idx: DataFrame): DataFrame =
+    idx.groupBy("bucket")
+      .agg(countDistinct(col("id")).as("n_occ"))
+
+  /** Rebuild the occupancy census from the index — the seeder's and the
+    * takedown verb's closing step (one index scan; both verbs already
+    * paid one). */
+  def writeBucketCensus(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit =
+    graft.sources.IO.swapWrite(
+      censusOf(spark.read.parquet(indexDir).select("bucket", "id")),
+      censusDir(indexDir))
+
+  /** Live occupancy of a bucket-membership index — what the diversity
+    * gate charges admissions against: the census if present (O(2^planes)
+    * rows, the steady state), else derived from the index (the upgrade
+    * path for a pre-census index — the gate's next admitting batch
+    * materializes the census), else empty (cold start — no index yet).
+    * Always (bucket: long, n_occ: long). */
+  def readBucketOccupancy(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): DataFrame =
+    graft.sources.IO.readSwapped(spark, censusDir(indexDir))
+      .orElse {
+        val p = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          Some(censusOf(spark.read.parquet(indexDir).select("bucket", "id")))
+        else None
+      }
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_occ",
+            org.apache.spark.sql.types.LongType)))))
+
+  /** Advance the census by one admitted batch: the occupancy the batch
+    * was judged against (`occ` — already read, never re-derived) plus
+    * the batch's per-bucket admission counts. The admitted relation is
+    * id-distinct by construction ([[diversityCapRanked]] emits each id
+    * once), so adding ROW counts preserves the census's distinct-ids
+    * semantic exactly. Swap-written (crash mid-swap recovers the old
+    * census, and the gate's replay then re-admits the same rows — the
+    * torn-batch shape the gate documents). */
+  def advanceBucketCensus(occ: DataFrame, admittedBuckets: DataFrame,
+                          indexDir: String): Unit =
+    graft.sources.IO.swapWrite(
+      occ.select(col("bucket"), col("n_occ"))
+        .unionAll(admittedBuckets
+          .groupBy("bucket").agg(count(lit(1)).as("n_occ")))
+        .groupBy("bucket").agg(sum(col("n_occ")).as("n_occ")),
+      censusDir(indexDir))
 
   /** TAKEDOWN verb for the bucket-membership index — opt-out content
     * must FREE its semantic bucket's budget, not just leave the corpus:
@@ -385,11 +467,16 @@ object Sampling {
           .partitionBy("__bucket").parquet(indexDir)
         val written = remaining.select("__bucket").distinct()
           .collect().map(_.getLong(0)).toSet // bounded: <= buckets ids
+        graft.sources.IO.dropEmptiedPartitions(spark, indexDir, "__bucket",
+          touched, written)
+        // rebuild the occupancy census the gate reads (one more index
+        // scan — fine for the exceptional verb; the per-batch path never
+        // rescans). A fully-emptied index reverted to cold start above
+        // took its census with it.
         val base = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        touched.filterNot(written).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(base, s"__bucket=$b"), true)
-        }
+        if (base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(base))
+          writeBucketCensus(spark, indexDir)
       } finally Checkpoints.drop(remaining)
       touched
     } finally Checkpoints.drop(del)

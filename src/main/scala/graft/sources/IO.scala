@@ -356,9 +356,14 @@ object IO {
     * census) so the takedown verb
     * ([[graft.operators.Sampling.deleteFromBucketMembershipIndex]])
     * is row-targeted and replay-idempotent, and a taken-down vector
-    * FREES its bucket budget. Live occupancy = the grouped count — a
-    * bucket-bounded fold (≤ 2^planes groups) that broadcasts at any
-    * corpus size, the cheapest gate state of the eight. Intra-batch
+    * FREES its bucket budget. Live occupancy comes from the CENSUS
+    * sidecar ([[graft.operators.Sampling.readBucketOccupancy]] — ≤
+    * 2^planes (bucket, n_occ) rows maintained incrementally per batch
+    * and rebuilt by the seed/takedown verbs), so the per-batch state
+    * read is O(2^planes) REGARDLESS of admitted-corpus size — the
+    * cheapest gate state of the eight (ADVICE r16: the previous
+    * grouped-count fold re-scanned the whole id-attributed index every
+    * micro-batch). Intra-batch
     * collapse rides [[graft.operators.Sampling.diversityCapRanked]]
     * (bounded-heap bottom-`cap` per bucket in deterministic md5 order —
     * O(cap) state per bucket, never a window): a batch rank can never
@@ -389,20 +394,16 @@ object IO {
           val ranked = graft.operators.Sampling
             .diversityCapRanked(b, idCol, vecCol, cap)
             .select(col("bucket"), col("rn"), col(idCol))
-          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-          val fs = idxPath.getFileSystem(
-            spark.sparkContext.hadoopConfiguration)
-          val occ =
-            if (fs.exists(idxPath))
-              spark.read.parquet(indexDir)
-                .groupBy("bucket").agg(count(lit(1)).as("n_occ"))
-            else spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              StructType(Seq(
-                org.apache.spark.sql.types.StructField("bucket",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("n_occ",
-                  org.apache.spark.sql.types.LongType))))
+          // occupancy from the CENSUS sidecar (≤ 2^planes rows), never a
+          // per-batch scan of the id-attributed index (ADVICE r16: that
+          // fold's input grew with the admitted corpus). A pre-census
+          // index derives once and materializes below; a missing index
+          // is zero occupancy (cold start). Pinned: the filtered census
+          // feeds the admission AND the advance below, and the advance's
+          // swap must not re-read the dir it is replacing.
+          val occ = graft.operators.Sampling
+            .readBucketOccupancy(spark, indexDir)
+            .localCheckpoint(true)
           val admitted = ranked
             .join(broadcast(occ), Seq("bucket"), "left")
             .na.fill(0L, Seq("n_occ"))
@@ -424,6 +425,14 @@ object IO {
               .write.mode("append").partitionBy("__bucket").parquet(indexDir)
             if (readBucketCount(spark, indexDir).isEmpty)
               writeBucketCount(spark, indexDir, bkts)
+            // census advance LAST (corpus → index → census): a crash
+            // before this line replays the batch against the old census
+            // — identical decisions, duplicate-but-identical corpus/index
+            // rows (countDistinct census semantics absorb them); a crash
+            // after it self-bills the replay (admits nothing extra) —
+            // the conservative direction, as before
+            graft.operators.Sampling.advanceBucketCensus(
+              occ, admitted.select("bucket"), indexDir)
           }
           ()
       })
@@ -572,6 +581,63 @@ object IO {
             fps.join(novel.select(col(idCol).as("id")), Seq("id"),
               "left_semi"),
             indexDir)
+          ()
+      })
+      .trigger(Trigger.AvailableNow())
+
+  /** The COMPOSED live ingest chain — every hygiene gate in ONE
+    * streaming sink (VERDICT r16 #1): per micro-batch, exact-dedup →
+    * near-dup → (winnow) → (decontaminate) → (DSIR quality) →
+    * (diversity) — stage set per [[graft.operators.ChainConfig]] —
+    * admitting survivors to `outDir`, advancing EVERY gate artifact
+    * (fp, band, winnow, bucket-membership + census), and writing one
+    * ledger row per batch (`outDir/_ledger` — the buildCorpus
+    * CorpusLedger at batch grain) plus the per-doc decisions audit
+    * (`outDir/_decisions` — every input doc named by the stage that
+    * dropped it). Until now a user had to wire the eight standalone
+    * gate sinks by hand; this is the production composition, and each
+    * stage is the SAME operator its standalone sink runs.
+    *
+    * ONE COMMIT POINT (VERDICT r16 #2): the per-batch decisions WAL.
+    * The decide phase mutates nothing and persists its outcome
+    * atomically (parquet job commit); the apply phase replays effects
+    * FROM the WAL, each idempotent or duplicate-harmless (see
+    * [[graft.operators.CorpusBuild.chainApply]]). A crash between any
+    * two effects recovers to the consistent state on restart: the
+    * replayed batch finds the WAL, skips recomputation (so
+    * half-advanced indexes can never change its decisions) and
+    * re-applies everything; the committed-batch marker then makes
+    * fully-applied batches no-ops. Corpus and ledger are
+    * batch-partitioned dynamic overwrites — exactly-once, not just
+    * at-least-once (corpus readers see a `__batch` partition column;
+    * compact with [[compactPartitionedDir]], expire with
+    * [[expirePartitions]]). */
+  def composedIngestSink(docs: DataFrame, outDir: String,
+                         checkpointDir: String,
+                         cfg: graft.operators.ChainConfig)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$outDir/_markers") {
+        (batch: DataFrame, batchId: Long) =>
+          val spark = batch.sparkSession
+          val b = batch.localCheckpoint(true) // one consume, all stages
+          if (!b.isEmpty) {
+            val walPath = s"$outDir/_decisions/__batch=$batchId"
+            val fs = new org.apache.hadoop.fs.Path(walPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // a COMMITTED WAL (job-commit _SUCCESS) marks the batch as
+            // mid-apply when it crashed — skip decide, re-apply from it;
+            // a torn WAL write (no _SUCCESS) is pre-commit: recompute
+            // (nothing was mutated) and overwrite
+            val isReplay = fs.exists(
+              new org.apache.hadoop.fs.Path(s"$walPath/_SUCCESS"))
+            if (!isReplay)
+              graft.operators.CorpusBuild.chainDecide(b, cfg)
+                .write.mode("overwrite").parquet(walPath)
+            graft.operators.CorpusBuild.chainApply(b,
+              spark.read.parquet(walPath), outDir, cfg, batchId, isReplay)
+          }
           ()
       })
       .trigger(Trigger.AvailableNow())
@@ -1687,6 +1753,78 @@ object IO {
     * path), far cheaper than the file-creation storm it prevents. */
   def alignToPartitions(df: DataFrame, partCol: String): DataFrame =
     df.repartition(col(partCol))
+
+  /** Delete the `partCol=v` directories of buckets that were touched by
+    * a rewrite but absent from its output — dynamic partition overwrite
+    * only replaces partitions PRESENT in the written data, so a bucket
+    * emptied by a delete/move would silently keep its stale files. The
+    * shared guard of every partitioned-index TAKEDOWN verb (fingerprint,
+    * fp-first-seen, near-dup, winnow, bucket-membership, components —
+    * one definition, ADVICE r16). If the drop leaves NO partition
+    * directories at all, the artifact dir itself (sidecars included) is
+    * removed: an index emptied by takedown must revert to the
+    * documented COLD-START state ("no index yet"), not linger as a
+    * sidecar-only dir whose consumers' exists()-then-read dies with
+    * UNABLE_TO_INFER_SCHEMA (ADVICE r16 — the diversityGateSink /
+    * dupRateAuditSink read shape). delete-all == rebuild-from-nothing,
+    * which the empty-seed guards make "no dir". */
+  private[graft] def dropEmptiedPartitions(spark: SparkSession, dir: String,
+                                           partCol: String,
+                                           touched: Seq[Long],
+                                           written: Set[Long]): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$partCol=$b"), true)
+    }
+    if (fs.exists(base) &&
+        !fs.listStatus(base).exists(_.getPath.getName.startsWith(s"$partCol=")))
+      fs.delete(base, true)
+  }
+
+  /** Remove an artifact directory — the empty-seed guards' revert verb:
+    * seeding an index from an EMPTY corpus means "index of nothing",
+    * and the documented representation of that state is a missing dir
+    * (cold start), never a schema-less or stale one. */
+  private[graft] def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Write-then-swap a SMALL derived relation (a census, a pointer) so
+    * there is never a moment without a readable copy — the [[upsertSink]]
+    * swap discipline as a reusable verb: write `<dir>_tmp` → move the
+    * current dir to `<dir>_bak` → move `_tmp` in → drop `_bak`. A crash
+    * between the renames leaves `_bak`, which [[readSwapped]] recovers.
+    * `coalesce(1)`: callers pass driver-bounded relations (≤ a few
+    * hundred rows) — one file, not one per shuffle partition. */
+  private[graft] def swapWrite(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "_bak")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"swapWrite: $what failed")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) must(fs.rename(dst, bak), s"rename $dst -> $bak")
+    must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+    fs.delete(bak, true)
+  }
+
+  /** Read a [[swapWrite]]-maintained relation, recovering from a crash
+    * mid-swap: the current dir if present, else the `_bak` the torn swap
+    * left. None = the artifact was never written (cold start). */
+  private[graft] def readSwapped(spark: SparkSession,
+                                 dir: String): Option[DataFrame] = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(dir + "_bak")
+    if (fs.exists(dst)) Some(spark.read.parquet(dir))
+    else if (fs.exists(bak)) Some(spark.read.parquet(bak.toString))
+    else None
+  }
 
   /** Record the bucket count a hash-bucketed artifact was written with —
     * a dot-prefixed sidecar (invisible to readers, like the compaction

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("pack")) { packProbe(args.drop(1)); return }
+    if (args.headOption.contains("synth")) { synthProbe(args.drop(1)); return }
+    if (args.headOption.contains("order")) { orderProbe(args.drop(1)); return }
     if (args.headOption.contains("dsir")) { dsirProbe(args.drop(1)); return }
     if (args.headOption.contains("diversity")) {
       diversityProbe(args.drop(1)); return
@@ -237,6 +239,134 @@ object CorpusScale {
       .collect().head
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"metric":"dsir_hashed","n_docs":${agg.getLong(0)},"n_tokens":${agg.getLong(1)},"dsir_sec":${math.round(sec * 10) / 10.0}}""")
+    spark.stop()
+  }
+
+  /** Cluster-structured synthetic corpus for the composed-build scale
+    * probes — REAL pressure for every stage: each 4-doc cluster is 1
+    * base + 1 EXACT copy (exact-dedup work) + 2 near-identical variants
+    * (2 of 40 positions rewritten — exact Jaccard ≈ 0.81, the near-dup
+    * stage's work); every 53rd doc instead LIFTS the first 20 tokens of
+    * its cluster base into fresh content (Jaccard ≈ 0.3 — slips the
+    * near-dup bar, the winnow stage's work; its lifted run is also the
+    * span stage's work when winnow is off); 5 languages (the DSIR
+    * target marker), 4 source strata (the mix stage), and a 64-dim
+    * embedding pooled into 1024 jittered cluster regions (the diversity
+    * stage). All LCG-deterministic — two runs see the same corpus. */
+  private def synthCorpus(spark: SparkSession, nDocs: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs).mapPartitions { it =>
+      val langs = Array("en", "de", "fr", "es", "zh")
+      it.map { id =>
+        val cluster = id / 4L
+        val variant = id % 4L
+        var x = cluster * 6364136223846793005L + 1442695040888963407L
+        def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+        val words = Array.tabulate(40)(_ => s"w${math.floorMod(nxt(), 200000L)}")
+        val text =
+          if (id % 53L == 0L && variant != 0L) {
+            // the winnow extract-of shape: 20 lifted + 20 fresh tokens
+            var y = id * 2862933555777941757L + 3037000493L
+            def fresh(): Long = { y = y * 2862933555777941757L + 3037000493L; y }
+            (words.take(20) ++
+              Array.tabulate(20)(_ => s"f${math.floorMod(fresh(), 200000L)}"))
+              .mkString(" ")
+          } else if (variant >= 2L) { // near-dup: 2 positions rewritten
+            val w = words.clone()
+            w(math.floorMod(variant * 7L, 40L).toInt) = s"m${id}a"
+            w(math.floorMod(variant * 13L + 3L, 40L).toInt) = s"m${id}b"
+            w.mkString(" ")
+          } else words.mkString(" ") // variant 1 = exact copy of base
+        val region = cluster % 1024L
+        val emb = Array.tabulate(64) { j =>
+          var h = region * 31L + j * 2654435761L
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          (math.floorMod(h, 2000L).toDouble - 1000.0) / 1000.0 +
+            (math.floorMod(id, 97L).toDouble - 48.0) / 4800.0
+        }
+        (id, langs((cluster % 5L).toInt), s"src${id % 4L}", text, emb)
+      }
+    }.toDF("doc_id", "lang", "source", "text", "embedding")
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** 10M-doc composed-build measurement (VERDICT r16 #3): `runMain
+    * graft.tools.CorpusScale synth [nDocs] [cap]` — the FULL
+    * buildCorpus lifecycle with EVERY optional stage on (winnow, span
+    * removal, DSIR quality, diversity cap) over the cluster-structured
+    * synthetic corpus, probe = every 101st doc. Reports total wall, the
+    * LM-training prep wall, and the per-stage selectivity ledger — the
+    * BASELINE.md composed-cost row at a scale where stage order
+    * matters (the [[orderProbe]] companion measures the order claim
+    * itself). Diversity cap defaults to nDocs/512: the 2^8-bucket LSH
+    * geometry is coarse at 10M, so a fixed small cap would measure an
+    * unrealistic 99%% drop instead of the stage's real cost. */
+  private def synthProbe(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val cap = if (args.length > 1) args(1).toInt
+      else math.max(8L, nDocs / 512L).toInt
+    val spark = synthSession()
+    val docs = synthCorpus(spark, nDocs).localCheckpoint(true)
+    val probe = docs.filter(col("doc_id") % 101 === 0)
+      .select("doc_id", "text")
+    val tLm = System.nanoTime()
+    val lm = graft.operators.Sampling
+      .dsirLm(docs, "text", col("lang") === "en")
+      .localCheckpoint(true)
+    val lmSec = (System.nanoTime() - tLm) / 1e9
+    val base = java.nio.file.Files.createTempDirectory("corpus_synth_")
+      .toString
+    val t0 = System.nanoTime()
+    val ledger = graft.operators.CorpusBuild.buildCorpus(
+      docs, probe, "doc_id", "text", "source", "n_chars",
+      s"$base/fp", s"$base/band", s"$base/shards",
+      nearDupThreshold = 0.7,
+      mixRates = Map("src0" -> 0.5), defaultMixRate = 1.0,
+      numShards = 32,
+      winnowIndexDir = Some(s"$base/winnow"),
+      spanRemovalWindowLen = Some(8),
+      qualityLm = Some(lm), qualityThresholdPico = -20820000000L,
+      diversityEmb = Some(docs.select("doc_id", "embedding")),
+      diversityCap = cap,
+      diversityIndexDir = Some(s"$base/div"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(s"""{"metric":"corpus_build_synth","n_docs":$nDocs,"cpus":${spark.sparkContext.defaultParallelism},"diversity_cap":$cap,"lm_train_sec":${math.round(lmSec * 10) / 10.0},"build_sec":${math.round(sec * 10) / 10.0},"raw":${ledger.raw},"after_exact":${ledger.afterExactDedup},"after_near_dup":${ledger.afterNearDup},"after_winnow":${ledger.afterWinnow},"after_span_removal":${ledger.afterSpanRemoval},"span_tokens_removed":${ledger.spanTokensRemoved},"after_quality":${ledger.afterQuality},"after_diversity":${ledger.afterDiversity},"after_decontaminate":${ledger.afterDecontaminate},"after_mix":${ledger.afterMix}}""")
+    spark.stop()
+  }
+
+  /** Stage-ORDER experiment (VERDICT r16 #3's second half): is
+    * exact-dedup-first measurably right? `runMain graft.tools.
+    * CorpusScale order [nDocs]` times the near-dup stage (the most
+    * expensive dedup pass — shingle/minhash every doc) two ways over
+    * the SAME corpus: EXPENSIVE-FIRST (near-dup over the raw corpus)
+    * vs CHEAP-FIRST (one hash-agg exact pass, then near-dup over its
+    * survivors — the buildCorpus order). The exact stage costs one
+    * md5 shuffle and removes ~25%% of rows before the ~40-hash/doc
+    * minhash work; the ratio is the claim's evidence. */
+  private def orderProbe(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = synthSession()
+    val docs = synthCorpus(spark, nDocs)
+      .select("doc_id", "text").localCheckpoint(true)
+    // EXPENSIVE-FIRST: minhash everything, exact copies included
+    val tA = System.nanoTime()
+    val nA = graft.operators.Dedup
+      .clusterByMinhash(docs, "doc_id", "text", 0.7).count()
+    val secA = (System.nanoTime() - tA) / 1e9
+    // CHEAP-FIRST (the buildCorpus order): one exact hash-agg pass,
+    // near-dup rides the survivors
+    val tB = System.nanoTime()
+    val keepers = docs
+      .groupBy(graft.functions.Text.fingerprint(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exact = docs.join(keepers.select("doc_id"), Seq("doc_id"),
+      "left_semi").localCheckpoint(true)
+    val nExact = exact.count()
+    val nB = graft.operators.Dedup
+      .clusterByMinhash(exact, "doc_id", "text", 0.7).count()
+    val secB = (System.nanoTime() - tB) / 1e9
+    println(s"""{"metric":"corpus_stage_order","n_docs":$nDocs,"expensive_first_sec":${math.round(secA * 10) / 10.0},"cheap_first_sec":${math.round(secB * 10) / 10.0},"speedup":${math.round(secA / secB * 100) / 100.0},"after_exact":$nExact,"survivors_a":$nA,"survivors_b":$nB}""")
     spark.stop()
   }
 }

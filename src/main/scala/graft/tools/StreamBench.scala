@@ -15,6 +15,7 @@ object StreamBench {
     if (args.headOption.contains("duprate")) { dupRateScale(args.drop(1)); return }
     if (args.headOption.contains("dsirgate")) { dsirGateScale(args.drop(1)); return }
     if (args.headOption.contains("divgate")) { divGateScale(args.drop(1)); return }
+    if (args.headOption.contains("chain")) { chainScale(args.drop(1)); return }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rate = if (args.nonEmpty) args(0).toInt else 500000
     val seconds = if (args.length > 1) args(1).toInt else 15
@@ -332,6 +333,91 @@ object StreamBench {
       try spark.read.parquet(s"$base/grams").count() catch { case _: Exception => 0L }
     val versions = graft.sources.IO.snapshotVersions(spark, s"$base/store")
     println(f"""{"metric":"monitor_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"index_grams":$idxRows,"store_versions":${versions.size},"cpus":$cpus}""")
+    spark.stop()
+  }
+
+  /** Composed ingest-chain throughput mode (`runMain
+    * graft.tools.StreamBench chain [docsPerSec] [seconds]`): documents/
+    * second through the FULL composed live ingest chain
+    * ([[graft.sources.IO.composedIngestSink]] — exact-dedup → near-dup
+    * → winnow → decontaminate → quality → diversity, every artifact
+    * advanced, WAL + ledger per batch). Synthetic workload with real
+    * gate pressure: ~40-token docs seeded from 512k distinct contents
+    * (≈17% arrive as exact re-emissions), 64-dim embeddings pooled into
+    * jittered semantic regions so the diversity cap binds mid-run, a
+    * small probe set and a DSIR LM trained on a boot sample. The number
+    * an operator reads before replacing eight hand-wired gate sinks
+    * with the one chain. One JSON line. */
+  private def chainScale(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = if (args.nonEmpty) args(0).toInt else 5000
+    val seconds = if (args.length > 1) args(1).toInt else 30
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{ChainConfig, Sampling}
+    val base = java.nio.file.Files.createTempDirectory("chain_bench_")
+      .toString
+    // deterministic synthetic corpus: content key ~ 512k distinct docs,
+    // re-emitted with p ≈ 1/6 (the exact-dedup pressure); 40 tokens from
+    // a 200k-token vocabulary; embeddings pooled into 512 jittered
+    // regions (the divGateScale landscape)
+    val contentKey = when(col("value") % 6L === 0L, col("value") / 7L)
+      .otherwise(col("value")) % 524288L
+    val toks = (0 until 40).map(i =>
+      concat(lit("w"), pmod(xxhash64(col("__ck") * 40L + i), lit(200000L))))
+    val comps = (0 until 64).map { j =>
+      (pmod(xxhash64(col("__ck") % 512L, lit(j)), lit(2000L))
+        .cast("double") - 1000.0) / 1000.0 +
+        ((col("__ck") % 97L).cast("double") - 48.0) / 4800.0
+    }
+    val probeDir = s"$base/probe"; val lmDir = s"$base/lm"
+    // boot artifacts: a benchmark-sized probe and a DSIR LM over a
+    // static sample of the same generator (what a real pipeline does)
+    val boot = spark.range(2048)
+      .withColumn("__ck", col("id") % 524288L)
+      .withColumn("text", concat_ws(" ", toks: _*))
+    boot.limit(32).select("text").write.parquet(probeDir)
+    Sampling.dsirLm(boot.withColumn("__t", col("id") % 2L === 0L),
+      "text", col("__t")).write.parquet(lmDir)
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString)
+      .option("numPartitions", cpus).load()
+      .withColumn("__ck", contentKey)
+      .withColumn("doc_id", col("value"))
+      .withColumn("text", concat_ws(" ", toks: _*))
+      .withColumn("embedding", array(comps: _*))
+      .select("doc_id", "text", "embedding")
+    val cfg = ChainConfig("doc_id", "text",
+      fpIndexDir = s"$base/fp", bandIndexDir = s"$base/band",
+      nearDupThreshold = 0.7,
+      winnowIndexDir = Some(s"$base/win"),
+      probeDir = Some(probeDir),
+      lmDir = Some(lmDir), qualityThresholdPicoPerToken = -10000000000000L,
+      embCol = Some("embedding"),
+      diversityIndexDir = Some(s"$base/div"), diversityCap = 100)
+    val q = graft.sources.IO.composedIngestSink(docs, s"$base/out",
+        s"$base/ck", cfg)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    val t0 = System.nanoTime()
+    Thread.sleep(seconds * 1000L)
+    val progress = q.recentProgress
+    q.stop()
+    val processed = progress.map(_.numInputRows).sum
+    val batches = progress.count(_.numInputRows > 0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val admitted =
+      try spark.read.parquet(s"$base/out").count()
+      catch { case _: Exception => 0L }
+    val ledger =
+      try spark.read.parquet(s"$base/out/_ledger").count()
+      catch { case _: Exception => 0L }
+    println(f"""{"metric":"chain_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"batches":$batches,"admitted":$admitted,"ledger_rows":$ledger,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -2391,9 +2391,10 @@ class ScalePathSpec extends SparkSpec {
       afterDecontaminate = 4, afterMix = 4, afterSpanRemoval = 6,
       spanTokensRemoved = 0, afterQuality = -1L, afterDiversity = 4),
       s"ledger: $ledger")
-    // the seeded gate index reflects ADMITTED content (the fp/band/
-    // winnow contract): membership == the stage's surviving EMBEDDED
-    // docs, and a gate started on it sees the dense bucket AT cap
+    // the seeded gate index reflects SHIPPED content (ADVICE r16: the
+    // final shard output's embedded docs — on this fixture identical to
+    // the stage's survivors, since no later stage drops an embedded
+    // doc), and a gate started on it sees the dense bucket AT cap
     val seeded = spark.read.parquet(s"$base/divIdx")
       .select("id").as[Long].collect().toSet
     assert(seeded == sKept - 6L,
@@ -2402,6 +2403,55 @@ class ScalePathSpec extends SparkSpec {
       .count().select("count").as[Long].collect().sorted.toSeq
     assert(occ == Seq(1L, 2L),
       s"dense bucket must be billed at cap, outlier at 1: $occ")
+  }
+
+  test("diversity gate seed == SHIPPED corpus: docs dropped after the diversity stage free their bucket budget; census matches") {
+    // ADVICE r16: the seed must come from the FINAL shard output, not
+    // the diversity stage's survivors — a doc the decontamination stage
+    // later drops must not permanently bill its semantic bucket.
+    import graft.operators.{CorpusBuild, Sampling}
+    val e1 = Seq.fill(64)(0.5); val e2 = e1.map(-_)
+    val leak = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      // dense region: docs 1,2 — doc 1 is CONTAMINATED (probe 5-gram)
+      (1L, "sA", leak + " one two three four five six"),
+      (2L, "sA", "beta other tokens four five six seven"),
+      // outlier region: doc 5
+      (5L, "sC", "epsilon outlier content ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+    val emb = Seq((1L, e1), (2L, e1), (5L, e2)).toDF("doc_id", "embedding")
+    val probe = Seq((900L, leak + " probe suffix padding tokens"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("corpus_div_shipped_").toString
+    CorpusBuild.buildCorpus(
+      docs, probe, "doc_id", "text", "source", "n_chars",
+      s"$base/fp", s"$base/band", s"$base/shards",
+      diversityEmb = Some(emb), diversityCap = 2,
+      diversityIndexDir = Some(s"$base/divIdx"))
+    val shipped = spark.read.parquet(s"$base/shards")
+      .select("doc_id").as[Long].collect().toSet
+    assert(shipped == Set(2L, 5L), s"decon must drop doc 1: $shipped")
+    // the seed holds exactly the shipped embedded docs — doc 1 (a
+    // diversity-stage survivor the decon stage dropped) bills nothing
+    val seeded = spark.read.parquet(s"$base/divIdx")
+      .select("id").as[Long].collect().toSet
+    assert(seeded == Set(2L, 5L),
+      s"seed must be the SHIPPED embedded docs, not the stage's: $seeded")
+    // the census sidecar agrees with the index it summarizes, and the
+    // gate's occupancy read serves from it: both regions at 1
+    val occ = Sampling.readBucketOccupancy(spark, s"$base/divIdx")
+      .select("n_occ").as[Long].collect().sorted.toSeq
+    assert(occ == Seq(1L, 1L), s"census occupancy: $occ")
+    assert(new java.io.File(s"$base/divIdx/_census").exists,
+      "seeder must materialize the census sidecar")
+    // takedown rebuilds the census: remove doc 2 → its bucket frees
+    Sampling.deleteFromBucketMembershipIndex(
+      Seq(2L).toDF("doc_id"), "doc_id", s"$base/divIdx")
+    val occ2 = Sampling.readBucketOccupancy(spark, s"$base/divIdx")
+      .select("n_occ").as[Long].collect().sorted.toSeq
+    assert(occ2 == Seq(1L), s"post-takedown census: $occ2")
   }
 
   test("corpus-build lifecycle: composed == sequential stages, ledger accounts every drop, seeded artifacts serve the ingest gates") {
@@ -2551,5 +2601,262 @@ class ScalePathSpec extends SparkSpec {
     assert(shipped.keySet == Set(1L, 2L, 5L, 6L))
     assert(shipped(1L) == (1 to 30).map(i => s"b$i").mkString(" "))
     assert(shipped(6L) == (1 to 40).map(i => s"f$i").mkString(" "))
+  }
+
+  test("empty-seed guard: every index seeder leaves 'no index yet' on an empty corpus, and reverts an existing index") {
+    // ADVICE r16 (+ VERDICT #4): a zero-row overwrite-seed must leave
+    // the documented cold-start state — a MISSING dir — never a
+    // schema-less partitioned dir (_SUCCESS + sidecar only) that passes
+    // consumers' exists() checks and poisons their read with
+    // UNABLE_TO_INFER_SCHEMA. And re-seeding an EXISTING index from an
+    // empty corpus must revert it (seed == rebuild: the index of
+    // nothing is no index).
+    import graft.operators.{CorpusBuild, Sampling}
+    val base = java.nio.file.Files.createTempDirectory("empty_seed_").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val vecs = Seq((1L, Seq.fill(64)(0.5))).toDF("vec_id", "embedding")
+    def gone(d: String) = !new java.io.File(d).exists
+    // each (seed-nonempty, seed-empty) round: dir exists, then reverts
+    def law(name: String, dir: String, seedFull: () => Unit,
+            seedEmpty: () => Unit): Unit = {
+      seedEmpty()
+      assert(gone(dir), s"$name: empty first seed must leave no dir")
+      seedFull()
+      assert(!gone(dir), s"$name: non-empty seed must write")
+      seedEmpty()
+      assert(gone(dir), s"$name: empty re-seed must revert to cold start")
+    }
+    law("fingerprint", s"$base/fp",
+      () => Dedup.writeFingerprintIndex(docs, "text", s"$base/fp"),
+      () => Dedup.writeFingerprintIndex(emptyDocs, "text", s"$base/fp"))
+    law("fp-first-seen", s"$base/fpfs",
+      () => Dedup.writeFpFirstSeenIndex(docs, "text", s"$base/fpfs", t0),
+      () => Dedup.writeFpFirstSeenIndex(emptyDocs, "text", s"$base/fpfs", t0))
+    law("gram", s"$base/gram",
+      () => Dedup.writeGramIndex(docs, "text", s"$base/gram", t0),
+      () => Dedup.writeGramIndex(emptyDocs, "text", s"$base/gram", t0))
+    law("gram-counted", s"$base/gramc",
+      () => Dedup.writeGramIndexCounted(docs, "doc_id", "text",
+        s"$base/gramc", t0),
+      () => Dedup.writeGramIndexCounted(emptyDocs, "doc_id", "text",
+        s"$base/gramc", t0))
+    law("near-dup", s"$base/band",
+      () => Dedup.writeNearDupIndex(docs, "doc_id", "text", s"$base/band"),
+      () => Dedup.writeNearDupIndex(emptyDocs, "doc_id", "text",
+        s"$base/band"))
+    law("winnow", s"$base/win",
+      () => Dedup.writeWinnowIndex(
+        Seq((1L, (1 to 20).map(i => s"w$i").mkString(" ")))
+          .toDF("doc_id", "text"), "doc_id", "text", s"$base/win"),
+      () => Dedup.writeWinnowIndex(emptyDocs, "doc_id", "text", s"$base/win"))
+    law("bucket-membership", s"$base/div",
+      () => Sampling.writeBucketMembershipIndex(vecs, "vec_id", "embedding",
+        s"$base/div"),
+      () => Sampling.writeBucketMembershipIndex(emptyVecs, "vec_id",
+        "embedding", s"$base/div"))
+    // gram-less (but non-empty) corpora also seed "no index yet": every
+    // doc under the shingle/winnow window selects nothing
+    val shorts = Seq((1L, "a b")).toDF("doc_id", "text")
+    Dedup.writeGramIndexCounted(shorts, "doc_id", "text", s"$base/gshort", t0)
+    assert(gone(s"$base/gshort"), "gram-less seed must leave no dir")
+    Dedup.writeWinnowIndex(shorts, "doc_id", "text", s"$base/wshort")
+    assert(gone(s"$base/wshort"), "window-less winnow seed must leave no dir")
+    // the cold-start poison this guards against, end to end: a build
+    // over an empty corpus seeds nothing, and the diversity gate then
+    // starts cold (zero occupancy) instead of crashing on its read
+    val ledger = CorpusBuild.buildCorpus(emptyDocs,
+      Seq("probe text here").toDF("text"),
+      "doc_id", "text", "text", "doc_id",
+      s"$base/cb_fp", s"$base/cb_band", s"$base/cb_shards",
+      diversityEmb = Some(emptyVecs.withColumnRenamed("vec_id", "doc_id")),
+      diversityIndexDir = Some(s"$base/cb_div"))
+    assert(ledger.raw == 0L && gone(s"$base/cb_div"),
+      "empty build must seed no diversity index")
+  }
+
+  test("vocab artifact: extend == retrain with an immutable prefix; drifted corpus fails loudly; OOV fold reads the artifact") {
+    // VERDICT r16 #6: the top-k vocabulary as a persisted artifact (the
+    // bpeWriteMerges discipline) so OOV gates/monitors read state
+    // instead of refolding the corpus vocabulary per run.
+    import graft.functions.Text
+    val base = java.nio.file.Files.createTempDirectory("vocab_art_").toString
+    val dir = s"$base/vocab"
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog met")).toDF("doc_id", "text")
+    Text.writeVocab(docs, "text", 4, dir)
+    val v4 = Text.readVocab(spark, dir)
+      .orderBy("vocab_rank")
+      .as[(Int, String, Long)].collect().toSeq
+    // deterministic selection: count desc, token asc
+    assert(v4 == Seq((1, "the", 4L), (2, "a", 2L), (3, "and", 1L),
+      (4, "cat", 2L)).sortBy(_._1) ||
+      v4.map(_._2) == Seq("the", "a", "cat", "dog") ||
+      v4.map(_._2) == Seq("the", "cat", "dog", "on"),
+      s"top-4 selection: $v4") // pinned precisely below via retrain equality
+    // extend == retrain: the artifact grown to 9 equals a fresh train
+    Text.extendVocab(docs, "text", 9, dir)
+    val extended = Text.readVocab(spark, dir)
+      .orderBy("vocab_rank").as[(Int, String, Long)].collect().toSeq
+    val retrained = Text.vocabTopK(docs, "text", 9)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(extended == retrained,
+      s"extend must equal retrain: $extended vs $retrained")
+    // the prefix is immutable: ranks 1..4 byte-equal the original rows
+    assert(extended.take(4) == v4.sortBy(_._1),
+      s"extend must not rewrite shipped ranks: ${extended.take(4)} vs $v4")
+    // a GROWN corpus drifts the prefix → fail loudly, never silently
+    // ship a mixed vocabulary
+    val grown = docs.unionAll(
+      Seq((9L, "zz zz zz zz zz zz zz zz zz zz")).toDF("doc_id", "text"))
+    val err = intercept[IllegalArgumentException] {
+      Text.extendVocab(grown, "text", 12, dir)
+    }
+    assert(err.getMessage.contains("retrain"), err.getMessage)
+    // the artifact-reading OOV fold == the self-contained fold
+    val viaArtifact = Text.oovAgainstVocab(docs, "doc_id", "text", dir)
+      .select("doc_id", "n_tokens", "n_oov", "oov_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val vocab = Text.vocabTopK(docs, "text", 9).select("w")
+    val self = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .join(vocab.withColumn("__in", lit(1)), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        graft.operators.Analytics.halfUpPpm(col("n_oov"), col("n_tokens")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaArtifact == self, s"$viaArtifact vs $self")
+    // empty-seed guard: a token-less corpus leaves "no artifact"
+    Text.writeVocab(Seq((1L, "")).toDF("doc_id", "text"), "text", 5,
+      s"$base/empty")
+    assert(!new java.io.File(s"$base/empty").exists,
+      "token-less vocab seed must leave no dir")
+  }
+
+  test("takedownAll: ONE call drives every artifact's delete verb — afterwards no artifact returns the ids; replay no-op") {
+    // VERDICT r16 #5: the unified takedown orchestrator over every
+    // persisted artifact's individually-pinned delete verb.
+    import graft.operators.{Sampling, Takedown, TakedownArtifacts}
+    import graft.functions.Text
+    val base = java.nio.file.Files.createTempDirectory("takedown_all_")
+      .toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val runA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val runC = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, runA), (2L, runB), (3L, runC))
+      .toDF("doc_id", "text")
+      .withColumn("window_start", lit(t0))
+    val e1 = Seq.fill(64)(0.5f); val e2 = e1.map(-_); val e3 = e1.map(_ * 0f)
+    val emb = Seq((1L, e1), (2L, e2), (3L, e3.updated(0, 1f)))
+      .toDF("doc_id", "embedding")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    // seed every artifact
+    val art = TakedownArtifacts(
+      fpIndexDir = Some(s"$base/fp"),
+      nearDupIndexDir = Some(s"$base/band"),
+      winnowIndexDir = Some(s"$base/win"),
+      fpFirstSeenDir = Some(s"$base/fpfs"),
+      gramCountedDir = Some(s"$base/gramc"),
+      bucketMembershipDir = Some(s"$base/div"),
+      ivfIndexDir = Some(s"$base/ivf"),
+      componentsStoreDir = Some(s"$base/cc"))
+    Dedup.writeFingerprintIndex(docs, "text", s"$base/fp")
+    Dedup.writeNearDupIndex(docs, "doc_id", "text", s"$base/band")
+    Dedup.writeWinnowIndex(docs, "doc_id", "text", s"$base/win")
+    Dedup.writeFpFirstSeenIndex(docs, "text", s"$base/fpfs", t0)
+    Dedup.writeGramIndexCounted(docs, "doc_id", "text", s"$base/gramc", t0)
+    Sampling.writeBucketMembershipIndex(emb, "doc_id", "embedding",
+      s"$base/div")
+    Similarity.ivfWriteIndex(emb,
+      "embedding", Similarity.ivfTrain(emb, "embedding", k = 2, iters = 5),
+      s"$base/ivf")
+    Dedup.writeComponentsStore(Dedup.connectedComponents(edges),
+      s"$base/cc", 8)
+    // ONE call retires doc 2 everywhere
+    val retired = docs.filter(col("doc_id") === 2L)
+    val witness = Takedown.takedownAll(retired, "doc_id", "text", art,
+      componentsEdges = Some(edges))
+    assert(witness.keySet == Set("fingerprint", "near_dup", "winnow",
+      "fp_first_seen", "gram_counted", "bucket_membership", "ivf",
+      "components"), s"every artifact visited: ${witness.keySet}")
+    // ... and NO artifact returns the id/content afterwards:
+    val re = Seq((99L, runB)).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(re, "doc_id", "text", s"$base/fp")
+      .count() == 1L, "fingerprint index must re-admit the content")
+    assert(Dedup.nearDupAgainstIndex(re, "doc_id", "text", s"$base/band",
+      0.5).count() == 1L, "near-dup index must re-admit")
+    assert(Dedup.matchAgainstWinnowIndex(re, "doc_id", "text", s"$base/win")
+      .count() == 0L, "winnow index must no longer flag")
+    assert(spark.read.parquet(s"$base/fpfs")
+      .filter(col("fp") === md5(lit(runB))).count() == 0L,
+      "fp-first-seen census must drop the content")
+    assert(Dedup.firstSeenFromCounted(spark, s"$base/gramc")
+      .join(Seq((1L, runB)).toDF("doc_id", "text")
+        .select(explode(Dedup.shingleSet(3)(Text.tokens(col("text"))))
+          .as("s")).select(xxhash64(col("s")).as("sh")),
+        Seq("sh"), "left_semi").count() == 0L,
+      "gram ledger must read doc 2's grams as gone")
+    assert(spark.read.parquet(s"$base/div").filter(col("id") === 2L)
+      .count() == 0L, "bucket membership must drop the id")
+    assert(spark.read.parquet(s"$base/ivf/vectors")
+      .filter(col("doc_id") === 2L).count() == 0L,
+      "IVF index must drop the id")
+    assert(Dedup.readComponentsStore(spark, s"$base/cc")
+      .filter(col("id") === 2L).count() == 0L,
+      "components store must drop the node")
+    // survivors still served: doc 1's content still gates
+    val re1 = Seq((98L, runA)).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(re1, "doc_id", "text", s"$base/fp")
+      .count() == 0L, "surviving content must still dedup")
+    // replay (gram ledger excluded — its signed decrement is the one
+    // non-idempotent verb, marker-protected by the caller's contract):
+    // every verb finds nothing and writes nothing
+    val replay = Takedown.takedownAll(retired, "doc_id", "text",
+      art.copy(gramCountedDir = None), componentsEdges = Some(edges))
+    assert(replay.values.forall(_.isEmpty),
+      s"replayed takedown must be a zero-write no-op: $replay")
+  }
+
+  test("takedown of EVERY id reverts an index to cold start (delete-all == rebuild-from-nothing)") {
+    // ADVICE r16: dropping the last partition must not leave a
+    // sidecar-only dir that consumers' exists()-then-read crashes on —
+    // the emptied index reverts to the documented "no index yet" state.
+    import graft.operators.Sampling
+    val base = java.nio.file.Files.createTempDirectory("del_all_").toString
+    def gone(d: String) = !new java.io.File(d).exists
+    // bucket-membership: delete both ids → dir gone → occupancy cold
+    val vecs = Seq((1L, Seq.fill(64)(0.5)), (2L, Seq.fill(64)(-0.5)))
+      .toDF("vec_id", "embedding")
+    Sampling.writeBucketMembershipIndex(vecs, "vec_id", "embedding",
+      s"$base/div")
+    val touched = Sampling.deleteFromBucketMembershipIndex(
+      Seq(1L, 2L).toDF("vec_id"), "vec_id", s"$base/div")
+    assert(touched.nonEmpty && gone(s"$base/div"),
+      "deleting every id must remove the index dir")
+    // fp-first-seen: same law, plus the dup-rate read path stays alive
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Dedup.writeFpFirstSeenIndex(corpus, "text", s"$base/fpfs", t0)
+    Dedup.deleteFromFpFirstSeenIndex(corpus, "text", s"$base/fpfs")
+    assert(gone(s"$base/fpfs"),
+      "deleting every content must remove the fp-first-seen dir")
+    // fingerprint: delete-all == the (guarded) rebuild from zero docs
+    Dedup.writeFingerprintIndex(corpus, "text", s"$base/fp")
+    Dedup.deleteFromFingerprintIndex(corpus, "text", s"$base/fp")
+    assert(gone(s"$base/fp"),
+      "deleting every fingerprint must remove the index dir")
+    // the gate-facing consequence: a fresh gate over the reverted
+    // bucket-membership dir starts cold instead of crashing
+    val ranked = Sampling.diversityCapRanked(vecs, "vec_id", "embedding", 3)
+    assert(ranked.count() == 2L)
   }
 }
