@@ -88,6 +88,15 @@ object CorpusScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 10M-doc single-JVM probes pin several corpus-scale stage
+      // relations at once; a full-heap GC stall past the default 10s×60
+      // heartbeat budget makes the in-process executor EXIT and the
+      // context shut down (measured: the first 10M run died exactly
+      // this way at minute 25). A real cluster spreads this state over
+      // executors; for the one-JVM measurement rig the honest fix is a
+      // wider stall tolerance, not a smaller corpus.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1800s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark
@@ -307,7 +316,13 @@ object CorpusScale {
     val cap = if (args.length > 1) args(1).toInt
       else math.max(8L, nDocs / 512L).toInt
     val spark = synthSession()
-    val docs = synthCorpus(spark, nDocs).localCheckpoint(true)
+    // DISK_ONLY pin: the 10M input corpus must not occupy unified
+    // storage memory the build's own stage checkpoints need — on disk
+    // it costs re-read IO per consumer, not heap (the same choice a
+    // real cluster makes for an over-RAM input)
+    val docs = synthCorpus(spark, nDocs)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    docs.count() // materialize the pin before the clock starts
     val probe = docs.filter(col("doc_id") % 101 === 0)
       .select("doc_id", "text")
     val tLm = System.nanoTime()

@@ -337,21 +337,25 @@ object StreamBench {
   }
 
   /** Composed ingest-chain throughput mode (`runMain
-    * graft.tools.StreamBench chain [docsPerSec] [seconds]`): documents/
+    * graft.tools.StreamBench chain [batchSize] [nBatches]`): documents/
     * second through the FULL composed live ingest chain
     * ([[graft.sources.IO.composedIngestSink]] — exact-dedup → near-dup
     * → winnow → decontaminate → quality → diversity, every artifact
-    * advanced, WAL + ledger per batch). Synthetic workload with real
-    * gate pressure: ~40-token docs seeded from 512k distinct contents
-    * (≈17% arrive as exact re-emissions), 64-dim embeddings pooled into
-    * jittered semantic regions so the diversity cap binds mid-run, a
-    * small probe set and a DSIR LM trained on a boot sample. The number
-    * an operator reads before replacing eight hand-wired gate sinks
-    * with the one chain. One JSON line. */
+    * advanced, WAL + ledger per batch). FIXED-size micro-batches via a
+    * file stream with `maxFilesPerTrigger 1` — a rate-source run
+    * measures backlog dynamics, not the chain (the first slow batch
+    * swallows the backlog and every later batch inherits it); fixed
+    * batches measure what an operator provisions for: per-batch wall at
+    * a chosen batch size, across batches as the gate indexes GROW.
+    * Synthetic workload with real gate pressure: 40-token docs with
+    * ≈17% exact re-emissions, 64-dim embeddings pooled into 512
+    * jittered semantic regions, a probe set and a DSIR LM trained on a
+    * boot sample. One JSON line with total docs/s + first/last batch
+    * wall. */
   private def chainScale(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val rate = if (args.nonEmpty) args(0).toInt else 5000
-    val seconds = if (args.length > 1) args(1).toInt else 30
+    val batchSize = if (args.nonEmpty) args(0).toLong else 20000L
+    val nBatches = if (args.length > 1) args(1).toInt else 5
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -362,36 +366,37 @@ object StreamBench {
     import graft.operators.{ChainConfig, Sampling}
     val base = java.nio.file.Files.createTempDirectory("chain_bench_")
       .toString
-    // deterministic synthetic corpus: content key ~ 512k distinct docs,
-    // re-emitted with p ≈ 1/6 (the exact-dedup pressure); 40 tokens from
-    // a 200k-token vocabulary; embeddings pooled into 512 jittered
-    // regions (the divGateScale landscape)
-    val contentKey = when(col("value") % 6L === 0L, col("value") / 7L)
-      .otherwise(col("value")) % 524288L
-    val toks = (0 until 40).map(i =>
-      concat(lit("w"), pmod(xxhash64(col("__ck") * 40L + i), lit(200000L))))
-    val comps = (0 until 64).map { j =>
-      (pmod(xxhash64(col("__ck") % 512L, lit(j)), lit(2000L))
-        .cast("double") - 1000.0) / 1000.0 +
-        ((col("__ck") % 97L).cast("double") - 48.0) / 4800.0
-    }
-    val probeDir = s"$base/probe"; val lmDir = s"$base/lm"
-    // boot artifacts: a benchmark-sized probe and a DSIR LM over a
-    // static sample of the same generator (what a real pipeline does)
-    val boot = spark.range(2048)
-      .withColumn("__ck", col("id") % 524288L)
-      .withColumn("text", concat_ws(" ", toks: _*))
-    boot.limit(32).select("text").write.parquet(probeDir)
-    Sampling.dsirLm(boot.withColumn("__t", col("id") % 2L === 0L),
-      "text", col("__t")).write.parquet(lmDir)
-    val docs = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate.toString)
-      .option("numPartitions", cpus).load()
-      .withColumn("__ck", contentKey)
-      .withColumn("doc_id", col("value"))
-      .withColumn("text", concat_ws(" ", toks: _*))
-      .withColumn("embedding", array(comps: _*))
+    // deterministic synthetic corpus: ≈17% exact re-emissions (the
+    // exact-dedup pressure), 40 tokens from a 200k-token vocabulary,
+    // embeddings pooled into 512 jittered regions (the divGateScale
+    // landscape). One parquet file per micro-batch.
+    def gen(ids: org.apache.spark.sql.DataFrame) = ids
+      .withColumn("__ck",
+        when(col("id") % 6L === 0L, col("id") / 7L)
+          .otherwise(col("id")) % 524288L)
+      .withColumn("doc_id", col("id"))
+      .withColumn("text", concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"),
+          pmod(xxhash64(col("__ck") * 40L + i), lit(200000L)))): _*))
+      .withColumn("embedding", array((0 until 64).map { j =>
+        (pmod(xxhash64(col("__ck") % 512L, lit(j)), lit(2000L))
+          .cast("double") - 1000.0) / 1000.0 +
+          ((col("__ck") % 97L).cast("double") - 48.0) / 4800.0
+      }: _*))
       .select("doc_id", "text", "embedding")
+    val probeDir = s"$base/probe"; val lmDir = s"$base/lm"
+    val boot = gen(spark.range(2048).toDF("id"))
+    boot.limit(32).select("text").write.parquet(probeDir)
+    Sampling.dsirLm(boot.withColumn("__t", col("doc_id") % 2L === 0L),
+      "text", col("__t")).write.parquet(lmDir)
+    val inDir = s"$base/in"
+    for (b <- 0 until nBatches)
+      gen(spark.range(b * batchSize, (b + 1) * batchSize).toDF("id"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+    val docs = spark.readStream
+      .schema(spark.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
     val cfg = ChainConfig("doc_id", "text",
       fpIndexDir = s"$base/fp", bandIndexDir = s"$base/band",
       nearDupThreshold = 0.7,
@@ -399,25 +404,21 @@ object StreamBench {
       probeDir = Some(probeDir),
       lmDir = Some(lmDir), qualityThresholdPicoPerToken = -10000000000000L,
       embCol = Some("embedding"),
-      diversityIndexDir = Some(s"$base/div"), diversityCap = 100)
+      diversityIndexDir = Some(s"$base/div"),
+      diversityCap = (batchSize * nBatches / 512L + 1L).toInt)
+    val t0 = System.nanoTime()
     val q = graft.sources.IO.composedIngestSink(docs, s"$base/out",
         s"$base/ck", cfg)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
       .start()
-    val t0 = System.nanoTime()
-    Thread.sleep(seconds * 1000L)
-    val progress = q.recentProgress
-    q.stop()
-    val processed = progress.map(_.numInputRows).sum
-    val batches = progress.count(_.numInputRows > 0)
+    q.awaitTermination() // AvailableNow: drains the nBatches files
     val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    val processed = progress.map(_.numInputRows).sum
+    val perBatch = progress.map(_.batchDuration / 1e3)
     val admitted =
       try spark.read.parquet(s"$base/out").count()
       catch { case _: Exception => 0L }
-    val ledger =
-      try spark.read.parquet(s"$base/out/_ledger").count()
-      catch { case _: Exception => 0L }
-    println(f"""{"metric":"chain_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"offered_rate":$rate,"batches":$batches,"admitted":$admitted,"ledger_rows":$ledger,"cpus":$cpus}""")
+    println(f"""{"metric":"chain_docs_per_sec","value":${processed / wall}%.0f,"docs":$processed,"wall_sec":$wall%.1f,"batch_size":$batchSize,"batches":${progress.length},"first_batch_sec":${perBatch.headOption.getOrElse(0.0)}%.1f,"last_batch_sec":${perBatch.lastOption.getOrElse(0.0)}%.1f,"admitted":$admitted,"cpus":$cpus}""")
     spark.stop()
   }
 }
