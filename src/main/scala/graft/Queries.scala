@@ -5961,6 +5961,143 @@ object Queries {
       .orderBy("id_a", "id_b")
 
   // -------------------------------------------------------------------
+  // round 17: pipeline-resolution pack (keeper choice, shard manifests,
+  // session paths, retrieval eval)
+  // -------------------------------------------------------------------
+
+  /** q_dedup_keep_best — QUALITY-AWARE near-dup cluster resolution: the
+    * [[q_dedup_cluster]] pair→CC machinery, but the survivor of each
+    * cluster is the argmax-(n_chars, min doc_id) document, not the
+    * minimum id. The distinction matters in a real pipeline: min-id
+    * keeps whichever near-copy was crawled first, keep-best keeps the
+    * longest (least-truncated) variant — the choice CCNet/RefinedWeb
+    * style pipelines actually make when collapsing a dup family. Output
+    * is the full per-doc resolution (cluster, keeper, kept flag) — the
+    * audit relation, not just the survivor list. Scale shape: the pair
+    * pipeline is the capped-inverted-index one (never all-pairs), the
+    * keeper choice is ONE keyed max over a 2-field struct (O(1) agg
+    * state — no per-cluster window sort), and the keeper join
+    * repartitions both sides on cluster_id. The argmax rides the
+    * (n_chars, −doc_id) struct ordering, exact integer algebra on both
+    * engines. */
+  val q_dedup_keep_best: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val clustered = docs.select("doc_id", "n_chars")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val keepers = clustered.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"))
+    clustered.join(keepers, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        when(col("doc_id") === col("keeper_id"), 1L).otherwise(0L)
+          .as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** q_shard_manifest — the dataset-card manifest a shard writer emits
+    * alongside the data: per deterministic md5-shard (the
+    * [[q_split_train]] hash discipline — first 8 md5 hex digits mod 8,
+    * stable across runs and engines), the doc count, token and char
+    * mass, the id range, and an ORDER-INSENSITIVE membership checksum
+    * (bit_xor of each id's md5-derived 32-bit word). A trainer resuming
+    * from shard N verifies the checksum before trusting the shard; the
+    * xor fold is the scale answer — O(1) aggregation state per shard
+    * where a sorted id digest would collect corpus/shards ids into one
+    * buffer. Every column is exact integer algebra; the DuckDB oracle
+    * replays the hash, the shard assignment and the xor bit-for-bit. */
+  val q_shard_manifest: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 8L).as("shard"),
+        col("doc_id"), col("n_chars"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        conv(substring(md5(col("doc_id").cast("string")), 9, 8), 16, 10)
+          .cast("long").as("idh"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        expr("bit_xor(idh)").as("id_checksum"))
+      .orderBy("shard")
+
+  /** q_top_paths — the top-20 whole-session event paths: sessions cut
+    * at the 30-minute gap (the exact [[q_sessionize]] semantics), each
+    * session rendered as its '>'-joined event-type sequence, ranked by
+    * frequency. The product-analytics "what do users actually do"
+    * query — [[q_markov_transitions]] gives the 1-step matrix, this
+    * gives the full-path heavy hitters. Scale shape: the per-session
+    * path folds through ONE collect_list over the session's own rows
+    * (bounded by session length, never a corpus-wide buffer), the path
+    * census is a keyed count, and the top-20 is a sort of the
+    * path-cardinality relation (≤ #sessions rows) — the event stream is
+    * never globally sorted. */
+  val q_top_paths: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_sess",
+        when(prevTs.isNull ||
+          unix_millis(col("ts")) - unix_millis(prevTs) > lit(1800000L), 1)
+          .otherwise(0))
+      .withColumn("sess_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** q_precision_at_k — label-match precision@3, the retrieval-eval
+    * readout over the exact KNN relation: for each probe vector, how
+    * many of its top-3 cosine neighbors (self excluded) share its
+    * label. THE quality number for an embedding column before it is
+    * trusted for ANN dedup or hard-negative mining —
+    * [[q_triplet_margin]] measures the geometry, this measures the
+    * retrieval outcome. Same broadcast-probe × one-corpus-scan shape as
+    * [[q_knn_join]] (codegen cosine, bounded-heap top-k, O(k) state per
+    * probe); the label lookup joins the 60-row exploded KNN relation
+    * back to the corpus BROADCAST, so the corpus still never shuffles.
+    * Matches are exact integer counts; the precision division (k=3) is
+    * one IEEE op rounded at 4 dp on both engines. */
+  val q_precision_at_k: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val knn = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
+      .groupBy("query_id", "q_label")
+      .agg(topk(col("cos"), col("vec_id")).as("ids"))
+      .select(col("query_id"), col("q_label"),
+        explode(col("ids")).as("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(knn), Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(when(col("label") === col("q_label"), 1)).as("n_match"))
+      .select(col("query_id"), col("n_match"),
+        round(col("n_match") / lit(3.0), 4).as("prec_at_3"))
+      .orderBy("query_id")
+  }
+
+  // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
 
@@ -6230,5 +6367,9 @@ object Queries {
     "q_winnowing" -> q_winnowing,
     "q_winnow_pairs" -> q_winnow_pairs,
     "q_containment_cluster" -> q_containment_cluster,
+    "q_dedup_keep_best" -> q_dedup_keep_best,
+    "q_shard_manifest" -> q_shard_manifest,
+    "q_top_paths" -> q_top_paths,
+    "q_precision_at_k" -> q_precision_at_k,
   )
 }

@@ -6927,5 +6927,98 @@ object SparkEntry {
         |JOIN sz sa ON id_a = sa.doc_id
         |JOIN sz sb ON id_b = sb.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors q_dedup_keep_best: the q_dedup_cluster pair→recursive-CC
+    // chain, then the per-cluster argmax-(n_chars DESC, doc_id ASC)
+    // keeper via row_number (the Spark side folds the same ordering
+    // through max(struct(n_chars, -doc_id)) — identical integer order)
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM t
+        |), s2 AS (
+        |  SELECT doc_id, sh FROM s WHERE sh NOT IN (SELECT sh FROM s GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a AS id, b AS m FROM edges
+        |  UNION
+        |  SELECT r.id, e.b FROM reach r JOIN edges e ON r.m = e.a
+        |), clusters AS (
+        |  SELECT id, least(id, min(m)) AS cluster_id FROM reach GROUP BY id
+        |), lab AS (
+        |  SELECT d.doc_id, d.n_chars, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+        |), keep AS (
+        |  SELECT cluster_id, doc_id AS keeper_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |           row_number() OVER (PARTITION BY cluster_id
+        |             ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM lab) r WHERE rn = 1
+        |)
+        |SELECT l.doc_id, l.cluster_id, k.keeper_id,
+        |       CAST(CASE WHEN l.doc_id = k.keeper_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM lab l JOIN keep k ON l.cluster_id = k.cluster_id
+        |ORDER BY l.doc_id""".stripMargin,
+    // mirrors q_shard_manifest: md5-hex → BIGINT shard assignment (the
+    // q_sample_weighted '0x'-cast idiom), token count via the shared
+    // whitespace tokenizer, and the order-insensitive bit_xor id
+    // checksum over md5 hex digits 9-16
+    "q_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |         doc_id, n_chars,
+        |         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS idh
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars, min(doc_id) AS min_id,
+        |       max(doc_id) AS max_id, bit_xor(idh) AS id_checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+    // mirrors q_top_paths: the q_sessionize gap semantics, paths as
+    // ORDER BY (ts, event_id) string_agg, frequency-then-path ranking
+    "q_top_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM g
+        |), p AS (
+        |  SELECT user_id, sess_seq,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, sess_seq
+        |)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // mirrors q_precision_at_k: the q_knn_join ranking (12-dp rounded
+    // cosine, vec_id tiebreak, self excluded) with the label-match
+    // count; count(CASE) stays BIGINT, the /3.0 division is one IEEE op
+    "q_precision_at_k" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |r AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id,
+        |       count(CASE WHEN label = q_label THEN 1 END) AS n_match,
+        |       round(count(CASE WHEN label = q_label THEN 1 END) / 3.0, 4) AS prec_at_3
+        |FROM r WHERE rn <= 3 GROUP BY query_id ORDER BY query_id""".stripMargin,
   )
 }

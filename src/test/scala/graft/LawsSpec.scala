@@ -1887,4 +1887,109 @@ class LawsSpec extends SparkSpec {
       assert(fertility >= 1.0 && fertility < 64.0, s"fertility $fertility")
     }
   }
+
+  test("q_dedup_keep_best: one keeper per cluster, keeper is argmax(n_chars, min id), clusters == q_dedup_cluster") {
+    val got = Queries.q_dedup_keep_best(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    // total: every doc resolved exactly once
+    assert(got.map(_._1).distinct.length == docs.size)
+    // cluster assignment is EXACTLY q_dedup_cluster's
+    val want = Queries.q_dedup_cluster(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall(r => want(r._1) == r._2))
+    // one kept doc per cluster; it is the argmax-(n_chars, -doc_id)
+    val byCluster = got.groupBy(_._2)
+    for ((c, members) <- byCluster) {
+      val kept = members.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $c kept ${kept.length}")
+      val best = members.map(_._1).maxBy(id => (docs(id), -id))
+      assert(kept.head._1 == best, s"cluster $c keeper")
+      assert(members.forall(_._3 == best), s"cluster $c keeper_id column")
+    }
+  }
+
+  test("q_shard_manifest: driver md5 replay of shards, masses and xor checksum") {
+    val got = Queries.q_shard_manifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val rows = docs.map { case (id, text, nc) =>
+      val h = md5hex(id.toString)
+      val shard = java.lang.Long.parseLong(h.substring(0, 8), 16) % 8L
+      val idh = java.lang.Long.parseLong(h.substring(8, 16), 16)
+      val toks = text.split(" ").count(_.nonEmpty).toLong
+      (shard, id, toks, nc, idh)
+    }
+    val want = rows.groupBy(_._1).map { case (s, g) =>
+      s -> (g.length.toLong, g.map(_._3).sum, g.map(_._4).sum,
+        g.map(_._2).min, g.map(_._2).max,
+        g.map(_._5).reduce(_ ^ _))
+    }
+    assert(got == want)
+    // manifest covers the whole corpus exactly once
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
+  test("q_top_paths: driver sessionization replay of the path census") {
+    val got = Queries.q_top_paths(spark, sfDir)
+      .as[(String, Long)].collect()
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val census = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, evs) <- events.groupBy(_._1)) {
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var path = List.empty[String]; var prev = Long.MinValue
+      def flush(): Unit = if (path.nonEmpty) {
+        val p = path.reverse.mkString(">")
+        census(p) = census.getOrElse(p, 0L) + 1L
+        path = Nil
+      }
+      for ((_, _, ms, et) <- sorted) {
+        if (prev != Long.MinValue && ms - prev > 1800000L) flush()
+        path = et :: path; prev = ms
+      }
+      flush()
+    }
+    val want = census.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("q_precision_at_k: driver brute-force label-match replay") {
+    val got = Queries.q_precision_at_k(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos12(a: Array[Float], b: Array[Float]): BigDecimal =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val probes = embs.filter(_._1 < 20)
+    assert(got.map(_._1).toSeq == probes.map(_._1).sorted.toSeq)
+    for ((qid, nMatch, prec) <- got) {
+      val (_, qEmb, qLabel) = probes.find(_._1 == qid).get
+      val top3 = embs.filter(_._1 != qid)
+        .map(e => (cos12(e._2, qEmb), e._1, e._3))
+        .sortBy { case (c, id, _) => (-c, id) }.take(3)
+      val want = top3.count(_._3 == qLabel).toLong
+      assert(nMatch == want, s"query $qid: $nMatch vs $want")
+      assert(prec == BigDecimal(nMatch.toDouble / 3.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nMatch >= 0L && nMatch <= 3L)
+    }
+  }
 }
