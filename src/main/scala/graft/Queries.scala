@@ -6097,6 +6097,116 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** q_recall_at_k — the completeness twin of [[q_precision_at_k]]:
+    * per probe, the top-3 label matches against the TOTAL same-label
+    * population (self excluded) — precision says "of what I retrieved,
+    * how much was right", recall says "of what exists, how much did k
+    * slots reach"; with k fixed this is the R-precision-style readout
+    * that exposes label-prior imbalance precision alone hides. The
+    * per-label population is ONE |label-domain|-row aggregate broadcast
+    * into the 20-row probe relation; the KNN scan shape is
+    * [[q_knn_join]]'s. The recall division is one IEEE op over two
+    * exact integers, rounded at 6 dp on both engines. */
+  val q_recall_at_k: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = Tables.embeddings(s, d)
+    val labCounts = emb.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .join(broadcast(labCounts), col("q_label") === col("label"))
+      .select(col("query_id"), col("q_emb"), col("q_label"),
+        (col("n_label") - 1L).as("n_relevant"))
+    val knn = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("n_relevant"),
+        col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
+      .groupBy("query_id", "q_label", "n_relevant")
+      .agg(topk(col("cos"), col("vec_id")).as("ids"))
+      .select(col("query_id"), col("q_label"), col("n_relevant"),
+        explode(col("ids")).as("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(knn), Seq("neighbor_id"))
+      .groupBy("query_id", "n_relevant")
+      .agg(count(when(col("label") === col("q_label"), 1)).as("n_match"))
+      .select(col("query_id"), col("n_match"), col("n_relevant"),
+        round(col("n_match") / col("n_relevant").cast("double"), 6)
+          .as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
+  /** q_knn_classify — the kNN classifier readout: each probe predicted
+    * as the MAJORITY label of its top-3 cosine neighbors (vote ties →
+    * smallest label), aggregated to the (true × predicted) confusion
+    * matrix — [[q_lang_confusion]]'s twin for the embedding column, and
+    * the standard embedding-probe eval (a linear-probe stand-in that
+    * needs no training). Vote pick is ONE keyed max over a
+    * (votes, −label) struct — exact integer order, no per-probe window;
+    * everything downstream of the [[q_knn_join]]-shaped scan operates
+    * on ≤ 60 rows. */
+  val q_knn_classify: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val knn = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 12).as("cos"))
+      .groupBy("query_id", "q_label")
+      .agg(topk(col("cos"), col("vec_id")).as("ids"))
+      .select(col("query_id"), col("q_label"),
+        explode(col("ids")).as("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(knn), Seq("neighbor_id"))
+      .groupBy("query_id", "q_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("query_id", "q_label")
+      .agg(max(struct(col("votes"),
+        (-col("label")).cast("long").as("neg"))).as("best"))
+      .select(col("query_id"), col("q_label"),
+        (-col("best.neg")).cast("int").as("pred_label"))
+      .groupBy(col("q_label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  /** q_attribution_decay — TIME-DECAY attribution, the third standard
+    * credit model next to [[q_attribution]] (last-touch) and
+    * [[q_attribution_linear]] (even split): each pre-purchase touch
+    * earns weight 2^(−whole-weeks-before-purchase) — recent touches
+    * dominate, stale ones fade with a 1-week half-life — normalized
+    * per user and credited against the first purchase's value. The
+    * weights are EXACT dyadic doubles (integer-division week bucket,
+    * power-of-two weight, per-user weight sums stay exact), so the only
+    * float latitude is the same one division + rounded final sum the
+    * linear model already carries. Same one-join shape: touches join
+    * the user-keyed first-purchase relation, never each other. */
+  val q_attribution_decay: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val wp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("pval"))
+      .localCheckpoint(true)
+    val tw = ev.filter(col("event_type") =!= "purchase")
+      .join(firstPurchase, Seq("user_id"))
+      .filter(col("ts") < col("pts"))
+      .withColumn("w", pow(lit(2.0),
+        -expr("(unix_millis(pts) - unix_millis(ts)) div 604800000")
+          .cast("double")))
+      .localCheckpoint(true) // feeds the per-user normalizer AND credits
+    val sw = tw.groupBy("user_id").agg(sum(col("w")).as("sw"))
+    tw.join(sw, Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_credited"),
+        round(sum(col("pval") * col("w") / col("sw")), 2)
+          .as("credited_value"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -6371,5 +6481,8 @@ object Queries {
     "q_shard_manifest" -> q_shard_manifest,
     "q_top_paths" -> q_top_paths,
     "q_precision_at_k" -> q_precision_at_k,
+    "q_recall_at_k" -> q_recall_at_k,
+    "q_knn_classify" -> q_knn_classify,
+    "q_attribution_decay" -> q_attribution_decay,
   )
 }

@@ -7020,5 +7020,59 @@ object SparkEntry {
         |       count(CASE WHEN label = q_label THEN 1 END) AS n_match,
         |       round(count(CASE WHEN label = q_label THEN 1 END) / 3.0, 4) AS prec_at_3
         |FROM r WHERE rn <= 3 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // mirrors q_recall_at_k: the q_precision_at_k ranking with the
+    // per-label population (self excluded) as the recall denominator;
+    // the division is one IEEE op over exact integers
+    "q_recall_at_k" ->
+      """WITH lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb, e.label AS q_label,
+        |             lc.n_label - 1 AS n_relevant
+        |      FROM embeddings e JOIN lc USING (label) WHERE vec_id < 20),
+        |r AS (
+        |  SELECT q.query_id, q.q_label, q.n_relevant, e.vec_id, e.label,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id,
+        |       count(CASE WHEN label = q_label THEN 1 END) AS n_match,
+        |       CAST(any_value(n_relevant) AS BIGINT) AS n_relevant,
+        |       round(count(CASE WHEN label = q_label THEN 1 END) / CAST(any_value(n_relevant) AS DOUBLE), 6) AS recall_at_3
+        |FROM r WHERE rn <= 3 GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // mirrors q_knn_classify: the q_precision_at_k ranking folded to
+    // majority votes (ties -> smallest label via row_number) and the
+    // (true x predicted) confusion census
+    "q_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |r AS (
+        |  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 12) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |v AS (SELECT query_id, q_label, label, count(*) AS votes
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2, 3),
+        |p AS (SELECT query_id, q_label, label AS pred_label,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY votes DESC, label) AS vr
+        |      FROM v)
+        |SELECT q_label AS true_label, pred_label, count(*) AS n_queries
+        |FROM p WHERE vr = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // mirrors q_attribution_decay: integer-division week bucket,
+    // power-of-two weight (exact dyadic doubles), per-user normalizer,
+    // the q_attribution_linear rounded-sum convention
+    "q_attribution_decay" ->
+      """WITH fp AS (SELECT user_id, ts AS pts, value AS pval FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+        |tw AS (SELECT e.user_id, e.event_type, fp.pval,
+        |              pow(2.0, -CAST((epoch_ms(fp.pts) - epoch_ms(e.ts)) // 604800000 AS DOUBLE)) AS w
+        |       FROM events e JOIN fp ON e.user_id = fp.user_id
+        |       WHERE e.ts < fp.pts AND e.event_type <> 'purchase'),
+        |sw AS (SELECT user_id, sum(w) AS sw FROM tw GROUP BY 1)
+        |SELECT tw.event_type, count(*) AS n_credited,
+        |       round(sum(pval * w / sw), 2) AS credited_value
+        |FROM tw JOIN sw USING (user_id)
+        |GROUP BY tw.event_type ORDER BY tw.event_type""".stripMargin,
   )
 }

@@ -1992,4 +1992,98 @@ class LawsSpec extends SparkSpec {
       assert(nMatch >= 0L && nMatch <= 3L)
     }
   }
+
+  test("q_recall_at_k: n_match shared with precision@k, denominator is the label population") {
+    val rec = Queries.q_recall_at_k(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    // the SAME top-3 relation feeds both eval ids: match counts agree
+    val prec = Queries.q_precision_at_k(spark, sfDir)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(rec.forall(r => prec(r._1) == r._2))
+    // denominator: per-label population minus self
+    val labCount = graft.sources.Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().as[(Int, Long)].collect().toMap
+    val probeLabel = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 20).select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    for ((qid, nMatch, nRel, recall) <- rec) {
+      assert(nRel == labCount(probeLabel(qid)) - 1L, s"query $qid denom")
+      assert(recall == BigDecimal(nMatch.toDouble / nRel.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("q_knn_classify: confusion totals 20 probes; majority vote matches a driver replay") {
+    val got = Queries.q_knn_classify(spark, sfDir)
+      .as[(Int, Int, Long)].collect()
+    assert(got.map(_._3).sum == 20L)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos12(a: Array[Float], b: Array[Float]): BigDecimal =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val conf = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for ((qid, qEmb, qLabel) <- embs.filter(_._1 < 20)) {
+      val top3 = embs.filter(_._1 != qid)
+        .map(e => (cos12(e._2, qEmb), e._1, e._3))
+        .sortBy { case (c, id, _) => (-c, id) }.take(3)
+      val pred = top3.groupBy(_._3).view.mapValues(_.length).toSeq
+        .maxBy { case (lab, votes) => (votes, -lab) }._1
+      conf((qLabel, pred)) = conf.getOrElse((qLabel, pred), 0L) + 1L
+    }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == conf.toMap)
+  }
+
+  test("q_attribution_decay: credit conserves purchase value; driver dyadic-weight replay") {
+    val got = Queries.q_attribution_decay(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // conservation: per-user shares sum to 1, so total credit == total
+    // first-purchase value over users WITH >= 1 pre-purchase touch
+    // (up to the 2-dp rounding per event type)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)].collect()
+    val fp = ev.filter(_._4 == "purchase").groupBy(_._1).map { case (u, g) =>
+      val first = g.minBy(e => (e._3, e._2)); u -> (first._3, first._5)
+    }
+    val census = scala.collection.mutable
+      .Map.empty[String, (Long, Double)]
+    for ((u, (pms, pval)) <- fp) {
+      val touches = ev.filter(e =>
+        e._1 == u && e._4 != "purchase" && e._3 < pms)
+      if (touches.nonEmpty) {
+        val ws = touches.map(t =>
+          (t._4, math.pow(2.0, -((pms - t._3) / 604800000L).toDouble)))
+        val sw = ws.map(_._2).sum
+        for ((et, w) <- ws) {
+          val (n, v) = census.getOrElse(et, (0L, 0.0))
+          census(et) = (n + 1L, v + pval * w / sw)
+        }
+      }
+    }
+    val want = census.toSeq.sortBy(_._1).map { case (et, (n, v)) =>
+      (et, n, BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // counts and touch sets are exact; the credited sums fold in a
+    // different order than Spark's partial aggregation, so compare at
+    // a cent of slack past the shared 2-dp rounding
+    assert(got.map(r => (r._1, r._2)).toSeq == want.map(w => (w._1, w._2)))
+    for ((g, w) <- got.zip(want))
+      assert(math.abs(g._3 - w._3) <= 0.01, s"${g._1}: ${g._3} vs ${w._3}")
+    val totalCredit = got.map(_._3).sum
+    val totalPval = fp.collect { case (u, (pms, pval))
+      if ev.exists(e => e._1 == u && e._4 != "purchase" && e._3 < pms) =>
+      pval }.sum
+    assert(math.abs(totalCredit - totalPval) <= 0.01 * got.length,
+      s"credit $totalCredit vs value $totalPval")
+  }
 }

@@ -74,9 +74,10 @@ class PlanAuditSpec extends SparkSpec {
         // broadcast with label/self-exclusion inequalities riding the
         // BNLJ condition
         "q_hard_negatives", "q_triplet_margin",
-        // q_precision_at_k: the same bounded probe-set broadcast (20
-        // vectors) with the self-exclusion inequality on the BNLJ
-        "q_precision_at_k",
+        // q_precision_at_k / q_recall_at_k / q_knn_classify: the same
+        // bounded probe-set broadcast (20 vectors) with the
+        // self-exclusion inequality on the BNLJ
+        "q_precision_at_k", "q_recall_at_k", "q_knn_classify",
         // 1-row broadcast grand totals (the windowless replacement for
         // `sum(...) OVER ()`)
         "q_chisq", "q_concentration", "q_lm_score", "q_class_weights",
