@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{Sketches, Text, Vectors}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Spectral}
 
 /** The SURVEY.md §2 query contract, one `(SparkSession, sfDir) => DataFrame`
   * per declared operator id, plus the training-data-pipeline extensions.
@@ -6207,6 +6207,116 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** q_embed_pca — the dominant principal direction of the embedding
+    * cloud via INTEGER-EXACT power iteration
+    * ([[graft.operators.Spectral.pc1]]): per-dimension loading on the
+    * ±1000 grid plus ev_permille, the Rayleigh share of variance PC1
+    * explains. Why it's oracle-checkable at all: a float covariance
+    * fold's value depends on partition reduction order, so the whole
+    * chain — ⌊x·256⌋ quantization (power-of-two float scale, exact in
+    * IEEE), one-scan integer raw moments, the exact centered-covariance
+    * identity, truncating renormalization, 8 integer-grid iterations —
+    * is closed over BIGINT and replays bit-for-bit in DuckDB's unrolled
+    * CTE chain. Scale shape: ONE pass over the vectors (dim²-cell
+    * map-side partial agg), everything after runs on ≤ dim²+dim+1
+    * checkpointed rows. */
+  val q_embed_pca: Q = (s, d) =>
+    Spectral.pc1(Tables.embeddings(s, d), "embedding")
+
+  /** q_embed_project — histogram of per-vector projections onto the
+    * [[q_embed_pca]] direction: the corpus's shape along its own
+    * dominant axis, the one-pass drift/diversity readout (a collapsed
+    * or bimodal histogram is an embedding-health red flag before any
+    * ANN/dedup work trusts the column). Shares the integer PCA chain;
+    * the mean and direction ride as one single-row broadcast array
+    * each, so the projection pass is a single extra scan with no
+    * per-element shuffle. */
+  val q_embed_project: Q = (s, d) =>
+    Spectral.pc1Projection(Tables.embeddings(s, d), "embedding")
+
+  /** q_lsh_recall_eval — the tune-your-banding eval: on a deterministic
+    * 1-in-20 doc sample, exact 3-gram Jaccard ground truth
+    * ([[graft.operators.Dedup.ngramJaccardPairs]], df-cap 1000) vs the
+    * production MinHash-LSH candidate set (32 hashes × 8 bands —
+    * [[graft.operators.Dedup.minhashCandidateIds]]), folded to
+    * recall/precision ppm at τ ∈ {0.3, 0.5, 0.7, 0.9}. This is the
+    * measured answer to "will the near-dup pass at threshold τ actually
+    * catch the pairs?" (theory: P(candidate) = 1−(1−j⁴)⁸) — run it on a
+    * sample BEFORE committing a 100 TB dedup config. Sample-bounded by
+    * construction: both sides see only the 1-in-20 docs, so truth-pair
+    * work is (corpus/20)-scale candidate generation, never corpus². All
+    * counters integer; vacuous recall (no truth pairs) reads 1000000. */
+  val q_lsh_recall_eval: Q = (s, d) => {
+    val sample = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+    val sigs = Dedup.minhashSignatures(sample, "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val cand = Dedup.minhashCandidateIds(sigs, "doc_id")
+      .localCheckpoint(eager = true)
+    val truth = Dedup.ngramJaccardPairs(sample, "doc_id", "text")
+    val flagged = truth
+      .join(cand.withColumn("in_cand", lit(1L)), Seq("id_a", "id_b"), "left")
+      .select(col("jaccard"), coalesce(col("in_cand"), lit(0L)).as("in_cand"))
+    val taus = s.range(0, 4).select((col("id") * 20 + 30).as("tau_pct"))
+    val perTau = flagged.crossJoin(broadcast(taus))
+      .groupBy("tau_pct")
+      .agg(
+        sum(when(col("jaccard") >= col("tau_pct") / lit(100.0), 1L)
+          .otherwise(0L)).as("n_truth"),
+        sum(when(col("jaccard") >= col("tau_pct") / lit(100.0),
+          col("in_cand")).otherwise(0L)).as("n_hit"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    taus.join(perTau, Seq("tau_pct"), "left").crossJoin(broadcast(nc))
+      .select(col("tau_pct"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"), col("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("tau_pct"), col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * 1000000) div n_truth END").as("recall_ppm"),
+        expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * 1000000) div n_cand END").as("precision_ppm"))
+      .orderBy("tau_pct")
+  }
+
+  /** q_dataset_card — the per-source dataset-card row every corpus
+    * release ships: doc/char/token mass, language spread (count + the
+    * modal language, ties broken lexicographically), and the exact-dup
+    * bill (docs sharing an md5 fingerprint with ANY doc corpus-wide,
+    * attributed to their source) as ppm. Complements [[q_shard_manifest]]
+    * (per-shard) at source grain. Every aggregate is integer (div means,
+    * ppm); the base relation is re-derived per branch rather than
+    * checkpointed — it is corpus-sized, and re-reading the
+    * column-pruned parquet is the right trade at scale. */
+  val q_dataset_card: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.fingerprint(col("text")).as("fp"))
+    val fpc = base.groupBy("fp").agg(count(lit(1)).as("fpn"))
+    val dup = base.join(fpc, Seq("fp")).filter(col("fpn") > 1)
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    val langCounts = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nl"))
+    // modal language via struct-min argmax (min on (-nl, lang) == max
+    // count, lexicographic tie-break) — the grouped-relation form; a
+    // row_number window partitioned by `source` would sort per-source
+    // slices on a catalog-cardinality key (the low-card-window audit)
+    val top = langCounts.groupBy("source")
+      .agg(min(struct((-col("nl")).as("negn"), col("lang").as("lang"))).as("b"))
+      .select(col("source"), col("b.lang").as("top_lang"))
+    val nlangs = langCounts.groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_tokens").as("n_tokens"))
+      .join(nlangs, Seq("source")).join(top, Seq("source"))
+      .join(dup, Seq("source"), "left")
+      .withColumn("n_dup_docs", coalesce(col("n_dup_docs"), lit(0L)))
+      .withColumn("dup_ppm", expr("(n_dup_docs * 1000000) div n_docs"))
+      .withColumn("mean_chars", expr("n_chars div n_docs"))
+      .select("source", "n_docs", "n_chars", "n_tokens", "n_langs",
+        "n_dup_docs", "dup_ppm", "mean_chars", "top_lang")
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -6484,5 +6594,9 @@ object Queries {
     "q_recall_at_k" -> q_recall_at_k,
     "q_knn_classify" -> q_knn_classify,
     "q_attribution_decay" -> q_attribution_decay,
+    "q_embed_pca" -> q_embed_pca,
+    "q_embed_project" -> q_embed_project,
+    "q_lsh_recall_eval" -> q_lsh_recall_eval,
+    "q_dataset_card" -> q_dataset_card,
   )
 }

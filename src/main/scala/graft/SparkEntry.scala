@@ -137,6 +137,66 @@ object SparkEntry {
       |  END AS lang_pred
       |FROM s""".stripMargin
 
+  /** DuckDB replay of the integer-exact PCA chain
+    * ([[graft.operators.Spectral]]): ⌊x·256⌋ quantization → integer raw
+    * moments → exact centered-covariance identity → truncating
+    * renormalization → 8 unrolled power-iteration rounds (v8 = the
+    * final ±1000-grid direction). Shared by the q_embed_pca and
+    * q_embed_project oracles (the bpeChainSql single-source
+    * convention); each appends its own tail after the final CTE.
+    * Truncate-toward-zero division is spelled sign·(|a| // b)
+    * everywhere — DuckDB `//` floors on negatives, Spark `div`
+    * truncates, so neither is used bare on signed values. */
+  private def pcaChainSql: String = {
+    val iters = (1 to 8).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT cp.j, CAST(sum(cp.c * v.v) AS BIGINT) AS w
+         |  FROM cp JOIN v${t - 1} v ON v.k = cp.k GROUP BY cp.j
+         |), v$t AS MATERIALIZED (
+         |  SELECT j AS k,
+         |         CASE WHEN w >= 0 THEN (w * 1000) // mxw
+         |              ELSE -(((-w) * 1000) // mxw) END AS v
+         |  FROM w$t,
+         |       (SELECT greatest(CAST(1 AS BIGINT),
+         |                        CAST(max(abs(w)) AS BIGINT)) AS mxw
+         |        FROM w$t) x
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         unnest([{j: i - 1,
+       |                  q: CAST(floor(CAST(embedding[i] AS DOUBLE) * 256.0) AS BIGINT)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings
+       |), nn AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |), sq AS MATERIALIZED (
+       |  SELECT j, CAST(sum(q) AS BIGINT) AS sq FROM q GROUP BY j
+       |), mm AS MATERIALIZED (
+       |  SELECT j, sq,
+       |         CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS m
+       |  FROM sq, nn
+       |), qq AS MATERIALIZED (
+       |  SELECT a.j AS j, b.j AS k, CAST(sum(a.q * b.q) AS BIGINT) AS qv
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY a.j, b.j
+       |), cov AS MATERIALIZED (
+       |  SELECT qq.j, qq.k,
+       |         qv - mj.m * mk.sq - mj.sq * mk.m + n * mj.m * mk.m AS c
+       |  FROM qq JOIN mm mj ON mj.j = qq.j JOIN mm mk ON mk.j = qq.k, nn
+       |), cp AS MATERIALIZED (
+       |  SELECT j, k,
+       |         CASE WHEN c >= 0 THEN c // dn ELSE -((-c) // dn) END AS c
+       |  FROM cov,
+       |       (SELECT greatest(CAST(1 AS BIGINT),
+       |                        CAST(max(abs(c)) AS BIGINT) // 1000000) AS dn
+       |        FROM cov) x
+       |), v0 AS MATERIALIZED (
+       |  SELECT j AS k, CAST(1000 AS BIGINT) AS v FROM sq
+       |),
+       |$iters""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n_rows FROM lineitem",
@@ -7074,5 +7134,139 @@ object SparkEntry {
         |       round(sum(pval * w / sw), 2) AS credited_value
         |FROM tw JOIN sw USING (user_id)
         |GROUP BY tw.event_type ORDER BY tw.event_type""".stripMargin,
+    // mirrors q_embed_pca: the pcaChainSql integer chain + the Rayleigh
+    // ev_permille tail (tdiv spelled sign-split, den guarded >= 1)
+    "q_embed_pca" ->
+      (pcaChainSql +
+        """,
+          |wf AS MATERIALIZED (
+          |  SELECT cp.j, CAST(sum(cp.c * v.v) AS BIGINT) AS w
+          |  FROM cp JOIN v8 v ON v.k = cp.k GROUP BY cp.j
+          |), ev AS MATERIALIZED (
+          |  SELECT CASE WHEN num >= 0 THEN (num * 1000) // den
+          |              ELSE -(((-num) * 1000) // den) END AS ev_permille
+          |  FROM (SELECT CAST(sum(v.v * wf.w) AS BIGINT) AS num
+          |        FROM v8 v JOIN wf ON wf.j = v.k) a,
+          |       (SELECT greatest(CAST(1 AS BIGINT),
+          |          CAST((SELECT sum(v * v) FROM v8) AS BIGINT)
+          |          * CAST((SELECT sum(c) FROM cp WHERE j = k) AS BIGINT)) AS den) b
+          |)
+          |SELECT CAST(v.k AS BIGINT) AS dim, CAST(v.v AS BIGINT) AS loading,
+          |       CAST(ev_permille AS BIGINT) AS ev_permille
+          |FROM v8 v, ev ORDER BY dim""".stripMargin),
+    // mirrors q_embed_project: per-vector integer projection onto v8,
+    // truncating 50k-wide buckets
+    "q_embed_project" ->
+      (pcaChainSql +
+        """,
+          |proj AS MATERIALIZED (
+          |  SELECT q.vec_id, CAST(sum((q.q - mm.m) * v.v) AS BIGINT) AS proj
+          |  FROM q JOIN mm ON mm.j = q.j JOIN v8 v ON v.k = q.j
+          |  GROUP BY q.vec_id
+          |)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |       CAST(count(*) AS BIGINT) AS n_vecs
+          |FROM (SELECT CASE WHEN proj >= 0 THEN proj // 50000
+          |                  ELSE -((-proj) // 50000) END AS bucket
+          |      FROM proj) t
+          |GROUP BY bucket ORDER BY bucket""".stripMargin),
+    // mirrors q_lsh_recall_eval: 1-in-20 sample; truth = the capped
+    // inverted-index exact-Jaccard chain (q_dedup_ngram form, df cap
+    // 1000); candidates = the md5-portable MinHash/band chain
+    // (q_dedup_minhash form, UNCAPPED shingles — the UDF never drops
+    // hot shingles); folded per tau with vacuous recall = 1000000
+    "q_lsh_recall_eval" ->
+      """WITH ds AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks FROM ds
+        |), shd AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)])) AS sh FROM toks
+        |), s2 AS MATERIALIZED (
+        |  SELECT doc_id, sh FROM shd WHERE sh NOT IN (SELECT sh FROM shd GROUP BY sh HAVING count(*) > 1000)
+        |), sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS set_size FROM s2 GROUP BY doc_id
+        |), common AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM s2 a JOIN s2 b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |), truth AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |         CAST(n_common AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_common AS DOUBLE) AS jaccard
+        |  FROM common JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |), shash AS MATERIALIZED (
+        |  SELECT doc_id, md5_number_upper(sh)::HUGEINT AS a, md5_number_lower(sh)::HUGEINT AS b FROM shd
+        |), sigrows AS MATERIALIZED (
+        |  SELECT doc_id, k.k, CAST(min((a + k.k * b) % 9223372036854775808) AS BIGINT) AS v
+        |  FROM shash, (SELECT UNNEST(range(0, 32)) AS k) k GROUP BY doc_id, k.k
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, list(v ORDER BY k) AS sig FROM sigrows GROUP BY doc_id
+        |), bucketrows AS MATERIALIZED (
+        |  SELECT doc_id, band.b AS band,
+        |         CAST(md5_number_upper(
+        |           band.b || ':' || sig[band.b*4+1] || ',' || sig[band.b*4+2] || ',' ||
+        |           sig[band.b*4+3] || ',' || sig[band.b*4+4])::HUGEINT
+        |           % 9223372036854775808 AS BIGINT) AS bucket
+        |  FROM sig, (SELECT UNNEST(range(0, 8)) AS b) band
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucketrows a JOIN bucketrows b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), nc AS MATERIALIZED (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand
+        |), flag AS MATERIALIZED (
+        |  SELECT t.jaccard, CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS in_cand
+        |  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+        |), taus AS (
+        |  SELECT UNNEST([30, 50, 70, 90]) AS tau_pct
+        |), per AS MATERIALIZED (
+        |  SELECT tau_pct,
+        |         CAST(sum(CASE WHEN jaccard >= tau_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |         CAST(sum(CASE WHEN jaccard >= tau_pct / 100.0 THEN in_cand ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM flag, taus GROUP BY tau_pct
+        |)
+        |SELECT tau_pct, n_truth, n_cand, n_hit,
+        |       CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT)
+        |            ELSE (n_hit * 1000000) // n_truth END AS recall_ppm,
+        |       CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE (n_hit * 1000000) // n_cand END AS precision_ppm
+        |FROM (SELECT CAST(t.tau_pct AS BIGINT) AS tau_pct,
+        |             coalesce(p.n_truth, 0) AS n_truth,
+        |             coalesce(p.n_hit, 0) AS n_hit, nc.n_cand
+        |      FROM taus t LEFT JOIN per p USING (tau_pct), nc) z
+        |ORDER BY tau_pct""".stripMargin,
+    // mirrors q_dataset_card: md5 fingerprint dup bill, modal language
+    // with lexicographic tie-break, integer div means and ppm
+    "q_dataset_card" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT source, lang, n_chars,
+        |         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |         md5(text) AS fp
+        |  FROM documents
+        |), fpc AS MATERIALIZED (
+        |  SELECT fp, count(*) AS fpn FROM base GROUP BY fp
+        |), dup AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+        |  FROM base JOIN fpc USING (fp) WHERE fpn > 1 GROUP BY source
+        |), lc AS MATERIALIZED (
+        |  SELECT source, lang, count(*) AS nl FROM base GROUP BY source, lang
+        |), top AS MATERIALIZED (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |           row_number() OVER (PARTITION BY source ORDER BY nl DESC, lang ASC) AS rn
+        |    FROM lc) t WHERE rn = 1
+        |), nl AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY source
+        |), agg AS MATERIALIZED (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM base GROUP BY source
+        |)
+        |SELECT a.source, n_docs, n_chars, n_tokens, n_langs,
+        |       CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+        |       (CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) * 1000000) // n_docs AS dup_ppm,
+        |       n_chars // n_docs AS mean_chars, top_lang
+        |FROM agg a JOIN nl USING (source) JOIN top USING (source)
+        |LEFT JOIN dup d USING (source)
+        |ORDER BY a.source""".stripMargin,
   )
 }

@@ -2086,4 +2086,114 @@ class LawsSpec extends SparkSpec {
     assert(math.abs(totalCredit - totalPval) <= 0.01 * got.length,
       s"credit $totalCredit vs value $totalPval")
   }
+
+  /** Driver replay of the [[graft.operators.Spectral]] integer chain:
+    * quantize → raw moments → exact centered covariance → truncating
+    * renormalization → power iteration. Returns (v, evPermille, m). */
+  private def pcaReplay(vecs: Array[Array[Float]], iters: Int = 8)
+      : (Array[Long], Long, Array[Long]) = {
+    val dim = vecs(0).length
+    val n = vecs.length.toLong
+    def tdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val q = vecs.map(v => v.map(x => math.floor(x.toDouble * 256.0).toLong))
+    val s = Array.ofDim[Long](dim)
+    val qq = Array.ofDim[Long](dim, dim)
+    for (r <- q) {
+      var j = 0
+      while (j < dim) {
+        s(j) += r(j)
+        var k = 0
+        while (k < dim) { qq(j)(k) += r(j) * r(k); k += 1 }
+        j += 1
+      }
+    }
+    val m = s.map(x => tdiv(x, n))
+    val c = Array.tabulate(dim, dim)((j, k) =>
+      qq(j)(k) - m(j) * s(k) - s(j) * m(k) + n * m(j) * m(k))
+    val dn = math.max(1L, tdiv(c.flatten.map(math.abs).max, 1000000L))
+    val cp = c.map(_.map(x => tdiv(x, dn)))
+    var v = Array.fill(dim)(1000L)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).map(k => cp(j)(k) * v(k)).sum)
+      val mx = math.max(1L, w.map(math.abs).max)
+      v = w.map(wj => tdiv(wj * 1000, mx))
+    }
+    val w9 = Array.tabulate(dim)(j =>
+      (0 until dim).map(k => cp(j)(k) * v(k)).sum)
+    val num = (0 until dim).map(j => v(j) * w9(j)).sum
+    val vtv = v.map(x => x * x).sum
+    val tr = (0 until dim).map(j => cp(j)(j)).sum
+    (v, tdiv(num * 1000, math.max(1L, vtv * tr)), m)
+  }
+
+  test("q_embed_pca: full integer-chain driver replay; ±1000 grid; PSD Rayleigh share") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .orderBy("vec_id").select("embedding").as[Array[Float]].collect()
+    val (v, ev, _) = pcaReplay(vecs)
+    val got = Queries.q_embed_pca(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (0L until v.length.toLong))
+    assert(got.map(_._2).toSeq == v.toSeq, "loadings diverge from replay")
+    assert(got.forall(_._3 == ev), "ev_permille diverges from replay")
+    // normalization: the argmax component sits exactly on the grid edge
+    assert(got.map(r => math.abs(r._2)).max == 1000L)
+    // C PSD ⇒ exact share ∈ [0, 1000]; C→C' truncation wobbles ≤ a few ‰
+    assert(ev >= -5 && ev <= 1005, s"ev_permille $ev outside PSD band")
+  }
+
+  test("q_embed_project: driver projection replay; histogram covers every vector") {
+    val rows = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val (v, _, m) = pcaReplay(rows.map(_._2))
+    def tdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val want = rows.map { case (_, e) =>
+      val q = e.map(x => math.floor(x.toDouble * 256.0).toLong)
+      tdiv(q.indices.map(j => (q(j) - m(j)) * v(j)).sum, 50000L)
+    }.groupBy(identity).map { case (b, g) => (b, g.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = Queries.q_embed_project(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, "projection histogram diverges from replay")
+    assert(got.map(_._2).sum == rows.length.toLong)
+  }
+
+  test("q_lsh_recall_eval: counter algebra, monotone truth, ppm arithmetic") {
+    val got = Queries.q_lsh_recall_eval(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(30L, 50L, 70L, 90L))
+    val nCand = got.head._3
+    assert(got.forall(_._3 == nCand), "n_cand is tau-independent")
+    for (r <- got) {
+      assert(r._4 <= math.min(r._2, r._3), s"tau ${r._1}: hits exceed bound")
+      assert(r._5 == (if (r._2 == 0) 1000000L else r._4 * 1000000L / r._2))
+      assert(r._6 == (if (nCand == 0) 0L else r._4 * 1000000L / nCand))
+    }
+    // raising tau can only shrink the truth set and its hit subset
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted.reverse)
+  }
+
+  test("q_dataset_card: rows partition the corpus; dup bill matches a driver md5 census") {
+    val got = Queries.q_dataset_card(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("source", "text", "n_chars")
+      .as[(String, String, Long)].collect()
+    assert(got.map(_._2).sum == docs.length.toLong)
+    assert(got.map(_._3).sum == docs.map(_._3).sum)
+    def md5hex(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val fpN = docs.groupBy(d => md5hex(d._2)).map { case (f, g) => f -> g.length }
+    val dupBySource = docs.filter(d => fpN(md5hex(d._2)) > 1)
+      .groupBy(_._1).map { case (src, g) => src -> g.length.toLong }
+    for (r <- got) {
+      assert(r._6 == dupBySource.getOrElse(r._1, 0L), s"${r._1}: dup bill")
+      assert(r._7 == r._6 * 1000000L / r._2, s"${r._1}: dup_ppm")
+      assert(r._8 == r._3 / r._2, s"${r._1}: mean_chars")
+    }
+  }
 }

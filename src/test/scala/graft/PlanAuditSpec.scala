@@ -143,7 +143,15 @@ class PlanAuditSpec extends SparkSpec {
         "q_overlap_matrix",
         // q_t_closeness: tier-domain (≤ ~6 rows) grid broadcast + 1-row
         // (N, m) totals broadcast — both domain-bounded, never data
-        "q_t_closeness")
+        "q_t_closeness",
+        // q_embed_pca / q_embed_project: 1-row scalar broadcasts (n,
+        // renormalizer, per-iteration max, Rayleigh share) and one
+        // single-row dim-array broadcast each — every BNLJ side is ≤ 1
+        // row by construction (the Spectral integer chain)
+        "q_embed_pca", "q_embed_project",
+        // q_lsh_recall_eval: 4-row tau grid + 1-row candidate-count
+        // broadcasts
+        "q_lsh_recall_eval")
     val withBnlj = plans.collect {
       case (n, p)
         if p.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty => n
