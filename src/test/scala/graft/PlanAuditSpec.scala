@@ -144,11 +144,6 @@ class PlanAuditSpec extends SparkSpec {
         // q_t_closeness: tier-domain (≤ ~6 rows) grid broadcast + 1-row
         // (N, m) totals broadcast — both domain-bounded, never data
         "q_t_closeness",
-        // q_embed_pca / q_embed_project: 1-row scalar broadcasts (n,
-        // renormalizer, per-iteration max, Rayleigh share) and one
-        // single-row dim-array broadcast each — every BNLJ side is ≤ 1
-        // row by construction (the Spectral integer chain)
-        "q_embed_pca", "q_embed_project",
         // q_lsh_recall_eval: 4-row tau grid + 1-row candidate-count
         // broadcasts
         "q_lsh_recall_eval")
@@ -372,6 +367,7 @@ class PlanAuditSpec extends SparkSpec {
       "Dedup.scala" -> 14,    // merge touched+written bucket ids x2, fingerprint-delete x2, fp-first-seen-delete x2 (r16), near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets); the bloom probe-shingle collect is GONE (r16 ADVICE fix: executor-side bit fold)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
       "Sampling.scala" -> 2,  // bucket-membership-delete touched+written ids (<= buckets, r16)
+      "Spectral.scala" -> 1,  // dim²+dim+1 moment cells (4,161 at dim 64) for the driver eigensolve (r17)
       "Takedown.scala" -> 1,  // distinct admission windows of the retired docs (r17)
       "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub
