@@ -28,6 +28,9 @@ object CorpusScale {
     if (args.headOption.contains("diversity")) {
       diversityProbe(args.drop(1)); return
     }
+    if (args.headOption.contains("spectral")) {
+      spectralProbe(args.drop(1)); return
+    }
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val withWinnow = args.length > 1 && args.contains("winnow")
     val withSpans = args.length > 1 && args.contains("spans")
@@ -176,8 +179,32 @@ object CorpusScale {
     val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
     val cap = if (args.length > 1) args(1).toInt else 8
     val spark = synthSession()
+    val vecs = synthVecs(spark, nVecs) // checkpointed — gen cost excluded
+    val t0 = System.nanoTime()
+    val census = vecs
+      .select(graft.operators.Sampling.diversityBucket(col("embedding"))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+      .agg(count(lit(1)).as("n_buckets"), max("n_b").as("max_bucket"),
+        min("n_b").as("min_bucket"))
+      .collect().head
+    val censusSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val kept = graft.operators.Sampling
+      .diversityCapRanked(vecs, "vec_id", "embedding", cap)
+      .count()
+    val rankSec = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"diversity_cap","n_vecs":$nVecs,"cap":$cap,"n_buckets":${census.getLong(0)},"max_bucket":${census.getLong(1)},"min_bucket":${census.getLong(2)},"kept":$kept,"census_sec":${math.round(censusSec * 10) / 10.0},"rank_sec":${math.round(rankSec * 10) / 10.0}}""")
+    spark.stop()
+  }
+
+  /** nVecs 64-dim vectors around 40 LCG cluster centers with ±0.05
+    * jitter (the diversityProbe landscape), checkpointed so probes
+    * measure their own pass, not generation. */
+  private def synthVecs(spark: SparkSession, nVecs: Long)
+      : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val vecs = spark.range(nVecs).mapPartitions { it =>
+    spark.range(nVecs).mapPartitions { it =>
       it.map { id =>
         var x = id * 6364136223846793005L + 1442695040888963407L
         def nxt(): Long = {
@@ -195,22 +222,31 @@ object CorpusScale {
         }.toSeq
         (id, emb)
       }
-    }.toDF("vec_id", "embedding").localCheckpoint(true) // exclude gen cost
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+  }
+
+  /** Measures the q_embed_pca / q_embed_project plans at synthetic
+    * scale: the one-pass MomentAgg fold (the d² per-row JVM loop is the
+    * whole data-side cost; shuffle = one 4,162-long array per
+    * partition) + the driver eigensolve, then the full q_embed_project
+    * lifecycle (its own moment pass + the literal-array projection
+    * scan). The clustered landscape has a real dominant axis, so
+    * ev_permille reads high — the probe asserts the direction is
+    * non-degenerate, not just fast.
+    * Usage: runMain graft.tools.CorpusScale spectral [nVecs] */
+  private def spectralProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = synthSession()
+    val vecs = synthVecs(spark, nVecs)
     val t0 = System.nanoTime()
-    val census = vecs
-      .select(graft.operators.Sampling.diversityBucket(col("embedding"))
-        .as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
-      .agg(count(lit(1)).as("n_buckets"), max("n_b").as("max_bucket"),
-        min("n_b").as("min_bucket"))
-      .collect().head
-    val censusSec = (System.nanoTime() - t0) / 1e9
+    val pca = graft.operators.Spectral.pc1(vecs, "embedding").collect()
+    val pcaSec = (System.nanoTime() - t0) / 1e9
+    val ev = pca.head.getLong(2)
     val t1 = System.nanoTime()
-    val kept = graft.operators.Sampling
-      .diversityCapRanked(vecs, "vec_id", "embedding", cap)
-      .count()
-    val rankSec = (System.nanoTime() - t1) / 1e9
-    println(s"""{"metric":"diversity_cap","n_vecs":$nVecs,"cap":$cap,"n_buckets":${census.getLong(0)},"max_bucket":${census.getLong(1)},"min_bucket":${census.getLong(2)},"kept":$kept,"census_sec":${math.round(censusSec * 10) / 10.0},"rank_sec":${math.round(rankSec * 10) / 10.0}}""")
+    val hist = graft.operators.Spectral.pc1Projection(vecs, "embedding")
+      .collect()
+    val projSec = (System.nanoTime() - t1) / 1e9
+    println(s"""{"metric":"spectral","n_vecs":$nVecs,"dim":64,"ev_permille":$ev,"n_buckets":${hist.length},"pca_sec":${math.round(pcaSec * 10) / 10.0},"project_sec":${math.round(projSec * 10) / 10.0},"pca_vecs_per_sec":${math.round(nVecs / pcaSec)}}""")
     spark.stop()
   }
 
