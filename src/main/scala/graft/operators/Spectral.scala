@@ -166,20 +166,110 @@ object Spectral {
     import sess.implicits._
     solve(emb, vecCol, iters) match {
       case None => Seq.empty[(Long, Long)].toDF("bucket", "n_vecs")
-      case Some((m, v, _)) =>
-        emb.select(quantCol(vecCol).as("qa"))
-          .withColumn("marr", array(m.map(lit(_)): _*))
-          .withColumn("varr", array(v.map(lit(_)): _*))
-          .select(expr(
-            """aggregate(sequence(0, size(qa) - 1), CAST(0 AS BIGINT),
-              |  (acc, i) -> acc + (qa[i] - marr[i]) * varr[i])""".stripMargin)
-            .as("proj"))
-          .select(expr(
-            s"""(CASE WHEN proj >= 0 THEN proj div $bucketWidth
-               |  ELSE -((-proj) div $bucketWidth) END)""".stripMargin)
-            .as("bucket"))
-          .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
-          .orderBy("bucket")
+      case Some((m, v, _)) => projectWith(emb, vecCol, m, v, bucketWidth)
     }
+  }
+
+  /** The per-vector projection column proj = Σ_j (q_j − m_j)·v_j with
+    * m/v as literal arrays (codegen constants — no join, no artifact
+    * read in the plan). Shared by the batch histogram, the persisted-
+    * artifact probe and the streaming drift census. */
+  def projectionCol(vecCol: String, m: Array[Long],
+                    v: Array[Long]): Column = {
+    val marr = m.mkString("array(", "L, ", "L)")
+    val varr = v.mkString("array(", "L, ", "L)")
+    expr(
+      s"""aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT),
+         |  (acc, i) -> acc + ($vecCol[i] - $marr[i]) * $varr[i])""".stripMargin)
+  }
+
+  /** tdiv bucket of a projection column (Spark-SQL fragment form). */
+  def bucketCol(projCol: String, bucketWidth: Long): Column =
+    expr(
+      s"""(CASE WHEN $projCol >= 0 THEN $projCol div $bucketWidth
+         |  ELSE -((-$projCol) div $bucketWidth) END)""".stripMargin)
+
+  private def projectWith(emb: DataFrame, vecCol: String, m: Array[Long],
+                          v: Array[Long], bucketWidth: Long): DataFrame =
+    emb.select(quantCol(vecCol).as("qa"))
+      .select(projectionCol("qa", m, v).as("proj"))
+      .select(bucketCol("proj", bucketWidth).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  // -------------------------------------------------------------------
+  // persisted direction artifact (the writeVocab discipline)
+  // -------------------------------------------------------------------
+
+  /** Persist the fitted PC1 direction + its reference projection
+    * histogram as an artifact: rows (kind, idx, a, b) —
+    *  - kind='dir'  → idx=dim,    a=m_dim,       b=loading_dim
+    *  - kind='meta' → idx=−1,     a=ev_permille, b=bucketWidth
+    *  - kind='hist' → idx=bucket, a=n_vecs,      b=N_total
+    * The fit is deterministic (the integer chain), so re-writing over
+    * the same corpus reproduces the artifact bit-for-bit; consumers
+    * (the drift monitor, [[projectAgainst]]) treat a written direction
+    * as IMMUTABLE — refit to a new reference is a new write. Empty
+    * input → NO artifact (an empty re-seed reverts an existing one):
+    * the empty-seed cold-start contract. */
+  def writeDirection(emb: DataFrame, vecCol: String, dir: String,
+                     bucketWidth: Long = 50000L, iters: Int = 8): Unit = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    solve(emb, vecCol, iters) match {
+      case None => graft.sources.IO.deleteDir(sess, dir)
+      case Some((m, v, ev)) =>
+        val hist = projectWith(emb, vecCol, m, v, bucketWidth)
+          // bounded: occupied projection buckets (≪ range/width; 62 on the 4M probe) — histogram-, never data-scale
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val n = hist.map(_._2).sum
+        val rows = m.indices.map(j => ("dir", j.toLong, m(j), v(j))) ++
+          Seq(("meta", -1L, ev, bucketWidth)) ++
+          hist.toSeq.map { case (b, c) => ("hist", b, c, n) }
+        rows.toDF("kind", "idx", "a", "b")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Load a persisted direction artifact:
+    * (m, v, evPermille, bucketWidth, referenceHistogram, refN). */
+  def readDirection(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Long], Array[Long], Long, Long, Map[Long, Long], Long) = {
+    val rows = spark.read.parquet(dir)
+      .select("kind", "idx", "a", "b")
+      // bounded: dim 'dir' rows + 1 'meta' + occupied-bucket 'hist' rows — dimension/histogram-, never data-scale
+      .collect()
+    val dirRows = rows.filter(_.getString(0) == "dir").sortBy(_.getLong(1))
+    val meta = rows.find(_.getString(0) == "meta")
+      .getOrElse(sys.error(s"direction artifact $dir has no meta row"))
+    val histRows = rows.filter(_.getString(0) == "hist")
+    (dirRows.map(_.getLong(2)), dirRows.map(_.getLong(3)),
+      meta.getLong(2), meta.getLong(3),
+      histRows.map(r => r.getLong(1) -> r.getLong(2)).toMap,
+      histRows.headOption.map(_.getLong(3)).getOrElse(0L))
+  }
+
+  /** Project a (possibly different/newer) vector relation against a
+    * PERSISTED direction — the batch drift probe: same output shape as
+    * [[pc1Projection]] but against the artifact's frozen axis, so two
+    * corpus snapshots become comparable histograms. */
+  def projectAgainst(emb: DataFrame, vecCol: String, dir: String): DataFrame = {
+    val (m, v, _, w, _, _) = readDirection(emb.sparkSession, dir)
+    projectWith(emb, vecCol, m, v, w)
+  }
+
+  /** Total-variation distance in ppm between a bucket histogram and a
+    * reference distribution — integer-exact (each side's bucket mass is
+    * normalized to ppm by truncating division before the fold), so the
+    * reading is deterministic and replayable. 0 ⇔ identical
+    * distributions up to ppm truncation. */
+  def tvDriftPpm(hist: Map[Long, Long], n: Long,
+                 ref: Map[Long, Long], refN: Long): Long = {
+    val keys = hist.keySet ++ ref.keySet
+    keys.toSeq.map { b =>
+      val pw = if (n == 0) 0L else hist.getOrElse(b, 0L) * 1000000L / n
+      val pr = if (refN == 0) 0L else ref.getOrElse(b, 0L) * 1000000L / refN
+      math.abs(pw - pr)
+    }.sum / 2
   }
 }

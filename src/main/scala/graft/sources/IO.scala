@@ -1551,6 +1551,64 @@ object IO {
       })
       .trigger(Trigger.AvailableNow())
 
+  /** Snapshot schema of the [[spectralDriftAuditSink]] store: one
+    * spectral-drift census row per finalized window plus changelog
+    * bookkeeping. */
+  val SpectralDriftAuditSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("window_start", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("n_vecs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_buckets", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tv_ppm", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("min_bucket", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType)))
+
+  /** Persisted live SPECTRAL-DRIFT monitor — the NINTH corpus-audit
+    * monitor (…, semantic diversity, by-source diversity, spectral
+    * drift): finalized
+    * [[graft.streaming.Jobs.windowedProjBuckets]] micro-batches fold
+    * through [[graft.streaming.Jobs.spectralDriftPerWindow]] — the
+    * per-window projection histogram against a FROZEN
+    * [[graft.operators.Spectral.writeDirection]] reference axis, plus
+    * its total-variation distance to the reference histogram in ppm —
+    * and upsert one row per window into the versioned metrics store.
+    * The monitor-and-eval pairing: the LSH diversity census says WHICH
+    * region pools; this says the embedding DISTRIBUTION itself is
+    * sliding off the axis the reference corpus (and every IVF index /
+    * semantic gate fit on it) assumed — the re-fit/re-train trigger,
+    * read from window history. The artifact is read ONCE at sink
+    * construction (immutable by contract — a refit is a NEW artifact +
+    * a new sink). Stateless beyond the store; replay: committed batches
+    * are marker no-ops, the fold is a pure function of the batch. */
+  def spectralDriftAuditSink(hist: DataFrame, artifactDir: String,
+                             baseDir: String, checkpointDir: String,
+                             retain: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (_, _, _, _, ref, refN) = graft.operators.Spectral
+      .readDirection(hist.sparkSession, artifactDir)
+    hist.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(idempotentForeachBatch(s"$baseDir/_markers") {
+        (batch: DataFrame, _: Long) =>
+          // pin BEFORE the empty check (commits the stateful operator's
+          // state stores — the windowedMetricsStoreSink discipline)
+          val pinned = batch.localCheckpoint(eager = true)
+          try {
+            if (!pinned.isEmpty) {
+              val metrics = graft.streaming.Jobs
+                .spectralDriftPerWindow(pinned, ref, refN)
+                .withColumn("op", lit("u"))
+                .withColumn("ts_ms",
+                  (col("window_start").cast("double") * 1000).cast("long"))
+              versionedUpsertBatch(metrics, baseDir, "window_start",
+                SpectralDriftAuditSchema, retain)
+            }
+          } finally graft.operators.Checkpoints.drop(pinned)
+      })
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** RETENTION verb for the [[windowedMetricsStoreSink]] store: tombstone
     * every live window strictly older than `cutoff` — the TTL policy a
     * metrics store needs once windows stop being queried (the

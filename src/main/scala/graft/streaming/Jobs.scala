@@ -818,4 +818,70 @@ object Jobs {
       .select("window_start", "n_vecs", "n_buckets", "entropy_pico",
         "max_bucket", "min_bucket")
   }
+
+  /** Per-(window, PC1-projection-bucket) vector counts against a FIXED
+    * persisted direction ([[graft.operators.Spectral.writeDirection]]):
+    * the spectral twin of [[windowedBucketCounts]] — the LSH census
+    * asks "which semantic region", this asks "where along the
+    * reference corpus's dominant axis". The direction enters the plan
+    * as literal arrays (codegen constants — the artifact is immutable
+    * by contract, so there is NO per-batch artifact read). State is
+    * (open windows × occupied buckets)-bounded. Append mode; feed
+    * finalized micro-batches to [[spectralDriftPerWindow]]. */
+  def windowedProjBuckets(vecs: DataFrame, tsCol: String, vecCol: String,
+                          m: Array[Long], v: Array[Long], bucketWidth: Long,
+                          windowDur: String,
+                          watermarkDelay: String): DataFrame =
+    vecs.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.operators.Spectral.quantCol(vecCol).as("__qa"))
+      .select(col(tsCol),
+        graft.operators.Spectral.projectionCol("__qa", m, v).as("__proj"))
+      .select(col(tsCol),
+        graft.operators.Spectral.bucketCol("__proj", bucketWidth)
+          .as("bucket"))
+      .groupBy(window(col(tsCol), windowDur), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("n_b"))
+
+  /** Per-window spectral drift reading over a FINALIZED
+    * [[windowedProjBuckets]] micro-batch: vector count, occupied
+    * buckets, extremes, and the total-variation distance (ppm, the
+    * [[graft.operators.Spectral.tvDriftPpm]] arithmetic spelled in
+    * integer SQL) between the window's projection distribution and the
+    * artifact's reference histogram. A rising tv_ppm curve says the
+    * incoming corpus is sliding along (or off) the reference corpus's
+    * dominant axis — embedding drift caught at window grain, BEFORE an
+    * IVF index or a semantic dedup gate quietly degrades. `ref` is the
+    * artifact's occupied-bucket histogram (bounded, broadcast as a
+    * literal relation); `refN` its vector count (> 0 by construction —
+    * an empty fit writes no artifact). */
+  def spectralDriftPerWindow(batch: DataFrame, ref: Map[Long, Long],
+                             refN: Long): DataFrame = {
+    require(refN > 0, "spectralDriftPerWindow: empty reference histogram")
+    val sess = batch.sparkSession
+    import sess.implicits._
+    // bucket-bounded micro-batch relation, read twice (total fold +
+    // per-bucket ppm fold) — pinned like bucketEntropyPerWindow's
+    val p = batch.localCheckpoint(true)
+    val totals = p.groupBy("window_start")
+      .agg(sum("n_b").as("n_vecs"), count(lit(1)).as("n_buckets"),
+        max("n_b").as("max_bucket"), min("n_b").as("min_bucket"))
+    val refDf = broadcast(ref.toSeq.toDF("bucket", "ref_n"))
+    val pw = p.join(totals.select(col("window_start"), col("n_vecs")),
+      Seq("window_start"))
+      .select(col("window_start"), col("bucket"),
+        expr("(n_b * 1000000) div n_vecs").as("pw"))
+    val pr = totals.select(col("window_start")).crossJoin(refDf)
+      .select(col("window_start"), col("bucket"),
+        expr(s"(ref_n * 1000000) div $refN").as("pr"))
+    val tv = pw.join(pr, Seq("window_start", "bucket"), "full")
+      .na.fill(0L, Seq("pw", "pr"))
+      .groupBy("window_start")
+      .agg(expr("sum(abs(pw - pr)) div 2").as("tv_ppm"))
+    totals.join(tv, Seq("window_start"))
+      .select("window_start", "n_vecs", "n_buckets", "tv_ppm",
+        "max_bucket", "min_bucket")
+  }
 }

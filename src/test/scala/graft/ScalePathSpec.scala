@@ -2859,4 +2859,47 @@ class ScalePathSpec extends SparkSpec {
     val ranked = Sampling.diversityCapRanked(vecs, "vec_id", "embedding", 3)
     assert(ranked.count() == 2L)
   }
+
+  test("direction artifact: roundtrip == registered ids; deterministic rewrite; self-projection parity; empty-seed guard") {
+    import graft.operators.Spectral
+    val base = java.nio.file.Files.createTempDirectory("specart_").toString
+    val dir = s"$base/pc1"
+    val emb = Tables.embeddings(spark, sfDir)
+    Spectral.writeDirection(emb, "embedding", dir)
+    val (m, v, ev, width, ref, refN) = Spectral.readDirection(spark, dir)
+    // roundtrip parity with the registered ids: the artifact's direction
+    // IS q_embed_pca's, its reference histogram IS q_embed_project's
+    val pca = Queries.q_embed_pca(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(v.toSeq == pca.map(_._2).toSeq, "artifact v != q_embed_pca")
+    assert(pca.forall(_._3 == ev), "artifact ev != q_embed_pca")
+    val proj = Queries.q_embed_project(spark, sfDir)
+      .as[(Long, Long)].collect()
+    assert(ref == proj.toMap, "artifact histogram != q_embed_project")
+    assert(refN == proj.map(_._2).sum && width == 50000L)
+    assert(m.length == v.length && v.map(math.abs).max == 1000L)
+    // deterministic fit: a rewrite reproduces the artifact content
+    val before = spark.read.parquet(dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    Spectral.writeDirection(emb, "embedding", dir)
+    val after = spark.read.parquet(dir)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(before.toSeq == after.toSeq, "rewrite must be bit-stable")
+    // self-projection against the frozen artifact == the live fit
+    val selfProj = Spectral.projectAgainst(emb, "embedding", dir)
+      .as[(Long, Long)].collect()
+    assert(selfProj.toSeq == proj.toSeq, "projectAgainst(self) != live fit")
+    // a self-histogram drifts 0 ppm from its own reference
+    assert(Spectral.tvDriftPpm(ref, refN, ref, refN) == 0L)
+    // empty-seed guard: an empty fit writes NO artifact, an empty
+    // re-fit reverts an existing one (the cold-start contract)
+    val empty = emb.filter(col("vec_id") < 0)
+    val dir2 = s"$base/pc1_empty"
+    Spectral.writeDirection(empty, "embedding", dir2)
+    assert(!new java.io.File(dir2).exists(),
+      "empty fit must not write an artifact")
+    Spectral.writeDirection(empty, "embedding", dir)
+    assert(!new java.io.File(dir).exists(),
+      "empty re-fit must revert the artifact")
+  }
 }

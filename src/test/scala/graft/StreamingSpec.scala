@@ -2936,6 +2936,77 @@ class StreamingSpec extends SparkSpec {
       s"replayed batches must be marker no-ops: $vBefore -> $versions")
   }
 
+  test("spectralDriftAuditSink: self-window reads 0 drift, axis-shifted window bills TV exactly, replay is a no-op") {
+    import graft.operators.Spectral
+    val root = java.nio.file.Files.createTempDirectory("specdrift_").toString
+    val art = s"$root/pc1"; val base = s"$root/store"
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    Spectral.writeDirection(emb, "embedding", art)
+    val (m, v, _, width, ref, refN) = Spectral.readDirection(spark, art)
+    // float→double is exact, so the stream's double vectors quantize to
+    // the artifact corpus's exact integer grid
+    val vecs = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble))
+    val in = MemoryStream[(Timestamp, Seq[Double])]
+    val hist = graft.streaming.Jobs.windowedProjBuckets(
+      in.toDF().toDF("ts", "embedding"), "ts", "embedding",
+      m, v, width, "10 minutes", "5 minutes")
+    def start(ck: String) = graft.sources.IO
+      .spectralDriftAuditSink(hist, art, base, ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    def versions: Seq[Long] = graft.sources.IO.snapshotVersions(spark, base)
+    def live: Map[String, (Long, Long, Long)] =
+      graft.streaming.Cdc.liveView(graft.sources.IO.readSnapshotVersion(
+          spark, base, versions.last,
+          graft.sources.IO.SpectralDriftAuditSchema))
+        .collect().map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("specdrift_ck1_").toString
+    val q1 = start(ck1)
+    try {
+      // w1: the reference corpus itself (drift must read EXACTLY 0);
+      // w2: every vector SHIFTED along the fitted axis (+0.8·v/1000 per
+      // coordinate — the one direction the monitor must see); a mirror
+      // would NOT do: the cloud is near-symmetric about its mean, so
+      // negation reproduces almost the same histogram (measured 58k
+      // ppm). The 10:41 row only pushes the watermark.
+      val shifted = vecs.map(e =>
+        e.indices.map(j => e(j) + 0.8 * (v(j) / 1000.0)).toSeq)
+      in.addData(vecs.toSeq.map(e => (ts("2024-01-01 10:01:00"), e)) ++
+        shifted.toSeq.map(e => (ts("2024-01-01 10:21:00"), e)) :+
+        ((ts("2024-01-01 10:41:00"), vecs.head)))
+      q1.processAllAvailable()
+      // driver replay of the shifted window's histogram and TV bill
+      def tdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+      val h2 = shifted.map { e =>
+        val q = e.map(x => math.floor(x * 256.0).toLong)
+        tdiv(q.indices.map(j => (q(j) - m(j)) * v(j)).sum, width)
+      }.groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+      val expTv = Spectral.tvDriftPpm(h2, vecs.length.toLong, ref, refN)
+      assert(expTv > 200000L,
+        s"the axis-shifted corpus must drift heavily, got $expTv ppm")
+      val got = live
+      assert(got("2024-01-01 10:00:00.0") ==
+        ((refN, ref.size.toLong, 0L)), s"w1 (self): $got")
+      assert(got("2024-01-01 10:20:00.0") ==
+        ((vecs.length.toLong, h2.size.toLong, expTv)), s"w2 (shift): $got")
+    } finally q1.stop()
+    // replay from a fresh checkpoint: committed-batch markers → no new
+    // store versions (the metrics-store upsert law)
+    val vBefore = versions
+    val ck2 = java.nio.file.Files
+      .createTempDirectory("specdrift_ck2_").toString
+    val q2 = start(ck2)
+    try {
+      in.addData((ts("2024-01-01 10:01:00"), vecs.head))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(versions == vBefore,
+      s"replayed batches must be marker no-ops: $vBefore -> $versions")
+  }
+
   test("noveltyBySourceAuditSink: source attribution across windows, " +
        "index advance, replay is a no-op") {
     val in = MemoryStream[(Timestamp, Long, String, String)]
