@@ -6317,6 +6317,36 @@ object Queries {
       .orderBy("source")
   }
 
+  /** q_dp_topk — differentially-private HEAVY HITTERS, completing the
+    * DP release family ([[q_dp_count]] / [[q_dp_sum]] / top-k): per-
+    * brand counts + Laplace(b=2) noise through the same md5 inverse-CDF
+    * derandomization ('graftdptopk:' salt — an independent draw per
+    * key), then the top 5 brands by 6-dp-ROUNDED noisy count (brand
+    * tie-break — never a rank on an unrounded double). Only the noisy
+    * top slice is released: membership AND magnitude both carry noise,
+    * the standard "which queries are trending" shape. Scale: one map-
+    * side-combined count; the sort runs on the brand-DOMAIN relation
+    * (catalog-bounded), never on data rows. */
+  val q_dp_topk: Q = (s, d) => {
+    val cnt = Tables.part(s, d).groupBy("p_brand")
+      .agg(count(lit(1)).as("n"))
+    val bits = conv(substring(
+      md5(concat(lit("graftdptopk:"), col("p_brand"))), 1, 13), 16, 10)
+      .cast("long")
+    val x = (bits.cast("double") + lit(0.5)) / lit(4503599627370496.0) -
+      lit(0.5)
+    val sgn = when(col("__x") > 0, lit(1.0)).when(col("__x") < 0, lit(-1.0))
+      .otherwise(lit(0.0))
+    cnt.withColumn("__x", x)
+      .select(col("p_brand"),
+        round(col("n").cast("double") +
+          lit(-2.0) * sgn * log(lit(1.0) - lit(2.0) * abs(col("__x"))), 6)
+          .as("noisy_n"))
+      .orderBy(col("noisy_n").desc, col("p_brand"))
+      .limit(5)
+      .orderBy("p_brand")
+  }
+
   // -------------------------------------------------------------------
   // registry
   // -------------------------------------------------------------------
@@ -6598,5 +6628,6 @@ object Queries {
     "q_embed_project" -> q_embed_project,
     "q_lsh_recall_eval" -> q_lsh_recall_eval,
     "q_dataset_card" -> q_dataset_card,
+    "q_dp_topk" -> q_dp_topk,
   )
 }

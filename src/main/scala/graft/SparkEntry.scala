@@ -7268,5 +7268,23 @@ object SparkEntry {
         |FROM agg a JOIN nl USING (source) JOIN top USING (source)
         |LEFT JOIN dup d USING (source)
         |ORDER BY a.source""".stripMargin,
+    // mirrors q_dp_topk: the md5 inverse-CDF Laplace family
+    // ('graftdptopk:' salt, b=2), top-5 ranked on the 6-dp ROUNDED
+    // noisy count with the brand tie-break, released ordered by brand
+    "q_dp_topk" ->
+      """WITH c AS (
+        |  SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
+        |), nz AS (
+        |  SELECT p_brand, n,
+        |         ((('0x' || substring(md5('graftdptopk:' || p_brand), 1, 13))::BIGINT + 0.5)
+        |          / 4503599627370496.0) - 0.5 AS x
+        |  FROM c
+        |), r AS (
+        |  SELECT p_brand,
+        |         round(n + (-2.0) * (CASE WHEN x > 0 THEN 1.0 WHEN x < 0 THEN -1.0 ELSE 0.0 END)
+        |               * ln(1 - 2 * abs(x)), 6) AS noisy_n
+        |  FROM nz ORDER BY noisy_n DESC, p_brand LIMIT 5
+        |)
+        |SELECT p_brand, noisy_n FROM r ORDER BY p_brand""".stripMargin,
   )
 }

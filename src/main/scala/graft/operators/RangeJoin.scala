@@ -42,4 +42,5 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
 }

@@ -2174,6 +2174,37 @@ class LawsSpec extends SparkSpec {
     assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted.reverse)
   }
 
+  test("q_dp_topk: driver replay of the noisy top-5; released slice only; deterministic") {
+    val got = Queries.q_dp_topk(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.length == 5 && got.map(_._1).sorted.toSeq == got.map(_._1).toSeq)
+    // driver replay: exact counts + the md5 inverse-CDF draw, ranked on
+    // the ROUNDED noisy count with the brand tie-break, top 5
+    val truth = graft.sources.Tables.part(spark, sfDir)
+      .groupBy("p_brand").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noisy = truth.map { case (b, n) =>
+      val hex = md.digest(s"graftdptopk:$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      val bits = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val x = (bits.toDouble + 0.5) / 4503599627370496.0 - 0.5
+      val sgn = if (x > 0) 1.0 else if (x < 0) -1.0 else 0.0
+      b -> BigDecimal(n.toDouble - 2.0 * sgn *
+          math.log(1.0 - 2.0 * math.abs(x)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = noisy.sortBy { case (b, v) => (-v, b) }.take(5).sortBy(_._1)
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq}, replay ${want.toSeq}")
+    // the release is the top slice ONLY (k < |brand domain|), perturbed
+    assert(truth.length > 5)
+    val truthMap = truth.toMap
+    assert(got.forall { case (b, v) => v != truthMap(b).toDouble })
+    // determinism: the derandomized mechanism is replayable
+    assert(Queries.q_dp_topk(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq == got.toSeq)
+  }
+
   test("q_dataset_card: rows partition the corpus; dup bill matches a driver md5 census") {
     val got = Queries.q_dataset_card(spark, sfDir)
       .as[(String, Long, Long, Long, Long, Long, Long, Long, String)]
