@@ -6317,6 +6317,21 @@ object Queries {
       .orderBy("source")
   }
 
+  /** q_embed_pca_by_label — CLASS-CONDITIONAL spectral health: the
+    * [[q_embed_pca]] integer chain run independently per label
+    * ([[graft.operators.Spectral.pc1ByGroup]]): per (label, dim)
+    * loading + the label's Rayleigh ev_permille. The per-class readout
+    * behind the global one: a label whose ev spikes has a collapsed or
+    * duplicated embedding region; a label whose axis diverges from the
+    * global direction is the class dragging the mixture — checked
+    * BEFORE per-class ANN, hard-negative mining or class-balanced
+    * sampling trusts the column. Still ONE data pass (a moment buffer
+    * per (partition, label) — the label domain is catalog-bounded) with
+    * driver solves per label; bit-exact in DuckDB via the grouped CTE
+    * chain (every stage of pcaChainSql keyed by label). */
+  val q_embed_pca_by_label: Q = (s, d) =>
+    Spectral.pc1ByGroup(Tables.embeddings(s, d), "label", "embedding")
+
   /** q_dp_topk — differentially-private HEAVY HITTERS, completing the
     * DP release family ([[q_dp_count]] / [[q_dp_sum]] / top-k): per-
     * brand counts + Laplace(b=2) noise through the same md5 inverse-CDF
@@ -6629,5 +6644,6 @@ object Queries {
     "q_lsh_recall_eval" -> q_lsh_recall_eval,
     "q_dataset_card" -> q_dataset_card,
     "q_dp_topk" -> q_dp_topk,
+    "q_embed_pca_by_label" -> q_embed_pca_by_label,
   )
 }

@@ -197,6 +197,86 @@ object SparkEntry {
        |$iters""".stripMargin
   }
 
+  /** The grouped twin of [[pcaChainSql]]: every stage keyed by the
+    * label, one independent integer PCA per group — the
+    * q_embed_pca_by_label oracle. Kept as its own generator (the
+    * ungrouped chain is frozen under its two passing ids); the
+    * arithmetic per group is IDENTICAL to the ungrouped chain's. */
+  private def pcaByLabelSql: String = {
+    val iters = (1 to 8).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT cp.g, cp.j, CAST(sum(cp.c * v.v) AS BIGINT) AS w
+         |  FROM cp JOIN v${t - 1} v ON v.g = cp.g AND v.k = cp.k
+         |  GROUP BY cp.g, cp.j
+         |), v$t AS MATERIALIZED (
+         |  SELECT w.g, w.j AS k,
+         |         CASE WHEN w >= 0 THEN (w * 1000) // mxw
+         |              ELSE -(((-w) * 1000) // mxw) END AS v
+         |  FROM w$t w JOIN (
+         |    SELECT g, greatest(CAST(1 AS BIGINT),
+         |                       CAST(max(abs(w)) AS BIGINT)) AS mxw
+         |    FROM w$t GROUP BY g) x ON x.g = w.g
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS g, vec_id,
+       |         unnest([{j: i - 1,
+       |                  q: CAST(floor(CAST(embedding[i] AS DOUBLE) * 256.0) AS BIGINT)}
+       |                 for i in range(1, len(embedding) + 1)],
+       |                recursive := true)
+       |  FROM embeddings
+       |), nn AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY 1
+       |), sq AS MATERIALIZED (
+       |  SELECT g, j, CAST(sum(q) AS BIGINT) AS sq FROM q GROUP BY g, j
+       |), mm AS MATERIALIZED (
+       |  SELECT sq.g, j, sq,
+       |         CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS m
+       |  FROM sq JOIN nn ON nn.g = sq.g
+       |), qq AS MATERIALIZED (
+       |  SELECT a.g, a.j AS j, b.j AS k, CAST(sum(a.q * b.q) AS BIGINT) AS qv
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY a.g, a.j, b.j
+       |), cov AS MATERIALIZED (
+       |  SELECT qq.g, qq.j, qq.k,
+       |         qv - mj.m * mk.sq - mj.sq * mk.m + nn.n * mj.m * mk.m AS c
+       |  FROM qq JOIN mm mj ON mj.g = qq.g AND mj.j = qq.j
+       |          JOIN mm mk ON mk.g = qq.g AND mk.j = qq.k
+       |          JOIN nn ON nn.g = qq.g
+       |), cp AS MATERIALIZED (
+       |  SELECT cov.g, j, k,
+       |         CASE WHEN c >= 0 THEN c // dn ELSE -((-c) // dn) END AS c
+       |  FROM cov JOIN (
+       |    SELECT g, greatest(CAST(1 AS BIGINT),
+       |                       CAST(max(abs(c)) AS BIGINT) // 1000000) AS dn
+       |    FROM cov GROUP BY g) x ON x.g = cov.g
+       |), v0 AS MATERIALIZED (
+       |  SELECT g, j AS k, CAST(1000 AS BIGINT) AS v FROM sq
+       |),
+       |$iters,
+       |wf AS MATERIALIZED (
+       |  SELECT cp.g, cp.j, CAST(sum(cp.c * v.v) AS BIGINT) AS w
+       |  FROM cp JOIN v8 v ON v.g = cp.g AND v.k = cp.k GROUP BY cp.g, cp.j
+       |), nm AS MATERIALIZED (
+       |  SELECT v.g, CAST(sum(v.v * wf.w) AS BIGINT) AS num
+       |  FROM v8 v JOIN wf ON wf.g = v.g AND wf.j = v.k GROUP BY v.g
+       |), dd AS MATERIALIZED (
+       |  SELECT vtv.g, greatest(CAST(1 AS BIGINT), vtv * tr) AS den
+       |  FROM (SELECT g, CAST(sum(v * v) AS BIGINT) AS vtv FROM v8 GROUP BY g) vtv
+       |  JOIN (SELECT g, CAST(sum(c) AS BIGINT) AS tr FROM cp WHERE j = k GROUP BY g) tr
+       |    ON tr.g = vtv.g
+       |), ev AS MATERIALIZED (
+       |  SELECT nm.g,
+       |         CASE WHEN num >= 0 THEN (num * 1000) // den
+       |              ELSE -(((-num) * 1000) // den) END AS ev_permille
+       |  FROM nm JOIN dd ON dd.g = nm.g
+       |)
+       |SELECT v.g AS label, CAST(v.k AS BIGINT) AS dim,
+       |       CAST(v.v AS BIGINT) AS loading,
+       |       CAST(ev.ev_permille AS BIGINT) AS ev_permille
+       |FROM v8 v JOIN ev ON ev.g = v.g ORDER BY label, dim""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n_rows FROM lineitem",
@@ -7286,5 +7366,7 @@ object SparkEntry {
         |  FROM nz ORDER BY noisy_n DESC, p_brand LIMIT 5
         |)
         |SELECT p_brand, noisy_n FROM r ORDER BY p_brand""".stripMargin,
+    // mirrors q_embed_pca_by_label: the grouped pcaByLabelSql chain
+    "q_embed_pca_by_label" -> pcaByLabelSql,
   )
 }

@@ -109,6 +109,13 @@ object Spectral {
       // bounded: nPartitions 2+dim+dim² long moment arrays (4,162 longs @ dim 64 each) — dimension-, never data-scale (the IVF-centroid pattern)
       .collect()
       .foldLeft(Array.emptyLongArray)(MomentAgg.merge)
+    solveBuf(buf, iters)
+  }
+
+  /** Eigensolve over one folded moment buffer (shared by the global and
+    * per-group forms). */
+  private def solveBuf(buf: Array[Long], iters: Int)
+      : Option[(Array[Long], Array[Long], Long)] = {
     if (buf.isEmpty) return None
     val dim = buf(0).toInt
     val n = buf(1)
@@ -152,6 +159,45 @@ object Spectral {
         v.toSeq.zipWithIndex.map { case (lv, j) => (j.toLong, lv, ev) }
           .toDF("dim", "loading", "ev_permille").orderBy("dim")
     }
+  }
+
+  /** Per-GROUP dominant directions: the [[pc1]] chain run independently
+    * within each value of `byCol` — class-conditional spectral health.
+    * A label whose ev_permille spikes has a collapsed/duplicated
+    * region; a label whose axis diverges from the global direction is
+    * the group dragging the mixture. Still ONE data pass: the
+    * per-partition fold keeps a moment buffer per group (the group
+    * domain is catalog-bounded by contract — labels/classes, never
+    * data-scale), and the per-group eigensolves run on the driver.
+    * Returns (byCol, dim, loading, ev_permille) ordered by (group, dim). */
+  def pc1ByGroup(emb: DataFrame, byCol: String, vecCol: String,
+                 iters: Int = 8): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val bufs = emb
+      .select(col(byCol).cast("long"), quantCol(vecCol))
+      .as[(Long, Array[Long])].rdd
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.Map.empty[Long, Array[Long]]
+        while (it.hasNext) {
+          val (g, qa) = it.next()
+          acc(g) = MomentAgg.reduce(
+            acc.getOrElse(g, Array.emptyLongArray), qa)
+        }
+        acc.iterator
+      }
+      // bounded: one 2+dim+dim² long moment array per (partition, group) — group-catalog-, never data-scale
+      .collect()
+      .groupBy(_._1).map { case (g, parts) =>
+        g -> parts.map(_._2).foldLeft(Array.emptyLongArray)(MomentAgg.merge)
+      }
+    val rows = bufs.toSeq.sortBy(_._1).flatMap { case (g, buf) =>
+      solveBuf(buf, iters).toSeq.flatMap { case (_, v, ev) =>
+        v.toSeq.zipWithIndex.map { case (lv, j) => (g, j.toLong, lv, ev) }
+      }
+    }
+    rows.toDF(byCol, "dim", "loading", "ev_permille")
+      .orderBy(byCol, "dim")
   }
 
   /** Histogram of per-vector projections onto PC1: bucket = tdiv(proj, w)

@@ -2158,6 +2158,34 @@ class LawsSpec extends SparkSpec {
     assert(got.map(_._2).sum == rows.length.toLong)
   }
 
+  test("q_embed_pca_by_label: per-label driver replay; single-group fold == global pc1") {
+    val rows = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("label", "vec_id", "embedding")
+      .as[(Int, Long, Array[Float])].collect()
+    val got = Queries.q_embed_pca_by_label(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> (rs.sortBy(_._2).map(_._3).toSeq, rs.head._4) }
+    val byLabel = rows.groupBy(_._1)
+    assert(got.keySet == byLabel.keySet.map(_.toLong))
+    for ((g, grp) <- byLabel) {
+      val (v, ev, _) = pcaReplay(grp.sortBy(_._2).map(_._3))
+      assert(got(g.toLong) == ((v.toSeq, ev)),
+        s"label $g diverges from the per-label replay")
+    }
+    // a one-label slice's grouped row == the global chain on that slice
+    val l0 = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("label") === 0)
+    val single = graft.operators.Spectral
+      .pc1ByGroup(l0, "label", "embedding")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    val global = graft.operators.Spectral.pc1(l0, "embedding")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(single.map(r => (r._2, r._3, r._4)).toSeq ==
+      global.map(r => (r._1, r._2, r._3)).toSeq,
+      "grouped chain on one label must equal the global chain")
+  }
+
   test("q_lsh_recall_eval: counter algebra, monotone truth, ppm arithmetic") {
     val got = Queries.q_lsh_recall_eval(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Long)].collect()
