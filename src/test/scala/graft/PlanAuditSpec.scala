@@ -367,7 +367,7 @@ class PlanAuditSpec extends SparkSpec {
       "Dedup.scala" -> 14,    // merge touched+written bucket ids x2, fingerprint-delete x2, fp-first-seen-delete x2 (r16), near-dup-delete x2, components-delete x2, winnow-delete x2, counted-gram-compact x2 (all <= buckets); the bloom probe-shingle collect is GONE (r16 ADVICE fix: executor-side bit fold)
       "Graph.scala" -> 4,     // <= K landmark/explicit source lists
       "Sampling.scala" -> 2,  // bucket-membership-delete touched+written ids (<= buckets, r16)
-      "Spectral.scala" -> 1,  // dim²+dim+1 moment cells (4,161 at dim 64) for the driver eigensolve (r17)
+      "Spectral.scala" -> 4,  // global + per-group moment folds (2+d+d² longs each), artifact write (histogram rows) + read (dim+hist rows) — all dimension/catalog-bounded (r17)
       "Takedown.scala" -> 1,  // distinct admission windows of the retired docs (r17)
       "Similarity.scala" -> 13 // <= k IVF list ids x3 + delete-written x2 + split-written, k centroid rows,
       // + the 5 fused-IVF-PQ sites (r12, each reviewed bounded): m*kSub
