@@ -3777,7 +3777,16 @@ object Queries {
     * ONE scan producing 3 rows per input (the oracle spells the same
     * relation as a UNION ALL; stack is the single-pass form — a
     * union-of-selects plan would scan the fact once per measure).
-    * Codegen'd generator, no shuffle beyond the contract sort. */
+    * Codegen'd generator, no shuffle beyond the contract sort.
+    *
+    * r17 OPTIMIZATION NOTE (attempted, reverted): sorting the narrow
+    * input first and stacking in alphabetical measure order would move
+    * 1/3 of the rows through the range exchange (measured 2.45 → 0.81 s
+    * at sf0.1) — but (l_orderkey, l_linenumber) is NOT unique in the
+    * generated testdata (~20% dup pairs), and the contract's tie order
+    * interleaves duplicate rows measure-major; sort-then-stack emits
+    * them row-major and diverges (caught by the sf0.01 oracle re-run).
+    * The melt must stay sort-after-explode. */
   val q_unpivot: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),

@@ -318,7 +318,9 @@ object Text {
   def bpeTrainMerges(words: org.apache.spark.sql.DataFrame, wordCol: String,
                      freqCol: String, k: Int, minCount: Long = 2L,
                      checkpointEvery: Int = 8,
-                     initial: Seq[(String, String)] = Nil): Seq[(String, String)] = {
+                     initial: Seq[(String, String)] = Nil,
+                     localMaxWords: Long = LocalBpeTrainMaxWords)
+      : Seq[(String, String)] = {
     require(k >= 1, s"k must be positive, got $k")
     require(initial.size <= k,
       s"initial merge table (${initial.size}) already at/above target vocab $k")
@@ -331,6 +333,18 @@ object Text {
       .select(toSyms(col(wordCol)).as("syms"),
         col(freqCol).cast("long").as("freq"))
       .localCheckpoint(eager = true)
+    // measured-size strategy pick (r17 — the Graph.LocalFixpointMaxEdges
+    // discipline): every registry caller trains on a bounded vocabulary
+    // head (≤4096 words), where each of the k rounds' census + argmax +
+    // merge-map is pure scheduling overhead (~12 driver-round jobs over
+    // ~4k rows). At or below the gate the whole fixpoint runs inside ONE
+    // executor task with operation-identical arithmetic (exact long
+    // sums, UTF-8-binary tie order — Spark's own string comparator) and
+    // only the ≤k merge rows come back to the driver; above it, the
+    // distributed per-round loop runs unchanged. Parity pinned in
+    // FunctionsSpec (gate forced off ↔ on).
+    if (state.count() <= localMaxWords)
+      return bpeTrainMergesOneTask(state, k, minCount, initial.size)
     var lastCkpt = state
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = initial.size
@@ -362,6 +376,88 @@ object Text {
       }
     }
     merges.toSeq
+  }
+
+  /** Word-count gate for [[bpeTrainMerges]]' single-task fixpoint: at or
+    * below this many distinct word shapes the k training rounds run in
+    * one executor task (the state is ≤ a few MB; each distributed round
+    * would cost a full job of scheduling for ~4k rows of work). */
+  private[graft] val LocalBpeTrainMaxWords = 100000L
+
+  /** Spark's string ordering is UTF8String binary order (unsigned byte
+    * compare of the UTF-8 encoding) — the one-task argmax tie-break must
+    * replicate it exactly, NOT java.lang.String's UTF-16 char order
+    * (they diverge on supplementary-plane code points). */
+  private[graft] def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The single-task path of [[bpeTrainMerges]]: all k rounds of
+    * census → argmax → merge-map over the (syms, freq) state inside one
+    * executor task. Operation-for-operation the distributed loop:
+    * pair counts are exact long sums with multiplicity (the
+    * arrays_zip(slice,slice) explode), the argmax orders by (count
+    * desc, a, b) under UTF-8 binary string order, the merge map is the
+    * shared [[mergePair]], and early-stop fires when the best count
+    * drops below `minCount`. Not a driver collect of data: the state
+    * stays on the executor; only the learned merge table (≤ k rows,
+    * bounded by the vocab-size parameter) returns. */
+  private def bpeTrainMergesOneTask(state: org.apache.spark.sql.DataFrame,
+                                    k: Int, minCount: Long,
+                                    startRound: Int): Seq[(String, String)] = {
+    val ss = state.sparkSession
+    import ss.implicits._
+    state.select(col("syms"), col("freq")).as[(Seq[String], Long)]
+      .coalesce(1).mapPartitions { it =>
+        val words = it.map { case (s, f) => (s.toArray, f) }.toArray
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var round = startRound
+        var done = false
+        while (round < k && !done) {
+          round += 1
+          val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          words.foreach { case (syms, f) =>
+            var i = 0
+            while (i + 1 < syms.length) {
+              val key = (syms(i), syms(i + 1))
+              cnt(key) = cnt.getOrElse(key, 0L) + f
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) done = true
+          else {
+            var best: ((String, String), Long) = null
+            cnt.foreach { e =>
+              if (best == null || e._2 > best._2 ||
+                (e._2 == best._2 && (utf8Less(e._1._1, best._1._1) ||
+                  (e._1._1 == best._1._1 && utf8Less(e._1._2, best._1._2)))))
+                best = e
+            }
+            if (best._2 < minCount) done = true
+            else {
+              val (a, b) = best._1
+              merges += ((a, b))
+              var w = 0
+              while (w < words.length) {
+                words(w) = (mergePair(words(w)._1.toSeq, a, b).toArray,
+                  words(w)._2)
+                w += 1
+              }
+            }
+          }
+        }
+        merges.iterator.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      }.collect() // bounded: the ≤ k learned merge rows, never data-sized
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
   }
 
   /** Apply learned merges to one word — the encode side of

@@ -19,6 +19,23 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** CPU-parallelism guard for expensive per-row chains over byte-small
+    * scans (r17, guide §2 scale-adaptive partitioning): Spark sizes scan
+    * splits by BYTES (`maxPartitionBytes`), but the tokenize → shingle →
+    * hash chains here are CPU-bound — a single-row-group parquet file
+    * (the test SFs) plans the whole chain into ONE task and idles every
+    * other core. When the input has fewer partitions than the session's
+    * parallelism, hash-repartition on the row key (deterministic — never
+    * round-robin, per SPARK-38388) so the per-row work spreads; at
+    * cluster scale the input already has ≥ cores partitions and this is
+    * a provable no-op. The exchange moves only the raw bytes once,
+    * BEFORE the explode multiplies rows (guide §3.3). */
+  private[graft] def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key)
+  }
+
   /** Exact dedup: keep the first row per key set, "first" = smallest
     * (orderCols) tuple. One hash shuffle on the keys. Same semantics as the
     * reference's per-key ValueState first-wins dedup, batch form. */
@@ -327,16 +344,26 @@ object Dedup {
     // signature relation): the corpus is scanned and shingled exactly
     // once, where the unmaterialized plan re-ran the explode+hash up to
     // eight times (census-caught).
-    val shRaw = docs.select(col(idCol).as("id"),
-      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+    val shRaw = fanOut(docs.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
+        explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
       .localCheckpoint(eager = true)
     val sh =
       if (maxDocFreq == Long.MaxValue) shRaw // already materialized
       else {
+        // the census is the cap contract and must always run; its RESULT
+        // (boilerplate shingles only) is tiny — checkpoint it so the
+        // empty-census case (common: no shingle spans >maxDocFreq docs)
+        // can skip the anti-join + full rematerialization of the index
+        // outright, which is behavior-identical (anti-join against an
+        // empty build side is the identity). Measured r17: saves one
+        // full pass + checkpoint of the shingle relation per query.
         val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDocFreq).select("sh")
-        shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+          .localCheckpoint(eager = true)
+        if (hot.isEmpty) shRaw
+        else shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
           .localCheckpoint(eager = true)
       }
     // set sizes must count the SAME shingle universe as the intersection:
@@ -394,14 +421,19 @@ object Dedup {
   def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 3, maxDocFreq: Long = 1000L,
                             minContainment: Double = 0.8): DataFrame = {
-    val shRaw = docs.select(col(idCol).as("id"),
-      explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
+    val shRaw = fanOut(docs.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
+        explode(shingleSet(n)(Text.tokens(col(textCol)))).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("sh"))
       .localCheckpoint(eager = true)
     val sh = {
+      // same census-checkpoint + empty-census shortcut as
+      // [[ngramJaccardPairs]] (r17): identical relation either way
       val hot = shRaw.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select("sh")
-      shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
+        .localCheckpoint(eager = true)
+      if (hot.isEmpty) shRaw
+      else shRaw.join(broadcast(hot), Seq("sh"), "left_anti")
         .localCheckpoint(eager = true)
     }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("set_size"))

@@ -1032,6 +1032,18 @@ class FunctionsSpec extends SparkSpec {
     // early stop: every surviving pair below minCount ends training
     val tiny = Seq(("ab", 1L)).toDF("word", "freq")
     assert(Text.bpeTrainMerges(tiny, "word", "freq", k = 5).isEmpty)
+
+    // r17 one-task fixpoint parity: forcing the distributed per-round
+    // loop (gate = 0) must produce the identical merge table the
+    // single-task path (gate = default, exercised above) learned —
+    // the Graph.pagerankOneTask parity discipline
+    assert(Text.bpeTrainMerges(words, "word", "freq", k = 8,
+      localMaxWords = 0L) == merges)
+    // and with a seeded (extend) table on both paths
+    val seeded = merges.take(2)
+    assert(Text.bpeTrainMerges(words, "word", "freq", k = 8,
+        initial = seeded, localMaxWords = 0L) ==
+      Text.bpeTrainMerges(words, "word", "freq", k = 8, initial = seeded))
   }
 
   test("q_bpe_encode: fertility laws and dictionary-encode consistency") {
