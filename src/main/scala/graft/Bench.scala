@@ -50,6 +50,12 @@ object Bench {
       // multi-GB table layouts the default is correct — this is the
       // "size maxPartitionBytes to the SF" lever, not a universal setting.
       .config("spark.sql.files.maxPartitionBytes", s"${2 * 1024 * 1024}")
+      // r17 note: an AQE coalescePartitions.minPartitionSize floor (16 KB)
+      // was A/B-measured same-session over 10 representative ids — wash
+      // to WORSE (q_basket_affinity +0.33 s, q_bpe_encode +0.44 s, heavy
+      // pair ids ±0.03 s): the serialized stages that motivated it turn
+      // out to be broadcast-exchange builds and 1-partition checkpoints,
+      // which the floor cannot split. Stock AQE behavior kept.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

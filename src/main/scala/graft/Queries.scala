@@ -952,9 +952,16 @@ object Queries {
       lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
       lit(".7 call +1 555 01"), (col("doc_id") % 100).cast("string"))
     val (nEmails, nIps, nPhones) = Text.piiCounts(aug)
-    Tables.documents(s, d)
+    // fanOut + pin (r17): the 7-regex chain is the cost; unpinned it ran
+    // TWICE (the contract sort's range-sampling pass re-executes the
+    // project) and serially (byte-small scan → one partition). Spreading
+    // the scan and materializing the redacted relation runs the regexes
+    // exactly once, in parallel; the sort then samples cached rows.
+    operators.Dedup.fanOut(Tables.documents(s, d)
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), Text.redactPii(aug).as("red_text"),
         nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"))
+      .localCheckpoint(eager = true)
       .orderBy("doc_id")
   }
 
@@ -1825,7 +1832,8 @@ object Queries {
     // with AQE off), so the aggregated (doc, term, tf) relation
     // materializes once instead of re-running the corpus explode per
     // consumer
-    val tf = docs
+    val tf = operators.Dedup.fanOut( // r17: spread the CPU-bound explode
+        docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -1922,8 +1930,12 @@ object Queries {
     // gracefully to the direct plan's cost, and the key expansion is
     // OUTPUT-sized either way. Measured at sf0.1: 11.4 s direct →
     // sub-second dictionary (8M pair scores → ~10k name-pair scores).
-    val p = Tables.part(s, d)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    // fanOut (r17): the byte-small part scan plans into ONE partition,
+    // which serialized the whole id-expansion probe below; spreading by
+    // key first parallelizes it (no-op at cluster scale)
+    val p = operators.Dedup.fanOut(
+        Tables.part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand")),
+        col("p_partkey"))
       .localCheckpoint(eager = true) // one scan feeds dictionary + both expansions
     val names = p.select(col("p_brand"), col("p_name")).distinct()
     val scored = names.select(col("p_brand"), col("p_name").as("__n_a"))
@@ -1932,11 +1944,18 @@ object Queries {
       .withColumn("jw",
         round(functions.StringFns.jaroWinkler(col("__n_a"), col("__n_b")), 6))
       .filter(col("jw") > 0.8) // equal names stay: jw = 1.0
+      // PIN the dictionary (r17, guide §1.2 per-task work): without the
+      // materialization the optimizer reshapes the expansion joins and
+      // re-inlines the jw scoring at ID level (measured 10.2 CPU-s vs
+      // 0.5 s for the name-level dictionary — ~100× the evals); the
+      // checkpointed relation is the name-pair dictionary, broadcast-
+      // sized by construction. q_jaro_match 2.5→1.3 s at sf0.1.
+      .localCheckpoint(eager = true)
     val pa = p.select(col("p_brand"), col("p_partkey").as("id_a"),
       col("p_name").as("__n_a"))
     val pb = p.select(col("p_brand"), col("p_partkey").as("id_b"),
       col("p_name").as("__n_b"))
-    pa.join(scored, Seq("p_brand", "__n_a"))
+    pa.join(broadcast(scored), Seq("p_brand", "__n_a"))
       .join(pb, Seq("p_brand", "__n_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "jw")
@@ -5895,7 +5914,9 @@ object Queries {
     * #sources²-sized, built from the broadcast size dim so zero-overlap
     * pairs still appear. */
   val q_overlap_matrix: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
+    val sh = Dedup.fanOut( // r17: spread the CPU-bound shingle+md5 chain
+        Tables.documents(s, d).select(col("source"), col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("source"),
         explode(Dedup.shingleSet(5)(Text.tokens(col("text")))).as("sh_str"))
       .select(col("source"), Dedup.portableHash64(col("sh_str")).as("h"))

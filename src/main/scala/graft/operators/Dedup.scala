@@ -31,6 +31,8 @@ object Dedup {
     * a provable no-op. The exchange moves only the raw bytes once,
     * BEFORE the explode multiplies rows (guide §3.3). */
   private[graft] def fanOut(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // micro-batch partitioning is the source's
+    if (sys.props.get("graft.fanout.off").contains("true")) return df // dev A/B
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, key)
@@ -181,7 +183,9 @@ object Dedup {
                         shingleN: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val mh = minhashBanded(shingleN, numHashes, bands)
-    docs
+    // fanOut (r17): the fused shingle→minhash UDF is the CPU cost of the
+    // signature pass; spread a byte-small under-partitioned scan first
+    fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), mh(Text.tokens(col(textCol))).as("mh"))
       .select(col(idCol), col("mh._1").as("sig"), col("mh._2").as("buckets"))
   }
@@ -479,7 +483,10 @@ object Dedup {
   def winnowSelection(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs
+    // fanOut (r17): the positional gram explode + md5 hash chain is
+    // CPU-bound; spread a byte-small under-partitioned scan first (the
+    // id-hash partitioning also pre-satisfies the per-doc windows below)
+    val keyed = fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("id"),
         posexplode(shingleList(5)(Text.tokens(col(textCol)))))
       .select(col("id"), col("pos").cast("long").as("pos"),
@@ -2214,6 +2221,8 @@ object Dedup {
     * start positions with their 8-byte window-text hashes. */
   private def positionalWindows(docs: DataFrame, idCol: String,
                                 textCol: String, windowLen: Int): DataFrame =
+    // r17 note: a fanOut here A/B-measured as a wash (xxhash64 windows
+    // are cheap; the span family's cost is its per-doc window functions)
     docs.select(col(idCol).as("id"),
         posexplode(shingleList(windowLen)(Text.tokens(col(textCol))))
           .as(Seq("pos0", "sh_str")))

@@ -22,8 +22,26 @@ object Tables {
       case "events"   => events(spark, sfDir)
       case "orders"   => guardNanos(spark, sfDir, "orders", "o_orderdate")
       case "lineitem" => guardNanos(spark, sfDir, "lineitem", "l_shipdate")
-      case other      => spark.read.parquet(s"$sfDir/$other.parquet")
+      case other      => readCachedSchema(spark, s"$sfDir/$other.parquet")
     }
+
+  /** Parquet-footer schema cache (r17, guide §6): without an explicit
+    * schema every `spark.read.parquet` runs a footer-inference JOB —
+    * ~20-25 ms of pure scheduling per table load, paid again on every
+    * query over the same immutable file. Cache the INFERRED SCHEMA (a
+    * StructType — metadata only, never rows; the scan itself still reads
+    * the file on every action) per absolute path, exactly the role a
+    * catalog/manifest (Hive metastore, Iceberg) plays at cluster scale.
+    * Callers that need a session conf in force for inference (nanosAsLong)
+    * set it BEFORE calling, so the cached schema is identical to what
+    * that same call path would infer cold. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def readCachedSchema(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Generation-proofing for the other timestamped tables: a future
     * testdata generation that ships orders/lineitem timestamps as
@@ -40,7 +58,7 @@ object Tables {
   private def guardNanos(spark: SparkSession, sfDir: String, name: String,
                          tsCol: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = readCachedSchema(spark, s"$sfDir/$name.parquet")
     raw.schema(tsCol).dataType match {
       case LongType =>
         raw.withColumn(tsCol, timestamp_micros(epochToMicros(tsCol)))
@@ -110,7 +128,7 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = readCachedSchema(spark, s"$sfDir/events.parquet")
     val ts = raw.schema("ts").dataType match {
       case LongType            => timestamp_micros(epochToMicros("ts"))
       case _: TimestampNTZType => col("ts").cast(TimestampType)

@@ -94,20 +94,53 @@ object OptProf {
                 'quantity', round(l_quantity, 2)) AS (measure, val)""")))
         }
       case "jaro" =>
-        val p0 = Tables.part(spark, sfDir)
+        // each sample rebuilds its own checkpoint (sweep() drops blocks)
+        def pCkpt() = Tables.part(spark, sfDir)
           .select(col("p_partkey"), col("p_name"), col("p_brand"))
-        val p = time("part ckpt")(p0.localCheckpoint(eager = true))
-        val names = p.select(col("p_brand"), col("p_name")).distinct()
-        println("  distinct names = " + time("names distinct count")(names.count()))
-        val scored = names.select(col("p_brand"), col("p_name").as("__n_a"))
-          .join(names.select(col("p_brand"), col("p_name").as("__n_b")),
-            Seq("p_brand"))
-          .withColumn("jw", round(graft.functions.StringFns.jaroWinkler(
-            col("__n_a"), col("__n_b")), 6))
-          .filter(col("jw") > 0.8)
-        timeMin("scored (names^2 jw) noop")(noop(scored))
+          .localCheckpoint(eager = true)
+        def namesOf(p: DataFrame) =
+          p.select(col("p_brand"), col("p_name")).distinct()
+        def scoredOf(names: DataFrame) =
+          names.select(col("p_brand"), col("p_name").as("__n_a"))
+            .join(names.select(col("p_brand"), col("p_name").as("__n_b")),
+              Seq("p_brand"))
+            .withColumn("jw", round(graft.functions.StringFns.jaroWinkler(
+              col("__n_a"), col("__n_b")), 6))
+            .filter(col("jw") > 0.8)
+        println("  distinct names = " + namesOf(pCkpt()).count())
+        println("  scored rows = " + scoredOf(namesOf(pCkpt())).count())
+        timeMin("ckpt+names+scored noop")(noop(scoredOf(namesOf(pCkpt()))))
+        timeMin("scored unrounded-gate noop") {
+          val names = namesOf(pCkpt())
+          noop(names.select(col("p_brand"), col("p_name").as("__n_a"))
+            .join(names.select(col("p_brand"), col("p_name").as("__n_b")),
+              Seq("p_brand"))
+            .withColumn("jw0", graft.functions.StringFns.jaroWinkler(
+              col("__n_a"), col("__n_b")))
+            .filter(col("jw0") > 0.795)
+            .withColumn("jw", round(col("jw0"), 6))
+            .filter(col("jw") > 0.8))
+        }
         timeMin("q_jaro_match full")(noop(
           graft.Queries.q_jaro_match(spark, sfDir)))
+        // variant: fanOut probe side + materialized (pinned) dictionary
+        timeMin("jaro fanout+pinned-scored") {
+          val p = graft.operators.Dedup.fanOut(
+              Tables.part(spark, sfDir)
+                .select(col("p_partkey"), col("p_name"), col("p_brand")),
+              col("p_partkey"))
+            .localCheckpoint(eager = true)
+          val scored = scoredOf(namesOf(p)).localCheckpoint(eager = true)
+          val pa = p.select(col("p_brand"), col("p_partkey").as("id_a"),
+            col("p_name").as("__n_a"))
+          val pb = p.select(col("p_brand"), col("p_partkey").as("id_b"),
+            col("p_name").as("__n_b"))
+          noop(pa.join(broadcast(scored), Seq("p_brand", "__n_a"))
+            .join(broadcast(pb), Seq("p_brand", "__n_b"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b", "jw")
+            .orderBy("id_a", "id_b"))
+        }
       case "basket" =>
         timeMin("q_basket_affinity current")(noop(
           graft.Queries.q_basket_affinity(spark, sfDir)))
@@ -139,6 +172,84 @@ object OptProf {
               round(col("n_both").cast("double") * col("n_orders") /
                 (col("n_pk_a") * col("n_pk_b")), 6).as("lift"))
             .orderBy(desc("lift"), col("part_a"), col("part_b")))
+        }
+      case "jobs" =>
+        // per-job wall breakdown of one query: warm it twice, then run a
+        // third time with a listener that records each job's duration and
+        // its first stage's name
+        import org.apache.spark.scheduler._
+        args.drop(1).foreach { id =>
+          val fn = graft.Queries.all.toMap.apply(id)
+          noop(fn(spark, sfDir)); sweep(); noop(fn(spark, sfDir)); sweep()
+          val jobs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+          val starts = scala.collection.mutable.Map.empty[Int, (Long, String)]
+          val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+          val listener = new SparkListener {
+            override def onJobStart(j: SparkListenerJobStart): Unit =
+              starts(j.jobId) = (System.nanoTime(),
+                j.stageInfos.headOption.map(_.name).getOrElse("?"))
+            override def onJobEnd(j: SparkListenerJobEnd): Unit =
+              starts.get(j.jobId).foreach { case (t0, n) =>
+                jobs += ((j.jobId, System.nanoTime() - t0, n)) }
+            override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+              val si = s.stageInfo
+              val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+                yield (a - b) / 1000.0).getOrElse(-1.0)
+              val run = si.taskMetrics.executorRunTime / 1000.0
+              stages += f"stage ${si.stageId}%3d wall $wall%7.3f s run $run%7.3f s tasks ${si.numTasks}%3d  ${si.name.take(70)}"
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          noop(fn(spark, sfDir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // let the listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          println(f"[optprof] $id total $wall%.3f s, ${jobs.size} jobs:")
+          jobs.sortBy(_._1).foreach { case (jid, ns, n) =>
+            println(f"[optprof]   job $jid%3d ${ns / 1e9}%7.3f s  ${n.take(90)}")
+          }
+          stages.foreach(s => println(s"[optprof]   $s"))
+          sweep()
+        }
+      case "abconf" =>
+        // interleaved same-session A/B of a runtime SQL conf:
+        //   OptProf abconf <confKey> <valA> <valB> <id> [<id>...]
+        // 4 alternating samples per config per id; min per config.
+        val Array(key, va, vb) = args.slice(1, 4)
+        args.drop(4).foreach { id =>
+          val fn = graft.Queries.all.toMap.apply(id)
+          noop(fn(spark, sfDir)); sweep() // warm codegen once
+          val times = scala.collection.mutable.Map(va -> List.empty[Double],
+            vb -> List.empty[Double])
+          for (_ <- 1 to 4; v <- Seq(va, vb)) {
+            spark.conf.set(key, v)
+            val t0 = System.nanoTime()
+            noop(fn(spark, sfDir))
+            times(v) = ((System.nanoTime() - t0) / 1e9) :: times(v)
+            sweep()
+          }
+          spark.conf.unset(key)
+          println(f"[optprof] $id%-28s A=$va min ${times(va).min}%7.3f  B=$vb min ${times(vb).min}%7.3f")
+        }
+      case "abfan" =>
+        // interleaved same-session A/B of the fanOut toggle: 5 alternating
+        // samples per arm per id; min per arm
+        args.drop(1).foreach { id =>
+          val fn = graft.Queries.all.toMap.apply(id)
+          noop(fn(spark, sfDir)); sweep()
+          val t = scala.collection.mutable.Map("on" -> List.empty[Double],
+            "off" -> List.empty[Double])
+          for (_ <- 1 to 5; arm <- Seq("on", "off")) {
+            if (arm == "off") sys.props("graft.fanout.off") = "true"
+            else sys.props.remove("graft.fanout.off")
+            val t0 = System.nanoTime()
+            noop(fn(spark, sfDir))
+            t(arm) = ((System.nanoTime() - t0) / 1e9) :: t(arm)
+            sweep()
+          }
+          sys.props.remove("graft.fanout.off")
+          println(f"[optprof] $id%-28s fanOut-ON min ${t("on").min}%7.3f  OFF min ${t("off").min}%7.3f")
         }
       case "ids" =>
         // noop-timed run of specific ids passed after the mode
