@@ -4235,6 +4235,9 @@ object Queries {
   // private[graft]: PlanAuditSpec pins the UN-checkpointed plan's join
   // strategy (the eager localCheckpoint in callers hides it from Explain)
   private[graft] def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
+    // r17 note: a fanOut on the lineitem probe side A/B-measured WORSE on
+    // all five sampled graph ids (+0.1-0.15 s — the 3-dim broadcast probe
+    // is cheaper than the spreading exchange); kept on the direct scan
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
