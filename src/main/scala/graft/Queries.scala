@@ -2701,7 +2701,14 @@ object Queries {
     val w = q_dsir_hashed(s, d) // (doc_id, n_tokens, weight_pico)
     val cum = operators.Analytics.globalRunningSum(
       w, Seq(col("weight_pico").desc, col("doc_id")), "n_tokens", "cum")
-    val budget = w.agg(expr("sum(n_tokens) div 2").as("budget"))
+    // budget = half the corpus's total tokens. The prefix sum's LAST
+    // value over the total order IS sum(n_tokens), so max(cum) div 2 ==
+    // sum(n_tokens) div 2 exactly (both null on an empty corpus, where
+    // the filter below is empty either way) — and it reads the pinned
+    // `cum` relation instead of re-running the whole dsir lm-join chain
+    // a second time (r17: `budget` was an independent action over the
+    // un-pinned q_dsir_hashed lineage)
+    val budget = cum.agg(expr("max(cum) div 2").as("budget"))
     cum.crossJoin(broadcast(budget))
       .filter(col("cum") <= col("budget"))
       .select(col("doc_id"), col("weight_pico"),

@@ -555,7 +555,11 @@ object Text {
     * applies (no dir — the cold-start contract of every seeder). */
   def writeVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
                  k: Int, dir: String): Unit = {
-    val v = vocabTopK(docs, textCol, k)
+    // pin the ≤ k result rows before the empty-guard: an unpinned
+    // `v.isEmpty` runs the FULL corpus vocabulary fold once and the
+    // write below runs it again (r17 — measured double fold in
+    // q_oov_artifact; guide §1.4's double-eval trap, action form)
+    val v = vocabTopK(docs, textCol, k).localCheckpoint(eager = true)
     if (v.isEmpty) {
       graft.sources.IO.deleteDir(docs.sparkSession, dir); return
     }

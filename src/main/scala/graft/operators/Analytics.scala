@@ -73,6 +73,13 @@ object Analytics {
     }
     spark.createDataFrame(numbered, outSchema)
   }
+  // r17 note: an eager localCheckpoint of the createDataFrame results in
+  // this family (paying the RDD-scan's measured ~0.2-0.33 s/task
+  // converter cost once instead of per consumer) was same-session
+  // A/B-measured over 8 caller ids: WORSE on all 8 (q_rfm 2.33→2.68,
+  // q_sequence_pack 0.61→0.70 — the extra materialization job costs
+  // more wall than the repeated scans, whose CPU soaks into idle cores).
+  // Kept un-pinned deliberately.
 
   /** Scale-safe GLOBAL running sum: `sum(v) OVER (ORDER BY … ROWS
     * UNBOUNDED PRECEDING)` without the single-partition window — the

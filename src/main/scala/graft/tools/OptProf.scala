@@ -232,6 +232,27 @@ object OptProf {
           spark.conf.unset(key)
           println(f"[optprof] $id%-28s A=$va min ${times(va).min}%7.3f  B=$vb min ${times(vb).min}%7.3f")
         }
+      case "abprop" =>
+        // interleaved same-session A/B of ANY boolean sys-prop kill
+        // switch (the abfan pattern, generalized): 5 alternating samples
+        // per arm per id; min per arm. Usage: abprop <prop> <id> [...]
+        val prop = args(1)
+        args.drop(2).foreach { id =>
+          val fn = graft.Queries.all.toMap.apply(id)
+          noop(fn(spark, sfDir)); sweep()
+          val t = scala.collection.mutable.Map("on" -> List.empty[Double],
+            "off" -> List.empty[Double])
+          for (_ <- 1 to 5; arm <- Seq("on", "off")) {
+            if (arm == "off") sys.props(prop) = "true"
+            else sys.props.remove(prop)
+            val t0 = System.nanoTime()
+            noop(fn(spark, sfDir))
+            t(arm) = ((System.nanoTime() - t0) / 1e9) :: t(arm)
+            sweep()
+          }
+          sys.props.remove(prop)
+          println(f"[optprof] $id%-28s $prop unset min ${t("on").min}%7.3f  set(off) min ${t("off").min}%7.3f")
+        }
       case "abfan" =>
         // interleaved same-session A/B of the fanOut toggle: 5 alternating
         // samples per arm per id; min per arm
@@ -251,6 +272,77 @@ object OptProf {
           sys.props.remove("graft.fanout.off")
           println(f"[optprof] $id%-28s fanOut-ON min ${t("on").min}%7.3f  OFF min ${t("off").min}%7.3f")
         }
+      case "grank" =>
+        // A/B the globalRowNumber machinery for the q_rfm chain: the
+        // profile shows ~0.2-0.33 s CONSTANT per task in every stage that
+        // scans a createDataFrame(RDD[Row]) output (three such stages in
+        // q_rfm at 5-10 CPU-s each) — candidate replacements: (B) eager
+        // localCheckpoint of the numbered relation (pays the RDD-scan
+        // once), (C) a pure-codegen monotonically_increasing_id offset
+        // rank (no RDD hop at all).
+        import graft.Queries
+        def rfmBase() = {
+          val o = Tables.orders(spark, sfDir)
+          val ref = o.agg(max(col("o_orderdate")).as("ref_date"))
+          o.groupBy("o_custkey")
+            .agg(max(col("o_orderdate")).as("last_order"),
+              count(lit(1)).as("frequency"),
+              round(sum(col("o_totalprice")), 2).as("monetary"))
+            .crossJoin(broadcast(ref))
+            .select(col("o_custkey"),
+              datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
+              col("frequency"), col("monetary"))
+            .localCheckpoint(true)
+        }
+        def midRank(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                    rankCol: String): DataFrame = {
+          val nPart = math.max(1, spark.sparkContext.defaultParallelism)
+          val sorted = df.repartitionByRange(nPart, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+            .localCheckpoint(eager = true)
+          val counts = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+            Iterator(pid -> n)
+          }.collect().toMap
+          var acc = 0L
+          val offsets = (0 until nPart).map { p =>
+            val o = acc; acc += counts.getOrElse(p, 0L); o
+          }.toArray
+          sorted.withColumn("__mid", monotonically_increasing_id())
+            .withColumn(rankCol,
+              element_at(typedLit(offsets),
+                (shiftright(col("__mid"), 33) + 1).cast("int")) +
+                col("__mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+            .drop("__mid")
+        }
+        def rfmWith(rank: (DataFrame, Seq[org.apache.spark.sql.Column], String) => DataFrame,
+                    ckptAfter: Boolean): DataFrame = {
+          val base = rfmBase()
+          val n = base.agg(count(lit(1)).as("n_total"))
+          def bucket(df: DataFrame, sort: Seq[org.apache.spark.sql.Column],
+                     rankCol: String, out: String) = {
+            val numbered0 = rank(df, sort, rankCol)
+            val numbered = if (ckptAfter) numbered0.localCheckpoint(true) else numbered0
+            numbered.crossJoin(broadcast(n))
+              .withColumn(out,
+                graft.operators.Analytics.ntileOfRank(col(rankCol), col("n_total"), 5))
+              .drop(rankCol, "n_total")
+          }
+          val r = bucket(base, Seq(col("recency_days"), col("o_custkey")), "r_rank", "r_bucket")
+          val f = bucket(r, Seq(desc("frequency"), col("o_custkey")), "f_rank", "f_bucket")
+          val m = bucket(f, Seq(desc("monetary"), col("o_custkey")), "m_rank", "m_bucket")
+          m.select("o_custkey", "recency_days", "frequency", "monetary",
+              "r_bucket", "f_bucket", "m_bucket")
+            .orderBy("o_custkey")
+        }
+        timeMin("rfm current")(noop(Queries.q_rfm(spark, sfDir)))
+        timeMin("rfm ckpt-after-rank")(noop(
+          rfmWith(graft.operators.Analytics.globalRowNumber(_, _, _), ckptAfter = true)))
+        timeMin("rfm mid-trick")(noop(rfmWith(midRank, ckptAfter = false)))
+        // parity: mid-trick output must equal the current implementation
+        val cur = Queries.q_rfm(spark, sfDir).collect().map(_.toSeq)
+        val mid = rfmWith(midRank, ckptAfter = false).collect().map(_.toSeq)
+        println(s"[optprof] parity rows cur=${cur.length} mid=${mid.length} equal=${cur.sameElements(mid)}")
       case "ids" =>
         // noop-timed run of specific ids passed after the mode
         args.drop(1).foreach { id =>
