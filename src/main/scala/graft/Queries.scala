@@ -1236,7 +1236,11 @@ object Queries {
     * non-overlapping count — the heuristic IS ANSI-expressible after
     * all; the maxBy tie-break becomes a >= chain in profile order. */
   val q_lang_id: Q = (s, d) =>
-    Tables.documents(s, d)
+    // r17: fanOut before the per-doc langId scoring (CPU-bound UDF on a
+    // one-partition scan; unique sort key)
+    operators.Dedup.fanOut(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), col("lang"),
         Text.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
@@ -3814,7 +3818,21 @@ object Queries {
     * them row-major and diverges (caught by the sf0.01 oracle re-run).
     * The melt must stay sort-after-explode. */
   val q_unpivot: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // r17: fanOut BEFORE the stack (2.54 → 1.01 s, 5-run min) — the
+    // single-row-group scan otherwise runs stack + the sort's sampling
+    // pass + the sort's map side all on ONE core. Tie-order safety
+    // (the sort keys are NOT total — ~20% dup (okey, lineno) pairs):
+    // fanOut hash-partitions on l_orderkey, so every tie group (equal
+    // okey) stays in ONE map partition in file order; the range
+    // partitioner sends equal keys to one reduce partition and the sort
+    // is stable, so ties still emit in file order — the same order the
+    // single-partition plan produced (oracle re-verified at sf0.001 and
+    // sf0.01 post-change).
+    operators.Dedup.fanOut(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount")),
+        col("l_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""stack(3,
           'quantity', round(l_quantity, 2),

@@ -79,6 +79,43 @@ object OptProf {
       case "unpivot" =>
         timeMin("q_unpivot current")(noop(
           graft.Queries.q_unpivot(spark, sfDir)))
+        // variant: pin the stacked relation before the contract sort —
+        // the sort's range-sampling pass otherwise re-runs scan+stack
+        timeMin("q_unpivot ckpt-before-sort") {
+          noop(Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              expr("""stack(3,
+                'quantity', round(l_quantity, 2),
+                'extendedprice', round(l_extendedprice, 2),
+                'discount', round(l_discount, 4)) AS (measure, val)"""))
+            .localCheckpoint(eager = true)
+            .orderBy("l_orderkey", "l_linenumber", "measure"))
+        }
+        // variant: fanOut the scan first so stack + checkpoint + the
+        // sort's map side all run on 32 partitions instead of 1
+        timeMin("q_unpivot fanout+ckpt") {
+          noop(Dedup.fanOut(Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount")), col("l_orderkey"))
+            .select(col("l_orderkey"), col("l_linenumber"),
+              expr("""stack(3,
+                'quantity', round(l_quantity, 2),
+                'extendedprice', round(l_extendedprice, 2),
+                'discount', round(l_discount, 4)) AS (measure, val)"""))
+            .localCheckpoint(eager = true)
+            .orderBy("l_orderkey", "l_linenumber", "measure"))
+        }
+        timeMin("q_unpivot fanout-nockpt") {
+          noop(Dedup.fanOut(Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount")), col("l_orderkey"))
+            .select(col("l_orderkey"), col("l_linenumber"),
+              expr("""stack(3,
+                'quantity', round(l_quantity, 2),
+                'extendedprice', round(l_extendedprice, 2),
+                'discount', round(l_discount, 4)) AS (measure, val)"""))
+            .orderBy("l_orderkey", "l_linenumber", "measure"))
+        }
         // variant: global sort on the NARROW input, then stack in
         // alphabetical measure order — same rows, same global order,
         // sort carries 1/3 of the rows (guide §2.3 shuffle fewer bytes)
