@@ -2084,6 +2084,11 @@ object Queries {
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
         count_distinct(col(c)).as(s"${c}_nd"))
     } :+ count(lit(1)).as("n_rows")
+    // r17 note: a fanOut before this multi-distinct aggregate (the
+    // 7-way Expand otherwise partial-aggregates on the one-partition
+    // scan) A/B-measured WORSE (ON 2.88 / OFF 1.90 same-session min) —
+    // the exchange plus the lost map-side dedup locality outweigh the
+    // parallel expand. Kept on the direct scan.
     Tables.orders(s, d)
       .agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c =>
