@@ -2939,13 +2939,17 @@ object Queries {
       // materialization of the customer-sized triple instead of two
       // orders scans
       .localCheckpoint(true)
-    val n = base.agg(count(lit(1)).as("n_total"))
+    // r18: the customer count is a SCALAR off the pinned base — fold it
+    // on the driver once (one map-only job over the checkpoint) instead
+    // of crossJoin(broadcast(agg)) in each of the three bucket plans,
+    // which re-built the same one-row broadcast exchange three times
+    // (guide §2.4: remove work the plan repeats per consumer)
+    val nTotal = lit(base.count())
     def bucket(df: DataFrame, sort: Seq[Column], rankCol: String, out: String) =
       operators.Analytics.globalRowNumber(df, sort, rankCol)
-        .crossJoin(broadcast(n))
         .withColumn(out,
-          operators.Analytics.ntileOfRank(col(rankCol), col("n_total"), 5))
-        .drop(rankCol, "n_total")
+          operators.Analytics.ntileOfRank(col(rankCol), nTotal, 5))
+        .drop(rankCol)
     val r = bucket(base, Seq(col("recency_days"), col("o_custkey")),
       "r_rank", "r_bucket")
     val f = bucket(r, Seq(desc("frequency"), col("o_custkey")),
@@ -3681,13 +3685,14 @@ object Queries {
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
     val ranked = operators.Analytics.globalRowNumber(
       o, Seq(col("o_totalprice"), col("o_orderkey")), "rnk")
-    // count from the ranked relation: globalRowNumber already
-    // checkpointed it, so this is a fold over the checkpoint, not a
-    // second orders scan
-    val n = ranked.agg(count(lit(1)).as("n_rows"))
-    ranked.crossJoin(broadcast(n))
+    // r18: count from the ranked relation (globalRowNumber already
+    // checkpointed it — a fold over the checkpoint, not a second orders
+    // scan), folded to a driver SCALAR: one map-only job replaces the
+    // one-row broadcast exchange + crossJoin the old plan rebuilt
+    val nRows = lit(ranked.count())
+    ranked
       .select(col("o_orderkey"), col("o_totalprice"),
-        round((col("rnk") - 1).cast("double") / (col("n_rows") - 1), 6)
+        round((col("rnk") - 1).cast("double") / (nRows - 1), 6)
           .as("pct_rank"))
       .orderBy("o_orderkey")
   }

@@ -54,24 +54,49 @@ object Analytics {
     // the already-checkpointed partitions (one count per partition, ≤
     // nPart rows collected). The previous groupBy(spark_partition_id())
     // form paid a two-stage exchange per call — pure scheduling overhead
-    // on an iterative-cadence operator.
-    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // on an iterative-cadence operator. toRdd iterates the checkpoint's
+    // InternalRows directly — no per-row external-Row conversion.
+    val counts = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       var n = 0L; while (it.hasNext) { it.next(); n += 1 }
       Iterator(pid -> n)
     }.collect().toMap // bounded: one small row per partition (<= nPart)
-    val offsets: Map[Int, Long] = {
+    val offsets: Array[Long] = {
       var acc = 0L
-      (0 until nPart).map { p =>
-        val o = p -> acc; acc += counts.getOrElse(p, 0L); o
-      }.toMap
+      Array.tabulate(nPart) { p =>
+        val o = acc; acc += counts.getOrElse(p, 0L); o
+      }
     }
-    val outSchema = StructType(df.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val numbered = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var r = offsets(pid)
-      it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+    if (sys.props.contains("graft.grank.legacy")) {
+      // r17 RDD-hop path, kept as the A/B arm: every consumer of the
+      // numbered relation pays the InternalRow→Row→InternalRow converter
+      // chain per action (the measured ~0.2-0.33 s/task constant)
+      val outSchema = StructType(df.schema.fields :+
+        StructField(rankCol, LongType, nullable = false))
+      val numbered = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var r = offsets(pid)
+        it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
+      }
+      spark.createDataFrame(numbered, outSchema)
+    } else {
+      // r18 codegen path (guide §1.2 step 2 — per-task work): stay in
+      // Tungsten. monotonically_increasing_id over the CHECKPOINTED
+      // partitions is (pid << 33) + row-index-within-partition in stored
+      // (= sorted) order, so rank = offsets(pid) + index + 1 — a pure
+      // codegen projection, no RDD hop, no converter chain. Valid only
+      // because `sorted` is pinned: the expression sits narrow on the
+      // checkpoint scan, so partition ids and iteration order are those
+      // of the materialized blocks on every re-evaluation.
+      val mid = col("__grank_mid")
+      sorted.withColumn("__grank_mid", monotonically_increasing_id())
+        .withColumn(rankCol,
+          // coalesce pins nullable=false, matching the legacy schema;
+          // the index pid+1 is in [1, nPart] by construction
+          coalesce(
+            element_at(typedLit(offsets), (shiftright(mid, 33) + 1).cast("int")) +
+              mid.bitwiseAND(lit((1L << 33) - 1)) + lit(1L),
+            lit(0L)))
+        .drop("__grank_mid")
     }
-    spark.createDataFrame(numbered, outSchema)
   }
   // r17 note: an eager localCheckpoint of the createDataFrame results in
   // this family (paying the RDD-scan's measured ~0.2-0.33 s/task
@@ -106,14 +131,21 @@ object Analytics {
     val sorted = df.repartitionByRange(nPart, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .localCheckpoint(eager = true)
-    val sums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // totals pass over InternalRows (toRdd): the checkpoint's unsafe rows
+    // are read in place — no external-Row converter for this full scan
+    val sums = sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val s = new Array[Long](k)
       while (it.hasNext) {
         val row = it.next()
         var i = 0
         // null-guarded here (the first pass over every row); the offset
         // pass below re-reads the identical checkpointed partitions
-        while (i < k) { s(i) += getLongChecked(row, vIdx(i)); i += 1 }
+        while (i < k) {
+          if (row.isNullAt(vIdx(i)))
+            throw new IllegalArgumentException(
+              s"running-sum column at field ${vIdx(i)} is NULL — coalesce nulls before the prefix pass")
+          s(i) += row.getLong(vIdx(i)); i += 1
+        }
       }
       Iterator(pid -> s)
     }.collect().toMap // bounded: one small row per partition (<= nPart)

@@ -806,10 +806,12 @@ object Similarity {
     oversized.toSeq
   }
 
-  /** Load the centroid matrix of a persisted index — k small rows. */
+  /** Load the centroid matrix of a persisted index — k small rows.
+    * Schema-cached read (r18): the footer-inference job is paid once
+    * per path per JVM, not once per query step. */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): Array[Array[Float]] =
-    spark.read.parquet(s"$indexDir/centroids")
+    graft.sources.IO.readArtifact(spark, s"$indexDir/centroids")
       .select("centroid_id", "centroid").orderBy("centroid_id")
       .collect().map(_.getSeq[Float](1).toArray) // bounded: k centroid rows
 
@@ -820,7 +822,7 @@ object Similarity {
                    query: Array[Float], centroids: Array[Array[Float]],
                    nprobe: Int): DataFrame = {
     val probes = nearestLists(query, centroids, nprobe)
-    spark.read.parquet(s"$indexDir/vectors")
+    graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .filter(col("ivf_list").isin(probes: _*))
   }
 
@@ -843,7 +845,7 @@ object Similarity {
                              indexDir: String, idCol: String, vecCol: String,
                              query: Array[Float], k: Int,
                              probes: Seq[Int]): DataFrame = {
-    val cands = spark.read.parquet(s"$indexDir/vectors")
+    val cands = graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .filter(col("ivf_list").isin(probes: _*))
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))
     rankTopK(cands.orderBy(desc("sim"), col(idCol)).limit(k), idCol)
@@ -1232,10 +1234,11 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
   }
 
-  /** Load persisted PQ codebooks — m·kSub small rows. */
+  /** Load persisted PQ codebooks — m·kSub small rows. Schema-cached
+    * read (r18), same contract as [[ivfReadCentroids]]. */
   def pqReadCodebooks(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(s"$indexDir/codebooks")
+    val rows = graft.sources.IO.readArtifact(spark, s"$indexDir/codebooks")
       .select("subspace", "code", "sub_centroid")
       .collect() // bounded: m*kSub codebook rows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
@@ -1288,11 +1291,19 @@ object Similarity {
     * Idempotent: pure function of vectors/ + centroids/ + codebooks/. */
   def ivfPqRefreshLists(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, idCol: String, vecCol: String,
-                        lists: Seq[Int]): Unit = {
+                        lists: Seq[Int],
+                        // r18: a caller that just WROTE the artifacts
+                        // (ivfPqWriteIndex) or already read them passes
+                        // the in-memory values — byte-identical to the
+                        // persisted ones — instead of paying two more
+                        // read+collect jobs per refresh
+                        centroidsKnown: Option[Array[Array[Float]]] = None,
+                        codebooksKnown: Option[Array[Array[Array[Float]]]] = None)
+      : Unit = {
     if (lists.isEmpty) return
-    val centroids = ivfReadCentroids(spark, indexDir)
-    val codebooks = pqReadCodebooks(spark, indexDir)
-    val vecs = spark.read.parquet(s"$indexDir/vectors")
+    val centroids = centroidsKnown.getOrElse(ivfReadCentroids(spark, indexDir))
+    val codebooks = codebooksKnown.getOrElse(pqReadCodebooks(spark, indexDir))
+    val vecs = graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .filter(col("ivf_list").isin(lists: _*))
     val encoded = ivfPqEncodeResiduals(vecs, idCol, vecCol, centroids,
       codebooks)
@@ -1338,8 +1349,10 @@ object Similarity {
     val codebooks = pqTrain(resid, "__resid", dim, m, kSub, sampleSize,
       iters, seed)
     pqWriteCodebooks(spark, codebooks, indexDir)
+    // pass the just-written artifacts in memory (float parquet
+    // round-trips are exact, so these ARE the persisted values)
     ivfPqRefreshLists(spark, indexDir, idCol, vecCol,
-      centroids.indices.toSeq)
+      centroids.indices.toSeq, Some(centroids), Some(codebooks))
   }
 
   /** Steady-state append to a fused index: the plain-IVF vector append
@@ -1353,7 +1366,8 @@ object Similarity {
       .select("ivf_list").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= k list ids
     ivfAppendVectors(newVecs, idCol, vecCol, indexDir)
-    ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched)
+    ivfPqRefreshLists(spark, indexDir, idCol, vecCol, touched,
+      Some(centroids))
   }
 
   /** Takedown on a fused index: the plain-IVF delete (touched lists
@@ -1403,7 +1417,22 @@ object Similarity {
                       nprobe: Int): DataFrame = {
     val centroids = ivfReadCentroids(spark, indexDir)
     val codebooks = pqReadCodebooks(spark, indexDir)
-    val probes = nearestLists(query, centroids, nprobe)
+    ivfPqCandidatesOn(spark, indexDir, idCol, query, refineK,
+      nearestLists(query, centroids, nprobe), centroids, codebooks)
+  }
+
+  /** [[ivfPqCandidates]] with the centroid/codebook artifacts already
+    * loaded — the shared core that lets [[ivfPqTopK]] pay ONE read of
+    * each small artifact per query instead of one per step (r18,
+    * guide §6: the repeated-artifact-read churn was ~6 parquet
+    * read+collect jobs per fused query). */
+  private def ivfPqCandidatesOn(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, idCol: String,
+                                query: Array[Float], refineK: Int,
+                                probes: Seq[Int],
+                                centroids: Array[Array[Float]],
+                                codebooks: Array[Array[Array[Float]]])
+      : DataFrame = {
     val m = codebooks.length
     val kSub = codebooks(0).length
     val sub = query.length / m
@@ -1458,7 +1487,7 @@ object Similarity {
       val denom = qNorm * math.sqrt(math.max(norm2, 0.0))
       if (denom == 0.0) 0.0 else dot / denom
     }
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = graft.sources.IO.readArtifact(spark, s"$indexDir/codes")
       .filter(col("ivf_list").isin(probes: _*))
       .select(col(idCol),
         score(col("pq_code"), col("ivf_list").cast("int")).as("sim"))
@@ -1495,12 +1524,16 @@ object Similarity {
                 idCol: String, vecCol: String, query: Array[Float],
                 k: Int, nprobe: Int = 4, refine: Int = 128): DataFrame = {
     require(k >= 1 && refine >= 1, s"need k >= 1, refine >= 1; got $k, $refine")
-    val candIds = ivfPqCandidates(spark, indexDir, idCol, query,
-      refine * k, nprobe).select(col(idCol))
-      .collect().map(_.getLong(0)) // bounded: refine*k candidate ids
+    // ONE read of each small artifact serves probe selection, the ADC
+    // tables AND the re-rank pruning (r18 — was 2× centroids + 1×
+    // codebooks re-read per query)
     val centroids = ivfReadCentroids(spark, indexDir)
+    val codebooks = pqReadCodebooks(spark, indexDir)
     val probes = nearestLists(query, centroids, nprobe)
-    val exact = spark.read.parquet(s"$indexDir/vectors")
+    val candIds = ivfPqCandidatesOn(spark, indexDir, idCol, query,
+      refine * k, probes, centroids, codebooks).select(col(idCol))
+      .collect().map(_.getLong(0)) // bounded: refine*k candidate ids
+    val exact = graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .filter(col("ivf_list").isin(probes: _*))       // partition-pruned
       .filter(col(idCol).isin(candIds.map(Long.box): _*)) // id pushdown
       .select(col(idCol), Vectors.cosineTo(col(vecCol), query).as("sim"))

@@ -19,6 +19,28 @@ object IO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet-footer schema cache for ENGINE-WRITTEN artifact dirs
+    * (r18, guide §6 — the [[graft.sources.Tables]] testdata cache,
+    * extended to index artifacts): without an explicit schema every
+    * `spark.read.parquet` runs a footer-inference JOB (~20-25 ms of
+    * scheduling locally; a listing + footer RPC round-trip per query on
+    * a cluster). The cached value is the inferred StructType — metadata
+    * only, never rows; the scan itself re-reads the files on every
+    * action, so rewritten artifact CONTENT is always observed fresh.
+    *
+    * Contract: a path's SCHEMA is stable for the JVM lifetime. Every
+    * artifact writer in this codebase overwrites a path with the
+    * identical schema (vectors/centroids/codebooks/codes layouts are
+    * fixed by their writers); a caller that rewrites one path with a
+    * DIFFERENT schema must not read it through here. */
+  private val artifactSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  def readArtifact(spark: SparkSession, path: String): DataFrame = {
+    val schema = artifactSchemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   /** CSV with declared schema (never infer at scale — schema inference
     * reads the data twice). */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
