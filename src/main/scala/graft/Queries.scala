@@ -2716,7 +2716,13 @@ object Queries {
     // the filter below is empty either way) — and it reads the pinned
     // `cum` relation instead of re-running the whole dsir lm-join chain
     // a second time (r17: `budget` was an independent action over the
-    // un-pinned q_dsir_hashed lineage)
+    // un-pinned q_dsir_hashed lineage).
+    // PRECONDITION (ADVICE r17): max(cum) == last(cum) == the total only
+    // because n_tokens is count(lit(1))-derived and therefore STRICTLY
+    // NON-NEGATIVE, making the running sum monotone. If the accumulated
+    // column ever becomes signed (e.g. weights), max(cum) silently
+    // exceeds the true total and over-selects — read the last value of
+    // the total order instead.
     val budget = cum.agg(expr("max(cum) div 2").as("budget"))
     cum.crossJoin(broadcast(budget))
       .filter(col("cum") <= col("budget"))
@@ -3831,14 +3837,17 @@ object Queries {
     // r17: fanOut BEFORE the stack (2.54 → 1.01 s, 5-run min) — the
     // single-row-group scan otherwise runs stack + the sort's sampling
     // pass + the sort's map side all on ONE core. Tie-order safety
-    // (the sort keys are NOT total — ~20% dup (okey, lineno) pairs):
-    // fanOut hash-partitions on l_orderkey, so every tie group (equal
-    // okey) stays in ONE map partition in file order; the range
-    // partitioner sends equal keys to one reduce partition and the sort
-    // is stable, so ties still emit in file order — the same order the
-    // single-partition plan produced (oracle re-verified at sf0.001 and
-    // sf0.01 post-change).
-    operators.Dedup.fanOut(
+    // (the sort keys are NOT total — ~20% dup (okey, lineno) pairs, and
+    // every dup pair differs in measure values, so tie order is
+    // hash-visible): the tie groups leave ONE map partition in file
+    // order, equal keys land in one range partition, and the sort is
+    // stable — ties emit in file order, the single-partition plan's
+    // order. r18 (ADVICE r17): the spread is now fanOutFromSingle —
+    // restricted to the exactly-one-partition input the argument covers;
+    // with 2+ input partitions a tie group could span map partitions and
+    // interleave nondeterministically, so the helper then does nothing
+    // (the bench layout is one row group, so the measured win is kept).
+    operators.Dedup.fanOutFromSingle(
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount")),

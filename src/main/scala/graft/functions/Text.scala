@@ -560,10 +560,14 @@ object Text {
     // write below runs it again (r17 — measured double fold in
     // q_oov_artifact; guide §1.4's double-eval trap, action form)
     val v = vocabTopK(docs, textCol, k).localCheckpoint(eager = true)
-    if (v.isEmpty) {
-      graft.sources.IO.deleteDir(docs.sparkSession, dir); return
-    }
-    v.coalesce(1).write.mode("overwrite").parquet(dir)
+    // unpersist when done (ADVICE r17): a long-lived session invoking
+    // this seeder repeatedly must not accumulate ≤k-row storage blocks
+    try {
+      if (v.isEmpty) {
+        graft.sources.IO.deleteDir(docs.sparkSession, dir); return
+      }
+      v.coalesce(1).write.mode("overwrite").parquet(dir)
+    } finally graft.operators.Checkpoints.drop(v)
   }
 
   /** Load a persisted vocabulary. ≤ k rows — broadcast-sized at any

@@ -38,6 +38,34 @@ object Dedup {
     else df.repartition(target, key)
   }
 
+  /** [[fanOut]] restricted to the exactly-one-NON-EMPTY-partition input
+    * case — for consumers whose downstream contract sort has NON-total
+    * keys and leans on tie rows emitting in file order (q_unpivot;
+    * ADVICE r17). The tie-order argument (every tie group leaves one map
+    * partition in stored order; equal keys land in one range partition;
+    * the sort is stable) only holds when all ROWS come from one
+    * partition. Planned-partition count is the wrong gate: a
+    * single-row-group parquet file byte-splits into ~bytes/split EMPTY
+    * partitions plus one holding every row, so the probe asks each split
+    * for its first row (one cheap map job, no full scan) and spreads
+    * only the provably-safe single-source layout. With ≥2 non-empty
+    * partitions the helper does nothing — there the baseline plan's tie
+    * order is already shuffle-fetch-dependent (inherent to a non-total
+    * contract sort over a multi-partition scan), and this helper must
+    * not lean on it further. */
+  private[graft] def fanOutFromSingle(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df
+    if (sys.props.get("graft.fanout.off").contains("true")) return df // dev A/B
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target <= 1) return df
+    val nonEmpty = df.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1L else 0L),
+        preservesPartitioning = true)
+      .sum().toLong // first-row probe per split; bounded collect
+    if (nonEmpty != 1L) df
+    else df.repartition(target, key)
+  }
+
   /** Exact dedup: keep the first row per key set, "first" = smallest
     * (orderCols) tuple. One hash shuffle on the keys. Same semantics as the
     * reference's per-key ValueState first-wins dedup, batch form. */
@@ -894,6 +922,10 @@ object Dedup {
     * the fp projections). */
   def writeFingerprintIndex(docs: DataFrame, textCol: String,
                             indexDir: String, buckets: Int = 64): Unit = {
+    // r18 note: a fanOut before this md5 chain was A/B-measured WORSE
+    // (q_dedup_incremental ON 1.63 / OFF 0.98): the isEmpty limit-1
+    // probe below cannot short-circuit through a repartition — it would
+    // pay the full exchange, and the write pays it again. Kept serial.
     val fps = docs.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
     // empty-seed guard (ADVICE r16): an empty corpus seeds "no index
     // yet" (a missing dir — the documented cold-start state), never a
@@ -1225,6 +1257,10 @@ object Dedup {
                         indexDir: String): DataFrame = {
     val spark = batch.sparkSession
     val idx = spark.read.parquet(indexDir).select("fp")
+    // r18 note: a fanOut before this md5 pass was A/B-measured WORSE
+    // (ON 1.80 / OFF 1.34 with the write-side fanOut already reverted):
+    // the __fp window shuffle right below already spreads the work, so
+    // the extra exchange only adds cost. Kept on the scan partitioning.
     val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
     withFp

@@ -273,9 +273,16 @@ object OptProf {
         // interleaved same-session A/B of ANY boolean sys-prop kill
         // switch (the abfan pattern, generalized): 5 alternating samples
         // per arm per id; min per arm. Usage: abprop <prop> <id> [...]
+        require(args.length >= 3,
+          "abprop needs <prop> <id> [<id>...]")
         val prop = args(1)
-        args.drop(2).foreach { id =>
-          val fn = graft.Queries.all.toMap.apply(id)
+        val abpropIds = args.drop(2).map { id =>
+          id -> graft.Queries.all.toMap.getOrElse(id,
+            sys.error(s"abprop: unknown query id $id"))
+        }
+        // try/finally (ADVICE r17): an exception mid-loop must not leave
+        // the kill switch set and poison same-session measurements
+        try abpropIds.foreach { case (id, fn) =>
           noop(fn(spark, sfDir)); sweep()
           val t = scala.collection.mutable.Map("on" -> List.empty[Double],
             "off" -> List.empty[Double])
@@ -287,9 +294,8 @@ object OptProf {
             t(arm) = ((System.nanoTime() - t0) / 1e9) :: t(arm)
             sweep()
           }
-          sys.props.remove(prop)
           println(f"[optprof] $id%-28s $prop unset min ${t("on").min}%7.3f  set(off) min ${t("off").min}%7.3f")
-        }
+        } finally sys.props.remove(prop)
       case "abfan" =>
         // interleaved same-session A/B of the fanOut toggle: 5 alternating
         // samples per arm per id; min per arm
@@ -380,6 +386,56 @@ object OptProf {
         val cur = Queries.q_rfm(spark, sfDir).collect().map(_.toSeq)
         val mid = rfmWith(midRank, ckptAfter = false).collect().map(_.toSeq)
         println(s"[optprof] parity rows cur=${cur.length} mid=${mid.length} equal=${cur.sameElements(mid)}")
+      case "graphlocal" =>
+        // r18 experiment: the nation trade graph is <= 625 edges at ANY
+        // SF (25 nations squared) — collect the edge build once
+        // (bounded) into a LocalRelation and run the same downstream
+        // operator over it, vs the current checkpoint-based callers
+        import org.apache.spark.sql.Row
+        import scala.jdk.CollectionConverters._
+        def edgesLocal(): DataFrame = {
+          val e = graft.Queries.nationTradeEdges(spark, sfDir)
+          val rows = e.collect().toSeq // bounded: <= 625 nation pairs
+          spark.createDataFrame(rows.asJava, e.schema)
+        }
+        timeMin("q_graph_degree current")(noop(
+          graft.Queries.q_graph_degree(spark, sfDir)))
+        timeMin("q_graph_degree local-edges") {
+          val e = edgesLocal()
+          val out = e.groupBy(col("src").as("nk_out"))
+            .agg(round(sum(col("wc")).cast("double") / lit(100.0), 2).as("out_w"),
+              sum(col("n_lines")).as("out_lines"))
+          val inn = e.groupBy(col("dst").as("nk_in"))
+            .agg(round(sum(col("wc")).cast("double") / lit(100.0), 2).as("in_w"),
+              sum(col("n_lines")).as("in_lines"))
+          noop(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+            .join(out, col("n_nationkey") === col("nk_out"), "left")
+            .join(inn, col("n_nationkey") === col("nk_in"), "left")
+            .select(col("n_name").as("nation"),
+              coalesce(col("out_w"), lit(0.0)).as("out_w"),
+              coalesce(col("out_lines"), lit(0L)).as("out_lines"),
+              coalesce(col("in_w"), lit(0.0)).as("in_w"),
+              coalesce(col("in_lines"), lit(0L)).as("in_lines"))
+            .orderBy("nation"))
+        }
+        timeMin("q_pagerank current")(noop(
+          graft.Queries.q_pagerank(spark, sfDir)))
+        timeMin("q_pagerank local-edges") {
+          val ranks = graft.operators.Graph.pagerank(edgesLocal(), "src", "dst", "wc")
+          noop(ranks.join(
+              broadcast(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))),
+              col("node") === col("n_nationkey"))
+            .select(col("n_name").as("nation"), col("rank"))
+            .orderBy(desc("rank"), col("nation")))
+        }
+        timeMin("q_graph_kcore current")(noop(
+          graft.Queries.q_graph_kcore(spark, sfDir)))
+        timeMin("q_graph_triangles current")(noop(
+          graft.Queries.q_graph_triangles(spark, sfDir)))
+        timeMin("q_graph_triangles local-edges") {
+          noop(graft.operators.Graph.triangleCensus(edgesLocal(),
+            "src", "dst", "wc"))
+        }
       case "ids" =>
         // noop-timed run of specific ids passed after the mode
         args.drop(1).foreach { id =>

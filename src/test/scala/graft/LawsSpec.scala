@@ -357,6 +357,48 @@ class LawsSpec extends SparkSpec {
       sizes(b) == (n / k + 1).toInt), "earlier buckets take the extra row")
   }
 
+  test("globalRowNumber: r18 codegen mid-path == legacy RDD path, row for row") {
+    import graft.operators.Analytics
+    val rev = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    def run() = Analytics.globalRowNumber(
+        rev, Seq(desc("rev"), col("o_custkey")), "rank")
+      .select(col("o_custkey"), col("rev"), col("rank"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val mid = run()
+    val legacy =
+      try { sys.props("graft.grank.legacy") = "true"; run() }
+      finally sys.props.remove("graft.grank.legacy")
+    assert(mid == legacy)
+  }
+
+  test("fanOutFromSingle: spreads single-source inputs, refuses multi-source ones (ADVICE r17 tie-order restriction)") {
+    val one = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    val spread = operators.Dedup.fanOutFromSingle(one, col("id"))
+    assert(spread.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // the single-row-group-parquet shape: many PLANNED partitions, rows
+    // all in one — must still spread (the r17 q_unpivot win)
+    val skewed = spark.range(0, 5000, 1, numPartitions = 5)
+      .filter(col("id") < 1000).toDF("id")
+    val spread2 = operators.Dedup.fanOutFromSingle(skewed, col("id"))
+    assert(spread2.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // ≥2 NON-EMPTY partitions: a tie group could span map partitions and
+    // interleave across shuffle fetches — the helper must do nothing
+    val three = spark.range(0, 1000, 1, numPartitions = 3).toDF("id")
+    val kept = operators.Dedup.fanOutFromSingle(three, col("id"))
+    assert(kept.rdd.getNumPartitions == 3)
+    // determinism canary for the consumer that leans on the argument:
+    // q_unpivot's full output sequence (non-total contract sort; dup
+    // (okey, lineno) pairs differ in measure values) must be identical
+    // run to run over the standard single-row-group layout
+    val a = Queries.q_unpivot(spark, sfDir).collect().toSeq
+    val b = Queries.q_unpivot(spark, sfDir).collect().toSeq
+    assert(a == b)
+  }
+
   test("globalRunningSum: partition-offset prefix sums == total-order running sum") {
     import graft.operators.Analytics
     // customer-keyed order counts: multi-partition input, long values
