@@ -3074,7 +3074,11 @@ object Queries {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       .localCheckpoint(true)
-    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    // r18: the grand total is a SCALAR off the pinned items relation —
+    // one map-only distinct-count job on the checkpoint instead of a
+    // one-row broadcast-exchange subtree + crossJoin in the final plan
+    // (the q_rfm nTotal discipline, guide §2.4)
+    val nOrders = lit(items.select(col("ok")).distinct().count())
     val supp = items.groupBy("pk").agg(count(lit(1)).as("n_pk"))
     val a = items.select(col("ok"), col("pk").as("part_a"))
     val b = items.select(col("ok"), col("pk").as("part_b"))
@@ -3085,9 +3089,8 @@ object Queries {
       .filter(col("n_both") >= 3)
       .join(supp.select(col("pk").as("part_a"), col("n_pk").as("n_pk_a")), Seq("part_a"))
       .join(supp.select(col("pk").as("part_b"), col("n_pk").as("n_pk_b")), Seq("part_b"))
-      .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("n_both"),
-        round(col("n_both").cast("double") * col("n_orders") /
+        round(col("n_both").cast("double") * nOrders /
           (col("n_pk_a") * col("n_pk_b")), 6).as("lift"))
       .orderBy(desc("lift"), col("part_a"), col("part_b"))
   }

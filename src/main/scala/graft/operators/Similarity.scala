@@ -499,7 +499,9 @@ object Similarity {
     * the drift trigger and the split policy read. */
   def ivfListSizes(spark: org.apache.spark.sql.SparkSession,
                    indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/vectors")
+    // schema-cached read (r18): this census runs per append epoch in the
+    // streaming gates — the footer-inference job it saves is per-batch
+    graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .groupBy(col("ivf_list").cast("int").as("ivf_list"))
       .agg(count(lit(1)).as("n"))
 
@@ -886,7 +888,7 @@ object Similarity {
       return probed.filter(lit(false))
         .select(col("__bid").as(idCol), col("__bid").as("match_id"),
           lit(0.0).as("sim"))
-    val idx = spark.read.parquet(s"$indexDir/vectors")
+    val idx = graft.sources.IO.readArtifact(spark, s"$indexDir/vectors")
       .filter(col("ivf_list").isin(lists: _*))
       .select(col("ivf_list"), col(idCol).as("match_id"),
         col(vecCol).as("__ivec"))
