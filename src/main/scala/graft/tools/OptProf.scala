@@ -386,6 +386,39 @@ object OptProf {
         val cur = Queries.q_rfm(spark, sfDir).collect().map(_.toSeq)
         val mid = rfmWith(midRank, ckptAfter = false).collect().map(_.toSeq)
         println(s"[optprof] parity rows cur=${cur.length} mid=${mid.length} equal=${cur.sameElements(mid)}")
+      case "degreefuse" =>
+        // r18: one explode+agg+join instead of two agg trees + two joins
+        timeMin("q_graph_degree current")(noop(
+          graft.Queries.q_graph_degree(spark, sfDir)))
+        timeMin("q_graph_degree fused") {
+          val e = graft.Queries.nationTradeEdges(spark, sfDir)
+            .localCheckpoint(true)
+          val sides = e.select(explode(array(
+              struct(col("src").as("nk"), col("wc"), col("n_lines"),
+                lit(1L).as("is_out")),
+              struct(col("dst").as("nk"), col("wc"), col("n_lines"),
+                lit(0L).as("is_out")))).as("s"))
+            .select(col("s.nk"), col("s.wc"), col("s.n_lines"), col("s.is_out"))
+            .groupBy("nk")
+            .agg(
+              round(sum(when(col("is_out") === 1L, col("wc")).otherwise(lit(0L)))
+                .cast("double") / lit(100.0), 2).as("out_w0"),
+              sum(when(col("is_out") === 1L, col("n_lines")).otherwise(lit(0L)))
+                .as("out_lines0"),
+              round(sum(when(col("is_out") === 0L, col("wc")).otherwise(lit(0L)))
+                .cast("double") / lit(100.0), 2).as("in_w0"),
+              sum(when(col("is_out") === 0L, col("n_lines")).otherwise(lit(0L)))
+                .as("in_lines0"),
+              sum(col("is_out")).as("n_out"))
+          noop(Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+            .join(sides, col("n_nationkey") === col("nk"), "left")
+            .select(col("n_name").as("nation"),
+              coalesce(when(col("n_out") > 0, col("out_w0")), lit(0.0)).as("out_w"),
+              coalesce(when(col("n_out") > 0, col("out_lines0")), lit(0L)).as("out_lines"),
+              coalesce(when(col("n_out") < col("n_out") + 1, col("in_w0")), lit(0.0)).as("in_w"),
+              coalesce(col("in_lines0"), lit(0L)).as("in_lines"))
+            .orderBy("nation"))
+        }
       case "graphlocal" =>
         // r18 experiment: the nation trade graph is <= 625 edges at ANY
         // SF (25 nations squared) — collect the edge build once
